@@ -1,0 +1,95 @@
+"""Query registry: name → (PySpark callable, DuckDB oracle SQL).
+
+This is the correctness backbone. Every operator claimed in SURVEY.md §2 gets
+one entry here; the driver runs the Spark callable and the oracle SQL
+side-by-side at sf=0.01 and compares row count + schema + order-insensitive
+value hash.
+
+Conventions (critical for hash-matching):
+- Alias EVERY computed/aggregate column identically in Spark and SQL.
+- Round floating-point aggregates with ``round(x, 2)`` on BOTH sides —
+  double summation order differs between engines; 2-decimal rounding
+  absorbs the ~1e-9 accumulation error without (realistically) crossing a
+  rounding boundary.
+- Timestamps: Spark session tz is UTC, matching DuckDB's naive-UTC.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass
+class Query:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver records a weaker rows-only check
+    doc: str = ""
+    bench: bool = False  # include in bench.py headline set
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    bench: bool = False,
+    tags: tuple[str, ...] = (),
+):
+    """Decorator registering a query callable under ``name``."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(name, fn, oracle, doc or (fn.__doc__ or ""), bench, tags)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Table loading. Cached per (session, sf_dir) so repeated queries() calls
+# don't re-plan the scans; temp views are (re-)registered so SQL-flavored
+# queries resolve bare table names.
+# ---------------------------------------------------------------------------
+
+_loaded: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    key = (id(spark), sf_dir)
+    cached = _loaded.get(key)
+    if cached is not None:
+        return cached
+    # The driver-generated parquet stores TIMESTAMP(NANOS); with this legacy
+    # conf Spark 4 reads them as TIMESTAMP_NTZ (micros), which matches
+    # DuckDB's naive-UTC TIMESTAMP semantics exactly. Set here (not only in
+    # the session factory) so the driver's own SparkSession works too.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tables: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df.createOrReplaceTempView(name)
+        tables[name] = df
+    _loaded[key] = tables
+    return tables

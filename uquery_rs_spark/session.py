@@ -1,0 +1,72 @@
+"""SparkSession factory for the engine.
+
+One shared session per process, mirroring the reference's single embedded
+DuckDB instance cloned across a connection pool (src/core/duckdb.rs:9-45).
+In Spark, concurrency isolation comes from the scheduler (FAIR pools +
+per-query job groups), not per-connection state, so a single session with
+bounded concurrent job submission is the idiomatic equivalent.
+
+Scale notes (100 TB design intent):
+- AQE on: runtime coalescing, skew-join splitting, dynamic join strategy.
+- shuffle.partitions is a local-mode default; on a real cluster AQE's
+  coalescing makes the initial number far less critical.
+- Arrow execution on: every driver-side materialization (result streaming,
+  pandas interchange) moves columnar batches, not pickled rows.
+- UTC session timezone: parquet timestamps compare bit-identically against
+  the DuckDB oracle (naive-UTC semantics).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Bound Arrow batch size so result streaming is incremental and
+    # driver memory stays flat regardless of result cardinality
+    # (reference streams batch-at-a-time: src/core/duckdb.rs:91-93).
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    # Broadcast threshold: default 10 MB is fine; AQE converts
+    # sort-merge to broadcast at runtime when a side turns out small.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.scheduler.mode": "FAIR",
+    "spark.ui.enabled": "false",
+}
+
+
+def default_cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(app_name: str = "uquery_rs_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) the shared SparkSession.
+
+    Honors an existing active session (the driver harness may pass one in);
+    only constructs a local-mode session when none exists.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    n = cpus or default_cpus()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.driver.memory", os.environ.get("UQ_DRIVER_MEMORY", "32g"))
+    )
+    for k, v in _DEFAULTS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_for_oracle(spark: SparkSession) -> None:
+    """Settings that matter for bit-faithful comparison with DuckDB."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
