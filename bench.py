@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Headline benchmark — the driver's per-round performance probe.
+
+Runs the bench-tagged queries from the registry at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing counts execution only (collect-to-driver included, JVM+session
+startup excluded) — matching BASELINE.md's "startup-excluded query
+latency" deviation note. Each query runs twice; the best time is kept so
+one-off JIT/IO noise doesn't mask plan quality.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from uquery_rs_spark import queries as Q
+from uquery_rs_spark.session import get_spark
+
+Q.load_all()
+
+REPEATS = 2
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("uquery-bench")
+
+    bench_queries = {n: q for n, q in Q.REGISTRY.items() if q.bench}
+
+    # Warm the session + parquet footers once so q1 doesn't pay JVM startup.
+    next(iter(bench_queries.values())).spark_fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, q in bench_queries.items():
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            q.spark_fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
