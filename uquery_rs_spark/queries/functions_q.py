@@ -1,1 +1,341 @@
-"""Placeholder — populated in later milestones."""
+"""Scalar-function coverage corpus (SURVEY.md §2.B.7).
+
+One oracle-checked query per function family: string, regex, date/time,
+math, array/list + higher-order lambdas, struct/map access, JSON, sequence
+generation, and the reference's macro catalog. The reference admits this
+whole surface via DuckDB pass-through (src/core/duckdb.rs:87-88); evidence
+rows: unnest in docs/docs/response-formats.md:37, macros in tests/test.db.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import macros as M
+from .registry import load_tables, register
+
+
+@register(
+    "string_functions_battery",
+    tags=("functions", "string"),
+    oracle="""
+SELECT c_custkey,
+       lower(c_name)                         AS lname,
+       upper(c_mktsegment)                   AS useg,
+       length(c_name)                        AS name_len,
+       substr(c_name, 1, 8)                  AS prefix,
+       replace(c_name, '#', '-')             AS dashed,
+       trim('  ' || c_name || ' ')           AS trimmed,
+       concat(c_name, '/', c_mktsegment)     AS joined,
+       left(c_mktsegment, 4)                 AS seg4,
+       right(c_name, 3)                      AS last3,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+       reverse(c_mktsegment)                 AS rev,
+       contains(c_name, '1')                 AS has_one,
+       starts_with(c_mktsegment, 'BUI')      AS is_bui,
+       position('0' IN c_name)               AS pos0
+FROM customer
+WHERE c_custkey <= 500
+ORDER BY c_custkey
+""",
+)
+def string_functions_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """lower/upper/length/substr/replace/trim/concat/||/pad/reverse/…"""
+    cust = load_tables(spark, sf)["customer"].filter(F.col("c_custkey") <= 500)
+    return cust.select(
+        "c_custkey",
+        F.lower("c_name").alias("lname"),
+        F.upper("c_mktsegment").alias("useg"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("dashed"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
+        F.concat("c_name", F.lit("/"), "c_mktsegment").alias("joined"),
+        F.left(F.col("c_mktsegment"), F.lit(4)).alias("seg4"),
+        F.right(F.col("c_name"), F.lit(3)).alias("last3"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.reverse("c_mktsegment").alias("rev"),
+        F.contains("c_name", F.lit("1")).alias("has_one"),
+        F.startswith("c_mktsegment", F.lit("BUI")).alias("is_bui"),
+        F.position(F.lit("0"), "c_name").alias("pos0"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "regex_functions",
+    tags=("functions", "regex"),
+    oracle="""
+SELECT p_partkey,
+       p_type,
+       regexp_extract(p_type, '^(\\w+)', 1)          AS first_word,
+       regexp_replace(p_type, '[aeiou]', '_', 'g')   AS devoweled,
+       regexp_matches(p_type, 'BRUSHED|POLISHED')    AS is_finished,
+       split_part(p_type, ' ', 1)                    AS tok1,
+       len(string_split(p_type, ' '))                AS n_tokens
+FROM part
+WHERE p_partkey <= 300
+ORDER BY p_partkey
+""",
+)
+def regex_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """regexp_extract/replace/match + split — patterns chosen inside the
+    RE2∩Java-regex common subset (SURVEY.md §7 dialect-fidelity note)."""
+    part = load_tables(spark, sf)["part"].filter(F.col("p_partkey") <= 300)
+    return part.select(
+        "p_partkey",
+        "p_type",
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_type", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_type").rlike("BRUSHED|POLISHED").alias("is_finished"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("tok1"),
+        F.size(F.split("p_type", " ")).cast("long").alias("n_tokens"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "datetime_functions",
+    tags=("functions", "datetime"),
+    oracle="""
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       extract(year  FROM o_orderdate)               AS yr,
+       extract(month FROM o_orderdate)               AS mo,
+       extract(day   FROM o_orderdate)               AS dy,
+       extract(dow   FROM o_orderdate)               AS dow,
+       o_orderdate + INTERVAL 30 DAY                 AS due_date,
+       strftime(o_orderdate, '%Y-%m')                AS ym,
+       CAST(epoch(o_orderdate) AS BIGINT)            AS epoch_s,
+       date_diff('day', TIMESTAMP '1997-01-01 00:00:00', o_orderdate) AS days_since_97,
+       last_day(CAST(o_orderdate AS DATE))           AS month_end
+FROM orders
+WHERE o_orderkey <= 1000
+ORDER BY o_orderkey
+""",
+)
+def datetime_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """date_trunc/extract/interval/strftime/epoch/datediff/last_day.
+
+    DuckDB dow: Sunday=0 — Spark dayofweek is Sunday=1, so subtract 1.
+    """
+    orders = load_tables(spark, sf)["orders"].filter(F.col("o_orderkey") <= 1000)
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month_start"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dy"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("epoch_s"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1997-01-01").cast("date")
+        ).cast("long").alias("days_since_97"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "math_functions",
+    tags=("functions", "math"),
+    oracle="""
+SELECT p_partkey,
+       abs(p_retailprice - 1000)                    AS dist_1k,
+       ceil(p_retailprice)                          AS c,
+       floor(p_retailprice)                         AS f,
+       round(ln(p_retailprice), 6)                  AS log_price,
+       round(log10(p_retailprice), 6)               AS log10_price,
+       round(exp(p_size / 25.0), 6)                 AS e_size,
+       round(sqrt(p_retailprice), 6)                AS root,
+       round(pow(p_size, 2), 1)                     AS size_sq,
+       p_size % 7                                   AS m7,
+       sign(p_retailprice - 1200)                   AS sgn,
+       greatest(p_size, 25)                         AS hi,
+       least(p_size, 25)                            AS lo,
+       round(pi(), 6)                               AS pi_val
+FROM part
+WHERE p_partkey <= 300
+ORDER BY p_partkey
+""",
+)
+def math_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """abs/ceil/floor/ln/log10/exp/sqrt/pow/%/sign/greatest/least/pi.
+
+    Transcendentals rounded to 6 dp — libm results agree well past that.
+    DuckDB sign() returns int; Spark signum() double — cast to long both.
+    """
+    part = load_tables(spark, sf)["part"].filter(F.col("p_partkey") <= 300)
+    return part.select(
+        "p_partkey",
+        F.abs(F.col("p_retailprice") - 1000).alias("dist_1k"),
+        F.ceil("p_retailprice").alias("c"),
+        F.floor("p_retailprice").alias("f"),
+        F.round(F.ln("p_retailprice"), 6).alias("log_price"),
+        F.round(F.log10("p_retailprice"), 6).alias("log10_price"),
+        F.round(F.exp(F.col("p_size") / 25.0), 6).alias("e_size"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("root"),
+        F.round(F.pow("p_size", F.lit(2)), 1).alias("size_sq"),
+        (F.col("p_size") % 7).alias("m7"),
+        F.signum(F.col("p_retailprice") - 1200).cast("long").alias("sgn"),
+        F.greatest("p_size", F.lit(25)).alias("hi"),
+        F.least("p_size", F.lit(25)).alias("lo"),
+        F.round(F.lit(3.14159265358979), 6).alias("pi_val"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "array_functions",
+    tags=("functions", "array", "higher-order"),
+    oracle="""
+SELECT doc_id,
+       len(toks)                                             AS n_toks,
+       toks[1]                                               AS first_tok,
+       toks[len(toks)]                                       AS last_tok,
+       list_contains(toks, 'spark')                          AS has_spark,
+       array_to_string(list_sort(list_distinct(toks)), ',')  AS uniq_sorted,
+       list_transform(toks, t -> upper(t))[1]                AS first_upper,
+       len(list_filter(toks, t -> length(t) > 4))            AS n_long,
+       list_reduce(list_transform(toks, t -> length(t)), (a, b) -> a + b) AS total_chars
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id <= 100)
+ORDER BY doc_id
+""",
+)
+def array_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Array ops incl. higher-order lambdas: transform / filter / aggregate.
+
+    1-based indexing: DuckDB `toks[1]` ≡ Spark element_at(col, 1) —
+    both 1-based (SURVEY.md §2.B.7).
+    """
+    docs = load_tables(spark, sf)["documents"].filter(F.col("doc_id") <= 100)
+    toks = F.split("text", " ")
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_toks"),
+            F.element_at("toks", 1).alias("first_tok"),
+            F.element_at("toks", -1).alias("last_tok"),
+            F.array_contains("toks", "spark").alias("has_spark"),
+            F.concat_ws(",", F.sort_array(F.array_distinct("toks"))).alias("uniq_sorted"),
+            F.element_at(F.transform("toks", lambda t: F.upper(t)), 1).alias("first_upper"),
+            F.size(F.filter("toks", lambda t: F.length(t) > 4)).cast("long").alias("n_long"),
+            F.aggregate(
+                F.transform("toks", lambda t: F.length(t).cast("long")),
+                F.lit(0).cast("long"),
+                lambda a, b: a + b,
+            ).alias("total_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "explode_unnest_series",
+    tags=("functions", "unnest", "generator"),
+    oracle="""
+SELECT n.n, r_name, n * r_regionkey AS product
+FROM region, (SELECT unnest(generate_series(1, 3)) AS n) n
+ORDER BY r_name, n.n
+""",
+)
+def explode_unnest_series(spark: SparkSession, sf: str) -> DataFrame:
+    """generate_series → sequence+explode, cross-joined against a table
+    (unnest evidence: docs/docs/response-formats.md:37)."""
+    region = load_tables(spark, sf)["region"]
+    series = spark.range(1).select(F.explode(F.sequence(F.lit(1), F.lit(3))).alias("n"))
+    return (
+        region.crossJoin(series)
+        .select("n", "r_name", (F.col("n") * F.col("r_regionkey")).alias("product"))
+        .orderBy("r_name", "n")
+    )
+
+
+@register(
+    "struct_map_access",
+    tags=("functions", "struct", "map"),
+    oracle="""
+SELECT o_orderkey,
+       struct_pack(k := o_orderkey, p := o_totalprice).k         AS sk,
+       round(struct_pack(k := o_orderkey, p := o_totalprice).p, 2) AS sp,
+       map {'status': o_orderstatus, 'prio': o_orderpriority}['status'][1] AS m_status,
+       map {'status': o_orderstatus, 'prio': o_orderpriority}['prio'][1]   AS m_prio
+FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey
+""",
+)
+def struct_map_access(spark: SparkSession, sf: str) -> DataFrame:
+    """struct_pack / MAP construction + field access, flattened output
+    (flat scalars compare engine-agnostically)."""
+    orders = load_tables(spark, sf)["orders"].filter(F.col("o_orderkey") <= 500)
+    st = F.struct(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p"))
+    mp = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"), F.lit("prio"), F.col("o_orderpriority")
+    )
+    return orders.select(
+        "o_orderkey",
+        st.getField("k").alias("sk"),
+        F.round(st.getField("p"), 2).alias("sp"),
+        F.element_at(mp, "status").alias("m_status"),
+        F.element_at(mp, "prio").alias("m_prio"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "json_extract_props",
+    tags=("functions", "json"),
+    oracle="""
+SELECT event_type,
+       count(*)                                                    AS n,
+       round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT))      AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def json_extract_props(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON path extraction over the events.props VARCHAR column
+    (DuckDB `->>` ≡ Spark get_json_object; SURVEY.md §2.B.7)."""
+    events = load_tables(spark, sf)["events"]
+    k = F.get_json_object("props", "$.k")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(k.cast("double")), 4).alias("avg_k"),
+            F.max(k.cast("long")).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "macros_battery",
+    tags=("functions", "macros"),
+    oracle="""
+SELECT c_mktsegment,
+       round(exp(avg(ln(c_acctbal))), 2)                  AS geomean_bal,
+       CAST(sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT)  AS n_rich,
+       round(sum(c_acctbal - 1000 * trunc(c_acctbal / 1000)), 2) AS fmod_total,
+       sum(CAST(floor(c_acctbal / 1000) AS BIGINT))       AS fdiv_total
+FROM customer
+WHERE c_acctbal > 0
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def macros_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's macro catalog (geomean / count_if / fmod / fdiv from
+    tests/test.db, SURVEY.md §2.B.4) applied per market segment."""
+    cust = load_tables(spark, sf)["customer"].filter(F.col("c_acctbal") > 0)
+    bal = F.col("c_acctbal")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.round(M.geomean(bal), 2).alias("geomean_bal"),
+            M.count_if(bal > 5000).alias("n_rich"),
+            F.round(F.sum(M.fmod(bal, F.lit(1000.0))), 2).alias("fmod_total"),
+            F.sum(M.fdiv(bal, F.lit(1000.0))).alias("fdiv_total"),
+        )
+        .orderBy("c_mktsegment")
+    )
