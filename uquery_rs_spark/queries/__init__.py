@@ -15,3 +15,4 @@ def load_all() -> None:
     from . import functions_q  # noqa: F401
     from . import events_q  # noqa: F401
     from . import llm_q  # noqa: F401
+    from . import streaming_q  # noqa: F401

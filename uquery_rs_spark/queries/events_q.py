@@ -1,1 +1,190 @@
-"""Placeholder — populated in later milestones."""
+"""Time-series / event analytics corpus over the `events` table.
+
+The reference has no streaming operators (SURVEY.md §2.B.10) — "streaming"
+there means incremental HTTP delivery. The driver's `events` table instead
+exercises time-windowed *batch* analytics (F.window), sessionization, and
+the as-of join from the admitted-but-unexercised dialect (§2.B.3). The
+Structured Streaming twins of these live in uquery_rs_spark.streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from .registry import load_tables, register
+
+
+@register(
+    "tumbling_window_events",
+    bench=True,
+    tags=("events", "window-agg"),
+    oracle="""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       count(*)                                  AS n_events,
+       round(sum(value), 2)                      AS total_value,
+       count(DISTINCT user_id)                   AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def tumbling_window_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1-hour windows via F.window — the Spark-native form of
+    time-bucketed aggregation (window.start ≡ date_trunc('hour'))."""
+    ev = load_tables(spark, sf)["events"]
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value", "n_users")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "sliding_window_events",
+    tags=("events", "window-agg"),
+    oracle="""
+WITH slid AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)                   AS ws, * FROM events
+  UNION ALL
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL 1 HOUR AS ws, * FROM events
+)
+SELECT ws AS window_start, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM slid
+GROUP BY ws
+ORDER BY ws
+""",
+)
+def sliding_window_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding windows (2h size, 1h slide): every event lands in two
+    windows. Oracle models the same by exploding each row into its two
+    containing window starts."""
+    ev = load_tables(spark, sf)["events"]
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "daily_user_activity",
+    tags=("events", "window-agg"),
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(DISTINCT user_id)                  AS dau,
+       count(*)                                 AS n_events,
+       round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase_value
+FROM events
+GROUP BY 1 ORDER BY 1
+""",
+)
+def daily_user_activity(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_tables(spark, sf)["events"]
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("dau"),
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), 2
+            ).alias("purchase_value"),
+        )
+        .select(F.col("w.start").alias("day"), "dau", "n_events", "purchase_value")
+        .orderBy("day")
+    )
+
+
+@register(
+    "sessionization_30min",
+    bench=True,
+    tags=("events", "session"),
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM gaps
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+FROM sessions
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+""",
+)
+def sessionization_30min(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization: lag → new-session flag → running sum as
+    session id → per-session rollup. One shuffle on user_id; all
+    window+agg stages reuse that partitioning."""
+    ev = load_tables(spark, sf)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull() | ((F.col("ts") - prev_ts) > F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    return (
+        ev.select("user_id", "ts", "event_id", new_session.alias("new_session"))
+        .withColumn("session_idx", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+@register(
+    "asof_join_purchase_view",
+    bench=True,
+    tags=("events", "asof", "join"),
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts,
+       round(p.value, 4)  AS purchase_value,
+       v.ts               AS view_ts,
+       round(v.value, 4)  AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+ORDER BY p.event_id
+""",
+)
+def asof_join_purchase_view(spark: SparkSession, sf: str) -> DataFrame:
+    """ASOF LEFT JOIN (DuckDB dialect, SURVEY.md §2.B.3): each purchase
+    matched to the user's latest prior view. Custom operator
+    operators/asof.py (union + windowed last-non-null; one shuffle)."""
+    ev = load_tables(spark, sf)["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    # duplicate the ordering column into the payload so the matched view's
+    # timestamp rides along (ASOF JOIN exposes the matched right.ts)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("ts").alias("view_ts"), F.col("value").alias("view_value")
+    )
+    joined = asof_join(purchases, views, on="ts", by="user_id", right_cols=["view_ts", "view_value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 4).alias("purchase_value"),
+        "view_ts",
+        F.round("view_value", 4).alias("view_value"),
+    ).orderBy("event_id")

@@ -20,6 +20,7 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -88,8 +89,31 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     tables: dict[str, DataFrame] = {}
     for name in TABLES:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        path = f"{sf_dir}/{name}.parquet"
+        df = spark.read.parquet(path)
+        for col in _nanos_timestamp_cols(path):
+            # nanosAsLong surfaces ns-timestamps as epoch-nano longs;
+            # integer `div 1000` truncates to micros exactly like DuckDB's
+            # ns→us conversion (float division would lose precision at 1e18).
+            df = df.withColumn(
+                col, F.expr(f"timestamp_micros({col} div 1000)").cast("timestamp_ntz")
+            )
         df.createOrReplaceTempView(name)
         tables[name] = df
     _loaded[key] = tables
     return tables
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet timestamp[ns] (local paths only)."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return [
+            f.name
+            for f in schema
+            if str(f.type).startswith("timestamp[ns")
+        ]
+    except Exception:
+        return []

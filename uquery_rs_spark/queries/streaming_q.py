@@ -1,0 +1,43 @@
+"""Structured Streaming corpus entries.
+
+Finite file source + availableNow trigger makes each stream drain to a
+deterministic result, so the tumbling-window stream hash-matches the same
+DuckDB SQL as its batch twin. The stateful operator is non-SQL-expressible
+(driver records rows-only, per the contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.jobs import run_stateful_user_counter, run_tumbling_stream
+from .registry import register
+
+
+@register(
+    "streaming_tumbling_window",
+    tags=("streaming", "window-agg"),
+    oracle="""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def streaming_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """readStream → watermark → windowed agg → memory sink, drained; equals
+    the batch tumbling aggregation on finite input (hash-checked)."""
+    return run_tumbling_stream(spark, sf)
+
+
+@register(
+    "streaming_stateful_counter",
+    oracle=None,  # applyInPandasWithState: custom stateful op, rows-only check
+    tags=("streaming", "stateful"),
+)
+def streaming_stateful_counter(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user running totals via applyInPandasWithState (update mode)."""
+    return run_stateful_user_counter(spark, sf)

@@ -1,0 +1,146 @@
+"""Streaming jobs over the events table (file source → memory sink).
+
+Each job reads the events parquet as a *stream* (readStream), applies a
+watermarked transformation, and drains it synchronously with
+processAllAvailable() so batch tests and the driver's oracle check can
+treat the result as a DataFrame. On a real cluster the same code points at
+a directory Kafka/object-store writers append to; the watermark bounds
+state so the job survives unbounded input.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events parquet as an unbounded stream (ns→us conversion included)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/events.parquet"
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # nanos→micros as in load_tables, but to TIMESTAMP (ltz): watermarks
+    # require event time in TIMESTAMP, not NTZ. Session tz is UTC so the
+    # wall-clock values are identical; outputs cast back to NTZ.
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(stream.dtypes)["ts"] == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+def _drain(result: DataFrame, name: str) -> DataFrame:
+    """Run a streaming DF to completion into an in-memory table."""
+    q = (
+        result.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    return result.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def run_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation, drained to completion.
+
+    With a finite file source and complete output mode the result equals
+    the batch tumbling_window_events query — which is exactly what the
+    oracle check verifies.
+    """
+    ev = streaming_events(spark, sf_dir)
+    name = f"tumbling_{uuid.uuid4().hex[:8]}"
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").cast("timestamp_ntz").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+    return _drain(agg, name).orderBy("window_start", "event_type")
+
+
+def run_sessionized_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window (30 min gap) streaming aggregation per user."""
+    ev = streaming_events(spark, sf_dir)
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").cast("timestamp_ntz").alias("session_start"), "n_events")
+    )
+    return _drain(agg, name).orderBy("user_id", "session_start")
+
+
+_COUNTER_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("v", T.DoubleType())]
+)
+
+
+def run_stateful_user_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    a per-user running (count, value-sum) that persists across microbatches.
+
+    Scale: state lives in the state store partitioned by user_id; each
+    microbatch touches only the groups present in that batch.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(v, 2)]}
+        )
+
+    ev = streaming_events(spark, sf_dir)
+    name = f"counter_{uuid.uuid4().hex[:8]}"
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update, _COUNTER_SCHEMA, _STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    # last emitted row per user = final state
+    latest = spark.sql(f"SELECT * FROM {name}")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        latest.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("user_id")
+    )
