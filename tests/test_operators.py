@@ -1,0 +1,121 @@
+"""Unit tests for the custom operators (edge cases the corpus can't hit)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from uquery_rs_spark.operators import asof_join
+from uquery_rs_spark.operators import dedup as D
+from uquery_rs_spark.operators import multimodal as MM
+from uquery_rs_spark.operators import similarity as S
+from uquery_rs_spark.operators import text as TX
+
+from .conftest import SF_SMALL
+
+
+class TestAsofJoin:
+    def test_backward_inclusive(self, spark):
+        left = spark.createDataFrame([(1, 10), (1, 20), (1, 5)], "k int, t int")
+        right = spark.createDataFrame([(1, 10, "a"), (1, 15, "b")], "k int, t int, v string")
+        rows = {r.t: r.v for r in asof_join(left, right, on="t", by="k").collect()}
+        assert rows == {5: None, 10: "a", 20: "b"}  # t=10 matches its own ts
+
+    def test_empty_right_keeps_left(self, spark):
+        left = spark.createDataFrame([(1, 10, 1.0)], "k int, t int, x double")
+        right = spark.createDataFrame([], "k int, t int, y double")
+        out = asof_join(left, right, on="t", by="k").collect()
+        assert len(out) == 1 and out[0].y is None
+
+    def test_no_by_keys(self, spark):
+        left = spark.createDataFrame([(1, 10), (2, 20)], "id int, t int")
+        right = spark.createDataFrame([(15, 9.9)], "t int, y double")
+        got = sorted((r.t, r.y) for r in asof_join(left, right, on="t").collect())
+        assert got == [(10, None), (20, 9.9)]
+
+    def test_per_key_isolation(self, spark):
+        left = spark.createDataFrame([(1, 10), (2, 10)], "k int, t int")
+        right = spark.createDataFrame([(1, 5, "only-k1")], "k int, t int, v string")
+        rows = {r.k: r.v for r in asof_join(left, right, on="t", by="k").collect()}
+        assert rows == {1: "only-k1", 2: None}
+
+
+class TestDedup:
+    def test_minhash_equals_exact(self, spark):
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        exact = {
+            (r.x, r.y) for r in D.jaccard_pairs_exact(docs, threshold=0.5).collect()
+        }
+        lsh = {(r.x, r.y) for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+        assert lsh == exact and len(exact) > 0
+
+    def test_exact_dedup_keeps_one_per_text(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c", "s"), (2, "a b c", "s"), (3, "x y z", "s")],
+            "doc_id long, text string, source string",
+        )
+        out = {r.doc_id: r.n_copies for r in D.exact_dedup(docs).collect()}
+        assert out == {1: 2, 3: 1}
+
+    def test_simhash_identical_docs_zero_hamming(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+            "doc_id long, text string",
+        )
+        pairs = D.simhash_pairs(docs, max_hamming=0).collect()
+        assert [(p.x, p.y, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+class TestSimilarity:
+    def test_topk_self_excluded_and_ranked(self, spark):
+        emb = spark.createDataFrame(
+            [(i, [1.0 * (i == j) for j in range(4)], 0) for i in range(4)]
+            + [(9, [1.0, 0.001, 0.0, 0.0], 0)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        out = S.cosine_topk_bruteforce(emb.filter("vec_id = 0"), emb, k=1).collect()
+        assert [(r.query_id, r.neighbor_id, r.rank) for r in out] == [(0, 9, 1)]
+
+    def test_ivf_recall_on_real_embeddings(self, spark):
+        emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 30)
+        exact = {(r.query_id, r.neighbor_id) for r in S.cosine_topk_bruteforce(queries, emb, k=3).collect()}
+        approx = {(r.query_id, r.neighbor_id) for r in S.ivf_topk(queries, emb, k=3, n_cells=8, nprobe=4).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.3, f"IVF recall collapsed: {recall}"  # approximate, nprobe=half the cells
+
+
+class TestText:
+    def test_fingerprint_matches_python_reference(self, spark):
+        text = "spark rolling hash check"
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        got = df.select(TX.fingerprint(F.col("text")).alias("fp")).collect()[0].fp
+        fp = 0
+        for tok in text.split(" "):
+            fp = (fp * 31 + ord(tok[0]) * 7 + len(tok)) % 1_000_000_007
+        assert got == fp
+
+    def test_language_id_picks_stopword_language(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the cat and the dog is in the house"), (2, "el gato y la casa es de un perro")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.p for r in df.select("doc_id", TX.predicted_language(F.col("text")).alias("p")).collect()}
+        assert out == {1: "en", 2: "es"}
+
+
+class TestMultimodal:
+    def test_feature_histogram_matches_numpy(self, spark):
+        docs = spark.createDataFrame([(1, "abc", "s")], "doc_id long, text string, source string")
+        out = MM.extract_features(MM.synthesize_binary_docs(docs)).collect()[0]
+        import numpy as np
+
+        expected = np.bincount(
+            np.frombuffer(b"abc", dtype=np.uint8) % MM.FEATURE_DIM, minlength=MM.FEATURE_DIM
+        )
+        assert out.features == expected.tolist()
+        assert out.n_bytes == 3 and out.feature_sum == 3
+
+    def test_frame_sampling_offsets(self, spark):
+        docs = spark.createDataFrame([(1, "x" * 200, "s")], "doc_id long, text string, source string")
+        frames = MM.frame_sample_plan(MM.synthesize_binary_docs(docs), every_n_bytes=64).collect()
+        assert [(f.frame_idx, f.byte_offset) for f in frames] == [(0, 0), (1, 64), (2, 128)]

@@ -1,0 +1,51 @@
+"""Plan-shape tests — catch scale regressions at sf0.001.
+
+These pin the physical-plan properties that matter at 100 TB: predicate
+pushdown into the parquet scan, broadcast joins for dimensions, column
+pruning for wide binary payloads.
+"""
+
+from __future__ import annotations
+
+from uquery_rs_spark import queries as Q
+from uquery_rs_spark.plans.inspect import formatted_plan, pushed_filters
+
+from .conftest import SF_SMALL
+
+Q.load_all()
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    df = Q.REGISTRY["q1_pricing_summary"].spark_fn(spark, SF_SMALL)
+    pushed = pushed_filters(df)
+    assert "l_shipdate" in pushed, f"shipdate filter not pushed: {pushed}"
+
+
+def test_q1_partial_aggregation(spark):
+    plan = formatted_plan(Q.REGISTRY["q1_pricing_summary"].spark_fn(spark, SF_SMALL))
+    assert "partial" in plan.lower(), "no map-side partial aggregation"
+
+
+def test_q3_broadcasts_dimension(spark):
+    plan = formatted_plan(Q.REGISTRY["q3_shipping_priority"].spark_fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_star_join_broadcasts(spark):
+    plan = formatted_plan(Q.REGISTRY["q5_local_supplier_volume"].spark_fn(spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_metadata_query_prunes_payload(spark):
+    df = Q.REGISTRY["multimodal_metadata"].spark_fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    # only doc_id + text should be read; the scan must not materialize
+    # other document columns like lang/source
+    assert "ReadSchema" in plan
+    read_schema_line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "lang" not in read_schema_line and "source" not in read_schema_line
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = formatted_plan(Q.REGISTRY["q3_shipping_priority"].spark_fn(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan

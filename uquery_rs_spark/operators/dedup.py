@@ -1,0 +1,243 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond-reference surface (driver north star, BASELINE.json): exact dedup,
+exact-by-hash, n-gram Jaccard all-pairs, MinHash+LSH near-dedup, SimHash.
+All JVM-side (built-in functions + higher-order lambdas) — no Python in
+the hot path.
+
+Scale design:
+- exact: group on sha256(text) — 32-byte shuffle keys instead of full
+  documents; at 100 TB the shuffle moves hashes, not bodies.
+- n-gram Jaccard (exact): shingle-inverted-index self-join. Exact but
+  O(Σ df(shingle)²) — the scale path is MinHash-LSH below; kept as the
+  correctness oracle and for small/medium corpora.
+- MinHash-LSH: per-doc signatures computed as array expressions (no
+  shingle-row explosion), banded into (band, key) buckets; only bucket
+  collisions generate candidate pairs, then exact Jaccard verifies.
+  Cost O(n·perms + candidates), shuffles bounded by bucket sizes.
+- SimHash: 64-bit fingerprints; banding on 16-bit chunks for candidate
+  generation (hamming ≤ 3 ⇒ at least one of 4 chunks equal), verify via
+  bit_count(xor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Affine minwise-hash permutations (Broder) over the Mersenne prime 2^31-1.
+# All arithmetic stays < 2^62, so it is exact int64 — safe under Spark 4's
+# default ANSI mode (which rejects silent overflow) and oracle-replicable.
+_MINHASH_P = 2_147_483_647
+_MINHASH_A = 2_654_435_761  # Knuth multiplicative constant
+_MINHASH_B = 40_503
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a whitespace-tokenized text.
+
+    Texts shorter than n tokens yield an empty array — guarded explicitly
+    because F.sequence(1, 0) produces a DESCENDING [1, 0] (not empty),
+    which would index out of bounds under ANSI mode.
+    """
+    toks = F.split(text, " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = lambda i: F.concat_ws("_", *[F.element_at(toks, i + k) for k in range(n)])  # noqa: E731
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source exact-duplicate statistics via sha256 grouping."""
+    return (
+        docs.withColumn("h", F.sha2(F.col(text_col), 256))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("h").alias("n_unique"),
+            (F.count("*") - F.countDistinct("h")).alias("n_dup"),
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-key document per distinct text (hash-grouped)."""
+    return (
+        docs.withColumn("h", F.sha2(F.col(text_col), 256))
+        .groupBy("h")
+        .agg(F.min(key_col).alias(key_col), F.count("*").alias("n_copies"))
+    )
+
+
+def jaccard_pairs_exact(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs with n-gram-shingle Jaccard >= threshold (exact).
+
+    Inverted-index plan: explode distinct shingles, self-join on shingle,
+    count intersections, fetch set sizes, filter. Columns: x, y (x<y),
+    inter, nx, ny, jaccard.
+    """
+    sh = docs.select(F.col(key_col).alias("id"), word_shingles(F.col(text_col), n).alias("s"))
+    sizes = sh.select("id", F.size("s").alias("nsh"))
+    ex = sh.select("id", F.explode("s").alias("g"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("x"), F.col("b.id").alias("y"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sx = sizes.select(F.col("id").alias("x"), F.col("nsh").alias("nx"))
+    sy = sizes.select(F.col("id").alias("y"), F.col("nsh").alias("ny"))
+    return (
+        inter.join(sx, "x")
+        .join(sy, "y")
+        .withColumn("jaccard", F.col("inter") / (F.col("nx") + F.col("ny") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("x", "y", "inter", "nx", "ny", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def minhash_signature(shingles: Column, num_perm: int) -> Column:
+    """Array of `num_perm` minhash values computed as one projection.
+
+    base(x) = xxhash64(x) mod p; h_j(x) = (a_j * base + b_j) mod p with
+    a_j, b_j derived from j, p = 2^31-1. signature[j] = min over shingles.
+    No row explosion: nested higher-order transforms, all JVM-side.
+    """
+    p = F.lit(_MINHASH_P).cast("long")
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), p))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                base,
+                # a_j, b_j < p  and  base < p  ⇒ products < 2^62: exact
+                lambda h: F.pmod(
+                    F.pmod(F.lit(_MINHASH_A) * (j.cast("long") + 1), p) * h
+                    + F.pmod(F.lit(_MINHASH_B) * (j.cast("long") + 7), p),
+                    p,
+                ),
+            )
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    bands: int = 48,
+    rows_per_band: int = 2,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH candidates + exact verification.
+
+    With r=2, b=48: P(candidate | J=0.5) ≈ 1-(1-0.25)^48 ≈ 1-1e-6, so the
+    verified output equals the exact jaccard_pairs_exact result with
+    overwhelming probability — which is how the oracle checks it.
+    Columns: x, y, jaccard (rounded 4).
+    """
+    num_perm = bands * rows_per_band
+    sh = docs.select(
+        F.col(key_col).alias("id"), word_shingles(F.col(text_col), n).alias("s")
+    ).filter(F.size("s") > 0)
+    # empty shingle sets are excluded: they'd collide in every band (null
+    # signatures) and their Jaccard is 0/0 — not a near-duplicate by def.
+    sig = sh.select("id", "s", minhash_signature(F.col("s"), num_perm).alias("sig"))
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.hash(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), b),
+    )
+    buckets = sig.select("id", F.posexplode(band_keys).alias("band", "bkey"))
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("x"), F.col("b.id").alias("y"))
+        .distinct()
+    )
+    sets_x = sh.select(F.col("id").alias("x"), F.col("s").alias("sx"))
+    sets_y = sh.select(F.col("id").alias("y"), F.col("s").alias("sy"))
+    return (
+        candidates.join(sets_x, "x")
+        .join(sets_y, "y")
+        .withColumn("inter", F.size(F.array_intersect("sx", "sy")))
+        .withColumn(
+            "jaccard", F.col("inter") / (F.size("sx") + F.size("sy") - F.col("inter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("x", "y", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash of a token array (JVM-side bit arithmetic).
+
+    bit k of the fingerprint = majority sign over tokens of bit k of
+    xxhash64(token). Bit positions are unrolled at plan-build time (static
+    Python loop) — shift amounts must be literals, and the 64 aggregates
+    still fuse into one codegen'd projection.
+    """
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    def voter(mask):  # closure factory: PySpark introspects lambda arity
+        return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
+
+    fp = F.lit(0).cast("long")
+    for k in range(64):
+        mask = F.shiftleft(F.lit(1).cast("long"), k)
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), voter(mask))
+        fp = fp.bitwiseOR(F.when(vote > 0, mask).otherwise(F.lit(0).cast("long")))
+    return fp
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs with SimHash hamming distance <= max_hamming.
+
+    Candidate generation by 16-bit chunk banding (pigeonhole: hamming <= 3
+    ⇒ one of 4 chunks identical), verification via bit_count(xor).
+    Columns: x, y, hamming.
+    """
+    fp = docs.select(
+        F.col(key_col).alias("id"),
+        simhash64(F.split(F.col(text_col), " ")).alias("fp"),
+    )
+    chunks = fp.select(
+        "id",
+        "fp",
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned("fp", 16 * c).bitwiseAND(F.lit(0xFFFF)) for c in range(4)])
+        ).alias("chunk", "ckey"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("x"),
+            F.col("b.id").alias("y"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,117 @@
+"""Text-analysis operators: language ID, quality scoring, token stats,
+document fingerprinting.
+
+Beyond-reference surface (driver north star). Every formula is a pure
+SQL-expressible function of the text so the DuckDB oracle can replicate it
+bit-for-bit — deliberately: these run inside whole-stage codegen, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists (public common-word sets); the language
+# score is the fraction of tokens found in each list — a classic n-gram/
+# stopword heuristic. Order matters for deterministic argmax ties.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "den", "mit", "von"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "sur"),
+}
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def stopword_ratio(toks: Column, words: tuple[str, ...]) -> Column:
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wl, t))) / F.size(toks)
+
+
+def language_scores(text: Column) -> list[Column]:
+    """One `<lang>_score` column per language (rounded 4)."""
+    toks = tokens(text)
+    return [
+        F.round(stopword_ratio(toks, words), 4).alias(f"{lang}_score")
+        for lang, words in STOPWORDS.items()
+    ]
+
+
+def predicted_language(text: Column) -> Column:
+    """argmax over language scores; 'und' (undetermined) when all zero.
+
+    Ties resolve in STOPWORDS iteration order — the same CASE chain the
+    oracle uses.
+    """
+    toks = tokens(text)
+    scores = {lang: stopword_ratio(toks, w) for lang, w in STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best > 0, expr).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: length sweet-spot + short-token penalty
+    + digit/punct penalty. Deterministic rational arithmetic, rounded 4."""
+    toks = tokens(text)
+    n_toks = F.size(toks)
+    n_chars = F.length(text)
+    avg_tok_len = n_chars / n_toks
+    digit_ratio = (n_chars - F.length(F.regexp_replace(text, "[0-9]", ""))) / n_chars
+    len_component = F.least(n_toks / F.lit(50.0), F.lit(1.0))
+    tok_component = F.least(avg_tok_len / F.lit(5.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.5) * len_component + F.lit(0.4) * tok_component - F.lit(0.3) * digit_ratio, 4
+    )
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token statistics (whitespace + BPE-ish subword count)."""
+    t = tokens(F.col(text_col))
+    # BPE-ish proxy: ceil(len/4) subwords per token — a public rule-of-thumb
+    # for byte-pair vocabularies (~4 chars/token English average).
+    bpe = F.aggregate(
+        F.transform(t, lambda x: F.ceil(F.length(x) / 4).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    return docs.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars"),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_types"),
+        F.round(F.size(F.array_distinct(t)) / F.size(t), 4).alias("type_token_ratio"),
+        bpe.alias("n_bpe_subwords"),
+    )
+
+
+_FP_MOD = 1_000_000_007
+_FP_MUL = 31
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive rolling document fingerprint.
+
+    fp = fold over tokens: (fp*31 + ascii(first char)*7 + len(token)) mod 1e9+7.
+    Stays < 2^35 so int64 arithmetic is exact in both engines.
+    """
+    t = tokens(text)
+    return F.aggregate(
+        t,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * _FP_MUL + F.ascii(x) * 7 + F.length(x)) % _FP_MOD,
+    )
+
+
+def fingerprint_sql(text_expr: str) -> str:
+    """The DuckDB twin of :func:`fingerprint` (kept adjacent for parity)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({text_expr}, ' '), t -> CAST(unicode(t) * 7 + length(t) AS BIGINT))), "
+        f"(acc, x) -> (acc * {_FP_MUL} + x) % {_FP_MOD})"
+    )

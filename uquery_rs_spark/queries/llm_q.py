@@ -1,1 +1,320 @@
-"""Placeholder — populated in later milestones."""
+"""LLM-data-pipeline corpus: dedup, similarity search, text analysis,
+multimodal plumbing (driver north star, BASELINE.json; SURVEY.md §7.7).
+
+Oracle strategy: every deterministic operator gets an exact DuckDB twin
+(shingle Jaccard, sha256 grouping, stopword language ID, fingerprints,
+cosine top-k in double precision). Probabilistic structures whose hashes
+can't be replicated in SQL (SimHash bit votes, IVF probing) are rows-only,
+but their *verified* variants (MinHash-LSH with exact-Jaccard
+verification) hash-match the exact result by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as MM
+from ..operators import similarity as S
+from ..operators import text as TX
+from .registry import load_tables, register
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_stats",
+    tags=("llm", "dedup"),
+    oracle="""
+SELECT source,
+       count(*)                          AS n_docs,
+       count(DISTINCT sha256(text))      AS n_unique,
+       count(*) - count(DISTINCT sha256(text)) AS n_dup
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def dedup_exact_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup via sha256 grouping (32-byte shuffle keys, not bodies)."""
+    docs = load_tables(spark, sf)["documents"]
+    return D.exact_dedup_stats(docs).orderBy("source")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    bench=True,
+    tags=("llm", "dedup"),
+    oracle="""
+WITH sh AS (
+  SELECT doc_id AS id,
+         list_distinct([t[i] || '_' || t[i+1] || '_' || t[i+2]
+                        for i in generate_series(1, len(t) - 2)]) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+ex AS (SELECT id, unnest(s) AS g FROM sh),
+inter AS (
+  SELECT a.id AS x, b.id AS y, count(*) AS inter
+  FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT x, y, inter, sx.nx, sy.ny,
+       round(inter * 1.0 / (sx.nx + sy.ny - inter), 4) AS jaccard
+FROM inter
+JOIN (SELECT id, len(s) AS nx FROM sh) sx ON x = sx.id
+JOIN (SELECT id, len(s) AS ny FROM sh) sy ON y = sy.id
+WHERE inter * 1.0 / (sx.nx + sy.ny - inter) >= 0.5
+ORDER BY x, y
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact all-pairs 3-gram Jaccard >= 0.5 via shingle inverted index."""
+    docs = load_tables(spark, sf)["documents"]
+    return D.jaccard_pairs_exact(docs, threshold=0.5).orderBy("x", "y")
+
+
+@register(
+    "dedup_minhash_lsh",
+    bench=True,
+    tags=("llm", "dedup"),
+    oracle="""
+WITH sh AS (
+  SELECT doc_id AS id,
+         list_distinct([t[i] || '_' || t[i+1] || '_' || t[i+2]
+                        for i in generate_series(1, len(t) - 2)]) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+ex AS (SELECT id, unnest(s) AS g FROM sh),
+inter AS (
+  SELECT a.id AS x, b.id AS y, count(*) AS inter
+  FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT x, y,
+       round(inter * 1.0 / (sx.nx + sy.ny - inter), 4) AS jaccard
+FROM inter
+JOIN (SELECT id, len(s) AS nx FROM sh) sx ON x = sx.id
+JOIN (SELECT id, len(s) AS ny FROM sh) sy ON y = sy.id
+WHERE inter * 1.0 / (sx.nx + sy.ny - inter) >= 0.5
+ORDER BY x, y
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH (96 perms, 48 bands × 2) candidates + exact-Jaccard
+    verification. Oracle = the exact all-pairs result: with r=2/b=48 the
+    LSH recall at J>=0.5 is 1-1e-6, so outputs coincide."""
+    docs = load_tables(spark, sf)["documents"]
+    return D.minhash_lsh_pairs(docs, threshold=0.5).orderBy("x", "y")
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64 bit votes aren't SQL-replicable → rows-only
+    tags=("llm", "dedup"),
+)
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3 of 64) via chunk banding."""
+    docs = load_tables(spark, sf)["documents"]
+    return D.simhash_pairs(docs, max_hamming=3).orderBy("x", "y")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_cosine_topk",
+    bench=True,
+    tags=("llm", "similarity"),
+    oracle="""
+WITH unit AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y)))) AS v
+  FROM embeddings
+),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) AS sim
+  FROM (SELECT * FROM unit WHERE vec_id < 100) q
+  JOIN unit c ON q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims
+) WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors (vec_id < 100) — the
+    exact ANN baseline; JVM zip_with dot products, broadcast query side."""
+    emb = load_tables(spark, sf)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 100)
+    return S.cosine_topk_bruteforce(queries, emb, k=5).orderBy("query_id", "rank")
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate (probes a subset of cells) → rows-only
+    tags=("llm", "similarity"),
+)
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-bucketed approximate top-5 (16 cells, nprobe=4) — the scale
+    path: ~4× less distance compute than brute force at equal recall on
+    clustered data."""
+    emb = load_tables(spark, sf)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 100)
+    return S.ivf_topk(queries, emb, k=5, n_cells=16, nprobe=4).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOPLIST_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in TX.STOPWORDS.items()
+}
+
+_LANG_SCORE_SQL = {
+    lang: (
+        f"len(list_filter(string_split(text, ' '), t -> list_contains({_STOPLIST_SQL[lang]}, t)))"
+        f" * 1.0 / len(string_split(text, ' '))"
+    )
+    for lang in TX.STOPWORDS
+}
+
+
+@register(
+    "text_language_id",
+    tags=("llm", "text"),
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_LANG_SCORE_SQL['en']} AS en_s,
+         {_LANG_SCORE_SQL['de']} AS de_s,
+         {_LANG_SCORE_SQL['es']} AS es_s,
+         {_LANG_SCORE_SQL['fr']} AS fr_s
+  FROM documents
+)
+SELECT doc_id, lang,
+       round(en_s, 4) AS en_score, round(de_s, 4) AS de_score,
+       round(es_s, 4) AS es_score, round(fr_s, 4) AS fr_score,
+       CASE WHEN greatest(en_s, de_s, es_s, fr_s) = 0 THEN 'und'
+            WHEN en_s = greatest(en_s, de_s, es_s, fr_s) THEN 'en'
+            WHEN de_s = greatest(en_s, de_s, es_s, fr_s) THEN 'de'
+            WHEN es_s = greatest(en_s, de_s, es_s, fr_s) THEN 'es'
+            ELSE 'fr' END AS predicted
+FROM scored
+ORDER BY doc_id
+""",
+)
+def text_language_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-overlap language ID with per-language scores + argmax."""
+    docs = load_tables(spark, sf)["documents"]
+    return docs.select(
+        "doc_id",
+        "lang",
+        *TX.language_scores(F.col("text")),
+        TX.predicted_language(F.col("text")).alias("predicted"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_score",
+    tags=("llm", "text"),
+    oracle="""
+SELECT doc_id,
+       round(0.5 * least(len(string_split(text, ' ')) / 50.0, 1.0)
+           + 0.4 * least((length(text) * 1.0 / len(string_split(text, ' '))) / 5.0, 1.0)
+           - 0.3 * ((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text)), 4)
+         AS quality
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Length/token/digit-ratio quality heuristic (codegen'd, no UDF)."""
+    docs = load_tables(spark, sf)["documents"]
+    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality")).orderBy("doc_id")
+
+
+@register(
+    "text_token_stats",
+    tags=("llm", "text"),
+    oracle="""
+SELECT doc_id,
+       length(text)                                    AS n_chars,
+       len(string_split(text, ' '))                    AS n_tokens,
+       len(list_distinct(string_split(text, ' ')))     AS n_types,
+       round(len(list_distinct(string_split(text, ' '))) * 1.0
+             / len(string_split(text, ' ')), 4)        AS type_token_ratio,
+       list_sum(list_transform(string_split(text, ' '),
+                t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS n_bpe_subwords
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting, type/token ratio."""
+    docs = load_tables(spark, sf)["documents"]
+    return TX.token_stats(docs).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    tags=("llm", "text"),
+    oracle=f"""
+SELECT doc_id, {TX.fingerprint_sql('text')} AS fp
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint (exact int64 arithmetic —
+    identical in both engines)."""
+    docs = load_tables(spark, sf)["documents"]
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_metadata",
+    tags=("llm", "multimodal"),
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       'application/octet-stream' AS mime
+FROM documents
+ORDER BY doc_id
+""",
+)
+def multimodal_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-column metadata stays JVM-side; the payload column is pruned
+    from the scan when only metadata is selected."""
+    docs = load_tables(spark, sf)["documents"]
+    binary = MM.synthesize_binary_docs(docs)
+    return binary.select(
+        "doc_id", F.col("meta.n_bytes").cast("long").alias("n_bytes"), F.col("meta.mime").alias("mime")
+    ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # pandas-UDF featurizer (decode stub) → rows-only
+    tags=("llm", "multimodal"),
+)
+def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """payload → byte-histogram features via Arrow-batched mapInPandas
+    (the real decoder is stubbed; plumbing/schema/batching are real)."""
+    docs = load_tables(spark, sf)["documents"]
+    return MM.extract_features(MM.synthesize_binary_docs(docs)).orderBy("doc_id")
