@@ -1,0 +1,75 @@
+"""SQL-rewrite layer unit tests (path tables, TVFs, sandbox, dialect)."""
+
+from __future__ import annotations
+
+import pytest
+
+from uquery_rs_spark.errors import UQueryError
+from uquery_rs_spark.rewrite import SqlRewriter
+
+FIXTURES = "/root/repo/tests/fixtures"
+
+
+@pytest.fixture
+def rw(spark):
+    return SqlRewriter(spark, allowed_dirs=[FIXTURES])
+
+
+def test_path_table_registers_view(spark, rw):
+    sql = rw.rewrite(f"SELECT count(*) AS n FROM '{FIXTURES}/test.csv'")
+    assert "uq_file_" in sql and ".csv" not in sql
+    assert spark.sql(sql).collect()[0].n == 2
+
+
+def test_same_path_reuses_view(rw):
+    a = rw.rewrite(f"SELECT * FROM '{FIXTURES}/test.csv'")
+    b = rw.rewrite(f"SELECT * FROM '{FIXTURES}/test.csv'")
+    assert a == b
+
+
+def test_join_of_two_path_tables(spark, rw):
+    sql = rw.rewrite(
+        f"SELECT count(*) AS n FROM '{FIXTURES}/test.csv' a "
+        f"JOIN '{FIXTURES}/test.jsonl' b ON a.f_int = b.f_int"
+    )
+    assert spark.sql(sql).collect()[0].n == 2
+
+
+def test_read_csv_tvf_with_options(spark, rw):
+    sql = rw.rewrite(f"SELECT * FROM read_csv('{FIXTURES}/test.csv', header=true, delim=',')")
+    assert spark.sql(sql).count() == 2
+
+
+def test_string_literal_not_rewritten(rw):
+    sql = rw.rewrite("SELECT 'x.parquet' AS name")
+    assert sql == "SELECT 'x.parquet' AS name"
+
+
+def test_sandbox_denies_outside_path(rw):
+    with pytest.raises(UQueryError) as ei:
+        rw.rewrite("SELECT * FROM '/etc/shadow.csv'")
+    assert ei.value.status == 400
+
+
+def test_forbidden_statements(rw):
+    for sql in ["SET x=1", "INSTALL httpfs", "LOAD httpfs", "ATTACH 'f.db'", "CREATE SECRET s"]:
+        with pytest.raises(UQueryError):
+            rw.rewrite(sql)
+
+
+def test_json_arrow_operator(spark, rw):
+    spark.createDataFrame([('{"k": 7}',)], "props string").createOrReplaceTempView("t_arrow")
+    sql = rw.rewrite("SELECT props->>'k' AS v FROM t_arrow")
+    assert "get_json_object" in sql
+    assert spark.sql(sql).collect()[0].v == "7"
+
+
+def test_geomean_macro_expansion(spark, rw):
+    sql = rw.rewrite("SELECT geomean(x) AS g FROM (VALUES (1.0), (4.0)) t(x)")
+    assert "exp(avg(ln(x)))" in sql
+    assert abs(spark.sql(sql).collect()[0].g - 2.0) < 1e-9
+
+
+def test_nested_geomean_parens(spark, rw):
+    sql = rw.rewrite("SELECT geomean(abs(x) + (1 - 1)) AS g FROM (VALUES (2.0), (8.0)) t(x)")
+    assert abs(spark.sql(sql).collect()[0].g - 4.0) < 1e-9

@@ -1,0 +1,173 @@
+"""Pre-Catalyst SQL rewriting — the one genuinely custom component
+(SURVEY.md §7 Phase 2).
+
+Resolves DuckDB-gateway idioms into Spark SQL before spark.sql() sees the
+text:
+
+1. path-as-table:  FROM 'x.parquet'  →  FROM uq_file_<hash>  (temp view
+   over spark.read; reference src/main.rs:327,350)
+2. table functions:  read_parquet('x') / read_csv('x', header=true) /
+   read_json('x')  →  same view mechanism, args → reader options
+   (reference src/main.rs:307)
+3. filesystem sandbox: every resolved local path must fall under an
+   allowed directory (reference `SET allowed_directories` +
+   enable_external_access, src/cli/options.rs:193-199 — Spark has no
+   built-in equivalent, so it's enforced here, before any read)
+4. config freeze: SET/INSTALL/LOAD/ATTACH/CREATE SECRET from clients are
+   rejected (reference lock_configuration=true, options.rs:199)
+5. dialect: `col->>'k'` / `col->'k'` → get_json_object; aggregate macro
+   geomean(x) → exp(avg(ln(x))) (scalar macros are SQL UDFs, macros.py)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+from pyspark.sql import SparkSession
+
+from .errors import UQueryError
+from .sources.files import REMOTE_SCHEMES, resolve_path
+
+_PATH_TABLE_RE = re.compile(
+    r"(?i)(?P<kw>\b(?:from|join)\s+)'(?P<path>[^']+)'(?!\s*(?:,\s*'|\)))"
+)
+_TVF_RE = re.compile(r"(?i)\b(?P<fn>read_parquet|read_csv|read_json)\s*\(")
+_JSON_ARROW_RE = re.compile(
+    r"(?P<col>[A-Za-z_][\w.]*)\s*->>?\s*'(?P<key>[^']+)'"
+)
+_FORBIDDEN_RE = re.compile(
+    r"(?i)^\s*(set|reset|install|load|attach|detach|create\s+secret|copy|export|import)\b"
+)
+_GEOMEAN_RE = re.compile(r"(?i)\bgeomean\s*\(")
+
+
+class SqlRewriter:
+    def __init__(
+        self,
+        spark: SparkSession,
+        allowed_dirs: list[str] | None = None,
+        allow_remote: bool = True,
+    ):
+        self.spark = spark
+        self.allowed_dirs = [os.path.realpath(d) for d in (allowed_dirs or [os.getcwd()])]
+        self.allow_remote = allow_remote
+        self._views: dict[str, str] = {}
+
+    # -- sandbox ----------------------------------------------------------
+
+    def check_path(self, path: str) -> None:
+        if path.startswith(REMOTE_SCHEMES):
+            if not self.allow_remote:
+                raise UQueryError.sql_error(f"remote access disabled: {path}")
+            return
+        real = os.path.realpath(path)
+        if not any(real == d or real.startswith(d + os.sep) for d in self.allowed_dirs):
+            raise UQueryError.sql_error(
+                f"path '{path}' is outside the allowed directories"
+            )
+
+    # -- view registration --------------------------------------------------
+
+    def _view_for(self, path: str, fmt: str | None, options: dict[str, str]) -> str:
+        key = f"{path}|{fmt}|{sorted(options.items())}"
+        view = self._views.get(key)
+        if view is None:
+            self.check_path(path)
+            df = resolve_path(self.spark, path, fmt, options)
+            view = "uq_file_" + hashlib.sha1(key.encode()).hexdigest()[:12]
+            df.createOrReplaceTempView(view)
+            self._views[key] = view
+        return view
+
+    # -- rewrites -----------------------------------------------------------
+
+    def _rewrite_path_tables(self, sql: str) -> str:
+        def sub(m: re.Match) -> str:
+            return m.group("kw") + self._view_for(m.group("path"), None, {})
+
+        return _PATH_TABLE_RE.sub(sub, sql)
+
+    def _rewrite_tvfs(self, sql: str) -> str:
+        out: list[str] = []
+        pos = 0
+        for m in _TVF_RE.finditer(sql):
+            args_start = m.end()
+            depth, i = 1, args_start
+            while i < len(sql) and depth:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+                elif sql[i] == "'":  # skip string literal
+                    i = sql.index("'", i + 1)
+                i += 1
+            raw_args = sql[args_start : i - 1]
+            fmt = m.group("fn").split("_", 1)[1]
+            path, options = self._parse_tvf_args(raw_args)
+            out.append(sql[pos : m.start()])
+            out.append(self._view_for(path, fmt, options))
+            pos = i
+        out.append(sql[pos:])
+        return "".join(out)
+
+    @staticmethod
+    def _parse_tvf_args(raw: str) -> tuple[str, dict[str, str]]:
+        parts = [p.strip() for p in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", raw) if p.strip()]
+        if not parts or not parts[0].startswith("'"):
+            raise UQueryError.sql_error(f"read_* expects a quoted path, got: {raw[:80]}")
+        path = parts[0].strip("'")
+        options: dict[str, str] = {}
+        for p in parts[1:]:
+            if "=" not in p:
+                raise UQueryError.sql_error(f"bad read_* option: {p}")
+            k, v = p.split("=", 1)
+            key = k.strip().rstrip(":").strip()
+            options[_OPTION_NAMES.get(key.lower(), key)] = v.strip().strip("'")
+        return path, options
+
+    @staticmethod
+    def _rewrite_json_arrows(sql: str) -> str:
+        def sub(m: re.Match) -> str:
+            return f"get_json_object({m.group('col')}, '$.{m.group('key')}')"
+
+        return _JSON_ARROW_RE.sub(sub, sql)
+
+    @staticmethod
+    def _expand_geomean(sql: str) -> str:
+        # geomean(expr) → exp(avg(ln(expr))): balanced-paren macro expansion
+        while True:
+            m = _GEOMEAN_RE.search(sql)
+            if not m:
+                return sql
+            depth, i = 1, m.end()
+            while i < len(sql) and depth:
+                depth += {"(": 1, ")": -1}.get(sql[i], 0)
+                i += 1
+            inner = sql[m.end() : i - 1]
+            sql = sql[: m.start()] + f"exp(avg(ln({inner})))" + sql[i:]
+
+    def rewrite(self, sql: str) -> str:
+        if _FORBIDDEN_RE.match(sql):
+            raise UQueryError.sql_error(
+                "session-mutating statements are disabled (configuration is locked)"
+            )
+        sql = self._rewrite_tvfs(sql)
+        sql = self._rewrite_path_tables(sql)
+        sql = self._rewrite_json_arrows(sql)
+        sql = self._expand_geomean(sql)
+        return sql
+
+
+# DuckDB read_csv option → Spark reader option
+_OPTION_NAMES = {
+    "delim": "sep",
+    "sep": "sep",
+    "header": "header",
+    "quote": "quote",
+    "escape": "escape",
+    "nullstr": "nullValue",
+    "sample_size": "samplingRatio",
+    "compression": "compression",
+}

@@ -1,0 +1,83 @@
+"""Reader dispatch: a file path (or URL) becomes a DataFrame.
+
+Reference semantics: a quoted path is a table (`SELECT * FROM
+'tests/test.zstd.parquet'`, src/main.rs:327; `.jsonl` at :350; `.csv` via
+smoke test), remote URLs admitted by prefix (https/s3/gcs/gs —
+src/cli/options.rs:24), formats inferred by extension with CSV sniffing
+and JSON structure detection. Spark-side: spark.read.* with schema
+inference, zstd/gzip handled natively by the parquet/csv readers.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import urllib.request
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..errors import UQueryError
+
+# extension → (spark format, default reader options)
+FORMATS: dict[str, tuple[str, dict[str, str]]] = {
+    "parquet": ("parquet", {}),
+    "csv": ("csv", {"header": "true", "inferSchema": "true"}),
+    "tsv": ("csv", {"header": "true", "inferSchema": "true", "sep": "\t"}),
+    "json": ("json", {}),
+    "jsonl": ("json", {}),
+    "ndjson": ("json", {}),
+}
+
+REMOTE_SCHEMES = ("https://", "http://", "s3://", "gcs://", "gs://")
+
+
+def detect_format(path: str) -> str | None:
+    name = path.lower().rstrip("/")
+    parts = name.rsplit("/", 1)[-1].split(".")
+    for ext in reversed(parts[1:]):  # skip compression suffixes (x.zstd.parquet)
+        if ext in FORMATS:
+            return ext
+    return None
+
+
+def _fetch_https(url: str) -> str:
+    """Driver-side download for https tables (reference: httpfs extension).
+
+    At scale a Hadoop HTTP filesystem would stream this on executors; for
+    gateway-sized remote files a driver-side fetch matches the reference's
+    single-node behavior.
+    """
+    suffix = "." + url.rsplit(".", 1)[-1] if "." in url.rsplit("/", 1)[-1] else ""
+    fd, local = tempfile.mkstemp(prefix="uq_https_", suffix=suffix)
+    os.close(fd)
+    urllib.request.urlretrieve(url, local)  # noqa: S310
+    return local
+
+
+def resolve_path(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Load `path` (local file/dir or URL) as a DataFrame."""
+    ext = fmt or detect_format(path)
+    if ext is None or ext not in FORMATS:
+        raise UQueryError.sql_error(f"cannot infer table format for path: {path}")
+    spark_fmt, defaults = FORMATS[ext]
+
+    target = path
+    if path.startswith(("https://", "http://")):
+        target = _fetch_https(path)
+    elif path.startswith("s3://"):
+        target = "s3a://" + path[len("s3://"):]
+    elif path.startswith("gcs://"):
+        target = "gs://" + path[len("gcs://"):]
+
+    reader = spark.read
+    for k, v in {**defaults, **(options or {})}.items():
+        reader = reader.option(k, v)
+    try:
+        return reader.format(spark_fmt).load(target)
+    except Exception as e:
+        raise UQueryError.sql_error(f"cannot read {path}: {str(e).splitlines()[0][:300]}") from e

@@ -1,0 +1,130 @@
+"""RecordBatchConsumer implementations for the four response formats."""
+
+from __future__ import annotations
+
+import csv
+import io
+import json
+from datetime import date, datetime
+from decimal import Decimal
+
+import pyarrow as pa
+
+from ..engine import RecordBatchConsumer
+
+
+def _json_default(v):
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def _rows(batch: pa.RecordBatch) -> list[dict]:
+    return batch.to_pylist()
+
+
+class JsonArrayWriter(RecordBatchConsumer):
+    """`[{...},{...}]` — golden shape from reference src/main.rs:154-167
+    (ArrayWriter semantics: one array, rows as objects, compact)."""
+
+    def __init__(self, sink):
+        self._sink = sink
+        self._first = True
+
+    def on_schema(self, schema: pa.Schema) -> None:
+        self._sink.write(b"[")
+
+    def on_batch(self, batch: pa.RecordBatch) -> None:
+        for row in _rows(batch):
+            if not self._first:
+                self._sink.write(b",")
+            self._first = False
+            self._sink.write(
+                json.dumps(row, separators=(",", ":"), default=_json_default).encode()
+            )
+
+    def finish(self) -> None:
+        self._sink.write(b"]")
+
+
+class JsonLinesWriter(RecordBatchConsumer):
+    """NDJSON — one compact object per line (reference routers.rs:145-147)."""
+
+    def __init__(self, sink):
+        self._sink = sink
+
+    def on_schema(self, schema: pa.Schema) -> None:
+        pass
+
+    def on_batch(self, batch: pa.RecordBatch) -> None:
+        for row in _rows(batch):
+            self._sink.write(
+                json.dumps(row, separators=(",", ":"), default=_json_default).encode() + b"\n"
+            )
+
+    def finish(self) -> None:
+        pass
+
+
+class CsvWriter(RecordBatchConsumer):
+    """CSV with a single header row (reference golden: src/main.rs:192
+    `Id,Name,Description\\n1,Rust,"Safe, concurrent, ..."\\n`)."""
+
+    def __init__(self, sink):
+        self._sink = sink
+        self._names: list[str] = []
+
+    def _write_row(self, values) -> None:
+        buf = io.StringIO()
+        csv.writer(buf, lineterminator="\n").writerow(values)
+        self._sink.write(buf.getvalue().encode())
+
+    def on_schema(self, schema: pa.Schema) -> None:
+        self._names = list(schema.names)
+        self._write_row(self._names)
+
+    def on_batch(self, batch: pa.RecordBatch) -> None:
+        for row in _rows(batch):
+            self._write_row(
+                [
+                    "" if v is None else (v.isoformat() if isinstance(v, (datetime, date)) else v)
+                    for v in (row[n] for n in self._names)
+                ]
+            )
+
+    def finish(self) -> None:
+        pass
+
+
+class ArrowIpcWriter(RecordBatchConsumer):
+    """Arrow IPC stream — schema header lazily on first use, then raw
+    batches; byte-compatible with any IPC reader (reference
+    src/web/consumers.rs:47-75, cross-library test src/main.rs:196-213)."""
+
+    def __init__(self, sink):
+        self._sink = sink
+        self._writer: pa.ipc.RecordBatchStreamWriter | None = None
+
+    def on_schema(self, schema: pa.Schema) -> None:
+        self._writer = pa.ipc.new_stream(self._sink, schema)
+
+    def on_batch(self, batch: pa.RecordBatch) -> None:
+        assert self._writer is not None, "on_schema must precede on_batch"
+        self._writer.write_batch(batch)
+
+    def finish(self) -> None:
+        if self._writer is not None:
+            self._writer.close()
+
+
+def writer_for_format(fmt: str, sink) -> RecordBatchConsumer:
+    return {
+        "json": JsonArrayWriter,
+        "jsonl": JsonLinesWriter,
+        "csv": CsvWriter,
+        "arrow": ArrowIpcWriter,
+    }[fmt](sink)
