@@ -48,6 +48,52 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session default parallelism.
+
+    The per-doc signature/fingerprint projections are interpreted
+    higher-order-function work (no codegen), so their cost is CPU-bound
+    and linear in rows x perms x shingles. A small parquet input arrives
+    as 1-2 partitions and would pin that work to as many cores; at real
+    scale inputs already have enough splits and this is a no-op-ish
+    rebalance of cheap pre-projection rows.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
+
+def _pairs_in_bucket(ids: Column) -> Column:
+    """All (x, y) pairs with x < y from an ascending-sorted id array."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("x"), y.alias("y")),
+            ),
+        )
+    )
+
+
+def _bucket_pairs(buckets: DataFrame, *key_cols: str) -> DataFrame:
+    """Distinct co-bucketed id pairs via groupBy + in-bucket pair expansion.
+
+    Equivalent to a self-equi-join on the bucket key with id < id, but the
+    bucket-key projection runs ONCE (a self-join recomputes it for both
+    sides) and the only shuffle is the groupBy on the bucket key. Bucket
+    membership lists stay small by LSH construction; exact-duplicate
+    clusters are the exception — dedupe those first (exact_dedup) at scale.
+    """
+    return (
+        buckets.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(_pairs_in_bucket(F.col("ids"))).alias("p"))
+        .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .distinct()
+    )
+
+
 def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-source exact-duplicate statistics via sha256 grouping."""
     return (
@@ -83,13 +129,20 @@ def jaccard_pairs_exact(
     count intersections, fetch set sizes, filter. Columns: x, y (x<y),
     inter, nx, ny, jaccard.
     """
-    sh = docs.select(F.col(key_col).alias("id"), word_shingles(F.col(text_col), n).alias("s"))
+    sh = _spread(docs).select(
+        F.col(key_col).alias("id"), word_shingles(F.col(text_col), n).alias("s")
+    )
     sizes = sh.select("id", F.size("s").alias("nsh"))
     ex = sh.select("id", F.explode("s").alias("g"))
-    a, b = ex.alias("a"), ex.alias("b")
+    # inverted index: group by shingle, expand in-posting pairs, count how
+    # many postings each pair shares = |intersection|. One scan of the
+    # shingle projection (a self-join would compute it twice).
     inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("x"), F.col("b.id").alias("y"))
+        ex.groupBy("g")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(_pairs_in_bucket(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
         .agg(F.count("*").alias("inter"))
     )
     sx = sizes.select(F.col("id").alias("x"), F.col("nsh").alias("nx"))
@@ -128,6 +181,44 @@ def minhash_signature(shingles: Column, num_perm: int) -> Column:
     )
 
 
+def minhash_band_keys(shingles: Column, bands: int, rows_per_band: int) -> Column:
+    """Array of `bands` LSH bucket keys, one projection, each perm hashed once.
+
+    Equivalent to hashing rows_per_band-sized slices of
+    minhash_signature(), but built as a single nested expression in which
+    every permutation j appears exactly once. Materializing the signature
+    in a separate select() and slicing it per band looks equivalent but is
+    48x slower: Catalyst's CollapseProject inlines the full signature
+    expression into every band's slice() lambda, recomputing all perms
+    once per band.
+    """
+    p = F.lit(_MINHASH_P).cast("long")
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), p))
+
+    def perm_min(j: Column) -> Column:
+        return F.array_min(
+            F.transform(
+                base,
+                lambda h: F.pmod(
+                    F.pmod(F.lit(_MINHASH_A) * (j.cast("long") + 1), p) * h
+                    + F.pmod(F.lit(_MINHASH_B) * (j.cast("long") + 7), p),
+                    p,
+                ),
+            )
+        )
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.hash(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(rows_per_band - 1)),
+                lambda r: perm_min(b * rows_per_band + r),
+            ),
+            b,
+        ),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float,
@@ -144,29 +235,14 @@ def minhash_lsh_pairs(
     overwhelming probability — which is how the oracle checks it.
     Columns: x, y, jaccard (rounded 4).
     """
-    num_perm = bands * rows_per_band
-    sh = docs.select(
+    sh = _spread(docs).select(
         F.col(key_col).alias("id"), word_shingles(F.col(text_col), n).alias("s")
     ).filter(F.size("s") > 0)
     # empty shingle sets are excluded: they'd collide in every band (null
     # signatures) and their Jaccard is 0/0 — not a near-duplicate by def.
-    sig = sh.select("id", "s", minhash_signature(F.col("s"), num_perm).alias("sig"))
-    band_keys = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.hash(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), b),
-    )
-    buckets = sig.select("id", F.posexplode(band_keys).alias("band", "bkey"))
-    a, b_ = buckets.alias("a"), buckets.alias("b")
-    candidates = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("x"), F.col("b.id").alias("y"))
-        .distinct()
-    )
+    band_keys = minhash_band_keys(F.col("s"), bands, rows_per_band)
+    buckets = sh.select("id", F.posexplode(band_keys).alias("band", "bkey"))
+    candidates = _bucket_pairs(buckets, "band", "bkey")
     sets_x = sh.select(F.col("id").alias("x"), F.col("s").alias("sx"))
     sets_y = sh.select(F.col("id").alias("y"), F.col("s").alias("sy"))
     return (
@@ -214,7 +290,7 @@ def simhash_pairs(
     ⇒ one of 4 chunks identical), verification via bit_count(xor).
     Columns: x, y, hamming.
     """
-    fp = docs.select(
+    fp = _spread(docs).select(
         F.col(key_col).alias("id"),
         simhash64(F.split(F.col(text_col), " ")).alias("fp"),
     )
@@ -225,19 +301,29 @@ def simhash_pairs(
             F.array(*[F.shiftrightunsigned("fp", 16 * c).bitwiseAND(F.lit(0xFFFF)) for c in range(4)])
         ).alias("chunk", "ckey"),
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
+    # fingerprints ride along in the bucket structs so the expensive
+    # simhash projection runs once (a self-join would run it twice).
+    members = (
+        chunks.groupBy("chunk", "ckey")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "fp"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x["id"].alias("x"),
+                    y["id"].alias("y"),
+                    F.bit_count(x["fp"].bitwiseXOR(y["fp"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.ckey") == F.col("b.ckey"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("x"),
-            F.col("b.id").alias("y"),
-            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
-        )
+        members.select(F.explode(pairs).alias("p"))
+        .select("p.x", "p.y", "p.hamming")
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
