@@ -73,3 +73,27 @@ def test_geomean_macro_expansion(spark, rw):
 def test_nested_geomean_parens(spark, rw):
     sql = rw.rewrite("SELECT geomean(abs(x) + (1 - 1)) AS g FROM (VALUES (2.0), (8.0)) t(x)")
     assert abs(spark.sql(sql).collect()[0].g - 4.0) < 1e-9
+
+
+def test_qualify_rewrite(spark, rw):
+    sql = rw.rewrite(
+        "SELECT x, g FROM (VALUES (1,'a'),(2,'a'),(3,'b')) t(x, g) "
+        "QUALIFY row_number() OVER (PARTITION BY g ORDER BY x DESC) = 1 "
+        "ORDER BY g"
+    )
+    assert "qualify" not in sql.lower().replace("uq_qualify", "")
+    rows = spark.sql(sql).collect()
+    assert [(r.x, r.g) for r in rows] == [(2, "a"), (3, "b")]
+
+
+def test_qualify_with_cte_prefix(spark, rw):
+    sql = rw.rewrite(
+        "WITH t AS (SELECT * FROM (VALUES (1,'a'),(2,'a')) v(x, g)) "
+        "SELECT x FROM t QUALIFY rank() OVER (ORDER BY x) = 1"
+    )
+    assert spark.sql(sql).collect()[0].x == 1
+
+
+def test_qualify_inside_string_untouched(rw):
+    sql = "SELECT 'no QUALIFY here' AS s"
+    assert rw.rewrite(sql) == sql

@@ -1,0 +1,261 @@
+"""Dialect-breadth corpus: QUALIFY, LATERAL, GROUPING SETS, recursive CTE,
+USING/NATURAL join, positional join, bag set ops (SURVEY.md §2.B.2-§2.B.6).
+
+These are DuckDB-dialect forms the reference admits wholesale through its
+pass-through (reference: src/core/duckdb.rs:87-88). Each is re-expressed
+Spark-first: native Spark SQL where the dialect overlaps (recursive CTE,
+grouping sets, USING, INTERSECT/EXCEPT ALL), the pre-Catalyst rewriter
+where it doesn't (QUALIFY), and a row_number zip where Spark lacks the
+operator entirely (DuckDB POSITIONAL JOIN).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..rewrite import SqlRewriter
+from .registry import load_tables, register
+
+_REWRITERS: dict[int, SqlRewriter] = {}
+
+
+def _rewritten_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """Run gateway-dialect SQL through the pre-Catalyst rewriter — the same
+    path an HTTP client's query takes (proves dialect translation, not just
+    hand-ported Spark SQL)."""
+    rw = _REWRITERS.setdefault(id(spark), SqlRewriter(spark))
+    return spark.sql(rw.rewrite(sql))
+
+
+@register(
+    "qualify_top_orders_per_cust",
+    tags=("window", "qualify", "dialect"),
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 2
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def qualify_top_orders_per_cust(spark: SparkSession, sf: str) -> DataFrame:
+    """DuckDB QUALIFY through the SqlRewriter (Spark has no QUALIFY: it
+    becomes a filtered subquery; reference admits it via the dialect
+    pass-through). Top-2 orders per customer by price."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 2
+ORDER BY o_custkey, o_orderkey
+""",
+    )
+
+
+@register(
+    "lateral_top_order_per_customer",
+    tags=("join", "lateral", "dialect"),
+    oracle="""
+SELECT c_custkey, l.o_orderkey, l.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+) l
+ORDER BY c_custkey
+""",
+)
+def lateral_top_order_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-1 order per customer) — native
+    Spark SQL lateral; Catalyst decorrelates it into a window plan rather
+    than executing per-row.
+
+    Scale: post-decorrelation this is one shuffle on o_custkey — no
+    nested-loop re-execution per customer row.
+    """
+    load_tables(spark, sf)
+    return spark.sql(
+        """
+SELECT c_custkey, l.o_orderkey, l.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+) l
+ORDER BY c_custkey
+"""
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    tags=("agg", "grouping-sets", "dialect"),
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       grouping(l_returnflag)  AS g_rf,
+       grouping(l_linestatus)  AS g_ls,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+)
+def grouping_sets_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() indicators — one shuffle
+    produces all three aggregation granularities (Spark expands sets
+    map-side, same as DuckDB)."""
+    load_tables(spark, sf)
+    return spark.sql(
+        """
+SELECT l_returnflag, l_linestatus,
+       grouping(l_returnflag)  AS g_rf,
+       grouping(l_linestatus)  AS g_ls,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+    )
+
+
+@register(
+    "recursive_cte_monthly_orders",
+    tags=("cte", "recursive", "dialect"),
+    oracle="""
+WITH RECURSIVE m(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM m WHERE n < 12)
+SELECT n AS mon, count(o_orderkey) AS n_orders
+FROM m LEFT JOIN orders ON month(o_orderdate) = n
+GROUP BY n
+ORDER BY n
+""",
+)
+def recursive_cte_monthly_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """WITH RECURSIVE month generator left-joined to orders — native in
+    Spark 4 (UnionLoop iterates on the driver plan; the per-iteration work
+    is distributed)."""
+    load_tables(spark, sf)
+    return spark.sql(
+        """
+WITH RECURSIVE m(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM m WHERE n < 12)
+SELECT n AS mon, count(o_orderkey) AS n_orders
+FROM m LEFT JOIN orders ON month(o_orderdate) = n
+GROUP BY n
+ORDER BY n
+"""
+    )
+
+
+@register(
+    "using_join_nation_region",
+    tags=("join", "using", "dialect"),
+    oracle="""
+SELECT n_name, r_name
+FROM (SELECT n_name, n_regionkey AS regionkey FROM nation)
+JOIN (SELECT r_regionkey AS regionkey, r_name FROM region) USING (regionkey)
+ORDER BY n_name
+""",
+)
+def using_join_nation_region(spark: SparkSession, sf: str) -> DataFrame:
+    """JOIN ... USING (col) — the shared column is emitted once; Spark and
+    DuckDB agree on USING semantics (coalesced key, no duplicate column)."""
+    load_tables(spark, sf)
+    return spark.sql(
+        """
+SELECT n_name, r_name
+FROM (SELECT n_name, n_regionkey AS regionkey FROM nation)
+JOIN (SELECT r_regionkey AS regionkey, r_name FROM region) USING (regionkey)
+ORDER BY n_name
+"""
+    )
+
+
+@register(
+    "positional_join_rank_zip",
+    tags=("join", "positional", "dialect"),
+    oracle="""
+SELECT a.rich_customer, b.rich_supplier FROM
+  (SELECT c_name AS rich_customer FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10) a
+POSITIONAL JOIN
+  (SELECT s_name AS rich_supplier FROM supplier ORDER BY s_acctbal DESC, s_suppkey LIMIT 10) b
+""",
+)
+def positional_join_rank_zip(spark: SparkSession, sf: str) -> DataFrame:
+    """DuckDB POSITIONAL JOIN re-expressed as a row_number zip — Spark has
+    no positional operator, so each side is ranked by its defining order
+    and equi-joined on the rank.
+
+    Scale: both sides here are top-k (TakeOrderedAndProject, tiny), so the
+    zip join broadcasts. For full-table positional zips, zipWithIndex-style
+    monotonically increasing ids per partition + a repartition on block id
+    would replace the global row_number.
+    """
+    t = load_tables(spark, sf)
+    a = (
+        t["customer"]
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .limit(10)
+        .select(
+            F.col("c_name").alias("rich_customer"),
+            F.row_number()
+            .over(W.orderBy(F.col("c_acctbal").desc(), "c_custkey"))
+            .alias("pos"),
+        )
+    )
+    b = (
+        t["supplier"]
+        .orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+        .limit(10)
+        .select(
+            F.col("s_name").alias("rich_supplier"),
+            F.row_number()
+            .over(W.orderBy(F.col("s_acctbal").desc(), "s_suppkey"))
+            .alias("pos"),
+        )
+    )
+    return a.join(F.broadcast(b), "pos").select("rich_customer", "rich_supplier")
+
+
+@register(
+    "intersect_all_priorities",
+    tags=("setops", "bag", "dialect"),
+    oracle="""
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def intersect_all_priorities(spark: SparkSession, sf: str) -> DataFrame:
+    """Bag-semantics INTERSECT ALL (multiplicity = min of the two sides) —
+    native in both engines."""
+    t = load_tables(spark, sf)
+    o = t["orders"]
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select("o_orderpriority")
+        .intersectAll(o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority"))
+    )
+
+
+@register(
+    "except_all_priorities",
+    tags=("setops", "bag", "dialect"),
+    oracle="""
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+EXCEPT ALL
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P'
+""",
+)
+def except_all_priorities(spark: SparkSession, sf: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL (multiplicity = left minus right, floored
+    at zero) — native in both engines."""
+    t = load_tables(spark, sf)
+    o = t["orders"]
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select("o_orderpriority")
+        .exceptAll(o.filter(F.col("o_orderstatus") == "P").select("o_orderpriority"))
+    )

@@ -121,6 +121,47 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return D.simhash_pairs(docs, max_hamming=3).orderBy("x", "y")
 
 
+@register(
+    "dedup_embedding_cosine",
+    tags=("llm", "dedup", "similarity"),
+    oracle="""
+WITH unit AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y)))) AS v
+  FROM embeddings
+)
+SELECT a.vec_id AS x, b.vec_id AS y,
+       round(list_dot_product(a.v, b.v), 4) AS cos_sim
+FROM unit a JOIN unit b
+  ON a.vec_id < b.vec_id AND list_dot_product(a.v, b.v) >= 0.4
+ORDER BY x, y
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.4 — the tail of the
+    synthetic corpus; real near-dup corpora use ~0.95).
+
+    Scale: brute-force all-pairs is the exact baseline; at corpus scale the
+    candidate step swaps for LSH bucketing (random hyperplanes, same
+    banding machinery as minhash_lsh_pairs) with this verification reused.
+    """
+    emb = load_tables(spark, sf)["embeddings"]
+    unit = S.with_unit_vector(emb, "embedding").select(
+        F.col("vec_id").alias("id"), F.col("unit").alias("v")
+    )
+    a, b = unit.alias("a"), unit.alias("b")
+    sim = S.dot(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(F.broadcast(b), (F.col("a.id") < F.col("b.id")) & (sim >= 0.4))
+        .select(
+            F.col("a.id").alias("x"),
+            F.col("b.id").alias("y"),
+            F.round(sim, 4).alias("cos_sim"),
+        )
+        .orderBy("x", "y")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------

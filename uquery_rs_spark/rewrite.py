@@ -135,6 +135,60 @@ class SqlRewriter:
         return _JSON_ARROW_RE.sub(sub, sql)
 
     @staticmethod
+    def _scan_top_level(sql: str, keywords: set[str], start: int = 0):
+        """Yield (start, end, word) for top-level keywords outside strings."""
+        depth, i, n = 0, start, len(sql)
+        while i < n:
+            c = sql[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "'":
+                j = sql.find("'", i + 1)
+                i = n if j == -1 else j
+            elif depth == 0 and (c.isalpha() or c == "_"):
+                j = i
+                while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                    j += 1
+                w = sql[i:j].lower()
+                if w in keywords:
+                    yield i, j, w
+                i = j - 1
+            i += 1
+
+    def _rewrite_qualify(self, sql: str) -> str:
+        """DuckDB QUALIFY → filtered subquery (Spark has no QUALIFY).
+
+        SELECT <list> FROM ... QUALIFY <pred> [ORDER BY/LIMIT tail]
+        becomes
+        SELECT * EXCEPT (uq_qualify) FROM
+          (SELECT <list>, (<pred>) AS uq_qualify FROM ...) WHERE uq_qualify
+        [tail].  The window predicate evaluates in the subquery where its
+        partition columns are still in scope; any CTE prefix stays outside.
+        Applies to the final top-level SELECT (the only place the gateway's
+        one-statement contract allows QUALIFY).
+        """
+        hits = list(self._scan_top_level(sql, {"qualify", "select", "from", "order", "limit"}))
+        q = next((h for h in hits if h[2] == "qualify"), None)
+        if q is None:
+            return sql
+        sel = max(h for h in hits if h[2] == "select" and h[0] < q[0])
+        frm = min(h for h in hits if h[2] == "from" and sel[0] < h[0] < q[0])
+        tail = next((h for h in hits if h[2] in ("order", "limit") and h[0] > q[0]), None)
+        pred_end = tail[0] if tail else len(sql)
+        pred = sql[q[1] : pred_end].strip()
+        return (
+            sql[: sel[0]]
+            + "SELECT * EXCEPT (uq_qualify) FROM ("
+            + sql[sel[0] : frm[0]]
+            + f", ({pred}) AS uq_qualify "
+            + sql[frm[0] : q[0]]
+            + ") WHERE uq_qualify "
+            + sql[pred_end:]
+        )
+
+    @staticmethod
     def _expand_geomean(sql: str) -> str:
         # geomean(expr) → exp(avg(ln(expr))): balanced-paren macro expansion
         while True:
@@ -157,6 +211,7 @@ class SqlRewriter:
         sql = self._rewrite_path_tables(sql)
         sql = self._rewrite_json_arrows(sql)
         sql = self._expand_geomean(sql)
+        sql = self._rewrite_qualify(sql)
         return sql
 
 
