@@ -1,0 +1,67 @@
+"""--db-file attach: tables, views, macro tables, scalar macros from a
+DuckDB database file (mirrors reference tests src/main.rs:231-259 `language`
+table and :413-450 `test()` macro table)."""
+
+from __future__ import annotations
+
+import pytest
+
+from uquery_rs_spark.rewrite import SqlRewriter
+
+duckdb = pytest.importorskip("duckdb")
+
+
+@pytest.fixture(scope="module")
+def db_file(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("attach") / "test.db")
+    con = duckdb.connect(path)
+    con.execute(
+        "CREATE TABLE language (id BIGINT, name VARCHAR, description VARCHAR)"
+    )
+    con.execute(
+        "INSERT INTO language VALUES (1, 'Rust', 'systems'), (2, 'Python', 'glue'), "
+        "(3, 'SQL', 'relational')"
+    )
+    con.execute("CREATE VIEW lang_names AS SELECT name FROM language")
+    con.execute("CREATE MACRO double_it(x) AS x * 2")
+    con.execute("CREATE MACRO test() AS TABLE SELECT id, name FROM language")
+    con.close()
+    return path
+
+
+@pytest.fixture
+def rw(spark, db_file):
+    rw = SqlRewriter(spark)
+    rw.attach_db_file(db_file)
+    return rw
+
+
+def test_attached_table_query(spark, rw):
+    # mirrors reference src/main.rs:231-259 (select from attached table)
+    rows = spark.sql(rw.rewrite("SELECT name FROM language ORDER BY id")).collect()
+    assert [r.name for r in rows] == ["Rust", "Python", "SQL"]
+
+
+def test_attached_view(spark, rw):
+    assert spark.sql(rw.rewrite("SELECT count(*) AS n FROM lang_names")).collect()[0].n == 3
+
+
+def test_macro_table_call(spark, rw):
+    # mirrors reference src/main.rs:413-450 (SELECT * FROM test())
+    rows = spark.sql(rw.rewrite("SELECT * FROM test() ORDER BY id")).collect()
+    assert [(r.id, r.name) for r in rows] == [(1, "Rust"), (2, "Python"), (3, "SQL")]
+
+
+def test_scalar_macro_expansion(spark, rw):
+    assert spark.sql(rw.rewrite("SELECT double_it(21) AS v")).collect()[0].v == 42
+
+
+def test_scalar_macro_nested(spark, rw):
+    assert spark.sql(rw.rewrite("SELECT double_it(double_it(10)) AS v")).collect()[0].v == 40
+
+
+def test_macro_wrong_arity(rw):
+    from uquery_rs_spark.errors import UQueryError
+
+    with pytest.raises(UQueryError):
+        rw.rewrite("SELECT double_it(1, 2) AS v")

@@ -66,7 +66,7 @@ def test_json_arrow_operator(spark, rw):
 
 def test_geomean_macro_expansion(spark, rw):
     sql = rw.rewrite("SELECT geomean(x) AS g FROM (VALUES (1.0), (4.0)) t(x)")
-    assert "exp(avg(ln(x)))" in sql
+    assert "exp(avg(ln((x))))" in sql
     assert abs(spark.sql(sql).collect()[0].g - 2.0) < 1e-9
 
 

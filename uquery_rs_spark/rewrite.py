@@ -40,7 +40,6 @@ _JSON_ARROW_RE = re.compile(
 _FORBIDDEN_RE = re.compile(
     r"(?i)^\s*(set|reset|install|load|attach|detach|create\s+secret|copy|export|import)\b"
 )
-_GEOMEAN_RE = re.compile(r"(?i)\bgeomean\s*\(")
 
 
 class SqlRewriter:
@@ -54,6 +53,23 @@ class SqlRewriter:
         self.allowed_dirs = [os.path.realpath(d) for d in (allowed_dirs or [os.getcwd()])]
         self.allow_remote = allow_remote
         self._views: dict[str, str] = {}
+        # geomean is an aggregate macro (can't be a Spark SQL UDF); ships
+        # as a built-in expansion like the reference's test.db catalog.
+        self._macros: dict[str, tuple[list[str], str]] = {
+            "geomean": (["x"], "exp(avg(ln(x)))")
+        }
+        self._table_macros: set[str] = set()
+
+    def attach_db_file(self, path: str) -> None:
+        """Bootstrap tables + macros from a DuckDB file (reference
+        --db-file, src/cli/options.rs:183-186)."""
+        from .sources.duckdb_catalog import attach_db
+
+        catalog = attach_db(self.spark, path)
+        for tm in catalog.table_macros:
+            self.add_table_macro(tm)
+        for m in catalog.scalar_macros:
+            self.add_scalar_macro(m.name, m.params, m.body)
 
     # -- sandbox ----------------------------------------------------------
 
@@ -188,19 +204,70 @@ class SqlRewriter:
             + sql[pred_end:]
         )
 
+    # -- macros -------------------------------------------------------------
+
+    def add_scalar_macro(self, name: str, params: list[str], body: str) -> None:
+        """Register a textual macro: name(args) inlines to body with args
+        substituted — DuckDB macro semantics (inlined at bind, not called)."""
+        self._macros[name.lower()] = (params, body)
+
+    def add_table_macro(self, name: str) -> None:
+        """Register a parameterless table macro: FROM name() → FROM name."""
+        self._table_macros.add(name.lower())
+
     @staticmethod
-    def _expand_geomean(sql: str) -> str:
-        # geomean(expr) → exp(avg(ln(expr))): balanced-paren macro expansion
-        while True:
-            m = _GEOMEAN_RE.search(sql)
-            if not m:
+    def _split_args(raw: str) -> list[str]:
+        args, depth, start = [], 0, 0
+        i = 0
+        while i < len(raw):
+            c = raw[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "'":
+                i = raw.index("'", i + 1)
+            elif c == "," and depth == 0:
+                args.append(raw[start:i].strip())
+                start = i + 1
+            i += 1
+        tail = raw[start:].strip()
+        if tail:
+            args.append(tail)
+        return args
+
+    def _expand_macros(self, sql: str) -> str:
+        """Balanced-paren expansion of registered scalar + table macros,
+        iterated to a fixpoint so macros may nest (bounded to catch cycles)."""
+        if self._table_macros:
+            names = "|".join(re.escape(n) for n in self._table_macros)
+            sql = re.sub(rf"(?i)\b({names})\s*\(\s*\)", r"\1", sql)
+        for _ in range(10):
+            changed = False
+            for name, (params, body) in self._macros.items():
+                pat = re.compile(rf"(?i)\b{re.escape(name)}\s*\(")
+                m = pat.search(sql)
+                while m:
+                    depth, i = 1, m.end()
+                    while i < len(sql) and depth:
+                        if sql[i] == "'":
+                            i = sql.index("'", i + 1)
+                        depth += {"(": 1, ")": -1}.get(sql[i], 0)
+                        i += 1
+                    args = self._split_args(sql[m.end() : i - 1])
+                    if len(args) != len(params):
+                        raise UQueryError.sql_error(
+                            f"macro {name} expects {len(params)} args, got {len(args)}"
+                        )
+                    expansion = body
+                    for p, a in zip(params, args):
+                        expansion = re.sub(rf"(?i)\b{re.escape(p)}\b", f"({a})", expansion)
+                    sql = sql[: m.start()] + f"({expansion})" + sql[i:]
+                    changed = True
+                    m = pat.search(sql)
+            if not changed:
                 return sql
-            depth, i = 1, m.end()
-            while i < len(sql) and depth:
-                depth += {"(": 1, ")": -1}.get(sql[i], 0)
-                i += 1
-            inner = sql[m.end() : i - 1]
-            sql = sql[: m.start()] + f"exp(avg(ln({inner})))" + sql[i:]
+        return sql
 
     def rewrite(self, sql: str) -> str:
         if _FORBIDDEN_RE.match(sql):
@@ -210,7 +277,7 @@ class SqlRewriter:
         sql = self._rewrite_tvfs(sql)
         sql = self._rewrite_path_tables(sql)
         sql = self._rewrite_json_arrows(sql)
-        sql = self._expand_geomean(sql)
+        sql = self._expand_macros(sql)
         sql = self._rewrite_qualify(sql)
         return sql
 

@@ -38,6 +38,13 @@ def main(argv: list[str] | None = None) -> int:
         default=env_default("UQ_ALLOWED_DIRECTORIES", os.getcwd()),
         help="comma-separated sandbox roots for path-as-table reads",
     )
+    p.add_argument(
+        "--db-file",
+        default=env_default("UQ_DB_FILE", None),
+        help="DuckDB database file attached read-only: its tables, views, "
+        "macro tables, and scalar macros become the default query surface "
+        "(reference src/cli/options.rs:63-64,183-186)",
+    )
     p.add_argument("--init-sql", default=env_default("UQ_INIT_SQL", None))
     p.add_argument("--tables-dir", default=env_default("UQ_TABLES_DIR", None))
     p.add_argument("--cpus", type=int, default=None)
@@ -68,6 +75,8 @@ def main(argv: list[str] | None = None) -> int:
                     spark.sql(stmt)
 
     rewriter = SqlRewriter(spark, allowed_dirs=args.allowed_directories.split(","))
+    if args.db_file:
+        rewriter.attach_db_file(args.db_file)
     engine = Engine(spark, pool_size=args.pool_size, rewriter=rewriter)
     config = ServiceConfig(
         engine, query_timeout_secs=args.query_timeout_secs, cors_enabled=args.cors_enabled
