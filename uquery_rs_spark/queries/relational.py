@@ -919,3 +919,190 @@ def values_inline_table(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("x").cast("double") / 2).alias("half"),
         F.coalesce("y", F.lit("missing")).alias("y_filled"),
     ).orderBy("x")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: correlated scalar-min subquery (decorrelated by Catalyst).
+# ---------------------------------------------------------------------------
+@register(
+    "q2_min_balance_supplier",
+    tags=("subquery", "join"),
+    oracle="""
+SELECT s_suppkey, s_name, n_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal = (SELECT min(s2.s_acctbal) FROM supplier s2
+                   WHERE s2.s_nationkey = supplier.s_nationkey)
+ORDER BY s_suppkey
+""",
+)
+def q2_min_balance_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-nation minimum via correlated scalar subquery (TPC-H Q2 shape).
+
+    Scale: Catalyst decorrelates into an aggregate + join on s_nationkey —
+    one shuffle, no per-row re-execution.
+    """
+    t = load_tables(spark, sf)
+    return spark.sql(
+        """
+SELECT s_suppkey, s_name, n_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal = (SELECT min(s2.s_acctbal) FROM supplier s2
+                   WHERE s2.s_nationkey = supplier.s_nationkey)
+ORDER BY s_suppkey
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: conditional aggregation ratio.
+# ---------------------------------------------------------------------------
+@register(
+    "q14_promo_revenue_ratio",
+    tags=("agg", "join", "conditional"),
+    oracle="""
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+""",
+)
+def q14_promo_revenue_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Promo-revenue percentage (TPC-H Q14 shape): conditional agg over a
+    date-bounded scan.
+
+    Scale: part is the dimension side — broadcast; the lineitem date filter
+    pushes to parquet so only one month of rows is scanned.
+    """
+    t = load_tables(spark, sf)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    return (
+        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: distinct agg + NOT IN.
+# ---------------------------------------------------------------------------
+@register(
+    "q16_supplier_count_by_part",
+    tags=("agg", "distinct", "not-in"),
+    oracle="""
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand NOT IN ('Brand#1', 'Brand#2') AND p_size IN (1, 2, 3, 4, 5)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+""",
+)
+def q16_supplier_count_by_part(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct-supplier counts per brand/size with NOT IN exclusion
+    (TPC-H Q16 shape)."""
+    t = load_tables(spark, sf)
+    return (
+        F.broadcast(
+            t["part"].filter(
+                ~F.col("p_brand").isin("Brand#1", "Brand#2")
+                & F.col("p_size").isin(1, 2, 3, 4, 5)
+            )
+        )
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: HAVING over a join + IN-subquery.
+# ---------------------------------------------------------------------------
+@register(
+    "q18_large_volume_orders",
+    tags=("agg", "having", "subquery"),
+    oracle="""
+SELECT c_name, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+       round(sum(l_quantity), 2) AS total_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+GROUP BY c_name, o_orderkey, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+""",
+)
+def q18_large_volume_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Orders whose total quantity exceeds 150 (TPC-H Q18 shape):
+    IN-subquery → left-semi join, then enrich + re-aggregate.
+
+    Scale: the HAVING aggregate runs once over lineitem (map-side partial),
+    and its small output semi-joins back — no correlated re-scan.
+    """
+    t = load_tables(spark, sf)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        t["orders"]
+        .join(F.broadcast(big), F.col("o_orderkey") == big["l_orderkey"], "left_semi")
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == t["lineitem"]["l_orderkey"])
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: NOT EXISTS anti-join + scalar avg subquery.
+# ---------------------------------------------------------------------------
+@register(
+    "q22_idle_rich_customers",
+    tags=("subquery", "anti-join", "agg"),
+    oracle="""
+SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def q22_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Above-average-balance customers with no 1998 orders (TPC-H Q22
+    shape): scalar subquery + NOT EXISTS → anti-join."""
+    t = load_tables(spark, sf)
+    return spark.sql(
+        """
+SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+    )
