@@ -119,3 +119,35 @@ class TestMultimodal:
         docs = spark.createDataFrame([(1, "x" * 200, "s")], "doc_id long, text string, source string")
         frames = MM.frame_sample_plan(MM.synthesize_binary_docs(docs), every_n_bytes=64).collect()
         assert [(f.frame_idx, f.byte_offset) for f in frames] == [(0, 0), (1, 64), (2, 128)]
+
+
+class TestSkew:
+    def test_salted_join_matches_plain_join(self, spark):
+        from uquery_rs_spark.operators.skew import salted_join
+
+        orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        customer = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+        plain = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+            "o_orderkey", "c_name"
+        )
+        salted = salted_join(
+            orders.withColumnRenamed("o_custkey", "k"),
+            customer.withColumnRenamed("c_custkey", "k"),
+            on="k",
+        ).select("o_orderkey", "c_name")
+        assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+    def test_salted_left_join_keeps_unmatched(self, spark):
+        from uquery_rs_spark.operators.skew import salted_join
+
+        left = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+        right = spark.createDataFrame([(1, "x")], "k int, w string")
+        rows = {(r.k, r.v, r.w) for r in salted_join(left, right, "k", how="left").collect()}
+        assert rows == {(1, "a", "x"), (2, "b", None)}
+
+    def test_skew_stats_profile(self, spark):
+        from uquery_rs_spark.operators.skew import skew_stats
+
+        df = spark.createDataFrame([(1,)] * 98 + [(2,), (3,)], "k int")
+        top = skew_stats(df, "k", top=1).collect()[0]
+        assert top.k == 1 and top.n_rows == 98 and abs(top.pct_of_total - 98.0) < 0.01

@@ -257,3 +257,27 @@ def test_query_timeout_408(spark):
 def test_empty_result_streams_ok(base_url):
     status, _, body = post(base_url, "SELECT 1 AS x WHERE 1 = 0")
     assert status == 200 and body == b"[]"
+
+
+# -- SELECT-shaped conveniences: DESCRIBE / SHOW / EXPLAIN (SURVEY §2.B.8) --
+
+
+def test_describe_statement(base_url):
+    status, _, body = post(
+        base_url, f"DESCRIBE SELECT * FROM '{FIXTURES}/test.zstd.parquet'", "text/plain"
+    )
+    assert status == 200
+    cols = {r["col_name"] for r in json.loads(body)}
+    assert {"f_int", "f_float", "f_str"} <= cols
+
+
+def test_show_functions_statement(base_url):
+    status, _, body = post(base_url, "SHOW FUNCTIONS LIKE 'co*'", "text/plain")
+    assert status == 200
+    assert any("concat" in r["function"] for r in json.loads(body))
+
+
+def test_explain_statement(base_url):
+    status, _, body = post(base_url, "EXPLAIN SELECT 1 AS n", "text/plain")
+    assert status == 200
+    assert "Physical Plan" in json.loads(body)[0]["plan"]

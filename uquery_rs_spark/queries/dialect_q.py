@@ -259,3 +259,40 @@ def except_all_priorities(spark: SparkSession, sf: str) -> DataFrame:
         .select("o_orderpriority")
         .exceptAll(o.filter(F.col("o_orderstatus") == "P").select("o_orderpriority"))
     )
+
+
+@register(
+    "salted_join_order_counts",
+    tags=("join", "skew", "scale"),
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def salted_join_order_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-resilient join via explicit key salting (operators/skew.py):
+    the probe side spreads each join key over 16 salt buckets, the build
+    side replicates 16x, so a power-law hot key can't pin a whole task.
+    Results are identical to the plain join (the oracle runs the unsalted
+    SQL). AQE skew-join handles the common case at runtime; salting is the
+    explicit fallback for aggregate hot keys and beyond-memory keys.
+    """
+    from ..operators.skew import salted_join
+
+    t = load_tables(spark, sf)
+    joined = salted_join(
+        t["orders"].withColumnRenamed("o_custkey", "custkey"),
+        t["customer"].withColumnRenamed("c_custkey", "custkey"),
+        on="custkey",
+        salt=16,
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )
