@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.expr import bind, spread as _spread
+
 # Affine minwise-hash permutations (Broder) over the Mersenne prime 2^31-1.
 # All arithmetic stays < 2^62, so it is exact int64 — safe under Spark 4's
 # default ANSI mode (which rejects silent overflow) and oracle-replicable.
@@ -39,27 +41,20 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     Texts shorter than n tokens yield an empty array — guarded explicitly
     because F.sequence(1, 0) produces a DESCENDING [1, 0] (not empty),
     which would index out of bounds under ANSI mode.
+
+    The token split is bound once per row (see functions.expr.bind) — the
+    gram builder reads it 3n times per shingle, which would otherwise
+    re-tokenize at every reference.
     """
-    toks = F.split(text, " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    gram = lambda i: F.concat_ws("_", *[F.element_at(toks, i + k) for k in range(n)])  # noqa: E731
-    return F.when(
-        F.size(toks) >= n, F.array_distinct(F.transform(idx, gram))
-    ).otherwise(F.array().cast("array<string>"))
 
+    def build(toks: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        gram = lambda i: F.concat_ws("_", *[F.element_at(toks, i + k) for k in range(n)])  # noqa: E731
+        return F.when(
+            F.size(toks) >= n, F.array_distinct(F.transform(idx, gram))
+        ).otherwise(F.array().cast("array<string>"))
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the session default parallelism.
-
-    The per-doc signature/fingerprint projections are interpreted
-    higher-order-function work (no codegen), so their cost is CPU-bound
-    and linear in rows x perms x shingles. A small parquet input arrives
-    as 1-2 partitions and would pin that work to as many cores; at real
-    scale inputs already have enough splits and this is a no-op-ish
-    rebalance of cheap pre-projection rows.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    return bind(F.split(text, " "), build)
 
 
 def _pairs_in_bucket(ids: Column) -> Column:
@@ -125,32 +120,37 @@ def jaccard_pairs_exact(
 ) -> DataFrame:
     """All pairs with n-gram-shingle Jaccard >= threshold (exact).
 
-    Inverted-index plan: explode distinct shingles, self-join on shingle,
-    count intersections, fetch set sizes, filter. Columns: x, y (x<y),
-    inter, nx, ny, jaccard.
+    Inverted-index plan: explode postings (set size riding alongside the
+    id), group by shingle, expand in-posting pairs, count shared postings
+    per pair = |intersection|. The shingle projection runs ONCE and there
+    are no size-lookup joins (a size join would recompute it; a shingle
+    self-join would recompute it twice). Columns: x, y (x<y), inter, nx,
+    ny, jaccard.
     """
     sh = _spread(docs).select(
         F.col(key_col).alias("id"), word_shingles(F.col(text_col), n).alias("s")
     )
-    sizes = sh.select("id", F.size("s").alias("nsh"))
-    ex = sh.select("id", F.explode("s").alias("g"))
-    # inverted index: group by shingle, expand in-posting pairs, count how
-    # many postings each pair shares = |intersection|. One scan of the
-    # shingle projection (a self-join would compute it twice).
+    post = sh.select(
+        F.struct("id", F.size("s").alias("nsh")).alias("m"), F.explode("s").alias("g")
+    )
+    pairs_in = _pairs_in_bucket(F.col("ms"))
     inter = (
-        ex.groupBy("g")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(F.explode(_pairs_in_bucket(F.col("ids"))).alias("p"))
-        .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        post.groupBy("g")
+        .agg(F.sort_array(F.collect_list("m")).alias("ms"))
+        .filter(F.size("ms") > 1)
+        .select(F.explode(pairs_in).alias("p"))
+        .groupBy(
+            F.col("p.x.id").alias("x"),
+            F.col("p.y.id").alias("y"),
+            F.col("p.x.nsh").alias("nx"),
+            F.col("p.y.nsh").alias("ny"),
+        )
         .agg(F.count("*").alias("inter"))
     )
-    sx = sizes.select(F.col("id").alias("x"), F.col("nsh").alias("nx"))
-    sy = sizes.select(F.col("id").alias("y"), F.col("nsh").alias("ny"))
     return (
-        inter.join(sx, "x")
-        .join(sy, "y")
-        .withColumn("jaccard", F.col("inter") / (F.col("nx") + F.col("ny") - F.col("inter")))
+        inter.withColumn(
+            "jaccard", F.col("inter") / (F.col("nx") + F.col("ny") - F.col("inter"))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("x", "y", "inter", "nx", "ny", F.round("jaccard", 4).alias("jaccard"))
     )
@@ -164,19 +164,21 @@ def minhash_signature(shingles: Column, num_perm: int) -> Column:
     No row explosion: nested higher-order transforms, all JVM-side.
     """
     p = F.lit(_MINHASH_P).cast("long")
-    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), p))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda j: F.array_min(
-            F.transform(
-                base,
-                # a_j, b_j < p  and  base < p  ⇒ products < 2^62: exact
-                lambda h: F.pmod(
-                    F.pmod(F.lit(_MINHASH_A) * (j.cast("long") + 1), p) * h
-                    + F.pmod(F.lit(_MINHASH_B) * (j.cast("long") + 7), p),
-                    p,
-                ),
-            )
+    return bind(
+        F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), p)),
+        lambda base: F.transform(
+            F.sequence(F.lit(0), F.lit(num_perm - 1)),
+            lambda j: F.array_min(
+                F.transform(
+                    base,
+                    # a_j, b_j < p  and  base < p  ⇒ products < 2^62: exact
+                    lambda h: F.pmod(
+                        F.pmod(F.lit(_MINHASH_A) * (j.cast("long") + 1), p) * h
+                        + F.pmod(F.lit(_MINHASH_B) * (j.cast("long") + 7), p),
+                        p,
+                    ),
+                )
+            ),
         ),
     )
 
@@ -193,9 +195,8 @@ def minhash_band_keys(shingles: Column, bands: int, rows_per_band: int) -> Colum
     once per band.
     """
     p = F.lit(_MINHASH_P).cast("long")
-    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), p))
 
-    def perm_min(j: Column) -> Column:
+    def perm_min(base: Column, j: Column) -> Column:
         return F.array_min(
             F.transform(
                 base,
@@ -207,14 +208,20 @@ def minhash_band_keys(shingles: Column, bands: int, rows_per_band: int) -> Colum
             )
         )
 
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.hash(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(rows_per_band - 1)),
-                lambda r: perm_min(b * rows_per_band + r),
+    # The base-hash array is bound once per row; without bind() every
+    # permutation's expression holds its own copy and re-hashes all
+    # shingles (96x the xxhash work).
+    return bind(
+        F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), p)),
+        lambda base: F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.hash(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(rows_per_band - 1)),
+                    lambda r: perm_min(base, b * rows_per_band + r),
+                ),
+                b,
             ),
-            b,
         ),
     )
 
@@ -262,20 +269,22 @@ def simhash64(tokens: Column) -> Column:
 
     bit k of the fingerprint = majority sign over tokens of bit k of
     xxhash64(token). Bit positions are unrolled at plan-build time (static
-    Python loop) — shift amounts must be literals, and the 64 aggregates
-    still fuse into one codegen'd projection.
+    Python loop); the token-hash array is bound once per row so the 64
+    bit-voters read it instead of each re-hashing every token.
     """
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
 
     def voter(mask):  # closure factory: PySpark introspects lambda arity
         return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
 
-    fp = F.lit(0).cast("long")
-    for k in range(64):
-        mask = F.shiftleft(F.lit(1).cast("long"), k)
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), voter(mask))
-        fp = fp.bitwiseOR(F.when(vote > 0, mask).otherwise(F.lit(0).cast("long")))
-    return fp
+    def build(hashes: Column) -> Column:
+        fp = F.lit(0).cast("long")
+        for k in range(64):
+            mask = F.shiftleft(F.lit(1).cast("long"), k)
+            vote = F.aggregate(hashes, F.lit(0).cast("long"), voter(mask))
+            fp = fp.bitwiseOR(F.when(vote > 0, mask).otherwise(F.lit(0).cast("long")))
+        return fp
+
+    return bind(F.transform(tokens, lambda t: F.xxhash64(t)), build)
 
 
 def simhash_pairs(

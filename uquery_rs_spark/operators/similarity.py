@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.expr import bind, spread
+
 
 def _as_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
@@ -35,10 +37,17 @@ def l2_norm(a: Column) -> Column:
 
 
 def with_unit_vector(df: DataFrame, vec_col: str, out_col: str = "unit") -> DataFrame:
-    """Pre-normalize once so cosine becomes a plain dot product."""
-    v = _as_double(F.col(vec_col))
-    n = l2_norm(v)
-    return df.withColumn(out_col, F.transform(v, lambda x: x / n))
+    """Pre-normalize once so cosine becomes a plain dot product.
+
+    Both the cast vector and its norm are bound once per row
+    (functions.expr.bind); naively referencing the norm inside the
+    division lambda would re-run the whole norm aggregate per element.
+    """
+    unit = bind(
+        _as_double(F.col(vec_col)),
+        lambda v: bind(l2_norm(v), lambda n: F.transform(v, lambda x: x / n)),
+    )
+    return df.withColumn(out_col, unit)
 
 
 def cosine_topk_bruteforce(
@@ -57,8 +66,12 @@ def cosine_topk_bruteforce(
     q = with_unit_vector(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("unit").alias("qv")
     )
-    c = with_unit_vector(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("cv")
+    # spread() = parallelism for the O(|Q|·|C|) scan + a barrier keeping
+    # the normalization out of the per-pair join projection.
+    c = spread(
+        with_unit_vector(corpus, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col("unit").alias("cv")
+        )
     )
     sims = (
         F.broadcast(q)
@@ -90,7 +103,9 @@ def ivf_topk(
     Corpus rows are assigned to their nearest centroid; each query probes
     its `nprobe` nearest cells only. Columns: query_id, neighbor_id, rank.
     """
-    c = with_unit_vector(corpus, vec_col).select(F.col(id_col).alias("cid"), F.col("unit").alias("cv"))
+    c = spread(
+        with_unit_vector(corpus, vec_col).select(F.col(id_col).alias("cid"), F.col("unit").alias("cv"))
+    )
     w_id = W.orderBy("cid")
     cents = (
         c.withColumn("rn", F.row_number().over(w_id))

@@ -145,9 +145,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     candidate step swaps for LSH bucketing (random hyperplanes, same
     banding machinery as minhash_lsh_pairs) with this verification reused.
     """
+    from ..functions.expr import spread
+
     emb = load_tables(spark, sf)["embeddings"]
-    unit = S.with_unit_vector(emb, "embedding").select(
-        F.col("vec_id").alias("id"), F.col("unit").alias("v")
+    # spread() parallelizes the O(n^2) pair scan AND is a materialization
+    # barrier: without it the unit-vector projection inlines into the
+    # nested-loop join condition and re-normalizes per candidate pair.
+    unit = spread(
+        S.with_unit_vector(emb, "embedding").select(
+            F.col("vec_id").alias("id"), F.col("unit").alias("v")
+        )
     )
     a, b = unit.alias("a"), unit.alias("b")
     sim = S.dot(F.col("a.v"), F.col("b.v"))
