@@ -99,7 +99,7 @@ class TestText:
             [(1, "the cat and the dog is in the house"), (2, "el gato y la casa es de un perro")],
             "doc_id long, text string",
         )
-        out = {r.doc_id: r.p for r in df.select("doc_id", TX.predicted_language(F.col("text")).alias("p")).collect()}
+        out = {r.doc_id: r.p for r in TX.with_tokens(df).select("doc_id", TX.predicted_language(F.col(TX.TOKS)).alias("p")).collect()}
         assert out == {1: "en", 2: "es"}
 
 

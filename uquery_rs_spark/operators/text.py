@@ -4,12 +4,21 @@ document fingerprinting.
 Beyond-reference surface (driver north star). Every formula is a pure
 SQL-expressible function of the text so the DuckDB oracle can replicate it
 bit-for-bit — deliberately: these run inside whole-stage codegen, no UDFs.
+
+Evaluation-count discipline: consumers project the token split ONCE
+(``docs.withColumn(c, tokens(text))``) and pass the column to these
+builders. A column alias referenced more than once is protected from
+CollapseProject inlining, so the tokenizer runs once per row however many
+statistics read it; passing raw text would copy the split into every
+reference (see functions/expr.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.expr import bind
 
 # Tiny per-language stopword lists (public common-word sets); the language
 # score is the fraction of tokens found in each list — a classic n-gram/
@@ -21,9 +30,16 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
     "fr": ("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "sur"),
 }
 
+TOKS = "uq_toks"  # conventional name for the projected token column
+
 
 def tokens(text: Column) -> Column:
     return F.split(text, " ")
+
+
+def with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Project the token split once; downstream stats reference it."""
+    return docs.withColumn(TOKS, tokens(F.col(text_col)))
 
 
 def stopword_ratio(toks: Column, words: tuple[str, ...]) -> Column:
@@ -31,34 +47,39 @@ def stopword_ratio(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(wl, t))) / F.size(toks)
 
 
-def language_scores(text: Column) -> list[Column]:
-    """One `<lang>_score` column per language (rounded 4)."""
-    toks = tokens(text)
+def language_scores(toks: Column) -> list[Column]:
+    """One `<lang>_score` column per language (rounded 4). `toks` should be
+    a projected column (with_tokens), not a raw split expression."""
     return [
         F.round(stopword_ratio(toks, words), 4).alias(f"{lang}_score")
         for lang, words in STOPWORDS.items()
     ]
 
 
-def predicted_language(text: Column) -> Column:
+def predicted_language(toks: Column) -> Column:
     """argmax over language scores; 'und' (undetermined) when all zero.
 
     Ties resolve in STOPWORDS iteration order — the same CASE chain the
-    oracle uses.
+    oracle uses. The four scores are bound once as a struct; the CASE
+    chain reads fields instead of re-running each ratio per comparison.
     """
-    toks = tokens(text)
-    scores = {lang: stopword_ratio(toks, w) for lang, w in STOPWORDS.items()}
-    best = F.greatest(*scores.values())
-    expr = F.lit("und")
-    for lang in reversed(list(STOPWORDS)):
-        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
-    return F.when(best > 0, expr).otherwise(F.lit("und"))
+
+    def chain(st: Column) -> Column:
+        best = F.greatest(*[st[lang] for lang in STOPWORDS])
+        expr = F.lit("und")
+        for lang in reversed(list(STOPWORDS)):
+            expr = F.when(st[lang] == best, F.lit(lang)).otherwise(expr)
+        return F.when(best > 0, expr).otherwise(F.lit("und"))
+
+    return bind(
+        F.struct(*[stopword_ratio(toks, w).alias(lang) for lang, w in STOPWORDS.items()]),
+        chain,
+    )
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, toks: Column) -> Column:
     """Heuristic quality in [0,1]: length sweet-spot + short-token penalty
     + digit/punct penalty. Deterministic rational arithmetic, rounded 4."""
-    toks = tokens(text)
     n_toks = F.size(toks)
     n_chars = F.length(text)
     avg_tok_len = n_chars / n_toks
@@ -72,7 +93,7 @@ def quality_score(text: Column) -> Column:
 
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document token statistics (whitespace + BPE-ish subword count)."""
-    t = tokens(F.col(text_col))
+    t = F.col(TOKS)
     # BPE-ish proxy: ceil(len/4) subwords per token — a public rule-of-thumb
     # for byte-pair vocabularies (~4 chars/token English average).
     bpe = F.aggregate(
@@ -80,7 +101,7 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.lit(0).cast("long"),
         lambda a, b: a + b,
     )
-    return docs.select(
+    return with_tokens(docs, text_col).select(
         "doc_id",
         F.length(text_col).alias("n_chars"),
         F.size(t).cast("long").alias("n_tokens"),

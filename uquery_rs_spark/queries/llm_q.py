@@ -264,12 +264,13 @@ ORDER BY doc_id
 )
 def text_language_id(spark: SparkSession, sf: str) -> DataFrame:
     """Stopword-overlap language ID with per-language scores + argmax."""
-    docs = load_tables(spark, sf)["documents"]
+    docs = TX.with_tokens(load_tables(spark, sf)["documents"])
+    toks = F.col(TX.TOKS)
     return docs.select(
         "doc_id",
         "lang",
-        *TX.language_scores(F.col("text")),
-        TX.predicted_language(F.col("text")).alias("predicted"),
+        *TX.language_scores(toks),
+        TX.predicted_language(toks).alias("predicted"),
     ).orderBy("doc_id")
 
 
@@ -288,8 +289,11 @@ ORDER BY doc_id
 )
 def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     """Length/token/digit-ratio quality heuristic (codegen'd, no UDF)."""
-    docs = load_tables(spark, sf)["documents"]
-    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality")).orderBy("doc_id")
+    docs = TX.with_tokens(load_tables(spark, sf)["documents"])
+    return docs.select(
+        "doc_id",
+        TX.quality_score(F.col("text"), F.col(TX.TOKS)).alias("quality"),
+    ).orderBy("doc_id")
 
 
 @register(
