@@ -48,6 +48,25 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--init-sql", default=env_default("UQ_INIT_SQL", None))
     p.add_argument("--tables-dir", default=env_default("UQ_TABLES_DIR", None))
     p.add_argument("--cpus", type=int, default=None)
+    # cloud provisioning flags (reference src/cli/options.rs:51-95)
+    p.add_argument("--gcs-key-id", default=env_default("UQ_GCS_KEY_ID", None))
+    p.add_argument("--gcs-secret", default=env_default("UQ_GCS_SECRET", None))
+    p.add_argument(
+        "--gcs-credential-chain",
+        action="store_true",
+        default=bool(env_default("UQ_GCS_CREDENTIAL_CHAIN", "")),
+    )
+    p.add_argument(
+        "--aws-credential-chain",
+        action="store_true",
+        default=bool(env_default("UQ_AWS_CREDENTIAL_CHAIN", "")),
+    )
+    p.add_argument(
+        "--iceberg-catalog-endpoint", default=env_default("UQ_ICEBERG_CATALOG_ENDPOINT", None)
+    )
+    p.add_argument("--iceberg-catalog-name", default=env_default("UQ_ICEBERG_CATALOG_NAME", None))
+    p.add_argument("--iceberg-user", default=env_default("UQ_ICEBERG_USER", None))
+    p.add_argument("--iceberg-secret", default=env_default("UQ_ICEBERG_SECRET", None))
     args = p.parse_args(argv)
 
     t0 = time.time()
@@ -60,6 +79,20 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("uquery-server", cpus=args.cpus)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     register_sql_macros(spark)
+
+    from ..sources.cloud import cloud_spark_conf
+
+    for k, v in cloud_spark_conf(
+        gcs_key_id=args.gcs_key_id,
+        gcs_secret=args.gcs_secret,
+        gcs_credential_chain=args.gcs_credential_chain,
+        aws_credential_chain=args.aws_credential_chain,
+        ic_catalog_endpoint=args.iceberg_catalog_endpoint,
+        ic_catalog_name=args.iceberg_catalog_name,
+        ic_user=args.iceberg_user,
+        ic_secret=args.iceberg_secret,
+    ).items():
+        spark.conf.set(k, v)
 
     if args.tables_dir:
         from ..sources.files import resolve_path
