@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+strategy (SURVEY §5 notes it has none): randomized inputs checking
+algebraic invariants of the custom operators and rewrites.
+
+Spark-session properties use few, larger examples (each example pays JVM
+round-trip latency); pure-Python properties (rewriter) run the default
+profile.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from uquery_rs_spark.rewrite import SqlRewriter
+
+# ---------------------------------------------------------------------------
+# Pure-Python: rewriter invariants
+# ---------------------------------------------------------------------------
+
+ident = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True)
+
+
+@given(st.text(alphabet=st.characters(blacklist_characters="'\\"), max_size=80))
+def test_rewrite_plain_select_literal_is_identity(s):
+    """A SELECT of a quoted literal (no FROM/paths/macros) is untouched."""
+    rw = SqlRewriter.__new__(SqlRewriter)  # no Spark needed for this path
+    rw.allowed_dirs, rw.allow_remote, rw._views = [], True, {}
+    rw._macros, rw._table_macros = {}, set()
+    sql = f"SELECT '{s}' AS v"
+    assert rw.rewrite(sql) == sql
+
+
+@given(ident, st.lists(ident, min_size=1, max_size=3, unique=True))
+def test_macro_expansion_substitutes_every_param(name, params):
+    rw = SqlRewriter.__new__(SqlRewriter)
+    rw.allowed_dirs, rw.allow_remote, rw._views = [], True, {}
+    rw._macros, rw._table_macros = {}, set()
+    body = " + ".join(params)
+    rw.add_scalar_macro(name, list(params), body)
+    args = [str(i) for i in range(len(params))]
+    out = rw.rewrite(f"SELECT {name}({', '.join(args)}) AS v")
+    for p, a in zip(params, args):
+        assert f"({a})" in out
+    assert name + "(" not in out
+
+
+# ---------------------------------------------------------------------------
+# Spark-backed: operator invariants (few examples, deterministic data)
+# ---------------------------------------------------------------------------
+
+spark_settings = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows = st.lists(
+    st.tuples(st.integers(0, 50), st.integers(0, 5)), min_size=1, max_size=30
+)
+
+
+@spark_settings
+@given(left=rows, right=rows)
+def test_salted_join_equals_plain_join(spark, left, right):
+    from uquery_rs_spark.operators.skew import salted_join
+
+    ldf = spark.createDataFrame([(k, v) for k, v in left], "k int, lv int")
+    rdf = spark.createDataFrame([(k, v) for k, v in right], "k int, rv int")
+    plain = sorted(map(tuple, ldf.join(rdf, "k").collect()))
+    salted = sorted(map(tuple, salted_join(ldf, rdf, "k", salt=4).collect()))
+    assert salted == plain
+
+
+@spark_settings
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=12
+    )
+)
+def test_lsh_pairs_subset_of_exact_pairs(spark, texts):
+    """Every LSH-verified pair IS an exact-threshold pair (verification is
+    exact, so no false positives regardless of banding)."""
+    from uquery_rs_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    exact = {(r.x, r.y) for r in D.jaccard_pairs_exact(docs, 0.5).collect()}
+    lsh = {(r.x, r.y) for r in D.minhash_lsh_pairs(docs, 0.5).collect()}
+    assert lsh <= exact
+
+
+@spark_settings
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-100, 100)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_qualify_rewrite_equals_window_filter(spark, vals):
+    from uquery_rs_spark.rewrite import SqlRewriter as RW
+
+    df = spark.createDataFrame(vals, "g int, x int")
+    df.createOrReplaceTempView("uq_prop_t")
+    rw = RW(spark)
+    sql = rw.rewrite(
+        "SELECT g, x FROM uq_prop_t "
+        "QUALIFY row_number() OVER (PARTITION BY g ORDER BY x, g) = 1"
+    )
+    got = sorted((r.g, r.x) for r in spark.sql(sql).collect())
+    expected = sorted(
+        (r.g, r.x)
+        for r in spark.sql(
+            "SELECT g, x FROM (SELECT g, x, row_number() OVER "
+            "(PARTITION BY g ORDER BY x, g) AS rn FROM uq_prop_t) WHERE rn = 1"
+        ).collect()
+    )
+    assert got == expected

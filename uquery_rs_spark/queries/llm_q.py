@@ -123,6 +123,7 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "dedup_embedding_cosine",
+    bench=True,
     tags=("llm", "dedup", "similarity"),
     oracle="""
 WITH unit AS (
@@ -208,6 +209,7 @@ def ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "ann_ivf_topk",
+    bench=True,
     oracle=None,  # approximate (probes a subset of cells) → rows-only
     tags=("llm", "similarity"),
 )
@@ -240,6 +242,7 @@ _LANG_SCORE_SQL = {
 
 @register(
     "text_language_id",
+    bench=True,
     tags=("llm", "text"),
     oracle=f"""
 WITH scored AS (
