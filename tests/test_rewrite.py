@@ -97,3 +97,25 @@ def test_qualify_with_cte_prefix(spark, rw):
 def test_qualify_inside_string_untouched(rw):
     sql = "SELECT 'no QUALIFY here' AS s"
     assert rw.rewrite(sql) == sql
+
+
+def test_summarize_path_table(spark, rw):
+    sql = rw.rewrite(f"SUMMARIZE '{FIXTURES}/test.zstd.parquet'")
+    rows = {r.column_name: r for r in spark.sql(sql).collect()}
+    assert set(rows) == {"f_str", "f_int", "f_float"}
+    fi = rows["f_int"]
+    assert fi.column_type == "bigint" and float(fi.null_percentage) == 0.0
+    assert fi.min == "123" and fi.max == "789" and fi["count"] == 2
+    assert fi.avg == 456.0  # bigint gets numeric stats
+    assert rows["f_str"].avg is None  # non-numeric: numeric stats NULL
+
+
+def test_summarize_subquery(spark, rw):
+    sql = rw.rewrite("SUMMARIZE (SELECT 1 AS a UNION ALL SELECT NULL)")
+    r = spark.sql(sql).collect()[0]
+    assert r.column_name == "a" and r["count"] == 2 and float(r.null_percentage) == 50.0
+
+
+def test_path_table_inside_subquery(spark, rw):
+    sql = rw.rewrite(f"SELECT * FROM (SELECT * FROM '{FIXTURES}/test.csv') t")
+    assert spark.sql(sql).count() == 2

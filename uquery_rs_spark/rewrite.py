@@ -30,8 +30,11 @@ from pyspark.sql import SparkSession
 from .errors import UQueryError
 from .sources.files import REMOTE_SCHEMES, resolve_path
 
+# Runs AFTER the read_*() TVF rewrite (which consumes quoted args), so a
+# quoted table ref may legitimately sit right before ')' (subquery close);
+# only multi-path lists ('a', 'b') are left untouched.
 _PATH_TABLE_RE = re.compile(
-    r"(?i)(?P<kw>\b(?:from|join)\s+)'(?P<path>[^']+)'(?!\s*(?:,\s*'|\)))"
+    r"(?i)(?P<kw>\b(?:from|join)\s+)'(?P<path>[^']+)'(?!\s*,\s*')"
 )
 _TVF_RE = re.compile(r"(?i)\b(?P<fn>read_parquet|read_csv|read_json)\s*\(")
 _JSON_ARROW_RE = re.compile(
@@ -204,6 +207,73 @@ class SqlRewriter:
             + sql[pred_end:]
         )
 
+    # -- SUMMARIZE ----------------------------------------------------------
+
+    # DataType.simpleString() names: int->"int", long->"bigint", etc.
+    _NUMERIC_TYPES = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+
+    def _rewrite_summarize(self, sql: str) -> str:
+        """DuckDB ``SUMMARIZE <table|'path'|(subquery)>`` → one-scan stats.
+
+        Emits one row per column (column_name, column_type, min, max,
+        approx_unique, avg, std, q25, q50, q75, count, null_percentage —
+        DuckDB's SUMMARIZE shape). All per-column aggregates compute in a
+        single aggregate over one scan, then unpivot via stack(); numeric
+        stats are NULL for non-numeric columns, min/max cast to string so
+        the row type is uniform.
+        """
+        m = re.match(r"(?is)^\s*summarize\s+(.+?)\s*;?\s*$", sql)
+        if m is None:
+            return sql
+        target = m.group(1).strip()
+        if not target.startswith("("):
+            target = f"(SELECT * FROM {target})"
+        # resolve quoted paths / read_* TVFs inside the target up front —
+        # the schema probe below needs runnable Spark SQL
+        target = self._rewrite_path_tables(self._rewrite_tvfs(target))
+        schema = self.spark.sql(f"SELECT * FROM {target} t LIMIT 0").schema
+        aggs: list[str] = ["count(*) AS uq_n"]
+        cells: list[str] = []
+        for i, f in enumerate(schema.fields):
+            c, t = f.name, f.dataType.simpleString()
+            numeric = t.startswith(self._NUMERIC_TYPES)
+            orderable = not (t.startswith(("map<", "array<", "struct<")))
+            aggs.append(
+                f"CAST(min(`{c}`) AS STRING) AS uq_min_{i}"
+                if orderable
+                else f"CAST(NULL AS STRING) AS uq_min_{i}"
+            )
+            aggs.append(
+                f"CAST(max(`{c}`) AS STRING) AS uq_max_{i}"
+                if orderable
+                else f"CAST(NULL AS STRING) AS uq_max_{i}"
+            )
+            aggs.append(f"approx_count_distinct(`{c}`) AS uq_au_{i}")
+            if numeric:
+                aggs.append(f"CAST(avg(`{c}`) AS DOUBLE) AS uq_avg_{i}")
+                aggs.append(f"CAST(stddev(`{c}`) AS DOUBLE) AS uq_std_{i}")
+                for q in (25, 50, 75):
+                    aggs.append(
+                        f"CAST(approx_percentile(`{c}`, 0.{q}) AS DOUBLE) AS uq_q{q}_{i}"
+                    )
+            else:
+                aggs.append(f"CAST(NULL AS DOUBLE) AS uq_avg_{i}")
+                aggs.append(f"CAST(NULL AS DOUBLE) AS uq_std_{i}")
+                for q in (25, 50, 75):
+                    aggs.append(f"CAST(NULL AS DOUBLE) AS uq_q{q}_{i}")
+            aggs.append(f"count(`{c}`) AS uq_cnt_{i}")
+            cells.append(
+                f"'{c}', '{t}', uq_min_{i}, uq_max_{i}, uq_au_{i}, uq_avg_{i}, "
+                f"uq_std_{i}, uq_q25_{i}, uq_q50_{i}, uq_q75_{i}, uq_n, "
+                f"round(100.0 * (uq_n - uq_cnt_{i}) / uq_n, 2)"
+            )
+        n = len(schema.fields)
+        stack = (
+            f"stack({n}, {', '.join(cells)}) AS (column_name, column_type, min, max, "
+            "approx_unique, avg, std, q25, q50, q75, count, null_percentage)"
+        )
+        return f"SELECT {stack} FROM (SELECT {', '.join(aggs)} FROM {target} t)"
+
     # -- macros -------------------------------------------------------------
 
     def add_scalar_macro(self, name: str, params: list[str], body: str) -> None:
@@ -274,6 +344,7 @@ class SqlRewriter:
             raise UQueryError.sql_error(
                 "session-mutating statements are disabled (configuration is locked)"
             )
+        sql = self._rewrite_summarize(sql)
         sql = self._rewrite_tvfs(sql)
         sql = self._rewrite_path_tables(sql)
         sql = self._rewrite_json_arrows(sql)
