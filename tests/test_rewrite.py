@@ -119,3 +119,9 @@ def test_summarize_subquery(spark, rw):
 def test_path_table_inside_subquery(spark, rw):
     sql = rw.rewrite(f"SELECT * FROM (SELECT * FROM '{FIXTURES}/test.csv') t")
     assert spark.sql(sql).count() == 2
+
+
+def test_excel_scan_clear_error(rw):
+    with pytest.raises(UQueryError) as ei:
+        rw.rewrite(f"SELECT * FROM '{FIXTURES}/../fixtures/book.xlsx'")
+    assert "spark-excel" in ei.value.detail

@@ -54,6 +54,11 @@ def _fetch_https(url: str) -> str:
     return local
 
 
+# Documented deviation (README): Excel scans need the spark-excel jar,
+# which is a deployment-time dependency — fail with a clear action.
+_EXCEL_EXTS = ("xlsx", "xls")
+
+
 def resolve_path(
     spark: SparkSession,
     path: str,
@@ -62,6 +67,11 @@ def resolve_path(
 ) -> DataFrame:
     """Load `path` (local file/dir or URL) as a DataFrame."""
     ext = fmt or detect_format(path)
+    if ext is None and path.lower().rsplit(".", 1)[-1] in _EXCEL_EXTS:
+        raise UQueryError.sql_error(
+            f"Excel tables require the com.crealytics:spark-excel package "
+            f"on the Spark classpath (not bundled): {path}"
+        )
     if ext is None or ext not in FORMATS:
         raise UQueryError.sql_error(f"cannot infer table format for path: {path}")
     spark_fmt, defaults = FORMATS[ext]

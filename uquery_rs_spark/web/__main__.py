@@ -48,6 +48,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--init-sql", default=env_default("UQ_INIT_SQL", None))
     p.add_argument("--tables-dir", default=env_default("UQ_TABLES_DIR", None))
     p.add_argument("--cpus", type=int, default=None)
+    p.add_argument(
+        "--install-extensions",
+        action="store_true",
+        help="no-op kept for reference CLI parity (src/cli/options.rs:27-33): "
+        "Spark connector jars are resolved at build/deploy time, not at runtime",
+    )
     # cloud provisioning flags (reference src/cli/options.rs:51-95)
     p.add_argument("--gcs-key-id", default=env_default("UQ_GCS_KEY_ID", None))
     p.add_argument("--gcs-secret", default=env_default("UQ_GCS_SECRET", None))
@@ -68,6 +74,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--iceberg-user", default=env_default("UQ_ICEBERG_USER", None))
     p.add_argument("--iceberg-secret", default=env_default("UQ_ICEBERG_SECRET", None))
     args = p.parse_args(argv)
+
+    if args.install_extensions:
+        # reference: installs DuckDB extensions and exits (main.rs:23-29).
+        print("connector jars are build-time dependencies on Spark; nothing to install")
+        return 0
 
     t0 = time.time()
     from ..engine import Engine
