@@ -151,3 +151,17 @@ class TestSkew:
         df = spark.createDataFrame([(1,)] * 98 + [(2,), (3,)], "k int")
         top = skew_stats(df, "k", top=1).collect()[0]
         assert top.k == 1 and top.n_rows == 98 and abs(top.pct_of_total - 98.0) < 0.01
+
+
+class TestMultimodalResize:
+    def test_resize_scales_meta_keeps_payload(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "x" * 2000), (2, "y")], "doc_id long, text string"
+        )
+        binary = MM.synthesize_binary_docs(docs)
+        out = {r.doc_id: r for r in MM.resize_images(binary, max_dim=100).collect()}
+        orig = {r.doc_id: r for r in binary.collect()}
+        for i in (1, 2):
+            assert out[i].payload == orig[i].payload  # stub: payload untouched
+            assert out[i].meta.width <= 100 and out[i].meta.height <= 100
+            assert out[i].meta.n_bytes == orig[i].meta.n_bytes

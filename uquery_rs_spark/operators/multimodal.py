@@ -83,6 +83,42 @@ def extract_features(binary_docs: DataFrame) -> DataFrame:
     )
 
 
+def resize_images(binary_docs: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Image-resize plumbing via mapInPandas (decoder stubbed).
+
+    A real implementation decodes payload → resample → re-encode inside
+    the same Arrow-batched iterator; without PIL the payload passes
+    through unchanged and only the metadata scales, keeping the schema,
+    batch shape, and column flow identical to production. Output schema
+    matches the input (doc_id, payload, meta).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = []
+            for m in pdf["meta"]:
+                w, h = int(m["width"]), int(m["height"])
+                scale = min(1.0, max_dim / max(w, h, 1))
+                metas.append(
+                    {
+                        "n_bytes": int(m["n_bytes"]),
+                        "mime": m["mime"],
+                        "width": int(w * scale),
+                        "height": int(h * scale),
+                    }
+                )
+            # REAL_DECODERS_AVAILABLE would re-encode payload here
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": pdf["payload"], "meta": metas}
+            )
+
+    return binary_docs.mapInPandas(
+        batches,
+        schema="doc_id long, payload binary, "
+        "meta struct<n_bytes: long, mime: string, width: int, height: int>",
+    )
+
+
 def frame_sample_plan(binary_docs: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' plumbing: take every Nth byte offset as a frame
     index — the partition/batch shape of real video frame extraction,

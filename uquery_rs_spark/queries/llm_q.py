@@ -373,3 +373,22 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     (the real decoder is stubbed; plumbing/schema/batching are real)."""
     docs = load_tables(spark, sf)["documents"]
     return MM.extract_features(MM.synthesize_binary_docs(docs)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_resize",
+    oracle=None,  # pandas-UDF resize plumbing (decode stub) → rows-only
+    tags=("llm", "multimodal"),
+)
+def multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Image-resize plumbing over mapInPandas: payload passes through the
+    Arrow-batched iterator (decoder stubbed), metadata dims scale to fit
+    256px; schema and batch flow match a production resize stage."""
+    docs = load_tables(spark, sf)["documents"]
+    resized = MM.resize_images(MM.synthesize_binary_docs(docs), max_dim=256)
+    return resized.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    ).orderBy("doc_id")
