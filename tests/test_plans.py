@@ -49,3 +49,25 @@ def test_metadata_query_prunes_payload(spark):
 def test_topk_uses_take_ordered(spark):
     plan = formatted_plan(Q.REGISTRY["q3_shipping_priority"].spark_fn(spark, SF_SMALL))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_lsh_no_cartesian_product(spark):
+    """LSH candidate generation must stay a bucket groupBy — an accidental
+    plan change to a cross join would be catastrophic at corpus scale."""
+    plan = formatted_plan(Q.REGISTRY["dedup_minhash_lsh"].spark_fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+
+
+def test_q14_broadcasts_part_dimension(spark):
+    plan = formatted_plan(Q.REGISTRY["q14_promo_revenue_ratio"].spark_fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_events_filter_pushdown(spark):
+    pushed = pushed_filters(Q.REGISTRY["asof_join_purchase_view"].spark_fn(spark, SF_SMALL))
+    assert "event_type" in pushed, f"event_type filter not pushed: {pushed}"
+
+
+def test_salted_join_is_hash_join(spark):
+    plan = formatted_plan(Q.REGISTRY["salted_join_order_counts"].spark_fn(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
