@@ -13,16 +13,17 @@ bounding concurrent queries on one session (FAIR scheduler), and `Drop`-
 based connection release becomes a context-managed permit.
 
 Streaming: the reference pulls Arrow batches one at a time with bounded
-memory (duckdb.rs:91-93). Here execute() walks toLocalIterator(
-prefetchPartitions=True) — Spark runs partitions incrementally, the
-driver holds one partition of rows at a time — and re-batches into Arrow
-RecordBatches. Cancellation: every execution runs in a job group so a
-timeout or client disconnect can cancelJobGroup mid-scan.
+memory (duckdb.rs:91-93). Here execute() keeps the data columnar end to
+end: mapInArrow IPC-serializes each executor-side Arrow batch into one
+binary-column row, and toLocalIterator(prefetchPartitions=True) pulls
+those rows incrementally — the driver holds one partition's serialized
+batches at a time and never materializes Python row objects. Cancellation:
+every execution runs in a job group so a timeout or client disconnect can
+cancelJobGroup mid-scan.
 """
 
 from __future__ import annotations
 
-import itertools
 import threading
 import uuid
 from abc import ABC, abstractmethod
@@ -58,6 +59,43 @@ def _arrow_schema(df: DataFrame) -> pa.Schema:
     from pyspark.sql.pandas.types import to_arrow_schema
 
     return to_arrow_schema(df.schema)
+
+
+def _ipc_serialize(iterator):
+    """Executor-side: wrap each Arrow batch as one IPC-stream blob.
+
+    Runs inside mapInArrow, so the JVM→Python hop is a vectorized Arrow
+    transfer (no per-row pickling); serialization is a memcpy-sized IPC
+    write. Each output row is a single `ipc: binary` cell holding one
+    whole input batch (sized by spark.sql.execution.arrow.maxRecordsPerBatch).
+    """
+    for batch in iterator:
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, batch.schema) as writer:
+            writer.write_batch(batch)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([sink.getvalue().to_pybytes()], type=pa.binary())], names=["ipc"]
+        )
+
+
+def _stream_arrow_batches(df: DataFrame, schema: pa.Schema, batch_rows: int):
+    """Yield the query result as Arrow RecordBatches with bounded driver
+    memory: one serialized batch in flight at a time, re-sliced to
+    `batch_rows`, cast to the announced schema (Spark's worker-side Arrow
+    schema can differ in timestamp tz / nullability metadata).
+
+    mapInArrow is a per-partition map, so partition order and any ORDER BY
+    range-partitioned sort survive; toLocalIterator walks partitions in
+    order without collecting the whole result.
+    """
+    ser = df.mapInArrow(_ipc_serialize, "ipc binary")
+    for row in ser.toLocalIterator(prefetchPartitions=True):
+        with pa.ipc.open_stream(row.ipc) as reader:
+            for batch in reader:
+                if batch.schema != schema:
+                    batch = batch.cast(schema)
+                for off in range(0, batch.num_rows, batch_rows):
+                    yield batch.slice(off, batch_rows)
 
 
 class PreparedQuery:
@@ -103,14 +141,7 @@ class PreparedQuery:
             consumer.on_schema(schema)
             sc.setJobGroup(self.job_group, f"uquery {self.job_group}", interruptOnCancel=True)
             try:
-                rows = df.toLocalIterator(prefetchPartitions=True)
-                while True:
-                    chunk = list(itertools.islice(rows, batch_rows))
-                    if not chunk:
-                        break
-                    batch = pa.RecordBatch.from_pylist(
-                        [r.asDict(recursive=True) for r in chunk], schema=schema
-                    )
+                for batch in _stream_arrow_batches(df, schema, batch_rows):
                     consumer.on_batch(batch)
             except UQueryError:
                 raise
