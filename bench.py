@@ -10,6 +10,12 @@ Timing counts execution only (collect-to-driver included, JVM+session
 startup excluded) — matching BASELINE.md's "startup-excluded query
 latency" deviation note. Each query runs twice; the best time is kept so
 one-off JIT/IO noise doesn't mask plan quality.
+
+Because the reference publishes no numbers (BASELINE.md), the honest
+baseline is the engine it delegates to: each bench query's DuckDB oracle
+SQL is also timed on the same machine over the same parquet, and the
+output carries `duckdb_queries` / `duckdb_total_sec` / `vs_duckdb_ratio`
+so the per-round record is a direct same-scale throughput comparison.
 """
 
 from __future__ import annotations
@@ -47,18 +53,39 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
+    duck: dict[str, float] = {}
+    try:
+        from uquery_rs_spark.oracle import oracle_connection
+
+        con = oracle_connection(sf_dir)
+        for name, q in bench_queries.items():
+            if q.oracle is None:
+                continue
+            best = float("inf")
+            for _ in range(REPEATS):
+                t0 = time.perf_counter()
+                con.execute(q.oracle).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            duck[name] = round(best, 4)
+    except Exception:  # noqa: BLE001 — comparison column is best-effort
+        duck = {}
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if duck:
+        # Ratio over the oracle-comparable subset only, so both sums cover
+        # the same queries.
+        spark_subset = sum(timings[n] for n in duck)
+        out["duckdb_queries"] = duck
+        out["duckdb_total_sec"] = round(sum(duck.values()), 4)
+        out["vs_duckdb_ratio"] = round(spark_subset / max(sum(duck.values()), 1e-9), 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
