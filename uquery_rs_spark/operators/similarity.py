@@ -2,22 +2,44 @@
 
 Beyond-reference surface (driver north star): brute-force cosine top-k as
 the exact baseline, and an IVF (inverted-file) variant as the scale path.
-Dot products run JVM-side via zip_with/aggregate — no Python, no UDF.
+
+Implementation split:
+- Dense all-pairs math (query-matrix x corpus-batch, corpus-matrix x
+  corpus-batch) runs as Arrow-batched numpy kernels inside mapInPandas —
+  one BLAS matmul per batch instead of an interpreted zip_with/aggregate
+  fold per pair (~50x at 64 dims). The small side is collected once and
+  broadcast as a numpy matrix, mirroring what Catalyst's broadcast join
+  would ship anyway.
+- Row-wise dot products on already-joined pairs use a vectorized
+  pandas_udf (`pd_dot`); the interpreted `dot()` HOF remains for tiny
+  inputs and as the no-Python fallback.
 
 Scale design:
-- brute force: queries × corpus crossJoin is O(|Q|·|C|·d). Correct and
-  shuffle-free when the query side is broadcast; use for small query sets
-  or as the verification oracle.
-- IVF: k centroids chosen deterministically, corpus assigned to nearest
-  centroid once (narrow pass), queries probe only `nprobe` nearest cells —
-  compute drops by ~k/nprobe; the cell assignment is a broadcast join on
-  centroid id, so no all-pairs shuffle.
+- brute force: O(|Q|*|C|*d) compute but only |C| rows ever move — each
+  corpus partition emits its LOCAL top-k per query, so the final global
+  top-k window sees |Q|*k*partitions rows, never |Q|*|C|. The broadcast
+  query matrix bounds |Q| (driver memory), same constraint as any
+  broadcast join side.
+- threshold pairs (near-dup): the corpus matrix is broadcast; each
+  partition emits only pairs over threshold. Broadcastable-corpus is the
+  exact-baseline regime; beyond it the candidate step swaps for LSH
+  bucketing (random hyperplanes, the minhash banding machinery) with the
+  same verification kernel.
+- IVF: centroids and per-query probe sets are tiny and computed once on
+  the driver (TakeOrderedAndProject + one small matmul); the corpus then
+  makes ONE narrow pass that assigns each row's cell and scores it
+  against exactly the queries probing that cell — no crossJoin stages, no
+  per-cell shuffle, and the probe pruning drops distance compute by
+  ~n_cells/nprobe.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 
 from ..functions.expr import bind, spread
 
@@ -27,9 +49,22 @@ def _as_double(v: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
+    """Interpreted JVM-side dot product (zip_with fold). Prefer `pd_dot`
+    on hot paths; keep this for tiny inputs / no-Python contexts."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
+
+
+# DoubleType() instance (not a DDL string) so the decorator doesn't need
+# an active SparkSession at import time.
+@F.pandas_udf(DoubleType())
+def pd_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized row-wise dot product over two array columns: one
+    einsum per Arrow batch instead of an interpreted fold per row."""
+    A = np.stack([np.asarray(v, dtype="float64") for v in a])
+    B = np.stack([np.asarray(v, dtype="float64") for v in b])
+    return pd.Series(np.einsum("ij,ij->i", A, B))
 
 
 def l2_norm(a: Column) -> Column:
@@ -50,6 +85,52 @@ def with_unit_vector(df: DataFrame, vec_col: str, out_col: str = "unit") -> Data
     return df.withColumn(out_col, unit)
 
 
+def _collect_unit_matrix(df: DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """Collect the (broadcastable) side as ids + a unit-normalized float64
+    matrix. Driver memory bound = same as any broadcast join side."""
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy().astype("int64")
+    M = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    return ids, M
+
+
+def _batch_unit(pdf: pd.DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    ids = pdf[id_col].to_numpy().astype("int64")
+    A = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+    A /= np.linalg.norm(A, axis=1, keepdims=True)
+    return ids, A
+
+
+def _local_topk_frame(q_ids: np.ndarray, ids: np.ndarray, S: np.ndarray, k: int) -> pd.DataFrame:
+    """Per-batch local top-k: for each query row of S, the k best corpus
+    columns by (sim desc, id asc); -inf-masked entries are excluded."""
+    kk = min(k, S.shape[1])
+    qs, ns, ss = [], [], []
+    for qi in range(len(q_ids)):
+        top = np.lexsort((ids, -S[qi]))[:kk]
+        top = top[S[qi, top] > -np.inf]
+        qs.append(np.full(len(top), q_ids[qi]))
+        ns.append(ids[top])
+        ss.append(S[qi, top])
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(qs) if qs else np.array([], dtype="int64"),
+            "neighbor_id": np.concatenate(ns) if ns else np.array([], dtype="int64"),
+            "sim": np.concatenate(ss) if ss else np.array([], dtype="float64"),
+        }
+    )
+
+
+def _global_topk(part: DataFrame, k: int) -> DataFrame:
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def cosine_topk_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,
@@ -60,31 +141,58 @@ def cosine_topk_bruteforce(
     """Exact cosine top-k: for each query vector, the k nearest corpus
     vectors (self excluded). Columns: query_id, neighbor_id, rank.
 
-    Ties broken by neighbor_id; ranking on the raw double sim (stable for
-    real-valued embeddings where gaps ≫ fp error).
+    Each corpus partition computes Q @ C_batch.T with numpy and emits its
+    local top-k per query (ties broken by neighbor_id); a final window
+    reduces |Q|*k*partitions candidates to the global top-k. Ranking on
+    raw double sims (stable for real embeddings where gaps >> fp error).
     """
-    q = with_unit_vector(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("unit").alias("qv")
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(_collect_unit_matrix(queries, id_col, vec_col))
+
+    def local_topk(batches):
+        q_ids, Q = bc.value
+        for pdf in batches:
+            if not len(pdf) or not len(q_ids):
+                continue
+            ids, C = _batch_unit(pdf, id_col, vec_col)
+            S = Q @ C.T
+            S[q_ids[:, None] == ids[None, :]] = -np.inf  # self-exclusion
+            yield _local_topk_frame(q_ids, ids, S, k)
+
+    part = spread(corpus.select(id_col, vec_col)).mapInPandas(
+        local_topk, "query_id long, neighbor_id long, sim double"
     )
-    # spread() = parallelism for the O(|Q|·|C|) scan + a barrier keeping
-    # the normalization out of the per-pair join projection.
-    c = spread(
-        with_unit_vector(corpus, vec_col).select(
-            F.col(id_col).alias("neighbor_id"), F.col("unit").alias("cv")
-        )
-    )
-    sims = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", dot(F.col("qv"), F.col("cv")).alias("sim"))
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _global_topk(part, k)
+
+
+def cosine_pairs_threshold(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine >= threshold (x < y), exact. Columns: x, y, sim
+    (raw double — callers round for presentation).
+
+    The corpus matrix is broadcast once; each partition computes one
+    matmul and emits only over-threshold pairs, so output stays sparse.
+    Beyond broadcastable corpora, swap the candidate step for hyperplane
+    LSH and reuse this as the per-bucket verifier.
+    """
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(_collect_unit_matrix(df, id_col, vec_col))
+
+    def pairs(batches):
+        all_ids, M = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, A = _batch_unit(pdf, id_col, vec_col)
+            S = A @ M.T
+            xi, yi = np.nonzero((S >= threshold) & (ids[:, None] < all_ids[None, :]))
+            yield pd.DataFrame({"x": ids[xi], "y": all_ids[yi], "sim": S[xi, yi]})
+
+    return spread(df.select(id_col, vec_col)).mapInPandas(pairs, "x long, y long, sim double")
 
 
 def ivf_topk(
@@ -99,43 +207,39 @@ def ivf_topk(
     """Approximate cosine top-k via IVF cells.
 
     Centroids = the `n_cells` lowest-id corpus vectors, unit-normalized
-    (deterministic; a k-means refinement would slot in here unchanged).
-    Corpus rows are assigned to their nearest centroid; each query probes
-    its `nprobe` nearest cells only. Columns: query_id, neighbor_id, rank.
+    (deterministic; a k-means refinement would slot in here unchanged),
+    fetched with a distributed sort-limit. Query probe sets (`nprobe`
+    nearest cells, ties to the lower cell) are one small driver-side
+    matmul. The corpus then makes a single narrow pass: each batch is
+    assigned to cells (argmax — ties to the lower cell) and scored only
+    against the queries probing those cells, emitting local top-k.
+    Columns: query_id, neighbor_id, rank.
     """
-    c = spread(
-        with_unit_vector(corpus, vec_col).select(F.col(id_col).alias("cid"), F.col("unit").alias("cv"))
+    spark = corpus.sparkSession
+    cents_pdf = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).toPandas()
+    cents = np.stack([np.asarray(v, dtype="float64") for v in cents_pdf[vec_col]])
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    q_ids, Q = _collect_unit_matrix(queries, id_col, vec_col)
+    qsim = Q @ cents.T  # (nq, n_cells)
+    probe_mask = np.zeros_like(qsim, dtype=bool)
+    for qi in range(len(q_ids)):
+        probe_mask[qi, np.lexsort((np.arange(cents.shape[0]), -qsim[qi]))[:nprobe]] = True
+    bc = spark.sparkContext.broadcast((q_ids, Q, cents, probe_mask))
+
+    def probe_topk(batches):
+        q_ids, Q, cents, probe_mask = bc.value
+        for pdf in batches:
+            if not len(pdf) or not len(q_ids):
+                continue
+            ids, C = _batch_unit(pdf, id_col, vec_col)
+            cell = np.argmax(C @ cents.T, axis=1)  # ties -> lower cell
+            S = Q @ C.T
+            S[~probe_mask[:, cell]] = -np.inf  # only probed cells compete
+            S[q_ids[:, None] == ids[None, :]] = -np.inf  # self-exclusion
+            yield _local_topk_frame(q_ids, ids, S, k)
+
+    part = spread(corpus.select(id_col, vec_col)).mapInPandas(
+        probe_topk, "query_id long, neighbor_id long, sim double"
     )
-    w_id = W.orderBy("cid")
-    cents = (
-        c.withColumn("rn", F.row_number().over(w_id))
-        .filter(F.col("rn") <= n_cells)
-        .select((F.col("rn") - 1).alias("cell"), F.col("cv").alias("centroid"))
-    )
-    # assign each corpus vector to its nearest centroid (broadcast pass)
-    assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .select("cid", "cv", "cell", dot(F.col("cv"), F.col("centroid")).alias("csim"))
-        .withColumn("rk", F.row_number().over(W.partitionBy("cid").orderBy(F.col("csim").desc(), "cell")))
-        .filter(F.col("rk") == 1)
-        .select("cid", "cv", "cell")
-    )
-    q = with_unit_vector(queries, vec_col).select(F.col(id_col).alias("query_id"), F.col("unit").alias("qv"))
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select("query_id", "qv", "cell", dot(F.col("qv"), F.col("centroid")).alias("csim"))
-        .withColumn("rk", F.row_number().over(W.partitionBy("query_id").orderBy(F.col("csim").desc(), "cell")))
-        .filter(F.col("rk") <= nprobe)
-        .select("query_id", "qv", "cell")
-    )
-    sims = (
-        probes.join(assigned, "cell")
-        .filter(F.col("query_id") != F.col("cid"))
-        .select("query_id", F.col("cid").alias("neighbor_id"), dot(F.col("qv"), F.col("cv")).alias("sim"))
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _global_topk(part, k)

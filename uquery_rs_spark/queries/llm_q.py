@@ -142,30 +142,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= 0.4 — the tail of the
     synthetic corpus; real near-dup corpora use ~0.95).
 
-    Scale: brute-force all-pairs is the exact baseline; at corpus scale the
-    candidate step swaps for LSH bucketing (random hyperplanes, same
-    banding machinery as minhash_lsh_pairs) with this verification reused.
+    One numpy matmul per corpus partition against the broadcast corpus
+    matrix (operators.similarity.cosine_pairs_threshold) — the exact
+    baseline. At corpus scale the candidate step swaps for LSH bucketing
+    (random hyperplanes, same banding machinery as minhash_lsh_pairs)
+    with the same verification kernel reused per bucket.
     """
-    from ..functions.expr import spread
-
     emb = load_tables(spark, sf)["embeddings"]
-    # spread() parallelizes the O(n^2) pair scan AND is a materialization
-    # barrier: without it the unit-vector projection inlines into the
-    # nested-loop join condition and re-normalizes per candidate pair.
-    unit = spread(
-        S.with_unit_vector(emb, "embedding").select(
-            F.col("vec_id").alias("id"), F.col("unit").alias("v")
-        )
-    )
-    a, b = unit.alias("a"), unit.alias("b")
-    sim = S.dot(F.col("a.v"), F.col("b.v"))
     return (
-        a.join(F.broadcast(b), (F.col("a.id") < F.col("b.id")) & (sim >= 0.4))
-        .select(
-            F.col("a.id").alias("x"),
-            F.col("b.id").alias("y"),
-            F.round(sim, 4).alias("cos_sim"),
-        )
+        S.cosine_pairs_threshold(emb, threshold=0.4)
+        .select("x", "y", F.round("sim", 4).alias("cos_sim"))
         .orderBy("x", "y")
     )
 
