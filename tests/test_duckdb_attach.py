@@ -25,6 +25,14 @@ def db_file(tmp_path_factory):
     con.execute("CREATE VIEW lang_names AS SELECT name FROM language")
     con.execute("CREATE MACRO double_it(x) AS x * 2")
     con.execute("CREATE MACRO test() AS TABLE SELECT id, name FROM language")
+    con.execute(
+        "CREATE MACRO top_langs(lim) AS TABLE "
+        "SELECT name FROM language ORDER BY id DESC LIMIT lim"
+    )
+    con.execute(
+        "CREATE MACRO lang_between(lo, hi) AS TABLE "
+        "SELECT id, name FROM language WHERE id BETWEEN lo AND hi"
+    )
     con.close()
     return path
 
@@ -65,3 +73,24 @@ def test_macro_wrong_arity(rw):
 
     with pytest.raises(UQueryError):
         rw.rewrite("SELECT double_it(1, 2) AS v")
+
+
+def test_parameterized_table_macro(spark, rw):
+    rows = spark.sql(rw.rewrite("SELECT * FROM top_langs(2)")).collect()
+    assert [r.name for r in rows] == ["SQL", "Python"]
+
+
+def test_parameterized_table_macro_two_args(spark, rw):
+    rows = spark.sql(
+        rw.rewrite("SELECT * FROM lang_between(2, 3) ORDER BY id")
+    ).collect()
+    assert [(r.id, r.name) for r in rows] == [(2, "Python"), (3, "SQL")]
+
+
+def test_parameterized_table_macro_with_alias_and_scalar_nesting(spark, rw):
+    rows = spark.sql(
+        rw.rewrite(
+            "SELECT t.id, double_it(t.id) AS d FROM lang_between(1, double_it(1)) t ORDER BY t.id"
+        )
+    ).collect()
+    assert [(r.id, r.d) for r in rows] == [(1, 2), (2, 4)]

@@ -53,6 +53,10 @@ class SqlRewriter:
         allow_remote: bool = True,
     ):
         self.spark = spark
+        # DuckDB reads "..." as an identifier, never a string (attached
+        # macro bodies arrive double-quoted); runtime-set so externally
+        # built sessions get the dialect too.
+        spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
         self.allowed_dirs = [os.path.realpath(d) for d in (allowed_dirs or [os.getcwd()])]
         self.allow_remote = allow_remote
         self._views: dict[str, str] = {}
@@ -71,6 +75,11 @@ class SqlRewriter:
         catalog = attach_db(self.spark, path)
         for tm in catalog.table_macros:
             self.add_table_macro(tm)
+        for m in catalog.table_macro_defs:
+            # a table macro's SELECT body expands to `(body)` — a derived
+            # table after FROM/JOIN; same inlining machinery as scalar
+            # macros (DuckDB inlines both at bind time).
+            self.add_scalar_macro(m.name, m.params, m.body)
         for m in catalog.scalar_macros:
             self.add_scalar_macro(m.name, m.params, m.body)
 

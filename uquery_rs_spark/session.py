@@ -35,6 +35,9 @@ _DEFAULTS: dict[str, str] = {
     # Broadcast threshold: default 10 MB is fine; AQE converts
     # sort-merge to broadcast at runtime when a side turns out small.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # DuckDB dialect: double quotes always delimit identifiers (never
+    # string literals) — matches attached-macro bodies and client SQL.
+    "spark.sql.ansi.doubleQuotedIdentifiers": "true",
     "spark.scheduler.mode": "FAIR",
     "spark.ui.enabled": "false",
 }

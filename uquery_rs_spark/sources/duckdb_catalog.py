@@ -17,6 +17,9 @@ startup —
   Iceberg catalogs, not ``--db-file``);
 - parameterless table macros are evaluated once and registered as views,
   with ``name()`` → ``name`` handled by the SQL rewriter;
+- parameterized table macros keep their SELECT body and expand at rewrite
+  time into a derived table ``(body with args substituted)`` — the same
+  bind-time inlining DuckDB itself performs;
 - scalar macros become textual expansions the rewriter applies before
   Catalyst (exactly DuckDB's own macro semantics — macros are inlined at
   bind time, not called).
@@ -42,6 +45,7 @@ class ScalarMacro:
 class AttachedCatalog:
     tables: list[str] = field(default_factory=list)
     table_macros: list[str] = field(default_factory=list)
+    table_macro_defs: list[ScalarMacro] = field(default_factory=list)
     scalar_macros: list[ScalarMacro] = field(default_factory=list)
 
 
@@ -70,8 +74,11 @@ def attach_db(spark: SparkSession, path: str) -> AttachedCatalog:
         ).fetchall()
         for fname, ftype, params, definition in macros:
             if ftype == "table_macro":
-                if params:  # parameterized table macros need per-call eval
-                    continue  # documented deviation: register parameterless only
+                if params:  # parameterized: template-expanded per call
+                    result.table_macro_defs.append(
+                        ScalarMacro(fname, list(params), definition)
+                    )
+                    continue
                 tbl = con.sql(f'SELECT * FROM "{fname}"()').arrow()
                 spark.createDataFrame(tbl.to_pandas()).createOrReplaceTempView(fname)
                 result.table_macros.append(fname)
