@@ -125,3 +125,32 @@ def test_excel_scan_clear_error(rw):
     with pytest.raises(UQueryError) as ei:
         rw.rewrite(f"SELECT * FROM '{FIXTURES}/../fixtures/book.xlsx'")
     assert "spark-excel" in ei.value.detail
+
+
+def test_int_div_rewrite(spark, rw):
+    assert spark.sql(rw.rewrite("SELECT 7 // 2 AS q, -7 // 2 AS nq")).collect()[0][:] == (3, -3)
+
+
+def test_int_div_skips_string_literals(rw):
+    out = rw.rewrite("SELECT 'https://x//y' AS u, 9 // 4 AS q")
+    assert "'https://x//y'" in out and " div " in out
+
+
+def test_distinct_on_rewrite(spark, rw):
+    rows = spark.sql(
+        rw.rewrite(
+            "SELECT DISTINCT ON (seg) seg, name FROM (VALUES ('a', 'x1'), ('a', 'x2'), "
+            "('b', 'y2'), ('b', 'y1')) t(seg, name) ORDER BY seg, name"
+        )
+    ).collect()
+    assert [(r.seg, r.name) for r in rows] == [("a", "x1"), ("b", "y1")]
+
+
+def test_distinct_on_with_limit(spark, rw):
+    rows = spark.sql(
+        rw.rewrite(
+            "SELECT DISTINCT ON (seg) seg, name FROM (VALUES ('a', 'x1'), ('a', 'x2'), "
+            "('b', 'y1')) t(seg, name) ORDER BY seg DESC, name LIMIT 1"
+        )
+    ).collect()
+    assert [(r.seg, r.name) for r in rows] == [("b", "y1")]

@@ -296,3 +296,107 @@ def salted_join_order_counts(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "distinct_on_latest_order",
+    tags=("dialect", "distinct-on"),
+    oracle="""
+SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate
+FROM orders WHERE o_custkey <= 300
+ORDER BY o_custkey, o_orderdate DESC, o_orderkey
+""",
+)
+def distinct_on_latest_order(spark: SparkSession, sf: str) -> DataFrame:
+    """DuckDB/Postgres DISTINCT ON → row_number window via the rewriter
+    (rewrite.py::_rewrite_distinct_on); the oracle runs the identical SQL.
+    Deterministic because the ORDER BY is a total order per key."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate "
+        "FROM orders WHERE o_custkey <= 300 "
+        "ORDER BY o_custkey, o_orderdate DESC, o_orderkey",
+    )
+
+
+@register(
+    "int_div_price_buckets",
+    tags=("dialect", "int-div"),
+    oracle="""
+SELECT CAST(floor(o_totalprice) AS BIGINT) // 10000 AS bucket,
+       count(*) AS n
+FROM orders GROUP BY 1 ORDER BY 1
+""",
+)
+def int_div_price_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """DuckDB `//` (truncating int division) → Spark `div` via the
+    rewriter. floor-then-cast on both sides because bare CAST(double AS
+    BIGINT) ROUNDS in DuckDB but TRUNCATES in Spark — a documented
+    deviation this query deliberately sidesteps."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT CAST(floor(o_totalprice) AS BIGINT) // 10000 AS bucket, "
+        "count(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
+    )
+
+
+@register(
+    "dialect_edge_cases",
+    tags=("dialect", "edge"),
+    oracle="""
+SELECT p_partkey,
+       l[2:4]                         AS slice_mid,
+       l[-2:]                         AS slice_tail,
+       l[:3]                          AS slice_head,
+       l[0]                           AS idx_zero,
+       l[-1]                          AS idx_neg,
+       l[9]                           AS idx_oob,
+       CAST(CAST(p_partkey AS HUGEINT) * 9223372036854775807 % 1000003 AS BIGINT)
+                                      AS hugeint_mod,
+       p_size // 7                    AS size_div7,
+       '5' = 5                        AS implicit_eq,
+       CAST(p_size + 1 AS VARCHAR) = p_size AS implicit_ne
+FROM (SELECT p_partkey, p_size, [p_partkey, CAST(p_size AS BIGINT), 30, 40, 50] AS l
+      FROM part WHERE p_partkey <= 200)
+ORDER BY p_partkey
+""",
+)
+def dialect_edge_cases(spark: SparkSession, sf: str) -> DataFrame:
+    """Adversarial dialect battery (NOTES.md #3): 1-based inclusive list
+    slicing incl. negative bounds, zero/out-of-range indexing (NULL, not
+    error — try_element_at), negative indexing, hugeint arithmetic mapped
+    to Decimal(38,0), `//` division, implicit string/number comparisons.
+    """
+    part = load_tables(spark, sf)["part"].filter(F.col("p_partkey") <= 200)
+    l = F.array(
+        F.col("p_partkey"),
+        F.col("p_size").cast("long"),
+        F.lit(30).cast("long"),
+        F.lit(40).cast("long"),
+        F.lit(50).cast("long"),
+    )
+    big = F.lit(9223372036854775807).cast("decimal(38,0)")
+    return (
+        part.select("p_partkey", "p_size", l.alias("l"))
+        .select(
+            "p_partkey",
+            F.slice("l", 2, 3).alias("slice_mid"),
+            F.slice("l", -2, 2).alias("slice_tail"),
+            F.slice("l", 1, 3).alias("slice_head"),
+            # 1-based l[i] maps uniformly to 0-based get(l, i-1); i=0 gives
+            # get(-1) → NULL, exactly DuckDB's l[0] (try_element_at still
+            # rejects index 0 outright).
+            F.get("l", F.lit(-1)).alias("idx_zero"),
+            F.element_at("l", -1).alias("idx_neg"),
+            F.try_element_at("l", F.lit(9)).alias("idx_oob"),
+            F.pmod(F.col("p_partkey").cast("decimal(38,0)") * big, F.lit(1000003))
+            .cast("long")
+            .alias("hugeint_mod"),
+            F.expr("p_size div 7").alias("size_div7"),
+            (F.lit("5") == F.lit(5)).alias("implicit_eq"),
+            ((F.col("p_size") + 1).cast("string") == F.col("p_size")).alias("implicit_ne"),
+        )
+        .orderBy("p_partkey")
+    )

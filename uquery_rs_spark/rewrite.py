@@ -185,6 +185,71 @@ class SqlRewriter:
                 i = j - 1
             i += 1
 
+    @staticmethod
+    def _rewrite_int_div(sql: str) -> str:
+        """DuckDB ``a // b`` (truncating integer division — same semantics
+        as Spark's ``div``, verified incl. negatives) → ``a div b``.
+        String literals are skipped so ``'https://…'`` survives."""
+        out, i, n = [], 0, len(sql)
+        while i < n:
+            c = sql[i]
+            if c == "'":
+                j = sql.find("'", i + 1)
+                j = n if j == -1 else j + 1
+                out.append(sql[i:j])
+                i = j
+            elif c == "/" and i + 1 < n and sql[i + 1] == "/":
+                out.append(" div ")
+                i += 2
+            else:
+                out.append(c)
+                i += 1
+        return "".join(out)
+
+    def _rewrite_distinct_on(self, sql: str) -> str:
+        """DuckDB/Postgres ``SELECT DISTINCT ON (keys) list … [ORDER BY o]``
+        → first row per key group via a row_number window:
+
+        SELECT * EXCEPT (uq_don) FROM (
+          SELECT list, row_number() OVER (PARTITION BY keys ORDER BY o|keys)
+                 AS uq_don FROM …) WHERE uq_don = 1 [ORDER BY o]
+
+        The ORDER BY (when present) decides which row survives, matching
+        DuckDB; without one the survivor is arbitrary (also DuckDB).
+        ORDER BY expressions must be resolvable against the FROM clause
+        (column refs, not select-list aliases) — the usual shape.
+        """
+        m = re.match(r"(?is)^(\s*)select\s+distinct\s+on\s*\(", sql)
+        if m is None:
+            return sql
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "'":
+                i = sql.index("'", i + 1)
+            depth += {"(": 1, ")": -1}.get(sql[i], 0)
+            i += 1
+        keys = sql[m.end() : i - 1].strip()
+        rest = sql[i:]
+        hits = list(self._scan_top_level(rest, {"from", "order", "limit"}))
+        frm = next(h for h in hits if h[2] == "from")
+        order_hit = next((h for h in hits if h[2] == "order"), None)
+        limit_hit = next((h for h in hits if h[2] == "limit"), None)
+        body_end = order_hit[0] if order_hit else (limit_hit[0] if limit_hit else len(rest))
+        tail = rest[body_end:]
+        if order_hit:
+            order_end = limit_hit[0] if limit_hit and limit_hit[0] > order_hit[0] else len(rest)
+            order_exprs = re.sub(r"(?is)^order\s+by", "", rest[order_hit[0] : order_end]).strip()
+        else:
+            order_exprs = keys
+        return (
+            "SELECT * EXCEPT (uq_don) FROM (SELECT "
+            + rest[: frm[0]]
+            + f", row_number() OVER (PARTITION BY {keys} ORDER BY {order_exprs}) AS uq_don "
+            + rest[frm[0] : body_end]
+            + ") WHERE uq_don = 1 "
+            + tail
+        )
+
     def _rewrite_qualify(self, sql: str) -> str:
         """DuckDB QUALIFY → filtered subquery (Spark has no QUALIFY).
 
@@ -357,7 +422,9 @@ class SqlRewriter:
         sql = self._rewrite_tvfs(sql)
         sql = self._rewrite_path_tables(sql)
         sql = self._rewrite_json_arrows(sql)
+        sql = self._rewrite_int_div(sql)
         sql = self._expand_macros(sql)
+        sql = self._rewrite_distinct_on(sql)
         sql = self._rewrite_qualify(sql)
         return sql
 
