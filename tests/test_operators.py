@@ -152,6 +152,52 @@ class TestSkew:
         top = skew_stats(df, "k", top=1).collect()[0]
         assert top.k == 1 and top.n_rows == 98 and abs(top.pct_of_total - 98.0) < 0.01
 
+    def test_top_key_share_detects_hot_key(self, spark):
+        from uquery_rs_spark.operators.skew import top_key_share
+
+        skewed = spark.createDataFrame([(1,)] * 300 + [(i,) for i in range(2, 102)], "k int")
+        uniform = spark.createDataFrame([(i,) for i in range(400)], "k int")
+        # denom=1 samples every row: exact shares
+        assert top_key_share(skewed, "k", denom=1) > 0.5
+        assert top_key_share(uniform, "k", denom=1) < 0.01
+        # sample below min_sample -> no diagnosis
+        assert top_key_share(uniform, "k", denom=1, min_sample=1000) == 0.0
+
+    def test_plan_join_row_identical_both_paths(self, spark):
+        from uquery_rs_spark.operators.skew import plan_join
+
+        left_skew = spark.createDataFrame([(1, i) for i in range(300)] + [(2, 0)], "k int, v int")
+        left_flat = spark.createDataFrame([(i, i) for i in range(300)], "k int, v int")
+        right = spark.createDataFrame([(i, str(i)) for i in range(300)], "k int, w string")
+        for left, threshold in ((left_skew, 0.2), (left_flat, 0.2)):
+            planned = plan_join(left, right, "k")
+            plain = left.join(right, "k")
+            assert sorted(map(tuple, planned.collect())) == sorted(map(tuple, plain.collect()))
+
+    def test_plan_join_salts_when_skewed(self, spark):
+        from uquery_rs_spark.operators import skew
+
+        left = spark.createDataFrame([(1, i) for i in range(300)], "k int, v int")
+        right = spark.createDataFrame([(1, "x")], "k int, w string")
+        picked = []
+        orig = skew.salted_join
+
+        def spy(*a, **kw):
+            picked.append(True)
+            return orig(*a, **kw)
+
+        skew.salted_join = spy
+        try:
+            # denom=1, min_sample=1: sample everything -> 100% hot key
+            out = skew.plan_join(left, right, "k", skew_threshold=0.5, denom=1, min_sample=1)
+            # default denom=1000 on 300 rows: sample too small -> plain join
+            plain_out = skew.plan_join(left, right, "k", skew_threshold=0.5)
+        finally:
+            skew.salted_join = orig
+        assert picked == [True]
+        assert sorted(r.v for r in out.collect()) == list(range(300))
+        assert sorted(r.v for r in plain_out.collect()) == list(range(300))
+
 
 class TestMultimodalResize:
     def test_resize_scales_meta_keeps_payload(self, spark):

@@ -57,3 +57,49 @@ def skew_stats(df: DataFrame, key: str, top: int = 10) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), key)
         .limit(top)
     )
+
+
+def top_key_share(df: DataFrame, key: str, denom: int = 1000, min_sample: int = 200) -> float:
+    """Estimated share (0-1) of the hottest key, from a seeded ~1/denom
+    uniform row sample (seeded rand: stable for a fixed input
+    partitioning — an estimate feeding a strategy choice, not a result).
+    Returns 0.0 when the sample is too small to diagnose. One Spark job,
+    narrow scan of the key column only.
+    """
+    s = (
+        df.select(F.col(key).alias("k"))
+        .filter(F.rand(42) < 1.0 / denom)
+        .groupBy("k")
+        .agg(F.count("*").alias("c"))
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+        .first()
+    )
+    if s is None or s.tot is None or s.tot < min_sample:
+        return 0.0
+    return float(s.mx) / float(s.tot)
+
+
+def plan_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    skew_threshold: float = 0.2,
+    salt: int = 16,
+    denom: int = 1000,
+    min_sample: int = 200,
+) -> DataFrame:
+    """Adaptive equi-join: sample the probe side's key distribution and
+    salt only when one key exceeds `skew_threshold` of rows.
+
+    AQE's skew-join split handles moderate sort-merge skew with no query
+    change; this helper covers the cases it can't — a single key so hot
+    it exceeds one task's memory even after splitting, or shuffled-hash
+    plans. The diagnosis is one narrow sampling job ahead of the join
+    (the build-time analogue of AQE's runtime stats); result is
+    row-for-row identical to ``left.join(right, on, how)`` either way.
+    """
+    share = top_key_share(left, on, denom=denom, min_sample=min_sample)
+    if share >= skew_threshold:
+        return salted_join(left, right, on, salt=salt, how=how)
+    return left.join(right, on, how)

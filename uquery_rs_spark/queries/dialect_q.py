@@ -400,3 +400,38 @@ def dialect_edge_cases(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "planned_join_segment_revenue",
+    tags=("join", "skew", "scale"),
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'O'
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def planned_join_segment_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Adaptive skew-planned join (operators/skew.py::plan_join): one
+    narrow sampling job estimates the probe side's hottest-key share and
+    picks plain vs salted; either path is row-identical to the plain
+    join, which is what the oracle runs. On this uniform key the planner
+    chooses the plain join and Catalyst/AQE do the rest."""
+    from ..operators.skew import plan_join
+
+    t = load_tables(spark, sf)
+    joined = plan_join(
+        t["orders"].filter(F.col("o_orderstatus") == "O").withColumnRenamed("o_custkey", "custkey"),
+        t["customer"].withColumnRenamed("c_custkey", "custkey"),
+        on="custkey",
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )
