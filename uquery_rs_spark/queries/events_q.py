@@ -188,3 +188,40 @@ def asof_join_purchase_view(spark: SparkSession, sf: str) -> DataFrame:
         "view_ts",
         F.round("view_value", 4).alias("view_value"),
     ).orderBy("event_id")
+
+
+@register(
+    "time_range_window_events",
+    tags=("events", "window-frame", "time-series"),
+    oracle="""
+SELECT event_id, user_id,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         AS n_last_hour,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 2)
+         AS value_last_hour
+FROM events WHERE user_id <= 50
+ORDER BY event_id
+""",
+)
+def time_range_window_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-based RANGE frame (sliding 1-hour lookback per event): Spark's
+    rangeBetween needs a numeric ordering, so the frame orders on tz-free
+    seconds (timestampdiff from a fixed naive epoch — ts is timestamp_ntz,
+    which cannot cast to long and must not detour through the session tz)
+    with offsets [-3600, 0] — inclusive bounds on both engines, and
+    duplicate timestamps all fall inside the frame (RANGE, not ROWS).
+    One shuffle on user_id shared by both window aggregates."""
+    ev = load_tables(spark, sf)["events"].filter(F.col("user_id") <= 50)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 2).alias("value_last_hour"),
+    ).orderBy("event_id")

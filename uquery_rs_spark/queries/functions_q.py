@@ -339,3 +339,80 @@ def macros_battery(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "regex_pattern_battery",
+    tags=("functions", "regex", "dialect", "edge"),
+    oracle=r"""
+SELECT p_partkey,
+       regexp_replace(p_type, '(\w+)$', '[\1]', 'g')   AS bracketed_last,
+       regexp_replace(p_type, '^\w+', 'T')             AS head_replaced,
+       regexp_extract(p_type, '^(.+?) ', 1)            AS nongreedy_first,
+       p_type ILIKE '%brushed%'                        AS has_brushed_ci,
+       p_type SIMILAR TO '.*(STEEL|BRASS)'             AS sim_metal,
+       p_type GLOB '*STEEL'                            AS glob_steel,
+       string_split_regex(p_type, '\s+')               AS toks
+FROM part WHERE p_partkey <= 300
+ORDER BY p_partkey
+""",
+)
+def regex_pattern_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """RE2-vs-Java adversarial subset, aligned where semantics diverge:
+    backreferences are \\1 in DuckDB but $1 in Spark (each side written in
+    its own syntax); DuckDB regexp_replace without 'g' replaces the FIRST
+    match while Spark always replaces all, so unflagged replaces use
+    anchored single-match patterns; SIMILAR TO is a fully-anchored regex
+    (Spark: rlike wrapped in ^(...)$); GLOB maps to LIKE wildcards."""
+    part = load_tables(spark, sf)["part"].filter(F.col("p_partkey") <= 300)
+    return part.select(
+        "p_partkey",
+        F.regexp_replace("p_type", r"(\w+)$", "[$1]").alias("bracketed_last"),
+        F.regexp_replace("p_type", r"^\w+", "T").alias("head_replaced"),
+        F.regexp_extract("p_type", r"^(.+?) ", 1).alias("nongreedy_first"),
+        F.col("p_type").ilike("%brushed%").alias("has_brushed_ci"),
+        F.col("p_type").rlike(r"^(.*(STEEL|BRASS))$").alias("sim_metal"),
+        F.col("p_type").like("%STEEL").alias("glob_steel"),
+        F.split("p_type", r"\s+").alias("toks"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "datetime_edge_battery",
+    tags=("functions", "datetime", "dialect", "edge"),
+    oracle="""
+SELECT o_orderkey,
+       last_day(d)                                             AS month_end,
+       d + 7                                                   AS week_later,
+       date_diff('day', d, DATE '2030-01-01')                  AS days_to_2030,
+       epoch_ms(CAST(d AS TIMESTAMP))                          AS epoch_millis,
+       make_date(CAST(year(d) AS INT), 1, 1)                   AS year_start,
+       CAST(date_trunc('quarter', d) AS DATE)                  AS quarter_start,
+       (year(DATE '2030-06-15') * 12 + month(DATE '2030-06-15'))
+         - (year(d) * 12 + month(d))                           AS month_boundaries
+FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders WHERE o_orderkey <= 500)
+ORDER BY o_orderkey
+""",
+)
+def datetime_edge_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """Date-arithmetic edges, tz-free by construction: date+int (Spark
+    date_add), boundary-crossing month diff expressed as y*12+m arithmetic
+    on BOTH sides (DuckDB date_diff('month') counts boundary crossings;
+    Spark's months_between is fractional — deliberately avoided), epoch
+    millis via day arithmetic (no session-timezone dependency), and
+    trunc() (returns DATE) rather than date_trunc (TIMESTAMP in Spark)."""
+    orders = load_tables(spark, sf)["orders"].filter(F.col("o_orderkey") <= 500)
+    d = F.col("o_orderdate").cast("date")
+    ref = F.lit("2030-06-15").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.last_day(d).alias("month_end"),
+        F.date_add(d, 7).alias("week_later"),
+        F.datediff(F.lit("2030-01-01").cast("date"), d).alias("days_to_2030"),
+        (F.datediff(d, F.lit("1970-01-01").cast("date")).cast("long") * 86400000)
+        .alias("epoch_millis"),
+        F.make_date(F.year(d), F.lit(1), F.lit(1)).alias("year_start"),
+        F.trunc(d, "quarter").alias("quarter_start"),
+        ((F.year(ref) * 12 + F.month(ref)) - (F.year(d) * 12 + F.month(d)))
+        .alias("month_boundaries"),
+    ).orderBy("o_orderkey")
