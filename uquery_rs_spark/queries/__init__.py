@@ -12,6 +12,7 @@ from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 def load_all() -> None:
     """Import every query module so its ``@register`` calls run."""
     from . import relational  # noqa: F401
+    from . import tpch_q  # noqa: F401
     from . import dialect_q  # noqa: F401
     from . import functions_q  # noqa: F401
     from . import events_q  # noqa: F401
