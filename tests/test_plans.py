@@ -71,3 +71,30 @@ def test_events_filter_pushdown(spark):
 def test_salted_join_is_hash_join(spark):
     plan = formatted_plan(Q.REGISTRY["salted_join_order_counts"].spark_fn(spark, SF_SMALL))
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q21_semi_and_anti_joins(spark):
+    """EXISTS/NOT EXISTS must decorrelate to semi/anti joins, not
+    per-row subquery execution."""
+    plan = formatted_plan(Q.REGISTRY["q21_suppliers_kept_waiting"].spark_fn(spark, SF_SMALL))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q8_broadcasts_dimensions(spark):
+    """The 8-way market-share join must broadcast the dim tables (nation/
+    region/supplier at this scale), never fall to a cartesian product."""
+    plan = formatted_plan(Q.REGISTRY["q8_market_share"].spark_fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_date_filter_pushed(spark):
+    df = Q.REGISTRY["q4_order_priority"].spark_fn(spark, SF_SMALL)
+    assert "o_orderdate" in pushed_filters(df)
+
+
+def test_q17_decorrelates_scalar_subquery(spark):
+    """The per-part correlated average must become an aggregate+join, not
+    a per-row subquery re-execution."""
+    plan = formatted_plan(Q.REGISTRY["q17_small_quantity_revenue"].spark_fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

@@ -38,8 +38,8 @@ def _gateway(spark: SparkSession, sf: str, sql: str) -> DataFrame:
     return spark.sql(rw.rewrite(sql))
 
 
-def _tpch(name: str, sql: str, doc: str):
-    @register(name, tags=("tpch", "relational"), oracle=sql)
+def _tpch(name: str, sql: str, doc: str, bench: bool = False):
+    @register(name, tags=("tpch", "relational"), oracle=sql, bench=bench)
     def run(spark: SparkSession, sf: str, _sql: str = sql) -> DataFrame:
         return _gateway(spark, sf, _sql)
 
@@ -111,6 +111,7 @@ GROUP BY o_year
 ORDER BY o_year
 """,
     "TPC-H Q8: national market share — 8-way join, conditional agg ratio.",
+    bench=True,
 )
 
 _tpch(
@@ -275,4 +276,5 @@ ORDER BY numwait DESC, s_name
 """,
     "TPC-H Q21-shaped (late test -> discount>tax): EXISTS + NOT EXISTS "
     "self-correlations -> left-semi + left-anti joins.",
+    bench=True,
 )
