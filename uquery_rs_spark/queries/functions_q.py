@@ -416,3 +416,65 @@ def datetime_edge_battery(spark: SparkSession, sf: str) -> DataFrame:
         ((F.year(ref) * 12 + F.month(ref)) - (F.year(d) * 12 + F.month(d)))
         .alias("month_boundaries"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "percentile_battery",
+    tags=("functions", "aggregate", "ordered-set"),
+    oracle="""
+SELECT l_returnflag,
+       round(median(l_quantity), 2)                                        AS med_qty,
+       round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p25_price,
+       round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p75_price,
+       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity), 2)   AS p90_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def percentile_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact ordered-set aggregates: DuckDB's percentile_cont WITHIN GROUP
+    maps to Spark's exact `percentile` aggregate (same linear
+    interpolation; both sides compute in double — DECIMAL inputs would
+    quantize differently in DuckDB). median == percentile_cont(0.5)."""
+    li = load_tables(spark, sf)["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 2).alias("med_qty"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 2).alias("p25_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.75)), 2).alias("p75_price"),
+            F.round(F.percentile("l_quantity", F.lit(0.9)), 2).alias("p90_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "unpivot_part_measures",
+    tags=("functions", "unpivot", "dialect"),
+    oracle="""
+SELECT p_partkey, metric, round(val, 2) AS val
+FROM (
+  UNPIVOT (SELECT p_partkey, p_retailprice, CAST(p_size AS DOUBLE) AS p_size_d
+           FROM part WHERE p_partkey <= 100)
+  ON p_retailprice, p_size_d INTO NAME metric VALUE val
+)
+ORDER BY p_partkey, metric
+""",
+)
+def unpivot_part_measures(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide→long UNPIVOT: DuckDB's UNPIVOT ... ON ... INTO NAME/VALUE and
+    Spark's df.unpivot (melt) produce the same rows; measures are cast to
+    a common double type first because UNPIVOT requires one value type."""
+    part = load_tables(spark, sf)["part"].filter(F.col("p_partkey") <= 100)
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_retailprice"),
+            F.col("p_size").cast("double").alias("p_size_d"),
+        )
+        .unpivot("p_partkey", ["p_retailprice", "p_size_d"], "metric", "v")
+        .select("p_partkey", "metric", F.round("v", 2).alias("val"))
+        .orderBy("p_partkey", "metric")
+    )
