@@ -154,3 +154,25 @@ def test_distinct_on_with_limit(spark, rw):
         )
     ).collect()
     assert [(r.seg, r.name) for r in rows] == [("b", "y1")]
+
+
+def test_using_sample_rows(spark, rw):
+    spark.range(1000).createOrReplaceTempView("uq_sample_src")
+    n = spark.sql(
+        rw.rewrite("SELECT count(*) AS n FROM (SELECT * FROM uq_sample_src USING SAMPLE 50 ROWS) t")
+    ).collect()[0].n
+    assert n == 50
+
+
+def test_using_sample_percent_with_seed(rw):
+    out = rw.rewrite("SELECT * FROM t USING SAMPLE 10% (bernoulli, 42)")
+    assert "t TABLESAMPLE (10 PERCENT) REPEATABLE (42)" in out
+
+
+def test_using_sample_alias_hoisted(rw):
+    out = rw.rewrite("SELECT o.x FROM orders o USING SAMPLE 100 ROWS")
+    assert "orders TABLESAMPLE (100 ROWS) o" in out
+
+
+def test_using_sample_bare_number_is_rows(rw):
+    assert "TABLESAMPLE (25 ROWS)" in rw.rewrite("SELECT * FROM t USING SAMPLE 25")

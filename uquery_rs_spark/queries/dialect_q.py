@@ -435,3 +435,24 @@ def planned_join_segment_revenue(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "sample_rows_count",
+    tags=("dialect", "sample"),
+    oracle="""
+SELECT count(*) AS n, count(DISTINCT o_orderkey) AS n_distinct
+FROM (SELECT * FROM orders USING SAMPLE 500 ROWS) t
+""",
+)
+def sample_rows_count(spark: SparkSession, sf: str) -> DataFrame:
+    """DuckDB USING SAMPLE n ROWS → Spark TABLESAMPLE (n ROWS) via the
+    rewriter. The sampled row SET differs between engines (different
+    reservoirs), so the oracle checks the deterministic properties: exact
+    row count and distinctness of the sampled keys."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT count(*) AS n, count(DISTINCT o_orderkey) AS n_distinct "
+        "FROM (SELECT * FROM orders USING SAMPLE 500 ROWS) t",
+    )

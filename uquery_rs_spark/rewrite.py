@@ -185,6 +185,34 @@ class SqlRewriter:
                 i = j - 1
             i += 1
 
+    # [relation [alias]] USING SAMPLE <n> [%|PERCENT|ROWS] [(method [, seed])]
+    _SAMPLE_RE = re.compile(
+        r"(?i)\b(?P<rel>(?!(?:from|join|on|where|select|and|or)\b)[\w.]+)"
+        r"(?:\s+(?:as\s+)?(?P<alias>(?!using\b)\w+))?"
+        r"\s+using\s+sample\s+(?P<n>\d+(?:\.\d+)?)\s*(?P<unit>%|percent\b|rows\b)?"
+        r"(?:\s*\(\s*\w+\s*(?:,\s*(?P<seed>\d+))?\s*\))?"
+    )
+
+    @classmethod
+    def _rewrite_using_sample(cls, sql: str) -> str:
+        """DuckDB ``rel [alias] USING SAMPLE n [%|ROWS] [(method, seed)]``
+        → Spark ``rel TABLESAMPLE (n PERCENT|ROWS) [REPEATABLE (seed)]
+        [alias]`` — Spark's grammar puts the sample BEFORE the alias, so
+        any alias is hoisted past it. Bare ``n`` means rows (DuckDB
+        default); the sampling-method name is dropped (Spark picks its
+        own), the seed carries over. Applies to named relations (table or
+        view refs); subquery sampling should sample inside the subquery.
+        """
+
+        def sub(m: re.Match) -> str:
+            unit = (m.group("unit") or "rows").lower()
+            kind = "PERCENT" if unit in ("%", "percent") else "ROWS"
+            rep = f" REPEATABLE ({m.group('seed')})" if m.group("seed") else ""
+            alias = f" {m.group('alias')}" if m.group("alias") else ""
+            return f"{m.group('rel')} TABLESAMPLE ({m.group('n')} {kind}){rep}{alias}"
+
+        return cls._SAMPLE_RE.sub(sub, sql)
+
     @staticmethod
     def _rewrite_int_div(sql: str) -> str:
         """DuckDB ``a // b`` (truncating integer division — same semantics
@@ -423,6 +451,7 @@ class SqlRewriter:
         sql = self._rewrite_path_tables(sql)
         sql = self._rewrite_json_arrows(sql)
         sql = self._rewrite_int_div(sql)
+        sql = self._rewrite_using_sample(sql)
         sql = self._expand_macros(sql)
         sql = self._rewrite_distinct_on(sql)
         sql = self._rewrite_qualify(sql)
