@@ -12,6 +12,11 @@ import pyarrow as pa
 
 from ..engine import RecordBatchConsumer
 
+try:  # optional fast path — ~5-10x stdlib json; same value formats
+    import orjson
+except ImportError:  # pragma: no cover
+    orjson = None
+
 
 def _json_default(v):
     if isinstance(v, (datetime, date)):
@@ -21,6 +26,15 @@ def _json_default(v):
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     return str(v)
+
+
+def _dump_row(row: dict) -> bytes:
+    """One compact JSON object. orjson when present (C serializer;
+    datetimes ISO-8601 natively, same as _json_default; NaN → null like
+    the reference's arrow-json), stdlib otherwise."""
+    if orjson is not None:
+        return orjson.dumps(row, default=_json_default)
+    return json.dumps(row, separators=(",", ":"), default=_json_default).encode()
 
 
 def _rows(batch: pa.RecordBatch) -> list[dict]:
@@ -39,13 +53,14 @@ class JsonArrayWriter(RecordBatchConsumer):
         self._sink.write(b"[")
 
     def on_batch(self, batch: pa.RecordBatch) -> None:
-        for row in _rows(batch):
-            if not self._first:
-                self._sink.write(b",")
-            self._first = False
-            self._sink.write(
-                json.dumps(row, separators=(",", ":"), default=_json_default).encode()
-            )
+        rows = _rows(batch)
+        if not rows:
+            return
+        payload = b",".join(map(_dump_row, rows))
+        if not self._first:
+            self._sink.write(b",")
+        self._first = False
+        self._sink.write(payload)
 
     def finish(self) -> None:
         self._sink.write(b"]")
@@ -61,10 +76,9 @@ class JsonLinesWriter(RecordBatchConsumer):
         pass
 
     def on_batch(self, batch: pa.RecordBatch) -> None:
-        for row in _rows(batch):
-            self._sink.write(
-                json.dumps(row, separators=(",", ":"), default=_json_default).encode() + b"\n"
-            )
+        rows = _rows(batch)
+        if rows:
+            self._sink.write(b"\n".join(map(_dump_row, rows)) + b"\n")
 
     def finish(self) -> None:
         pass
