@@ -176,3 +176,17 @@ def test_using_sample_alias_hoisted(rw):
 
 def test_using_sample_bare_number_is_rows(rw):
     assert "TABLESAMPLE (25 ROWS)" in rw.rewrite("SELECT * FROM t USING SAMPLE 25")
+
+
+def test_exclude_rewrite(spark, rw):
+    rows = spark.sql(
+        rw.rewrite("SELECT * EXCLUDE (b) FROM (SELECT 1 AS a, 2 AS b, 3 AS c)")
+    ).collect()
+    assert rows[0].asDict() == {"a": 1, "c": 3}
+
+
+def test_exclude_single_no_parens(spark, rw):
+    rows = spark.sql(
+        rw.rewrite("SELECT * EXCLUDE b FROM (SELECT 1 AS a, 2 AS b)")
+    ).collect()
+    assert rows[0].asDict() == {"a": 1}

@@ -456,3 +456,71 @@ def sample_rows_count(spark: SparkSession, sf: str) -> DataFrame:
         "SELECT count(*) AS n, count(DISTINCT o_orderkey) AS n_distinct "
         "FROM (SELECT * FROM orders USING SAMPLE 500 ROWS) t",
     )
+
+
+@register(
+    "select_exclude_group_by_all",
+    tags=("dialect", "sugar"),
+    oracle="""
+SELECT * EXCLUDE (o_orderstatus)
+FROM (
+  SELECT o_orderstatus, o_orderpriority,
+         count(*) AS n, round(sum(o_totalprice), 2) AS total
+  FROM orders
+  WHERE o_orderstatus = 'F'
+  GROUP BY ALL
+)
+ORDER BY ALL
+""",
+)
+def select_exclude_group_by_all(spark: SparkSession, sf: str) -> DataFrame:
+    """DuckDB query-sugar trio in one statement: * EXCLUDE (rewritten to
+    Spark's * EXCEPT), GROUP BY ALL and ORDER BY ALL (native in both
+    engines). Same SQL text runs on both sides via the rewriter."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT * EXCLUDE (o_orderstatus) FROM ("
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
+        "round(sum(o_totalprice), 2) AS total "
+        "FROM orders WHERE o_orderstatus = 'F' GROUP BY ALL) ORDER BY ALL",
+    )
+
+
+@register(
+    "ignore_nulls_window_battery",
+    tags=("window", "dialect"),
+    oracle="""
+SELECT o_orderkey,
+       last_value(hi_price IGNORE NULLS) OVER w  AS last_hi,
+       first_value(hi_price IGNORE NULLS) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                                                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                                                 AS next_hi,
+       lag(hi_price IGNORE NULLS) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_hi
+FROM (SELECT o_orderkey, o_custkey,
+             CASE WHEN o_totalprice > 150000 THEN round(o_totalprice, 2) END AS hi_price
+      FROM orders WHERE o_custkey <= 200)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY o_orderkey
+""",
+)
+def ignore_nulls_window_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """IGNORE NULLS analytic functions (gap-fill primitives — the same
+    machinery as the AS-OF join's last-non-null): forward-fill via
+    last_value over a trailing frame, backward peek via first_value over a
+    leading frame, previous-non-null via lag. Named WINDOW clause on the
+    oracle side; Spark side uses explicit frames."""
+    o = load_tables(spark, sf)["orders"].filter(F.col("o_custkey") <= 200)
+    hi = F.when(F.col("o_totalprice") > 150000, F.round("o_totalprice", 2))
+    base = o.select("o_orderkey", "o_custkey", hi.alias("hi_price"))
+    back = W.partitionBy("o_custkey").orderBy("o_orderkey").rowsBetween(W.unboundedPreceding, W.currentRow)
+    fwd = W.partitionBy("o_custkey").orderBy("o_orderkey").rowsBetween(W.currentRow, W.unboundedFollowing)
+    plain = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    return base.select(
+        "o_orderkey",
+        F.last("hi_price", ignorenulls=True).over(back).alias("last_hi"),
+        F.first("hi_price", ignorenulls=True).over(fwd).alias("next_hi"),
+        # PySpark's F.lag lacks an ignorenulls flag — SQL expression form
+        F.expr("lag(hi_price) IGNORE NULLS").over(plain).alias("prev_hi"),
+    ).orderBy("o_orderkey")

@@ -213,6 +213,18 @@ class SqlRewriter:
 
         return cls._SAMPLE_RE.sub(sub, sql)
 
+    # SELECT * EXCLUDE (cols) / EXCLUDE col → Spark's * EXCEPT (cols)
+    _EXCLUDE_RE = re.compile(r"(?i)(\*\s*)exclude\s*(\(([^)]*)\)|([A-Za-z_]\w*))")
+
+    @classmethod
+    def _rewrite_exclude(cls, sql: str) -> str:
+        """DuckDB ``SELECT * EXCLUDE (a, b)`` (parens optional for one
+        column) → Spark ``* EXCEPT (a, b)``. ``* REPLACE`` is NOT
+        translated (needs schema knowledge) — documented deviation."""
+        return cls._EXCLUDE_RE.sub(
+            lambda m: f"{m.group(1)}EXCEPT ({m.group(3) or m.group(4)})", sql
+        )
+
     @staticmethod
     def _rewrite_int_div(sql: str) -> str:
         """DuckDB ``a // b`` (truncating integer division — same semantics
@@ -451,6 +463,7 @@ class SqlRewriter:
         sql = self._rewrite_path_tables(sql)
         sql = self._rewrite_json_arrows(sql)
         sql = self._rewrite_int_div(sql)
+        sql = self._rewrite_exclude(sql)
         sql = self._rewrite_using_sample(sql)
         sql = self._expand_macros(sql)
         sql = self._rewrite_distinct_on(sql)
