@@ -190,3 +190,35 @@ def test_exclude_single_no_parens(spark, rw):
         rw.rewrite("SELECT * EXCLUDE b FROM (SELECT 1 AS a, 2 AS b)")
     ).collect()
     assert rows[0].asDict() == {"a": 1}
+
+
+def test_bracket_list_literal_and_index(spark, rw):
+    row = spark.sql(
+        rw.rewrite("SELECT [10, 20, 30][2] AS v, [1, 2][-1] AS w, [5][0] AS z")
+    ).collect()[0]
+    assert (row.v, row.w, row.z) == (20, 2, None)
+
+
+def test_bracket_slice_forms(spark, rw):
+    row = spark.sql(
+        rw.rewrite(
+            "SELECT l[2:4] AS mid, l[:3] AS head, l[3:] AS tail, l[-2:] AS last2 "
+            "FROM (SELECT [10, 20, 30, 40, 50] AS l)"
+        )
+    ).collect()[0]
+    assert row.mid == [20, 30, 40] and row.head == [10, 20, 30]
+    assert row.tail == [30, 40, 50] and row.last2 == [40, 50]
+
+
+def test_bracket_comprehension(spark, rw):
+    row = spark.sql(
+        rw.rewrite("SELECT [x * 2 FOR x IN [1, 2, 3, 4] IF x > 2] AS d")
+    ).collect()[0]
+    assert row.d == [6, 8]
+
+
+def test_bracket_map_string_key(spark, rw):
+    row = spark.sql(
+        rw.rewrite("SELECT m['k'] AS v FROM (SELECT map('k', 7) AS m)")
+    ).collect()[0]
+    assert row.v == 7

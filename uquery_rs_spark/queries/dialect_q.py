@@ -524,3 +524,33 @@ def ignore_nulls_window_battery(spark: SparkSession, sf: str) -> DataFrame:
         # PySpark's F.lag lacks an ignorenulls flag — SQL expression form
         F.expr("lag(hi_price) IGNORE NULLS").over(plain).alias("prev_hi"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "bracket_syntax_battery",
+    tags=("dialect", "list", "edge"),
+    oracle="""
+SELECT p_partkey,
+       l[2]                            AS second,
+       l[-1]                           AS last_elem,
+       l[2:3]                          AS mid,
+       [x * 2 FOR x IN l IF x > 10]    AS big_doubled
+FROM (SELECT p_partkey, [p_partkey, CAST(p_size AS BIGINT), 30, 40] AS l
+      FROM part WHERE p_partkey <= 200)
+ORDER BY p_partkey
+""",
+)
+def bracket_syntax_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """DuckDB bracket syntax end-to-end through the rewriter
+    (rewrite.py::_rewrite_bracket_syntax): list literals → array(),
+    1-based indexing → get/element_at, inclusive slicing → slice, list
+    comprehension with IF → transform(filter(...)). Identical SQL text
+    runs verbatim on the DuckDB oracle."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT p_partkey, l[2] AS second, l[-1] AS last_elem, l[2:3] AS mid, "
+        "[x * 2 FOR x IN l IF x > 10] AS big_doubled "
+        "FROM (SELECT p_partkey, [p_partkey, CAST(p_size AS BIGINT), 30, 40] AS l "
+        "FROM part WHERE p_partkey <= 200) ORDER BY p_partkey",
+    )

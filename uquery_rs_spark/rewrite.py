@@ -213,6 +213,180 @@ class SqlRewriter:
 
         return cls._SAMPLE_RE.sub(sub, sql)
 
+    # -- DuckDB bracket syntax: literals, indexing, slicing, comprehensions
+
+    @staticmethod
+    def _find_close(s: str, i: int) -> int:
+        """Index of the ']'/')' matching the opener at s[i]; -1 if none.
+        Skips string literals; tracks both bracket kinds."""
+        depth = 0
+        n = len(s)
+        while i < n:
+            c = s[i]
+            if c == "'":
+                j = s.find("'", i + 1)
+                i = n if j == -1 else j
+            elif c in "([":
+                depth += 1
+            elif c in ")]":
+                depth -= 1
+                if depth == 0:
+                    return i
+            i += 1
+        return -1
+
+    @staticmethod
+    def _split_top(s: str, sep: str) -> list[str]:
+        """Split on a top-level (outside strings/brackets) separator.
+        Word separators (alpha) match case-insensitively with word
+        boundaries; ':' matches bare."""
+        parts, depth, start, i, n = [], 0, 0, 0, len(s)
+        word = sep.strip().isalpha()
+        while i < n:
+            c = s[i]
+            if c == "'":
+                j = s.find("'", i + 1)
+                i = n if j == -1 else j
+            elif c in "([":
+                depth += 1
+            elif c in ")]":
+                depth -= 1
+            elif depth == 0:
+                if word:
+                    m = re.match(rf"(?i)\b{sep}\b", s[i:])
+                    if m and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")):
+                        parts.append(s[start:i])
+                        start = i + m.end()
+                        i = start
+                        continue
+                elif c == sep:
+                    parts.append(s[start:i])
+                    start = i + 1
+            i += 1
+        parts.append(s[start:])
+        return parts
+
+    @staticmethod
+    def _take_operand(head: str) -> tuple[str, str]:
+        """Split accumulated text into (prefix, trailing-operand) where the
+        operand is the expression a postfix [..] applies to: a dotted
+        identifier chain, or a ')'/']'-terminated group (scanned back
+        balanced)."""
+        i = len(head)
+        while i > 0:
+            c = head[i - 1]
+            if c in ")]":
+                target = {"]": "[", ")": "("}[c]
+                depth = 0
+                j = i
+                while j > 0:
+                    cj = head[j - 1]
+                    if cj in ")]":
+                        depth += 1
+                    elif cj in "([":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j -= 1
+                i = j - 1 if j > 0 else 0
+                # a preceding function name binds to the parens
+                while i > 0 and (head[i - 1].isalnum() or head[i - 1] in "_."):
+                    i -= 1
+                continue
+            if c.isalnum() or c in "_.":
+                i -= 1
+                continue
+            break
+        return head[:i], head[i:]
+
+    def _bracket_postfix(self, operand: str, inner: str) -> str:
+        """1-based DuckDB indexing/slicing on `operand` → Spark calls.
+
+        index: l[i] → get(l, i-1) (i=0 and out-of-range give NULL);
+        negative literal → element_at (counts from the end).
+        slice (1-based INCLUSIVE bounds): l[a:b] → slice(l, a, b-a+1);
+        open ends use 1 / size(l); negative a with open end keeps the
+        tail (slice(l, -k, k)).
+        """
+        colon_parts = self._split_top(inner, ":")
+        if len(colon_parts) > 1:
+            a, b = (p.strip() for p in colon_parts[:2])
+            if not a and not b:
+                return operand
+            if not a:
+                return f"slice({operand}, 1, {b})"
+            if not b:
+                if re.fullmatch(r"-\d+", a):
+                    return f"slice({operand}, {a}, {a.lstrip('-')})"
+                return f"slice({operand}, {a}, size({operand}))"
+            return f"slice({operand}, {a}, ({b}) - ({a}) + 1)"
+        idx = inner.strip()
+        if idx.startswith("'"):  # string key ⇒ map access
+            return f"element_at({operand}, {idx})"
+        if re.fullmatch(r"-\d+", idx):
+            return f"element_at({operand}, {idx})"
+        if re.fullmatch(r"\d+", idx):
+            return f"get({operand}, {int(idx) - 1})"
+        # assumes a list (1-based) — integer-keyed map access is ambiguous
+        return f"get({operand}, ({idx}) - 1)"
+
+    def _bracket_literal(self, inner: str) -> str:
+        """`[items]` → array(items); `[expr FOR v IN src [IF cond]]` →
+        transform([filter(src, v -> cond)], v -> expr) — DuckDB list
+        comprehensions are exactly Spark's higher-order functions."""
+        parts = self._split_top(inner, "for")
+        if len(parts) == 1:
+            return f"array({inner})"
+        expr = parts[0].strip()
+        in_parts = self._split_top(parts[1], "in")
+        if len(in_parts) < 2:
+            return f"array({inner})"
+        var = in_parts[0].strip()
+        tail = "in".join(in_parts[1:]) if len(in_parts) > 2 else in_parts[1]
+        cond_parts = self._split_top(tail, "if")
+        src = cond_parts[0].strip()
+        if len(cond_parts) > 1:
+            src = f"filter({src}, {var} -> {cond_parts[1].strip()})"
+        return f"transform({src}, {var} -> {expr})"
+
+    def _rewrite_bracket_syntax(self, sql: str) -> str:
+        """DuckDB bracket forms → Spark: list literal `[a, b]` →
+        array(a, b); comprehension → transform/filter; postfix `l[i]` /
+        `l[a:b]` → get/element_at/slice (1-based inclusive semantics —
+        verified against DuckDB incl. [0]→NULL and negative indexes).
+        Postfix vs literal is decided by the preceding character
+        (identifier/')'/']' ⇒ postfix). Recurses into bracket bodies."""
+        out: list[str] = []
+        i, n = 0, len(sql)
+        while i < n:
+            c = sql[i]
+            if c == "'":
+                j = sql.find("'", i + 1)
+                j = n if j == -1 else j + 1
+                out.append(sql[i:j])
+                i = j
+                continue
+            if c == "[":
+                close = self._find_close(sql, i)
+                if close == -1:
+                    out.append(sql[i:])
+                    break
+                inner = self._rewrite_bracket_syntax(sql[i + 1 : close])
+                head = "".join(out)
+                # postfix binds TIGHTLY (`l[2]`, `f(a)[1]`): the char
+                # immediately before '[' decides; a space means literal.
+                prev = head[-1:]
+                if prev and (prev.isalnum() or prev in "_)]"):
+                    pre, operand = self._take_operand(head)
+                    out = [pre, self._bracket_postfix(operand, inner)]
+                else:
+                    out.append(self._bracket_literal(inner))
+                i = close + 1
+                continue
+            out.append(c)
+            i += 1
+        return "".join(out)
+
     # SELECT * EXCLUDE (cols) / EXCLUDE col → Spark's * EXCEPT (cols)
     _EXCLUDE_RE = re.compile(r"(?i)(\*\s*)exclude\s*(\(([^)]*)\)|([A-Za-z_]\w*))")
 
@@ -462,6 +636,7 @@ class SqlRewriter:
         sql = self._rewrite_tvfs(sql)
         sql = self._rewrite_path_tables(sql)
         sql = self._rewrite_json_arrows(sql)
+        sql = self._rewrite_bracket_syntax(sql)
         sql = self._rewrite_int_div(sql)
         sql = self._rewrite_exclude(sql)
         sql = self._rewrite_using_sample(sql)
