@@ -222,3 +222,19 @@ def test_bracket_map_string_key(spark, rw):
         rw.rewrite("SELECT m['k'] AS v FROM (SELECT map('k', 7) AS m)")
     ).collect()[0]
     assert row.v == 7
+
+
+def test_function_renames(spark, rw):
+    row = spark.sql(
+        rw.rewrite(
+            "SELECT list_distinct(string_split('a.b.a', '.')) AS u, "
+            "regexp_matches('xredy', 'red') AS m, "
+            "array_to_string([1, 2], '-') AS j"
+        )
+    ).collect()[0]
+    assert sorted(row.u) == ["a", "b"] and row.m is True and row.j == "1-2"
+
+
+def test_function_rename_skips_string_literals(rw):
+    out = rw.rewrite("SELECT 'call list_sort(x) here' AS s, list_sort(l) AS t FROM v")
+    assert "'call list_sort(x) here'" in out and "sort_array(l)" in out

@@ -554,3 +554,41 @@ def bracket_syntax_battery(spark: SparkSession, sf: str) -> DataFrame:
         "FROM (SELECT p_partkey, [p_partkey, CAST(p_size AS BIGINT), 30, 40] AS l "
         "FROM part WHERE p_partkey <= 200) ORDER BY p_partkey",
     )
+
+
+@register(
+    "function_rename_battery",
+    tags=("dialect", "functions"),
+    oracle="""
+SELECT p_partkey,
+       list_sort(list_distinct(list_transform(string_split(p_name, ' '), w -> upper(w)))) AS words_up,
+       list_contains(string_split(p_name, ' '), 'red')  AS has_red,
+       list_sort(string_split(p_name, ' '))             AS sorted_words,
+       array_to_string(string_split(p_name, ' '), '_')  AS joined,
+       list_position(string_split(p_name, ' '), 'widget') AS widget_pos,
+       regexp_matches(p_name, 'red|blue')               AS colored
+FROM part WHERE p_partkey <= 200
+ORDER BY p_partkey
+""",
+)
+def function_rename_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """DuckDB function names through the rename layer
+    (rewrite.py::_rewrite_function_names): list_* → transform/filter/
+    array_*, string_split → split with the literal separator regex-
+    escaped, array_to_string → array_join, regexp_matches → regexp_like
+    (both partial-match), list_position → array_position (both return 0
+    when missing). list_distinct is UNORDERED in DuckDB but order-
+    preserving in Spark — the battery sorts after distinct. Identical
+    SQL runs verbatim on DuckDB."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT p_partkey, "
+        "list_sort(list_distinct(list_transform(string_split(p_name, ' '), w -> upper(w)))) AS words_up, "
+        "list_contains(string_split(p_name, ' '), 'red') AS has_red, "
+        "list_sort(string_split(p_name, ' ')) AS sorted_words, "
+        "array_to_string(string_split(p_name, ' '), '_') AS joined, "
+        "list_position(string_split(p_name, ' '), 'widget') AS widget_pos, "
+        "regexp_matches(p_name, 'red|blue') AS colored "
+        "FROM part WHERE p_partkey <= 200 ORDER BY p_partkey",
+    )

@@ -213,6 +213,75 @@ class SqlRewriter:
 
         return cls._SAMPLE_RE.sub(sub, sql)
 
+    # -- DuckDB → Spark function renames (1:1 semantics verified against
+    # DuckDB: array_position returns 0 when missing in BOTH engines;
+    # regexp_like/regexp_matches are both partial-match). Deviation:
+    # list_sort places NULLs last, sort_array first — identical otherwise.
+    _FN_RENAMES = {
+        "list_transform": "transform",
+        "list_filter": "filter",
+        "list_distinct": "array_distinct",
+        "list_contains": "array_contains",
+        "list_min": "array_min",
+        "list_max": "array_max",
+        "list_append": "array_append",
+        "list_prepend": "array_prepend",
+        "list_position": "array_position",
+        "array_to_string": "array_join",
+        "list_sort": "sort_array",
+        "regexp_matches": "regexp_like",
+        "strlen": "length",
+    }
+    _FN_RENAME_RE = re.compile(
+        r"(?i)\b(" + "|".join(_FN_RENAMES) + r")\s*\(",
+    )
+    _SPLIT_CALL_RE = re.compile(r"(?i)\b(?:string_split|str_split)\s*\(")
+    _REGEX_META = set(".^$*+?()[]{}|\\")
+
+    def _rewrite_function_names(self, sql: str) -> str:
+        """Rename DuckDB functions to their Spark equivalents, skipping
+        string literals. string_split/str_split get special handling:
+        DuckDB splits on a LITERAL separator while Spark's split() takes a
+        regex, so literal separators are metachar-escaped; non-literal
+        separators pass through un-escaped (documented caveat)."""
+        out: list[str] = []
+        i, n = 0, len(sql)
+        while i < n:
+            c = sql[i]
+            if c == "'":
+                j = sql.find("'", i + 1)
+                j = n if j == -1 else j + 1
+                out.append(sql[i:j])
+                i = j
+                continue
+            m = self._SPLIT_CALL_RE.match(sql, i)
+            if m:
+                close = self._find_close(sql, m.end() - 1)
+                if close != -1:
+                    args = self._split_top(sql[m.end() : close], ",")
+                    if len(args) == 2:
+                        sep = args[1].strip()
+                        if sep.startswith("'") and sep.endswith("'"):
+                            body = sep[1:-1]
+                            esc = "".join(
+                                ("\\\\" + ch if ch in self._REGEX_META else ch) for ch in body
+                            )
+                            inner = self._rewrite_function_names(args[0])
+                            out.append(f"split({inner}, '{esc}')")
+                            i = close + 1
+                            continue
+                    out.append("split(")
+                    i = m.end()
+                    continue
+            m = self._FN_RENAME_RE.match(sql, i)
+            if m:
+                out.append(self._FN_RENAMES[m.group(1).lower()] + "(")
+                i = m.end()
+                continue
+            out.append(c)
+            i += 1
+        return "".join(out)
+
     # -- DuckDB bracket syntax: literals, indexing, slicing, comprehensions
 
     @staticmethod
@@ -637,6 +706,7 @@ class SqlRewriter:
         sql = self._rewrite_path_tables(sql)
         sql = self._rewrite_json_arrows(sql)
         sql = self._rewrite_bracket_syntax(sql)
+        sql = self._rewrite_function_names(sql)
         sql = self._rewrite_int_div(sql)
         sql = self._rewrite_exclude(sql)
         sql = self._rewrite_using_sample(sql)
