@@ -238,3 +238,21 @@ def test_function_renames(spark, rw):
 def test_function_rename_skips_string_literals(rw):
     out = rw.rewrite("SELECT 'call list_sort(x) here' AS s, list_sort(l) AS t FROM v")
     assert "'call list_sort(x) here'" in out and "sort_array(l)" in out
+
+
+def test_struct_pack_rewrite(spark, rw):
+    row = spark.sql(
+        rw.rewrite("SELECT struct_pack(a := 1, b := struct_pack(c := 'x')) AS s")
+    ).collect()[0]
+    assert row.s.a == 1 and row.s.b.c == "x"
+
+
+def test_generate_series_scalar(spark, rw):
+    assert spark.sql(rw.rewrite("SELECT generate_series(1, 4) AS g")).collect()[0].g == [1, 2, 3, 4]
+
+
+def test_generate_series_from_position(spark, rw):
+    rows = spark.sql(
+        rw.rewrite("SELECT generate_series * 2 AS v FROM generate_series(2, 6, 2)")
+    ).collect()
+    assert [r.v for r in rows] == [4, 8, 12]

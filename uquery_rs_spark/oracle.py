@@ -33,6 +33,8 @@ def _norm(v) -> str:
         return f"{v:.6g}"
     if isinstance(v, (datetime, date)):
         return v.isoformat()
+    if hasattr(v, "asDict"):  # Spark Row (struct value) ↔ DuckDB dict
+        return _norm(v.asDict())
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm(x) for x in v) + "]"
     if isinstance(v, dict):

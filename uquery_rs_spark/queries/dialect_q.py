@@ -592,3 +592,34 @@ def function_rename_battery(spark: SparkSession, sf: str) -> DataFrame:
         "regexp_matches(p_name, 'red|blue') AS colored "
         "FROM part WHERE p_partkey <= 200 ORDER BY p_partkey",
     )
+
+
+@register(
+    "series_struct_pack_battery",
+    tags=("dialect", "functions", "generator"),
+    oracle="""
+SELECT n,
+       info.sq  AS sq,
+       info.lbl AS lbl,
+       generate_series(1, n) AS upto
+FROM (SELECT g AS n,
+             struct_pack(sq := g * g, lbl := 'n' || CAST(g AS STRING)) AS info
+      FROM (SELECT generate_series AS g FROM generate_series(1, 20)))
+ORDER BY n
+""",
+)
+def series_struct_pack_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence generation + struct construction through the rewriter:
+    FROM-position generate_series (table function, one row per value) →
+    exploded sequence subquery; scalar generate_series → sequence()
+    (inclusive bounds in both engines); struct_pack(k := v) →
+    named_struct (fields projected scalar — corpus convention keeps
+    whole structs out of result schemas). Identical SQL runs verbatim on
+    DuckDB."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT n, info.sq AS sq, info.lbl AS lbl, generate_series(1, n) AS upto "
+        "FROM (SELECT g AS n, struct_pack(sq := g * g, lbl := 'n' || CAST(g AS STRING)) AS info "
+        "FROM (SELECT generate_series AS g FROM generate_series(1, 20))) ORDER BY n",
+    )

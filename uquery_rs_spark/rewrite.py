@@ -238,6 +238,47 @@ class SqlRewriter:
     _SPLIT_CALL_RE = re.compile(r"(?i)\b(?:string_split|str_split)\s*\(")
     _REGEX_META = set(".^$*+?()[]{}|\\")
 
+    _STRUCT_PACK_RE = re.compile(r"(?i)\bstruct_pack\s*\(")
+    _SERIES_FROM_RE = re.compile(r"(?i)\b(from|join)\s+generate_series\s*\(")
+
+    def _rewrite_struct_pack(self, sql: str) -> str:
+        """DuckDB ``struct_pack(k := v, …)`` → Spark
+        ``named_struct('k', v, …)`` (balanced arg split; nested calls
+        recurse)."""
+        m = self._STRUCT_PACK_RE.search(sql)
+        while m:
+            close = self._find_close(sql, m.end() - 1)
+            if close == -1:
+                return sql
+            args = self._split_top(sql[m.end() : close], ",")
+            pairs = []
+            for a in args:
+                k, _, v = a.partition(":=")
+                pairs.append(f"'{k.strip()}', {self._rewrite_struct_pack(v.strip())}")
+            sql = sql[: m.start()] + f"named_struct({', '.join(pairs)})" + sql[close + 1 :]
+            m = self._STRUCT_PACK_RE.search(sql)
+        return sql
+
+    def _rewrite_generate_series(self, sql: str) -> str:
+        """``FROM/JOIN generate_series(a, b[, s])`` (table function, one
+        row per value, column ``generate_series``) → a lateral-free
+        exploded subquery; scalar ``generate_series(...)`` (returns a
+        LIST, inclusive bounds — exactly Spark's sequence()) is handled
+        by a plain rename."""
+        m = self._SERIES_FROM_RE.search(sql)
+        while m:
+            close = self._find_close(sql, m.end() - 1)
+            if close == -1:
+                break
+            args = sql[m.end() : close]
+            sql = (
+                sql[: m.start()]
+                + f"{m.group(1)} (SELECT explode(sequence({args})) AS generate_series)"
+                + sql[close + 1 :]
+            )
+            m = self._SERIES_FROM_RE.search(sql)
+        return re.sub(r"(?i)\bgenerate_series\s*\(", "sequence(", sql)
+
     def _rewrite_function_names(self, sql: str) -> str:
         """Rename DuckDB functions to their Spark equivalents, skipping
         string literals. string_split/str_split get special handling:
@@ -707,6 +748,8 @@ class SqlRewriter:
         sql = self._rewrite_json_arrows(sql)
         sql = self._rewrite_bracket_syntax(sql)
         sql = self._rewrite_function_names(sql)
+        sql = self._rewrite_struct_pack(sql)
+        sql = self._rewrite_generate_series(sql)
         sql = self._rewrite_int_div(sql)
         sql = self._rewrite_exclude(sql)
         sql = self._rewrite_using_sample(sql)
