@@ -256,3 +256,25 @@ def test_generate_series_from_position(spark, rw):
         rw.rewrite("SELECT generate_series * 2 AS v FROM generate_series(2, 6, 2)")
     ).collect()
     assert [r.v for r in rows] == [4, 8, 12]
+
+
+def test_map_literal_rewrite(spark, rw):
+    row = spark.sql(
+        rw.rewrite("SELECT MAP {'a': 1, 'b': 2}['b'] AS v")
+    ).collect()[0]
+    assert row.v == 2
+
+
+def test_string_agg_order_by(spark, rw):
+    row = spark.sql(
+        rw.rewrite(
+            "SELECT string_agg(x, '-' ORDER BY x DESC) AS s "
+            "FROM (SELECT 'a' AS x UNION ALL SELECT 'c' UNION ALL SELECT 'b')"
+        )
+    ).collect()[0]
+    assert row.s == "c-b-a"
+
+
+def test_plain_string_agg_untouched(rw):
+    out = rw.rewrite("SELECT string_agg(x, ',') FROM t")
+    assert "string_agg(x, ',')" in out

@@ -623,3 +623,31 @@ def series_struct_pack_battery(spark: SparkSession, sf: str) -> DataFrame:
         "FROM (SELECT g AS n, struct_pack(sq := g * g, lbl := 'n' || CAST(g AS STRING)) AS info "
         "FROM (SELECT generate_series AS g FROM generate_series(1, 20))) ORDER BY n",
     )
+
+
+@register(
+    "map_literal_ordered_agg",
+    tags=("dialect", "map", "aggregate"),
+    oracle="""
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name DESC) AS nations_desc,
+       MAP {'region': r_name}['region'][1] AS region_echo
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+""",
+)
+def map_literal_ordered_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """MAP literal syntax (→ map()) and DuckDB's in-args ORDER BY on
+    string_agg (→ listagg WITHIN GROUP) through the rewriter; identical
+    SQL runs verbatim on DuckDB except the map subscript: DuckDB's
+    m[key] returns a LIST (unwrapped with [1] on the oracle side) while
+    Spark's element_at returns the value directly."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT r_name, string_agg(n_name, ',' ORDER BY n_name DESC) AS nations_desc, "
+        "element_at(MAP {'region': r_name}, 'region') AS region_echo "
+        "FROM nation JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name ORDER BY r_name",
+    )

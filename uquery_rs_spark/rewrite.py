@@ -238,6 +238,51 @@ class SqlRewriter:
     _SPLIT_CALL_RE = re.compile(r"(?i)\b(?:string_split|str_split)\s*\(")
     _REGEX_META = set(".^$*+?()[]{}|\\")
 
+    _MAP_LITERAL_RE = re.compile(r"(?i)\bmap\s*\{")
+    _STRING_AGG_RE = re.compile(r"(?i)\bstring_agg\s*\(")
+
+    def _rewrite_map_literal(self, sql: str) -> str:
+        """DuckDB ``MAP {'k': v, …}`` → Spark ``map('k', v, …)``
+        (balanced-brace scan; keys/values pass through recursively)."""
+        m = self._MAP_LITERAL_RE.search(sql)
+        while m:
+            depth, i, n = 1, m.end(), len(sql)
+            while i < n and depth:
+                if sql[i] == "'":
+                    i = sql.index("'", i + 1)
+                depth += {"{": 1, "}": -1}.get(sql[i], 0)
+                i += 1
+            inner = sql[m.end() : i - 1]
+            flat = []
+            for entry in self._split_top(inner, ","):
+                k, _, v = entry.partition(":")
+                flat.append(f"{k.strip()}, {v.strip()}")
+            sql = sql[: m.start()] + f"map({', '.join(flat)})" + sql[i:]
+            m = self._MAP_LITERAL_RE.search(sql)
+        return sql
+
+    def _rewrite_string_agg_order(self, sql: str) -> str:
+        """DuckDB ``string_agg(x, sep ORDER BY o)`` → Spark
+        ``listagg(x, sep) WITHIN GROUP (ORDER BY o)``; plain string_agg
+        (no in-args ORDER BY) is native and left alone."""
+        m = self._STRING_AGG_RE.search(sql)
+        pos = 0
+        while m:
+            close = self._find_close(sql, m.end() - 1)
+            if close == -1:
+                break
+            inner = sql[m.end() : close]
+            split = re.split(r"(?i)\border\s+by\b", inner, maxsplit=1)
+            if len(split) == 2:
+                args, order = split[0].rstrip().rstrip(","), split[1].strip()
+                repl = f"listagg({args.strip()}) WITHIN GROUP (ORDER BY {order})"
+                sql = sql[: m.start()] + repl + sql[close + 1 :]
+                pos = m.start() + len(repl)
+            else:
+                pos = close + 1
+            m = self._STRING_AGG_RE.search(sql, pos)
+        return sql
+
     _STRUCT_PACK_RE = re.compile(r"(?i)\bstruct_pack\s*\(")
     _SERIES_FROM_RE = re.compile(r"(?i)\b(from|join)\s+generate_series\s*\(")
 
@@ -746,10 +791,14 @@ class SqlRewriter:
         sql = self._rewrite_tvfs(sql)
         sql = self._rewrite_path_tables(sql)
         sql = self._rewrite_json_arrows(sql)
+        # MAP {} before brackets: a subscript on a map literal must see a
+        # ')'-terminated operand to read as postfix.
+        sql = self._rewrite_map_literal(sql)
         sql = self._rewrite_bracket_syntax(sql)
         sql = self._rewrite_function_names(sql)
         sql = self._rewrite_struct_pack(sql)
         sql = self._rewrite_generate_series(sql)
+        sql = self._rewrite_string_agg_order(sql)
         sql = self._rewrite_int_div(sql)
         sql = self._rewrite_exclude(sql)
         sql = self._rewrite_using_sample(sql)
