@@ -211,3 +211,22 @@ class TestMultimodalResize:
             assert out[i].payload == orig[i].payload  # stub: payload untouched
             assert out[i].meta.width <= 100 and out[i].meta.height <= 100
             assert out[i].meta.n_bytes == orig[i].meta.n_bytes
+
+
+class TestSimilarityEdges:
+    def test_empty_query_side(self, spark):
+        from uquery_rs_spark.operators import similarity as S
+
+        emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        empty = emb.filter("vec_id < 0")
+        assert S.cosine_topk_bruteforce(empty, emb, k=3).count() == 0
+        assert S.ivf_topk(empty, emb, k=3, n_cells=4, nprobe=2).count() == 0
+
+    def test_empty_corpus_side(self, spark):
+        from uquery_rs_spark.operators import similarity as S
+
+        emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        queries = emb.filter("vec_id < 5")
+        empty = emb.filter("vec_id < 0")
+        assert S.cosine_topk_bruteforce(queries, empty, k=3).count() == 0
+        assert S.ivf_topk(queries, empty, k=3, n_cells=4, nprobe=2).count() == 0

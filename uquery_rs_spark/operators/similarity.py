@@ -90,6 +90,8 @@ def _collect_unit_matrix(df: DataFrame, id_col: str, vec_col: str) -> tuple[np.n
     matrix. Driver memory bound = same as any broadcast join side."""
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy().astype("int64")
+    if not len(ids):
+        return ids, np.zeros((0, 1))
     M = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
     M /= np.linalg.norm(M, axis=1, keepdims=True)
     return ids, M
@@ -217,10 +219,12 @@ def ivf_topk(
     """
     spark = corpus.sparkSession
     cents_pdf = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).toPandas()
+    q_ids, Q = _collect_unit_matrix(queries, id_col, vec_col)
+    if not len(cents_pdf) or not len(q_ids):  # empty side: no neighbors
+        return spark.createDataFrame([], "query_id long, neighbor_id long, rank int")
     cents = np.stack([np.asarray(v, dtype="float64") for v in cents_pdf[vec_col]])
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
 
-    q_ids, Q = _collect_unit_matrix(queries, id_col, vec_col)
     qsim = Q @ cents.T  # (nq, n_cells)
     probe_mask = np.zeros_like(qsim, dtype=bool)
     for qi in range(len(q_ids)):
