@@ -278,3 +278,33 @@ def test_string_agg_order_by(spark, rw):
 def test_plain_string_agg_untouched(rw):
     out = rw.rewrite("SELECT string_agg(x, ',') FROM t")
     assert "string_agg(x, ',')" in out
+
+
+def test_star_replace(spark, rw):
+    row = spark.sql(
+        rw.rewrite("SELECT * REPLACE (a * 10 AS a) FROM (SELECT 1 AS a, 2 AS b)")
+    ).collect()[0]
+    assert row.asDict() == {"a": 10, "b": 2}
+
+
+def test_star_replace_multi(spark, rw):
+    row = spark.sql(
+        rw.rewrite(
+            "SELECT * REPLACE (upper(s) AS s, n + 1 AS n) FROM (SELECT 'x' AS s, 1 AS n, 9 AS k)"
+        )
+    ).collect()[0]
+    assert row.asDict() == {"s": "X", "n": 2, "k": 9}
+
+
+def test_strftime_rewrite(spark, rw):
+    row = spark.sql(
+        rw.rewrite("SELECT strftime(CAST('2026-08-13 07:05:00' AS TIMESTAMP_NTZ), '%Y/%m/%d %H:%M') AS f")
+    ).collect()[0]
+    assert row.f == "2026/08/13 07:05"
+
+
+def test_strptime_rewrite(spark, rw):
+    row = spark.sql(
+        rw.rewrite("SELECT strptime('13-08-2026', '%d-%m-%Y') AS t")
+    ).collect()[0]
+    assert (row.t.year, row.t.month, row.t.day) == (2026, 8, 13)

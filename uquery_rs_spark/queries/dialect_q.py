@@ -651,3 +651,26 @@ def map_literal_ordered_agg(spark: SparkSession, sf: str) -> DataFrame:
         "FROM nation JOIN region ON n_regionkey = r_regionkey "
         "GROUP BY r_name ORDER BY r_name",
     )
+
+
+@register(
+    "star_replace_strftime",
+    tags=("dialect", "sugar", "datetime"),
+    oracle="""
+SELECT * REPLACE (strftime(o_orderdate, '%d/%m/%Y') AS o_orderdate)
+FROM (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey <= 200)
+ORDER BY o_orderkey
+""",
+)
+def star_replace_strftime(spark: SparkSession, sf: str) -> DataFrame:
+    """* REPLACE (LIMIT-0 schema probe expands the star with the named
+    column swapped) combined with strftime C-format translation
+    (%d/%m/%Y → dd/MM/yyyy, mapped code-by-code — unknown codes raise
+    rather than mistranslate). Identical SQL runs verbatim on DuckDB."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT * REPLACE (strftime(o_orderdate, '%d/%m/%Y') AS o_orderdate) "
+        "FROM (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey <= 200) "
+        "ORDER BY o_orderkey",
+    )

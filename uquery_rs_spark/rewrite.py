@@ -619,6 +619,89 @@ class SqlRewriter:
             + tail
         )
 
+    _STAR_REPLACE_RE = re.compile(r"(?i)\*\s*replace\s*\(")
+
+    def _rewrite_star_replace(self, sql: str) -> str:
+        """DuckDB ``SELECT * REPLACE (expr AS col, …)`` → explicit select
+        list with the named columns swapped for their expressions. Spark
+        has no REPLACE modifier, so the column list comes from a LIMIT-0
+        schema probe of the query with plain ``*`` (analysis only, no
+        execution — the same trick SUMMARIZE uses). Top-level SELECT
+        only; path tables/TVFs are already resolved by earlier passes.
+        """
+        m = self._STAR_REPLACE_RE.search(sql)
+        if m is None:
+            return sql
+        close = self._find_close(sql, sql.index("(", m.start()))
+        if close == -1:
+            return sql
+        repl: dict[str, str] = {}
+        for entry in self._split_top(sql[sql.index("(", m.start()) + 1 : close], ","):
+            parts = re.split(r"(?i)\s+as\s+", entry.strip())
+            if len(parts) != 2:
+                raise UQueryError.sql_error(f"bad * REPLACE entry: {entry.strip()[:60]}")
+            repl[parts[1].strip().strip('"').lower()] = parts[0].strip()
+        probe = sql[: m.start()] + "*" + sql[close + 1 :]
+        schema = self.spark.sql(f"SELECT * FROM ({probe}) uq_probe LIMIT 0").schema
+        cols = [
+            f"({repl[f.name.lower()]}) AS {f.name}" if f.name.lower() in repl else f"`{f.name}`"
+            for f in schema.fields
+        ]
+        return sql[: m.start()] + ", ".join(cols) + sql[close + 1 :]
+
+    # DuckDB (C strftime) → Java/Spark datetime pattern codes
+    _STRF_CODES = {
+        "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
+        "%I": "hh", "%M": "mm", "%S": "ss", "%f": "SSSSSS", "%g": "SSS",
+        "%j": "DDD", "%a": "EEE", "%A": "EEEE", "%b": "MMM", "%B": "MMMM",
+        "%p": "a", "%Z": "zzz", "%z": "xx", "%%": "%",
+    }
+    _STRF_RE = re.compile(r"(?i)\b(strftime|strptime)\s*\(")
+
+    def _rewrite_strftime(self, sql: str) -> str:
+        """DuckDB ``strftime(ts, '%Y-%m-%d')`` / ``strptime(s, fmt)`` →
+        Spark ``date_format(ts, 'yyyy-MM-dd')`` / ``to_timestamp(s,
+        fmt)`` with C format codes mapped to Java pattern letters.
+        Literal format strings only; unknown %-codes raise (silent
+        mistranslation would corrupt results). Literal text inside the
+        format that is a Java pattern letter gets quoted by the code map
+        being total over the %-escapes — plain characters pass through,
+        which matches separators (-, /, :, space)."""
+
+        def xlate(fmt: str) -> str:
+            out, i = [], 0
+            while i < len(fmt):
+                if fmt[i] == "%":
+                    code = fmt[i : i + 2]
+                    if code not in self._STRF_CODES:
+                        raise UQueryError.sql_error(f"unsupported strftime code {code}")
+                    out.append(self._STRF_CODES[code])
+                    i += 2
+                else:
+                    if fmt[i].isalpha():  # literal letter → quote for Java
+                        out.append(f"'{fmt[i]}'")
+                    else:
+                        out.append(fmt[i])
+                    i += 1
+            return "".join(out)
+
+        m = self._STRF_RE.search(sql)
+        while m:
+            close = self._find_close(sql, m.end() - 1)
+            if close == -1:
+                break
+            args = self._split_top(sql[m.end() : close], ",")
+            fn = "date_format" if m.group(1).lower() == "strftime" else "to_timestamp"
+            if len(args) == 2 and args[1].strip().startswith("'"):
+                fmt = args[1].strip()[1:-1]
+                sql = (
+                    sql[: m.start()]
+                    + f"{fn}({args[0].strip()}, '{xlate(fmt)}')"
+                    + sql[close + 1 :]
+                )
+            m = self._STRF_RE.search(sql, m.start() + len(fn))
+        return sql
+
     def _rewrite_qualify(self, sql: str) -> str:
         """DuckDB QUALIFY → filtered subquery (Spark has no QUALIFY).
 
@@ -799,12 +882,14 @@ class SqlRewriter:
         sql = self._rewrite_struct_pack(sql)
         sql = self._rewrite_generate_series(sql)
         sql = self._rewrite_string_agg_order(sql)
+        sql = self._rewrite_strftime(sql)
         sql = self._rewrite_int_div(sql)
         sql = self._rewrite_exclude(sql)
         sql = self._rewrite_using_sample(sql)
         sql = self._expand_macros(sql)
         sql = self._rewrite_distinct_on(sql)
         sql = self._rewrite_qualify(sql)
+        sql = self._rewrite_star_replace(sql)
         return sql
 
 
