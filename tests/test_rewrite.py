@@ -308,3 +308,34 @@ def test_strptime_rewrite(spark, rw):
         rw.rewrite("SELECT strptime('13-08-2026', '%d-%m-%Y') AS t")
     ).collect()[0]
     assert (row.t.year, row.t.month, row.t.day) == (2026, 8, 13)
+
+
+def test_pivot_statement(spark, rw):
+    spark.sql(
+        "SELECT * FROM (VALUES ('a', 'x', 1), ('a', 'y', 2), ('b', 'x', 3)) v(g, p, n)"
+    ).createOrReplaceTempView("uq_pivot_src")
+    rows = spark.sql(
+        rw.rewrite("PIVOT uq_pivot_src ON p USING sum(n) GROUP BY g ORDER BY g")
+    ).collect()
+    assert [tuple(r) for r in rows] == [("a", 1, 2), ("b", 3, None)]
+    assert rows[0].__fields__ == ["g", "x", "y"]
+
+
+def test_pivot_statement_aliased_agg(spark, rw):
+    spark.sql(
+        "SELECT * FROM (VALUES ('a', 'x', 1), ('b', 'y', 2)) v(g, p, n)"
+    ).createOrReplaceTempView("uq_pivot_src2")
+    rows = spark.sql(
+        rw.rewrite("PIVOT uq_pivot_src2 ON p USING sum(n) AS total GROUP BY g ORDER BY g")
+    ).collect()
+    assert rows[0].__fields__ == ["g", "x_total", "y_total"]
+
+
+def test_pivot_statement_count_star(spark, rw):
+    spark.sql(
+        "SELECT * FROM (VALUES ('a', 'x'), ('a', 'x'), ('a', 'y')) v(g, p)"
+    ).createOrReplaceTempView("uq_pivot_src3")
+    rows = spark.sql(
+        rw.rewrite("PIVOT uq_pivot_src3 ON p USING count(*) GROUP BY g")
+    ).collect()
+    assert [tuple(r) for r in rows] == [("a", 2, 1)]

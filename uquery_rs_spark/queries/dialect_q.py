@@ -674,3 +674,25 @@ def star_replace_strftime(spark: SparkSession, sf: str) -> DataFrame:
         "FROM (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey <= 200) "
         "ORDER BY o_orderkey",
     )
+
+
+@register(
+    "pivot_statement_status",
+    tags=("dialect", "pivot"),
+    oracle="""
+PIVOT orders ON o_orderstatus USING count(*) GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def pivot_statement_status(spark: SparkSession, sf: str) -> DataFrame:
+    """DuckDB's PIVOT STATEMENT form (auto-discovered pivot values) →
+    Spark PIVOT clause with the value list filled in by a DISTINCT probe
+    (rewrite.py::_rewrite_pivot_statement, bounded at 500 values).
+    Identical SQL runs verbatim on DuckDB; column naming matches (bare
+    value names for an unaliased aggregate)."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "PIVOT orders ON o_orderstatus USING count(*) GROUP BY o_orderpriority "
+        "ORDER BY o_orderpriority",
+    )

@@ -619,6 +619,63 @@ class SqlRewriter:
             + tail
         )
 
+    _PIVOT_STMT_RE = re.compile(
+        r"(?is)^\s*pivot\s+(?P<tbl>\([^)]*\)|[\w.']+)\s+on\s+(?P<col>[\w.]+)"
+        r"\s+using\s+(?P<agg>.+?)(?:\s+group\s+by\s+(?P<groups>.+?))?"
+        r"(?P<tail>\s+(?:order\s+by|limit)\s.*)?\s*;?\s*$"
+    )
+    _PIVOT_MAX_VALUES = 500
+
+    def _rewrite_pivot_statement(self, sql: str) -> str:
+        """DuckDB ``PIVOT tbl ON col USING agg [GROUP BY g] [tail]`` →
+        Spark ``SELECT * FROM (SELECT g, col, arg) PIVOT (agg FOR col IN
+        (values))``.
+
+        DuckDB auto-discovers the pivoted values; Spark needs them
+        literal, so a DISTINCT probe runs first (bounded at 500 values —
+        DuckDB materializes the same list internally). Column naming
+        matches: bare values for an unaliased aggregate, ``value_alias``
+        with one. count(*) pivots a constant column.
+        """
+        m = self._PIVOT_STMT_RE.match(sql)
+        if m is None:
+            return sql
+        tbl, col, agg = m.group("tbl"), m.group("col"), m.group("agg").strip()
+        if tbl.startswith("'"):  # path-as-table (FROM/JOIN rewrite can't see it here)
+            tbl = self._view_for(tbl.strip("'"), None, {})
+        groups = [g.strip() for g in (m.group("groups") or "").split(",") if g.strip()]
+        tail = m.group("tail") or ""
+        am = re.match(r"(?is)^(\w+)\s*\((.*)\)\s*(?:as\s+(\w+))?$", agg)
+        if am is None:
+            raise UQueryError.sql_error(f"unsupported PIVOT aggregate: {agg[:60]}")
+        fn, arg, alias = am.group(1), am.group(2).strip(), am.group(3)
+        if arg == "*":
+            fn, arg = "count", "1"
+        vals = [
+            r[0]
+            for r in self.spark.sql(
+                f"SELECT DISTINCT {col} FROM {tbl} uq_pv_src ORDER BY 1 "
+                f"LIMIT {self._PIVOT_MAX_VALUES + 1}"
+            ).collect()
+        ]
+        if len(vals) > self._PIVOT_MAX_VALUES:
+            raise UQueryError.sql_error(
+                f"PIVOT ON {col} exceeds {self._PIVOT_MAX_VALUES} distinct values"
+            )
+        def lit(v):
+            base = "'" + str(v).replace("'", "''") + "'" if isinstance(v, str) else str(v)
+            # DuckDB names pivoted columns value_alias; Spark ignores the
+            # aggregate alias for a single agg, so alias the IN values.
+            return f"{base} AS `{v}_{alias}`" if alias else base
+
+        lits = ", ".join(lit(v) for v in vals)
+        proj = ", ".join([*groups, col, f"({arg}) AS uq_pv"])
+        agg_sql = f"{fn}(uq_pv)"
+        return (
+            f"SELECT * FROM (SELECT {proj} FROM {tbl} uq_pv_src) "
+            f"PIVOT ({agg_sql} FOR {col} IN ({lits})){tail}"
+        )
+
     _STAR_REPLACE_RE = re.compile(r"(?i)\*\s*replace\s*\(")
 
     def _rewrite_star_replace(self, sql: str) -> str:
@@ -872,6 +929,7 @@ class SqlRewriter:
             )
         sql = self._rewrite_summarize(sql)
         sql = self._rewrite_tvfs(sql)
+        sql = self._rewrite_pivot_statement(sql)
         sql = self._rewrite_path_tables(sql)
         sql = self._rewrite_json_arrows(sql)
         # MAP {} before brackets: a subscript on a map literal must see a
