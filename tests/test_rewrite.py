@@ -339,3 +339,13 @@ def test_pivot_statement_count_star(spark, rw):
         rw.rewrite("PIVOT uq_pivot_src3 ON p USING count(*) GROUP BY g")
     ).collect()
     assert [tuple(r) for r in rows] == [("a", 2, 1)]
+
+
+def test_unpivot_statement(spark, rw):
+    spark.sql(
+        "SELECT * FROM (VALUES (1, 10.0, 20.0)) v(id, m1, m2)"
+    ).createOrReplaceTempView("uq_unpivot_src")
+    rows = spark.sql(
+        rw.rewrite("UNPIVOT uq_unpivot_src ON m1, m2 INTO NAME metric VALUE val ORDER BY metric")
+    ).collect()
+    assert [(r.id, r.metric, r.val) for r in rows] == [(1, "m1", 10.0), (1, "m2", 20.0)]

@@ -696,3 +696,33 @@ def pivot_statement_status(spark: SparkSession, sf: str) -> DataFrame:
         "PIVOT orders ON o_orderstatus USING count(*) GROUP BY o_orderpriority "
         "ORDER BY o_orderpriority",
     )
+
+
+@register(
+    "unpivot_statement_measures",
+    tags=("dialect", "unpivot"),
+    oracle="""
+SELECT p_partkey, metric, round(val, 2) AS val FROM (
+  UNPIVOT (SELECT p_partkey, p_retailprice, CAST(p_size AS DOUBLE) AS p_size_d
+           FROM part WHERE p_partkey <= 100)
+  ON p_retailprice, p_size_d INTO NAME metric VALUE val
+)
+ORDER BY p_partkey, metric
+""",
+)
+def unpivot_statement_measures(spark: SparkSession, sf: str) -> DataFrame:
+    """DuckDB's UNPIVOT statement form through the gateway rewriter
+    (rewrite.py::_rewrite_unpivot_statement → Spark UNPIVOT clause).
+    The Spark side runs the statement itself; DuckDB wraps it in a
+    subquery for the rounding projection (statement-in-FROM nesting
+    differs between engines)."""
+    load_tables(spark, sf)
+    df = _rewritten_sql(
+        spark,
+        "UNPIVOT (SELECT p_partkey, p_retailprice, CAST(p_size AS DOUBLE) AS p_size_d "
+        "FROM part WHERE p_partkey <= 100) "
+        "ON p_retailprice, p_size_d INTO NAME metric VALUE val",
+    )
+    return df.select("p_partkey", "metric", F.round("val", 2).alias("val")).orderBy(
+        "p_partkey", "metric"
+    )

@@ -620,11 +620,32 @@ class SqlRewriter:
         )
 
     _PIVOT_STMT_RE = re.compile(
-        r"(?is)^\s*pivot\s+(?P<tbl>\([^)]*\)|[\w.']+)\s+on\s+(?P<col>[\w.]+)"
+        r"(?is)^\s*on\s+(?P<col>[\w.]+)"
         r"\s+using\s+(?P<agg>.+?)(?:\s+group\s+by\s+(?P<groups>.+?))?"
         r"(?P<tail>\s+(?:order\s+by|limit)\s.*)?\s*;?\s*$"
     )
     _PIVOT_MAX_VALUES = 500
+
+    def _take_stmt_table(self, sql: str, keyword: str) -> tuple[str, str] | None:
+        """For ``<keyword> <tbl> …`` statements: return (tbl, rest) where
+        tbl is a (nested-paren-balanced) subquery, a quoted path resolved
+        to a view, or a dotted name; None when sql isn't that statement."""
+        m = re.match(rf"(?is)^\s*{keyword}\s+", sql)
+        if m is None:
+            return None
+        i = m.end()
+        if i < len(sql) and sql[i] == "(":
+            close = self._find_close(sql, i)
+            if close == -1:
+                return None
+            return sql[i : close + 1], sql[close + 1 :]
+        mt = re.match(r"[\w.']+", sql[i:])
+        if mt is None:
+            return None
+        tbl = mt.group(0)
+        if tbl.startswith("'"):
+            tbl = self._view_for(tbl.strip("'"), None, {})
+        return tbl, sql[i + mt.end() :]
 
     def _rewrite_pivot_statement(self, sql: str) -> str:
         """DuckDB ``PIVOT tbl ON col USING agg [GROUP BY g] [tail]`` →
@@ -637,12 +658,14 @@ class SqlRewriter:
         matches: bare values for an unaliased aggregate, ``value_alias``
         with one. count(*) pivots a constant column.
         """
-        m = self._PIVOT_STMT_RE.match(sql)
+        taken = self._take_stmt_table(sql, "pivot")
+        if taken is None:
+            return sql
+        tbl, rest = taken
+        m = self._PIVOT_STMT_RE.match(rest)
         if m is None:
             return sql
-        tbl, col, agg = m.group("tbl"), m.group("col"), m.group("agg").strip()
-        if tbl.startswith("'"):  # path-as-table (FROM/JOIN rewrite can't see it here)
-            tbl = self._view_for(tbl.strip("'"), None, {})
+        col, agg = m.group("col"), m.group("agg").strip()
         groups = [g.strip() for g in (m.group("groups") or "").split(",") if g.strip()]
         tail = m.group("tail") or ""
         am = re.match(r"(?is)^(\w+)\s*\((.*)\)\s*(?:as\s+(\w+))?$", agg)
@@ -674,6 +697,29 @@ class SqlRewriter:
         return (
             f"SELECT * FROM (SELECT {proj} FROM {tbl} uq_pv_src) "
             f"PIVOT ({agg_sql} FOR {col} IN ({lits})){tail}"
+        )
+
+    _UNPIVOT_STMT_RE = re.compile(
+        r"(?is)^\s*on\s+(?P<cols>.+?)"
+        r"\s+into\s+name\s+(?P<name>\w+)\s+value\s+(?P<value>\w+)"
+        r"(?P<tail>\s+(?:order\s+by|limit)\s.*)?\s*;?\s*$"
+    )
+
+    def _rewrite_unpivot_statement(self, sql: str) -> str:
+        """DuckDB ``UNPIVOT tbl ON c1, c2 INTO NAME n VALUE v [tail]`` →
+        Spark ``SELECT * FROM tbl UNPIVOT (v FOR n IN (c1, c2)) [tail]``
+        — a direct syntactic mapping (both melt the named columns and
+        keep the rest as identifiers)."""
+        taken = self._take_stmt_table(sql, "unpivot")
+        if taken is None:
+            return sql
+        tbl, rest = taken
+        m = self._UNPIVOT_STMT_RE.match(rest)
+        if m is None:
+            return sql
+        return (
+            f"SELECT * FROM {tbl} uq_unpv UNPIVOT ({m.group('value')} FOR {m.group('name')} "
+            f"IN ({m.group('cols').strip()})){m.group('tail') or ''}"
         )
 
     _STAR_REPLACE_RE = re.compile(r"(?i)\*\s*replace\s*\(")
@@ -930,6 +976,7 @@ class SqlRewriter:
         sql = self._rewrite_summarize(sql)
         sql = self._rewrite_tvfs(sql)
         sql = self._rewrite_pivot_statement(sql)
+        sql = self._rewrite_unpivot_statement(sql)
         sql = self._rewrite_path_tables(sql)
         sql = self._rewrite_json_arrows(sql)
         # MAP {} before brackets: a subscript on a map literal must see a
