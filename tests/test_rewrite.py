@@ -349,3 +349,22 @@ def test_unpivot_statement(spark, rw):
         rw.rewrite("UNPIVOT uq_unpivot_src ON m1, m2 INTO NAME metric VALUE val ORDER BY metric")
     ).collect()
     assert [(r.id, r.metric, r.val) for r in rows] == [(1, "m1", 10.0), (1, "m2", 20.0)]
+
+
+def test_union_by_name(spark, rw):
+    rows = spark.sql(
+        rw.rewrite(
+            "SELECT 1 AS a, 2 AS b UNION ALL BY NAME SELECT 30 AS c, 10 AS a ORDER BY a"
+        )
+    ).collect()
+    assert rows[0].__fields__ == ["a", "b", "c"]
+    assert [tuple(r) for r in rows] == [(1, 2, None), (10, None, 30)]
+
+
+def test_union_by_name_distinct_chain(spark, rw):
+    rows = spark.sql(
+        rw.rewrite(
+            "SELECT 1 AS a UNION BY NAME SELECT 1 AS a UNION BY NAME SELECT 2 AS b ORDER BY a NULLS FIRST"
+        )
+    ).collect()
+    assert [tuple(r) for r in rows] == [(None, 2), (1, None)]

@@ -726,3 +726,32 @@ def unpivot_statement_measures(spark: SparkSession, sf: str) -> DataFrame:
     return df.select("p_partkey", "metric", F.round("val", 2).alias("val")).orderBy(
         "p_partkey", "metric"
     )
+
+
+@register(
+    "union_by_name_priorities",
+    tags=("dialect", "setops"),
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_open
+FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+UNION ALL BY NAME
+SELECT count(*) AS n_closed, o_orderpriority
+FROM orders WHERE o_orderstatus = 'F' GROUP BY 2
+ORDER BY o_orderpriority, n_open NULLS FIRST
+""",
+)
+def union_by_name_priorities(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION ALL BY NAME (rewrite.py::_rewrite_union_by_name): columns
+    align by NAME across differently-ordered select lists, missing
+    columns fill with typed NULLs from LIMIT-0 probes. Identical SQL
+    runs verbatim on DuckDB."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT o_orderpriority, count(*) AS n_open "
+        "FROM orders WHERE o_orderstatus = 'O' GROUP BY 1 "
+        "UNION ALL BY NAME "
+        "SELECT count(*) AS n_closed, o_orderpriority "
+        "FROM orders WHERE o_orderstatus = 'F' GROUP BY 2 "
+        "ORDER BY o_orderpriority, n_open NULLS FIRST",
+    )

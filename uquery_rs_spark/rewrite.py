@@ -722,6 +722,78 @@ class SqlRewriter:
             f"IN ({m.group('cols').strip()})){m.group('tail') or ''}"
         )
 
+    _UNION_BY_NAME_RE = re.compile(r"(?i)\bunion\s+(all\s+)?by\s+name\b")
+
+    def _rewrite_union_by_name(self, sql: str) -> str:
+        """DuckDB ``a UNION [ALL] BY NAME b`` → column-aligned UNION:
+        result columns are the union of both sides' names in first-seen
+        left-to-right order (verified), missing columns fill with typed
+        NULLs (types from the first side that has the column, via LIMIT-0
+        probes), and the ALL/distinct semantics of each step carry over.
+        Top-level statement only; a trailing ORDER BY/LIMIT applies to
+        the whole union and is lifted outside."""
+        # split into segments at top-level UNION [ALL] BY NAME
+        segments: list[str] = []
+        ops: list[str] = []
+        pos = 0
+        while True:
+            m = None
+            for cand in self._UNION_BY_NAME_RE.finditer(sql, pos):
+                depth = 0
+                ok = True
+                i = pos
+                s = sql
+                while i < cand.start():
+                    c = s[i]
+                    if c == "'":
+                        j = s.find("'", i + 1)
+                        i = len(s) if j == -1 else j
+                    elif c in "([":
+                        depth += 1
+                    elif c in ")]":
+                        depth -= 1
+                    i += 1
+                ok = depth == 0
+                if ok:
+                    m = cand
+                    break
+            if m is None:
+                break
+            segments.append(sql[pos : m.start()])
+            ops.append("UNION ALL" if m.group(1) else "UNION")
+            pos = m.end()
+        if not segments:
+            return sql
+        segments.append(sql[pos:])
+        # lift a trailing top-level ORDER BY / LIMIT off the last segment
+        tail = ""
+        last = segments[-1]
+        hits = [h for h in self._scan_top_level(last, {"order", "limit"})]
+        if hits:
+            cut = min(h[0] for h in hits)
+            tail = " " + last[cut:].strip()
+            segments[-1] = last[:cut]
+        cols: list[str] = []
+        types: dict[str, str] = {}
+        schemas = []
+        for seg in segments:
+            schema = self.spark.sql(f"SELECT * FROM ({seg}) uq_ubn LIMIT 0").schema
+            schemas.append({f.name: f.dataType.simpleString() for f in schema.fields})
+            for f in schema.fields:
+                if f.name not in types:
+                    cols.append(f.name)
+                    types[f.name] = f.dataType.simpleString()
+        selects = []
+        for seg, have in zip(segments, schemas):
+            sel = ", ".join(
+                f"`{c}`" if c in have else f"CAST(NULL AS {types[c]}) AS `{c}`" for c in cols
+            )
+            selects.append(f"SELECT {sel} FROM ({seg}) uq_ubn")
+        joined = selects[0]
+        for op, s in zip(ops, selects[1:]):
+            joined += f" {op} {s}"
+        return joined + tail
+
     _STAR_REPLACE_RE = re.compile(r"(?i)\*\s*replace\s*\(")
 
     def _rewrite_star_replace(self, sql: str) -> str:
@@ -995,6 +1067,7 @@ class SqlRewriter:
         sql = self._rewrite_distinct_on(sql)
         sql = self._rewrite_qualify(sql)
         sql = self._rewrite_star_replace(sql)
+        sql = self._rewrite_union_by_name(sql)
         return sql
 
 
