@@ -368,3 +368,36 @@ def test_union_by_name_distinct_chain(spark, rw):
         )
     ).collect()
     assert [tuple(r) for r in rows] == [(None, 2), (1, None)]
+
+
+def test_from_first_bare(spark, rw):
+    rows = spark.sql(rw.rewrite("FROM (SELECT 1 AS a, 2 AS b)")).collect()
+    assert rows[0].asDict() == {"a": 1, "b": 2}
+
+
+def test_from_first_with_select(spark, rw):
+    rows = spark.sql(
+        rw.rewrite("FROM (SELECT 1 AS a, 2 AS b) SELECT b * 10 AS bb")
+    ).collect()
+    assert rows[0].bb == 20
+
+
+def test_from_first_where_and_order(spark, rw):
+    spark.range(5).createOrReplaceTempView("uq_ff_src")
+    rows = spark.sql(
+        rw.rewrite("FROM uq_ff_src WHERE id >= 2 SELECT id * 2 AS d ORDER BY d DESC")
+    ).collect()
+    assert [r.d for r in rows] == [8, 6, 4]
+
+
+def test_from_first_path_table(spark, rw):
+    out = rw.rewrite("FROM 'tests/fixtures/test.csv' SELECT f_int")
+    assert out.lower().startswith("select f_int from uq_file_")
+
+
+def test_from_first_group_by_after_select(spark, rw):
+    spark.sql("SELECT * FROM (VALUES ('a'), ('a'), ('b')) v(g)").createOrReplaceTempView("uq_ff2")
+    rows = spark.sql(
+        rw.rewrite("FROM uq_ff2 SELECT g, count(*) AS n GROUP BY g ORDER BY g")
+    ).collect()
+    assert [(r.g, r.n) for r in rows] == [("a", 2), ("b", 1)]

@@ -755,3 +755,29 @@ def union_by_name_priorities(spark: SparkSession, sf: str) -> DataFrame:
         "FROM orders WHERE o_orderstatus = 'F' GROUP BY 2 "
         "ORDER BY o_orderpriority, n_open NULLS FIRST",
     )
+
+
+@register(
+    "from_first_syntax",
+    tags=("dialect", "sugar"),
+    oracle="""
+FROM orders
+SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+WHERE o_orderstatus = 'P'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def from_first_syntax(spark: SparkSession, sf: str) -> DataFrame:
+    """DuckDB FROM-first syntax (rewrite.py::_rewrite_from_first): the
+    post-SELECT WHERE/GROUP BY/ORDER BY clauses (DuckDB's accepted
+    order) re-attach after the FROM part in conventional clause order.
+    Identical SQL runs verbatim on DuckDB."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "FROM orders "
+        "SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total "
+        "WHERE o_orderstatus = 'P' "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    )

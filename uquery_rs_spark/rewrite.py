@@ -722,6 +722,30 @@ class SqlRewriter:
             f"IN ({m.group('cols').strip()})){m.group('tail') or ''}"
         )
 
+    def _rewrite_from_first(self, sql: str) -> str:
+        """DuckDB FROM-first syntax: ``FROM t`` → ``SELECT * FROM t``;
+        ``FROM t SELECT cols …`` → ``SELECT cols … FROM t``. The FROM
+        part ends at the first top-level SELECT (or never — bare form)."""
+        m = re.match(r"(?is)^(\s*)from\s", sql)
+        if m is None:
+            return sql
+        body = sql[m.end(1) :]
+        sel = next((h for h in self._scan_top_level(body, {"select"})), None)
+        if sel is None:
+            return f"SELECT * {body}"
+        from_part = body[: sel[0]].strip()
+        rest = body[sel[1] :]
+        # clauses after the select list (WHERE/GROUP BY/HAVING/ORDER BY/
+        # LIMIT — DuckDB's accepted order) re-attach after the FROM part
+        # in conventional clause order
+        tail_hit = next(
+            (h for h in self._scan_top_level(rest, {"where", "group", "having", "order", "limit"})),
+            None,
+        )
+        if tail_hit:
+            return f"SELECT {rest[: tail_hit[0]].strip()} {from_part} {rest[tail_hit[0]:]}"
+        return f"SELECT {rest.strip()} {from_part}"
+
     _UNION_BY_NAME_RE = re.compile(r"(?i)\bunion\s+(all\s+)?by\s+name\b")
 
     def _rewrite_union_by_name(self, sql: str) -> str:
@@ -1046,6 +1070,7 @@ class SqlRewriter:
                 "session-mutating statements are disabled (configuration is locked)"
             )
         sql = self._rewrite_summarize(sql)
+        sql = self._rewrite_from_first(sql)
         sql = self._rewrite_tvfs(sql)
         sql = self._rewrite_pivot_statement(sql)
         sql = self._rewrite_unpivot_statement(sql)
