@@ -32,7 +32,9 @@ from uquery_rs_spark.session import get_spark
 
 Q.load_all()
 
-REPEATS = 2
+# best-of-3: single-run variance on a shared box is ±0.5s per query,
+# which at sf0.1 is the size of the signal being measured
+REPEATS = 3
 
 
 def main() -> None:

@@ -2,8 +2,9 @@
 (SURVEY.md §7 Phase 2).
 
 Resolves DuckDB-gateway idioms into Spark SQL before spark.sql() sees the
-text:
+text. Each rewrite is oracle-checked end-to-end (same SQL on DuckDB):
 
+Sources & safety
 1. path-as-table:  FROM 'x.parquet'  →  FROM uq_file_<hash>  (temp view
    over spark.read; reference src/main.rs:327,350)
 2. table functions:  read_parquet('x') / read_csv('x', header=true) /
@@ -15,8 +16,28 @@ text:
    built-in equivalent, so it's enforced here, before any read)
 4. config freeze: SET/INSTALL/LOAD/ATTACH/CREATE SECRET from clients are
    rejected (reference lock_configuration=true, options.rs:199)
-5. dialect: `col->>'k'` / `col->'k'` → get_json_object; aggregate macro
-   geomean(x) → exp(avg(ln(x))) (scalar macros are SQL UDFs, macros.py)
+
+Statement forms
+5. SUMMARIZE → one-scan per-column stats; PIVOT statement (values from a
+   DISTINCT probe) / UNPIVOT statement → Spark PIVOT/UNPIVOT clauses;
+   FROM-first syntax (`FROM t [SELECT …]`); UNION [ALL] BY NAME
+   (LIMIT-0 schema probes align columns by name)
+
+Query sugar & dialect
+6. QUALIFY, DISTINCT ON, * EXCLUDE, * REPLACE (LIMIT-0 probe),
+   GROUP/ORDER BY ALL (native), `//` int division, USING SAMPLE →
+   TABLESAMPLE, `col->>'k'` → get_json_object
+7. bracket syntax: `[..]` literals → array(), 1-based l[i]/l[a:b] →
+   get/element_at/slice, list comprehensions → transform(filter(...)),
+   MAP {} literals → map()
+8. functions: list_*/string_split/array_to_string/regexp_matches renames
+   (string_split escapes its literal separator — Spark's split is regex),
+   struct_pack(k := v) → named_struct, generate_series (scalar → sequence,
+   FROM-position → exploded subquery), string_agg(... ORDER BY) →
+   listagg WITHIN GROUP, strftime/strptime C-format translation
+9. macros: scalar + parameterized table macros from attached .db files
+   inline at rewrite time (DuckDB bind-time semantics); aggregate macro
+   geomean(x) → exp(avg(ln(x)))
 """
 
 from __future__ import annotations
