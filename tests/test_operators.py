@@ -230,3 +230,40 @@ class TestSimilarityEdges:
         empty = emb.filter("vec_id < 0")
         assert S.cosine_topk_bruteforce(queries, empty, k=3).count() == 0
         assert S.ivf_topk(queries, empty, k=3, n_cells=4, nprobe=2).count() == 0
+
+
+class TestCorpusOps:
+    def test_stratified_sample_deterministic_and_rated(self, spark):
+        from uquery_rs_spark.operators.corpus import stratified_sample
+
+        docs = spark.range(10000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+        )
+        kept = stratified_sample(docs, {"a": 0.5, "b": 0.0}, key_col="doc_id")
+        rows1 = sorted(r.doc_id for r in kept.collect())
+        rows2 = sorted(r.doc_id for r in kept.collect())
+        assert rows1 == rows2  # deterministic
+        assert all(i % 2 == 0 for i in rows1)  # only stratum a
+        assert 0.4 < len(rows1) / 5000 < 0.6  # ~50% of stratum a
+
+    def test_dup_clusters_transitive(self, spark):
+        from uquery_rs_spark.operators.dedup import dup_clusters
+
+        pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], "x long, y long")
+        out = {r.id: r.canonical for r in dup_clusters(pairs).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+    def test_pii_stats_and_redact(self, spark):
+        from uquery_rs_spark.operators import text as TX
+
+        docs = spark.createDataFrame(
+            [(1, "mail me at a.b@x.io or 555-123-4567"), (2, "clean text")],
+            "doc_id long, text string",
+        )
+        stats = {r.doc_id: r for r in TX.pii_stats(docs).collect()}
+        assert stats[1].n_email == 1 and stats[1].n_phone == 1 and stats[1].has_pii
+        assert stats[2].n_email == 0 and not stats[2].has_pii
+        red = {r.doc_id: r.redacted for r in TX.pii_redact(docs).collect()}
+        assert red[1] == "mail me at <EMAIL> or <PHONE>"
+        assert red[2] == "clean text"

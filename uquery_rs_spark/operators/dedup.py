@@ -336,3 +336,49 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs: each doc maps to
+    the MINIMUM doc id reachable through the pair graph — the canonical
+    representative a dedup pipeline keeps. Columns: id, canonical.
+
+    Iterative min-label propagation (the alternating large/small-star
+    idea reduced to its undirected-min essence): each round joins current
+    labels across edges and keeps the per-node minimum, stopping early
+    when a round changes nothing. Rounds = O(component diameter) — near-dup
+    clusters are shallow (most are pairs/triangles), so 3-4 rounds close
+    real corpora; `max_iter` bounds adversarial chains. Each round is one
+    shuffle on id; edges stay partitioned by the join key throughout.
+    """
+    edges = (
+        pairs.select(F.col("x").alias("a"), F.col("y").alias("b"))
+        .union(pairs.select(F.col("y").alias("a"), F.col("x").alias("b")))
+        .distinct()
+    )
+    labels = edges.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    for _ in range(max_iter):
+        # min label among self and neighbors' labels
+        prop = (
+            edges.join(labels.withColumnRenamed("id", "b").withColumnRenamed("lbl", "nlbl"), "b")
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("nlbl").alias("plbl"))
+        )
+        nxt = (
+            labels.join(prop, "id", "left")
+            .select("id", F.least("lbl", F.coalesce("plbl", "lbl")).alias("lbl"))
+            # truncate lineage each round — without this, round k re-executes
+            # every previous round's joins (the classic iterative-DAG trap)
+            .localCheckpoint()
+        )
+        changed = (
+            labels.withColumnRenamed("lbl", "old")
+            .join(nxt, "id")
+            .filter(F.col("old") != F.col("lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("canonical"))

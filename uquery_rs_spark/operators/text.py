@@ -136,3 +136,37 @@ def fingerprint_sql(text_expr: str) -> str:
         f"list_transform(string_split({text_expr}, ' '), t -> CAST(unicode(t) * 7 + length(t) AS BIGINT))), "
         f"(acc, x) -> (acc * {_FP_MUL} + x) % {_FP_MOD})"
     )
+
+
+# PII patterns restricted to the RE2 ∩ Java-regex common subset (no
+# lookaround), so the DuckDB oracle runs the identical pattern.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+
+
+def pii_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII match counts (one column per pattern) plus a
+    has_pii flag — the triage step before redaction; codegen'd
+    regexp_count, no UDF."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    out = docs.select("doc_id", *counts)
+    flag = None
+    for name in PII_PATTERNS:
+        c = F.col(f"n_{name}") > 0
+        flag = c if flag is None else (flag | c)
+    return out.withColumn("has_pii", flag)
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace each PII match with a typed placeholder (<EMAIL>, <PHONE>)
+    — the standard pretraining scrub. Global replace in both engines
+    (Spark always; DuckDB with the 'g' flag on its side)."""
+    redacted = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    return docs.select("doc_id", redacted.alias("redacted"))

@@ -378,3 +378,125 @@ def multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
         F.col("meta.height").alias("height"),
         F.col("meta.n_bytes").alias("n_bytes"),
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_cluster_canonical",
+    tags=("llm", "dedup", "iterative"),
+    oracle="""
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id,
+         list_distinct([t[i] || '_' || t[i+1] || '_' || t[i+2]
+                        for i in generate_series(1, len(t) - 2)]) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+ex AS (SELECT id, unnest(s) AS g FROM sh),
+inter AS (
+  SELECT a.id AS x, b.id AS y, count(*) AS inter
+  FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT x, y FROM inter
+  JOIN (SELECT id, len(s) AS nx FROM sh) sx ON x = sx.id
+  JOIN (SELECT id, len(s) AS ny FROM sh) sy ON y = sy.id
+  WHERE inter * 1.0 / (sx.nx + sy.ny - inter) >= 0.5
+),
+edges AS (SELECT x AS a, y AS b FROM pairs UNION SELECT y, x FROM pairs),
+reach(id, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id
+)
+SELECT id, min(lbl) AS canonical FROM reach GROUP BY id ORDER BY id
+""",
+)
+def dedup_cluster_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+    pair graph, each doc labeled with the minimum reachable doc id — the
+    canonical representative a dedup pipeline keeps per cluster
+    (operators/dedup.py::dup_clusters, iterative min-label propagation
+    with per-round lineage truncation). The oracle computes the same
+    fixpoint with a recursive CTE over the exact-Jaccard pairs (LSH
+    recall ≈ 1 at these parameters, so the graphs coincide)."""
+    docs = load_tables(spark, sf)["documents"]
+    return D.dup_clusters(D.minhash_lsh_pairs(docs, threshold=0.5)).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus composition + PII
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_stratified_mix",
+    tags=("llm", "corpus", "sampling"),
+    oracle="""
+SELECT source, count(*) AS n_kept
+FROM documents
+WHERE (CAST(doc_id AS BIGINT) * 2654435761 % 2147483647) % 10000 <
+      CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                  WHEN 'src2' THEN 1000  ELSE 500 END
+GROUP BY source
+ORDER BY source
+""",
+)
+def corpus_stratified_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified corpus mixing (operators/corpus.py):
+    per-source keep rates (100%/50%/10%, default 5%) via an exact-int64
+    affine key hash — reproducible across runs/engines/partitionings and
+    oracle-checkable row-for-row, unlike rand() sampling. The identical
+    arithmetic runs in the DuckDB oracle."""
+    from ..operators.corpus import stratified_sample
+
+    docs = load_tables(spark, sf)["documents"]
+    kept = stratified_sample(
+        docs, {"src0": 1.0, "src1": 0.5, "src2": 0.1}, default_rate=0.05
+    )
+    return kept.groupBy("source").agg(F.count("*").alias("n_kept")).orderBy("source")
+
+
+@register(
+    "text_pii_scan",
+    tags=("llm", "text", "pii"),
+    oracle=r"""
+SELECT doc_id,
+       len(regexp_extract_all(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(pii_text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+       len(regexp_extract_all(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+         OR len(regexp_extract_all(pii_text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) > 0 AS has_pii,
+       regexp_replace(regexp_replace(pii_text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
+FROM (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact bob' || CAST(doc_id AS STRING) || '@mail.example or 555-010-' ||
+                       lpad(CAST(doc_id % 10000 AS STRING), 4, '0')
+                  ELSE text END AS pii_text
+      FROM documents)
+ORDER BY doc_id
+""",
+)
+def text_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """PII detection + redaction (operators/text.py::pii_stats/pii_redact):
+    email/phone patterns from the RE2 ∩ Java common subset run identically
+    in both engines. The synthetic corpus has no PII, so every 7th doc is
+    deterministically salted with an email + phone before scanning —
+    exercising both the hit and miss paths."""
+    docs = load_tables(spark, sf)["documents"]
+    salted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact bob"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example or 555-010-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    stats = TX.pii_stats(salted)
+    red = TX.pii_redact(salted)
+    return stats.join(red, "doc_id").orderBy("doc_id")
