@@ -401,3 +401,19 @@ def test_from_first_group_by_after_select(spark, rw):
         rw.rewrite("FROM uq_ff2 SELECT g, count(*) AS n GROUP BY g ORDER BY g")
     ).collect()
     assert [(r.g, r.n) for r in rows] == [("a", 2), ("b", 1)]
+
+
+def test_columns_regex(spark, rw):
+    rows = spark.sql(
+        rw.rewrite("SELECT COLUMNS('^f_') FROM (SELECT 1 AS f_a, 2 AS f_b, 3 AS g)")
+    ).collect()
+    assert rows[0].asDict() == {"f_a": 1, "f_b": 2}
+
+
+def test_columns_regex_wrapped_agg(spark, rw):
+    rows = spark.sql(
+        rw.rewrite(
+            "SELECT max(COLUMNS('^v')) FROM (SELECT 1 AS v1, 9 AS v2 UNION ALL SELECT 5, 2)"
+        )
+    ).collect()
+    assert rows[0].asDict() == {"v1": 5, "v2": 9}

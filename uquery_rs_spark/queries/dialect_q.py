@@ -781,3 +781,29 @@ def from_first_syntax(spark: SparkSession, sf: str) -> DataFrame:
         "WHERE o_orderstatus = 'P' "
         "GROUP BY o_orderpriority ORDER BY o_orderpriority",
     )
+
+
+@register(
+    "columns_regex_battery",
+    tags=("dialect", "sugar"),
+    oracle="""
+SELECT c_mktsegment, max(COLUMNS('acctbal'))
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def columns_regex_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """DuckDB COLUMNS('regex') (rewrite.py::_rewrite_columns_expr):
+    matching columns expand from a LIMIT-0 probe — the pattern matches
+    ANYWHERE in the name like DuckDB; a wrapping aggregate applies per
+    column, aliased to the column name (max picks stored doubles, so the
+    digest compares exactly without rounding). Identical SQL runs
+    verbatim on DuckDB. Limitation: only a single wrapping function is
+    expanded per column — deeper expressions around COLUMNS are not."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT c_mktsegment, max(COLUMNS('acctbal')) "
+        "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    )

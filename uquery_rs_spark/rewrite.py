@@ -839,6 +839,43 @@ class SqlRewriter:
             joined += f" {op} {s}"
         return joined + tail
 
+    _COLUMNS_RE = re.compile(
+        r"(?i)(?:(?P<fn>\w+)\s*\(\s*)?\bcolumns\s*\(\s*'(?P<pat>[^']+)'\s*\)(?(fn)\s*\))"
+    )
+
+    def _rewrite_columns_expr(self, sql: str) -> str:
+        """DuckDB ``COLUMNS('regex')`` → the matching columns, expanded
+        from a LIMIT-0 probe of the query with the expression replaced by
+        ``*``. A wrapping aggregate ``fn(COLUMNS('re'))`` applies fn per
+        column, aliased back to the column name (DuckDB's naming)."""
+        if not self._COLUMNS_RE.search(sql):
+            return sql
+        probe = self._COLUMNS_RE.sub("*", sql)
+        # the probe only needs the select list + FROM: drop trailing
+        # clauses (a bare * under the query's GROUP BY would not analyze)
+        cut = next(
+            (h[0] for h in self._scan_top_level(probe, {"group", "having", "order", "limit"})),
+            None,
+        )
+        if cut is not None:
+            probe = probe[:cut]
+        schema = self.spark.sql(f"SELECT * FROM ({probe}) uq_cols LIMIT 0").schema
+        names = list(dict.fromkeys(schema.fieldNames()))
+
+        def sub(m: re.Match) -> str:
+            rx = re.compile(m.group("pat"))
+            # DuckDB matches the pattern ANYWHERE in the name (verified:
+            # 'f_' matches both f_a and off_b) — search, not fullmatch
+            cols = [c for c in names if rx.search(c)]
+            if not cols:
+                raise UQueryError.sql_error(f"COLUMNS('{m.group('pat')}') matches nothing")
+            if m.group("fn"):
+                fn = m.group("fn")
+                return ", ".join(f"{fn}(`{c}`) AS `{c}`" for c in cols)
+            return ", ".join(f"`{c}`" for c in cols)
+
+        return self._COLUMNS_RE.sub(sub, sql)
+
     _STAR_REPLACE_RE = re.compile(r"(?i)\*\s*replace\s*\(")
 
     def _rewrite_star_replace(self, sql: str) -> str:
@@ -1113,6 +1150,7 @@ class SqlRewriter:
         sql = self._rewrite_distinct_on(sql)
         sql = self._rewrite_qualify(sql)
         sql = self._rewrite_star_replace(sql)
+        sql = self._rewrite_columns_expr(sql)
         sql = self._rewrite_union_by_name(sql)
         return sql
 
