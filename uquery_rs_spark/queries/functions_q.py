@@ -142,8 +142,8 @@ def datetime_functions(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
 SELECT p_partkey,
        abs(p_retailprice - 1000)                    AS dist_1k,
-       ceil(p_retailprice)                          AS c,
-       floor(p_retailprice)                         AS f,
+       CAST(ceil(p_retailprice) AS BIGINT)          AS c,
+       CAST(floor(p_retailprice) AS BIGINT)         AS f,
        round(ln(p_retailprice), 6)                  AS log_price,
        round(log10(p_retailprice), 6)               AS log10_price,
        round(exp(p_size / 25.0), 6)                 AS e_size,
@@ -164,6 +164,8 @@ def math_functions(spark: SparkSession, sf: str) -> DataFrame:
 
     Transcendentals rounded to 6 dp — libm results agree well past that.
     DuckDB sign() returns int; Spark signum() double — cast to long both.
+    DuckDB ceil/floor(double) return DOUBLE; Spark returns BIGINT — the
+    oracle casts to BIGINT (documented dialect deviation, values equal).
     """
     part = load_tables(spark, sf)["part"].filter(F.col("p_partkey") <= 300)
     return part.select(
@@ -317,7 +319,7 @@ SELECT c_mktsegment,
        round(exp(avg(ln(c_acctbal))), 2)                  AS geomean_bal,
        CAST(sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT)  AS n_rich,
        round(sum(c_acctbal - 1000 * trunc(c_acctbal / 1000)), 2) AS fmod_total,
-       sum(CAST(floor(c_acctbal / 1000) AS BIGINT))       AS fdiv_total
+       CAST(sum(CAST(floor(c_acctbal / 1000) AS BIGINT)) AS BIGINT) AS fdiv_total
 FROM customer
 WHERE c_acctbal > 0
 GROUP BY c_mktsegment
