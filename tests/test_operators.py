@@ -76,12 +76,48 @@ class TestSimilarity:
         assert [(r.query_id, r.neighbor_id, r.rank) for r in out] == [(0, 9, 1)]
 
     def test_ivf_recall_on_real_embeddings(self, spark):
+        # isotropic corpus (mean pairwise cos = 0) — IVF's hardest case;
+        # the registered probe budget (nprobe=12/16) must clear 0.9.
         emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
         queries = emb.filter(F.col("vec_id") < 30)
-        exact = {(r.query_id, r.neighbor_id) for r in S.cosine_topk_bruteforce(queries, emb, k=3).collect()}
-        approx = {(r.query_id, r.neighbor_id) for r in S.ivf_topk(queries, emb, k=3, n_cells=8, nprobe=4).collect()}
+        exact = {(r.query_id, r.neighbor_id) for r in S.cosine_topk_bruteforce(queries, emb, k=5).collect()}
+        approx = {(r.query_id, r.neighbor_id) for r in S.ivf_topk(queries, emb, k=5, n_cells=16, nprobe=12).collect()}
         recall = len(exact & approx) / len(exact)
-        assert recall >= 0.3, f"IVF recall collapsed: {recall}"  # approximate, nprobe=half the cells
+        assert recall >= 0.9, f"IVF recall@5 below bound: {recall}"
+
+    def test_ivf_recall_on_clustered_data(self, spark):
+        # clustered corpus — where k-means centroids earn the pruning: a
+        # small probe budget (4/16 cells = 4x less distance compute)
+        # must keep recall@5 >= 0.9.
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        centers = rng.standard_normal((16, 32)) * 5.0
+        rows = []
+        for i in range(800):
+            c = i % 16
+            v = centers[c] + rng.standard_normal(32)
+            rows.append((i, [float(x) for x in v]))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        queries = emb.filter(F.col("vec_id") < 40)
+        exact = {(r.query_id, r.neighbor_id) for r in S.cosine_topk_bruteforce(queries, emb, k=5).collect()}
+        approx = {(r.query_id, r.neighbor_id) for r in S.ivf_topk(queries, emb, k=5, n_cells=16, nprobe=4).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.9, f"IVF recall@5 on clustered data: {recall}"
+
+    def test_blocked_pairs_equal_exact_broadcast(self, spark):
+        emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        exact = {(r.x, r.y, round(r.sim, 6)) for r in S.cosine_pairs_threshold(emb, 0.4).collect()}
+        blocked = {(r.x, r.y, round(r.sim, 6)) for r in S.cosine_pairs_blocked(emb, 0.4, n_blocks=5).collect()}
+        assert blocked == exact and len(exact) > 0
+
+    def test_lsh_pairs_recall_one_vs_exact(self, spark):
+        # verification is exact so lsh ⊆ exact; banding params must make
+        # the candidate step lossless on this corpus (recall 1.0).
+        emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        exact = {(r.x, r.y) for r in S.cosine_pairs_threshold(emb, 0.4).collect()}
+        lsh = {(r.x, r.y) for r in S.cosine_pairs_lsh(emb, 0.4, dim=64).collect()}
+        assert lsh == exact and len(exact) > 0
 
 
 class TestText:

@@ -142,15 +142,55 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= 0.4 — the tail of the
     synthetic corpus; real near-dup corpora use ~0.95).
 
-    One numpy matmul per corpus partition against the broadcast corpus
-    matrix (operators.similarity.cosine_pairs_threshold) — the exact
-    baseline. At corpus scale the candidate step swaps for LSH bucketing
-    (random hyperplanes, same banding machinery as minhash_lsh_pairs)
-    with the same verification kernel reused per bucket.
+    Blocked distributed exact all-pairs (operators.similarity.
+    cosine_pairs_blocked): rows replicate to B unordered block pairs, one
+    BLAS matmul per (lo, hi) task — no full-corpus broadcast, no driver
+    collect, O(n^2) compute spread over B(B+1)/2 bounded tasks. Exact is
+    the honest scale design at this threshold: the corpus is isotropic
+    (mean cos 0) and sign-LSH collision odds at s=0.4 vs s=0 are 0.63 vs
+    0.5 per plane, so LSH candidates degenerate to all pairs (measured —
+    see cosine_pairs_lsh, which remains the high-threshold near-dup
+    path and is oracle-checked by dedup_embedding_lsh).
     """
     emb = load_tables(spark, sf)["embeddings"]
     return (
-        S.cosine_pairs_threshold(emb, threshold=0.4)
+        S.cosine_pairs_blocked(emb, threshold=0.4)
+        .select("x", "y", F.round("sim", 4).alias("cos_sim"))
+        .orderBy("x", "y")
+    )
+
+
+@register(
+    "dedup_embedding_lsh",
+    tags=("llm", "dedup", "similarity"),
+    oracle="""
+WITH unit AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y)))) AS v
+  FROM embeddings
+)
+SELECT a.vec_id AS x, b.vec_id AS y,
+       round(list_dot_product(a.v, b.v), 4) AS cos_sim
+FROM unit a JOIN unit b
+  ON a.vec_id < b.vec_id AND list_dot_product(a.v, b.v) >= 0.5
+ORDER BY x, y
+""",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Hyperplane-LSH near-dup pairs: sign-random-projection band keys
+    through the minhash `_bucket_pairs` machinery, exact dot-product
+    verification per candidate (operators.similarity.cosine_pairs_lsh).
+
+    Verification is exact, so output ⊆ the exact all-pairs oracle;
+    banding recall at s >= 0.5 with r=4/b=48 is > 1-1e-5 per pair
+    (asserted recall 1.0 vs the exact kernel in tests/test_operators.py).
+    The LSH path earns its keep at production near-dup thresholds
+    (>= 0.9, r=16) where buckets stay sparse; at low thresholds use
+    cosine_pairs_blocked (see dedup_embedding_cosine).
+    """
+    emb = load_tables(spark, sf)["embeddings"]
+    return (
+        S.cosine_pairs_lsh(emb, threshold=0.5, dim=64)
         .select("x", "y", F.round("sim", 4).alias("cos_sim"))
         .orderBy("x", "y")
     )
@@ -200,12 +240,16 @@ def ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     tags=("llm", "similarity"),
 )
 def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-bucketed approximate top-5 (16 cells, nprobe=4) — the scale
-    path: ~4× less distance compute than brute force at equal recall on
-    clustered data."""
+    """IVF-bucketed approximate top-5 (spherical-k-means centroids,
+    16 cells, nprobe=12). The probe budget is calibrated to THIS corpus:
+    the synthetic embeddings are isotropic (mean pairwise cos 0), the
+    hardest case for IVF, and nprobe=12/16 measures recall@5 ≈ 0.92 vs
+    the exact baseline (asserted ≥ 0.9 in tests/test_operators.py, which
+    also shows nprobe=4 reaching the same recall on clustered data —
+    where the ~4x distance-compute saving actually materializes)."""
     emb = load_tables(spark, sf)["embeddings"]
     queries = emb.filter(F.col("vec_id") < 100)
-    return S.ivf_topk(queries, emb, k=5, n_cells=16, nprobe=4).orderBy("query_id", "rank")
+    return S.ivf_topk(queries, emb, k=5, n_cells=16, nprobe=12).orderBy("query_id", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -295,8 +339,8 @@ SELECT doc_id,
        len(list_distinct(string_split(text, ' ')))     AS n_types,
        round(len(list_distinct(string_split(text, ' '))) * 1.0
              / len(string_split(text, ' ')), 4)        AS type_token_ratio,
-       list_sum(list_transform(string_split(text, ' '),
-                t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS n_bpe_subwords
+       CAST(list_sum(list_transform(string_split(text, ' '),
+                t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_subwords
 FROM documents
 ORDER BY doc_id
 """,
