@@ -1,0 +1,130 @@
+"""Executor-side HTTP(S) table scans (sources/http_scan.py).
+
+Reference semantics: https:// URLs are tables via DuckDB httpfs ranged
+GETs (/root/reference/src/cli/options.rs:24,161). These tests run a
+local range-capable HTTP server and verify (a) results equal local
+reads for parquet/csv/jsonl, (b) the bytes genuinely move via ranged
+GETs — not a whole-file driver download, (c) text chunk boundaries
+follow TextInputFormat ownership (no lost/duplicated lines), and
+(d) range-less servers fall back to the driver download.
+"""
+
+from __future__ import annotations
+
+import http.server
+import os
+import socketserver
+import threading
+
+import pytest
+
+from uquery_rs_spark.sources import http_scan as H
+from uquery_rs_spark.sources.files import resolve_path
+
+from .conftest import SF_SMALL
+
+
+class _RangeHandler(http.server.SimpleHTTPRequestHandler):
+    """SimpleHTTPRequestHandler + RFC 7233 single-range GET + request log."""
+
+    log: list[str] = []
+    ranges_enabled = True
+
+    def log_message(self, *a):  # silence
+        pass
+
+    def end_headers(self):
+        if self.ranges_enabled:
+            self.send_header("Accept-Ranges", "bytes")
+        super().end_headers()
+
+    def send_head(self):
+        type(self).log.append(f"{self.command}:{self.headers.get('Range') or 'FULL'}")
+        rng = self.headers.get("Range")
+        if not (self.ranges_enabled and rng and rng.startswith("bytes=")):
+            return super().send_head()
+        path = self.translate_path(self.path)
+        try:
+            f = open(path, "rb")
+        except OSError:
+            self.send_error(404)
+            return None
+        size = os.fstat(f.fileno()).st_size
+        lo_s, _, hi_s = rng[len("bytes=") :].partition("-")
+        lo = int(lo_s)
+        hi = min(int(hi_s) if hi_s else size - 1, size - 1)
+        self.send_response(206)
+        self.send_header("Content-Type", "application/octet-stream")
+        self.send_header("Content-Range", f"bytes {lo}-{hi}/{size}")
+        self.send_header("Content-Length", str(hi - lo + 1))
+        self.end_headers()
+        f.seek(lo)
+        data = f.read(hi - lo + 1)
+        f.close()
+        import io
+
+        return io.BytesIO(data)
+
+
+@pytest.fixture(scope="module")
+def http_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("httpserve")
+    import shutil
+
+    shutil.copy(f"{SF_SMALL}/nation.parquet", root / "nation.parquet")
+    (root / "t.csv").write_bytes(
+        b"a,b\n" + b"".join(f"{i},row{i}\n".encode() for i in range(500))
+    )
+    (root / "t.jsonl").write_bytes(
+        b"".join(f'{{"a":{i},"b":"row{i}"}}\n'.encode() for i in range(500))
+    )
+    handler = type("H", (_RangeHandler,), {"log": [], "directory": str(root)})
+    httpd = socketserver.ThreadingTCPServer(
+        ("127.0.0.1", 0), lambda *a, **k: handler(*a, directory=str(root), **k)
+    )
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}", handler
+    httpd.shutdown()
+
+
+class TestHttpScan:
+    def test_parquet_matches_local_and_uses_ranges(self, spark, http_root):
+        base, handler = http_root
+        handler.log.clear()
+        local = spark.read.parquet(f"{SF_SMALL}/nation.parquet").collect()
+        out = resolve_path(spark, f"{base}/nation.parquet").collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, local))
+        # every data GET was ranged; only the HEAD probe sees no Range —
+        # i.e. no whole-file driver download happened
+        gets = [r for r in handler.log if r.startswith("GET:")]
+        assert gets and all(r.startswith("GET:bytes=") for r in gets)
+
+    def test_csv_multi_chunk_boundaries(self, spark, http_root, monkeypatch):
+        base, handler = http_root
+        # force many chunks so lines straddle chunk boundaries
+        monkeypatch.setattr(H, "CHUNK_BYTES", 257)
+        monkeypatch.setattr(H, "TAIL_BYTES", 128)
+        df = resolve_path(spark, f"{base}/t.csv")
+        rows = sorted((r.a, r.b) for r in df.collect())
+        assert rows == [(i, f"row{i}") for i in range(500)]
+        assert df.rdd.getNumPartitions() > 5
+
+    def test_jsonl_multi_chunk_boundaries(self, spark, http_root, monkeypatch):
+        base, handler = http_root
+        monkeypatch.setattr(H, "CHUNK_BYTES", 311)
+        monkeypatch.setattr(H, "TAIL_BYTES", 128)
+        df = resolve_path(spark, f"{base}/t.jsonl")
+        rows = sorted((r.a, r.b) for r in df.collect())
+        assert rows == [(i, f"row{i}") for i in range(500)]
+
+    def test_rangeless_server_falls_back_to_driver_fetch(self, spark, http_root):
+        base, handler = http_root
+        handler.ranges_enabled = False
+        try:
+            df = resolve_path(spark, f"{base}/t.csv")
+            rows = sorted((r.a, r.b) for r in df.collect())
+            assert rows == [(i, f"row{i}") for i in range(500)]
+        finally:
+            handler.ranges_enabled = True

@@ -41,12 +41,9 @@ def detect_format(path: str) -> str | None:
 
 
 def _fetch_https(url: str) -> str:
-    """Driver-side download for https tables (reference: httpfs extension).
-
-    At scale a Hadoop HTTP filesystem would stream this on executors; for
-    gateway-sized remote files a driver-side fetch matches the reference's
-    single-node behavior.
-    """
+    """Driver-side download fallback for https tables whose server does
+    not honor byte ranges (no Accept-Ranges / no Content-Length). The
+    primary path is the executor-side ranged scan in http_scan.py."""
     suffix = "." + url.rsplit(".", 1)[-1] if "." in url.rsplit("/", 1)[-1] else ""
     fd, local = tempfile.mkstemp(prefix="uq_https_", suffix=suffix)
     os.close(fd)
@@ -76,8 +73,21 @@ def resolve_path(
         raise UQueryError.sql_error(f"cannot infer table format for path: {path}")
     spark_fmt, defaults = FORMATS[ext]
 
+    merged = {**defaults, **(options or {})}
     target = path
     if path.startswith(("https://", "http://")):
+        # executor-side ranged scan (reference: httpfs ranged GETs);
+        # driver download only when the server can't serve ranges
+        from .http_scan import scan_http
+
+        try:
+            df = scan_http(spark, path, ext, merged)
+        except Exception as e:
+            raise UQueryError.sql_error(
+                f"cannot read {path}: {str(e).splitlines()[0][:300]}"
+            ) from e
+        if df is not None:
+            return df
         target = _fetch_https(path)
     elif path.startswith("s3://"):
         target = "s3a://" + path[len("s3://"):]
@@ -85,7 +95,7 @@ def resolve_path(
         target = "gs://" + path[len("gcs://"):]
 
     reader = spark.read
-    for k, v in {**defaults, **(options or {})}.items():
+    for k, v in merged.items():
         reader = reader.option(k, v)
     try:
         return reader.format(spark_fmt).load(target)

@@ -1,0 +1,253 @@
+"""Executor-side ranged HTTP(S) table scans.
+
+Reference semantics: `https://` URLs are tables via DuckDB's httpfs
+extension (/root/reference/src/cli/options.rs:24,161; docs/docs/
+advanced-tutorials/query-files.md:39-45), which issues ranged GETs from
+the query engine itself. The round-1 implementation downloaded the whole
+file on the driver — a single-node bandwidth + disk bottleneck the moment
+files are large or many. This module moves the bytes onto executors:
+
+- the DRIVER touches only metadata: one HEAD (length + Accept-Ranges),
+  plus the parquet footer / a 1 MiB text sample for schema inference —
+  the same footprint as any filesystem client;
+- EXECUTORS fetch their own byte ranges in parallel (one task per parquet
+  row group / per text chunk) and decode with pyarrow inside mapInArrow,
+  so bytes never pass through the driver and tasks scale with file size
+  exactly like a FileScan over a mounted filesystem.
+
+Why not Hadoop's HttpFileSystem (fs.https.impl): it implements open() but
+not listStatus(), which Spark's FileIndex requires — verified failing
+with FAILED_READ_FILE.UNSUPPORTED_FILE_SYSTEM on this build. The chunked
+executor fetch below is the documented fallback shape from the same
+design note.
+
+Servers without Accept-Ranges (or chunked-transfer endpoints with no
+Content-Length) fall back to the driver-side download in files.py, which
+remains correct for gateway-sized ad-hoc files.
+"""
+
+from __future__ import annotations
+
+import io
+import urllib.request
+from typing import Iterator
+
+import pyarrow as pa
+
+from ..errors import UQueryError
+
+# Text chunking: one task per CHUNK_BYTES; a task may read up to
+# TAIL_BYTES past its end to finish the line spanning the boundary
+# (Hadoop TextInputFormat semantics). Lines longer than TAIL_BYTES fail
+# loudly rather than silently corrupting records.
+CHUNK_BYTES = 32 << 20
+TAIL_BYTES = 4 << 20
+_SAMPLE_BYTES = 1 << 20
+
+
+def probe(url: str) -> tuple[int, bool]:
+    """HEAD → (content length, server honors byte ranges)."""
+    req = urllib.request.Request(url, method="HEAD")
+    with urllib.request.urlopen(req, timeout=30) as r:  # noqa: S310
+        length = int(r.headers.get("Content-Length") or -1)
+        ranged = (r.headers.get("Accept-Ranges") or "").lower() == "bytes"
+    return length, ranged
+
+
+def _get_range(url: str, start: int, end_inclusive: int) -> bytes:
+    req = urllib.request.Request(
+        url, headers={"Range": f"bytes={start}-{end_inclusive}"}
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:  # noqa: S310
+        return r.read()
+
+
+class RangedHttpFile:
+    """Minimal seekable read-only file over HTTP Range requests.
+
+    pyarrow wraps it in a PythonFile; parquet metadata/row-group reads
+    become a handful of ranged GETs sized by pyarrow's own buffering.
+    """
+
+    def __init__(self, url: str, size: int):
+        self.url, self.size, self.pos = url, size, 0
+
+    def seek(self, off: int, whence: int = 0) -> int:
+        self.pos = (self.pos if whence == 1 else self.size if whence == 2 else 0) + off
+        return self.pos
+
+    def tell(self) -> int:
+        return self.pos
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = self.size - self.pos
+        if n <= 0 or self.pos >= self.size:
+            return b""
+        data = _get_range(self.url, self.pos, min(self.size, self.pos + n) - 1)
+        self.pos += len(data)
+        return data
+
+    def close(self) -> None:  # pyarrow PythonFile protocol
+        pass
+
+    @property
+    def closed(self) -> bool:
+        return False
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def writable(self) -> bool:
+        return False
+
+
+def _spark_schema(arrow_schema: pa.Schema):
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    return from_arrow_schema(arrow_schema)
+
+
+def scan_parquet(spark, url: str, size: int):
+    """Distributed parquet-over-HTTP: one task per row group.
+
+    Driver reads the footer only (ranged, a few KiB). Each task reopens
+    the URL and ranged-GETs exactly its row group's byte span — the same
+    I/O pattern as a parquet FileScan on an object store.
+    """
+    import pyarrow.parquet as pq
+
+    meta_file = pq.ParquetFile(RangedHttpFile(url, size))
+    n_groups = meta_file.metadata.num_row_groups
+    arrow_schema = meta_file.schema_arrow
+    schema = _spark_schema(arrow_schema)
+    if n_groups == 0:
+        return spark.createDataFrame([], schema)
+
+    def read_groups(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pf = pq.ParquetFile(RangedHttpFile(url, size))
+        for b in batches:
+            for rg in b.column("id").to_pylist():
+                for out in pf.read_row_group(rg).to_batches():
+                    yield out
+
+    groups = spark.range(0, n_groups, 1, numPartitions=n_groups)
+    return groups.mapInArrow(read_groups, schema)
+
+
+def _owned_lines(data: bytes, start: int, end: int, size: int) -> bytes:
+    """Hadoop TextInputFormat ownership: a chunk owns every line whose
+    first byte lies in [start, end] (end inclusive — the task 'reads one
+    extra line'); chunks after the first discard through their first
+    newline (that line belongs to the predecessor)."""
+    cut = 0
+    if start > 0:
+        nl = data.find(b"\n")
+        if nl < 0:
+            return b""
+        cut = nl + 1
+    rel_end = end - start
+    if start + len(data) >= size:
+        stop = len(data)
+        if rel_end < len(data):
+            nl = data.find(b"\n", rel_end)
+            stop = len(data) if nl < 0 else nl + 1
+    else:
+        nl = data.find(b"\n", rel_end)
+        if nl < 0:
+            raise UQueryError.sql_error(
+                f"line exceeds {TAIL_BYTES} bytes at offset {end} of {data and ''}{size}-byte http table"
+            )
+        stop = nl + 1
+    return data[cut:stop]
+
+
+def _csv_sample_schema(sample: bytes, header: bool, infer: bool) -> pa.Schema:
+    from pyarrow import csv as pacsv
+
+    read_opts = pacsv.ReadOptions(autogenerate_column_names=not header)
+    tbl = pacsv.read_csv(io.BytesIO(sample), read_options=read_opts)
+    if infer:
+        return tbl.schema
+    return pa.schema([pa.field(f.name, pa.string()) for f in tbl.schema])
+
+
+def scan_text(spark, url: str, size: int, fmt: str, options: dict[str, str]):
+    """Distributed CSV/JSONL-over-HTTP: byte-range chunks with newline
+    alignment, schema inferred once from a driver-side sample so every
+    chunk decodes to the same Arrow schema."""
+    from pyarrow import csv as pacsv
+    from pyarrow import json as pajson
+
+    sample = _get_range(url, 0, min(_SAMPLE_BYTES, size) - 1)
+    last_nl = sample.rfind(b"\n")
+    if 0 < last_nl < len(sample) - 1 and size > len(sample):
+        sample = sample[: last_nl + 1]
+
+    is_csv = fmt == "csv"
+    header = options.get("header", "false").lower() == "true"
+    infer = options.get("inferSchema", "false").lower() == "true"
+    sep = options.get("sep", ",")
+    if is_csv:
+        arrow_schema = _csv_sample_schema(sample, header, infer)
+    else:
+        arrow_schema = pajson.read_json(io.BytesIO(sample)).schema
+    schema = _spark_schema(arrow_schema)
+    names = arrow_schema.names
+    col_types = {f.name: f.type for f in arrow_schema}
+
+    n_chunks = max(1, (size + CHUNK_BYTES - 1) // CHUNK_BYTES)
+
+    def read_chunks(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            for ci in b.column("id").to_pylist():
+                s = ci * CHUNK_BYTES
+                e = min(s + CHUNK_BYTES, size)  # exclusive chunk end
+                data = _get_range(url, s, min(e + TAIL_BYTES, size) - 1)
+                owned = _owned_lines(data, s, e, size)
+                if s == 0 and is_csv and header:
+                    nl = owned.find(b"\n")
+                    owned = owned[nl + 1 :] if nl >= 0 else b""
+                if not owned.strip():
+                    continue
+                if is_csv:
+                    tbl = pacsv.read_csv(
+                        io.BytesIO(owned),
+                        read_options=pacsv.ReadOptions(column_names=names),
+                        parse_options=pacsv.ParseOptions(delimiter=sep),
+                        convert_options=pacsv.ConvertOptions(column_types=col_types),
+                    )
+                else:
+                    tbl = pajson.read_json(
+                        io.BytesIO(owned),
+                        parse_options=pajson.ParseOptions(explicit_schema=arrow_schema),
+                    )
+                for out in tbl.to_batches():
+                    yield out
+
+    chunks = spark.range(0, n_chunks, 1, numPartitions=min(n_chunks, 256))
+    return chunks.mapInArrow(read_chunks, schema)
+
+
+def scan_http(spark, url: str, fmt: str, options: dict[str, str]):
+    """Entry point: distributed scan if the server supports ranges, else
+    None (caller falls back to the driver-side download)."""
+    try:
+        size, ranged = probe(url)
+    except Exception:
+        return None
+    if size <= 0 or not ranged:
+        return None
+    if fmt == "parquet":
+        return scan_parquet(spark, url, size)
+    if fmt in ("csv", "tsv"):
+        opts = dict(options)
+        if fmt == "tsv":
+            opts.setdefault("sep", "\t")
+        return scan_text(spark, url, size, "csv", opts)
+    if fmt in ("json", "jsonl", "ndjson"):
+        return scan_text(spark, url, size, "json", options)
+    return None
