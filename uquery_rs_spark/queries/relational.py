@@ -850,17 +850,30 @@ def stats_aggregates_prices(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "approx_distinct_parts",
-    oracle=None,  # approximate sketches differ across engines → rows-only check
     tags=("agg", "approx"),
+    oracle="""
+SELECT count(DISTINCT l_partkey) AS exact_parts,
+       TRUE                      AS within_bound
+FROM lineitem
+""",
 )
 def approx_distinct_parts(spark: SparkSession, sf: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) — sketch values are
-    engine-specific, so no value-hash oracle; the exact count rides along
-    for manual sanity."""
+    """approx_count_distinct (HyperLogLog++) reshaped into a
+    hash-checkable claim: sketch estimates are engine-specific, so the
+    checked output is the exact count plus the boolean
+    |approx - exact| / exact <= 0.05 (HLL++ default rsd is 5%) — the
+    oracle computes exact count(DISTINCT) and asserts the bound holds."""
     li = load_tables(spark, sf)["lineitem"]
     return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey").cast("double")
+                - F.countDistinct("l_partkey")
+            )
+            / F.countDistinct("l_partkey")
+            <= F.lit(0.05)
+        ).alias("within_bound"),
     )
 
 
