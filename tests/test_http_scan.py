@@ -78,6 +78,17 @@ def http_root(tmp_path_factory):
     (root / "t.jsonl").write_bytes(
         b"".join(f'{{"a":{i},"b":"row{i}"}}\n'.encode() for i in range(500))
     )
+    (root / "t.tsv").write_bytes(
+        b"a\tb\n" + b"".join(f"{i}\trow{i}\n".encode() for i in range(500))
+    )
+    (root / "noheader.csv").write_bytes(
+        b"".join(f"{i},row{i}\n".encode() for i in range(50))
+    )
+    # key "c" first appears past any plausible sample prefix
+    (root / "late.jsonl").write_bytes(
+        b"".join(f'{{"b":"row{i}","a":{i}}}\n'.encode() for i in range(400))
+        + b'{"b":"row400","a":400,"c":1}\n'
+    )
     handler = type("H", (_RangeHandler,), {"log": [], "directory": str(root)})
     httpd = socketserver.ThreadingTCPServer(
         ("127.0.0.1", 0), lambda *a, **k: handler(*a, directory=str(root), **k)
@@ -118,6 +129,31 @@ class TestHttpScan:
         df = resolve_path(spark, f"{base}/t.jsonl")
         rows = sorted((r.a, r.b) for r in df.collect())
         assert rows == [(i, f"row{i}") for i in range(500)]
+
+    def test_tsv_sample_schema_honors_sep(self, spark, http_root):
+        # regression: the driver-side sample was always comma-parsed, so
+        # .tsv URLs inferred one 'a\tb' column and chunk reads failed
+        base, _ = http_root
+        df = resolve_path(spark, f"{base}/t.tsv")
+        assert df.columns == ["a", "b"]
+        rows = sorted((r.a, r.b) for r in df.collect())
+        assert rows == [(i, f"row{i}") for i in range(500)]
+
+    def test_headerless_csv_uses_spark_column_names(self, spark, http_root):
+        base, _ = http_root
+        df = resolve_path(spark, f"{base}/noheader.csv", options={"header": "false"})
+        assert df.columns == ["_c0", "_c1"]
+        assert df.count() == 50
+
+    def test_jsonl_fields_sorted_and_late_keys_ignored(self, spark, http_root, monkeypatch):
+        base, _ = http_root
+        # shrink the sample so "c" (first seen at row 400) is past it
+        monkeypatch.setattr(H, "_SAMPLE_BYTES", 1024)
+        df = resolve_path(spark, f"{base}/late.jsonl")
+        # alphabetical field order matches spark.read.json conventions,
+        # even though the file writes "b" before "a"
+        assert df.columns == ["a", "b"]
+        assert df.count() == 401
 
     def test_rangeless_server_falls_back_to_driver_fetch(self, spark, http_root):
         base, handler = http_root

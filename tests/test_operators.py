@@ -119,6 +119,10 @@ class TestSimilarity:
         lsh = {(r.x, r.y) for r in S.cosine_pairs_lsh(emb, 0.4, dim=64).collect()}
         assert lsh == exact and len(exact) > 0
 
+    def test_lsh_empty_input_yields_empty_pairs(self, spark):
+        emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").limit(0)
+        assert S.cosine_pairs_lsh(emb, 0.4).count() == 0
+
 
 class TestText:
     def test_fingerprint_matches_python_reference(self, spark):

@@ -362,9 +362,13 @@ def cosine_pairs_lsh(
     from .dedup import _bucket_pairs
 
     if dim is None:
-        dim = len(
-            df.select(vec_col).filter(F.size(vec_col) > 0).limit(1).collect()[0][0]
-        )
+        # Bounded one-row probe, still a job at plan-build time — callers
+        # should pass dim (llm_q does, from the parquet schema).
+        probe = df.select(vec_col).filter(F.size(vec_col) > 0).limit(1).collect()
+        if not probe:
+            spark = df.sparkSession
+            return spark.createDataFrame([], "x long, y long, sim double")
+        dim = len(probe[0][0])
     vecs = with_unit_vector(spread(df.select(id_col, vec_col)), vec_col, "v").select(
         F.col(id_col).alias("id"), "v",
         hyperplane_band_keys(vec_col, dim, bands, rows_per_band, seed).alias("keys"),

@@ -159,20 +159,30 @@ def _owned_lines(data: bytes, start: int, end: int, size: int) -> bytes:
         nl = data.find(b"\n", rel_end)
         if nl < 0:
             raise UQueryError.sql_error(
-                f"line exceeds {TAIL_BYTES} bytes at offset {end} of {data and ''}{size}-byte http table"
+                f"line exceeds {TAIL_BYTES} bytes at offset {end} of {size}-byte http table"
             )
         stop = nl + 1
     return data[cut:stop]
 
 
-def _csv_sample_schema(sample: bytes, header: bool, infer: bool) -> pa.Schema:
+def _csv_sample_schema(sample: bytes, header: bool, infer: bool, sep: str) -> pa.Schema:
     from pyarrow import csv as pacsv
 
     read_opts = pacsv.ReadOptions(autogenerate_column_names=not header)
-    tbl = pacsv.read_csv(io.BytesIO(sample), read_options=read_opts)
-    if infer:
-        return tbl.schema
-    return pa.schema([pa.field(f.name, pa.string()) for f in tbl.schema])
+    tbl = pacsv.read_csv(
+        io.BytesIO(sample),
+        read_options=read_opts,
+        parse_options=pacsv.ParseOptions(delimiter=sep),
+    )
+    fields = list(tbl.schema)
+    if not header:
+        # pyarrow autogenerates f0,f1,...; Spark's csv reader names
+        # headerless columns _c0,_c1,... — match it so the same URL gets
+        # the same column names whichever read path serves it.
+        fields = [f.with_name(f"_c{i}") for i, f in enumerate(fields)]
+    if not infer:
+        fields = [pa.field(f.name, pa.string()) for f in fields]
+    return pa.schema(fields)
 
 
 def scan_text(spark, url: str, size: int, fmt: str, options: dict[str, str]):
@@ -192,9 +202,15 @@ def scan_text(spark, url: str, size: int, fmt: str, options: dict[str, str]):
     infer = options.get("inferSchema", "false").lower() == "true"
     sep = options.get("sep", ",")
     if is_csv:
-        arrow_schema = _csv_sample_schema(sample, header, infer)
+        arrow_schema = _csv_sample_schema(sample, header, infer, sep)
     else:
-        arrow_schema = pajson.read_json(io.BytesIO(sample)).schema
+        # Schema comes from the first-sample scan only (documented
+        # deviation: Spark's fallback reader infers over the whole file).
+        # Sort fields alphabetically to match spark.read.json, and have
+        # chunk reads IGNORE keys that first appear past the sample
+        # instead of appending mismatched columns mid-job.
+        sampled = pajson.read_json(io.BytesIO(sample)).schema
+        arrow_schema = pa.schema(sorted(sampled, key=lambda f: f.name))
     schema = _spark_schema(arrow_schema)
     names = arrow_schema.names
     col_types = {f.name: f.type for f in arrow_schema}
@@ -223,8 +239,15 @@ def scan_text(spark, url: str, size: int, fmt: str, options: dict[str, str]):
                 else:
                     tbl = pajson.read_json(
                         io.BytesIO(owned),
-                        parse_options=pajson.ParseOptions(explicit_schema=arrow_schema),
+                        parse_options=pajson.ParseOptions(
+                            explicit_schema=arrow_schema,
+                            unexpected_field_behavior="ignore",
+                        ),
                     )
+                    # explicit_schema fills absent keys with null but keeps
+                    # first-appearance column order; realign to the declared
+                    # (sorted) schema so every chunk batch matches.
+                    tbl = tbl.select(names)
                 for out in tbl.to_batches():
                     yield out
 
