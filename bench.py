@@ -8,8 +8,17 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Timing counts execution only (collect-to-driver included, JVM+session
 startup excluded) — matching BASELINE.md's "startup-excluded query
-latency" deviation note. Each query runs twice; the best time is kept so
-one-off JIT/IO noise doesn't mask plan quality.
+latency" deviation note.
+
+Measurement hygiene (round-2 lesson: a stale-JVM-polluted run recorded a
+phantom 2.1x regression on untouched code): stray Spark JVMs from earlier
+test runs are killed before timing; Spark shuffle/spill dirs sit on tmpfs
+(session.py — the box's virtio disk stalls seconds on flush); each query
+gets one untimed warmup run (codegen / page cache) then >=3 timed repeats
+(5 when warmup lands over a second, where variance is the signal), for
+BOTH engines identically. The artifact records best, median and spread
+per query. `value` / `vs_duckdb_ratio` stay best-of-N for continuity with
+earlier rounds; `queries_median` / `queries_spread` expose stability.
 
 Because the reference publishes no numbers (BASELINE.md), the honest
 baseline is the engine it delegates to: each bench query's DuckDB oracle
@@ -32,13 +41,71 @@ from uquery_rs_spark.session import get_spark
 
 Q.load_all()
 
-# best-of-3: single-run variance on a shared box is ±0.5s per query,
-# which at sf0.1 is the size of the signal being measured
+# minimum repeats; queries whose first pass exceeds SLOW_SEC get
+# SLOW_REPEATS — on >1 s queries single-run variance (±0.5 s on a shared
+# box) is the size of the signal being measured
 REPEATS = 3
+SLOW_REPEATS = 5
+SLOW_SEC = 1.0
+
+
+def _kill_stale_spark_jvms() -> None:
+    """Kill leftover Spark JVMs from earlier test runs.
+
+    They hold cores/memory and skew timings; round 2 recorded a phantom
+    2.1x regression this way. Only JVMs OUTSIDE this process's ancestry
+    are touched (ours isn't launched yet, but be safe under pytest).
+    """
+    import signal
+
+    me = os.getpid()
+    ancestors = set()
+    pid = me
+    for _ in range(32):
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                pid = int(f.read().split(") ", 1)[1].split()[1])
+        except Exception:
+            break
+        if pid <= 1:
+            break
+        ancestors.add(pid)
+    for p in os.listdir("/proc"):
+        if not p.isdigit() or int(p) in ancestors or int(p) == me:
+            continue
+        try:
+            with open(f"/proc/{p}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\0", b" ").decode(errors="replace")
+        except Exception:
+            continue
+        if "java" in cmd and ("pyspark-shell" in cmd or "SparkSubmit" in cmd):
+            try:
+                os.kill(int(p), signal.SIGKILL)
+            except Exception:
+                pass
+
+
+def _time_repeats(run, first: float) -> list[float]:
+    """`first` is the query's initial (codegen/cache-warming) run — used
+    only to pick the repeat count, NOT recorded, so best/median/spread
+    describe steady-state plan quality for both engines."""
+    times = []
+    n = SLOW_REPEATS if first > SLOW_SEC else REPEATS
+    for _ in range(n):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return sorted(times)
+
+
+def _median(times: list[float]) -> float:
+    n = len(times)
+    return times[n // 2] if n % 2 else (times[n // 2 - 1] + times[n // 2]) / 2
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    _kill_stale_spark_jvms()
     spark = get_spark("uquery-bench")
 
     bench_queries = {n: q for n, q in Q.REGISTRY.items() if q.bench}
@@ -47,13 +114,18 @@ def main() -> None:
     next(iter(bench_queries.values())).spark_fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name, q in bench_queries.items():
-        best = float("inf")
-        for _ in range(REPEATS):
-            t0 = time.perf_counter()
+        def run():
             q.spark_fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+
+        t0 = time.perf_counter()
+        run()
+        times = _time_repeats(run, time.perf_counter() - t0)
+        timings[name] = round(times[0], 4)
+        medians[name] = round(_median(times), 4)
+        spreads[name] = round(times[-1] - times[0], 4)
 
     duck: dict[str, float] = {}
     try:
@@ -63,12 +135,14 @@ def main() -> None:
         for name, q in bench_queries.items():
             if q.oracle is None:
                 continue
-            best = float("inf")
-            for _ in range(REPEATS):
-                t0 = time.perf_counter()
+
+            def run_duck():
                 con.execute(q.oracle).fetchall()
-                best = min(best, time.perf_counter() - t0)
-            duck[name] = round(best, 4)
+
+            t0 = time.perf_counter()
+            run_duck()
+            times = _time_repeats(run_duck, time.perf_counter() - t0)
+            duck[name] = round(times[0], 4)
     except Exception:  # noqa: BLE001 — comparison column is best-effort
         duck = {}
 
@@ -78,6 +152,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "queries_spread": spreads,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if duck:

@@ -20,7 +20,13 @@ def spread(df: DataFrame) -> DataFrame:
     no-op rebalance of narrow rows.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    n = getattr(df, "_uq_num_parts", None)
+    if n is None:
+        # driver-side plan->RDD conversion, no job; memoized on the
+        # instance so repeated spread() of the same frame skips it
+        n = df.rdd.getNumPartitions()
+        df._uq_num_parts = n
+    return df.repartition(target) if n < target else df
 
 
 def bind(expr: Column, fn: Callable[[Column], Column]) -> Column:

@@ -154,10 +154,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """
     emb = load_tables(spark, sf)["embeddings"]
     return (
-        S.cosine_pairs_blocked(emb, threshold=0.4)
+        S.cosine_pairs_blocked(emb, threshold=0.4, n_blocks=_emb_blocks(sf))
         .select("x", "y", F.round("sim", 4).alias("cos_sim"))
         .orderBy("x", "y")
     )
+
+
+def _emb_blocks(sf: str) -> int | None:
+    """Block count for cosine_pairs_blocked from the parquet footer's row
+    count — same ceil(n/1024) in [2, 32] as the operator's adaptive
+    default, minus its df.count() job (footer read is driver-side, a few
+    KiB). None → let the operator count if the footer isn't reachable."""
+    try:
+        import pyarrow.parquet as pq
+
+        n = pq.read_metadata(f"{sf}/embeddings.parquet").num_rows
+        return max(2, min(32, -(-n // 1024)))
+    except Exception:
+        return None
 
 
 @register(
@@ -227,10 +241,35 @@ ORDER BY query_id, rank
 )
 def ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors (vec_id < 100) — the
-    exact ANN baseline; JVM zip_with dot products, broadcast query side."""
+    exact ANN baseline; BLAS matmul per corpus batch, broadcast query side.
+
+    The query matrix (100 x 64 — the broadcast side by contract) is read
+    driver-side straight from the parquet file, skipping the collect job
+    the operator would otherwise run; falls back to the DataFrame path
+    when the file isn't driver-readable."""
     emb = load_tables(spark, sf)["embeddings"]
-    queries = emb.filter(F.col("vec_id") < 100)
+    queries = _query_matrix(sf) or emb.filter(F.col("vec_id") < 100)
     return S.cosine_topk_bruteforce(queries, emb, k=5).orderBy("query_id", "rank")
+
+
+def _query_matrix(sf: str):
+    try:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{sf}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", 100)],  # row-group stats pushdown
+        )
+        ids = t.column("vec_id").to_numpy().astype("int64")
+        M = np.stack(
+            [np.asarray(v, dtype="float64") for v in t.column("embedding").to_pylist()]
+        )
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        return ids, M
+    except Exception:
+        return None
 
 
 @register(

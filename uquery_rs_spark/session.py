@@ -63,6 +63,16 @@ def get_spark(app_name: str = "uquery_rs_spark", cpus: int | None = None) -> Spa
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.driver.memory", os.environ.get("UQ_DRIVER_MEMORY", "32g"))
     )
+    # Shuffle/spill files on tmpfs when available: this box's virtio disk
+    # stalls multi-second on buffered-write flushes, which round-2 bench
+    # recorded as phantom query regressions. On a real cluster the
+    # equivalent is pointing spark.local.dir at node-local NVMe.
+    shm = os.environ.get("UQ_LOCAL_DIR", "/dev/shm/uq-spark-local")
+    try:
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
+    except OSError:
+        pass
     for k, v in _DEFAULTS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
