@@ -217,6 +217,32 @@ def test_bracket_comprehension(spark, rw):
     assert row.d == [6, 8]
 
 
+def test_bracket_negative_slice_ends(spark, rw):
+    row = spark.sql(
+        rw.rewrite(
+            "SELECT l[2:-1] AS a, l[-3:-1] AS b, l[:-2] AS c, l[4:2] AS d "
+            "FROM (SELECT [10, 20, 30, 40, 50] AS l)"
+        )
+    ).collect()[0]
+    assert row.a == [20, 30, 40, 50] and row.b == [30, 40, 50]
+    assert row.c == [10, 20, 30, 40] and row.d == []
+
+
+def test_len_polymorphic(spark, rw):
+    row = spark.sql(
+        rw.rewrite("SELECT len('héllo') AS s, len([1, 2, 3]) AS l, len(s || 'x') AS c "
+                   "FROM (SELECT 'ab' AS s)")
+    ).collect()[0]
+    assert (row.s, row.l, row.c) == (5, 3, 3)
+
+
+def test_map_literal_computed_key_subscript(spark, rw):
+    row = spark.sql(
+        rw.rewrite("SELECT MAP {1 + 1: 'a', 5: 'b'}[2] AS hit, MAP {1 + 1: 'a'}[9] AS miss")
+    ).collect()[0]
+    assert row.hit == "a" and row.miss is None
+
+
 def test_bracket_map_string_key(spark, rw):
     row = spark.sql(
         rw.rewrite("SELECT m['k'] AS v FROM (SELECT map('k', 7) AS m)")

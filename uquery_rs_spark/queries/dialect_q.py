@@ -29,6 +29,55 @@ def _rewritten_sql(spark: SparkSession, sql: str) -> DataFrame:
 
 
 @register(
+    "len_slice_map_edge_battery",
+    tags=("dialect", "battery"),
+    doc="Round-3 dialect edges: polymorphic len(), negative slice ends, "
+    "subscripted non-literal-key MAP literals, * REPLACE over them.",
+    oracle="""
+SELECT doc_id,
+       len(text)                                        AS text_chars,
+       len(string_split(text, ' '))                     AS n_words,
+       array_to_string(string_split(text, ' ')[2:-1], '|')  AS mid_words,
+       array_to_string(string_split(text, ' ')[-3:-2], '|') AS tail_words,
+       len(string_split(text, ' ')[4:2])                AS empty_slice_len,
+       MAP {doc_id % 2 + 1: 'lo', doc_id % 2 + 3: 'hi'}[2][1] AS mk,
+       round(n_chars / 100, 1)                          AS hecto_chars
+FROM documents
+WHERE doc_id <= 200
+ORDER BY doc_id
+""",
+)
+def len_slice_map_edge_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """Dialect edges through the rewriter (NOTES §1 round-3 closures):
+    len() resolves per argument type via a LIMIT-0 probe; slice bounds
+    accept negative ends (count from the last element) and clamp inverted
+    ranges to []; MAP literals with computed keys admit subscripts of any
+    key type; * REPLACE swaps an expression over the probed column list.
+    The DuckDB oracle unwraps its map lookup with [1] (DuckDB returns a
+    single-element list; the Spark rewrite yields the scalar)."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        """
+SELECT * REPLACE (round(hecto_chars, 1) AS hecto_chars)
+FROM (
+  SELECT doc_id,
+         len(text)                                        AS text_chars,
+         len(string_split(text, ' '))                     AS n_words,
+         array_to_string(string_split(text, ' ')[2:-1], '|')  AS mid_words,
+         array_to_string(string_split(text, ' ')[-3:-2], '|') AS tail_words,
+         len(string_split(text, ' ')[4:2])                AS empty_slice_len,
+         MAP {doc_id % 2 + 1: 'lo', doc_id % 2 + 3: 'hi'}[2] AS mk,
+         n_chars / 100                                    AS hecto_chars
+  FROM documents
+  WHERE doc_id <= 200
+)
+ORDER BY doc_id
+""",
+    )
+
+
+@register(
     "qualify_top_orders_per_cust",
     tags=("window", "qualify", "dialect"),
     oracle="""

@@ -28,8 +28,11 @@ Query sugar & dialect
    GROUP/ORDER BY ALL (native), `//` int division, USING SAMPLE →
    TABLESAMPLE, `col->>'k'` → get_json_object
 7. bracket syntax: `[..]` literals → array(), 1-based l[i]/l[a:b] →
-   get/element_at/slice, list comprehensions → transform(filter(...)),
-   MAP {} literals → map()
+   get/element_at/slice (negative bounds count from the end; inverted
+   ranges clamp to [] like DuckDB), list comprehensions →
+   transform(filter(...)), MAP {} literals → map() (subscripts on a map
+   literal become element_at whatever the key type); polymorphic len()
+   → size()/length() per argument type (LIMIT-0 probe)
 8. functions: list_*/string_split/array_to_string/regexp_matches renames
    (string_split escapes its literal separator — Spark's split is regex),
    struct_pack(k := v) → named_struct, generate_series (scalar → sequence,
@@ -487,17 +490,30 @@ class SqlRewriter:
         colon_parts = self._split_top(inner, ":")
         if len(colon_parts) > 1:
             a, b = (p.strip() for p in colon_parts[:2])
+            neg = lambda x: re.fullmatch(r"-\d+", x)  # noqa: E731
             if not a and not b:
                 return operand
-            if not a:
-                return f"slice({operand}, 1, {b})"
             if not b:
-                if re.fullmatch(r"-\d+", a):
+                if neg(a):
                     return f"slice({operand}, {a}, {a.lstrip('-')})"
-                return f"slice({operand}, {a}, size({operand}))"
-            return f"slice({operand}, {a}, ({b}) - ({a}) + 1)"
+                start = a or "1"
+                return f"slice({operand}, {start}, size({operand}))"
+            # DuckDB bounds: negative k counts from the end (-1 = last);
+            # start clamps up to 1 and inverted/empty ranges yield [] —
+            # normalize both bounds to positive 1-based and clamp, so
+            # l[2:-1], l[-3:-1], l[:-2] and l[4:2] all match.
+            b_ix = f"size({operand}) + ({b}) + 1" if neg(b) else b
+            a_ix = f"size({operand}) + ({a}) + 1" if neg(a) else (a or "1")
+            start = a_ix if re.fullmatch(r"[1-9]\d*", a_ix) else f"greatest(1, {a_ix})"
+            return f"slice({operand}, {start}, greatest(0, ({b_ix}) - ({start}) + 1))"
         idx = inner.strip()
         if idx.startswith("'"):  # string key ⇒ map access
+            return f"element_at({operand}, {idx})"
+        if operand.lower().startswith("map("):
+            # subscript directly on a MAP {} literal: key lookup whatever
+            # the key type (DuckDB returns a single-element list; we
+            # return the scalar — documented deviation, missing key is
+            # NULL on both once the oracle unwraps with [1])
             return f"element_at({operand}, {idx})"
         if re.fullmatch(r"-\d+", idx):
             return f"element_at({operand}, {idx})"
@@ -822,7 +838,9 @@ class SqlRewriter:
         types: dict[str, str] = {}
         schemas = []
         for seg in segments:
-            schema = self.spark.sql(f"SELECT * FROM ({seg}) uq_ubn LIMIT 0").schema
+            schema = self.spark.sql(
+                f"SELECT * FROM ({self._rewrite_len(seg)}) uq_ubn LIMIT 0"
+            ).schema
             schemas.append({f.name: f.dataType.simpleString() for f in schema.fields})
             for f in schema.fields:
                 if f.name not in types:
@@ -859,7 +877,9 @@ class SqlRewriter:
         )
         if cut is not None:
             probe = probe[:cut]
-        schema = self.spark.sql(f"SELECT * FROM ({probe}) uq_cols LIMIT 0").schema
+        schema = self.spark.sql(
+            f"SELECT * FROM ({self._rewrite_len(probe)}) uq_cols LIMIT 0"
+        ).schema
         names = list(dict.fromkeys(schema.fieldNames()))
 
         def sub(m: re.Match) -> str:
@@ -899,7 +919,11 @@ class SqlRewriter:
                 raise UQueryError.sql_error(f"bad * REPLACE entry: {entry.strip()[:60]}")
             repl[parts[1].strip().strip('"').lower()] = parts[0].strip()
         probe = sql[: m.start()] + "*" + sql[close + 1 :]
-        schema = self.spark.sql(f"SELECT * FROM ({probe}) uq_probe LIMIT 0").schema
+        # len() resolves last in the main pipeline, but this probe must
+        # analyze NOW — resolve len() in the probe text only
+        schema = self.spark.sql(
+            f"SELECT * FROM ({self._rewrite_len(probe)}) uq_probe LIMIT 0"
+        ).schema
         cols = [
             f"({repl[f.name.lower()]}) AS {f.name}" if f.name.lower() in repl else f"`{f.name}`"
             for f in schema.fields
@@ -958,6 +982,68 @@ class SqlRewriter:
                 )
             m = self._STRF_RE.search(sql, m.start() + len(fn))
         return sql
+
+    # DuckDB len() is polymorphic (chars of a string / elements of a
+    # list); Spark splits it into length() and size().
+    _LEN_RE = re.compile(r"(?i)\blen\s*\(")
+
+    def _rewrite_len(self, sql: str) -> str:
+        """Resolve each ``len(expr)`` to ``size`` or ``length`` by type.
+
+        Text-level rewriting can't know expr's type, so each occurrence is
+        decided by a LIMIT-0 analysis probe (no execution — the same trick
+        as * REPLACE): the query analyzes with this occurrence as
+        ``size(expr)`` iff expr is an array. While one occurrence is being
+        probed the others are neutralized as ``length(cast(expr AS
+        STRING))``, which analyzes for every type. Runs LAST in the
+        pipeline so the probe sees otherwise-valid Spark SQL.
+        """
+        if not self._LEN_RE.search(sql):
+            return sql
+        # split into [text0, arg0, text1, arg1, ..., textN] skipping
+        # occurrences inside string literals
+        segs: list[str] = []
+        args: list[str] = []
+        i, n = 0, len(sql)
+        last = 0
+        while i < n:
+            c = sql[i]
+            if c == "'":
+                j = sql.find("'", i + 1)
+                i = n if j == -1 else j + 1
+                continue
+            m = self._LEN_RE.match(sql, i)
+            if m and not (i > 0 and (sql[i - 1].isalnum() or sql[i - 1] in "_.")):
+                close = self._find_close(sql, m.end() - 1)
+                if close == -1:
+                    break
+                segs.append(sql[last:i])
+                args.append(sql[m.end() : close])
+                last = close + 1
+                i = last
+                continue
+            i += 1
+        segs.append(sql[last:])
+        if not args:
+            return sql
+
+        def compose(forms: list[str]) -> str:
+            out = [segs[0]]
+            for f, t in zip(forms, segs[1:]):
+                out.append(f)
+                out.append(t)
+            return "".join(out)
+
+        neutral = [f"length(cast(({a}) AS STRING))" for a in args]
+        chosen: list[str] = []
+        for k, a in enumerate(args):
+            probe_forms = neutral[:k] + [f"size({a})"] + neutral[k + 1 :]
+            try:
+                self.spark.sql(f"SELECT * FROM ({compose(probe_forms)}) uq_len LIMIT 0")
+                chosen.append(f"size({a})")
+            except Exception:
+                chosen.append(f"length({a})")
+        return compose(chosen)
 
     def _rewrite_qualify(self, sql: str) -> str:
         """DuckDB QUALIFY → filtered subquery (Spark has no QUALIFY).
@@ -1152,6 +1238,7 @@ class SqlRewriter:
         sql = self._rewrite_star_replace(sql)
         sql = self._rewrite_columns_expr(sql)
         sql = self._rewrite_union_by_name(sql)
+        sql = self._rewrite_len(sql)  # LAST: probes need valid Spark SQL
         return sql
 
 
