@@ -121,10 +121,13 @@ def test_path_table_inside_subquery(spark, rw):
     assert spark.sql(sql).count() == 2
 
 
-def test_excel_scan_clear_error(rw):
-    with pytest.raises(UQueryError) as ei:
-        rw.rewrite(f"SELECT * FROM '{FIXTURES}/../fixtures/book.xlsx'")
-    assert "spark-excel" in ei.value.detail
+def test_excel_path_table_scans_natively(spark, rw):
+    # round 3: .xlsx parses natively (sources/excel.py) — the former
+    # spark-excel-jar stub error is gone; .xls keeps a clear error
+    sql = rw.rewrite(f"SELECT * FROM '{FIXTURES}/book.xlsx'")
+    assert spark.sql(sql).count() == 3
+    with pytest.raises(UQueryError, match="xlsx"):
+        rw.rewrite(f"SELECT * FROM '{FIXTURES}/nope.xls'")
 
 
 def test_int_div_rewrite(spark, rw):

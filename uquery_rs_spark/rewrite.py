@@ -60,7 +60,7 @@ from .sources.files import REMOTE_SCHEMES, resolve_path
 _PATH_TABLE_RE = re.compile(
     r"(?i)(?P<kw>\b(?:from|join)\s+)'(?P<path>[^']+)'(?!\s*,\s*')"
 )
-_TVF_RE = re.compile(r"(?i)\b(?P<fn>read_parquet|read_csv|read_json)\s*\(")
+_TVF_RE = re.compile(r"(?i)\b(?P<fn>read_parquet|read_csv|read_json|read_xlsx)\s*\(")
 _JSON_ARROW_RE = re.compile(
     r"(?P<col>[A-Za-z_][\w.]*)\s*->>?\s*'(?P<key>[^']+)'"
 )

@@ -51,11 +51,8 @@ def _fetch_https(url: str) -> str:
     return local
 
 
-# Documented deviation (README): Excel scans need the spark-excel jar,
-# which is a deployment-time dependency — fail with a clear action.
-_EXCEL_EXTS = ("xlsx", "xls")
-
-
+# .xlsx parses natively (sources/excel.py — zip+XML, no jar); legacy
+# binary .xls (BIFF) is the one documented Excel deviation.
 def resolve_path(
     spark: SparkSession,
     path: str,
@@ -64,10 +61,14 @@ def resolve_path(
 ) -> DataFrame:
     """Load `path` (local file/dir or URL) as a DataFrame."""
     ext = fmt or detect_format(path)
-    if ext is None and path.lower().rsplit(".", 1)[-1] in _EXCEL_EXTS:
+    tail = path.lower().rstrip("/").rsplit(".", 1)[-1]
+    if ext is None and tail == "xlsx" or ext == "xlsx":
+        from .excel import scan_excel
+
+        return scan_excel(spark, path, options or {})
+    if ext is None and tail == "xls":
         raise UQueryError.sql_error(
-            f"Excel tables require the com.crealytics:spark-excel package "
-            f"on the Spark classpath (not bundled): {path}"
+            f"legacy binary .xls is not supported — save as .xlsx: {path}"
         )
     if ext is None or ext not in FORMATS:
         raise UQueryError.sql_error(f"cannot infer table format for path: {path}")
