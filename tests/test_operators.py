@@ -160,6 +160,54 @@ class TestMultimodal:
         frames = MM.frame_sample_plan(MM.synthesize_binary_docs(docs), every_n_bytes=64).collect()
         assert [(f.frame_idx, f.byte_offset) for f in frames] == [(0, 0), (1, 64), (2, 128)]
 
+    def test_ppm_roundtrip_and_bmp_decode_agree(self):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (5, 3, 3), dtype=np.uint8)
+        assert (MM.decode_image(MM.encode_ppm(img)) == img).all()
+        # hand-built 24-bit bottom-up BI_RGB BMP of the same pixels
+        h, w = img.shape[:2]
+        stride = (w * 3 + 3) & ~3
+        px = bytearray()
+        for row in img[::-1]:  # bottom-up
+            line = bytearray()
+            for r, g, b in row:
+                line += bytes([b, g, r])  # BGR
+            px += line.ljust(stride, b"\0")
+        header = (
+            b"BM" + (54 + len(px)).to_bytes(4, "little") + b"\0\0\0\0"
+            + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + b"\0" * 24
+        )
+        assert (MM.decode_image(header + bytes(px)) == img).all()
+
+    def test_resize_nearest_and_codec_errors(self):
+        import numpy as np
+        import pytest as _pytest
+
+        img = np.arange(8 * 4 * 3, dtype=np.uint8).reshape(8, 4, 3)
+        small = MM.resize_nearest(img, 4)
+        assert small.shape == (4, 2, 3) and (small[0, 0] == img[0, 0]).all()
+        with _pytest.raises(NotImplementedError, match="JPEG"):
+            MM.decode_image(b"\xff\xd8\xff\xe0rest")
+
+    def test_resize_images_reencodes_decodable_payloads(self, spark):
+        import numpy as np
+
+        img = np.arange(20 * 10 * 3, dtype=np.uint8).reshape(20, 10, 3)
+        df = spark.createDataFrame(
+            [(1, bytearray(MM.encode_ppm(img)), (0, "image/x-portable-pixmap", 10, 20))],
+            "doc_id long, payload binary, meta struct<n_bytes: long, mime: string, width: int, height: int>",
+        )
+        out = MM.resize_images(df, max_dim=5).collect()[0]
+        assert (out.meta.width, out.meta.height) == (2, 5)
+        decoded = MM.decode_image(bytes(out.payload))
+        assert decoded.shape == (5, 2, 3)
+        assert (decoded == MM.resize_nearest(img, 5)).all()
+
 
 class TestSkew:
     def test_salted_join_matches_plain_join(self, spark):

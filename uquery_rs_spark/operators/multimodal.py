@@ -3,10 +3,14 @@
 Beyond-reference surface (driver north star). Real pipelines carry
 image/audio/video as `binary` columns with a metadata struct; decode /
 feature-extraction runs as Arrow-batched pandas iterators (mapInPandas).
-The container has no image/audio libraries, so the *decode* step is a
-clearly-marked stub (deterministic fake or NotImplementedError), while the
-Spark-side plumbing — schema, batch shape, partitioning — is real and
-tested.
+
+Decode support (round 3): uncompressed raster formats parse natively with
+numpy — netpbm P5/P6 and BMP (BI_RGB 8/24/32-bit) — so featurize/resize
+are genuinely pixel-dependent for those payloads, with re-encode to PPM.
+Compressed codecs (JPEG/PNG/video) need libs this container doesn't ship:
+those magic bytes raise NotImplementedError (clear-error deviation), and
+unknown payloads fall back to the deterministic byte-histogram fake so
+the metadata-only pipelines stay runnable.
 
 Scale design: mapInPandas streams Arrow batches through Python once, with
 no row-wise serde; metadata-only operations (sizes, magic-byte sniffing)
@@ -25,7 +29,8 @@ from pyspark.sql import functions as F
 
 FEATURE_DIM = 16
 
-REAL_DECODERS_AVAILABLE = False  # no PIL/ffmpeg in this container
+# P5/P6/BMP decode natively (numpy); JPEG/PNG/etc. still need codecs
+REAL_DECODERS_AVAILABLE = ("ppm", "pgm", "bmp")
 
 
 def synthesize_binary_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -44,31 +49,121 @@ def synthesize_binary_docs(docs: DataFrame, text_col: str = "text") -> DataFrame
     )
 
 
-def decode_image(payload: bytes) -> "np.ndarray":
-    """Stub for the real decoder (PIL/libjpeg not present).
+def _decode_netpbm(payload: bytes) -> np.ndarray:
+    """P5 (gray) / P6 (RGB) binary netpbm → (H, W, 3) uint8."""
+    toks: list[bytes] = []
+    i = 2  # past magic
+    while len(toks) < 3 and i < len(payload):
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to EOL
+            i = payload.index(b"\n", i) + 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        toks.append(payload[i:j])
+        i = j
+    w, h, maxval = (int(t) for t in toks)
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    i += 1  # single whitespace after maxval
+    ch = 3 if payload[:2] == b"P6" else 1
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
+    img = px.reshape(h, w, ch)
+    return np.repeat(img, 3, axis=2) if ch == 1 else img
 
-    Raises NotImplementedError; extract_features uses the deterministic
-    fake below instead.
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed (BI_RGB) 8/24/32-bit BMP → (H, W, 3) uint8."""
+    if int.from_bytes(payload[30:34], "little") != 0:
+        raise NotImplementedError("compressed BMP not supported")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"{bpp}-bit BMP not supported")
+    bottom_up, h = h > 0, abs(h)
+    nbytes = bpp // 8
+    stride = (w * nbytes + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+    rows = rows.reshape(h, stride)[:, : w * nbytes].reshape(h, w, nbytes)
+    if bottom_up:
+        rows = rows[::-1]
+    if nbytes == 1:
+        return np.repeat(rows, 3, axis=2)
+    return rows[:, :, 2::-1]  # BGR(A) → RGB
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to an (H, W, 3) uint8 array.
+
+    Native paths (numpy only): netpbm P5/P6, uncompressed BMP. Compressed
+    codecs raise NotImplementedError naming the missing dependency —
+    callers with metadata-only needs use the fallback featurizer instead.
     """
-    raise NotImplementedError("image decode requires PIL/libjpeg — not in this container")
+    if payload[:2] in (b"P5", b"P6"):
+        return _decode_netpbm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        raise NotImplementedError("JPEG decode requires libjpeg/PIL — not in this container")
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("PNG decode requires zlib codec path/PIL — not in this container")
+    raise ValueError("unrecognized image payload (supported natively: P5/P6 netpbm, BMP)")
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → binary P6 netpbm (the dependency-free re-encode
+    target for resize)."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def resize_nearest(img: np.ndarray, max_dim: int) -> np.ndarray:
+    """Deterministic nearest-neighbor downscale so max(h, w) <= max_dim."""
+    h, w = img.shape[:2]
+    scale = min(1.0, max_dim / max(h, w, 1))
+    nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
+    yi = (np.arange(nh) * h // nh).astype(np.int64)
+    xi = (np.arange(nw) * w // nw).astype(np.int64)
+    return img[yi][:, xi]
 
 
 def _fake_features(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in for a decoder+featurizer: a 16-bin histogram
-    of byte values — stable across engines/platforms and cheap."""
+    """Deterministic stand-in for non-decodable payloads: a 16-bin
+    histogram of byte values — stable across engines/platforms and cheap."""
     arr = np.frombuffer(payload, dtype=np.uint8)
     return np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM).astype(np.int64)
+
+
+def _features(payload: bytes) -> np.ndarray:
+    """Pixel features when the payload decodes (16-bin integer luminance
+    histogram — deterministic: (299R+587G+114B)//1000), else the byte
+    histogram fallback."""
+    try:
+        img = decode_image(bytes(payload))
+    except (NotImplementedError, ValueError):
+        return _fake_features(payload)
+    px = img.astype(np.int64)
+    lum = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+    return np.bincount((lum * FEATURE_DIM // 256).ravel(), minlength=FEATURE_DIM).astype(
+        np.int64
+    )
 
 
 def extract_features(binary_docs: DataFrame) -> DataFrame:
     """payload → FEATURE_DIM histogram features via mapInPandas.
 
-    Output: doc_id, n_bytes, features array<bigint>, feature_sum.
+    Decodable payloads (P5/P6/BMP) get real luminance histograms; opaque
+    ones fall back to the byte histogram. Output: doc_id, n_bytes,
+    features array<bigint>, feature_sum.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [_fake_features(p) for p in pdf["payload"]]
+            feats = [_features(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
@@ -84,38 +179,98 @@ def extract_features(binary_docs: DataFrame) -> DataFrame:
 
 
 def resize_images(binary_docs: DataFrame, max_dim: int = 256) -> DataFrame:
-    """Image-resize plumbing via mapInPandas (decoder stubbed).
+    """Image resize via mapInPandas: decode → nearest-neighbor resample →
+    re-encode as P6 netpbm, all inside the Arrow-batched iterator.
 
-    A real implementation decodes payload → resample → re-encode inside
-    the same Arrow-batched iterator; without PIL the payload passes
-    through unchanged and only the metadata scales, keeping the schema,
-    batch shape, and column flow identical to production. Output schema
+    Payloads that don't decode natively (no codec in this container) pass
+    through with metadata-only scaling — the production schema, batch
+    shape, and column flow are identical either way. Output schema
     matches the input (doc_id, payload, meta).
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            metas = []
-            for m in pdf["meta"]:
-                w, h = int(m["width"]), int(m["height"])
-                scale = min(1.0, max_dim / max(w, h, 1))
-                metas.append(
-                    {
-                        "n_bytes": int(m["n_bytes"]),
-                        "mime": m["mime"],
-                        "width": int(w * scale),
-                        "height": int(h * scale),
-                    }
-                )
-            # REAL_DECODERS_AVAILABLE would re-encode payload here
+            payloads, metas = [], []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                try:
+                    img = resize_nearest(decode_image(bytes(p)), max_dim)
+                    out = encode_ppm(img)
+                    payloads.append(out)
+                    metas.append(
+                        {
+                            "n_bytes": len(out),
+                            "mime": "image/x-portable-pixmap",
+                            "width": img.shape[1],
+                            "height": img.shape[0],
+                        }
+                    )
+                except (NotImplementedError, ValueError):
+                    w, h = int(m["width"]), int(m["height"])
+                    scale = min(1.0, max_dim / max(w, h, 1))
+                    payloads.append(p)
+                    metas.append(
+                        {
+                            "n_bytes": int(m["n_bytes"]),
+                            "mime": m["mime"],
+                            "width": int(w * scale),
+                            "height": int(h * scale),
+                        }
+                    )
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"].values, "payload": pdf["payload"], "meta": metas}
+                {"doc_id": pdf["doc_id"].values, "payload": payloads, "meta": metas}
             )
 
     return binary_docs.mapInPandas(
         batches,
         schema="doc_id long, payload binary, "
         "meta struct<n_bytes: long, mime: string, width: int, height: int>",
+    )
+
+
+def synthesize_image_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic P6 images derived from the id: w = id%13+4,
+    h = id%7+4, pixel (y, x) = (id + 7y + 3x) % 256 in every channel.
+
+    Closed-form by construction, so decode-path outputs (dims, luminance
+    stats) have an exact SQL oracle — the decode step is hash-checkable
+    without any image library on the oracle side."""
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def gen(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = i % 13 + 4, i % 7 + 4
+            y = np.arange(h)[:, None]
+            x = np.arange(w)[None, :]
+            v = ((i + 7 * y + 3 * x) % 256).astype(np.uint8)
+            out.append(encode_ppm(np.repeat(v[:, :, None], 3, axis=2)))
+        return pd.Series(out)
+
+    return docs.select(id_col, gen(F.col(id_col)).alias("payload"))
+
+
+def decode_stats(binary_docs: DataFrame) -> DataFrame:
+    """Decode each payload and emit pixel-derived scalars: real dims from
+    the decoded array and integer-luminance mean ((299R+587G+114B)//1000).
+    Raw double mean — callers round with F.round (HALF_UP, matching SQL
+    engines; numpy/python round is banker's and diverges at half-cents)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {"doc_id": [], "width": [], "height": [], "mean_lum": []}
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(p)).astype(np.int64)
+                lum = (299 * img[:, :, 0] + 587 * img[:, :, 1] + 114 * img[:, :, 2]) // 1000
+                rows["doc_id"].append(int(i))
+                rows["width"].append(img.shape[1])
+                rows["height"].append(img.shape[0])
+                rows["mean_lum"].append(float(lum.mean()))
+            yield pd.DataFrame(rows)
+
+    return binary_docs.mapInPandas(
+        batches, "doc_id long, width long, height long, mean_lum double"
     )
 
 

@@ -464,6 +464,38 @@ def multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_stats",
+    tags=("llm", "multimodal"),
+    oracle="""
+SELECT d.doc_id,
+       d.doc_id % 13 + 4 AS width,
+       d.doc_id % 7 + 4  AS height,
+       round(avg((d.doc_id + 7 * y.y + 3 * x.x) % 256), 2) AS mean_lum
+FROM documents d
+CROSS JOIN generate_series(0, 9)  AS y(y)
+CROSS JOIN generate_series(0, 15) AS x(x)
+WHERE d.doc_id <= 200
+  AND y.y <= d.doc_id % 7 + 3
+  AND x.x <= d.doc_id % 13 + 3
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+""",
+)
+def multimodal_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image decode, hash-checked: deterministic P6 images are
+    generated from doc_id (pixel (y,x) = (id+7y+3x) % 256), encoded to
+    netpbm bytes, decoded back by the native numpy decoder
+    (operators/multimodal.py::decode_image), and reduced to pixel-derived
+    scalars. The closed-form construction gives DuckDB an exact SQL
+    oracle over generate_series — the decode path is verified end-to-end
+    with no image library anywhere. Luminance (299R+587G+114B)//1000
+    equals the pixel value here since channels are equal (1000/1000)."""
+    docs = load_tables(spark, sf)["documents"].filter(F.col("doc_id") <= 200)
+    stats = MM.decode_stats(MM.synthesize_image_docs(docs))
+    return stats.withColumn("mean_lum", F.round("mean_lum", 2)).orderBy("doc_id")
+
+
+@register(
     "dedup_cluster_canonical",
     tags=("llm", "dedup", "iterative"),
     oracle="""
