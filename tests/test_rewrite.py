@@ -266,7 +266,66 @@ def test_function_renames(spark, rw):
 
 def test_function_rename_skips_string_literals(rw):
     out = rw.rewrite("SELECT 'call list_sort(x) here' AS s, list_sort(l) AS t FROM v")
-    assert "'call list_sort(x) here'" in out and "sort_array(l)" in out
+    assert "'call list_sort(x) here'" in out and "array_sort(l)" in out
+
+
+def test_literal_escape_space(spark, rw):
+    # DuckDB literals are escape-free: '\w' must reach the regex engine
+    # as backslash-w, not be eaten by Spark's parser
+    row = spark.sql(rw.rewrite(r"SELECT '\w' AS a, E'a\tb' AS b")).collect()[0]
+    assert row.a == "\\w" and row.b == "a\tb"
+
+
+def test_regexp_replace_first_match_and_flags(spark, rw):
+    row = spark.sql(
+        rw.rewrite(
+            r"SELECT regexp_replace('aaa', 'a', 'b') AS first_only, "
+            r"regexp_replace('aaa', 'a', 'b', 'g') AS global, "
+            r"regexp_replace('AaA', 'a', 'b', 'i') AS ci_first, "
+            r"regexp_replace('one two', '(\w+) (\w+)', '\2 \1') AS backrefs, "
+            r"regexp_replace('price', 'p', '$') AS dollar_lit, "
+            r"regexp_replace('one', '(\w+)', '[\0]') AS whole_ref"
+        )
+    ).collect()[0]
+    assert (row[0], row[1], row[2], row[3], row[4], row[5]) == (
+        "baa", "bbb", "baA", "two one", "$rice", "[one]"
+    )
+
+
+def test_regexp_extract_whole_match_default(spark, rw):
+    row = spark.sql(
+        rw.rewrite(
+            r"SELECT regexp_extract('FOO bar', '[A-Z]+ \w+') AS whole, "
+            r"regexp_extract('FOO bar', '([A-Z])([A-Z]+)', 2) AS grp"
+        )
+    ).collect()[0]
+    assert row.whole == "FOO bar" and row.grp == "OO"
+
+
+def test_list_sort_null_placement(spark, rw):
+    row = spark.sql(
+        rw.rewrite(
+            "SELECT list_sort([3, NULL, 1]) AS asc, "
+            "list_sort([3, NULL, 1], 'DESC') AS desc, "
+            "list_sort([3, NULL, 1], 'ASC', 'NULLS FIRST') AS asc_nf, "
+            "list_sort([3, NULL, 1], 'DESC', 'NULLS FIRST') AS desc_nf, "
+            "list_reverse_sort([3, NULL, 1]) AS rev"
+        )
+    ).collect()[0]
+    # verified against DuckDB: NULLs last in every default ordering
+    assert row[0] == [1, 3, None] and row[1] == [3, 1, None]
+    assert row[2] == [None, 1, 3] and row[3] == [None, 3, 1]
+    assert row[4] == [3, 1, None]
+
+
+def test_array_to_string_empty_is_null(spark, rw):
+    row = spark.sql(
+        rw.rewrite(
+            "SELECT array_to_string([], ',') AS empty, "
+            "array_to_string(['a', NULL, 'b'], '-') AS skips_nulls"
+        )
+    ).collect()[0]
+    assert row.empty is None and row.skips_nulls == "a-b"
 
 
 def test_struct_pack_rewrite(spark, rw):

@@ -856,3 +856,42 @@ def columns_regex_battery(spark: SparkSession, sf: str) -> DataFrame:
         "SELECT c_mktsegment, max(COLUMNS('acctbal')) "
         "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
     )
+
+
+_REGEX_SORT_ESCAPE_SQL = r"""
+SELECT p_partkey,
+       regexp_replace(p_type, '(\w+)$', '[\1]', 'g')       AS bracketed_last,
+       regexp_replace(p_type, '[aeiou]', '-')              AS devowel_first,
+       regexp_replace(p_type, 'steel', '<\0>', 'i')        AS steel_marked,
+       regexp_replace(p_type, '(\w+) (\w+)', '\2 \1')      AS swap_first_words,
+       regexp_replace(p_type, 'S', '$')                    AS dollar_first,
+       regexp_extract(p_type, '[A-Z]+')                    AS leading_word,
+       array_to_string(list_sort(string_split(p_type, ' ')), '|')         AS words_sorted,
+       array_to_string(list_sort(string_split(p_type, ' '), 'DESC'), '|') AS words_desc,
+       array_to_string(list_reverse_sort(string_split(p_type, ' ')), '|') AS words_rev,
+       array_to_string(string_split(p_type, ' ')[7:9], '|')               AS beyond_end
+FROM part
+WHERE p_partkey <= 300
+ORDER BY p_partkey
+"""
+
+
+@register(
+    "regex_sort_escape_battery",
+    tags=("dialect", "battery", "regex"),
+    oracle=_REGEX_SORT_ESCAPE_SQL,
+)
+def regex_sort_escape_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-3 argument-semantics closures, through the rewriter on the
+    IDENTICAL DuckDB SQL (rewrite.py::_normalize_literals,
+    _rewrite_regexp_replace, _rewrite_regexp_extract, _rewrite_list_sort,
+    _rewrite_array_to_string): escape-free literals survive Spark's
+    parser ('\\w' stays backslash-w); regexp_replace replaces the FIRST
+    match unless flagged 'g', folds RE2 flags into the pattern, and
+    translates \\1/\\0 backrefs and literal '$' to Java replacement
+    syntax; 2-arg regexp_extract pins DuckDB's whole-match default;
+    list_sort maps to the Spark sort with the same NULL placement and
+    accepts direction strings; array_to_string of an empty slice is NULL.
+    Array results join to scalars per the corpus hashing convention."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _REGEX_SORT_ESCAPE_SQL)

@@ -33,11 +33,16 @@ Query sugar & dialect
    transform(filter(...)), MAP {} literals → map() (subscripts on a map
    literal become element_at whatever the key type); polymorphic len()
    → size()/length() per argument type (LIMIT-0 probe)
-8. functions: list_*/string_split/array_to_string/regexp_matches renames
-   (string_split escapes its literal separator — Spark's split is regex),
-   struct_pack(k := v) → named_struct, generate_series (scalar → sequence,
-   FROM-position → exploded subquery), string_agg(... ORDER BY) →
-   listagg WITHIN GROUP, strftime/strptime C-format translation
+8. functions: list_*/string_split/regexp_matches renames (string_split
+   escapes its literal separator — Spark's split is regex), struct_pack(k
+   := v) → named_struct, generate_series (scalar → sequence, FROM-position
+   → exploded subquery), string_agg(... ORDER BY) → listagg WITHIN GROUP,
+   strftime/strptime C-format translation; argument-aware semantics:
+   string literals normalized from DuckDB escape-free space to Spark
+   escape space (so '\\w' survives the parser), regexp_replace first-match
+   default + RE2 flag arg + \\1→$1 backrefs, regexp_extract[_all] 2-arg
+   whole-match default, list_sort NULL placement + direction strings,
+   array_to_string NULL on empty list
 9. macros: scalar + parameterized table macros from attached .db files
    inline at rewrite time (DuckDB bind-time semantics); aggregate macro
    geomean(x) → exp(avg(ln(x)))
@@ -239,8 +244,9 @@ class SqlRewriter:
 
     # -- DuckDB → Spark function renames (1:1 semantics verified against
     # DuckDB: array_position returns 0 when missing in BOTH engines;
-    # regexp_like/regexp_matches are both partial-match). Deviation:
-    # list_sort places NULLs last, sort_array first — identical otherwise.
+    # regexp_like/regexp_matches are both partial-match). list_sort /
+    # array_to_string / regexp_replace / regexp_extract need arg-aware
+    # rewrites (NULL placement, empty-list, flags) — separate passes below.
     _FN_RENAMES = {
         "list_transform": "transform",
         "list_filter": "filter",
@@ -251,8 +257,6 @@ class SqlRewriter:
         "list_append": "array_append",
         "list_prepend": "array_prepend",
         "list_position": "array_position",
-        "array_to_string": "array_join",
-        "list_sort": "sort_array",
         "regexp_matches": "regexp_like",
         "strlen": "length",
     }
@@ -391,6 +395,263 @@ class SqlRewriter:
             out.append(c)
             i += 1
         return "".join(out)
+
+    # -- string-literal escape space -------------------------------------
+    # DuckDB standard literals are escape-free (a backslash is a literal
+    # character); Spark's parser processes backslash escapes (default
+    # spark.sql.parser.escapedStringLiterals=false), so '\w+' would reach
+    # the regex engine as 'w+'. Normalizing FIRST doubles user backslashes;
+    # every later pass that injects its own literal text writes it in
+    # Spark escape space (string_split's metachar escaping already does).
+
+    @staticmethod
+    def _normalize_literals(sql: str) -> str:
+        """Double backslashes inside user string literals so the string
+        Spark parses equals the one DuckDB parses. `''` quote-doubling is
+        valid in both parsers and passes through. DuckDB `E'...'` escape
+        literals process the same core escapes (\\n \\t \\\\) as Spark, so
+        the E prefix is dropped and the body kept verbatim."""
+        out: list[str] = []
+        i, n = 0, len(sql)
+        while i < n:
+            c = sql[i]
+            if c == "'":
+                j = i + 1
+                while j < n:
+                    if sql[j] == "'":
+                        if j + 1 < n and sql[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                head = "".join(out)
+                if head[-1:] in ("E", "e") and not (
+                    len(head) > 1 and (head[-2].isalnum() or head[-2] == "_")
+                ):
+                    out[-1] = out[-1][:-1]  # E'...' → keep escapes as-is
+                    out.append(sql[i : j + 1])
+                else:
+                    out.append("'" + sql[i + 1 : j].replace("\\", "\\\\") + "'")
+                i = j + 1
+                continue
+            out.append(c)
+            i += 1
+        return "".join(out)
+
+    _LIT_RE = re.compile(r"'(?:[^']|'')*'", re.S)
+
+    @classmethod
+    def _lit_parse(cls, lit: str) -> str | None:
+        """Spark-escape-space literal token → the raw string value, or
+        None if the token isn't a single plain literal."""
+        if not cls._LIT_RE.fullmatch(lit):
+            return None
+        inner = lit[1:-1]
+        out: list[str] = []
+        i, n = 0, len(inner)
+        while i < n:
+            c = inner[i]
+            if c == "\\" and i + 1 < n:  # Spark: unknown escape → the char
+                out.append(inner[i + 1])
+                i += 2
+                continue
+            if c == "'" and i + 1 < n and inner[i + 1] == "'":
+                out.append("'")
+                i += 2
+                continue
+            out.append(c)
+            i += 1
+        return "".join(out)
+
+    @staticmethod
+    def _lit_emit(raw: str) -> str:
+        """Raw string value → Spark-escape-space literal token."""
+        return "'" + raw.replace("\\", "\\\\").replace("'", "''") + "'"
+
+    @staticmethod
+    def _in_literal(sql: str, idx: int) -> bool:
+        """True when sql[idx] sits inside a single-quoted literal (''
+        doubling toggles twice and cancels)."""
+        in_lit = False
+        for i in range(idx):
+            if sql[i] == "'":
+                in_lit = not in_lit
+        return in_lit
+
+    @classmethod
+    def _search_code(cls, pattern: "re.Pattern[str]", sql: str, pos: int = 0):
+        """pattern.search skipping matches inside string literals."""
+        m = pattern.search(sql, pos)
+        while m and cls._in_literal(sql, m.start()):
+            m = pattern.search(sql, m.end())
+        return m
+
+    # -- regexp_replace / regexp_extract argument semantics ---------------
+
+    _REGEXP_REPLACE_RE = re.compile(r"(?i)\bregexp_replace\s*\(")
+    _REGEXP_EXTRACT_RE = re.compile(r"(?i)\bregexp_extract(_all)?\s*\(")
+
+    @staticmethod
+    def _java_replacement(raw: str, shift: int) -> str:
+        """RE2 replacement string → Java: ``\\k`` backrefs become
+        ``$(k+shift)``, literal ``$`` and ``\\`` get Java-escaped."""
+        out: list[str] = []
+        i, n = 0, len(raw)
+        while i < n:
+            c = raw[i]
+            if c == "\\" and i + 1 < n and raw[i + 1].isdigit():
+                out.append(f"${int(raw[i + 1]) + shift}")
+                i += 2
+                continue
+            if c == "\\" and i + 1 < n and raw[i + 1] == "\\":
+                out.append("\\\\")
+                i += 2
+                continue
+            if c == "$":
+                out.append("\\$")
+                i += 1
+                continue
+            if c == "\\":
+                out.append("\\\\")
+                i += 1
+                continue
+            out.append(c)
+            i += 1
+        return "".join(out)
+
+    def _translate_regexp_replace(self, args: list[str]) -> str:
+        """One regexp_replace call, args already recursed. DuckDB replaces
+        the FIRST match unless flagged 'g', accepts an RE2 flag string, and
+        uses \\1 backrefs; Spark always replaces all, has no flag arg, and
+        uses $1. Verified vs DuckDB: first-only/no-match/empty-match/
+        newline-prefix cases, 'i'/'gi' flags, \\0 whole-match refs, literal
+        '$' in replacements."""
+        fallback = f"regexp_replace({', '.join(args)})"
+        if len(args) not in (3, 4):
+            return fallback
+        flags = ""
+        if len(args) == 4:
+            f = self._lit_parse(args[3])
+            if f is None or not set(f) <= set("gism"):
+                return fallback  # unknown/non-literal flags: pass through
+            flags = f
+        inline = "".join(ch for ch in "ism" if ch in flags)
+        prefix = f"(?{inline})" if inline else ""
+        s, pat_lit, repl_lit = args[0], args[1], args[2]
+        pat = self._lit_parse(pat_lit)
+        repl = self._lit_parse(repl_lit)
+        if "g" in flags:
+            if repl is not None:
+                repl_lit = self._lit_emit(self._java_replacement(repl, 0))
+            if pat is not None:
+                pat_lit = self._lit_emit(prefix + pat)
+            elif prefix:
+                pat_lit = f"concat('{prefix}', {pat_lit})"
+            return f"regexp_replace({s}, {pat_lit}, {repl_lit})"
+        if repl is None:
+            return fallback  # can't shift unknown backrefs: replace-all deviation
+        repl_lit = self._lit_emit("$1" + self._java_replacement(repl, 2))
+        if pat is not None:
+            pat_lit = self._lit_emit(f"^((?s:.*?))({prefix}{pat})")
+        else:
+            pat_lit = f"concat('^((?s:.*?))({prefix}', {pat_lit}, ')')"
+        return f"regexp_replace({s}, {pat_lit}, {repl_lit})"
+
+    def _rewrite_regexp_replace(self, sql: str) -> str:
+        """DuckDB regexp_replace(s, pat, repl[, flags]) → Spark (see
+        _translate_regexp_replace). Recurses into arguments and the tail
+        so nested calls translate exactly once."""
+        m = self._search_code(self._REGEXP_REPLACE_RE, sql)
+        if not m:
+            return sql
+        close = self._find_close(sql, m.end() - 1)
+        if close == -1:
+            return sql
+        args = [
+            self._rewrite_regexp_replace(a.strip())
+            for a in self._split_top(sql[m.end() : close], ",")
+        ]
+        tail = self._rewrite_regexp_replace(sql[close + 1 :])
+        return sql[: m.start()] + self._translate_regexp_replace(args) + tail
+
+    def _rewrite_regexp_extract(self, sql: str) -> str:
+        """Two-arg regexp_extract[_all](s, pat) returns the WHOLE match in
+        DuckDB (group 0) but group 1 in Spark — pin the default with an
+        explicit 0. Calls with an explicit group pass through (same
+        numbering in both engines)."""
+        out: list[str] = []
+        pos = 0
+        m = self._search_code(self._REGEXP_EXTRACT_RE, sql, pos)
+        while m:
+            close = self._find_close(sql, m.end() - 1)
+            if close == -1:
+                break
+            inner = self._rewrite_regexp_extract(sql[m.end() : close])
+            if len(self._split_top(inner, ",")) == 2:
+                inner += ", 0"
+            out.append(sql[pos : m.end()] + inner + ")")
+            pos = close + 1
+            m = self._search_code(self._REGEXP_EXTRACT_RE, sql, pos)
+        out.append(sql[pos:])
+        return "".join(out)
+
+    # -- list_sort / array_to_string argument semantics -------------------
+
+    _LIST_SORT_RE = re.compile(r"(?i)\blist_(reverse_)?sort\s*\(")
+    _ARRAY_TO_STRING_RE = re.compile(r"(?i)\barray_to_string\s*\(")
+
+    def _rewrite_list_sort(self, sql: str) -> str:
+        """DuckDB list_sort(l[, 'ASC'|'DESC'[, 'NULLS FIRST'|'NULLS LAST']])
+        and list_reverse_sort(l[, null_order]) → the Spark call with the
+        same NULL placement (verified vs DuckDB: NULLs sort LAST in every
+        default): ASC→array_sort (nulls last), ASC+NULLS FIRST→sort_array,
+        DESC→sort_array(l, false) (nulls last), DESC+NULLS FIRST→
+        reverse(array_sort). The old plain rename to sort_array put NULLs
+        first ascending and rejected the string direction argument."""
+        m = self._search_code(self._LIST_SORT_RE, sql)
+        if not m:
+            return sql
+        close = self._find_close(sql, m.end() - 1)
+        if close == -1:
+            return sql
+        args = [
+            self._rewrite_list_sort(a.strip())
+            for a in self._split_top(sql[m.end() : close], ",")
+        ]
+        tail = self._rewrite_list_sort(sql[close + 1 :])
+        l = args[0]
+        mods = [(self._lit_parse(a) or "").upper() for a in args[1:]]
+        if m.group(1):  # list_reverse_sort: direction fixed DESC
+            desc, nulls_first = True, "NULLS FIRST" in mods
+        else:
+            desc = "DESC" in mods
+            nulls_first = "NULLS FIRST" in mods
+        if desc:
+            call = f"reverse(array_sort({l}))" if nulls_first else f"sort_array({l}, false)"
+        else:
+            call = f"sort_array({l})" if nulls_first else f"array_sort({l})"
+        return sql[: m.start()] + call + tail
+
+    def _rewrite_array_to_string(self, sql: str) -> str:
+        """array_to_string(l, sep) → array_join guarded for the empty
+        list: DuckDB yields NULL for [], Spark's array_join yields ''.
+        (NULL elements are skipped by both.)"""
+        m = self._search_code(self._ARRAY_TO_STRING_RE, sql)
+        if not m:
+            return sql
+        close = self._find_close(sql, m.end() - 1)
+        if close == -1:
+            return sql
+        args = [
+            self._rewrite_array_to_string(a.strip())
+            for a in self._split_top(sql[m.end() : close], ",")
+        ]
+        tail = self._rewrite_array_to_string(sql[close + 1 :])
+        if len(args) != 2:
+            return sql[: m.start()] + f"array_join({', '.join(args)})" + tail
+        l, sep = args
+        call = f"CASE WHEN size({l}) = 0 THEN NULL ELSE array_join({l}, {sep}) END"
+        return sql[: m.start()] + call + tail
 
     # -- DuckDB bracket syntax: literals, indexing, slicing, comprehensions
 
@@ -1219,12 +1480,19 @@ class SqlRewriter:
         sql = self._rewrite_pivot_statement(sql)
         sql = self._rewrite_unpivot_statement(sql)
         sql = self._rewrite_path_tables(sql)
+        # literal escape space first: user literals are DuckDB (escape-
+        # free); every pass below emits literals in Spark escape space
+        sql = self._normalize_literals(sql)
         sql = self._rewrite_json_arrows(sql)
         # MAP {} before brackets: a subscript on a map literal must see a
         # ')'-terminated operand to read as postfix.
         sql = self._rewrite_map_literal(sql)
         sql = self._rewrite_bracket_syntax(sql)
         sql = self._rewrite_function_names(sql)
+        sql = self._rewrite_regexp_replace(sql)
+        sql = self._rewrite_regexp_extract(sql)
+        sql = self._rewrite_list_sort(sql)
+        sql = self._rewrite_array_to_string(sql)
         sql = self._rewrite_struct_pack(sql)
         sql = self._rewrite_generate_series(sql)
         sql = self._rewrite_string_agg_order(sql)
