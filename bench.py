@@ -6,9 +6,15 @@ Runs the bench-tagged queries from the registry at $SPARK_GRAFT_SF_DIR
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Timing counts execution only (collect-to-driver included, JVM+session
-startup excluded) — matching BASELINE.md's "startup-excluded query
-latency" deviation note.
+Timing counts execution only (result materialization to driver-side
+Arrow included, JVM+session startup excluded) — matching BASELINE.md's
+"startup-excluded query latency" deviation note. BOTH engines
+materialize to Arrow (Spark df.toArrow(), DuckDB .arrow()): the serving
+path of this engine is Arrow-native end to end (engine.py mapInArrow →
+IPC stream), so Python Row-object construction is a cost the product
+never pays — and fetchall() vs collect() compared C-tuple building
+against Python Row building, charging Spark up to ~1 s/100k rows of
+pure client-binding overhead.
 
 Measurement hygiene (round-2 lesson: a stale-JVM-polluted run recorded a
 phantom 2.1x regression on untouched code): stray Spark JVMs from earlier
@@ -118,7 +124,7 @@ def main() -> None:
     spreads: dict[str, float] = {}
     for name, q in bench_queries.items():
         def run():
-            q.spark_fn(spark, sf_dir).collect()
+            q.spark_fn(spark, sf_dir).toArrow()
 
         t0 = time.perf_counter()
         run()
@@ -137,7 +143,7 @@ def main() -> None:
                 continue
 
             def run_duck():
-                con.execute(q.oracle).fetchall()
+                con.execute(q.oracle).arrow()
 
             t0 = time.perf_counter()
             run_duck()
