@@ -318,6 +318,32 @@ def test_list_sort_null_placement(spark, rw):
     assert row[4] == [3, 1, None]
 
 
+def test_cast_fractional_rounds_like_duckdb(spark, rw):
+    # DuckDB rounds half away from zero on fractional→integral casts;
+    # Spark truncates — the rewrite wraps round() exactly when the
+    # operand probes fractional
+    row = spark.sql(
+        rw.rewrite(
+            "SELECT CAST(2.5 AS BIGINT) AS a, CAST(-2.5 AS BIGINT) AS b, "
+            "TRY_CAST(7.5 AS TINYINT) AS c, CAST('12' AS BIGINT) AS s, "
+            "CAST(true AS BIGINT) AS bl"
+        )
+    ).collect()[0]
+    assert (row.a, row.b, row.c, row.s, row.bl) == (3, -3, 8, 12, 1)
+
+
+def test_colon_cast_and_type_renames(spark, rw):
+    row = spark.sql(
+        rw.rewrite(
+            "SELECT 2.5::BIGINT AS a, '2026-01-01'::DATE AS d, "
+            "'x'::TEXT AS t, CAST(9 AS HUGEINT) AS h, 300::INT4 AS i"
+        )
+    ).collect()[0]
+    import datetime
+
+    assert (row.a, row.d, row.t, row.h, row.i) == (3, datetime.date(2026, 1, 1), "x", 9, 300)
+
+
 def test_array_to_string_empty_is_null(spark, rw):
     row = spark.sql(
         rw.rewrite(

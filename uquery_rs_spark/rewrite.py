@@ -1306,6 +1306,133 @@ class SqlRewriter:
                 chosen.append(f"length({a})")
         return compose(chosen)
 
+    # -- casts: DuckDB type names + fractional→integral rounding ----------
+
+    _COLON_CAST_RE = re.compile(r"::\s*(\w+)(\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?")
+    _CAST_RE = re.compile(r"(?i)\b(try_)?cast\s*\(")
+    # DuckDB type names Spark's parser rejects or narrows differently.
+    # HUGEINT/UBIGINT → BIGINT is a documented narrowing (no int128 type);
+    # unsigned types widen to the next signed Spark type.
+    _TYPE_RENAMES = {
+        "hugeint": "BIGINT",
+        "int1": "TINYINT",
+        "int2": "SMALLINT",
+        "int4": "INT",
+        "int8": "BIGINT",
+        "signed": "BIGINT",
+        "utinyint": "SMALLINT",
+        "usmallint": "INT",
+        "uinteger": "BIGINT",
+        "ubigint": "BIGINT",
+        "text": "STRING",
+        "bpchar": "STRING",
+        "blob": "BINARY",
+        "bytea": "BINARY",
+        "real": "FLOAT",
+        "float4": "FLOAT",
+        "float8": "DOUBLE",
+        "logical": "BOOLEAN",
+        "uuid": "STRING",
+    }
+    _INTEGRAL_TYPES = {"tinyint", "smallint", "int", "integer", "bigint", "long", "short", "byte"}
+
+    _TRAILING_LIT_RE = re.compile(r"'(?:[^']|'')*'$")
+
+    def _rewrite_colon_cast(self, sql: str) -> str:
+        """DuckDB ``expr::TYPE`` → ``CAST(expr AS TYPE)`` so the CAST pass
+        below applies type renames and rounding uniformly (Spark parses
+        ``::`` natively, but with Spark semantics and Spark type names)."""
+        m = self._search_code(self._COLON_CAST_RE, sql)
+        while m:
+            head = sql[: m.start()]
+            lit = self._TRAILING_LIT_RE.search(head)
+            if lit:  # '...'::TYPE — _take_operand doesn't scan quotes
+                pre, operand = head[: lit.start()], lit.group(0)
+            else:
+                pre, operand = self._take_operand(head)
+            ty = m.group(1) + (m.group(2) or "")
+            sql = f"{pre}CAST({operand} AS {ty}){sql[m.end():]}"
+            m = self._search_code(self._COLON_CAST_RE, sql)
+        return sql
+
+    def _map_type(self, ty: str) -> str:
+        base = ty.strip().lower()
+        if "(" in base:  # parameterized (DECIMAL(p,s), VARCHAR(n)): keep
+            return ty
+        return self._TYPE_RENAMES.get(base, ty)
+
+    def _rewrite_cast(self, sql: str) -> str:
+        """CAST/TRY_CAST parity: map DuckDB type names Spark rejects, and
+        match DuckDB's fractional→integral rounding (half away from zero)
+        where Spark truncates — CAST(2.5 AS BIGINT) is 3 in DuckDB, 2 in
+        Spark, and Spark's round() is half-away, so the cast becomes
+        CAST(round(e) AS BIGINT) exactly when e is fractional. The operand
+        type comes from a LIMIT-0 analysis probe (no execution): under
+        ANSI coercion ``(e) & 1`` analyzes for integral and string
+        operands but not fractional ones, and ``abs(e)`` separates
+        fractional from boolean. String operands stay untouched — both
+        engines reject CAST('2.5' AS BIGINT) and accept '12'."""
+        # collect top-level CAST occurrences as (text-segment, expr, type)
+        segs: list[str] = []
+        occ: list[tuple[str, str, str]] = []  # (try_kw, expr, mapped_type)
+        i, n = 0, len(sql)
+        last = 0
+        while i < n:
+            if sql[i] == "'":
+                j = sql.find("'", i + 1)
+                i = n if j == -1 else j + 1
+                continue
+            m = self._CAST_RE.match(sql, i)
+            if m and not (i > 0 and (sql[i - 1].isalnum() or sql[i - 1] in "_.")):
+                close = self._find_close(sql, m.end() - 1)
+                if close == -1:
+                    break
+                parts = self._split_top(sql[m.end() : close], "as")
+                if len(parts) == 2:
+                    segs.append(sql[last:i])
+                    occ.append((m.group(1) or "", parts[0].strip(), self._map_type(parts[1])))
+                    last = close + 1
+                    i = last
+                    continue
+            i += 1
+        segs.append(sql[last:])
+        if not occ:
+            return sql
+
+        def form(k: int, expr: str) -> str:
+            kw, _, ty = occ[k]
+            return f"{kw.upper()}CAST({expr} AS {ty.strip()})"
+
+        def compose(forms: list[str]) -> str:
+            out = [segs[0]]
+            for f, t in zip(forms, segs[1:]):
+                out.append(f)
+                out.append(t)
+            return "".join(out)
+
+        neutral = [form(k, e) for k, (_, e, _) in enumerate(occ)]
+        chosen: list[str] = []
+        for k, (kw, expr, ty) in enumerate(occ):
+            if ty.strip().lower() not in self._INTEGRAL_TYPES:
+                chosen.append(neutral[k])
+                continue
+
+            def analyzes(probe_expr: str) -> bool:
+                forms = neutral[:k] + [probe_expr] + neutral[k + 1 :]
+                try:
+                    self.spark.sql(
+                        f"SELECT * FROM ({self._rewrite_len(compose(forms))}) uq_cast LIMIT 0"
+                    )
+                    return True
+                except Exception:
+                    return False
+
+            if not analyzes(f"(({expr}) & 1)") and analyzes(f"abs({expr})"):
+                chosen.append(form(k, f"round({expr})"))  # fractional operand
+            else:
+                chosen.append(neutral[k])
+        return compose(chosen)
+
     def _rewrite_qualify(self, sql: str) -> str:
         """DuckDB QUALIFY → filtered subquery (Spark has no QUALIFY).
 
@@ -1493,6 +1620,7 @@ class SqlRewriter:
         sql = self._rewrite_regexp_extract(sql)
         sql = self._rewrite_list_sort(sql)
         sql = self._rewrite_array_to_string(sql)
+        sql = self._rewrite_colon_cast(sql)
         sql = self._rewrite_struct_pack(sql)
         sql = self._rewrite_generate_series(sql)
         sql = self._rewrite_string_agg_order(sql)
@@ -1506,6 +1634,7 @@ class SqlRewriter:
         sql = self._rewrite_star_replace(sql)
         sql = self._rewrite_columns_expr(sql)
         sql = self._rewrite_union_by_name(sql)
+        sql = self._rewrite_cast(sql)  # probes compose with _rewrite_len
         sql = self._rewrite_len(sql)  # LAST: probes need valid Spark SQL
         return sql
 
