@@ -194,6 +194,51 @@ class TestMultimodal:
         with _pytest.raises(NotImplementedError, match="JPEG"):
             MM.decode_image(b"\xff\xd8\xff\xe0rest")
 
+    def test_png_roundtrip_all_filters(self):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        # 7 rows: filter cycle None,Sub,Up,Average,Paeth,None,Sub
+        img = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+        assert (MM.decode_image(MM.encode_png(img, cycle_filters=True)) == img).all()
+        assert (MM.decode_image(MM.encode_png(img)) == img).all()
+
+    def test_png_color_types(self):
+        import numpy as np
+        import zlib
+
+        def chunk(tag, body):
+            return (
+                len(body).to_bytes(4, "big") + tag + body
+                + (zlib.crc32(tag + body) & 0xFFFFFFFF).to_bytes(4, "big")
+            )
+
+        # 2x2 palette PNG (color type 3): indexes 0..3 into a 4-color PLTE
+        plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+        raw = bytes([0, 0, 1, 0, 2, 3])  # 2 scanlines, filter 0
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", (2).to_bytes(4, "big") * 2 + bytes([8, 3, 0, 0, 0]))
+            + chunk(b"PLTE", plte)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        out = MM.decode_image(png)
+        assert out.shape == (2, 2, 3)
+        assert out[0, 0].tolist() == [255, 0, 0] and out[1, 1].tolist() == [9, 9, 9]
+
+        # 2x1 gray+alpha (color type 4): alpha dropped, gray replicated
+        raw = bytes([0, 10, 200, 250, 0])
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", (2).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes([8, 4, 0, 0, 0]))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        out = MM.decode_image(png)
+        assert out.shape == (1, 2, 3)
+        assert out[0, 0].tolist() == [10, 10, 10] and out[0, 1].tolist() == [250, 250, 250]
+
     def test_resize_images_reencodes_decodable_payloads(self, spark):
         import numpy as np
 

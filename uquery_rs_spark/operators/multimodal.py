@@ -4,13 +4,15 @@ Beyond-reference surface (driver north star). Real pipelines carry
 image/audio/video as `binary` columns with a metadata struct; decode /
 feature-extraction runs as Arrow-batched pandas iterators (mapInPandas).
 
-Decode support (round 3): uncompressed raster formats parse natively with
-numpy — netpbm P5/P6 and BMP (BI_RGB 8/24/32-bit) — so featurize/resize
-are genuinely pixel-dependent for those payloads, with re-encode to PPM.
-Compressed codecs (JPEG/PNG/video) need libs this container doesn't ship:
-those magic bytes raise NotImplementedError (clear-error deviation), and
-unknown payloads fall back to the deterministic byte-histogram fake so
-the metadata-only pipelines stay runnable.
+Decode support (round 3): raster formats parse natively — netpbm P5/P6
+and BMP (BI_RGB 8/24/32-bit) with numpy, and 8-bit PNG with stdlib zlib
+plus a full unfilter (None/Sub/Up/Average/Paeth; gray/RGB/palette/alpha
+color types) — so featurize/resize are genuinely pixel-dependent for
+those payloads, with re-encode to PPM. JPEG/video need codec libs this
+container doesn't ship: those magic bytes raise NotImplementedError
+(clear-error deviation), and unknown payloads fall back to the
+deterministic byte-histogram fake so metadata-only pipelines stay
+runnable.
 
 Scale design: mapInPandas streams Arrow batches through Python once, with
 no row-wise serde; metadata-only operations (sizes, magic-byte sniffing)
@@ -29,8 +31,9 @@ from pyspark.sql import functions as F
 
 FEATURE_DIM = 16
 
-# P5/P6/BMP decode natively (numpy); JPEG/PNG/etc. still need codecs
-REAL_DECODERS_AVAILABLE = ("ppm", "pgm", "bmp")
+# P5/P6/BMP/PNG decode natively (stdlib zlib + numpy); JPEG/video still
+# need codec libraries
+REAL_DECODERS_AVAILABLE = ("ppm", "pgm", "bmp", "png")
 
 
 def synthesize_binary_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -96,10 +99,131 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return rows[:, :, 2::-1]  # BGR(A) → RGB
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG → (H, W, 3) uint8, stdlib zlib + numpy.
+
+    Full filter support (None/Sub/Up/Average/Paeth, per-row); color types
+    0 gray, 2 RGB, 3 palette, 4 gray+alpha, 6 RGBA (alpha dropped —
+    featurize/resize work on opaque RGB). 16-bit and interlaced images
+    raise NotImplementedError."""
+    import zlib
+
+    pos, idat, plte = 8, [], None
+    w = h = depth = ctype = interlace = 0
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, ctype, interlace = body[8], body[9], body[12]
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln  # length + tag + crc
+    if depth != 8 or interlace:
+        raise NotImplementedError(f"PNG bit depth {depth}/interlace {interlace} not supported")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    lines = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f, cur = lines[y, 0], lines[y, 1:].astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y else np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        else:  # Sub/Average/Paeth recur on the left pixel: per-pixel scan
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                if f == 1:
+                    rec[x] = (cur[x] + a) & 0xFF
+                elif f == 3:
+                    rec[x] = (cur[x] + (a + b) // 2) & 0xFF
+                else:  # Paeth
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (cur[x] + pred) & 0xFF
+        out[y] = rec.astype(np.uint8)
+    px = out.reshape(h, w, ch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        return plte[px[:, :, 0]]
+    if ch == 1:
+        return np.repeat(px, 3, axis=2)
+    if ch == 2:  # gray + alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]
+
+
+def encode_png(img: np.ndarray, cycle_filters: bool = False) -> bytes:
+    """(H, W, 3) uint8 → PNG. `cycle_filters` rotates row filters through
+    None/Sub/Up/Average/Paeth so roundtrip tests exercise every unfilter
+    path (a real encoder picks per-row filters the same way)."""
+    import zlib
+
+    img = img.astype(np.uint8)
+    h, w = img.shape[:2]
+    raw = bytearray()
+    prev = np.zeros((w, 3), dtype=np.int64)
+    for y in range(h):
+        row = img[y].astype(np.int64)
+        f = (y % 5) if cycle_filters else 0
+        left = np.vstack([np.zeros((1, 3), dtype=np.int64), row[:-1]])
+        upleft = np.vstack([np.zeros((1, 3), dtype=np.int64), prev[:-1]])
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = row - left
+        elif f == 2:
+            enc = row - prev
+        elif f == 3:
+            enc = row - (left + prev) // 2
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            enc = row - pred
+        raw.append(f)
+        raw += (enc & 0xFF).astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + tag
+            + body
+            + (zlib.crc32(tag + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to an (H, W, 3) uint8 array.
 
-    Native paths (numpy only): netpbm P5/P6, uncompressed BMP. Compressed
+    Native paths (stdlib + numpy only): netpbm P5/P6, uncompressed BMP,
+    8-bit non-interlaced PNG (zlib inflate + full unfilter). JPEG/video
     codecs raise NotImplementedError naming the missing dependency —
     callers with metadata-only needs use the fallback featurizer instead.
     """
@@ -107,11 +231,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_netpbm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return _decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         raise NotImplementedError("JPEG decode requires libjpeg/PIL — not in this container")
-    if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        raise NotImplementedError("PNG decode requires zlib codec path/PIL — not in this container")
-    raise ValueError("unrecognized image payload (supported natively: P5/P6 netpbm, BMP)")
+    raise ValueError("unrecognized image payload (supported natively: P5/P6 netpbm, BMP, PNG)")
 
 
 def encode_ppm(img: np.ndarray) -> bytes:
@@ -228,8 +352,10 @@ def resize_images(binary_docs: DataFrame, max_dim: int = 256) -> DataFrame:
 
 
 def synthesize_image_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic P6 images derived from the id: w = id%13+4,
-    h = id%7+4, pixel (y, x) = (id + 7y + 3x) % 256 in every channel.
+    """Deterministic images derived from the id: w = id%13+4, h = id%7+4,
+    pixel (y, x) = (id + 7y + 3x) % 256 in every channel. Even ids encode
+    as P6 netpbm, odd ids as PNG with cycling row filters — the same
+    closed form through both native decoders.
 
     Closed-form by construction, so decode-path outputs (dims, luminance
     stats) have an exact SQL oracle — the decode step is hash-checkable
@@ -245,7 +371,8 @@ def synthesize_image_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             y = np.arange(h)[:, None]
             x = np.arange(w)[None, :]
             v = ((i + 7 * y + 3 * x) % 256).astype(np.uint8)
-            out.append(encode_ppm(np.repeat(v[:, :, None], 3, axis=2)))
+            img = np.repeat(v[:, :, None], 3, axis=2)
+            out.append(encode_png(img, cycle_filters=True) if i % 2 else encode_ppm(img))
         return pd.Series(out)
 
     return docs.select(id_col, gen(F.col(id_col)).alias("payload"))
