@@ -52,9 +52,9 @@ def len_slice_map_edge_battery(spark: SparkSession, sf: str) -> DataFrame:
     len() resolves per argument type via a LIMIT-0 probe; slice bounds
     accept negative ends (count from the last element) and clamp inverted
     ranges to []; MAP literals with computed keys admit subscripts of any
-    key type; * REPLACE swaps an expression over the probed column list.
-    The DuckDB oracle unwraps its map lookup with [1] (DuckDB returns a
-    single-element list; the Spark rewrite yields the scalar)."""
+    key type and return DuckDB's single-element list (so the [2][1]
+    unwrap chain is the IDENTICAL SQL on both engines); * REPLACE swaps
+    an expression over the probed column list."""
     load_tables(spark, sf)
     return _rewritten_sql(
         spark,
@@ -67,7 +67,7 @@ FROM (
          array_to_string(string_split(text, ' ')[2:-1], '|')  AS mid_words,
          array_to_string(string_split(text, ' ')[-3:-2], '|') AS tail_words,
          len(string_split(text, ' ')[4:2])                AS empty_slice_len,
-         MAP {doc_id % 2 + 1: 'lo', doc_id % 2 + 3: 'hi'}[2] AS mk,
+         MAP {doc_id % 2 + 1: 'lo', doc_id % 2 + 3: 'hi'}[2][1] AS mk,
          n_chars / 100                                    AS hecto_chars
   FROM documents
   WHERE doc_id <= 200

@@ -768,13 +768,18 @@ class SqlRewriter:
             start = a_ix if re.fullmatch(r"[1-9]\d*", a_ix) else f"greatest(1, {a_ix})"
             return f"slice({operand}, {start}, greatest(0, ({b_ix}) - ({start}) + 1))"
         idx = inner.strip()
-        if idx.startswith("'"):  # string key ⇒ map access
-            return f"element_at({operand}, {idx})"
         if operand.lower().startswith("map("):
             # subscript directly on a MAP {} literal: key lookup whatever
-            # the key type (DuckDB returns a single-element list; we
-            # return the scalar — documented deviation, missing key is
-            # NULL on both once the oracle unwraps with [1])
+            # the key type. DuckDB map[k] returns a single-element LIST
+            # ([] when the key is missing) — matched with a filtered
+            # one-element array, so chained [1] unwrapping works on the
+            # identical SQL both engines run.
+            return (
+                f"filter(array(try_element_at({operand}, {idx})), uq_mv -> uq_mv IS NOT NULL)"
+            )
+        if idx.startswith("'"):  # string key ⇒ map/struct column access
+            # (scalar — a non-literal operand's map-vs-struct type is
+            # unknowable at rewrite time; DuckDB returns a list for maps)
             return f"element_at({operand}, {idx})"
         if re.fullmatch(r"-\d+", idx):
             return f"element_at({operand}, {idx})"
