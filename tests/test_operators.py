@@ -191,7 +191,8 @@ class TestMultimodal:
         img = np.arange(8 * 4 * 3, dtype=np.uint8).reshape(8, 4, 3)
         small = MM.resize_nearest(img, 4)
         assert small.shape == (4, 2, 3) and (small[0, 0] == img[0, 0]).all()
-        with _pytest.raises(NotImplementedError, match="JPEG"):
+        # truncated JPEG: clear error from the native codec
+        with _pytest.raises(ValueError, match="JPEG"):
             MM.decode_image(b"\xff\xd8\xff\xe0rest")
 
     def test_png_roundtrip_all_filters(self):
@@ -202,6 +203,34 @@ class TestMultimodal:
         img = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
         assert (MM.decode_image(MM.encode_png(img, cycle_filters=True)) == img).all()
         assert (MM.decode_image(MM.encode_png(img)) == img).all()
+
+    def test_jpeg_roundtrip(self):
+        import numpy as np
+        from uquery_rs_spark.operators import jpeg as J
+
+        # constant color at quality 100 is EXACT (the oracle-query property)
+        img = np.full((16, 24, 3), 137, dtype=np.uint8)
+        assert (J.decode_jpeg(J.encode_jpeg(img, quality=100)) == img).all()
+        # odd (non-multiple-of-8) dims stay exact for constant content
+        img = np.full((5, 11, 3), 200, dtype=np.uint8)
+        dec = J.decode_jpeg(J.encode_jpeg(img, quality=100))
+        assert dec.shape == (5, 11, 3) and (dec == 200).all()
+        # smooth gradient: normal lossy error, bounded
+        y, x = np.mgrid[0:40, 0:56]
+        img = np.stack([(x * 3) % 256, (y * 4) % 256, ((x + y) * 2) % 256], 2).astype(np.uint8)
+        dec = J.decode_jpeg(J.encode_jpeg(img, quality=90))
+        mse = float(np.mean((dec.astype(np.float64) - img) ** 2))
+        assert 10 * np.log10(255**2 / mse) > 35  # PSNR dB
+        # decode_image dispatches on the JPEG magic
+        assert MM.decode_image(J.encode_jpeg(img, quality=90)).shape == img.shape
+
+    def test_jpeg_rejects_progressive(self):
+        import pytest as _pytest
+        from uquery_rs_spark.operators import jpeg as J
+
+        sof2 = b"\xff\xd8" + b"\xff\xc2" + (10).to_bytes(2, "big") + b"\x08" + b"\x00" * 7
+        with _pytest.raises(NotImplementedError, match="baseline"):
+            J.decode_jpeg(sof2)
 
     def test_png_color_types(self):
         import numpy as np

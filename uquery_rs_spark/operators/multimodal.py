@@ -4,13 +4,13 @@ Beyond-reference surface (driver north star). Real pipelines carry
 image/audio/video as `binary` columns with a metadata struct; decode /
 feature-extraction runs as Arrow-batched pandas iterators (mapInPandas).
 
-Decode support (round 3): raster formats parse natively — netpbm P5/P6
-and BMP (BI_RGB 8/24/32-bit) with numpy, and 8-bit PNG with stdlib zlib
-plus a full unfilter (None/Sub/Up/Average/Paeth; gray/RGB/palette/alpha
-color types) — so featurize/resize are genuinely pixel-dependent for
-those payloads, with re-encode to PPM. JPEG/video need codec libs this
-container doesn't ship: those magic bytes raise NotImplementedError
-(clear-error deviation), and unknown payloads fall back to the
+Decode support (round 3): every raster format parses natively — netpbm
+P5/P6 and BMP (BI_RGB 8/24/32-bit) with numpy, 8-bit PNG with stdlib
+zlib plus a full unfilter (None/Sub/Up/Average/Paeth; gray/RGB/palette/
+alpha color types), and baseline JFIF JPEG via the pure-numpy codec in
+jpeg.py (Huffman + DCT both directions) — so featurize/resize are
+genuinely pixel-dependent, with re-encode to PPM. Only video remains
+codec-gated (NotImplementedError); unknown payloads fall back to the
 deterministic byte-histogram fake so metadata-only pipelines stay
 runnable.
 
@@ -31,9 +31,9 @@ from pyspark.sql import functions as F
 
 FEATURE_DIM = 16
 
-# P5/P6/BMP/PNG decode natively (stdlib zlib + numpy); JPEG/video still
-# need codec libraries
-REAL_DECODERS_AVAILABLE = ("ppm", "pgm", "bmp", "png")
+# all raster decode natively (stdlib zlib + numpy, incl. the baseline
+# JPEG codec in jpeg.py); only video remains codec-gated
+REAL_DECODERS_AVAILABLE = ("ppm", "pgm", "bmp", "png", "jpeg")
 
 
 def synthesize_binary_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -234,8 +234,12 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[:8] == _PNG_MAGIC:
         return _decode_png(payload)
     if payload[:2] == b"\xff\xd8":
-        raise NotImplementedError("JPEG decode requires libjpeg/PIL — not in this container")
-    raise ValueError("unrecognized image payload (supported natively: P5/P6 netpbm, BMP, PNG)")
+        from . import jpeg
+
+        return jpeg.decode_jpeg(payload)
+    raise ValueError(
+        "unrecognized image payload (supported natively: P5/P6 netpbm, BMP, PNG, baseline JPEG)"
+    )
 
 
 def encode_ppm(img: np.ndarray) -> bytes:
@@ -373,6 +377,30 @@ def synthesize_image_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             v = ((i + 7 * y + 3 * x) % 256).astype(np.uint8)
             img = np.repeat(v[:, :, None], 3, axis=2)
             out.append(encode_png(img, cycle_filters=True) if i % 2 else encode_ppm(img))
+        return pd.Series(out)
+
+    return docs.select(id_col, gen(F.col(id_col)).alias("payload"))
+
+
+def synthesize_jpeg_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Constant-color baseline JPEGs from the id: w = id%13+4, h = id%7+4,
+    every pixel = id % 256, quality 100.
+
+    At quality 100 all quantizer steps are 1 and a constant block has
+    only an exactly-representable DC coefficient, so the lossy codec
+    round-trips these images EXACTLY (asserted in tests) — giving the
+    JPEG decode path a closed-form SQL oracle just like the PPM/PNG one."""
+    from pyspark.sql.types import BinaryType
+
+    from .jpeg import encode_jpeg
+
+    @F.pandas_udf(BinaryType())
+    def gen(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            img = np.full((i % 7 + 4, i % 13 + 4, 3), i % 256, dtype=np.uint8)
+            out.append(encode_jpeg(img, quality=100))
         return pd.Series(out)
 
     return docs.select(id_col, gen(F.col(id_col)).alias("payload"))

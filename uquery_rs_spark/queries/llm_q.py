@@ -496,6 +496,33 @@ def multimodal_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_decode",
+    tags=("llm", "multimodal"),
+    oracle="""
+SELECT doc_id,
+       doc_id % 13 + 4 AS width,
+       doc_id % 7 + 4  AS height,
+       round(CAST(doc_id % 256 AS DOUBLE), 2) AS mean_lum
+FROM documents
+WHERE doc_id <= 200
+ORDER BY doc_id
+""",
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL JPEG decode, hash-checked: constant-color baseline JPEGs are
+    encoded from doc_id by the pure-numpy codec (operators/jpeg.py:
+    Huffman tables in DHT, Annex-K quantization, matrix DCT), decoded
+    back through the full entropy-decode → dequantize → IDCT → YCbCr
+    path, and reduced to pixel scalars. Quality-100 constant images
+    round-trip exactly (only an integral DC coefficient survives
+    quantization by 1), so DuckDB's closed form is an exact oracle for
+    a lossy codec's decode path."""
+    docs = load_tables(spark, sf)["documents"].filter(F.col("doc_id") <= 200)
+    stats = MM.decode_stats(MM.synthesize_jpeg_docs(docs))
+    return stats.withColumn("mean_lum", F.round("mean_lum", 2)).orderBy("doc_id")
+
+
+@register(
     "dedup_cluster_canonical",
     tags=("llm", "dedup", "iterative"),
     oracle="""
