@@ -429,3 +429,71 @@ class TestCorpusOps:
         red = {r.doc_id: r.redacted for r in TX.pii_redact(docs).collect()}
         assert red[1] == "mail me at <EMAIL> or <PHONE>"
         assert red[2] == "clean text"
+
+
+class TestQuantization:
+    def test_quantize_int8_bounds_and_zero_rows(self):
+        import numpy as np
+
+        A = np.array([[0.5, -1.0, 0.25], [0.0, 0.0, 0.0]])
+        Q, scale = S.quantize_int8(A)
+        assert Q.dtype == np.int8
+        assert Q.max() <= 127 and Q.min() >= -127
+        assert (Q[1] == 0).all() and scale[1, 0] == 1.0  # zero row guarded
+        # reconstruction error bounded by scale/2 per component
+        err = np.abs(Q[0] * scale[0, 0] - A[0])
+        assert (err <= scale[0, 0] / 2 + 1e-12).all()
+
+    def test_int8_topk_recall_vs_exact(self, spark):
+        emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 30)
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in S.cosine_topk_bruteforce(queries, emb, k=5).collect()
+        }
+        quant = {
+            (r.query_id, r.neighbor_id)
+            for r in S.cosine_topk_bruteforce(queries, emb, k=5, int8=True).collect()
+        }
+        recall = len(exact & quant) / len(exact)
+        assert recall >= 0.9, f"int8 recall@5 below bound: {recall}"
+
+
+class TestContaminationAndSplit:
+    def test_contamination_finds_planted_overlap(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "bench", "a b c d e f g h i j"),
+                (2, "web", "x " + "a b c d e f g h" + " y"),  # shares the 8-gram
+                (3, "web", "p q r s t u v w x y"),  # disjoint
+                (4, "web", "short text"),  # < 8 tokens
+            ],
+            "doc_id long, source string, text string",
+        )
+        hits = {
+            r.doc_id: r.n_hit
+            for r in D.contamination_hits(docs, F.col("source") == "bench").collect()
+        }
+        assert hits == {2: 1}
+
+    def test_hash_split_deterministic_partition(self, spark):
+        from uquery_rs_spark.operators.corpus import hash_split
+
+        docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+        out = hash_split(docs)
+        frac = out.filter("split = 'train'").count() / 2000
+        assert 0.9 < frac < 0.98  # ~243/256
+        # membership is a pure row function: repartitioning doesn't change it
+        a = {r.doc_id: r.split for r in out.collect()}
+        b = {r.doc_id: r.split for r in hash_split(docs.repartition(13)).collect()}
+        assert a == b
+
+    def test_repetition_flags_loops(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "spam ham " * 20), (2, " ".join(f"w{i}" for i in range(40)))],
+            "doc_id long, text string",
+        )
+        docs = docs.select("doc_id", F.trim("text").alias("text"))
+        out = {r.doc_id: r.top_bigram_frac for r in TX.repetition_stats(docs).collect()}
+        assert 1 in out and out[1] > 0.4  # "spam ham" dominates
+        assert 2 not in out  # all-distinct bigrams stay below threshold

@@ -45,3 +45,24 @@ def stratified_sample(
     for s, r in rates.items():
         thresh = F.when(F.col(strata_col) == s, F.lit(int(r * buckets))).otherwise(thresh)
     return docs.filter(b < thresh)
+
+
+def hash_split(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    threshold_hex2: str = "f3",
+    names: tuple[str, str] = ("train", "val"),
+) -> DataFrame:
+    """Deterministic train/val assignment from an md5 prefix of the key.
+
+    A row lands in ``names[0]`` iff the first two hex chars of
+    md5(key) sort below ``threshold_hex2`` — e.g. 'f3' keeps 243/256 ≈
+    94.9% for training. md5 hex is identical across engines (the oracle
+    runs the same expression in DuckDB), and unlike rand()-splits the
+    assignment is a pure row function: reproducible across runs,
+    engines, partitionings, and incremental ingestion, with no shuffle.
+    """
+    h2 = F.substring(F.md5(F.col(key_col).cast("string")), 1, 2)
+    return docs.withColumn(
+        "split", F.when(h2 < F.lit(threshold_hex2), names[0]).otherwise(F.lit(names[1]))
+    )

@@ -382,3 +382,36 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels.select("id", F.col("lbl").alias("canonical"))
+
+
+def contamination_hits(
+    docs: DataFrame,
+    bench_pred: Column,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing at least one
+    word ``n``-gram with the benchmark subset (``bench_pred``), with the
+    count of distinct contaminated grams per document.
+
+    Scale shape: the benchmark side (eval sets — megabytes against a
+    100 TB corpus) reduces to a DISTINCT gram set and is broadcast, so
+    the corpus side streams through a map-side hash join on its exploded
+    grams — no corpus shuffle until the final per-doc count, which
+    carries only the (rare) hit rows.
+    """
+    grams = word_shingles(F.col(text_col), n)
+    bench_grams = (
+        docs.filter(bench_pred)
+        .select(F.explode(grams).alias("g"))
+        .distinct()
+    )
+    corpus_grams = docs.filter(~bench_pred).select(
+        id_col, F.explode(grams).alias("g")
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.countDistinct("g").alias("n_hit"))
+    )

@@ -170,3 +170,50 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for name, pat in PII_PATTERNS.items():
         redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
     return docs.select("doc_id", redacted.alias("redacted"))
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_frac: float = 0.05,
+) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of a document's word
+    bigrams taken by its single most frequent bigram. Docs above
+    ``min_frac`` are the loop/boilerplate suspects a pretraining filter
+    drops.
+
+    Entirely per-row array expressions — a narrow projection with NO
+    shuffle, so at 100 TB it streams at scan speed. The per-doc cost is
+    O(|distinct bigrams| * |bigrams|), bounded by document length — the
+    scale axis is docs, not doc size.
+    """
+    from ..functions.expr import bind
+
+    def stats(toks: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(toks) - 1)
+        gram = lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))  # noqa: E731
+        grams = F.when(F.size(toks) >= 2, F.transform(idx, gram)).otherwise(
+            F.array().cast("array<string>")
+        )
+        return bind(
+            grams,
+            lambda g: F.struct(
+                F.array_max(
+                    F.transform(
+                        F.array_distinct(g),
+                        lambda d: F.size(F.filter(g, lambda x: x == d)),
+                    )
+                ).alias("top_c"),
+                F.size(g).alias("total"),
+            ),
+        )
+
+    return (
+        with_tokens(docs, text_col)
+        .select("doc_id", stats(F.col(TOKS)).alias("s"))
+        .filter(F.col("s.top_c") / F.col("s.total") > min_frac)
+        .select(
+            "doc_id",
+            F.round(F.col("s.top_c") / F.col("s.total"), 4).alias("top_bigram_frac"),
+        )
+    )

@@ -642,3 +642,149 @@ def text_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
     stats = TX.pii_stats(salted)
     red = TX.pii_redact(salted)
     return stats.join(red, "doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: decontamination, splits, repetition, quantization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "decontaminate_benchmark_overlap",
+    tags=("llm", "dedup", "decontamination"),
+    oracle="""
+WITH words AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, source, array_to_string(w[i:i+7], '_') AS gram
+  FROM (SELECT doc_id, source, w,
+               unnest(generate_series(1, len(w) - 7)) AS i
+        FROM words)
+)
+SELECT doc_id, count(DISTINCT gram) AS n_hit
+FROM grams
+WHERE source <> 'src0'
+  AND gram IN (SELECT DISTINCT gram FROM grams WHERE source = 'src0')
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def decontaminate_benchmark_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py::contamination_hits):
+    corpus docs sharing any word 8-gram with the benchmark subset (src0
+    stands in for an eval set). The benchmark gram set is DISTINCT'd and
+    broadcast — eval suites are megabytes against a 100 TB corpus — so
+    the corpus side streams through a map-side join with no shuffle
+    until the final count over the rare hit rows."""
+    docs = load_tables(spark, sf)["documents"]
+    return D.contamination_hits(docs, F.col("source") == "src0", n=8).orderBy("doc_id")
+
+
+@register(
+    "corpus_hash_split",
+    tags=("llm", "corpus", "sampling"),
+    oracle="""
+SELECT source,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+            THEN 'train' ELSE 'val' END AS split,
+       count(*) AS n_docs
+FROM documents
+GROUP BY source, split
+ORDER BY source, split
+""",
+)
+def corpus_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val split (operators/corpus.py::hash_split):
+    membership is md5(key) prefix < 'f3' (243/256 ≈ 94.9% train) — a pure
+    row function, so the split is reproducible across engines, runs and
+    partitionings and composes with incremental ingestion. The identical
+    md5 expression runs in the DuckDB oracle."""
+    from ..operators.corpus import hash_split
+
+    docs = load_tables(spark, sf)["documents"]
+    return (
+        hash_split(docs)
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "split")
+    )
+
+
+@register(
+    "text_repetition_stats",
+    tags=("llm", "text"),
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM words)
+), counts AS (
+  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+), stats AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS total FROM counts GROUP BY doc_id
+)
+SELECT doc_id, round(top_c / total, 4) AS top_bigram_frac
+FROM stats
+WHERE top_c / total > 0.05
+ORDER BY doc_id
+""",
+)
+def text_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition filter (operators/text.py::repetition_stats):
+    docs whose single most frequent word bigram exceeds 5% of all bigrams
+    — the loop/boilerplate signal. Spark side is a shuffle-free per-row
+    array expression; the oracle takes the equivalent unnest/group path."""
+    docs = load_tables(spark, sf)["documents"]
+    return TX.repetition_stats(docs).orderBy("doc_id")
+
+
+@register(
+    "emb_quantize_int8_error",
+    tags=("llm", "similarity", "quantized"),
+    oracle="""
+WITH q AS (
+  SELECT label, embedding,
+    CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+         THEN 1.0
+         ELSE list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+    END AS scale
+  FROM embeddings
+), err AS (
+  SELECT label,
+    sqrt(list_sum(list_transform(embedding, x ->
+      pow(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / scale) * scale, 2)))) AS l2_err
+  FROM q
+)
+SELECT label, round(avg(l2_err), 4) AS avg_l2_err, count(*) AS n_vecs
+FROM err GROUP BY label
+ORDER BY label
+""",
+)
+def emb_quantize_int8_error(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8-quantization audit (operators/similarity.py::
+    quantization_error_stats): per-label mean L2 reconstruction error of
+    symmetric per-vector int8 quantization — the go/no-go query before
+    storing a 100 TB embedding corpus at 1 byte/dim. Expression-level on
+    both engines (identical scale/round arithmetic in the oracle)."""
+    emb = load_tables(spark, sf)["embeddings"]
+    return S.quantization_error_stats(emb).orderBy("label")
+
+
+@register(
+    "ann_cosine_topk_int8",
+    oracle=None,  # quantized sims ≈ exact but not bit-equal → rows-only;
+    # recall vs the exact kernel is asserted in tests/test_operators.py
+    tags=("llm", "similarity", "quantized"),
+)
+def ann_cosine_topk_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 brute-force cosine top-5 (vec_id < 100 queries): both sides
+    symmetric-quantized, similarity = integer matmul rescaled by the two
+    per-vector scales — 4x less corpus memory/shuffle than float32 and
+    int-SIMD matmuls, at ~1e-2 sim error (recall@5 vs exact asserted
+    >= 0.9 in tests)."""
+    emb = load_tables(spark, sf)["embeddings"]
+    queries = _query_matrix(sf) or emb.filter(F.col("vec_id") < 100)
+    return S.cosine_topk_bruteforce(queries, emb, k=5, int8=True).orderBy(
+        "query_id", "rank"
+    )
