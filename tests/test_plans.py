@@ -98,3 +98,50 @@ def test_q17_decorrelates_scalar_subquery(spark):
     a per-row subquery re-execution."""
     plan = formatted_plan(Q.REGISTRY["q17_small_quantity_revenue"].spark_fn(spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    # the benchmark gram set (eval suites: MBs vs a 100 TB corpus) must be
+    # the broadcast side; a sort-merge join here would shuffle every
+    # corpus gram.
+    df = Q.REGISTRY["decontaminate_benchmark_overlap"].spark_fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_stats_is_shuffle_free(spark):
+    # per-row array expressions: the only exchange allowed is the final
+    # presentation orderBy's range partitioning.
+    from uquery_rs_spark.operators.text import repetition_stats
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    plan = formatted_plan(repetition_stats(docs))
+    assert "Exchange" not in plan
+
+
+def test_bucketed_join_colocates_without_shuffle(spark):
+    # The 100 TB co-location strategy: fact tables bucketed on the join
+    # key join WITHOUT any Exchange — each task reads matching buckets
+    # from both sides. This is the written-form of the repartition-reuse
+    # advice in SURVEY.md; pinned here so the session conf keeps
+    # bucketing enabled and the reader honors bucket metadata.
+    for t in ("uq_orders_b", "uq_lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    try:
+        (orders.write.mode("overwrite").bucketBy(4, "o_orderkey")
+         .sortBy("o_orderkey").format("parquet").saveAsTable("uq_orders_b"))
+        (lineitem.write.mode("overwrite").bucketBy(4, "l_orderkey")
+         .sortBy("l_orderkey").format("parquet").saveAsTable("uq_lineitem_b"))
+        a, b = spark.table("uq_orders_b"), spark.table("uq_lineitem_b")
+        j = (a.hint("merge")  # force SMJ so absence of Exchange proves co-location
+             .join(b, a.o_orderkey == b.l_orderkey)
+             .select("o_orderkey", "l_quantity"))
+        plan = formatted_plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+    finally:
+        for t in ("uq_orders_b", "uq_lineitem_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
