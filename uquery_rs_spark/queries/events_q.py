@@ -225,3 +225,66 @@ def time_range_window_events(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").over(w).alias("n_last_hour"),
         F.round(F.sum("value").over(w), 2).alias("value_last_hour"),
     ).orderBy("event_id")
+
+
+@register(
+    "funnel_view_click_purchase",
+    tags=("events", "funnel"),
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+)
+SELECT stage, n_users FROM (
+  SELECT '1_view' AS stage, count(*) AS n_users FROM v
+  UNION ALL SELECT '2_click', count(*) FROM c
+  UNION ALL SELECT '3_purchase', count(*) FROM p
+)
+ORDER BY stage
+""",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): per user, the
+    first view, the first click AFTER that view, the first purchase AFTER
+    that click; output is users surviving each stage.
+
+    Scale shape: every stage aggregates and joins on the SAME key
+    (user_id), so one hash partitioning serves the whole funnel — AQE
+    reuses the exchange instead of re-shuffling per stage. Stage
+    DataFrames shrink monotonically; the joins stream against the
+    already-partitioned events scan."""
+    ev = load_tables(spark, sf)["events"]
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    spark_counts = (
+        v.agg(F.lit("1_view").alias("stage"), F.count("*").alias("n_users"))
+        .unionAll(c.agg(F.lit("2_click").alias("stage"), F.count("*").alias("n_users")))
+        .unionAll(p.agg(F.lit("3_purchase").alias("stage"), F.count("*").alias("n_users")))
+    )
+    return spark_counts.orderBy("stage")

@@ -480,3 +480,37 @@ def unpivot_part_measures(spark: SparkSession, sf: str) -> DataFrame:
         .select("p_partkey", "metric", F.round("v", 2).alias("val"))
         .orderBy("p_partkey", "metric")
     )
+
+
+@register(
+    "approx_percentile_prices",
+    tags=("agg", "approx"),
+    oracle="""
+SELECT round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+       TRUE AS within_bound
+FROM lineitem
+""",
+)
+def approx_percentile_prices(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) reshaped into a
+    hash-checkable claim, like approx_distinct_parts: sketch outputs are
+    engine-specific, so the checked columns are the EXACT interpolated
+    percentiles (Spark percentile == DuckDB quantile_cont) plus the
+    boolean that the sketch lands within 1% relative error of each."""
+    li = load_tables(spark, sf)["lineitem"]
+    exact = lambda q: F.expr(f"percentile(l_extendedprice, {q})")  # noqa: E731
+    approx = lambda q: F.expr(  # noqa: E731
+        f"approx_percentile(l_extendedprice, {q}, 10000)"
+    ).cast("double")
+    bound = None
+    for q in (0.25, 0.50, 0.95):
+        b = F.abs(approx(q) - exact(q)) / exact(q) <= F.lit(0.01)
+        bound = b if bound is None else (bound & b)
+    return li.agg(
+        F.round(exact(0.25), 2).alias("p25"),
+        F.round(exact(0.50), 2).alias("p50"),
+        F.round(exact(0.95), 2).alias("p95"),
+        bound.alias("within_bound"),
+    )

@@ -10,7 +10,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..streaming.jobs import run_stateful_user_counter, run_tumbling_stream
+from ..streaming.jobs import (
+    run_sliding_stream,
+    run_stateful_user_counter,
+    run_tumbling_stream,
+)
 from .registry import register
 
 
@@ -41,3 +45,26 @@ def streaming_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
 def streaming_stateful_counter(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user running totals via applyInPandasWithState (update mode)."""
     return run_stateful_user_counter(spark, sf)
+
+
+@register(
+    "streaming_sliding_window",
+    tags=("streaming", "window-agg"),
+    oracle="""
+WITH slid AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)                   AS ws, * FROM events
+  UNION ALL
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL 1 HOUR AS ws, * FROM events
+)
+SELECT ws AS window_start, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM slid
+GROUP BY ws
+ORDER BY ws
+""",
+)
+def streaming_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding windows computed by Structured Streaming (readStream over
+    the events parquet, watermark + overlapping F.window, drained with
+    availableNow) — on a finite source, complete mode equals the batch
+    sliding_window_events query, which is what the oracle checks."""
+    return run_sliding_stream(spark, sf)

@@ -144,3 +144,25 @@ def run_stateful_user_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("user_id")
     )
+
+
+def run_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (2h size / 1h slide) streaming aggregation: each
+    event contributes to two windows; the watermark bounds how long a
+    window's partial aggregate stays in the state store."""
+    ev = streaming_events(spark, sf_dir)
+    name = f"sliding_{uuid.uuid4().hex[:8]}"
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return _drain(agg, name).orderBy("window_start")
