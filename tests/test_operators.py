@@ -497,3 +497,45 @@ class TestContaminationAndSplit:
         out = {r.doc_id: r.top_bigram_frac for r in TX.repetition_stats(docs).collect()}
         assert 1 in out and out[1] > 0.4  # "spam ham" dominates
         assert 2 not in out  # all-distinct bigrams stay below threshold
+
+
+class TestPersistentIvf:
+    def test_build_probe_recall_and_partition_pruning(self, spark, tmp_path):
+        emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        idx = str(tmp_path / "ivf_index")
+        S.ivf_build_index(emb, idx, n_cells=16)
+        queries = emb.filter(F.col("vec_id") < 30)
+
+        out = S.ivf_probe_index(spark, idx, queries, k=5, nprobe=12)
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in S.cosine_topk_bruteforce(queries, emb, k=5).collect()
+        }
+        approx = {(r.query_id, r.neighbor_id) for r in out.collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.9, f"persistent-IVF recall@5: {recall}"
+
+        # the scale property: unprobed cells are pruned at the SCAN, not
+        # filtered afterwards — the partition filter must reach parquet.
+        one_q = emb.filter(F.col("vec_id") == 0)
+        probe_df = S.ivf_probe_index(spark, idx, one_q, k=5, nprobe=2)
+        plan = probe_df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+    def test_probe_matches_inline_ivf_shape(self, spark, tmp_path):
+        emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        idx = str(tmp_path / "ivf_index2")
+        S.ivf_build_index(emb, idx, n_cells=8)
+        empty = emb.filter("vec_id < 0")
+        assert S.ivf_probe_index(spark, idx, empty, k=3, nprobe=2).count() == 0
+        # nprobe >= n_cells degrades to exact over all cells
+        queries = emb.filter(F.col("vec_id") < 10)
+        allcells = {
+            (r.query_id, r.neighbor_id)
+            for r in S.ivf_probe_index(spark, idx, queries, k=5, nprobe=8).collect()
+        }
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in S.cosine_topk_bruteforce(queries, emb, k=5).collect()
+        }
+        assert allcells == exact

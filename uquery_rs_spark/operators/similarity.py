@@ -542,3 +542,104 @@ def ivf_topk(
         probe_topk, "query_id long, neighbor_id long, sim double"
     )
     return _global_topk(part, k)
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: vectors parquet PARTITIONED BY cell, plus a
+    centroid sidecar. Build once, probe many — the billion-vector serving
+    shape, where re-deriving centroids per query (ivf_topk) would waste
+    the training pass and, worse, every probe would scan the full corpus.
+
+    Partitioning by cell is the scale lever: a probe reads ONLY the
+    probed cells' files via parquet partition pruning, so I/O per query
+    batch is nprobe/n_cells of the corpus (asserted on the plan's
+    PartitionFilters in tests). Centroid training reuses the
+    deterministic sample + spherical k-means path of ivf_topk; cell
+    assignment is one distributed argmax pass (BLAS per Arrow batch).
+    """
+    spark = corpus.sparkSession
+    sample_n = max(n_cells * 64, 512)
+    cents_pdf = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_n).toPandas()
+    if not len(cents_pdf):
+        raise ValueError("ivf_build_index: empty corpus")
+    X = np.stack([np.asarray(v, dtype="float64") for v in cents_pdf[vec_col]])
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    cents = _spherical_kmeans(X, min(n_cells, len(X)))
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign(batches):
+        cents = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            _ids, C = _batch_unit(pdf, id_col, vec_col)
+            out = pdf[[id_col, vec_col]].copy()
+            out["cell"] = np.argmax(C @ cents.T, axis=1).astype("int32")
+            yield out
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, {vec_col} array<float>, cell int"
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_probe_index(
+    spark,
+    path: str,
+    queries: DataFrame | tuple[np.ndarray, np.ndarray],
+    k: int,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k probe against an ivf_build_index directory. Columns:
+    query_id, neighbor_id, rank.
+
+    The probed-cell union becomes a partition filter on the vectors
+    parquet — unprobed cells are never read. Within the scan, each query
+    competes only against rows of its own probe set (mask on the cell
+    partition column; no re-assignment matmul needed at probe time).
+    """
+    cents_pdf = spark.read.parquet(f"{path}/centroids").orderBy("cell").toPandas()
+    cents = np.stack([np.asarray(c, dtype="float64") for c in cents_pdf["centroid"]])
+    q_ids, Q = (
+        queries
+        if isinstance(queries, tuple)
+        else _collect_unit_matrix(queries, id_col, vec_col)
+    )
+    if not len(q_ids):
+        return spark.createDataFrame([], "query_id long, neighbor_id long, rank int")
+    qsim = Q @ cents.T
+    probe_mask = np.zeros_like(qsim, dtype=bool)
+    for qi in range(len(q_ids)):
+        probe_mask[qi, np.lexsort((np.arange(cents.shape[0]), -qsim[qi]))[:nprobe]] = True
+    probed = sorted(int(c) for c in np.nonzero(probe_mask.any(axis=0))[0])
+    vecs = spark.read.parquet(f"{path}/vectors").filter(F.col("cell").isin(probed))
+    bc = spark.sparkContext.broadcast((q_ids, Q, probe_mask))
+
+    def probe(batches):
+        q_ids, Q, probe_mask = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, C = _batch_unit(pdf, id_col, vec_col)
+            cell = pdf["cell"].to_numpy().astype("int64")
+            S = Q @ C.T
+            S[~probe_mask[:, cell]] = -np.inf
+            S[q_ids[:, None] == ids[None, :]] = -np.inf
+            yield _local_topk_frame(q_ids, ids, S, k)
+
+    part = vecs.select(id_col, vec_col, "cell").mapInPandas(
+        probe, "query_id long, neighbor_id long, sim double"
+    )
+    return _global_topk(part, k)
