@@ -539,3 +539,34 @@ class TestPersistentIvf:
             for r in S.cosine_topk_bruteforce(queries, emb, k=5).collect()
         }
         assert allcells == exact
+
+
+class TestShuffleOrderAndBuckets:
+    def test_shuffle_order_distributed_rank_matches_naive(self, spark):
+        from pyspark.sql import Window as W
+
+        from uquery_rs_spark.operators.corpus import shuffle_order
+
+        docs = spark.range(5000).select(F.col("id").alias("doc_id")).repartition(7)
+        got = {r.doc_id: r.shuffle_rank for r in shuffle_order(docs).collect()}
+        naive = {
+            r.doc_id: r.rk
+            for r in docs.withColumn(
+                "rk",
+                F.row_number().over(
+                    W.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+                ),
+            ).collect()
+        }
+        assert got == naive
+        assert sorted(got.values()) == list(range(1, 5001))  # contiguous, no dups
+
+    def test_shuffle_order_no_single_partition_window(self, spark):
+        from uquery_rs_spark.operators.corpus import shuffle_order
+
+        docs = spark.range(100).select(F.col("id").alias("doc_id"))
+        plan = shuffle_order(docs)._jdf.queryExecution().executedPlan().toString()
+        # the window must be partitioned on _pid — a global (unpartitioned)
+        # window spec would funnel the whole corpus into one task
+        spec = plan.split("windowspecdefinition(", 1)[1][:80]
+        assert "_b" in spec, spec

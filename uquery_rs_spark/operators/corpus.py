@@ -66,3 +66,77 @@ def hash_split(
     return docs.withColumn(
         "split", F.when(h2 < F.lit(threshold_hex2), names[0]).otherwise(F.lit(names[1]))
     )
+
+
+def shuffle_order(
+    docs: DataFrame, key_col: str = "doc_id", n_buckets: int = 256
+) -> DataFrame:
+    """Deterministic global training order: contiguous rank by md5(key).
+
+    Epoch shuffling for a 100 TB corpus can't be rand() (irreproducible)
+    or a driver-side permutation (doesn't fit) — hashing the key gives a
+    pseudo-random yet reproducible total order (salt the key with the
+    epoch for different epochs). A bare row_number() OVER (ORDER BY ...)
+    would drag every row into ONE partition (Spark's unpartitioned
+    WindowExec). repartitionByRange is also out: its range bounds come
+    from a SAMPLE whose seed includes the RDD id, so the two passes this
+    rank needs would see DIFFERENT partitionings (measured: same plan,
+    different per-partition counts run to run).
+
+    Instead the hash's own uniformity replaces sampling: bucket =
+    first-two-hex-chars of md5 (fixed equi-width, deterministic, skew-
+    free by construction). Pass 1 counts rows per bucket (a 256-row
+    collect); pass 2 ranks within each bucket (distributed window) and
+    adds the bucket's prefix-sum offset — buckets are md5 prefixes, so
+    bucket order IS hash order. Raise n_buckets (max 65536 via 4 hex
+    chars here: 256*256) so each bucket fits one task at corpus scale.
+    """
+    from pyspark.sql import Window as W
+
+    h = F.md5(F.col(key_col).cast("string"))
+    width = 2 if n_buckets <= 256 else 4
+    per = n_buckets if n_buckets <= 256 else 65536
+    bucket = F.pmod(
+        F.conv(F.substring(h, 1, width), 16, 10).cast("long"), F.lit(per)
+    )
+    hashed = docs.withColumn("_h", h).withColumn("_b", bucket)
+    counts = {
+        r["_b"]: r["cnt"]
+        for r in hashed.groupBy("_b").agg(F.count("*").alias("cnt")).collect()
+    }
+    if not counts:
+        return docs.withColumn("shuffle_rank", F.lit(None).cast("long"))
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    mapping = F.create_map(*[F.lit(x) for b_off in offsets.items() for x in b_off])
+    w = W.partitionBy("_b").orderBy("_h", key_col)
+    return (
+        hashed.withColumn(
+            "shuffle_rank",
+            F.row_number().over(w).cast("long") + mapping[F.col("_b")],
+        )
+        .drop("_h", "_b")
+    )
+
+
+def length_buckets(
+    docs: DataFrame, text_col: str = "text", bucket_tokens: int = 32
+) -> DataFrame:
+    """Length-bucketed batching stats: bucket = floor(n_tokens / width).
+
+    Grouping similar-length documents before batch assembly minimizes
+    padding waste in training; the bucket id is a narrow per-row
+    expression, and the aggregate is one small-key shuffle.
+    """
+    n = F.size(F.split(F.col(text_col), " "))
+    return (
+        docs.withColumn("len_bucket", F.floor(n / bucket_tokens).cast("long"))
+        .groupBy("len_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(n).cast("long").alias("min_tokens"),
+            F.max(n).cast("long").alias("max_tokens"),
+        )
+    )

@@ -788,3 +788,51 @@ def ann_cosine_topk_int8(spark: SparkSession, sf: str) -> DataFrame:
     return S.cosine_topk_bruteforce(queries, emb, k=5, int8=True).orderBy(
         "query_id", "rank"
     )
+
+
+@register(
+    "corpus_shuffle_order",
+    tags=("llm", "corpus", "sampling"),
+    oracle="""
+SELECT doc_id,
+       row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+         AS shuffle_rank
+FROM documents
+ORDER BY shuffle_rank
+""",
+)
+def corpus_shuffle_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic epoch-shuffle order (operators/corpus.py::
+    shuffle_order): reproducible pseudo-random global rank by md5(key),
+    computed distributed (range partition + per-partition prefix-sum
+    offsets) instead of the single-partition window a naive global
+    row_number would plan. Oracle runs the naive form — identical
+    ranks, different physical strategy."""
+    from ..operators.corpus import shuffle_order
+
+    docs = load_tables(spark, sf)["documents"]
+    return shuffle_order(docs).select("doc_id", "shuffle_rank").orderBy("shuffle_rank")
+
+
+@register(
+    "corpus_length_buckets",
+    tags=("llm", "corpus", "batching"),
+    oracle="""
+SELECT CAST(floor(len(string_split(text, ' ')) / 32) AS BIGINT) AS len_bucket,
+       count(*) AS n_docs,
+       CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+       CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+FROM documents
+GROUP BY len_bucket
+ORDER BY len_bucket
+""",
+)
+def corpus_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-bucketed batching stats (operators/corpus.py::
+    length_buckets): bucket docs by token count so batch assembly packs
+    similar lengths and minimizes padding waste — narrow per-row bucket
+    id, one tiny-key aggregate shuffle."""
+    from ..operators.corpus import length_buckets
+
+    docs = load_tables(spark, sf)["documents"]
+    return length_buckets(docs).orderBy("len_bucket")
