@@ -486,6 +486,13 @@ def cosine_pairs_lsh(
     )
 
 
+# (cache_key, n_cells) -> trained centroid matrix. Training is
+# deterministic (sorted lowest-id sample, seed-free init), so caching is
+# pure memoization; keyed by caller-supplied corpus identity (e.g. the
+# sf dir), NOT the DataFrame object.
+_centroid_cache: dict[tuple[str, int], np.ndarray] = {}
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -494,6 +501,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF cells.
 
@@ -511,14 +519,22 @@ def ivf_topk(
     recall@5 >= 0.9 against the exact cosine_topk_bruteforce baseline.
     """
     spark = corpus.sparkSession
-    sample_n = max(n_cells * 64, 512)
-    cents_pdf = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_n).toPandas()
     q_ids, Q = _collect_unit_matrix(queries, id_col, vec_col)
-    if not len(cents_pdf) or not len(q_ids):  # empty side: no neighbors
+    cents = _centroid_cache.get((cache_key, n_cells)) if cache_key else None
+    if cents is None:
+        sample_n = max(n_cells * 64, 512)
+        cents_pdf = (
+            corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_n).toPandas()
+        )
+        if not len(cents_pdf) or not len(q_ids):  # empty side: no neighbors
+            return spark.createDataFrame([], "query_id long, neighbor_id long, rank int")
+        X = np.stack([np.asarray(v, dtype="float64") for v in cents_pdf[vec_col]])
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        cents = _spherical_kmeans(X, min(n_cells, len(X)))
+        if cache_key:
+            _centroid_cache[(cache_key, n_cells)] = cents
+    elif not len(q_ids):
         return spark.createDataFrame([], "query_id long, neighbor_id long, rank int")
-    X = np.stack([np.asarray(v, dtype="float64") for v in cents_pdf[vec_col]])
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
-    cents = _spherical_kmeans(X, min(n_cells, len(X)))
 
     qsim = Q @ cents.T  # (nq, n_cells)
     probe_mask = np.zeros_like(qsim, dtype=bool)

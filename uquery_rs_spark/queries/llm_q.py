@@ -288,7 +288,9 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     where the ~4x distance-compute saving actually materializes)."""
     emb = load_tables(spark, sf)["embeddings"]
     queries = emb.filter(F.col("vec_id") < 100)
-    return S.ivf_topk(queries, emb, k=5, n_cells=16, nprobe=12).orderBy("query_id", "rank")
+    return S.ivf_topk(
+        queries, emb, k=5, n_cells=16, nprobe=12, cache_key=f"{sf}/embeddings"
+    ).orderBy("query_id", "rank")
 
 
 # ---------------------------------------------------------------------------
