@@ -570,3 +570,28 @@ class TestShuffleOrderAndBuckets:
         # window spec would funnel the whole corpus into one task
         spec = plan.split("windowspecdefinition(", 1)[1][:80]
         assert "_b" in spec, spec
+
+
+class TestIncrementalDedup:
+    def test_delta_flags_near_dups_vs_base(self, spark):
+        base = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog today"),
+             (2, "completely different words about large scale engines here")],
+            "doc_id long, text string",
+        )
+        delta = spark.createDataFrame(
+            [(10, "the quick brown fox jumps over the lazy dog tonight"),  # near-dup of 1
+             (11, "entirely novel content never seen in the base corpus")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: (r.n_dup_partners, r.kept)
+               for r in D.incremental_near_dedup(base, delta, threshold=0.5).collect()}
+        assert out[10] == (1, False)
+        assert out[11] == (0, True)
+
+    def test_delta_broadcast_side(self, spark):
+        base = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+        delta = spark.createDataFrame([(2, "a b c e")], "doc_id long, text string")
+        plan = (D.incremental_near_dedup(base, delta)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan

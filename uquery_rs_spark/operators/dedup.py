@@ -415,3 +415,54 @@ def contamination_hits(
         .groupBy(id_col)
         .agg(F.countDistinct("g").alias("n_hit"))
     )
+
+
+def incremental_near_dedup(
+    base: DataFrame,
+    delta: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental ingestion near-dedup: flag delta (new-batch) documents
+    whose word-``n``-gram Jaccard against ANY base-corpus document
+    reaches ``threshold``. Columns: id, n_dup_partners, kept.
+
+    The asymmetry IS the scale design: a daily delta is orders of
+    magnitude smaller than the accumulated corpus, so the delta's
+    exploded shingle index is broadcast and the 100 TB base streams
+    through a map-side join — nothing resembling base×base all-pairs
+    runs, and base never re-shuffles. Within-delta duplicates are the
+    symmetric small problem (run jaccard_pairs_exact on the delta).
+    """
+    grams = word_shingles(F.col(text_col), n)
+    d = (
+        delta.select(F.col(id_col).alias("did"), grams.alias("s"))
+        .select("did", F.size("s").alias("nd"), F.explode("s").alias("g"))
+    )
+    b = (
+        base.select(F.col(id_col).alias("bid"), grams.alias("s"))
+        .select("bid", F.size("s").alias("nb"), F.explode("s").alias("g"))
+    )
+    inter = (
+        b.join(F.broadcast(d), "g")
+        .groupBy("did", "bid", "nd", "nb")
+        .agg(F.count("*").alias("i"))
+    )
+    partners = (
+        inter.filter(
+            F.col("i") / (F.col("nd") + F.col("nb") - F.col("i")) >= threshold
+        )
+        .groupBy("did")
+        .agg(F.count("*").alias("n_dup_partners"))
+    )
+    return (
+        delta.select(id_col)
+        .join(partners, F.col(id_col) == F.col("did"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_dup_partners", F.lit(0)).alias("n_dup_partners"),
+            F.col("n_dup_partners").isNull().alias("kept"),
+        )
+    )

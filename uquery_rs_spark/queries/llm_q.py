@@ -838,3 +838,134 @@ def corpus_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_tables(spark, sf)["documents"]
     return length_buckets(docs).orderBy("len_bucket")
+
+
+@register(
+    "dedup_incremental_delta",
+    tags=("llm", "dedup", "incremental"),
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct([t[i] || '_' || t[i+1] || '_' || t[i+2]
+                        for i in generate_series(1, len(t) - 2)]) AS s
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)
+),
+d AS (SELECT doc_id AS did, len(s) AS nd, unnest(s) AS g FROM sh WHERE source = 'src18'),
+b AS (SELECT doc_id AS bid, len(s) AS nb, unnest(s) AS g FROM sh WHERE source <> 'src18'),
+inter AS (
+  SELECT did, bid, nd, nb, count(*) AS i
+  FROM b JOIN d USING (g)
+  GROUP BY 1, 2, 3, 4
+),
+partners AS (
+  SELECT did, count(*) AS n_dup_partners
+  FROM inter
+  WHERE i * 1.0 / (nd + nb - i) >= 0.5
+  GROUP BY did
+)
+SELECT doc_id,
+       coalesce(n_dup_partners, 0) AS n_dup_partners,
+       n_dup_partners IS NULL      AS kept
+FROM documents LEFT JOIN partners ON doc_id = did
+WHERE source = 'src18'
+ORDER BY doc_id
+""",
+)
+def dedup_incremental_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ingestion near-dedup (operators/dedup.py::
+    incremental_near_dedup): src18 plays the daily delta, every other
+    source the accumulated corpus. The delta's shingle index is
+    broadcast; the base streams map-side — the shape that keeps a 100 TB
+    corpus from ever re-shuffling on ingestion."""
+    docs = load_tables(spark, sf)["documents"]
+    delta = docs.filter(F.col("source") == "src18")
+    base = docs.filter(F.col("source") != "src18")
+    return D.incremental_near_dedup(base, delta).orderBy("doc_id")
+
+
+@register(
+    "corpus_filter_funnel",
+    tags=("llm", "text", "corpus"),
+    oracle="""
+WITH words AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM words)
+), rep AS (
+  SELECT doc_id, max(c) * 1.0 / sum(c) AS top_frac FROM (
+    SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+  ) GROUP BY doc_id
+), checks AS (
+  SELECT w.source,
+         len(w.w) >= 20                                    AS pass_len,
+         coalesce(rep.top_frac, 1.0) <= 0.1                AS pass_rep,
+         len(list_distinct(w.w)) * 1.0 / len(w.w) >= 0.3   AS pass_ttr
+  FROM words w LEFT JOIN rep ON w.doc_id = rep.doc_id
+)
+SELECT source,
+       count(*)                         AS n_total,
+       count(*) FILTER (pass_len)       AS n_pass_len,
+       count(*) FILTER (pass_rep)       AS n_pass_rep,
+       count(*) FILTER (pass_ttr)       AS n_pass_ttr,
+       count(*) FILTER (pass_len AND pass_rep AND pass_ttr) AS n_kept
+FROM checks
+GROUP BY source
+ORDER BY source
+""",
+)
+def corpus_filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Pretraining quality-filter funnel: per source, how many docs pass
+    each gate (length >= 20 tokens, top-bigram fraction <= 0.1,
+    type-token ratio >= 0.3) and all gates combined — the accept-rate
+    dashboard every corpus build runs before committing a mix. One
+    scan, per-row array expressions, one tiny-key aggregate."""
+    from ..functions.expr import bind
+
+    docs = load_tables(spark, sf)["documents"]
+    toks = F.split(F.col("text"), " ")
+
+    def top_frac(toks_c):
+        idx = F.sequence(F.lit(1), F.size(toks_c) - 1)
+        gram = lambda i: F.concat_ws(" ", F.element_at(toks_c, i), F.element_at(toks_c, i + 1))  # noqa: E731
+        grams = F.when(F.size(toks_c) >= 2, F.transform(idx, gram)).otherwise(
+            F.array().cast("array<string>")
+        )
+        return bind(
+            grams,
+            lambda g: F.when(F.size(g) == 0, F.lit(1.0)).otherwise(
+                F.array_max(
+                    F.transform(
+                        F.array_distinct(g),
+                        lambda d: F.size(F.filter(g, lambda x: x == d)),
+                    )
+                ).cast("double")
+                / F.size(g)
+            ),
+        )
+
+    checks = docs.select(
+        "source",
+        bind(
+            toks,
+            lambda t: F.struct(
+                (F.size(t) >= 20).alias("pass_len"),
+                (top_frac(t) <= 0.1).alias("pass_rep"),
+                (F.size(F.array_distinct(t)) / F.size(t) >= 0.3).alias("pass_ttr"),
+            ),
+        ).alias("c"),
+    ).select("source", "c.pass_len", "c.pass_rep", "c.pass_ttr")
+    cnt = lambda c: F.count_if(c).alias  # noqa: E731
+    return (
+        checks.groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count_if(F.col("pass_len")).alias("n_pass_len"),
+            F.count_if(F.col("pass_rep")).alias("n_pass_rep"),
+            F.count_if(F.col("pass_ttr")).alias("n_pass_ttr"),
+            F.count_if(
+                F.col("pass_len") & F.col("pass_rep") & F.col("pass_ttr")
+            ).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
