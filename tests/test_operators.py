@@ -595,3 +595,19 @@ class TestIncrementalDedup:
         plan = (D.incremental_near_dedup(base, delta)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BroadcastHashJoin" in plan
+
+
+class TestStagedMinhash:
+    def test_staged_equals_pipelined(self, spark, tmp_path):
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        staged = {
+            (r.x, r.y, r.jaccard)
+            for r in D.minhash_lsh_staged(
+                docs, str(tmp_path / "mh"), threshold=0.5
+            ).collect()
+        }
+        pipelined = {
+            (r.x, r.y, r.jaccard)
+            for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+        }
+        assert staged == pipelined and len(staged) > 0

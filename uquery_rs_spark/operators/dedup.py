@@ -466,3 +466,57 @@ def incremental_near_dedup(
             F.col("n_dup_partners").isNull().alias("kept"),
         )
     )
+
+
+def minhash_lsh_staged(
+    docs: DataFrame,
+    workdir: str,
+    threshold: float,
+    n: int = 3,
+    bands: int = 48,
+    rows_per_band: int = 2,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """minhash_lsh_pairs as a two-job staged pipeline: candidates are
+    MATERIALIZED to parquet, then verified by a second job.
+
+    The fully-pipelined operator recomputes the shingle projection three
+    times (candidate side + both verify sides) — measured CHEAPER at
+    local scale than any checkpoint barrier, because Spark pipelines the
+    recompute and AQE keeps working. At 100 TB the trade flips:
+    re-tokenizing the corpus 3x costs more than writing the (small,
+    near-dup-sparse) candidate list once, the verify job joins candidates
+    back against only the documents that appear in them, and a failed
+    verify step restarts from the candidate parquet instead of hour one.
+    Same output contract as minhash_lsh_pairs: x, y, jaccard (rounded 4).
+    """
+    sh = _spread(docs).select(
+        F.col(key_col).alias("id"), word_shingles(F.col(text_col), n).alias("s")
+    ).filter(F.size("s") > 0)
+    band_keys = minhash_band_keys(F.col("s"), bands, rows_per_band)
+    buckets = sh.select("id", F.posexplode(band_keys).alias("band", "bkey"))
+    # Job 1: candidate pairs to disk (checkpoint of the expensive stage).
+    _bucket_pairs(buckets, "band", "bkey").write.mode("overwrite").parquet(
+        f"{workdir}/candidates"
+    )
+    # Job 2: verify. Semi-join first so only candidate documents are
+    # re-shingled — at scale that's the near-dup-suspect sliver, not the
+    # corpus.
+    cands = docs.sparkSession.read.parquet(f"{workdir}/candidates")
+    ids = cands.select(F.col("x").alias("cid")).union(
+        cands.select(F.col("y").alias("cid"))
+    ).distinct()
+    sh_c = sh.join(ids, sh["id"] == ids["cid"], "left_semi")
+    sets_x = sh_c.select(F.col("id").alias("x"), F.col("s").alias("sx"))
+    sets_y = sh_c.select(F.col("id").alias("y"), F.col("s").alias("sy"))
+    return (
+        cands.join(sets_x, "x")
+        .join(sets_y, "y")
+        .withColumn("inter", F.size(F.array_intersect("sx", "sy")))
+        .withColumn(
+            "jaccard", F.col("inter") / (F.size("sx") + F.size("sy") - F.col("inter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("x", "y", F.round("jaccard", 4).alias("jaccard"))
+    )
