@@ -611,3 +611,21 @@ class TestStagedMinhash:
             for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
         }
         assert staged == pipelined and len(staged) > 0
+
+
+class TestVideoFrameSample:
+    def test_every_frame_vs_sampled(self, spark):
+        docs = spark.createDataFrame([(7,), (12,)], "doc_id long")
+        vids = MM.synthesize_video_docs(docs)
+        all_f = MM.sample_video_frames(vids, every=1).collect()
+        some_f = MM.sample_video_frames(vids, every=2).collect()
+        n_frames = {r.doc_id: r for r in all_f}
+        assert {r.doc_id for r in all_f} == {7, 12}
+        assert len([r for r in all_f if r.doc_id == 7]) == 7 % 5 + 2
+        assert len([r for r in all_f if r.doc_id == 12]) == 12 % 5 + 2
+        sampled_idx = {(r.doc_id, r.frame_idx) for r in some_f}
+        assert sampled_idx == {(d, f) for (d, f) in
+                               ((r.doc_id, r.frame_idx) for r in all_f) if f % 2 == 0}
+        # frame pixels differ across frames: lum depends on frame_idx
+        lums7 = [r.mean_lum for r in sorted(all_f, key=lambda r: (r.doc_id, r.frame_idx)) if r.doc_id == 7]
+        assert len(set(lums7)) > 1

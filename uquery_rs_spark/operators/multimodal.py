@@ -440,3 +440,91 @@ def frame_sample_plan(binary_docs: DataFrame, every_n_bytes: int = 64) -> DataFr
             "frame_idx", "frame_offset_unit"
         ),
     ).select("doc_id", "frame_idx", (F.col("frame_idx") * every_n_bytes).alias("byte_offset"))
+
+
+def _frame_header(payload: bytes, pos: int) -> tuple[int, int, int, int]:
+    """Parse ONE P6 frame header at ``pos`` of a concatenated stream;
+    returns (w, h, data_start, next_pos) WITHOUT touching pixel bytes —
+    skipped frames cost a header read plus an offset jump."""
+    if payload[pos : pos + 2] != b"P6":
+        raise ValueError(f"not a P6 frame at offset {pos}")
+    toks: list[int] = []
+    i = pos + 2
+    while len(toks) < 3:
+        while payload[i : i + 1].isspace():
+            i += 1
+        j = i
+        while not payload[j : j + 1].isspace():
+            j += 1
+        toks.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, _maxval = toks
+    return w, h, i, i + w * h * 3
+
+
+def synthesize_video_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 'videos': doc_id -> id%5+2 concatenated P6 frames,
+    frame f pixel (y, x) = (id + 11f + 7y + 3x) % 256 in every channel,
+    dims w = id%13+4, h = id%7+4. A real (if minimal) container format —
+    frame boundaries exist only in the bytes and must be parsed — with a
+    closed form that gives frame sampling an exact SQL oracle."""
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def gen(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = i % 13 + 4, i % 7 + 4
+            y = np.arange(h)[:, None]
+            x = np.arange(w)[None, :]
+            frames = []
+            for f in range(i % 5 + 2):
+                v = ((i + 11 * f + 7 * y + 3 * x) % 256).astype(np.uint8)
+                frames.append(encode_ppm(np.repeat(v[:, :, None], 3, axis=2)))
+            out.append(b"".join(frames))
+        return pd.Series(out)
+
+    return docs.select(id_col, gen(F.col(id_col)).alias("payload"))
+
+
+def sample_video_frames(binary_docs: DataFrame, every: int = 2) -> DataFrame:
+    """REAL frame sampling over the concatenated-P6 container: walk the
+    byte stream frame by frame, decode every ``every``-th frame, emit
+    per-frame pixel stats. Columns: doc_id, frame_idx, width, height,
+    mean_lum.
+
+    Real codecs (H.264 etc.) stay out of scope — no codec libs in this
+    container — but the pipeline shape is the production one: Arrow
+    batches of opaque bytes in, a seekable-container parse per payload,
+    frame-level rows out. Skipped frames are SKIPPED at parse time
+    (header read + offset jump, no pixel decode) — the I/O pattern that
+    makes sparse sampling cheap on real containers."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "width": [], "height": [], "mean_lum": []
+            }
+            for i, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload, pos, f = bytes(payload), 0, 0
+                while pos < len(payload):
+                    w, h, start, pos = _frame_header(payload, pos)
+                    if f % every == 0:
+                        frame = np.frombuffer(
+                            payload[start:pos], dtype=np.uint8
+                        ).reshape(h, w, 3)
+                        img = frame.astype(np.int64)
+                        lum = (299 * img[:, :, 0] + 587 * img[:, :, 1] + 114 * img[:, :, 2]) // 1000
+                        rows["doc_id"].append(int(i))
+                        rows["frame_idx"].append(f)
+                        rows["width"].append(frame.shape[1])
+                        rows["height"].append(frame.shape[0])
+                        rows["mean_lum"].append(float(lum.mean()))
+                    f += 1
+            yield pd.DataFrame(rows)
+
+    return binary_docs.mapInPandas(
+        batches, "doc_id long, frame_idx int, width long, height long, mean_lum double"
+    )
