@@ -629,3 +629,31 @@ class TestVideoFrameSample:
         # frame pixels differ across frames: lum depends on frame_idx
         lums7 = [r.mean_lum for r in sorted(all_f, key=lambda r: (r.doc_id, r.frame_idx)) if r.doc_id == 7]
         assert len(set(lums7)) > 1
+
+
+class TestAudio:
+    def test_wav_roundtrip_and_chunk_walk(self):
+        import numpy as np
+        import struct
+
+        s = np.array([-1000, 0, 999, 32767, -32768], dtype=np.int64)
+        wav = MM._encode_wav(s, rate=44100)
+        out, rate = MM._decode_wav(wav)
+        assert rate == 44100 and (out == s).all()
+        # extra chunk between fmt and data must be skipped (word-aligned)
+        head, data_chunk = wav[:36], wav[36:]
+        extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded odd chunk
+        out2, _ = MM._decode_wav(head + extra + data_chunk)
+        assert (out2 == s).all()
+
+    def test_stereo_rejected(self):
+        import struct
+
+        fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+        wav = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+               + b"fmt " + struct.pack("<I", 16) + fmt
+               + b"data" + struct.pack("<I", 0))
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            MM._decode_wav(wav)

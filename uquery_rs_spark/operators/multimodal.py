@@ -528,3 +528,81 @@ def sample_video_frames(binary_docs: DataFrame, every: int = 2) -> DataFrame:
     return binary_docs.mapInPandas(
         batches, "doc_id long, frame_idx int, width long, height long, mean_lum double"
     )
+
+
+def _encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono PCM → RIFF/WAVE bytes (stdlib struct, no audio libs)."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)  # PCM, mono
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM-16 mono → (int16 samples, sample_rate). Walks RIFF
+    chunks (fmt may be followed by LIST/fact etc. before data)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            if audio_fmt != 1 or channels != 1:
+                raise NotImplementedError("only PCM mono WAV decodes natively")
+        elif tag == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return data, rate
+
+
+def synthesize_audio_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic WAVs from the id: n = id%50+10 samples at 8 kHz,
+    sample[t] = ((id * 37 + t * 13) % 2001) - 1000 — closed-form int16
+    PCM, so decoded duration/amplitude stats have an exact SQL oracle."""
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def gen(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            t = np.arange(i % 50 + 10, dtype=np.int64)
+            samples = (i * 37 + t * 13) % 2001 - 1000
+            out.append(_encode_wav(samples))
+        return pd.Series(out)
+
+    return docs.select(id_col, gen(F.col(id_col)).alias("payload"))
+
+
+def audio_stats(binary_docs: DataFrame) -> DataFrame:
+    """Native WAV decode → per-clip stats: n_samples, sample_rate,
+    mean_abs amplitude. Arrow-batched like every other media kernel."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                "doc_id": [], "n_samples": [], "sample_rate": [], "mean_abs": []
+            }
+            for i, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, rate = _decode_wav(bytes(payload))
+                rows["doc_id"].append(int(i))
+                rows["n_samples"].append(len(samples))
+                rows["sample_rate"].append(rate)
+                rows["mean_abs"].append(float(np.abs(samples.astype(np.int64)).mean()))
+            yield pd.DataFrame(rows)
+
+    return binary_docs.mapInPandas(
+        batches, "doc_id long, n_samples long, sample_rate long, mean_abs double"
+    )

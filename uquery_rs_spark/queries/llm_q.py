@@ -1005,3 +1005,30 @@ def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     return frames.withColumn("mean_lum", F.round("mean_lum", 2)).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+@register(
+    "multimodal_audio_stats",
+    tags=("llm", "multimodal", "audio"),
+    oracle="""
+SELECT d.doc_id,
+       d.doc_id % 50 + 10            AS n_samples,
+       8000                          AS sample_rate,
+       round(avg(abs((d.doc_id * 37 + t.t * 13) % 2001 - 1000)), 2) AS mean_abs
+FROM documents d
+CROSS JOIN generate_series(0, 58) AS t(t)
+WHERE d.doc_id <= 200 AND t.t <= d.doc_id % 50 + 9
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+""",
+)
+def multimodal_audio_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio decode, hash-checked: deterministic PCM-16 mono WAVs
+    (RIFF container built with stdlib struct) are parsed back through a
+    native RIFF chunk walker — fmt validation, word-aligned chunk
+    skipping, int16 little-endian samples — and reduced to closed-form
+    scalars DuckDB reproduces over generate_series. Completes the
+    image/video/audio media matrix with no codec libraries anywhere."""
+    docs = load_tables(spark, sf)["documents"].filter(F.col("doc_id") <= 200)
+    stats = MM.audio_stats(MM.synthesize_audio_docs(docs))
+    return stats.withColumn("mean_abs", F.round("mean_abs", 2)).orderBy("doc_id")
