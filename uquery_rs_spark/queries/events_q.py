@@ -286,3 +286,37 @@ def funnel_view_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
     return counts.selectExpr(
         "stack(3, '1_view', v, '2_click', c, '3_purchase', p) AS (stage, n_users)"
     ).orderBy("stage")
+
+
+@register(
+    "cohort_retention_daily",
+    tags=("events", "cohort"),
+    oracle="""
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events
+), cohorts AS (
+  SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM activity
+)
+SELECT cohort_day, datediff('day', cohort_day, day) AS day_offset, count(*) AS n_users
+FROM cohorts
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def cohort_retention_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, counted
+    on each later active day. One user_id shuffle for the distinct-day +
+    cohort window (same partitioning, no re-exchange), then a tiny
+    (cohort, offset)-key aggregate — the layout that keeps 100 TB of raw
+    events out of every shuffle after the first."""
+    ev = load_tables(spark, sf)["events"]
+    activity = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id")
+    cohorts = activity.withColumn("cohort_day", F.min("day").over(w))
+    return (
+        cohorts.groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
