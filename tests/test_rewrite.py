@@ -533,3 +533,15 @@ def test_columns_regex_wrapped_agg(spark, rw):
         )
     ).collect()
     assert rows[0].asDict() == {"v1": 5, "v2": 9}
+
+
+def test_e_literal_decode_matches_duckdb(spark, rw):
+    import duckdb
+
+    cases = [r"E'\x41\x42'", r"E'\101\102'", r"E'a''b'", r"E'\w\8'", r"E'\x4'",
+             r"E'tab\there'", r"E'\\d+'"]
+    con = duckdb.connect()
+    exprs = ", ".join(f"{c} AS c{i}" for i, c in enumerate(cases))
+    duck = con.sql(f"SELECT {exprs}").fetchall()[0]
+    got = spark.sql(rw.rewrite(f"SELECT {exprs}")).collect()[0]
+    assert tuple(got) == duck

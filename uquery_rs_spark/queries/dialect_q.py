@@ -895,3 +895,32 @@ def regex_sort_escape_battery(spark: SparkSession, sf: str) -> DataFrame:
     Array results join to scalars per the corpus hashing convention."""
     load_tables(spark, sf)
     return _rewritten_sql(spark, _REGEX_SORT_ESCAPE_SQL)
+
+
+_E_LITERAL_SQL = r"""
+SELECT n_nationkey,
+       E'\x41\x42C'                    AS hex_esc,
+       E'tab\there'                    AS tab_esc,
+       E'\101\102\103'                 AS octal_esc,
+       E'Aé世'      AS utf8_passthrough,
+       E'keep''quote'                  AS quote_esc,
+       E'\w\8'                         AS unknown_esc,
+       n_name || E'\n' || n_name       AS multiline
+FROM nation
+ORDER BY n_nationkey
+"""
+
+
+@register(
+    "escape_literal_battery",
+    tags=("dialect", "edge"),
+    oracle=_E_LITERAL_SQL,
+)
+def escape_literal_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """PostgreSQL-style E'...' escape literals through the rewriter:
+    \\xHH hex, octal, \\uXXXX, '' doubling, and unknown-escape
+    backslash-dropping are DECODED at rewrite time and re-emitted in
+    Spark escape space — Spark's parser never sees an escape it would
+    mangle. The identical SQL runs verbatim on DuckDB."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _E_LITERAL_SQL)

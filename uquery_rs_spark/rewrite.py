@@ -409,8 +409,9 @@ class SqlRewriter:
         """Double backslashes inside user string literals so the string
         Spark parses equals the one DuckDB parses. `''` quote-doubling is
         valid in both parsers and passes through. DuckDB `E'...'` escape
-        literals process the same core escapes (\\n \\t \\\\) as Spark, so
-        the E prefix is dropped and the body kept verbatim."""
+        literals are DECODED here (incl. \\xHH, octal, \\uXXXX — escapes
+        Spark's parser would mangle into literal chars) and re-emitted in
+        Spark escape space."""
         out: list[str] = []
         i, n = 0, len(sql)
         while i < n:
@@ -428,8 +429,8 @@ class SqlRewriter:
                 if head[-1:] in ("E", "e") and not (
                     len(head) > 1 and (head[-2].isalnum() or head[-2] == "_")
                 ):
-                    out[-1] = out[-1][:-1]  # E'...' → keep escapes as-is
-                    out.append(sql[i : j + 1])
+                    out[-1] = out[-1][:-1]  # drop the E prefix
+                    out.append(SqlRewriter._lit_emit(SqlRewriter._e_decode(sql[i + 1 : j])))
                 else:
                     out.append("'" + sql[i + 1 : j].replace("\\", "\\\\") + "'")
                 i = j + 1
@@ -467,6 +468,63 @@ class SqlRewriter:
     def _lit_emit(raw: str) -> str:
         """Raw string value → Spark-escape-space literal token."""
         return "'" + raw.replace("\\", "\\\\").replace("'", "''") + "'"
+
+    _E_SIMPLE = {"b": "\b", "f": "\f", "n": "\n", "r": "\r", "t": "\t",
+                 "\\": "\\", "'": "'"}
+
+    @classmethod
+    def _e_decode(cls, body: str) -> str:
+        r"""Decode a DuckDB/PostgreSQL E'...' literal body to its raw
+        value: \b \f \n \r \t \\ \', \xH{1,2}, \o{1,3} octal, \uXXXX,
+        \UXXXXXXXX, plus '' quote-doubling. Unknown escapes drop the
+        backslash and keep the char (PostgreSQL semantics, verified
+        against DuckDB 1.x incl. malformed \xZ; malformed \u, which
+        DuckDB rejects at parse time, stays lenient here)."""
+        out: list[str] = []
+        i, n = 0, len(body)
+        while i < n:
+            c = body[i]
+            if c == "'" and i + 1 < n and body[i + 1] == "'":
+                out.append("'")
+                i += 2
+                continue
+            if c != "\\" or i + 1 >= n:
+                out.append(c)
+                i += 1
+                continue
+            e = body[i + 1]
+            if e in cls._E_SIMPLE:
+                out.append(cls._E_SIMPLE[e])
+                i += 2
+            elif e in "xX":
+                j = i + 2
+                while j < n and j < i + 4 and body[j] in "0123456789abcdefABCDEF":
+                    j += 1
+                if j > i + 2:
+                    out.append(chr(int(body[i + 2 : j], 16)))
+                    i = j
+                else:
+                    out.append(e)
+                    i += 2
+            elif e in "01234567":
+                j = i + 1
+                while j < n and j < i + 4 and body[j] in "01234567":
+                    j += 1
+                out.append(chr(int(body[i + 1 : j], 8)))
+                i = j
+            elif e in "uU":
+                width = 4 if e == "u" else 8
+                hexs = body[i + 2 : i + 2 + width]
+                if len(hexs) == width and all(h in "0123456789abcdefABCDEF" for h in hexs):
+                    out.append(chr(int(hexs, 16)))
+                    i += 2 + width
+                else:
+                    out.append(e)
+                    i += 2
+            else:
+                out.append(e)  # unknown escape: backslash dropped (PG rules)
+                i += 2
+        return "".join(out)
 
     @staticmethod
     def _in_literal(sql: str, idx: int) -> bool:
