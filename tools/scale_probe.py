@@ -1,0 +1,51 @@
+"""Scaling probe: heavy ops at 1x and 8x the sf0.1 documents corpus.
+
+8x corpus built by unioning id-shifted copies (distinct texts via a
+per-copy token prefix so dedup structure stays realistic: planted
+near-dup pairs replicate per copy, cross-copy pairs don't collide)."""
+import sys, time
+sys.path.insert(0, "/root/repo")
+from uquery_rs_spark.session import get_spark
+from pyspark.sql import functions as F
+from uquery_rs_spark.operators import dedup as D
+from uquery_rs_spark.operators import text as TX
+
+spark = get_spark("scale-probe")
+docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+n = docs.count()
+
+def times_k(k):
+    parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            F.concat(F.lit(f"c{i} "), F.col("text")).alias("text"),
+            "lang", "source", "n_chars",
+        )
+        for i in range(k)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.repartition(32).localCheckpoint()  # materialize once; probe timings exclude build
+
+results = {}
+for k in (1, 8):
+    corpus = times_k(k)
+    for name, fn in {
+        "minhash_lsh": lambda c: D.minhash_lsh_pairs(c, threshold=0.5).count(),
+        "exact_dedup": lambda c: D.exact_dedup_stats(c).count(),
+        "language_id": lambda c: TX.with_tokens(c).select(TX.predicted_language(F.col(TX.TOKS))).count(),
+        "repetition": lambda c: TX.repetition_stats(c).count(),
+    }.items():
+        fn(corpus)  # warm
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter(); fn(corpus); best = min(best, time.perf_counter() - t0)
+        results[(name, k)] = best
+        print(f"{name} x{k}: {best:.2f}s ({k*n} docs)", flush=True)
+
+import math
+print("\nscaling exponents (runtime ~ N^e):")
+for name in ("minhash_lsh", "exact_dedup", "language_id", "repetition"):
+    e = math.log(results[(name, 8)] / results[(name, 1)]) / math.log(8)
+    print(f"  {name}: e = {e:.2f}")
