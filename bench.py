@@ -49,8 +49,11 @@ Q.load_all()
 
 # minimum repeats; queries whose first pass exceeds SLOW_SEC get
 # SLOW_REPEATS — on >1 s queries single-run variance (±0.5 s on a shared
-# box) is the size of the signal being measured
-REPEATS = 3
+# box) is the size of the signal being measured. The shared host also
+# shows multi-second steal-time stalls lasting a couple of runs
+# (measured: consecutive 10 s outliers on a 2 s query), so even
+# sub-second queries get enough repeats for best-of-N to dodge a stall.
+REPEATS = 4
 SLOW_REPEATS = 5
 SLOW_SEC = 1.0
 
