@@ -49,3 +49,45 @@ print("\nscaling exponents (runtime ~ N^e):")
 for name in ("minhash_lsh", "exact_dedup", "language_id", "repetition"):
     e = math.log(results[(name, 8)] / results[(name, 1)]) / math.log(8)
     print(f"  {name}: e = {e:.2f}")
+
+
+def embedding_probe():
+    """1x vs 4x embeddings: LSH pairs should scale subquadratically;
+    blocked exact all-pairs is O(N^2) BY CONTRACT (run to document the
+    contrast, not to pass a bound)."""
+    from uquery_rs_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n_emb = emb.count()
+
+    def emb_k(k):
+        parts = [
+            emb.select((F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                       "embedding", "label")
+            for i in range(k)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out.repartition(32).localCheckpoint()
+
+    res = {}
+    for k in (1, 4):
+        corpus = emb_k(k)
+        for name, fn in {
+            "lsh_pairs_t09": lambda c: S.cosine_pairs_lsh(
+                c, threshold=0.9, rows_per_band=16, dim=64).count(),
+            "blocked_exact_t04": lambda c: S.cosine_pairs_blocked(
+                c, threshold=0.4).count(),
+        }.items():
+            fn(corpus)
+            t0 = time.perf_counter(); fn(corpus); res[(name, k)] = time.perf_counter() - t0
+            print(f"{name} x{k}: {res[(name,k)]:.2f}s ({k*n_emb} vecs)", flush=True)
+    import math
+    for name in ("lsh_pairs_t09", "blocked_exact_t04"):
+        e = math.log(res[(name, 4)] / res[(name, 1)]) / math.log(4)
+        print(f"  {name}: e = {e:.2f}")
+
+
+if "--embeddings" in sys.argv:
+    embedding_probe()
