@@ -1032,3 +1032,31 @@ def multimodal_audio_stats(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_tables(spark, sf)["documents"].filter(F.col("doc_id") <= 200)
     stats = MM.audio_stats(MM.synthesize_audio_docs(docs))
     return stats.withColumn("mean_abs", F.round("mean_abs", 2)).orderBy("doc_id")
+
+
+@register(
+    "ann_ivf_persistent",
+    oracle=None,  # approximate probe → rows-only (recall + pruning
+    # asserted in tests/test_operators.py::TestPersistentIvf)
+    tags=("llm", "similarity", "index"),
+)
+def ann_ivf_persistent(spark: SparkSession, sf: str) -> DataFrame:
+    """Build-once/probe-many IVF (operators/similarity.py::
+    ivf_build_index/ivf_probe_index): the index is a cell-PARTITIONED
+    parquet + centroid sidecar under a scratch dir, and the probe reads
+    ONLY the probed cells via partition pruning — the serving shape for
+    billion-vector corpora. nprobe=12/16 matches ann_ivf_topk's measured
+    recall bound; nprobe=n_cells would equal the exact kernel (asserted
+    in tests)."""
+    import hashlib
+    import tempfile
+
+    emb = load_tables(spark, sf)["embeddings"]
+    scratch = (
+        f"{tempfile.gettempdir()}/uq_ivf_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
+    )
+    S.ivf_build_index(emb, scratch, n_cells=16)
+    queries = _query_matrix(sf) or emb.filter(F.col("vec_id") < 100)
+    return S.ivf_probe_index(spark, scratch, queries, k=5, nprobe=12).orderBy(
+        "query_id", "rank"
+    )
