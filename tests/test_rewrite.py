@@ -545,3 +545,11 @@ def test_e_literal_decode_matches_duckdb(spark, rw):
     duck = con.sql(f"SELECT {exprs}").fetchall()[0]
     got = spark.sql(rw.rewrite(f"SELECT {exprs}")).collect()[0]
     assert tuple(got) == duck
+
+
+def test_orc_path_as_table(spark, tmp_path):
+    orc = str(tmp_path / "t.orc")
+    spark.range(5).selectExpr("id AS k", "id * 2 AS v").write.orc(orc)
+    rw2 = SqlRewriter(spark, allowed_dirs=[str(tmp_path)])
+    rows = spark.sql(rw2.rewrite(f"SELECT sum(v) AS s FROM '{orc}'")).collect()
+    assert rows[0].s == 20

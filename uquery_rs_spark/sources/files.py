@@ -26,6 +26,10 @@ FORMATS: dict[str, tuple[str, dict[str, str]]] = {
     "json": ("json", {}),
     "jsonl": ("json", {}),
     "ndjson": ("json", {}),
+    # beyond-reference: Spark-native columnar formats a migrating corpus
+    # may already sit in
+    "orc": ("orc", {}),
+    "avro": ("avro", {}),  # needs spark-avro on the classpath; clear error otherwise
 }
 
 REMOTE_SCHEMES = ("https://", "http://", "s3://", "gcs://", "gs://")
