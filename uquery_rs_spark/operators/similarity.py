@@ -659,3 +659,51 @@ def ivf_probe_index(
         probe, "query_id long, neighbor_id long, sim double"
     )
     return _global_topk(part, k)
+
+
+def label_centroid_cohesion(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid cohesion: mean cosine of each vector to its
+    label's mean vector. Columns: label, n_vecs, avg_cos_to_centroid.
+
+    The clustering-quality audit a labeled/clustered corpus runs after
+    assignment. Scale shape: centroids come from ONE map-side-combined
+    posexplode aggregate whose result is (n_labels x dim) rows — tiny,
+    collected and broadcast like any dimension table — then the corpus
+    makes a single Arrow-batched pass computing cosines against the
+    broadcast matrix. No join of the corpus against itself, no
+    per-dimension shuffle of the second pass.
+    """
+    spark = emb.sparkSession
+    dims = emb.select(label_col, F.posexplode(_as_double(F.col(vec_col))).alias("dim", "x"))
+    cent_rows = dims.groupBy(label_col, "dim").agg(F.avg("x").alias("c")).collect()
+    cents: dict[int, dict[int, float]] = {}
+    for r in cent_rows:
+        cents.setdefault(r[label_col], {})[r["dim"]] = r["c"]
+    cmat = {
+        lab: np.array([d[i] for i in sorted(d)], dtype="float64")
+        for lab, d in cents.items()
+    }
+    bc = spark.sparkContext.broadcast(cmat)
+
+    def cos_pass(batches):
+        cmat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            C = np.stack([cmat[int(l)] for l in pdf[label_col]])
+            num = np.einsum("ij,ij->i", V, C)
+            den = np.linalg.norm(V, axis=1) * np.linalg.norm(C, axis=1)
+            yield pd.DataFrame({"label": pdf[label_col], "cos": num / den})
+
+    per_row = emb.select(label_col, vec_col).mapInPandas(
+        cos_pass, "label int, cos double"
+    )
+    return per_row.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("cos"), 4).alias("avg_cos_to_centroid"),
+    )

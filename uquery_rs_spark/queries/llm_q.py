@@ -1060,3 +1060,37 @@ def ann_ivf_persistent(spark: SparkSession, sf: str) -> DataFrame:
     return S.ivf_probe_index(spark, scratch, queries, k=5, nprobe=12).orderBy(
         "query_id", "rank"
     )
+
+
+@register(
+    "emb_label_cohesion",
+    tags=("llm", "similarity", "clustering"),
+    oracle="""
+WITH dims AS (
+  SELECT label, vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT label, vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+), cents AS (
+  SELECT label, dim, avg(x) AS c FROM dims GROUP BY label, dim
+), dots AS (
+  SELECT d.label, d.vec_id,
+         sum(d.x * c.c)       AS dot,
+         sqrt(sum(d.x * d.x)) AS nv,
+         sqrt(sum(c.c * c.c)) AS nc
+  FROM dims d JOIN cents c ON d.label = c.label AND d.dim = c.dim
+  GROUP BY d.label, d.vec_id
+)
+SELECT label, count(*) AS n_vecs, round(avg(dot / (nv * nc)), 4) AS avg_cos_to_centroid
+FROM dots GROUP BY label
+ORDER BY label
+""",
+)
+def emb_label_cohesion(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-cohesion audit (operators/similarity.py::
+    label_centroid_cohesion): mean cosine of each vector to its label
+    centroid. Centroids are one map-side-combined aggregate (tiny,
+    broadcast back); the corpus then makes a single vectorized pass —
+    the oracle takes the equivalent explode/join path in SQL."""
+    emb = load_tables(spark, sf)["embeddings"]
+    return S.label_centroid_cohesion(emb).orderBy("label")
