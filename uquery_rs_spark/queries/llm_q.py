@@ -434,16 +434,41 @@ def multimodal_metadata(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_FEATURE_BIN_COLS = ",\n       ".join(
+    f"len(list_filter(cs, c -> c = {k})) AS f{k:02d}" for k in range(16)
+)
+
 @register(
     "multimodal_features",
-    oracle=None,  # pandas-UDF featurizer (decode stub) → rows-only
     tags=("llm", "multimodal"),
+    oracle=f"""
+WITH codes AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+         list_transform(range(1, length(text)+1), i -> ord(text[i]) % 16) AS cs
+  FROM documents
+)
+SELECT doc_id, n_bytes,
+       {_FEATURE_BIN_COLS}
+FROM codes
+ORDER BY doc_id
+""",
 )
 def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
-    """payload → byte-histogram features via Arrow-batched mapInPandas
-    (the real decoder is stubbed; plumbing/schema/batching are real)."""
+    """payload → 16-bin byte-histogram features via Arrow-batched
+    mapInPandas, pivoted to scalar columns f00..f15 (driver hashers choke
+    on list columns — scalars-only output is the registry convention).
+
+    The corpus text is pure ASCII, so the byte histogram equals a
+    per-character codepoint histogram and DuckDB can compute the exact
+    oracle in SQL — the whole mapInPandas feature path is hash-verified.
+    """
     docs = load_tables(spark, sf)["documents"]
-    return MM.extract_features(MM.synthesize_binary_docs(docs)).orderBy("doc_id")
+    feats = MM.extract_features(MM.synthesize_binary_docs(docs))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        *[F.col("features").getItem(k).alias(f"f{k:02d}") for k in range(16)],
+    ).orderBy("doc_id")
 
 
 @register(

@@ -81,17 +81,26 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     cached = _loaded.get(key)
     if cached is not None:
         return cached
-    # The driver-generated parquet stores TIMESTAMP(NANOS); with this legacy
-    # conf Spark 4 reads them as TIMESTAMP_NTZ (micros), which matches
-    # DuckDB's naive-UTC TIMESTAMP semantics exactly. Set here (not only in
-    # the session factory) so the driver's own SparkSession works too.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # TIMESTAMP(MICROS) parquet reads natively as TIMESTAMP_NTZ, which
+    # matches DuckDB's naive-UTC TIMESTAMP exactly AND keeps timestamp
+    # predicates pushable to parquet row-group min/max pruning — the thing
+    # that matters on a 100 TB time-ranged scan. Only genuinely-nanos files
+    # (which Spark 4 refuses to read natively: PARQUET_TYPE_ILLEGAL) take
+    # the legacy nanosAsLong + convert path; that conversion wraps the
+    # column in an expression and forfeits pushdown, so it is strictly a
+    # compatibility fallback, never the preferred route.
+    ns_cols = {name: _nanos_timestamp_cols(f"{sf_dir}/{name}.parquet") for name in TABLES}
+    any_ns = any(ns_cols.values())
+    # Explicitly clear the legacy conf when unneeded: a stale `true` from an
+    # older session would surface micros columns unchanged but ns columns as
+    # raw longs elsewhere; keeping it scoped avoids surprises.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true" if any_ns else "false")
     tables: dict[str, DataFrame] = {}
     for name in TABLES:
         path = f"{sf_dir}/{name}.parquet"
         df = spark.read.parquet(path)
-        for col in _nanos_timestamp_cols(path):
+        for col in ns_cols[name]:
             # nanosAsLong surfaces ns-timestamps as epoch-nano longs;
             # integer `div 1000` truncates to micros exactly like DuckDB's
             # ns→us conversion (float division would lose precision at 1e18).
