@@ -264,13 +264,22 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(tokens: Column) -> Column:
-    """64-bit SimHash of a token array (JVM-side bit arithmetic).
+SIMHASH_BITS = 60  # 15 md5 hex digits — exact in a signed 64-bit long
 
-    bit k of the fingerprint = majority sign over tokens of bit k of
-    xxhash64(token). Bit positions are unrolled at plan-build time (static
-    Python loop); the token-hash array is bound once per row so the 64
-    bit-voters read it instead of each re-hashing every token.
+
+def simhash60(tokens: Column) -> Column:
+    """60-bit SimHash of a token array (JVM-side bit arithmetic).
+
+    bit k of the fingerprint = majority sign over tokens of bit k of the
+    token hash. The token hash is the first 15 hex digits of md5 — chosen
+    over xxhash64 deliberately: md5 is bit-identical in every engine, so a
+    SQL oracle can recompute the fingerprints exactly (DuckDB:
+    ``('0x' || substr(md5(t), 1, 15))::BIGINT``), where xxhash64 exists
+    only in Spark. Quality is equivalent — SimHash only needs uniform
+    independent bits. Bit positions are unrolled at plan-build time
+    (static Python loop); the token-hash array is bound once per row so
+    the 60 bit-voters read it instead of each re-hashing every token.
+    Tie votes (sum == 0, possible with even token counts) resolve to 0.
     """
 
     def voter(mask):  # closure factory: PySpark introspects lambda arity
@@ -278,13 +287,18 @@ def simhash64(tokens: Column) -> Column:
 
     def build(hashes: Column) -> Column:
         fp = F.lit(0).cast("long")
-        for k in range(64):
+        for k in range(SIMHASH_BITS):
             mask = F.shiftleft(F.lit(1).cast("long"), k)
             vote = F.aggregate(hashes, F.lit(0).cast("long"), voter(mask))
             fp = fp.bitwiseOR(F.when(vote > 0, mask).otherwise(F.lit(0).cast("long")))
         return fp
 
-    return bind(F.transform(tokens, lambda t: F.xxhash64(t)), build)
+    return bind(
+        F.transform(
+            tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        ),
+        build,
+    )
 
 
 def simhash_pairs(
@@ -295,19 +309,19 @@ def simhash_pairs(
 ) -> DataFrame:
     """Pairs with SimHash hamming distance <= max_hamming.
 
-    Candidate generation by 16-bit chunk banding (pigeonhole: hamming <= 3
-    ⇒ one of 4 chunks identical), verification via bit_count(xor).
-    Columns: x, y, hamming.
+    Candidate generation by 15-bit chunk banding (pigeonhole: hamming <= 3
+    ⇒ one of the 4 chunks of the 60-bit fingerprint identical),
+    verification via bit_count(xor). Columns: x, y, hamming.
     """
     fp = _spread(docs).select(
         F.col(key_col).alias("id"),
-        simhash64(F.split(F.col(text_col), " ")).alias("fp"),
+        simhash60(F.split(F.col(text_col), " ")).alias("fp"),
     )
     chunks = fp.select(
         "id",
         "fp",
         F.posexplode(
-            F.array(*[F.shiftrightunsigned("fp", 16 * c).bitwiseAND(F.lit(0xFFFF)) for c in range(4)])
+            F.array(*[F.shiftrightunsigned("fp", 15 * c).bitwiseAND(F.lit(0x7FFF)) for c in range(4)])
         ).alias("chunk", "ckey"),
     )
     # fingerprints ride along in the bucket structs so the expensive

@@ -38,16 +38,23 @@ REAL_DECODERS_AVAILABLE = ("ppm", "pgm", "bmp", "png", "jpeg")
 
 def synthesize_binary_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Treat each document's UTF-8 bytes as an opaque media payload with a
-    typed metadata struct — the schema a real image/audio table carries."""
+    typed metadata struct — the schema a real image/audio table carries.
+
+    Synthetic width/height derive from md5 prefixes of the payload (not
+    crc32): md5 is bit-identical in every engine, so SQL oracles can
+    recompute the dims — DuckDB: ``('0x' || substr(md5(text), 1, 8))::BIGINT``.
+    """
     payload = F.encode(F.col(text_col), "UTF-8")
+    w_hash = F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
+    h_hash = F.conv(F.substring(F.md5(payload), 9, 8), 16, 10).cast("long")
     return docs.select(
         "doc_id",
         payload.alias("payload"),
         F.struct(
             F.octet_length(payload).alias("n_bytes"),
             F.lit("application/octet-stream").alias("mime"),
-            (F.crc32(payload) % 1920).cast("int").alias("width"),
-            (F.crc32(payload) % 1080).cast("int").alias("height"),
+            (w_hash % 1920).cast("int").alias("width"),
+            (h_hash % 1080).cast("int").alias("height"),
         ).alias("meta"),
     )
 

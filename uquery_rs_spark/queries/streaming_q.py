@@ -39,11 +39,22 @@ def streaming_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "streaming_stateful_counter",
-    oracle=None,  # applyInPandasWithState: custom stateful op, rows-only check
     tags=("streaming", "stateful"),
+    oracle="""
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
 )
 def streaming_stateful_counter(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-user running totals via applyInPandasWithState (update mode)."""
+    """Per-user running totals via applyInPandasWithState (update mode).
+
+    Falsifiable despite being a custom stateful op: on a finite drained
+    source the FINAL state per user must equal the batch group-by — the
+    oracle checks exactly that (count + 2-decimal-rounded value sum per
+    user). Lost state, double-counted microbatches, or a wrong final-row
+    selection all flip the hash."""
     return run_stateful_user_counter(spark, sf)
 
 
