@@ -561,6 +561,36 @@ class TestShuffleOrderAndBuckets:
         assert got == naive
         assert sorted(got.values()) == list(range(1, 5001))  # contiguous, no dups
 
+    def test_shuffle_order_honors_bucket_count(self, spark):
+        """Intermediate n_buckets (256 < n < 65536) must produce the
+        REQUESTED granularity (not a forced 65536) while keeping ranks
+        identical to the naive global order — the equi-width prefix
+        ranges are monotone in the hash for any n_buckets."""
+        from pyspark.sql import Window as W
+
+        from uquery_rs_spark.operators.corpus import shuffle_order
+
+        docs = spark.range(3000).select(F.col("id").alias("doc_id"))
+        naive = {
+            r.doc_id: r.rk
+            for r in docs.withColumn(
+                "rk",
+                F.row_number().over(
+                    W.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+                ),
+            ).collect()
+        }
+        for n_buckets in (7, 1024, 65536):
+            got = {
+                r.doc_id: r.shuffle_rank
+                for r in shuffle_order(docs, n_buckets=n_buckets).collect()
+            }
+            assert got == naive, f"rank mismatch at n_buckets={n_buckets}"
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            shuffle_order(docs, n_buckets=65537)
+
     def test_shuffle_order_no_single_partition_window(self, spark):
         from uquery_rs_spark.operators.corpus import shuffle_order
 
@@ -629,6 +659,16 @@ class TestVideoFrameSample:
         # frame pixels differ across frames: lum depends on frame_idx
         lums7 = [r.mean_lum for r in sorted(all_f, key=lambda r: (r.doc_id, r.frame_idx)) if r.doc_id == 7]
         assert len(set(lums7)) > 1
+
+
+    def test_truncated_header_raises_not_hangs(self):
+        """A header cut off mid-token must raise, not scan past EOF (the
+        byte-slice-at-EOF loop would otherwise never terminate)."""
+        import pytest as _pytest
+
+        for payload in (b"P6", b"P6 12", b"P6 12 34", b"P6 12 34 255"):
+            with _pytest.raises(ValueError):
+                MM._frame_header(payload, 0)
 
 
 class TestAudio:

@@ -539,7 +539,10 @@ def test_e_literal_decode_matches_duckdb(spark, rw):
     import duckdb
 
     cases = [r"E'\x41\x42'", r"E'\101\102'", r"E'a''b'", r"E'\w\8'", r"E'\x4'",
-             r"E'tab\there'", r"E'\\d+'"]
+             r"E'tab\there'", r"E'\\d+'",
+             # backslash-escaped quote: the literal scanner must not
+             # terminate at \' (PostgreSQL/DuckDB E-string lexing)
+             r"E'it\'s ok'", r"E'a\'b\'c'"]
     con = duckdb.connect()
     exprs = ", ".join(f"{c} AS c{i}" for i, c in enumerate(cases))
     duck = con.sql(f"SELECT {exprs}").fetchall()[0]

@@ -84,21 +84,24 @@ def shuffle_order(
     different per-partition counts run to run).
 
     Instead the hash's own uniformity replaces sampling: bucket =
-    first-two-hex-chars of md5 (fixed equi-width, deterministic, skew-
-    free by construction). Pass 1 counts rows per bucket (a 256-row
-    collect); pass 2 ranks within each bucket (distributed window) and
-    adds the bucket's prefix-sum offset — buckets are md5 prefixes, so
-    bucket order IS hash order. Raise n_buckets (max 65536 via 4 hex
-    chars here: 256*256) so each bucket fits one task at corpus scale.
+    equi-width range of the first-four-hex-chars value of md5 —
+    ``(v * n_buckets) div 65536`` is monotone in the hash prefix, so
+    bucket order IS hash order for ANY n_buckets up to 65536 (not just
+    divisors), and uniform hashes balance buckets by construction.
+    Pass 1 counts rows per bucket (an n_buckets-row collect); pass 2
+    ranks within each bucket (distributed window) and adds the bucket's
+    prefix-sum offset. Raise n_buckets (max 65536) so each bucket fits
+    one task at corpus scale.
     """
     from pyspark.sql import Window as W
 
+    if not 1 <= n_buckets <= 65536:
+        raise ValueError(f"n_buckets must be in [1, 65536], got {n_buckets}")
     h = F.md5(F.col(key_col).cast("string"))
-    width = 2 if n_buckets <= 256 else 4
-    per = n_buckets if n_buckets <= 256 else 65536
-    bucket = F.pmod(
-        F.conv(F.substring(h, 1, width), 16, 10).cast("long"), F.lit(per)
-    )
+    prefix = F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+    # v*n <= 65535*65536 < 2^63: exact in long arithmetic.
+    bucket = (prefix * F.lit(n_buckets)) / F.lit(65536)
+    bucket = F.floor(bucket).cast("long")
     hashed = docs.withColumn("_h", h).withColumn("_b", bucket)
     counts = {
         r["_b"]: r["cnt"]

@@ -457,12 +457,17 @@ def _frame_header(payload: bytes, pos: int) -> tuple[int, int, int, int]:
         raise ValueError(f"not a P6 frame at offset {pos}")
     toks: list[int] = []
     i = pos + 2
+    end = len(payload)
     while len(toks) < 3:
-        while payload[i : i + 1].isspace():
+        while i < end and payload[i : i + 1].isspace():
             i += 1
         j = i
-        while not payload[j : j + 1].isspace():
+        while j < end and not payload[j : j + 1].isspace():
             j += 1
+        if j >= end:
+            # EOF inside the header (a valid header is followed by pixel
+            # bytes): error out rather than scanning past the buffer.
+            raise ValueError(f"truncated P6 frame header at offset {pos}")
         toks.append(int(payload[i:j]))
         i = j
     i += 1  # the single whitespace after maxval

@@ -486,11 +486,31 @@ def cosine_pairs_lsh(
     )
 
 
-# (cache_key, n_cells) -> trained centroid matrix. Training is
-# deterministic (sorted lowest-id sample, seed-free init), so caching is
-# pure memoization; keyed by caller-supplied corpus identity (e.g. the
-# sf dir), NOT the DataFrame object.
-_centroid_cache: dict[tuple[str, int], np.ndarray] = {}
+# (cache_key, fingerprint, n_cells) -> trained centroid matrix. Training
+# is deterministic (sorted lowest-id sample, seed-free init), so caching
+# is pure memoization; keyed by caller-supplied corpus identity (e.g. the
+# sf dir), NOT the DataFrame object. The fingerprint (parquet mtime+size
+# when the key resolves to a local file) invalidates stale centroids if
+# the corpus at a path is regenerated within one process; call
+# clear_centroid_cache() for corpora the fingerprint can't see.
+_centroid_cache: dict[tuple[str, object, int], np.ndarray] = {}
+
+
+def _corpus_fingerprint(cache_key: str) -> object:
+    """Cheap invalidation token for a path-like cache key."""
+    import os
+
+    for candidate in (cache_key, f"{cache_key}.parquet"):
+        try:
+            st = os.stat(candidate)
+            return (st.st_mtime_ns, st.st_size)
+        except OSError:
+            continue
+    return None
+
+
+def clear_centroid_cache() -> None:
+    _centroid_cache.clear()
 
 
 def ivf_topk(
@@ -520,7 +540,8 @@ def ivf_topk(
     """
     spark = corpus.sparkSession
     q_ids, Q = _collect_unit_matrix(queries, id_col, vec_col)
-    cents = _centroid_cache.get((cache_key, n_cells)) if cache_key else None
+    fp = _corpus_fingerprint(cache_key) if cache_key else None
+    cents = _centroid_cache.get((cache_key, fp, n_cells)) if cache_key else None
     if cents is None:
         sample_n = max(n_cells * 64, 512)
         cents_pdf = (
@@ -532,7 +553,7 @@ def ivf_topk(
         X /= np.linalg.norm(X, axis=1, keepdims=True)
         cents = _spherical_kmeans(X, min(n_cells, len(X)))
         if cache_key:
-            _centroid_cache[(cache_key, n_cells)] = cents
+            _centroid_cache[(cache_key, fp, n_cells)] = cents
     elif not len(q_ids):
         return spark.createDataFrame([], "query_id long, neighbor_id long, rank int")
 

@@ -1074,7 +1074,6 @@ def corpus_filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
             ),
         ).alias("c"),
     ).select("source", "c.pass_len", "c.pass_rep", "c.pass_ttr")
-    cnt = lambda c: F.count_if(c).alias  # noqa: E731
     return (
         checks.groupBy("source")
         .agg(

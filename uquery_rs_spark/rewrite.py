@@ -417,18 +417,24 @@ class SqlRewriter:
         while i < n:
             c = sql[i]
             if c == "'":
+                head = "".join(out)
+                is_e = head[-1:] in ("E", "e") and not (
+                    len(head) > 1 and (head[-2].isalnum() or head[-2] == "_")
+                )
                 j = i + 1
                 while j < n:
+                    # E-literals additionally escape with backslash
+                    # (PostgreSQL lexing): E'it\'s' must not close at \'.
+                    if is_e and sql[j] == "\\":
+                        j += 2
+                        continue
                     if sql[j] == "'":
                         if j + 1 < n and sql[j + 1] == "'":
                             j += 2
                             continue
                         break
                     j += 1
-                head = "".join(out)
-                if head[-1:] in ("E", "e") and not (
-                    len(head) > 1 and (head[-2].isalnum() or head[-2] == "_")
-                ):
+                if is_e:
                     out[-1] = out[-1][:-1]  # drop the E prefix
                     out.append(SqlRewriter._lit_emit(SqlRewriter._e_decode(sql[i + 1 : j])))
                 else:
