@@ -642,6 +642,23 @@ class TestStagedMinhash:
         }
         assert staged == pipelined and len(staged) > 0
 
+    def test_auto_dispatch_both_branches(self, spark, tmp_path):
+        """minhash_lsh_auto picks pipelined below the size cutover and
+        staged above it (forced by degenerate thresholds); both branches
+        produce the shared output contract."""
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        small = D.minhash_lsh_auto(docs, threshold=0.5)  # default: pipelined
+        forced = D.minhash_lsh_auto(
+            docs, threshold=0.5, workdir=str(tmp_path / "auto"), staged_above_bytes=0
+        )
+        assert {(r.x, r.y, r.jaccard) for r in small.collect()} == {
+            (r.x, r.y, r.jaccard) for r in forced.collect()
+        }
+        # staged branch proves it ran by materializing candidates
+        import os
+
+        assert os.path.isdir(str(tmp_path / "auto" / "candidates"))
+
 
 class TestVideoFrameSample:
     def test_every_frame_vs_sampled(self, spark):

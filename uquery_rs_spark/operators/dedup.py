@@ -482,6 +482,45 @@ def incremental_near_dedup(
     )
 
 
+# Input-size cutover for minhash_lsh_auto: below this the fully-pipelined
+# operator wins (recompute is cheaper than any checkpoint barrier; AQE
+# keeps optimizing one job); above it the 3x shingle recompute costs more
+# than materializing the sparse candidate list once, and restartability
+# starts to matter (a failed verify resumes from the candidate parquet,
+# not hour one). 1 GiB is conservative: the crossover measured at local
+# scale is far above the test corpora, and at 100 TB staged is clearly
+# right — anything in between only pays one extra small parquet write.
+MINHASH_STAGED_ABOVE_BYTES = 1 << 30
+
+
+def minhash_lsh_auto(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    bands: int = 48,
+    rows_per_band: int = 2,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    workdir: str | None = None,
+    staged_above_bytes: int = MINHASH_STAGED_ABOVE_BYTES,
+) -> DataFrame:
+    """Cost-based dispatch between the pipelined and staged MinHash-LSH
+    paths. Input size comes from optimizer plan statistics (parquet file
+    sizes — no job is launched to decide), the same signal Spark's own
+    join-strategy selection uses. Both paths share one output contract
+    and are asserted equal in tests; this wrapper just picks the shape
+    that survives the input scale."""
+    size = int(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if size >= staged_above_bytes:
+        import tempfile
+
+        wd = workdir or tempfile.mkdtemp(prefix="uq_minhash_stage_")
+        return minhash_lsh_staged(
+            docs, wd, threshold, n, bands, rows_per_band, text_col, key_col
+        )
+    return minhash_lsh_pairs(docs, threshold, n, bands, rows_per_band, text_col, key_col)
+
+
 def minhash_lsh_staged(
     docs: DataFrame,
     workdir: str,

@@ -105,9 +105,12 @@ ORDER BY x, y
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH (96 perms, 48 bands × 2) candidates + exact-Jaccard
     verification. Oracle = the exact all-pairs result: with r=2/b=48 the
-    LSH recall at J>=0.5 is 1-1e-6, so outputs coincide."""
+    LSH recall at J>=0.5 is 1-1e-6, so outputs coincide. Dispatches
+    pipelined vs staged on input plan-stats size (minhash_lsh_auto):
+    test/bench corpora stay pipelined; a 100 TB corpus materializes its
+    candidate list and restarts verification from it."""
     docs = load_tables(spark, sf)["documents"]
-    return D.minhash_lsh_pairs(docs, threshold=0.5).orderBy("x", "y")
+    return D.minhash_lsh_auto(docs, threshold=0.5).orderBy("x", "y")
 
 
 @register(
