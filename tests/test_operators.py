@@ -224,13 +224,48 @@ class TestMultimodal:
         # decode_image dispatches on the JPEG magic
         assert MM.decode_image(J.encode_jpeg(img, quality=90)).shape == img.shape
 
-    def test_jpeg_rejects_progressive(self):
+    def test_jpeg_rejects_lossless(self):
         import pytest as _pytest
         from uquery_rs_spark.operators import jpeg as J
 
-        sof2 = b"\xff\xd8" + b"\xff\xc2" + (10).to_bytes(2, "big") + b"\x08" + b"\x00" * 7
-        with _pytest.raises(NotImplementedError, match="baseline"):
-            J.decode_jpeg(sof2)
+        sof3 = b"\xff\xd8" + b"\xff\xc3" + (10).to_bytes(2, "big") + b"\x08" + b"\x00" * 7
+        with _pytest.raises(NotImplementedError, match="progressive"):
+            J.decode_jpeg(sof3)
+
+    def test_jpeg_progressive_matches_baseline_exactly(self):
+        """Progressive (SOF2) is a reordering of the same quantized
+        coefficients, so with every successive-approximation bit
+        transmitted the decoded pixels must be IDENTICAL to the baseline
+        encoding — a bit-exact cross-mode oracle for both codec paths."""
+        import numpy as np
+        from uquery_rs_spark.operators import jpeg as J
+
+        rng = np.random.default_rng(42)
+        for h, w, q in [(16, 16, 90), (23, 17, 75), (5, 11, 100), (64, 48, 50), (32, 32, 10)]:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            base = J.decode_jpeg(J.encode_jpeg(img, quality=q))
+            prog = J.decode_jpeg(J.encode_jpeg_progressive(img, quality=q))
+            assert (base == prog).all(), f"{h}x{w} q={q}"
+        # smooth gradient: long zero runs exercise ZRL + EOB-run coding
+        y, x = np.mgrid[0:48, 0:64]
+        img = np.stack([(y * 3) % 256, (x * 5) % 256, ((x + y) * 2) % 256], 2).astype(np.uint8)
+        base = J.decode_jpeg(J.encode_jpeg(img, quality=85))
+        prog = J.decode_jpeg(J.encode_jpeg_progressive(img, quality=85))
+        assert (base == prog).all()
+
+    def test_jpeg_progressive_constant_exact(self):
+        """Quality-100 constant images survive the progressive path
+        exactly (the closed-form oracle property)."""
+        import numpy as np
+        from uquery_rs_spark.operators import jpeg as J
+
+        for i in (3, 77, 200, 255):
+            img = np.full((i % 7 + 4, i % 13 + 4, 3), i % 256, dtype=np.uint8)
+            dec = J.decode_jpeg(J.encode_jpeg_progressive(img, quality=100))
+            assert (dec == img).all()
+        # decode_image dispatches progressive JPEGs on the same magic
+        img = np.full((6, 9, 3), 90, dtype=np.uint8)
+        assert (MM.decode_image(J.encode_jpeg_progressive(img, quality=100)) == img).all()
 
     def test_png_color_types(self):
         import numpy as np

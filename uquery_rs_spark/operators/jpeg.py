@@ -1,11 +1,16 @@
-"""Baseline JFIF (JPEG, ITU T.81) codec in pure numpy — no libjpeg.
+"""JFIF (JPEG, ITU T.81) codec in pure numpy — no libjpeg.
 
-Decoder: marker walk (SOI/APP*/COM/DQT/SOF0/DHT/DRI/SOS/EOI), canonical
-Huffman decode from the file's own DHT segments, DC prediction + AC
-run-length, dequantize, inverse zigzag, matrix IDCT, chroma upsampling
-by replication for any sampling factors, YCbCr→RGB. Handles restart
-markers and byte stuffing. Progressive (SOF2) and arithmetic coding
-raise NotImplementedError.
+Decoder: marker walk (SOI/APP*/COM/DQT/SOF0/SOF2/DHT/DRI/SOS/EOI),
+canonical Huffman decode from the file's own DHT segments, DC
+prediction + AC run-length, dequantize, inverse zigzag, matrix IDCT,
+chroma upsampling by replication for any sampling factors, YCbCr→RGB.
+Handles restart markers and byte stuffing. Both BASELINE (SOF0/1,
+single scan) and PROGRESSIVE (SOF2, spectral selection + successive
+approximation: DC first/refine, AC first/refine with EOB-run coding
+per ITU T.81 §G.1.2 / Annex G) streams decode; progressive scans
+accumulate into per-component coefficient planes that are finished
+with one vectorized dequantize+IDCT pass at EOI. Arithmetic coding
+and lossless/hierarchical modes raise NotImplementedError.
 
 Encoder: 4:4:4 baseline. Quantization uses the public Annex K luminance/
 chrominance base tables scaled by libjpeg's quality formula; the Huffman
@@ -286,7 +291,8 @@ def _extend(bits: int, size: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → (H, W, 3) uint8 RGB."""
+    """JFIF bytes (baseline SOF0/1 or progressive SOF2) → (H, W, 3)
+    uint8 RGB."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -295,6 +301,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     comps: list[tuple[int, int, int, int]] = []  # (id, h, v, qid)
     h = w = 0
     restart_interval = 0
+    progressive = False
+    coeffs: list[np.ndarray] | None = None  # progressive accumulation
     while pos < len(payload):
         if payload[pos] != 0xFF:
             pos += 1
@@ -322,7 +330,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 table[_ZIGZAG] = vals
                 qtabs[tid] = table.reshape(8, 8)
                 i += 1 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
@@ -330,8 +339,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, hv, qid = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, qid))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline (SOF0/SOF1) JPEG is supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline (SOF0/SOF1) and progressive (SOF2) JPEG are supported"
+            )
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             i = 0
             while i < len(body):
@@ -358,11 +369,241 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 idx = next(i for i, cm in enumerate(comps) if cm[0] == cid)
                 scan.append((idx, tids >> 4, tids & 0xF))
             data_start = pos + 2 + ln
-            return _decode_scan(
-                payload, data_start, h, w, comps, scan, qtabs, htabs, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    payload, data_start, h, w, comps, scan, qtabs, htabs, restart_interval
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+            if coeffs is None:
+                coeffs = _alloc_coeffs(h, w, comps)
+            pos = _decode_progressive_scan(
+                payload, data_start, h, w, comps, scan, htabs,
+                coeffs, ss, se, ah, al, restart_interval,
             )
+            continue
         pos += 2 + ln
+    if progressive and coeffs is not None:
+        return _finish_coeffs(coeffs, h, w, comps, qtabs)
     raise ValueError("no SOS scan found in JPEG")
+
+
+def _alloc_coeffs(h: int, w: int, comps) -> list[np.ndarray]:
+    """Per-component zigzag-domain coefficient planes, padded to whole
+    MCUs (shape: blocks_y, blocks_x, 64)."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    return [
+        np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int64)
+        for _, ch, cv, _ in comps
+    ]
+
+
+def _comp_block_dims(h: int, w: int, comps, ci: int) -> tuple[int, int]:
+    """Non-interleaved block grid of one component: its downsampled pixel
+    dims, each rounded up to whole 8-pixel blocks (T.81 A.2.4)."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    _, ch, cv, _ = comps[ci]
+    cw = (w * ch + hmax - 1) // hmax
+    chh = (h * cv + vmax - 1) // vmax
+    return (chh + 7) // 8, (cw + 7) // 8
+
+
+def _resync_to_marker(payload: bytes, pos: int) -> int:
+    """Advance past entropy data to the next non-RST marker."""
+    while pos < len(payload) - 1:
+        if payload[pos] == 0xFF and payload[pos + 1] not in (0x00,) and not (
+            0xD0 <= payload[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return len(payload)
+
+
+def _decode_progressive_scan(
+    payload, pos, h, w, comps, scan, htabs, coeffs, ss, se, ah, al, restart_interval
+):
+    """One progressive scan (T.81 §G.1.2): decodes into ``coeffs`` and
+    returns the stream position of the next marker.
+
+    DC scans (ss == 0) may be interleaved over several components; AC
+    scans carry exactly one component and walk its own block raster
+    (non-interleaved). First scans (ah == 0) Huffman-decode magnitudes
+    shifted left by ``al``; refinement scans (ah > 0) append one
+    magnitude bit at position ``al`` per coefficient.
+    """
+    reader = _BitReader(payload, pos)
+    state = {"eobrun": 0}
+    preds = [0] * len(comps)
+
+    def correction(block: np.ndarray, idx: int) -> None:
+        # G.1.2.3: one buffered bit refines an already-nonzero coefficient
+        if reader.bits(1):
+            p1 = 1 << al
+            if (block[idx] & p1) == 0:
+                block[idx] += p1 if block[idx] >= 0 else -p1
+
+    def decode_dc_first(ci: int, block: np.ndarray, dct) -> None:
+        s = reader.huff(dct)
+        diff = _extend(reader.bits(s), s) if s else 0
+        preds[ci] += diff
+        block[0] = preds[ci] << al
+
+    def decode_dc_refine(block: np.ndarray) -> None:
+        if reader.bits(1):
+            block[0] |= 1 << al
+
+    def decode_ac_first(block: np.ndarray, act) -> None:
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            sym = reader.huff(act)
+            run, size = sym >> 4, sym & 0xF
+            if size == 0:
+                if run != 15:  # EOBn: run of end-of-bands
+                    state["eobrun"] = (1 << run) - 1
+                    if run:
+                        state["eobrun"] += reader.bits(run)
+                    return
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > se:
+                raise ValueError("AC index out of band in progressive scan")
+            block[k] = _extend(reader.bits(size), size) << al
+            k += 1
+
+    def decode_ac_refine(block: np.ndarray, act) -> None:
+        p1, m1 = 1 << al, -(1 << al)
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                sym = reader.huff(act)
+                run, size = sym >> 4, sym & 0xF
+                if size == 0:
+                    if run != 15:
+                        state["eobrun"] = 1 << run
+                        if run:
+                            state["eobrun"] += reader.bits(run)
+                        break
+                    newval = 0  # ZRL: skip 16 zero-history positions
+                elif size == 1:
+                    newval = p1 if reader.bits(1) else m1
+                else:
+                    raise ValueError("AC refinement symbol with size > 1")
+                # advance over `run` zero-history coefficients, emitting
+                # correction bits for nonzero ones passed on the way
+                while k <= se:
+                    if block[k] != 0:
+                        correction(block, k)
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if size and k <= se:
+                    block[k] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if block[k] != 0:
+                    correction(block, k)
+                k += 1
+            state["eobrun"] -= 1
+
+    def handle_restart(unit_count: int) -> None:
+        if restart_interval and unit_count and unit_count % restart_interval == 0:
+            reader.nbits = 0
+            while payload[reader.pos] != 0xFF or not (
+                0xD0 <= payload[reader.pos + 1] <= 0xD7
+            ):
+                reader.pos += 1
+            reader.restart()
+            preds[:] = [0] * len(comps)
+            state["eobrun"] = 0
+
+    if ss == 0:  # DC scan — interleaved MCU walk over the scan's comps
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se == 0")
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        if len(scan) == 1:  # single-component DC scan is non-interleaved
+            ci = scan[0][0]
+            bh, bw_ = _comp_block_dims(h, w, comps, ci)
+            dct = htabs.get((0, scan[0][1]))
+            for n, (by, bx) in enumerate((b, x) for b in range(bh) for x in range(bw_)):
+                handle_restart(n)
+                block = coeffs[ci][by, bx]
+                if ah == 0:
+                    decode_dc_first(ci, block, dct)
+                else:
+                    decode_dc_refine(block)
+        else:
+            n = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    handle_restart(n)
+                    n += 1
+                    for ci, dc_id, _ in scan:
+                        _, ch, cv, _ = comps[ci]
+                        dct = htabs.get((0, dc_id))
+                        for by in range(cv):
+                            for bx in range(ch):
+                                block = coeffs[ci][my * cv + by, mx * ch + bx]
+                                if ah == 0:
+                                    decode_dc_first(ci, block, dct)
+                                else:
+                                    decode_dc_refine(block)
+    else:  # AC scan — exactly one component, non-interleaved
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must carry exactly one component")
+        ci, _, ac_id = scan[0]
+        act = htabs.get((1, ac_id))
+        bh, bw_ = _comp_block_dims(h, w, comps, ci)
+        for n, (by, bx) in enumerate((b, x) for b in range(bh) for x in range(bw_)):
+            handle_restart(n)
+            block = coeffs[ci][by, bx]
+            if ah == 0:
+                decode_ac_first(block, act)
+            else:
+                decode_ac_refine(block, act)
+
+    return _resync_to_marker(payload, reader.pos)
+
+
+def _finish_coeffs(coeffs, h, w, comps, qtabs) -> np.ndarray:
+    """Dequantize + de-zigzag + IDCT every accumulated block (vectorized
+    over blocks), then upsample/crop/color-convert like the baseline path."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = []
+    for (cid, ch, cv, qid), cf in zip(comps, coeffs):
+        by, bx, _ = cf.shape
+        deq = np.zeros((by * bx, 64), dtype=np.float64)
+        deq[:, _ZIGZAG] = cf.reshape(-1, 64) * qtabs[qid].ravel()[_ZIGZAG]
+        blocks = deq.reshape(-1, 8, 8)
+        pix = np.einsum("ij,njk,kl->nil", _DCT.T, blocks, _DCT) + 128.0
+        plane = (
+            pix.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
+        up = np.repeat(np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1)
+        planes.append(up[:h, :w])
+    if len(planes) == 1:
+        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def _decode_scan(payload, pos, h, w, comps, scan, qtabs, htabs, restart_interval):
@@ -438,3 +679,250 @@ def _decode_scan(payload, pos, h, w, comps, scan, qtabs, htabs, restart_interval
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# -- progressive encoder ------------------------------------------------
+# Emits a spectral-selection + successive-approximation scan script that
+# exercises every progressive decode path (DC first/refine, AC
+# first/refine, EOB runs, ZRL-in-refinement). Because the scan script
+# transmits every coefficient bit (the Al chain ends at 0 for DC and
+# both AC bands), the decoded image is bit-identical to decoding the
+# BASELINE encoding of the same pixels — progressive mode is a
+# reordering of the same quantized coefficients, which the tests assert
+# exactly.
+
+# AC table for progressive scans adds the EOBn symbols (r<<4 | 0 for
+# r = 1..14) that baseline never uses.
+_AC_PROG_SYMBOLS = (
+    [0x00, 0xF0]
+    + [r << 4 for r in range(1, 15)]
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+)
+_AC_PROG_CODES = _canonical_codes(_AC_PROG_SYMBOLS, _AC_LEN)
+
+
+class _ProgACWriter:
+    """Per-scan AC entropy state: EOB-run counter plus TWO distinct
+    correction-bit buffers (T.81 §G.1.3.2). ``eob_bits`` are the
+    refinement bits of blocks already folded into the pending EOB run —
+    the decoder reads them right after the EOBn symbol. ``cur_bits``
+    are the current block's refinement bits since the last emission —
+    the decoder reads those after the NEXT in-block symbol (its
+    skip-run walks over them). Merging the two buffers desynchronizes
+    the stream whenever an EOB run ends mid-block."""
+
+    def __init__(self, bw: _BitWriter):
+        self.bw = bw
+        self.eobrun = 0
+        self.eob_bits: list[int] = []  # attached to the pending EOB run
+        self.cur_bits: list[int] = []  # current block, since last symbol
+
+    def sym(self, s: int) -> None:
+        code, ln = _AC_PROG_CODES[s]
+        self.bw.put(code, ln)
+
+    def emit_cur(self) -> None:
+        for b in self.cur_bits:
+            self.bw.put(b, 1)
+        self.cur_bits = []
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.sym(nbits << 4)
+            if nbits:
+                self.bw.put(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+            for b in self.eob_bits:
+                self.bw.put(b, 1)
+            self.eob_bits = []
+
+    def count_eob(self) -> None:
+        """Fold the current block (and its buffered bits) into the run."""
+        self.eobrun += 1
+        self.eob_bits += self.cur_bits
+        self.cur_bits = []
+        if self.eobrun == 0x7FFF:
+            self.flush_eobrun()
+
+
+def _quantized_planes(img: np.ndarray, quality: int):
+    """(H, W, 3) RGB → per-component (bh, bw, 64) zigzag coefficient
+    arrays (4:4:4), plus the two scaled quant tables. Identical math to
+    the baseline encoder so both modes carry the same coefficients."""
+    h, w = img.shape[:2]
+    px = img.astype(np.float64)
+    y = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    cb = -0.168736 * px[:, :, 0] - 0.331264 * px[:, :, 1] + 0.5 * px[:, :, 2] + 128.0
+    cr = 0.5 * px[:, :, 0] - 0.418688 * px[:, :, 1] - 0.081312 * px[:, :, 2] + 128.0
+    qt = [_scaled_quant(_QUANT_LUM, quality), _scaled_quant(_QUANT_CHROM, quality)]
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    comps = []
+    for ci, plane in enumerate([y, cb, cr]):
+        out = np.zeros((bh, bw_, 64), dtype=np.int64)
+        q = qt[0 if ci == 0 else 1]
+        for by in range(bh):
+            for bx in range(bw_):
+                block = np.full((8, 8), plane[min(by * 8, h - 1), min(bx * 8, w - 1)])
+                tile = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                block[: tile.shape[0], : tile.shape[1]] = tile
+                if tile.shape[0] < 8:
+                    block[tile.shape[0] :, :] = block[tile.shape[0] - 1, :]
+                if tile.shape[1] < 8:
+                    block[:, tile.shape[1] :] = block[:, tile.shape[1] - 1 : tile.shape[1]]
+                coeffs = _DCT @ (block - 128.0) @ _DCT.T
+                out[by, bx] = np.round(coeffs / q).astype(np.int64).ravel()[_ZIGZAG]
+        comps.append(out)
+    return comps, qt
+
+
+def _encode_dc_first_scan(comps_coeffs, al: int) -> bytes:
+    bw = _BitWriter()
+    bh, bw_, _ = comps_coeffs[0].shape
+    preds = [0] * len(comps_coeffs)
+    for by in range(bh):
+        for bx in range(bw_):
+            for ci, cf in enumerate(comps_coeffs):
+                # arithmetic >> == the spec's floor point transform
+                v = int(cf[by, bx, 0]) >> al
+                size, bits = _magnitude(v - preds[ci])
+                code, ln = _DC_CODES[size]
+                bw.put(code, ln)
+                if size:
+                    bw.put(bits, size)
+                preds[ci] = v
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _encode_dc_refine_scan(comps_coeffs, al: int) -> bytes:
+    bw = _BitWriter()
+    bh, bw_, _ = comps_coeffs[0].shape
+    for by in range(bh):
+        for bx in range(bw_):
+            for cf in comps_coeffs:
+                bw.put((int(cf[by, bx, 0]) >> al) & 1, 1)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _encode_ac_first_scan(cf: np.ndarray, ss: int, se: int, al: int) -> bytes:
+    bw = _BitWriter()
+    st = _ProgACWriter(bw)
+    bh, bw_, _ = cf.shape
+    for by in range(bh):
+        for bx in range(bw_):
+            block = cf[by, bx]
+            run = 0
+            for k in range(ss, se + 1):
+                v = int(block[k])
+                t = (abs(v) >> al) * (1 if v >= 0 else -1)
+                if t == 0:
+                    run += 1
+                    continue
+                st.flush_eobrun()
+                while run > 15:
+                    st.sym(0xF0)
+                    run -= 16
+                size, bits = _magnitude(t)
+                st.sym((run << 4) | size)
+                bw.put(bits, size)
+                run = 0
+            if run > 0:
+                st.count_eob()
+    st.flush_eobrun()
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _encode_ac_refine_scan(cf: np.ndarray, ss: int, se: int, al: int) -> bytes:
+    bw = _BitWriter()
+    st = _ProgACWriter(bw)
+    bh, bw_, _ = cf.shape
+    for by in range(bh):
+        for bx in range(bw_):
+            block = cf[by, bx]
+            t = [abs(int(block[k])) >> al for k in range(64)]
+            # last newly-visible coefficient; ZRLs are pointless past it
+            eobpos = ss - 1
+            for k in range(ss, se + 1):
+                if t[k] == 1:
+                    eobpos = k
+            run = 0
+            for k in range(ss, se + 1):
+                if t[k] == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eobpos:
+                    st.flush_eobrun()
+                    st.sym(0xF0)
+                    run -= 16
+                    st.emit_cur()
+                if t[k] > 1:
+                    st.cur_bits.append(t[k] & 1)
+                    continue
+                st.flush_eobrun()
+                st.sym((run << 4) | 1)
+                bw.put(1 if int(block[k]) > 0 else 0, 1)
+                st.emit_cur()
+                run = 0
+            if run > 0 or st.cur_bits:
+                st.count_eob()
+    st.flush_eobrun()
+    bw.flush()
+    return bytes(bw.out)
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
+    """(H, W, 3) uint8 RGB → progressive (SOF2) JFIF bytes.
+
+    Scan script (per T.81 §G.1: first DC scans, then per-component AC
+    bands, each refined down to Al = 0):
+      1. DC first, interleaved, Al=1        4-9.  AC first 1-5 / 6-63, Al=1
+      2. DC refine, Al=0                   10-15. AC refine, Al=0
+    Decodes to EXACTLY the pixels of ``decode_jpeg(encode_jpeg(img,
+    quality))`` — same coefficients, different transmission order.
+    """
+    h, w = img.shape[:2]
+    cfs, qt = _quantized_planes(img, quality)
+
+    def qt_body(tid: int, table: np.ndarray) -> bytes:
+        return bytes([tid]) + bytes(int(v) for v in table.ravel()[_ZIGZAG])
+
+    def sos(comp_specs: list[tuple[int, int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_specs)])
+        for cid, dc_id, ac_id in comp_specs:
+            body += bytes([cid, (dc_id << 4) | ac_id])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+        [3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, qt_body(0, qt[0]))
+    out += _seg(0xDB, qt_body(1, qt[1]))
+    out += _seg(0xC2, sof)
+    out += _seg(0xC4, _dht_body(0, 0, _DC_SYMBOLS, _DC_LEN))
+    out += _seg(0xC4, _dht_body(1, 0, _AC_PROG_SYMBOLS, _AC_LEN))
+
+    all_comps = [(1, 0, 0), (2, 0, 0), (3, 0, 0)]
+    out += sos(all_comps, 0, 0, 0, 1)
+    out += _encode_dc_first_scan(cfs, 1)
+    out += sos(all_comps, 0, 0, 1, 0)
+    out += _encode_dc_refine_scan(cfs, 0)
+    for ci in range(3):
+        spec = [all_comps[ci]]
+        out += sos(spec, 1, 5, 0, 1)
+        out += _encode_ac_first_scan(cfs[ci], 1, 5, 1)
+        out += sos(spec, 6, 63, 0, 1)
+        out += _encode_ac_first_scan(cfs[ci], 6, 63, 1)
+    for ci in range(3):
+        spec = [all_comps[ci]]
+        out += sos(spec, 1, 5, 1, 0)
+        out += _encode_ac_refine_scan(cfs[ci], 1, 5, 0)
+        out += sos(spec, 6, 63, 1, 0)
+        out += _encode_ac_refine_scan(cfs[ci], 6, 63, 0)
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -7,8 +7,10 @@ feature-extraction runs as Arrow-batched pandas iterators (mapInPandas).
 Decode support (round 3): every raster format parses natively — netpbm
 P5/P6 and BMP (BI_RGB 8/24/32-bit) with numpy, 8-bit PNG with stdlib
 zlib plus a full unfilter (None/Sub/Up/Average/Paeth; gray/RGB/palette/
-alpha color types), and baseline JFIF JPEG via the pure-numpy codec in
-jpeg.py (Huffman + DCT both directions) — so featurize/resize are
+alpha color types), and JFIF JPEG — baseline SOF0 and progressive SOF2
+— via the pure-numpy codec in jpeg.py (Huffman + DCT both directions,
+round 4 adds spectral-selection/successive-approximation progressive
+scans both directions) — so featurize/resize are
 genuinely pixel-dependent, with re-encode to PPM. Only video remains
 codec-gated (NotImplementedError); unknown payloads fall back to the
 deterministic byte-histogram fake so metadata-only pipelines stay
@@ -389,17 +391,24 @@ def synthesize_image_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.select(id_col, gen(F.col(id_col)).alias("payload"))
 
 
-def synthesize_jpeg_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Constant-color baseline JPEGs from the id: w = id%13+4, h = id%7+4,
+def synthesize_jpeg_docs(
+    docs: DataFrame, id_col: str = "doc_id", progressive: bool | str = False
+) -> DataFrame:
+    """Constant-color JPEGs from the id: w = id%13+4, h = id%7+4,
     every pixel = id % 256, quality 100.
 
     At quality 100 all quantizer steps are 1 and a constant block has
     only an exactly-representable DC coefficient, so the lossy codec
     round-trips these images EXACTLY (asserted in tests) — giving the
-    JPEG decode path a closed-form SQL oracle just like the PPM/PNG one."""
+    JPEG decode path a closed-form SQL oracle just like the PPM/PNG one.
+
+    ``progressive`` selects the encoding mode: False → baseline SOF0,
+    True → progressive SOF2 (multi-scan spectral selection + successive
+    approximation), "mixed" → odd ids progressive, even ids baseline —
+    a realistic corpus carries both."""
     from pyspark.sql.types import BinaryType
 
-    from .jpeg import encode_jpeg
+    from .jpeg import encode_jpeg, encode_jpeg_progressive
 
     @F.pandas_udf(BinaryType())
     def gen(ids: pd.Series) -> pd.Series:
@@ -407,7 +416,9 @@ def synthesize_jpeg_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for i in ids:
             i = int(i)
             img = np.full((i % 7 + 4, i % 13 + 4, 3), i % 256, dtype=np.uint8)
-            out.append(encode_jpeg(img, quality=100))
+            prog = progressive if progressive != "mixed" else bool(i % 2)
+            enc = encode_jpeg_progressive if prog else encode_jpeg
+            out.append(enc(img, quality=100))
         return pd.Series(out)
 
     return docs.select(id_col, gen(F.col(id_col)).alias("payload"))

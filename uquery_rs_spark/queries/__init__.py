@@ -11,10 +11,12 @@ from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 
 # Round-4 verification window (harnesses sample REGISTRY[:50]).
 # Composition: the 32 entries never driver-verified in rounds 1-3, then the
-# seven entries reworked this round (multimodal_features scalar fix + the six
-# former rows-only entries, now carrying within_bound oracles), then eleven
-# timestamp-predicate-sensitive entries so the pushdown rework in
-# registry.load_tables gets re-verified by the driver.  Exactly 50 names.
+# eight entries reworked or added this round (progressive JPEG decode,
+# multimodal_features scalar fix, and the six former rows-only entries now
+# carrying within_bound oracles), then ten timestamp-predicate-sensitive
+# entries so the pushdown rework in registry.load_tables gets re-verified
+# by the driver (streaming_tumbling_window dropped — tumbling_window_events
+# covers the identical plan).  Exactly 50 names.
 _ROUND4_WINDOW = (
     # -- never driver-verified (CORRECTNESS_r01-r03) ----------------------
     "struct_map_access",
@@ -49,7 +51,8 @@ _ROUND4_WINDOW = (
     "columns_regex_battery",
     "regex_sort_escape_battery",
     "escape_literal_battery",
-    # -- reworked this round (need fresh green rows) ----------------------
+    # -- reworked/new this round (need fresh green rows) ------------------
+    "multimodal_jpeg_progressive",
     "multimodal_features",
     "dedup_simhash",
     "ann_ivf_topk",
@@ -65,7 +68,6 @@ _ROUND4_WINDOW = (
     "asof_join_purchase_view",
     "time_range_window_events",
     "cohort_retention_daily",
-    "streaming_tumbling_window",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",

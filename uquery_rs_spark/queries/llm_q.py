@@ -600,6 +600,34 @@ def multimodal_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_progressive",
+    tags=("llm", "multimodal"),
+    oracle="""
+SELECT doc_id,
+       doc_id % 13 + 4 AS width,
+       doc_id % 7 + 4  AS height,
+       round(CAST(doc_id % 256 AS DOUBLE), 2) AS mean_lum
+FROM documents
+WHERE doc_id <= 200
+ORDER BY doc_id
+""",
+)
+def multimodal_jpeg_progressive(spark: SparkSession, sf: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG decode, hash-checked: a mixed corpus —
+    odd doc_ids encoded as multi-scan progressive streams (spectral
+    selection + successive approximation, EOB-run coding), even ids as
+    baseline — decodes through the full progressive accumulation path
+    (operators/jpeg.py §G.1.2: DC first/refine + AC first/refine scans
+    into coefficient planes, one vectorized IDCT at EOI). Quality-100
+    constant images round-trip exactly in BOTH modes, so the same
+    closed form is an exact oracle; tests additionally assert
+    progressive == baseline pixels bit-exactly on random content."""
+    docs = load_tables(spark, sf)["documents"].filter(F.col("doc_id") <= 200)
+    stats = MM.decode_stats(MM.synthesize_jpeg_docs(docs, progressive="mixed"))
+    return stats.withColumn("mean_lum", F.round("mean_lum", 2)).orderBy("doc_id")
+
+
+@register(
     "dedup_cluster_canonical",
     tags=("llm", "dedup", "iterative"),
     oracle="""
