@@ -184,6 +184,95 @@ class TestExcelScan:
         ).collect()
         assert [r.k for r in out] == [99]
 
-    def test_legacy_xls_clear_error(self, spark):
-        with pytest.raises(UQueryError, match="xlsx"):
-            resolve_path(spark, "/tmp/nope.xls")
+class TestLegacyXlsScan:
+    """Legacy BIFF8 .xls (sources/xls.py): fixture files are built by
+    tests/xls_fixture.py — an independent minimal OLE2+BIFF8 writer —
+    so reader and fixture share no code paths."""
+
+    @pytest.fixture()
+    def xls_book(self, tmp_path):
+        from datetime import datetime
+
+        from .xls_fixture import Formula, build_xls
+
+        rows = [
+            ["id", "name", "price", "active", "born", "note"],
+            [1, "alpha", 1.25, True, datetime(2024, 1, 1), Formula("calc")],
+            [2, "gädgét", 2.0, False, datetime(2025, 1, 1), "plain"],
+            [3, "ünïcode→★", 3.25, True, datetime(2024, 1, 2, 12), Formula("f2")],
+        ]
+        p = tmp_path / "legacy.xls"
+        p.write_bytes(
+            build_xls({"data": rows, "other": [["k"], [99]]}, date_cols={4})
+        )
+        return str(p)
+
+    def test_types_and_values(self, spark, xls_book):
+        df = resolve_path(spark, xls_book)
+        assert [f.simpleString() for f in df.schema.fields] == [
+            "id:bigint", "name:string", "price:double", "active:boolean",
+            "born:timestamp_ntz", "note:string",
+        ]
+        rows = {r.id: r for r in df.collect()}
+        assert rows[1].name == "alpha" and rows[3].name == "ünïcode→★"
+        assert rows[1].price == 1.25 and rows[2].active is False
+        assert str(rows[2].born) == "2025-01-01 00:00:00"
+        assert str(rows[3].born) == "2024-01-02 12:00:00"
+        assert rows[1].note == "calc"  # FORMULA cached string
+
+    def test_sheet_option_and_missing_sheet(self, spark, xls_book):
+        other = resolve_path(spark, xls_book, options={"sheet": "other"})
+        assert other.columns == ["k"] and other.collect()[0].k == 99
+        with pytest.raises(UQueryError, match="sheet 'nope' not found"):
+            resolve_path(spark, xls_book, options={"sheet": "nope"}).collect()
+
+    def test_mixed_format_glob(self, spark, tmp_path):
+        """One glob over .xls AND .xlsx — per-file magic dispatch."""
+        from .xls_fixture import build_xls
+
+        write_xlsx(tmp_path / "new.xlsx", {"s": [["v"], [1], [2]]})
+        (tmp_path / "old.xls").write_bytes(build_xls({"s": [["v"], [3], [4]]}))
+        df = resolve_path(spark, str(tmp_path) + "/*.xls*")
+        assert sorted(r.v for r in df.collect()) == [1, 2, 3, 4]
+
+    def test_sst_continue_spanning(self, spark, tmp_path):
+        """Shared strings split mid-string across CONTINUE records, with
+        a UTF-16 string crossing the boundary."""
+        from .xls_fixture import build_xls
+
+        big = ["s" + str(i) + "x" * 60 for i in range(150)]
+        big.insert(100, "Ünicode★" * 400)  # 3200 UTF-16 chars spans records
+        p = tmp_path / "sst.xls"
+        p.write_bytes(build_xls({"S": [["v"]] + [[s] for s in big]}))
+        got = [r.v for r in resolve_path(spark, str(p)).collect()]
+        assert got == big
+
+    def test_path_as_table_sql(self, spark, xls_book):
+        import os
+
+        from uquery_rs_spark.rewrite import SqlRewriter
+
+        rw = SqlRewriter(spark, allowed_dirs=[os.path.dirname(xls_book)])
+        out = spark.sql(
+            rw.rewrite(f"SELECT name FROM '{xls_book}' WHERE id = 2")
+        ).collect()
+        assert [r.name for r in out] == ["gädgét"]
+
+    def test_biff5_clear_error(self, tmp_path):
+        """Pre-97 BIFF5 gets a clear unsupported-version error."""
+        import struct
+
+        from .xls_fixture import _ole2, _rec
+
+        biff5 = _rec(0x0809, struct.pack("<HHHH", 0x0500, 0x0005, 0, 0))
+        blob = _ole2(biff5 + b"\x00" * 4096)
+        from uquery_rs_spark.sources.xls import parse_xls
+
+        with pytest.raises(UQueryError, match="BIFF8"):
+            parse_xls(blob, None)
+
+    def test_not_ole2_clear_error(self):
+        from uquery_rs_spark.sources.xls import parse_xls
+
+        with pytest.raises(UQueryError, match="OLE2"):
+            parse_xls(b"garbage bytes here", None)

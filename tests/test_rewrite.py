@@ -121,13 +121,20 @@ def test_path_table_inside_subquery(spark, rw):
     assert spark.sql(sql).count() == 2
 
 
-def test_excel_path_table_scans_natively(spark, rw):
-    # round 3: .xlsx parses natively (sources/excel.py) — the former
-    # spark-excel-jar stub error is gone; .xls keeps a clear error
+def test_excel_path_table_scans_natively(spark, rw, tmp_path):
+    # round 3: .xlsx parses natively (sources/excel.py); round 4 adds
+    # legacy .xls (sources/xls.py) — both as plain path tables
     sql = rw.rewrite(f"SELECT * FROM '{FIXTURES}/book.xlsx'")
     assert spark.sql(sql).count() == 3
-    with pytest.raises(UQueryError, match="xlsx"):
-        rw.rewrite(f"SELECT * FROM '{FIXTURES}/nope.xls'")
+
+    from uquery_rs_spark.rewrite import SqlRewriter
+
+    from .xls_fixture import build_xls
+
+    p = tmp_path / "legacy.xls"
+    p.write_bytes(build_xls({"s": [["v"], [1], [2]]}))
+    rw2 = SqlRewriter(spark, allowed_dirs=[str(tmp_path)])
+    assert spark.sql(rw2.rewrite(f"SELECT * FROM '{p}'")).count() == 2
 
 
 def test_int_div_rewrite(spark, rw):

@@ -20,7 +20,9 @@ Feature parity notes (vs DuckDB read_xlsx):
 - date/datetime cells detected via styles.xml number formats (builtin
   ids 14-22 / 45-47 plus custom formats containing date letters) and
   converted from Excel serial time — TIMESTAMP_NTZ like DuckDB
-- .xls (legacy BIFF) is NOT parsed — clear error, documented deviation
+- legacy .xls (BIFF8 in an OLE2 container) parses natively too — see
+  xls.py; the scan dispatches per-file on the container magic bytes
+  (zip "PK" vs OLE2 D0CF11E0), so mixed-format globs work
 """
 
 from __future__ import annotations
@@ -109,6 +111,17 @@ def _sheet_member(z: zipfile.ZipFile, sheet: str | None) -> str:
             target = target_by_rid[s.get(rid_attr)]
             return "xl/" + target.lstrip("/").removeprefix("xl/")
     raise UQueryError.sql_error(f"xlsx sheet '{sheet}' not found (sheets: {names})")
+
+
+def _parse_workbook(data: bytes, sheet: str | None) -> list[list]:
+    """Parse one Excel file of either format, sniffing the container
+    magic: zip ("PK") → SpreadsheetML .xlsx, OLE2 (D0CF11E0) → BIFF8
+    .xls. Extension is irrelevant — mixed globs dispatch per file."""
+    from . import xls
+
+    if xls.is_cfb(data):
+        return xls.parse_xls(data, sheet)
+    return _parse_xlsx(data, sheet)
 
 
 def _parse_xlsx(data: bytes, sheet: str | None) -> list[list]:
@@ -211,8 +224,9 @@ def _coerce(v, t: str):
 
 
 def scan_excel(spark, path: str, options: dict[str, str]):
-    """Distributed .xlsx scan: driver infers schema from ONE file; every
-    file is then parsed on an executor via binaryFile + mapInPandas."""
+    """Distributed Excel scan (.xlsx and legacy .xls): driver infers
+    schema from ONE file; every file is then parsed on an executor via
+    binaryFile + mapInPandas."""
     import pandas as pd
 
     sheet = options.get("sheet") or None
@@ -223,14 +237,14 @@ def scan_excel(spark, path: str, options: dict[str, str]):
     if not sample_row:
         raise UQueryError.sql_error(f"no files matched: {path}")
     names, types, _ = _infer_schema(
-        _parse_xlsx(bytes(sample_row[0].content), sheet), header
+        _parse_workbook(bytes(sample_row[0].content), sheet), header
     )
     ddl = ", ".join(f"`{n}` {t}" for n, t in zip(names, types))
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for blob in pdf["content"]:
-                rows = _parse_xlsx(bytes(blob), sheet)
+                rows = _parse_workbook(bytes(blob), sheet)
                 body = rows[1:] if header and rows else rows
                 data = {
                     n: [_coerce(r[i] if i < len(r) else None, t) for r in body]

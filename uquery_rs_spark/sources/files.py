@@ -55,8 +55,8 @@ def _fetch_https(url: str) -> str:
     return local
 
 
-# .xlsx parses natively (sources/excel.py — zip+XML, no jar); legacy
-# binary .xls (BIFF) is the one documented Excel deviation.
+# Excel parses natively with no jar: .xlsx via zip+XML (sources/excel.py)
+# and legacy .xls via OLE2+BIFF8 (sources/xls.py).
 def resolve_path(
     spark: SparkSession,
     path: str,
@@ -66,14 +66,11 @@ def resolve_path(
     """Load `path` (local file/dir or URL) as a DataFrame."""
     ext = fmt or detect_format(path)
     tail = path.lower().rstrip("/").rsplit(".", 1)[-1]
-    if ext is None and tail == "xlsx" or ext == "xlsx":
+    # tail keeps glob metachars so "*.xls*" (mixed-format dirs) routes here
+    if (ext is None and tail.rstrip("*?") in ("xlsx", "xls")) or ext in ("xlsx", "xls"):
         from .excel import scan_excel
 
         return scan_excel(spark, path, options or {})
-    if ext is None and tail == "xls":
-        raise UQueryError.sql_error(
-            f"legacy binary .xls is not supported — save as .xlsx: {path}"
-        )
     if ext is None or ext not in FORMATS:
         raise UQueryError.sql_error(f"cannot infer table format for path: {path}")
     spark_fmt, defaults = FORMATS[ext]
