@@ -1,0 +1,92 @@
+"""Scheduler-floor demonstration: floor-bound bench queries at scaled SF.
+
+At sf0.1 nine bench queries finish in under ~1 s on Spark while DuckDB
+finishes in tens of milliseconds — the gap is the local[32] scheduler /
+stage-launch / python-worker floor (~0.3-0.5 s), not plan quality.  The
+claim "the floor amortizes at scale" is falsifiable: at 10x the data the
+Spark time should grow far slower than 10x (floor still paid once) while
+DuckDB grows ~linearly, collapsing the ratio toward parity.
+
+Usage:  python tools/floor_probe.py SCALED_DIR [BASE_DIR]
+
+Prints one markdown table row per query: spark/duck best-of-2 at base
+and scaled SF, and the ratio at each scale.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from uquery_rs_spark import queries as Q
+from uquery_rs_spark.oracle import oracle_connection
+from uquery_rs_spark.session import get_spark
+
+Q.load_all()
+
+# The floor-bound set: every bench query whose sf0.1 Spark time sits on
+# the scheduler floor (<~1 s) while DuckDB is sub-0.2 s, plus the two
+# embedding ops the round-3 verdict counted weak pending a scale point.
+FLOOR_SET = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q21_suppliers_kept_waiting",
+    "tumbling_window_events",
+    "sessionization_30min",
+    "asof_join_purchase_view",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+]
+
+
+def best_of(run, n=2) -> float:
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def main() -> None:
+    scaled = sys.argv[1]
+    base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    spark = get_spark("floor-probe")
+    rows = []
+    for sf_dir in (base, scaled):
+        con = oracle_connection(sf_dir)
+        # Warm session + parquet footers.
+        Q.REGISTRY[FLOOR_SET[0]].spark_fn(spark, sf_dir).count()
+        for name in FLOOR_SET:
+            q = Q.REGISTRY[name]
+            s = best_of(lambda: q.spark_fn(spark, sf_dir).toArrow())
+            d = best_of(lambda: con.execute(q.oracle).arrow())
+            rows.append((name, sf_dir, s, d))
+            print(f"  {name} @ {sf_dir}: spark {s:.3f}s duck {d:.3f}s "
+                  f"ratio {s / max(d, 1e-9):.1f}x", flush=True)
+        con.close()
+
+    by = {}
+    for name, sf_dir, s, d in rows:
+        by.setdefault(name, {})[sf_dir] = (s, d)
+
+    print("\n| query | spark@base | duck@base | ratio@base | spark@10x | duck@10x | ratio@10x |")
+    print("|---|---|---|---|---|---|---|")
+    tot = [0.0, 0.0, 0.0, 0.0]
+    for name in FLOOR_SET:
+        (sb, db), (ss, ds) = by[name][base], by[name][scaled]
+        tot = [tot[0] + sb, tot[1] + db, tot[2] + ss, tot[3] + ds]
+        print(f"| {name} | {sb:.2f} | {db:.2f} | {sb / max(db, 1e-9):.1f}x "
+              f"| {ss:.2f} | {ds:.2f} | {ss / max(ds, 1e-9):.1f}x |")
+    print(f"| **total** | {tot[0]:.2f} | {tot[1]:.2f} | {tot[0] / tot[1]:.1f}x "
+          f"| {tot[2]:.2f} | {tot[3]:.2f} | {tot[2] / tot[3]:.1f}x |")
+
+
+if __name__ == "__main__":
+    main()

@@ -124,6 +124,68 @@ def shuffle_order(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    context_tokens: int = 256,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bucket_docs: int = 1000,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in key order and
+    chop the token stream into fixed ``context_tokens`` windows, then
+    report per-window packing stats (how many docs land in each context,
+    how many straddle its left boundary, the covered doc range).
+
+    The packing assignment is pure prefix-sum arithmetic over token
+    counts, so it never materializes the concatenated stream. A bare
+    ``sum() OVER (ORDER BY key)`` would drag the corpus into ONE
+    partition; instead the prefix sum is two-phase like shuffle_order:
+    bucket by ``key div bucket_docs`` (monotone in key, so bucket order
+    is key order), collect per-bucket token totals (#buckets rows),
+    broadcast their running offsets, and window-rank only WITHIN each
+    bucket — every corpus-sized step stays distributed.
+    """
+    from pyspark.sql import Window as W
+
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    bucketed = docs.select(
+        F.col(key_col).alias("_k"), n_tok.alias("_n")
+    ).withColumn("_b", (F.col("_k") / bucket_docs).cast("long"))
+    per_bucket = {
+        r["_b"]: r["tok"]
+        for r in bucketed.groupBy("_b").agg(F.sum("_n").alias("tok")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(per_bucket):
+        offsets[b] = acc
+        acc += per_bucket[b]
+    if not offsets:
+        schema = "window_id long, n_docs long, n_boundary long, first_doc long, last_doc long"
+        return docs.sparkSession.createDataFrame([], schema)
+    mapping = F.create_map(*[F.lit(x) for b_off in offsets.items() for x in b_off])
+    w = W.partitionBy("_b").orderBy("_k")
+    cum = (F.sum("_n").over(w) + mapping[F.col("_b")]).alias("_cum")
+    spans = bucketed.select("_k", "_n", cum).select(
+        "_k",
+        F.floor((F.col("_cum") - F.col("_n")) / context_tokens).alias("_w0"),
+        F.floor((F.col("_cum") - 1) / context_tokens).alias("_w1"),
+    )
+    return (
+        spans.select(
+            "_k",
+            "_w0",
+            F.explode(F.sequence("_w0", "_w1")).alias("window_id"),
+        )
+        .groupBy("window_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("_w0") < F.col("window_id")).cast("long")).alias("n_boundary"),
+            F.min("_k").alias("first_doc"),
+            F.max("_k").alias("last_doc"),
+        )
+    )
+
+
 def length_buckets(
     docs: DataFrame, text_col: str = "text", bucket_tokens: int = 32
 ) -> DataFrame:

@@ -172,6 +172,52 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", redacted.alias("redacted"))
 
 
+def lm_perplexity(
+    docs: DataFrame,
+    text_col: str = "text",
+    ref_filter: Column | None = None,
+) -> DataFrame:
+    """CCNet-style LM quality scoring with a character-bigram model.
+
+    Train a char-bigram language model on a clean reference subset
+    (``ref_filter``, e.g. ``lang = 'en'``), then score EVERY document by
+    the mean negative log-probability of its bigrams (cross-entropy) and
+    its exponential (perplexity). Low perplexity ≈ looks like the
+    reference corpus; the classic pretraining quality signal (CCNet uses
+    a wiki-trained KenLM the same way).
+
+    Probabilities are Laplace-smoothed over the observed bigram alphabet:
+    p(g) = (c_g + 1) / (N + V); unseen bigrams get c_g = 0 via the left
+    join. Pure built-in expressions end-to-end.
+
+    Scale shape (100 TB): the LM table is at most |alphabet|² rows —
+    KB-sized — so training is a map-side partial count + tiny shuffle,
+    and scoring is a BROADCAST join. The only corpus-sized shuffle is the
+    per-doc avg, which partial-aggregates to one row per (doc, partition)
+    before moving.
+    """
+    base = docs.filter(F.length(text_col) >= 2)
+    idx = F.sequence(F.lit(1), F.length(text_col) - 1)
+    bigrams = F.transform(idx, lambda i: F.col(text_col).substr(i, F.lit(2)))
+    bg = base.select("doc_id", F.explode(bigrams).alias("g"))
+
+    ref = base.filter(ref_filter) if ref_filter is not None else base
+    ref_bg = ref.select(F.explode(bigrams).alias("g"))
+    lm = ref_bg.groupBy("g").agg(F.count("*").alias("c"))
+    tot = lm.agg(F.sum("c").alias("n"), F.count("*").alias("v"))
+
+    logp = F.log((F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0)) / (F.col("n") + F.col("v")))
+    return (
+        bg.join(F.broadcast(lm), "g", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.avg(logp), 4).alias("cross_entropy"),
+            F.round(F.exp(-F.avg(logp)), 2).alias("ppl"),
+        )
+    )
+
+
 def repetition_stats(
     docs: DataFrame,
     text_col: str = "text",

@@ -436,6 +436,39 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
 
 
+@register(
+    "text_lm_perplexity",
+    tags=("llm", "text", "quality"),
+    oracle="""
+WITH base AS (SELECT doc_id, text, lang FROM documents WHERE length(text) >= 2),
+bg AS (
+  SELECT doc_id, substr(text, i, 2) AS g
+  FROM base, LATERAL (SELECT unnest(range(1, length(text))) AS i) t
+),
+ref_bg AS (
+  SELECT substr(text, i, 2) AS g
+  FROM base, LATERAL (SELECT unnest(range(1, length(text))) AS i) t
+  WHERE lang = 'en'
+),
+lm AS (SELECT g, count(*) AS c FROM ref_bg GROUP BY g),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM lm)
+SELECT bg.doc_id,
+       round(-avg(ln((coalesce(lm.c, 0) + 1.0) / (tot.n + tot.v))), 4) AS cross_entropy,
+       round(exp(-avg(ln((coalesce(lm.c, 0) + 1.0) / (tot.n + tot.v)))), 2) AS ppl
+FROM bg LEFT JOIN lm USING (g) CROSS JOIN tot
+GROUP BY bg.doc_id
+ORDER BY doc_id
+""",
+)
+def text_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style quality scoring: char-bigram LM trained on the English
+    reference subset, every doc scored by cross-entropy/perplexity under
+    it (operators/text.py::lm_perplexity — broadcast LM, Laplace
+    smoothing, no UDFs)."""
+    docs = load_tables(spark, sf)["documents"]
+    return TX.lm_perplexity(docs, ref_filter=F.col("lang") == "en").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -988,6 +1021,41 @@ def corpus_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_tables(spark, sf)["documents"]
     return length_buckets(docs).orderBy("len_bucket")
+
+
+@register(
+    "corpus_pack_sequences",
+    tags=("llm", "corpus", "batching"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents
+),
+cum AS (
+  SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
+  FROM toks
+),
+spans AS (
+  SELECT doc_id,
+         CAST(floor((c - n) / 256.0) AS BIGINT) AS w0,
+         CAST(floor((c - 1) / 256.0) AS BIGINT) AS w1
+  FROM cum
+),
+x AS (SELECT doc_id, w0, unnest(range(w0, w1 + 1)) AS window_id FROM spans)
+SELECT window_id, count(*) AS n_docs,
+       CAST(sum(CASE WHEN w0 < window_id THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM x GROUP BY window_id ORDER BY window_id
+""",
+)
+def corpus_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-style context packing (operators/corpus.py::pack_sequences):
+    concatenate docs in id order, chop into 256-token windows, report
+    per-window doc counts / boundary straddles. Prefix sums are two-phase
+    (bucketed) so nothing ever funnels into one partition."""
+    from ..operators.corpus import pack_sequences
+
+    docs = load_tables(spark, sf)["documents"]
+    return pack_sequences(docs, context_tokens=256).orderBy("window_id")
 
 
 @register(

@@ -32,9 +32,27 @@ _DEFAULTS: dict[str, str] = {
     # driver memory stays flat regardless of result cardinality
     # (reference streams batch-at-a-time: src/core/duckdb.rs:91-93).
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
-    # Broadcast threshold: default 10 MB is fine; AQE converts
-    # sort-merge to broadcast at runtime when a side turns out small.
-    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Broadcast threshold: keep Spark's 10 MB default. A higher value
+    # (64m, tried in round 3) makes Catalyst broadcast the column-pruned
+    # FACT table once its estimated size dips under the bar — measured at
+    # 10x sf0.1 it hash-builds 6M lineitem rows single-threaded (q5 went
+    # 0.9s -> 4s) and at real scale it would OOM the executors. Small dims
+    # still broadcast from stats, and AQE upgrades shuffle joins to
+    # broadcast at runtime when the *actual* post-filter size is small.
+    "spark.sql.autoBroadcastJoinThreshold": "10m",
+    # Prefer shuffled-hash join over sort-merge when a side fits
+    # per-partition hash maps: skips two full sorts per join. Spark bounds
+    # the build side by threshold x shuffle.partitions and AQE still
+    # splits skewed partitions, so the OOM guard rails stay on; this is
+    # the default posture of modern vectorized engines. Measured at 10x
+    # sf0.1: q10 3.3s -> 0.9s, sessionization 2.0s -> 0.85s.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    # Shuffle blocks live on tmpfs in local mode (see spark.local.dir
+    # below) and never cross a network, so lz4 framing is pure CPU
+    # overhead here. On a real cluster leave compression ON — there the
+    # bytes do cross the wire.
+    "spark.shuffle.compress": "false",
+    "spark.shuffle.spill.compress": "false",
     # DuckDB dialect: double quotes always delimit identifiers (never
     # string literals) — matches attached-macro bodies and client SQL.
     "spark.sql.ansi.doubleQuotedIdentifiers": "true",
