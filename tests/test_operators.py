@@ -749,3 +749,68 @@ class TestAudio:
 
         with _pytest.raises(NotImplementedError):
             MM._decode_wav(wav)
+
+
+class TestStreamingDedup:
+    def test_watermark_variant_matches_exact(self, spark):
+        """dropDuplicatesWithinWatermark (bounded state, the at-scale flip
+        documented in run_dedup_stream) must agree with the exact
+        unbounded-state dedup on the finite events workload."""
+        from uquery_rs_spark.streaming.jobs import run_dedup_stream
+
+        exact = {
+            (r.event_type, r.n_unique_keys)
+            for r in run_dedup_stream(spark, SF_SMALL).collect()
+        }
+        bounded = {
+            (r.event_type, r.n_unique_keys)
+            for r in run_dedup_stream(spark, SF_SMALL, within_watermark="2 hours").collect()
+        }
+        assert exact == bounded and exact
+
+
+class TestSemanticDedup:
+    def test_sound_and_deterministic(self, spark):
+        """Every SemDeDup-removed vector must have an exact over-threshold
+        partner (soundness), groups keep their lowest id, and a re-run
+        reproduces the identical removal set (seed-free determinism)."""
+        from uquery_rs_spark.queries.registry import load_tables
+
+        emb = load_tables(spark, SF_SMALL)["embeddings"]
+        out = S.semantic_dedup(emb, threshold=0.4, n_cells=4).toPandas()
+        again = S.semantic_dedup(emb, threshold=0.4, n_cells=4).toPandas()
+        assert sorted(out[out.removed]["id"]) == sorted(again[again.removed]["id"])
+        exact = S.cosine_pairs_blocked(emb, threshold=0.4).toPandas()
+        dup_verts = set(exact.x) | set(exact.y)
+        removed = set(out[out.removed]["id"])
+        assert removed <= dup_verts
+        # canonical is the group's lowest id and is itself kept
+        kept = set(out[~out.removed]["id"])
+        by_id = dict(zip(out.id, out.dup_of))
+        for rid in removed:
+            assert by_id[rid] < rid and by_id[rid] in kept
+
+    def test_single_cell_equals_exact_components(self, spark):
+        """n_cells=1 degenerates to exact all-pairs dedup: removed count =
+        n_dup_vertices - n_connected_components of the exact pair graph."""
+        from uquery_rs_spark.queries.registry import load_tables
+
+        emb = load_tables(spark, SF_SMALL)["embeddings"]
+        out = S.semantic_dedup(emb, threshold=0.4, n_cells=1).toPandas()
+        exact = S.cosine_pairs_blocked(emb, threshold=0.4).toPandas()
+        parent: dict[int, int] = {}
+
+        def find(a):
+            parent.setdefault(a, a)
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for x, y in zip(exact.x, exact.y):
+            rx, ry = find(int(x)), find(int(y))
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        n_components = len({find(v) for v in parent})
+        n_verts = len(set(exact.x) | set(exact.y))
+        assert int(out.removed.sum()) == n_verts - n_components

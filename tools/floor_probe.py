@@ -44,7 +44,7 @@ FLOOR_SET = [
 ]
 
 
-def best_of(run, n=2) -> float:
+def best_of(run, n=3) -> float:
     times = []
     for _ in range(n):
         t0 = time.perf_counter()

@@ -728,3 +728,110 @@ def label_centroid_cohesion(
         F.count("*").alias("n_vecs"),
         F.round(F.avg("cos"), 4).alias("avg_cos_to_centroid"),
     )
+
+
+def _trained_centroids(
+    df: DataFrame,
+    n_cells: int,
+    id_col: str,
+    vec_col: str,
+    cache_key: str | None,
+) -> np.ndarray | None:
+    """Deterministic sampled spherical-k-means centroids with the ivf_topk
+    memoization recipe (sorted lowest-id sample, seed-free init; cache
+    keyed on corpus identity + fingerprint). None for an empty corpus."""
+    fp = _corpus_fingerprint(cache_key) if cache_key else None
+    cents = _centroid_cache.get((cache_key, fp, n_cells)) if cache_key else None
+    if cents is not None:
+        return cents
+    sample_n = max(n_cells * 64, 512)
+    pdf = df.select(id_col, vec_col).orderBy(id_col).limit(sample_n).toPandas()
+    if not len(pdf):
+        return None
+    X = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    cents = _spherical_kmeans(X, min(n_cells, len(X)))
+    if cache_key:
+        _centroid_cache[(cache_key, fp, n_cells)] = cents
+    return cents
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space into cells, then prune near-duplicates WITHIN each
+    cell. Columns: id, cell, removed (boolean), dup_of (the lowest id of
+    the vector's intra-cell duplicate group; equals id for kept rows).
+
+    Determinism: centroids come from the seed-free sampled k-means
+    (_trained_centroids), assignment argmax ties go to the lower cell,
+    and each duplicate group keeps its lowest id (the paper keeps the
+    example farthest from the centroid; lowest-id is the reproducible
+    variant — the removal COUNT per group is identical).
+
+    Scale shape: assignment is one narrow pass against the broadcast
+    centroid matrix; the prune is groupBy(cell).applyInPandas, one
+    (n/k)² matmul per cell where its rows already live. That is the
+    SemDeDup trade: O(n²/k) FLOPs, zero cross-cell comparisons, recall
+    bounded by how often true duplicates share a cell — measured, not
+    assumed, in the registry entry's recall_ok output.
+    """
+    spark = df.sparkSession
+    out_schema = "id long, cell int, removed boolean, dup_of long"
+    cents = _trained_centroids(df, n_cells, id_col, vec_col, cache_key)
+    if cents is None:
+        return spark.createDataFrame([], out_schema)
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign(batches):
+        C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, M = _batch_unit(pdf, id_col, vec_col)
+            cell = np.argmax(M @ C.T, axis=1).astype("int32")
+            yield pd.DataFrame({"id": ids, "cell": cell, "v": pdf[vec_col]})
+
+    assigned = spread(df.select(id_col, vec_col)).mapInPandas(
+        assign, "id long, cell int, v array<float>"
+    )
+
+    def prune(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy().astype("int64")
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.stack([np.asarray(v, dtype="float64") for v in pdf["v"].iloc[order]])
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        S = M @ M.T
+        xi, yi = np.nonzero(np.triu(S >= threshold, k=1))
+        # Union-find over the over-threshold pair graph; roots are the
+        # lowest index (== lowest id, rows are id-sorted).
+        parent = np.arange(len(ids))
+
+        def find(a: int) -> int:
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for a, b in zip(xi, yi):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(len(ids))])
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "cell": pdf["cell"].iloc[0],
+                "removed": roots != np.arange(len(ids)),
+                "dup_of": ids[roots],
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(prune, out_schema)

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.jobs import (
+    run_dedup_stream,
     run_sliding_stream,
     run_stateful_user_counter,
     run_tumbling_stream,
@@ -56,6 +57,27 @@ def streaming_stateful_counter(spark: SparkSession, sf: str) -> DataFrame:
     user). Lost state, double-counted microbatches, or a wrong final-row
     selection all flip the hash."""
     return run_stateful_user_counter(spark, sf)
+
+
+@register(
+    "streaming_dedup",
+    tags=("streaming", "dedup"),
+    oracle="""
+SELECT event_type, count(*) AS n_unique_keys
+FROM (SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS m
+      FROM events)
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming ingestion dedup (streaming/jobs.py::run_dedup_stream):
+    dropDuplicates on (user, event_type, event-minute) as rows stream in,
+    appended survivors counted per type — equals batch DISTINCT on the
+    drained finite source, which the oracle checks. The watermark-bounded
+    state variant (dropDuplicatesWithinWatermark) is the at-scale flip,
+    asserted equal on this workload in tests."""
+    return run_dedup_stream(spark, sf)
 
 
 @register(

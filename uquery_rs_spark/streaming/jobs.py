@@ -38,10 +38,10 @@ def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def _drain(result: DataFrame, name: str) -> DataFrame:
+def _drain(result: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Run a streaming DF to completion into an in-memory table."""
     q = (
-        result.writeStream.outputMode("complete")
+        result.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
@@ -143,6 +143,41 @@ def run_stateful_user_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
         .orderBy("user_id")
+    )
+
+
+def run_dedup_stream(
+    spark: SparkSession, sf_dir: str, within_watermark: str | None = None
+) -> DataFrame:
+    """Streaming ingestion dedup: drop duplicate (user, event_type,
+    event-minute) keys as they stream in, then count surviving keys per
+    event type.
+
+    Default is the EXACT variant (streaming ``dropDuplicates``, key state
+    never evicted): on a finite drained source it equals batch DISTINCT,
+    which the oracle checks row-for-row. At unbounded ingestion scale
+    pass ``within_watermark`` (e.g. "2 hours") to use
+    ``dropDuplicatesWithinWatermark`` instead — state is evicted past the
+    watermark horizon, the right trade when duplicates arrive close
+    together in event time (the ingestion-retry reality);
+    tests assert both variants agree on this workload.
+    """
+    ev = streaming_events(spark, sf_dir)
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    keys = ev.select(
+        "user_id", "event_type", F.date_trunc("minute", "ts").alias("minute")
+    )
+    if within_watermark is not None:
+        deduped = keys.withWatermark("minute", within_watermark).dropDuplicatesWithinWatermark(
+            ["user_id", "event_type", "minute"]
+        )
+    else:
+        deduped = keys.dropDuplicates(["user_id", "event_type", "minute"])
+    drained = _drain(deduped, name, mode="append")
+    return (
+        drained.groupBy("event_type")
+        .agg(F.count("*").alias("n_unique_keys"))
+        .orderBy("event_type")
     )
 
 
