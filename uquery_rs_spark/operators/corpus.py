@@ -124,6 +124,27 @@ def shuffle_order(
     )
 
 
+def importance_sample(
+    docs: DataFrame, prob: Column, key_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic importance sampling: keep each row with its OWN
+    probability ``prob`` (a per-row column, clamped to [0,1]) — the
+    quality-weighted acceptance step of data-mixing pipelines (keep good
+    documents with high probability, weak ones rarely).
+
+    The accept decision compares the row's md5-prefix fraction against
+    prob, so it is a pure row function like hash_split: reproducible
+    across runs, engines, and partitionings, consistent under
+    incremental ingestion, and oracle-checkable row-for-row — none of
+    which rand() sampling gives you. Filter-only: no shuffle.
+    """
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    p = F.greatest(F.lit(0.0), F.least(F.lit(1.0), prob))
+    return docs.filter(h < p * 65536)
+
+
 def pack_sequences(
     docs: DataFrame,
     context_tokens: int = 256,

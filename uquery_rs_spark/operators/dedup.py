@@ -111,21 +111,16 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id"
     )
 
 
-def jaccard_pairs_exact(
-    docs: DataFrame,
-    threshold: float,
-    n: int = 3,
-    text_col: str = "text",
-    key_col: str = "doc_id",
+def _shingle_intersections(
+    docs: DataFrame, n: int, text_col: str, key_col: str
 ) -> DataFrame:
-    """All pairs with n-gram-shingle Jaccard >= threshold (exact).
+    """Inverted-index pair intersections: x, y (x<y), nx, ny, inter.
 
-    Inverted-index plan: explode postings (set size riding alongside the
-    id), group by shingle, expand in-posting pairs, count shared postings
-    per pair = |intersection|. The shingle projection runs ONCE and there
-    are no size-lookup joins (a size join would recompute it; a shingle
-    self-join would recompute it twice). Columns: x, y (x<y), inter, nx,
-    ny, jaccard.
+    Explode postings (set size riding alongside the id), group by
+    shingle, expand in-posting pairs, count shared postings per pair =
+    |intersection|. The shingle projection runs ONCE and there are no
+    size-lookup joins (a size join would recompute it; a shingle
+    self-join would recompute it twice).
     """
     sh = _spread(docs).select(
         F.col(key_col).alias("id"), word_shingles(F.col(text_col), n).alias("s")
@@ -134,7 +129,7 @@ def jaccard_pairs_exact(
         F.struct("id", F.size("s").alias("nsh")).alias("m"), F.explode("s").alias("g")
     )
     pairs_in = _pairs_in_bucket(F.col("ms"))
-    inter = (
+    return (
         post.groupBy("g")
         .agg(F.sort_array(F.collect_list("m")).alias("ms"))
         .filter(F.size("ms") > 1)
@@ -147,12 +142,61 @@ def jaccard_pairs_exact(
         )
         .agg(F.count("*").alias("inter"))
     )
+
+
+def jaccard_pairs_exact(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs with n-gram-shingle Jaccard >= threshold (exact), via the
+    single-projection inverted index (_shingle_intersections). Columns:
+    x, y (x<y), inter, nx, ny, jaccard."""
+    inter = _shingle_intersections(docs, n, text_col, key_col)
     return (
         inter.withColumn(
             "jaccard", F.col("inter") / (F.col("nx") + F.col("ny") - F.col("inter"))
         )
         .filter(F.col("jaccard") >= threshold)
         .select("x", "y", "inter", "nx", "ny", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def containment_pairs_exact(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs where the SMALLER document's shingle set is >= threshold
+    contained in the other: containment = inter / min(nx, ny).
+
+    Catches doc-in-doc duplication — a quoted article, boilerplate-
+    wrapped re-crawl, or page+comments superset — that symmetric Jaccard
+    misses entirely: a snippet fully inside a long page scores Jaccard
+    ~|snippet|/|page| (tiny) but containment 1.0. Same inverted-index
+    plan and cost as jaccard_pairs_exact; jaccard rides along so
+    consumers can see WHICH regime flagged the pair. Columns: x, y,
+    inter, nx, ny, containment, jaccard.
+    """
+    inter = _shingle_intersections(docs, n, text_col, key_col)
+    return (
+        inter.withColumn("containment", F.col("inter") / F.least("nx", "ny"))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "x",
+            "y",
+            "inter",
+            "nx",
+            "ny",
+            F.round("containment", 4).alias("containment"),
+            F.round(
+                F.col("inter") / (F.col("nx") + F.col("ny") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
     )
 
 

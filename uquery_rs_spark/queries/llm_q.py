@@ -77,6 +77,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "dedup_ngram_containment",
+    tags=("llm", "dedup"),
+    oracle="""
+WITH sh AS (
+  SELECT doc_id AS id,
+         list_distinct([t[i] || '_' || t[i+1] || '_' || t[i+2]
+                        for i in generate_series(1, len(t) - 2)]) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+ex AS (SELECT id, unnest(s) AS g FROM sh),
+inter AS (
+  SELECT a.id AS x, b.id AS y, count(*) AS inter
+  FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT x, y, inter, sx.nx, sy.ny,
+       round(inter * 1.0 / least(sx.nx, sy.ny), 4) AS containment,
+       round(inter * 1.0 / (sx.nx + sy.ny - inter), 4) AS jaccard
+FROM inter
+JOIN (SELECT id, len(s) AS nx FROM sh) sx ON x = sx.id
+JOIN (SELECT id, len(s) AS ny FROM sh) sy ON y = sy.id
+WHERE inter * 1.0 / least(sx.nx, sy.ny) >= 0.6
+ORDER BY x, y
+""",
+)
+def dedup_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric containment dedup (operators/dedup.py::
+    containment_pairs_exact): flags doc-in-doc duplication — quoted
+    articles, boilerplate-wrapped re-crawls — where the smaller shingle
+    set is >= 60% inside the other even though symmetric Jaccard is
+    tiny. Same single-projection inverted-index plan as the Jaccard
+    op."""
+    docs = load_tables(spark, sf)["documents"]
+    return D.containment_pairs_exact(docs, threshold=0.6).orderBy("x", "y")
+
+
+@register(
     "dedup_minhash_lsh",
     bench=True,
     tags=("llm", "dedup"),
@@ -1084,6 +1121,42 @@ def corpus_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_tables(spark, sf)["documents"]
     return length_buckets(docs).orderBy("len_bucket")
+
+
+@register(
+    "corpus_quality_sample",
+    tags=("llm", "corpus", "sampling"),
+    oracle="""
+WITH scored AS (
+  SELECT doc_id,
+         round(0.5 * least(len(string_split(text, ' ')) / 50.0, 1.0)
+             + 0.4 * least((length(text) * 1.0 / len(string_split(text, ' '))) / 5.0, 1.0)
+             - 0.3 * ((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text)), 4)
+         AS q
+  FROM documents
+)
+SELECT doc_id, q AS quality
+FROM scored
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+      < greatest(0.0, least(1.0, q)) * 65536
+ORDER BY doc_id
+""",
+)
+def corpus_quality_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-weighted deterministic sampling (operators/corpus.py::
+    importance_sample): each doc kept with probability equal to its own
+    quality score, decided by its md5-prefix fraction — reproducible
+    engine-independent acceptance, no rand(), no shuffle."""
+    from ..operators.corpus import importance_sample
+
+    docs = TX.with_tokens(load_tables(spark, sf)["documents"])
+    q = TX.quality_score(F.col("text"), F.col(TX.TOKS))
+    scored = docs.withColumn("q_raw", q)
+    return (
+        importance_sample(scored, F.col("q_raw"))
+        .select("doc_id", F.round("q_raw", 4).alias("quality"))
+        .orderBy("doc_id")
+    )
 
 
 @register(
