@@ -11,12 +11,14 @@ from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 
 # Round-4 verification window (harnesses sample REGISTRY[:50]).
 # Composition: the 32 entries never driver-verified in rounds 1-3, then the
-# eight entries reworked or added this round (progressive JPEG decode,
+# eight entries reworked earlier this round (progressive JPEG decode,
 # multimodal_features scalar fix, and the six former rows-only entries now
-# carrying within_bound oracles), then ten timestamp-predicate-sensitive
+# carrying within_bound oracles), then the six operators ADDED this round
+# (LM perplexity, sequence packing, SemDeDup, streaming dedup, quality
+# sampling, containment dedup), then four timestamp-predicate-sensitive
 # entries so the pushdown rework in registry.load_tables gets re-verified
-# by the driver (streaming_tumbling_window dropped — tumbling_window_events
-# covers the identical plan).  Exactly 50 names.
+# by the driver (the remaining timestamp entries were r03-green and share
+# the same scan plan shape as these four).  Exactly 50 names.
 _ROUND4_WINDOW = (
     # -- never driver-verified (CORRECTNESS_r01-r03) ----------------------
     "struct_map_access",
@@ -60,16 +62,17 @@ _ROUND4_WINDOW = (
     "ann_ivf_persistent",
     "multimodal_resize",
     "streaming_stateful_counter",
+    # -- new operators this round (need first driver rows) ----------------
+    "text_lm_perplexity",
+    "corpus_pack_sequences",
+    "dedup_semantic",
+    "streaming_dedup",
+    "corpus_quality_sample",
+    "dedup_ngram_containment",
     # -- timestamp-pushdown-sensitive (re-verify after load_tables change)
     "tumbling_window_events",
-    "sliding_window_events",
-    "daily_user_activity",
-    "sessionization_30min",
     "asof_join_purchase_view",
     "time_range_window_events",
-    "cohort_retention_daily",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
     "q10_returned_items",
 )
 
