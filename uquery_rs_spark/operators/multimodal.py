@@ -258,6 +258,34 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
 
 
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → uncompressed 24-bit BI_RGB BMP (bottom-up rows,
+    BGR order, 4-byte row stride) — the third container format for the
+    cross-codec dedup check; round-trips through _decode_bmp exactly."""
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    data = rows.tobytes()
+    off = 14 + 40
+    header = (
+        b"BM"
+        + (off + len(data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)  # positive = bottom-up
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + data
+
+
 def resize_nearest(img: np.ndarray, max_dim: int) -> np.ndarray:
     """Deterministic nearest-neighbor downscale so max(h, w) <= max_dim."""
     h, w = img.shape[:2]
@@ -389,6 +417,83 @@ def synthesize_image_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         return pd.Series(out)
 
     return docs.select(id_col, gen(F.col(id_col)).alias("payload"))
+
+
+def synthesize_image_class_docs(
+    docs: DataFrame, id_col: str = "doc_id", n_classes: int = 29
+) -> DataFrame:
+    """Images whose PIXELS depend only on id % n_classes while the
+    CONTAINER format cycles with the raw id (P6 / PNG / BMP): every
+    class member holds identical pixel content behind a different byte
+    encoding. The fixture for decode-normalized dedup — payload-level
+    hashing sees all-distinct bytes; only a correct decode through all
+    three codecs recovers the planted classes.
+
+    Class geometry/pixels reuse the synthesize_image_docs closed form
+    with class in place of id, so class membership is SQL-predictable
+    (id % n_classes) for the oracle."""
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def gen(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            c = i % n_classes
+            w, h = c % 13 + 4, c % 7 + 4
+            y = np.arange(h)[:, None]
+            x = np.arange(w)[None, :]
+            v = ((c + 7 * y + 3 * x) % 256).astype(np.uint8)
+            img = np.repeat(v[:, :, None], 3, axis=2)
+            enc = (encode_ppm, lambda a: encode_png(a, cycle_filters=True), encode_bmp)[
+                i % 3
+            ]
+            out.append(enc(img))
+        return pd.Series(out)
+
+    return docs.select(id_col, gen(F.col(id_col)).alias("payload"))
+
+
+def pixel_dedup(binary_docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode-normalized exact image dedup: decode each payload to its
+    canonical (H, W, 3) RGB array, hash dims + pixel bytes, group by the
+    hash. Finds the same image saved under different containers/encodings
+    (PNG vs BMP vs PPM, different PNG filter choices) that payload-level
+    sha256 can never match. Columns: canonical_id (lowest id), n_copies,
+    width, height.
+
+    Scale shape: decode + hash is a narrow mapInPandas pass (payload in,
+    36-char hash out); the groupBy shuffles only (id, hash, dims) rows.
+    """
+    import hashlib
+
+    def hash_pixels(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, hs, ws, hts = [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                d = hashlib.sha256()
+                d.update(np.array(img.shape, dtype="int64").tobytes())
+                d.update(np.ascontiguousarray(img).tobytes())
+                ids.append(i)
+                hs.append(d.hexdigest())
+                hts.append(img.shape[0])
+                ws.append(img.shape[1])
+            yield pd.DataFrame(
+                {"id": ids, "h": hs, "width": ws, "height": hts}
+            )
+
+    hashed = binary_docs.select(id_col, "payload").mapInPandas(
+        hash_pixels, "id long, h string, width int, height int"
+    )
+    return hashed.groupBy("h").agg(
+        F.min("id").alias("canonical_id"),
+        F.count("*").alias("n_copies"),
+        F.first("width").alias("width"),
+        F.first("height").alias("height"),
+    ).drop("h")
 
 
 def synthesize_jpeg_docs(

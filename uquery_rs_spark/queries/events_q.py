@@ -320,3 +320,48 @@ def cohort_retention_daily(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    tags=("events", "anomaly"),
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+         count(*) AS n_events
+  FROM events
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT *,
+         avg(n_events)    OVER (PARTITION BY event_type) AS mu,
+         stddev(n_events) OVER (PARTITION BY event_type) AS sigma
+  FROM hourly
+)
+SELECT event_type, hour, n_events,
+       round((n_events - mu) / sigma, 2) AS z
+FROM stats
+WHERE sigma > 0 AND (n_events - mu) / sigma >= 2.0
+ORDER BY event_type, hour
+""",
+)
+def events_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Traffic-anomaly detection: hours where an event type's volume runs
+    >= 2 sigma above its own hourly mean. One (type, hour) aggregate
+    (map-side combined) then a per-type window over the ALREADY tiny
+    hourly table — the raw event stream is shuffled once, the z-score
+    math touches only hours x types rows."""
+    ev = load_tables(spark, sf)["events"]
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = W.partitionBy("event_type")
+    z = (F.col("n_events") - F.avg("n_events").over(w)) / F.stddev("n_events").over(w)
+    return (
+        hourly.withColumn("sigma", F.stddev("n_events").over(w))
+        .withColumn("z_raw", z)
+        .filter((F.col("sigma") > 0) & (F.col("z_raw") >= 2.0))
+        .select("event_type", "hour", "n_events", F.round("z_raw", 2).alias("z"))
+        .orderBy("event_type", "hour")
+    )

@@ -761,6 +761,40 @@ def multimodal_jpeg_progressive(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "multimodal_pixel_dedup",
+    tags=("llm", "multimodal", "dedup"),
+    oracle="""
+SELECT doc_id % 29          AS cls,
+       min(doc_id)          AS canonical_id,
+       count(*)             AS n_copies,
+       (doc_id % 29) % 13 + 4 AS width,
+       (doc_id % 29) % 7 + 4  AS height
+FROM documents
+WHERE doc_id <= 200
+GROUP BY 1, 4, 5
+ORDER BY canonical_id
+""",
+)
+def multimodal_pixel_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Decode-normalized exact image dedup (operators/multimodal.py::
+    pixel_dedup): the fixture plants identical pixel content behind
+    DIFFERENT container formats (P6 / PNG with cycling filters / BMP,
+    cycling by raw id while pixels depend only on id % 29), so
+    payload-level hashing finds nothing and only a correct decode
+    through all three native codecs recovers the 29 planted classes —
+    class membership has a closed form the oracle checks exactly."""
+    docs = load_tables(spark, sf)["documents"].filter(F.col("doc_id") <= 200)
+    groups = MM.pixel_dedup(MM.synthesize_image_class_docs(docs))
+    return groups.select(
+        (F.col("canonical_id") % 29).alias("cls"),
+        "canonical_id",
+        "n_copies",
+        "width",
+        "height",
+    ).orderBy("canonical_id")
+
+
+@register(
     "dedup_cluster_canonical",
     tags=("llm", "dedup", "iterative"),
     oracle="""
