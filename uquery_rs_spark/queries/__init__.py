@@ -69,9 +69,11 @@ _ROUND4_WINDOW = (
     "streaming_dedup",
     "corpus_quality_sample",
     "dedup_ngram_containment",
-    # -- timestamp-pushdown-sensitive (re-verify after load_tables change)
-    "tumbling_window_events",
-    "asof_join_purchase_view",
+    "events_anomaly_zscore",
+    "multimodal_pixel_dedup",
+    # -- timestamp-pushdown-sensitive (re-verify after load_tables change;
+    # these two cover both scan shapes — relational date filter and events
+    # range window — the other r03-green timestamp entries share them)
     "time_range_window_events",
     "q10_returned_items",
 )
