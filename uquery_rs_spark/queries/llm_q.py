@@ -114,6 +114,44 @@ def dedup_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "dedup_winnowing",
+    tags=("llm", "dedup", "fingerprint"),
+    oracle="""
+WITH hs AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(substr(text, i, 25)), 1, 8))::BIGINT
+          for i in generate_series(1, length(text) - 24)] AS h
+  FROM documents
+),
+fp AS (
+  SELECT doc_id,
+         list_distinct([list_min(h[j:j+15]) for j in generate_series(1, len(h) - 15)]) AS f
+  FROM hs WHERE len(h) >= 16
+),
+ex AS (SELECT doc_id AS id, len(f) AS n, unnest(f) AS g FROM fp),
+inter AS (
+  SELECT a.id AS x, b.id AS y, a.n AS nx, b.n AS ny, count(*) AS n_shared
+  FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT x, y, n_shared, nx, ny
+FROM inter WHERE n_shared >= 3
+ORDER BY x, y
+""",
+)
+def dedup_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing substring-level dedup (operators/dedup.py::
+    winnowing_pairs — Schleimer et al. 2003, the MOSS scheme): 25-char
+    k-gram md5 hashes, 16-wide window minima, distinct selected hashes
+    as the fingerprint index (~1/8 the k-gram count), pairs sharing
+    >= 3 fingerprints. Any shared substring of >= 40 chars is
+    guaranteed a common fingerprint — catches copied PASSAGES that
+    whole-doc Jaccard dilutes away."""
+    docs = load_tables(spark, sf)["documents"]
+    return D.winnowing_pairs(docs, min_shared=3).orderBy("x", "y")
+
+
+@register(
     "dedup_minhash_lsh",
     bench=True,
     tags=("llm", "dedup"),
@@ -1190,6 +1228,54 @@ def corpus_quality_sample(spark: SparkSession, sf: str) -> DataFrame:
         importance_sample(scored, F.col("q_raw"))
         .select("doc_id", F.round("q_raw", 4).alias("quality"))
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_chunk_documents",
+    tags=("llm", "corpus", "rag"),
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks), 48)) AS start_tok, toks
+  FROM t
+)
+SELECT doc_id,
+       CAST((start_tok - 1) / 48 + 1 AS BIGINT)            AS chunk_idx,
+       CAST(start_tok AS BIGINT)                            AS start_tok,
+       CAST(len(toks[start_tok : start_tok + 63]) AS BIGINT) AS n_tokens,
+       array_to_string(toks[start_tok : start_tok + 63], ' ') AS chunk_text
+FROM c
+ORDER BY doc_id, chunk_idx
+""",
+)
+def corpus_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """RAG-style overlapping chunking: 64-token windows every 48 tokens
+    (16-token overlap so retrieval never loses a boundary sentence).
+    Pure per-row array expressions — slice + join over the bound token
+    split, one explode, NO shuffle: chunking 100 TB streams at scan
+    speed. Output keys (doc_id, chunk_idx) are stable for incremental
+    re-chunking."""
+    docs = TX.with_tokens(load_tables(spark, sf)["documents"])
+    toks = F.col(TX.TOKS)
+    stride, size = 48, 64
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(toks), F.lit(stride)),
+        lambda s: F.struct(
+            s.cast("long").alias("start_tok"),
+            F.slice(toks, s, size).alias("ctoks"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            ((F.col("c.start_tok") - 1) / stride + 1).cast("long").alias("chunk_idx"),
+            F.col("c.start_tok").alias("start_tok"),
+            F.size("c.ctoks").cast("long").alias("n_tokens"),
+            F.array_join("c.ctoks", " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
     )
 
 
