@@ -89,5 +89,35 @@ def embedding_probe():
         print(f"  {name}: e = {e:.2f}")
 
 
+def round4_probe():
+    """1x vs 8x scaling for the round-4 text operators: winnowing and
+    containment ride the same inverted-index machinery as minhash (so
+    should land near its exponent); LM perplexity is two narrow numpy
+    passes and should scale ~linearly with docs."""
+    res = {}
+    ops = {
+        "winnowing": lambda c: D.winnowing_pairs(c).count(),
+        "containment": lambda c: D.containment_pairs_exact(c, threshold=0.6).count(),
+        "lm_perplexity": lambda c: TX.lm_perplexity(
+            c, ref_filter=F.col("lang") == "en"
+        ).count(),
+    }
+    for k in (1, 8):
+        corpus = times_k(k)
+        for name, fn in ops.items():
+            fn(corpus)
+            best = 1e9
+            for _ in range(2):
+                t0 = time.perf_counter(); fn(corpus); best = min(best, time.perf_counter() - t0)
+            res[(name, k)] = best
+            print(f"{name} x{k}: {best:.2f}s ({k*n} docs)", flush=True)
+    import math
+    for name in ops:
+        e = math.log(res[(name, 8)] / res[(name, 1)]) / math.log(8)
+        print(f"  {name}: e = {e:.2f}")
+
+
 if "--embeddings" in sys.argv:
     embedding_probe()
+if "--round4" in sys.argv:
+    round4_probe()
