@@ -254,6 +254,16 @@ def containment_pairs_exact(
     plan and cost as jaccard_pairs_exact; jaccard rides along so
     consumers can see WHICH regime flagged the pair. Columns: x, y,
     inter, nx, ny, containment, jaccard.
+
+    Scale note (measured, tools/scale_probe.py --round4: e = 1.32 at 8x):
+    like jaccard_pairs_exact this is the EXACT baseline, O(sum df²) in
+    posting frequencies, superlinear by construction. MinHash-LSH is NOT
+    the scale fix here — its candidates recall high-Jaccard pairs, and
+    high-containment/low-Jaccard pairs are precisely the ones it misses.
+    The sub-quadratic scale path for passage overlap is
+    winnowing_pairs (e = 0.83 measured): shared substrings guarantee
+    shared fingerprints at ~1/8 the index size, independent of the
+    documents' size ratio.
     """
     inter = _shingle_intersections(docs, n, text_col, key_col)
     return (
