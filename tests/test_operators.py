@@ -814,3 +814,55 @@ class TestSemanticDedup:
         n_components = len({find(v) for v in parent})
         n_verts = len(set(exact.x) | set(exact.y))
         assert int(out.removed.sum()) == n_verts - n_components
+
+
+class TestAsofDirections:
+    def test_forward(self, spark):
+        left = spark.createDataFrame([(1, 10), (1, 20)], "k int, t int")
+        right = spark.createDataFrame([(1, 15, "a"), (1, 25, "b")], "k int, t int, v string")
+        rows = {r.t: r.v for r in asof_join(left, right, on="t", by="k", direction="forward").collect()}
+        assert rows == {10: "a", 20: "b"}
+
+    def test_forward_inclusive_same_ts(self, spark):
+        left = spark.createDataFrame([(1, 10)], "k int, t int")
+        right = spark.createDataFrame([(1, 10, "same")], "k int, t int, v string")
+        out = asof_join(left, right, on="t", by="k", direction="forward").collect()
+        assert out[0].v == "same"
+
+    def test_nearest_tie_goes_backward(self, spark):
+        left = spark.createDataFrame([(1, 10)], "k int, t int")
+        right = spark.createDataFrame([(1, 5, "b"), (1, 15, "f")], "k int, t int, v string")
+        out = asof_join(left, right, on="t", by="k", direction="nearest").collect()
+        assert out[0].v == "b"  # equidistant -> backward (merge_asof convention)
+
+    def test_nearest_one_sided(self, spark):
+        left = spark.createDataFrame([(1, 10), (1, 100)], "k int, t int")
+        right = spark.createDataFrame([(1, 90, "only")], "k int, t int, v string")
+        rows = {r.t: r.v for r in asof_join(left, right, on="t", by="k", direction="nearest").collect()}
+        assert rows == {10: "only", 100: "only"}
+
+    def test_bad_direction_raises(self, spark):
+        left = spark.createDataFrame([(1, 10)], "k int, t int")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            asof_join(left, left, on="t", by="k", direction="sideways")
+
+
+class TestPQTopk:
+    def test_recall_and_determinism(self, spark):
+        """PQ prune + exact refine must recover >= 0.9 of the exact top-5
+        (measured 1.0 on this corpus) and reproduce identically."""
+        from uquery_rs_spark.queries.registry import load_tables
+
+        emb = load_tables(spark, SF_SMALL)["embeddings"]
+        q = emb.filter(F.col("vec_id") < 50)
+        approx = S.cosine_topk_pq(q, emb, k=5, m=8, n_codes=16).toPandas()
+        again = S.cosine_topk_pq(q, emb, k=5, m=8, n_codes=16).toPandas()
+        assert sorted(map(tuple, approx.values.tolist())) == sorted(
+            map(tuple, again.values.tolist())
+        )
+        exact = S.cosine_topk_bruteforce(q, emb, k=5).toPandas()
+        a = set(zip(approx.query_id, approx.neighbor_id))
+        e = set(zip(exact.query_id, exact.neighbor_id))
+        assert len(a & e) / len(e) >= 0.9

@@ -36,8 +36,24 @@ def asof_join(
     by: list[str] | str | None = None,
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: latest right row with right[on] <= left[on].
+    """As-of join in all three directions.
+
+    - ``backward`` (DuckDB's default `ON l.on >= r.on`): latest right row
+      with right[on] <= left[on].
+    - ``forward`` (`ON l.on <= r.on`): earliest right row with
+      right[on] >= left[on].
+    - ``nearest``: whichever of the two is closer in ``on``; ties go
+      backward (pandas merge_asof convention).
+
+    Both directions are the same union + windowed pattern: backward is
+    last-non-null over UNBOUNDED PRECEDING..CURRENT with right rows
+    sorting BEFORE coincident left rows (inclusive >=); forward mirrors
+    it — first-non-null over CURRENT..UNBOUNDED FOLLOWING with right
+    rows sorting AFTER coincident left rows. ``nearest`` runs both
+    window passes over the SAME sorted partition (one shuffle total, no
+    re-exchange — the sort satisfies both frames) and picks per-row.
 
     Args:
         left/right: inputs sharing the ``on`` ordering column and ``by`` keys.
@@ -46,12 +62,19 @@ def asof_join(
         right_cols: right payload columns to carry (default: all except
             ``on``/``by``).
         suffix: applied to right payload names colliding with left's.
+        direction: "backward" | "forward" | "nearest".
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction}")
     by = [by] if isinstance(by, str) else (by or [])
     if right_cols is None:
         right_cols = [c for c in right.columns if c != on and c not in by]
     out_names = {c: (c + suffix if c in left.columns else c) for c in right_cols}
 
+    # Right rows must sort before coincident left rows for the backward
+    # frame (so an equal-ts right row is inside PRECEDING..CURRENT) and
+    # after them for the forward frame. tag: left=1; right=0 (backward
+    # visible) — the forward pass orders by tag DESC to get the mirror.
     lhs = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__tag"),
@@ -67,14 +90,47 @@ def asof_join(
     )
     unioned = lhs.unionByName(rhs)
 
-    w = (
+    w_back = (
         W.partitionBy(*by)
         .orderBy(F.col(on).asc(), F.col("__tag").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    matched: list[Column] = [
-        F.last(out_names[c], ignorenulls=True).over(w).alias(out_names[c]) for c in right_cols
-    ]
+    w_fwd = (
+        W.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__tag").desc())
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+
+    def back(c: str) -> Column:
+        return F.last(out_names[c], ignorenulls=True).over(w_back)
+
+    def fwd(c: str) -> Column:
+        return F.first(out_names[c], ignorenulls=True).over(w_fwd)
+
+    if direction == "backward":
+        matched = [back(c).alias(out_names[c]) for c in right_cols]
+    elif direction == "forward":
+        matched = [fwd(c).alias(out_names[c]) for c in right_cols]
+    else:
+        # Both passes need the match's ordering value to compare gaps.
+        rhs_on = f"__r_{on}"
+        unioned = unioned.withColumn(
+            rhs_on, F.when(F.col("__tag") == 0, F.col(on))
+        )
+        b_on = F.last(rhs_on, ignorenulls=True).over(w_back)
+        f_on = F.first(rhs_on, ignorenulls=True).over(w_fwd)
+        use_back = F.when(
+            f_on.isNull()
+            | (
+                b_on.isNotNull()
+                & ((F.col(on) - b_on) <= (f_on - F.col(on)))
+            ),
+            True,
+        ).otherwise(False)
+        matched = [
+            F.when(use_back, back(c)).otherwise(fwd(c)).alias(out_names[c])
+            for c in right_cols
+        ]
     return (
         unioned.select(*[c for c in left.columns], "__tag", *matched)
         .filter(F.col("__tag") == 1)

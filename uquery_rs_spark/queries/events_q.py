@@ -191,6 +191,54 @@ def asof_join_purchase_view(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "asof_direction_battery",
+    tags=("events", "asof", "join"),
+    oracle="""
+WITH p AS (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT user_id, ts, ts AS vts FROM events WHERE event_type = 'view'),
+b AS (SELECT p.user_id, p.ts, v.vts AS back_ts
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts),
+f AS (SELECT p.user_id, p.ts, v.vts AS fwd_ts
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts)
+SELECT b.user_id, b.ts, b.back_ts, f.fwd_ts,
+       CASE WHEN f.fwd_ts IS NULL THEN b.back_ts
+            WHEN b.back_ts IS NULL THEN f.fwd_ts
+            WHEN b.ts - b.back_ts <= f.fwd_ts - b.ts THEN b.back_ts
+            ELSE f.fwd_ts END AS nearest_ts
+FROM b JOIN f ON b.user_id = f.user_id AND b.ts = f.ts
+ORDER BY b.user_id, b.ts
+""",
+)
+def asof_direction_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """All three as-of directions over one dataset (operators/asof.py):
+    backward = DuckDB's `l.ts >= r.ts`, forward = `l.ts <= r.ts`,
+    nearest = closer of the two (ties backward, merge_asof convention —
+    computed as two window passes over the SAME sorted partition, one
+    shuffle). Oracle runs DuckDB's native ASOF JOIN both ways and
+    derives nearest by interval comparison."""
+    ev = load_tables(spark, sf)["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts").distinct()
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("ts").alias("vts")
+    )
+    back = asof_join(p, v, on="ts", by="user_id", right_cols=["vts"]).withColumnRenamed(
+        "vts", "back_ts"
+    )
+    fwd = asof_join(
+        p, v, on="ts", by="user_id", right_cols=["vts"], direction="forward"
+    ).withColumnRenamed("vts", "fwd_ts")
+    near = asof_join(
+        p, v, on="ts", by="user_id", right_cols=["vts"], direction="nearest"
+    ).withColumnRenamed("vts", "nearest_ts")
+    return (
+        back.join(fwd, ["user_id", "ts"])
+        .join(near, ["user_id", "ts"])
+        .select("user_id", "ts", "back_ts", "fwd_ts", "nearest_ts")
+        .orderBy("user_id", "ts")
+    )
+
+
+@register(
     "time_range_window_events",
     tags=("events", "window-frame", "time-series"),
     oracle="""
