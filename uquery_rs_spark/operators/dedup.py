@@ -700,3 +700,57 @@ def minhash_lsh_staged(
         .filter(F.col("jaccard") >= threshold)
         .select("x", "y", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+def bloom_membership(
+    delta: DataFrame,
+    base: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Bloom-filter ingestion membership: build a bit-array over the BASE
+    corpus' exact-text hashes, probe each DELTA document against it.
+    Columns: key, bloom_hit.
+
+    The 100 TB shape for "have we seen this document before": the base
+    never re-shuffles — one pass explodes each doc's k bit positions
+    into a distinct-collect bounded by m_bits (the filter's SIZE, ~128 MB
+    at m=2^30 — broadcast-class, and 10,000x smaller than the corpus);
+    the delta probes a broadcast numpy bitmap batch-at-a-time. Bloom
+    guarantees NO false negatives (a genuine duplicate always hits) at a
+    tunable false-positive rate (~(1-e^(-kn/m))^k); pair with an exact
+    verify of the (few) hits, as the registered entry's oracle does.
+
+    Bit positions: pmod(xxhash64(text, seed_i), m) — k independent
+    seeded hashes, all JVM-side.
+    """
+    import numpy as np
+    import pandas as pd
+
+    positions = F.transform(
+        F.sequence(F.lit(1), F.lit(k_hashes)),
+        lambda i: F.pmod(F.xxhash64(F.col(text_col), i), F.lit(m_bits)),
+    )
+    set_bits = [
+        r[0]
+        for r in base.select(F.explode(positions).alias("p")).distinct().collect()
+    ]
+    bitmap = np.zeros(m_bits, dtype=bool)
+    if set_bits:
+        bitmap[np.array(set_bits, dtype="int64")] = True
+    bc = delta.sparkSession.sparkContext.broadcast(bitmap)
+
+    def probe(batches):
+        bm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hits = [bool(bm[np.array(p, dtype="int64")].all()) for p in pdf["pos"]]
+            yield pd.DataFrame({"key": pdf["key"], "bloom_hit": hits})
+
+    probed = delta.select(
+        F.col(key_col).alias("key"), positions.alias("pos")
+    ).mapInPandas(probe, "key long, bloom_hit boolean")
+    return probed

@@ -1306,6 +1306,55 @@ def corpus_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "corpus_token_budget_mix",
+    tags=("llm", "corpus", "sampling"),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+tot AS (SELECT source, sum(n) AS src_toks FROM t GROUP BY source),
+rated AS (
+  SELECT t.doc_id, t.source, t.n,
+         least(1.0, 2000.0 / tot.src_toks) AS rate
+  FROM t JOIN tot USING (source)
+)
+SELECT source, round(rate, 4) AS rate,
+       count(*) AS n_kept,
+       CAST(sum(n) AS BIGINT) AS kept_tokens
+FROM rated
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+      < rate * 65536
+GROUP BY source, rate
+ORDER BY source
+""",
+)
+def corpus_token_budget_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget corpus mixing: cap every source at a token budget by
+    deriving its deterministic sampling rate (budget / source tokens,
+    capped at 1) and applying the md5-fraction acceptance
+    (operators/corpus.py::importance_sample) — the downsampling step of
+    a data-mixture recipe, reproducible row-for-row. One tiny per-source
+    aggregate broadcast back; the acceptance itself is a shuffle-free
+    filter."""
+    from ..operators.corpus import importance_sample
+
+    docs = load_tables(spark, sf)["documents"]
+    n = F.size(F.split("text", " ")).cast("long")
+    t = docs.select("doc_id", "source", n.alias("n"))
+    tot = t.groupBy("source").agg(F.sum("n").alias("src_toks"))
+    rated = t.join(F.broadcast(tot), "source").withColumn(
+        "rate", F.least(F.lit(1.0), F.lit(2000.0) / F.col("src_toks"))
+    )
+    return (
+        importance_sample(rated, F.col("rate"))
+        .groupBy("source", F.round("rate", 4).alias("rate"))
+        .agg(F.count("*").alias("n_kept"), F.sum("n").alias("kept_tokens"))
+        .orderBy("source")
+    )
+
+
+@register(
     "corpus_pack_sequences",
     tags=("llm", "corpus", "batching"),
     oracle="""
@@ -1381,6 +1430,66 @@ def dedup_incremental_delta(spark: SparkSession, sf: str) -> DataFrame:
     delta = docs.filter(F.col("source") == "src18")
     base = docs.filter(F.col("source") != "src18")
     return D.incremental_near_dedup(base, delta).orderBy("doc_id")
+
+
+@register(
+    "dedup_bloom_membership",
+    tags=("llm", "dedup", "incremental"),
+    oracle="""
+WITH base AS (SELECT text FROM documents WHERE source <> 'src18'),
+delta AS (
+  SELECT doc_id, text FROM documents
+  WHERE source = 'src18' OR doc_id % 7 = 0
+)
+SELECT doc_id,
+       text IN (SELECT text FROM base) AS exact_dup,
+       TRUE AS no_false_neg,
+       TRUE AS fp_ok
+FROM delta
+ORDER BY doc_id
+""",
+)
+def dedup_bloom_membership(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter ingestion membership (operators/dedup.py::
+    bloom_membership): the base corpus compresses to a 2^20-bit bloom
+    (one pass, never re-shuffled); a delta that mixes genuinely-new
+    docs (src18) with RE-INGESTED base docs (doc_id % 7 — the retry
+    scenario) probes the broadcast bitmap. Falsifiable both ways:
+    `no_false_neg` asserts every true member hits the filter (the bloom
+    guarantee — a mis-wired hash flips it on ~70 rows) and `fp_ok`
+    bounds the measured false-positive rate at 1% (expected ~1e-13 at
+    this fill factor)."""
+    docs = load_tables(spark, sf)["documents"]
+    delta = docs.filter(
+        (F.col("source") == "src18") | (F.col("doc_id") % 7 == 0)
+    )
+    base = docs.filter(F.col("source") != "src18")
+    probed = D.bloom_membership(delta, base)
+    base_h = base.select(F.sha2("text", 256).alias("h")).distinct().withColumn(
+        "in_base", F.lit(True)
+    )
+    flagged = (
+        delta.select("doc_id", F.sha2("text", 256).alias("h"))
+        .join(F.broadcast(base_h), "h", "left")
+        .join(probed.withColumnRenamed("key", "doc_id"), "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce("in_base", F.lit(False)).alias("exact_dup"),
+            "bloom_hit",
+        )
+    )
+    fp_ok = flagged.filter(~F.col("exact_dup")).agg(
+        (F.avg(F.col("bloom_hit").cast("double")) <= 0.01).alias("fp_ok")
+    )
+    return (
+        flagged.select(
+            "doc_id",
+            "exact_dup",
+            (~F.col("exact_dup") | F.col("bloom_hit")).alias("no_false_neg"),
+        )
+        .crossJoin(F.broadcast(fp_ok))
+        .orderBy("doc_id")
+    )
 
 
 @register(
