@@ -118,3 +118,81 @@ def test_qualify_rewrite_equals_window_filter(spark, vals):
         ).collect()
     )
     assert got == expected
+
+
+@spark_settings
+@given(
+    a=st.text(alphabet="abcdefgh ", min_size=0, max_size=60),
+    b=st.text(alphabet="abcdefgh ", min_size=0, max_size=60),
+    shared=st.text(alphabet="qrstuvwx", min_size=40, max_size=50),
+)
+def test_winnowing_guarantee_shared_substring(spark, a, b, shared):
+    """The winnowing guarantee (Schleimer et al. §2): two documents
+    sharing a substring of length >= window + k - 1 (= 40 at defaults)
+    must share at least one selected fingerprint. The shared block uses
+    a disjoint alphabet so the guarantee is exercised, not luck."""
+    from uquery_rs_spark.operators.dedup import winnowing_fingerprints
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, a + shared + a), (2, b + shared + b)], "doc_id long, text string"
+    )
+    fps = {
+        r.doc_id: set(r.f)
+        for r in docs.select(
+            "doc_id", winnowing_fingerprints(F.col("text")).alias("f")
+        ).collect()
+    }
+    assert fps[1] & fps[2]
+
+
+@spark_settings
+@given(
+    lens=st.lists(st.integers(1, 40), min_size=1, max_size=25),
+    budget=st.sampled_from([8, 16, 32]),
+)
+def test_pack_sequences_accounting(spark, lens, budget):
+    """Conservation laws of concat-and-chop packing: every doc is FIRST
+    counted in exactly one window (sum of non-boundary memberships =
+    n_docs), windows are contiguous from 0, and total window-memberships
+    equal the sum of per-doc window spans."""
+    from uquery_rs_spark.operators.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(lens)],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, context_tokens=budget).collect()
+    assert sum(r.n_docs - r.n_boundary for r in out) == len(lens)
+    wids = sorted(r.window_id for r in out)
+    total_tokens = sum(lens)
+    assert wids == list(range((total_tokens + budget - 1) // budget))
+
+
+@spark_settings
+@given(
+    left=st.lists(st.integers(0, 100), min_size=1, max_size=15, unique=True),
+    right=st.lists(st.integers(0, 100), min_size=1, max_size=15, unique=True),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+)
+def test_asof_matches_pandas_merge_asof(spark, left, right, direction):
+    """Differential: all three as-of directions equal pandas.merge_asof
+    on random single-key data (the de-facto reference semantics,
+    including tie-to-backward for nearest)."""
+    import pandas as pd
+    from uquery_rs_spark.operators import asof_join
+
+    ldf = spark.createDataFrame([(t,) for t in left], "t int")
+    rdf = spark.createDataFrame([(t, float(t)) for t in right], "t int, v double")
+    got = {
+        r.t: r.v
+        for r in asof_join(ldf, rdf, on="t", direction=direction).collect()
+    }
+    exp_df = pd.merge_asof(
+        pd.DataFrame({"t": sorted(left)}),
+        pd.DataFrame({"t": sorted(right), "v": [float(t) for t in sorted(right)]}),
+        on="t",
+        direction=direction,
+    )
+    exp = {int(r.t): (None if pd.isna(r.v) else r.v) for r in exp_df.itertuples()}
+    assert got == exp
