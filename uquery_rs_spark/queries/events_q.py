@@ -413,3 +413,76 @@ def events_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
         .select("event_type", "hour", "n_events", F.round("z_raw", 2).alias("z"))
         .orderBy("event_type", "hour")
     )
+
+
+@register(
+    "events_resample_gapfill",
+    tags=("events", "time-series", "resample"),
+    oracle="""
+WITH spans AS (
+  SELECT user_id,
+         date_trunc('hour', min(ts)) AS t0,
+         date_trunc('hour', max(ts)) AS t1
+  FROM events WHERE user_id <= 20 GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 6 HOUR)) AS slot
+  FROM spans
+),
+actual AS (
+  SELECT user_id,
+         t0 + INTERVAL 6 HOUR * CAST(floor(date_diff('hour', t0, date_trunc('hour', ts)) / 6) AS BIGINT) AS slot,
+         count(*) AS n
+  FROM events JOIN spans USING (user_id)
+  WHERE user_id <= 20
+  GROUP BY 1, 2
+)
+SELECT g.user_id, CAST(g.slot AS TIMESTAMP) AS slot,
+       coalesce(a.n, 0) AS n_events
+FROM grid g LEFT JOIN actual a ON g.user_id = a.user_id AND g.slot = a.slot
+ORDER BY g.user_id, slot
+""",
+)
+def events_resample_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series resampling with gap fill: each user's activity
+    re-gridded to 6-hour slots anchored at their own first active hour,
+    empty slots ZERO-FILLED (the step plain groupBy can't do — absent
+    groups produce no rows). Grid generation is a per-user sequence
+    explode off a tiny span aggregate (broadcast back); counts join the
+    grid on (user, slot index) — nothing corpus-sized is ever
+    regenerated or re-shuffled beyond the one user_id aggregate."""
+    ev = load_tables(spark, sf)["events"].filter(F.col("user_id") <= 20)
+    spans = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    n_slots = F.floor(F.expr("timestampdiff(HOUR, t0, t1)") / 6).cast("int")
+    grid = spans.select(
+        "user_id",
+        "t0",
+        F.explode(F.sequence(F.lit(0), n_slots)).alias("k"),
+    ).select(
+        "user_id",
+        F.expr("timestampadd(HOUR, 6 * k, t0)").alias("slot"),
+        "k",
+    )
+    actual = (
+        ev.join(F.broadcast(spans), "user_id")
+        .withColumn(
+            "k",
+            F.floor(
+                F.expr("timestampdiff(HOUR, t0, date_trunc('hour', ts))") / 6
+            ).cast("int"),
+        )
+        .groupBy("user_id", "k")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        grid.join(actual, ["user_id", "k"], "left")
+        .select(
+            "user_id",
+            F.col("slot").cast("timestamp_ntz").alias("slot"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("user_id", "slot")
+    )
