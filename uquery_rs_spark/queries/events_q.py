@@ -486,3 +486,41 @@ def events_resample_gapfill(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id", "slot")
     )
+
+
+@register(
+    "events_markov_transitions",
+    tags=("events", "sequence"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+)
+SELECT event_type, next_type, count(*) AS n,
+       round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY event_type), 4)
+         AS p_next
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY event_type, next_type
+""",
+)
+def events_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order behavior model: the event-type transition matrix
+    P(next | current) across per-user event sequences — lead() over the
+    one user_id sort-shuffle, then a tiny (type, type) aggregate and a
+    partition-total window on the ALREADY aggregated 5x5 table."""
+    ev = load_tables(spark, sf)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+    tot = W.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 4).alias("p_next"),
+    ).orderBy("event_type", "next_type")

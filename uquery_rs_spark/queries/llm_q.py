@@ -1148,6 +1148,49 @@ def ann_cosine_topk_int8(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "emb_dim_variance",
+    tags=("llm", "embedding", "audit"),
+    oracle="""
+WITH dims AS (
+  SELECT t.i - 1 AS dim, CAST(t.x AS DOUBLE) AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i) t
+)
+SELECT dim,
+       round(avg(x), 4)        AS mean,
+       round(var_samp(x), 4)   AS variance,
+       round(min(x), 4)        AS lo,
+       round(max(x), 4)        AS hi
+FROM dims
+GROUP BY dim
+ORDER BY dim
+""",
+)
+def emb_dim_variance(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-health audit: per-DIMENSION mean/variance/range across
+    the corpus — the check that catches dead dimensions (variance ~ 0),
+    runaway dimensions (range blowups), and mean drift before they
+    poison similarity search. posexplode + groupBy(dim): map-side
+    partial aggregation collapses each partition to 64 rows before the
+    shuffle, so the audit costs one narrow pass at any corpus size."""
+    emb = load_tables(spark, sf)["embeddings"]
+    dims = emb.select(F.posexplode("embedding").alias("dim", "xf")).select(
+        "dim", F.col("xf").cast("double").alias("x")
+    )
+    return (
+        dims.groupBy("dim")
+        .agg(
+            F.round(F.avg("x"), 4).alias("mean"),
+            F.round(F.var_samp("x"), 4).alias("variance"),
+            F.round(F.min("x"), 4).alias("lo"),
+            F.round(F.max("x"), 4).alias("hi"),
+        )
+        .orderBy("dim")
+    )
+
+
+@register(
     "ann_cosine_topk_pq",
     tags=("llm", "similarity", "quantized"),
     oracle=_ANN_RECALL_ORACLE,
