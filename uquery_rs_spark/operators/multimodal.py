@@ -714,6 +714,38 @@ def synthesize_audio_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.select(id_col, gen(F.col(id_col)).alias("payload"))
 
 
+def audio_rms_windows(binary_docs: DataFrame, window: int = 8) -> DataFrame:
+    """Native WAV decode → windowed RMS loudness envelope: per clip,
+    RMS over fixed sample windows plus a silence flag — the segmentation
+    primitive speech pipelines use for silence trimming and VAD
+    pre-filtering. One reduceat per clip inside the Arrow batch; output
+    rows are windows (samples/window-fold smaller than the audio).
+    Columns: doc_id, win, n, rms, is_silent."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                "doc_id": [], "win": [], "n": [], "rms": [], "is_silent": []
+            }
+            for i, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, _ = _decode_wav(bytes(payload))
+                x = samples.astype(np.float64)
+                starts = np.arange(0, len(x), window)
+                sq = np.add.reduceat(x * x, starts)
+                counts = np.diff(np.append(starts, len(x)))
+                rms = np.sqrt(sq / counts)
+                rows["doc_id"].extend([int(i)] * len(starts))
+                rows["win"].extend(range(len(starts)))
+                rows["n"].extend(counts.tolist())
+                rows["rms"].extend(rms.tolist())
+                rows["is_silent"].extend((rms < 450.0).tolist())
+            yield pd.DataFrame(rows)
+
+    return binary_docs.mapInPandas(
+        batches, "doc_id long, win long, n long, rms double, is_silent boolean"
+    )
+
+
 def audio_stats(binary_docs: DataFrame) -> DataFrame:
     """Native WAV decode → per-clip stats: n_samples, sample_rate,
     mean_abs amplitude. Arrow-batched like every other media kernel."""

@@ -1686,6 +1686,38 @@ def multimodal_audio_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_rms",
+    tags=("llm", "multimodal", "audio"),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, unnest(range(0, doc_id % 50 + 10)) AS t
+  FROM documents WHERE doc_id <= 200
+),
+s AS (
+  SELECT doc_id, CAST(t // 8 AS BIGINT) AS win,
+         CAST((doc_id * 37 + t * 13) % 2001 - 1000 AS DOUBLE) AS x
+  FROM t
+)
+SELECT doc_id, win, count(*) AS n,
+       round(sqrt(avg(x * x)), 2) AS rms,
+       sqrt(avg(x * x)) < 450 AS is_silent
+FROM s GROUP BY doc_id, win
+ORDER BY doc_id, win
+""",
+)
+def multimodal_audio_rms(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed RMS loudness envelope over REAL decoded WAV audio
+    (operators/multimodal.py::audio_rms_windows): 8-sample windows,
+    per-window RMS + silence flag — the segmentation primitive behind
+    silence trimming / VAD pre-filtering. The synthetic PCM's closed
+    form gives DuckDB an exact SQL oracle, so the decode → window →
+    RMS path is hash-verified end-to-end."""
+    docs = load_tables(spark, sf)["documents"].filter(F.col("doc_id") <= 200)
+    rms = MM.audio_rms_windows(MM.synthesize_audio_docs(docs))
+    return rms.withColumn("rms", F.round("rms", 2)).orderBy("doc_id", "win")
+
+
+@register(
     "ann_ivf_persistent",
     tags=("llm", "similarity", "index"),
     oracle=_ANN_RECALL_ORACLE,
