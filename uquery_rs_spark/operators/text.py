@@ -323,3 +323,116 @@ def repetition_stats(
             F.round(F.col("s.top_c") / F.col("s.total"), 4).alias("top_bigram_frac"),
         )
     )
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 50, text_col: str = "text"
+) -> list[tuple[str, str]]:
+    """Train a byte-pair-encoding merge table (Sennrich et al. 2016) on
+    the corpus: repeatedly count adjacent symbol pairs over the word
+    vocabulary and merge the most frequent (ties to the lexicographically
+    smallest pair — deterministic, seed-free).
+
+    Scale shape: training operates on the WORD VOCABULARY with counts,
+    not the corpus — one corpus pass aggregates (word, count), which is
+    orders of magnitude smaller and is collected once (the same
+    driver-side footprint as any tokenizer trainer); the merge loop then
+    runs driver-side on that vocabulary. Re-train cost does not grow
+    with corpus size beyond the initial word count.
+    """
+    vocab_rows = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["w"]): r["c"] for r in vocab_rows
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = min(pairs, key=lambda p: (-pairs[p], p))
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def bpe_encode_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a BPE merge table (Sennrich order: each merge replaces all
+    its left-to-right non-overlapping occurrences, in rank order) and
+    report per-doc token counts. Columns: doc_id, n_words, n_bpe_tokens.
+
+    Kernel caches encodings per UNIQUE word within each Arrow batch —
+    natural text re-uses words heavily, so the merge loop runs once per
+    distinct word, not once per occurrence. The merge table broadcasts;
+    the pass is narrow and shuffle-free.
+    """
+    import numpy as np
+    import pandas as pd
+
+    bc = docs.sparkSession.sparkContext.broadcast(list(merges))
+
+    def encode(batches):
+        merge_list = bc.value
+
+        def word_len(w: str, cache: dict) -> int:
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            syms = list(w)
+            for a, b in merge_list:
+                out: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[w] = len(syms)
+            return len(syms)
+
+        for pdf in batches:
+            cache: dict[str, int] = {}
+            n_words, n_tok = [], []
+            for text in pdf[text_col]:
+                words = [w for w in text.split(" ") if w]
+                n_words.append(len(words))
+                n_tok.append(sum(word_len(w, cache) for w in words))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": np.array(n_words, dtype="int64"),
+                    "n_bpe_tokens": np.array(n_tok, dtype="int64"),
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        encode, "doc_id long, n_words long, n_bpe_tokens long"
+    )
