@@ -53,8 +53,8 @@ Q.load_all()
 # shows multi-second steal-time stalls lasting a couple of runs
 # (measured: consecutive 10 s outliers on a 2 s query), so even
 # sub-second queries get enough repeats for best-of-N to dodge a stall.
-REPEATS = 4
-SLOW_REPEATS = 5
+REPEATS = 5
+SLOW_REPEATS = 7
 SLOW_SEC = 1.0
 
 
