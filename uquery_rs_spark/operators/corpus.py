@@ -169,9 +169,11 @@ def pack_sequences(
     from pyspark.sql import Window as W
 
     n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    # floor, not int-cast: cast truncates toward zero, which would break
+    # bucket-order monotonicity if keys were ever negative.
     bucketed = docs.select(
         F.col(key_col).alias("_k"), n_tok.alias("_n")
-    ).withColumn("_b", (F.col("_k") / bucket_docs).cast("long"))
+    ).withColumn("_b", F.floor(F.col("_k") / bucket_docs).cast("long"))
     per_bucket = {
         r["_b"]: r["tok"]
         for r in bucketed.groupBy("_b").agg(F.sum("_n").alias("tok")).collect()

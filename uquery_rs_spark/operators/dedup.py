@@ -638,10 +638,22 @@ def minhash_lsh_auto(
     and are asserted equal in tests; this wrapper just picks the shape
     that survives the input scale."""
     size = int(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    if size >= staged_above_bytes:
+    # Plans with no real statistics (RDD-backed inputs, post-UDF stages)
+    # report spark.sql.defaultSizeInBytes — effectively Long.Max — which
+    # would force tiny corpora onto the staged path. Unknown size means
+    # "can't justify a materialization barrier": stay pipelined.
+    stats_unknown = size >= (1 << 60)
+    if size >= staged_above_bytes and not stats_unknown:
+        import atexit
+        import shutil
         import tempfile
 
         wd = workdir or tempfile.mkdtemp(prefix="uq_minhash_stage_")
+        if workdir is None:
+            # Caller gave no workdir to manage, so the temp staging area
+            # is ours to reap at interpreter exit (it only needs to
+            # outlive the verify job's lazy execution).
+            atexit.register(shutil.rmtree, wd, ignore_errors=True)
         return minhash_lsh_staged(
             docs, wd, threshold, n, bands, rows_per_band, text_col, key_col
         )
@@ -729,13 +741,22 @@ def bloom_membership(
     import numpy as np
     import pandas as pd
 
-    positions = F.transform(
+    # NULL text has no membership semantics: dropped from the base (it
+    # sets no bits) and reported bloom_hit=false on the delta side.
+    # The isNotNull guard collapses the whole positions array to NULL —
+    # xxhash64(NULL) would otherwise yield an array OF nulls, crashing
+    # the int64 conversion in both kernels.
+    raw_positions = F.transform(
         F.sequence(F.lit(1), F.lit(k_hashes)),
         lambda i: F.pmod(F.xxhash64(F.col(text_col), i), F.lit(m_bits)),
     )
+    positions = F.when(F.col(text_col).isNotNull(), raw_positions)
     set_bits = [
         r[0]
-        for r in base.select(F.explode(positions).alias("p")).distinct().collect()
+        for r in base.filter(F.col(text_col).isNotNull())
+        .select(F.explode(positions).alias("p"))
+        .distinct()
+        .collect()
     ]
     bitmap = np.zeros(m_bits, dtype=bool)
     if set_bits:
@@ -747,7 +768,10 @@ def bloom_membership(
         for pdf in batches:
             if not len(pdf):
                 continue
-            hits = [bool(bm[np.array(p, dtype="int64")].all()) for p in pdf["pos"]]
+            hits = [
+                p is not None and bool(bm[np.asarray(p, dtype="int64")].all())
+                for p in pdf["pos"]
+            ]
             yield pd.DataFrame({"key": pdf["key"], "bloom_hit": hits})
 
     probed = delta.select(

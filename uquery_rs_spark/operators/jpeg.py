@@ -176,34 +176,21 @@ def _dht_body(table_class: int, table_id: int, symbols: list[int], length: int) 
 
 def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     """(H, W, 3) uint8 RGB → baseline JFIF bytes (4:4:4, two quant
-    tables, fixed-length Huffman tables carried in DHT)."""
-    h, w = img.shape[:2]
-    px = img.astype(np.float64)
-    y = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
-    cb = -0.168736 * px[:, :, 0] - 0.331264 * px[:, :, 1] + 0.5 * px[:, :, 2] + 128.0
-    cr = 0.5 * px[:, :, 0] - 0.418688 * px[:, :, 1] - 0.081312 * px[:, :, 2] + 128.0
-    planes = [y, cb, cr]
-    qt = [_scaled_quant(_QUANT_LUM, quality), _scaled_quant(_QUANT_CHROM, quality)]
+    tables, fixed-length Huffman tables carried in DHT).
 
-    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    Coefficients come from the SAME producer the progressive encoder
+    uses (_quantized_planes) — the progressive==baseline bit-equality
+    invariant the tests assert holds because there is exactly one
+    color-convert/pad/DCT/quantize implementation to drift."""
+    h, w = img.shape[:2]
+    cfs, qt = _quantized_planes(img, quality)
+    bh, bw_ = cfs[0].shape[:2]
     bitw = _BitWriter()
     preds = [0, 0, 0]
     for by in range(bh):
         for bx in range(bw_):
-            for ci, plane in enumerate(planes):
-                block = np.full((8, 8), plane[min(by * 8, h - 1), min(bx * 8, w - 1)])
-                tile = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                block[: tile.shape[0], : tile.shape[1]] = tile
-                # edge padding replicates the last row/col (standard)
-                if tile.shape[0] < 8:
-                    block[tile.shape[0] :, :] = block[tile.shape[0] - 1, :]
-                if tile.shape[1] < 8:
-                    block[:, tile.shape[1] :] = block[:, tile.shape[1] - 1 : tile.shape[1]]
-                coeffs = _DCT @ (block - 128.0) @ _DCT.T
-                q = qt[0 if ci == 0 else 1]
-                quant = np.round(coeffs / q).astype(np.int64)
-                zz = quant.ravel()[_ZIGZAG]
-                preds[ci] = _encode_block(bitw, zz, preds[ci])
+            for ci, cf in enumerate(cfs):
+                preds[ci] = _encode_block(bitw, cf[by, bx], preds[ci])
     bitw.flush()
 
     def qt_body(tid: int, table: np.ndarray) -> bytes:
@@ -413,11 +400,20 @@ def _comp_block_dims(h: int, w: int, comps, ci: int) -> tuple[int, int]:
 
 
 def _resync_to_marker(payload: bytes, pos: int) -> int:
-    """Advance past entropy data to the next non-RST marker."""
+    """Advance past entropy data to the next non-RST marker.
+
+    Skips 0xFF FILL bytes (T.81 B.1.1.2 allows any run of FF padding
+    before a marker): the returned position always points at the LAST
+    FF of a run, so callers read a real marker code — naively stopping
+    at the first FF of an FF FF pair would parse marker 0xFF and a
+    garbage segment length."""
     while pos < len(payload) - 1:
         if payload[pos] == 0xFF and payload[pos + 1] not in (0x00,) and not (
             0xD0 <= payload[pos + 1] <= 0xD7
         ):
+            if payload[pos + 1] == 0xFF:  # fill byte, not yet the marker
+                pos += 1
+                continue
             return pos
         pos += 1
     return len(payload)
@@ -748,8 +744,9 @@ class _ProgACWriter:
 
 def _quantized_planes(img: np.ndarray, quality: int):
     """(H, W, 3) RGB → per-component (bh, bw, 64) zigzag coefficient
-    arrays (4:4:4), plus the two scaled quant tables. Identical math to
-    the baseline encoder so both modes carry the same coefficients."""
+    arrays (4:4:4), plus the two scaled quant tables. The SINGLE
+    coefficient producer for both the baseline and progressive encoders
+    — their bit-equality invariant depends on sharing this path."""
     h, w = img.shape[:2]
     px = img.astype(np.float64)
     y = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]

@@ -540,21 +540,8 @@ def ivf_topk(
     """
     spark = corpus.sparkSession
     q_ids, Q = _collect_unit_matrix(queries, id_col, vec_col)
-    fp = _corpus_fingerprint(cache_key) if cache_key else None
-    cents = _centroid_cache.get((cache_key, fp, n_cells)) if cache_key else None
-    if cents is None:
-        sample_n = max(n_cells * 64, 512)
-        cents_pdf = (
-            corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_n).toPandas()
-        )
-        if not len(cents_pdf) or not len(q_ids):  # empty side: no neighbors
-            return spark.createDataFrame([], "query_id long, neighbor_id long, rank int")
-        X = np.stack([np.asarray(v, dtype="float64") for v in cents_pdf[vec_col]])
-        X /= np.linalg.norm(X, axis=1, keepdims=True)
-        cents = _spherical_kmeans(X, min(n_cells, len(X)))
-        if cache_key:
-            _centroid_cache[(cache_key, fp, n_cells)] = cents
-    elif not len(q_ids):
+    cents = _trained_centroids(corpus, n_cells, id_col, vec_col, cache_key)
+    if cents is None or not len(q_ids):  # empty side: no neighbors
         return spark.createDataFrame([], "query_id long, neighbor_id long, rank int")
 
     qsim = Q @ cents.T  # (nq, n_cells)
@@ -601,13 +588,9 @@ def ivf_build_index(
     assignment is one distributed argmax pass (BLAS per Arrow batch).
     """
     spark = corpus.sparkSession
-    sample_n = max(n_cells * 64, 512)
-    cents_pdf = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_n).toPandas()
-    if not len(cents_pdf):
+    cents = _trained_centroids(corpus, n_cells, id_col, vec_col, cache_key=None)
+    if cents is None:
         raise ValueError("ivf_build_index: empty corpus")
-    X = np.stack([np.asarray(v, dtype="float64") for v in cents_pdf[vec_col]])
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
-    cents = _spherical_kmeans(X, min(n_cells, len(X)))
     bc = spark.sparkContext.broadcast(cents)
 
     def assign(batches):
@@ -850,7 +833,10 @@ def _train_pq_codebooks(
     sample, seed-free init), memoized under the centroid cache with a
     PQ-specific key. None for an empty corpus."""
     fp = _corpus_fingerprint(cache_key) if cache_key else None
-    ck = (f"pq:{cache_key}", fp, m * 1000 + n_codes)
+    # (m, n_codes) as a tuple — a packed m*1000+n_codes int collides
+    # distinct parameter pairs and would silently serve wrongly-shaped
+    # codebooks.
+    ck = (f"pq:{cache_key}", fp, (m, n_codes))
     cents = _centroid_cache.get(ck) if cache_key else None
     if cents is not None:
         return cents

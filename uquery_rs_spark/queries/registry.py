@@ -92,10 +92,16 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # compatibility fallback, never the preferred route.
     ns_cols = {name: _nanos_timestamp_cols(f"{sf_dir}/{name}.parquet") for name in TABLES}
     any_ns = any(ns_cols.values())
-    # Explicitly clear the legacy conf when unneeded: a stale `true` from an
-    # older session would surface micros columns unchanged but ns columns as
-    # raw longs elsewhere; keeping it scoped avoids surprises.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true" if any_ns else "false")
+    # STICKY conf policy: once any loaded dir needs nanosAsLong, leave it
+    # on for the session's lifetime. Flipping it per-dir (round-3 code)
+    # retroactively breaks cached DataFrames from earlier dirs — the conf
+    # is read at SCAN time, so a cached ns-dir frame re-planned under
+    # "false" raises PARQUET_TYPE_ILLEGAL. Sticky-true is safe for every
+    # frame this loader builds: the ns→us wrapper is keyed on the parquet
+    # FOOTER (pyarrow), not the conf, and micros files read identically
+    # under either setting.
+    if any_ns:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     tables: dict[str, DataFrame] = {}
     for name in TABLES:
         path = f"{sf_dir}/{name}.parquet"

@@ -177,11 +177,6 @@ class _SSTReader:
         self.ci += 1
         self.pos = 0
 
-    def at_boundary(self) -> bool:
-        while self.ci < len(self.chunks) and self._avail() == 0:
-            self._advance_chunk()
-        return self.pos == 0
-
     def exhausted(self) -> bool:
         while self.ci < len(self.chunks) and self._avail() == 0:
             self._advance_chunk()
