@@ -912,3 +912,50 @@ class TestBPE:
         assert out.n_bpe_tokens.sum() < 0.7 * chars  # merges actually fire
         # (measured 0.645 at 30 merges on sf0.001; no-merge ratio is 1.0)
         assert (out.n_bpe_tokens >= out.n_words).all()
+
+
+class TestHardenedPaths:
+    def test_jpeg_fill_bytes_before_marker(self):
+        """T.81 B.1.1.2 allows runs of 0xFF fill bytes before any marker;
+        the resync scan must treat them as padding, not as a marker at
+        the first FF (which would parse code 0xFF + garbage length)."""
+        import numpy as np
+        from uquery_rs_spark.operators import jpeg as J
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        payload = J.encode_jpeg_progressive(img, quality=90)
+        # every raw FF DA is a real SOS (entropy data stuffs FF as FF00);
+        # pad fill bytes before the LAST scan's SOS
+        idx = payload.rindex(b"\xff\xda")
+        padded = payload[:idx] + b"\xff\xff\xff" + payload[idx:]
+        assert (J.decode_jpeg(padded) == J.decode_jpeg(payload)).all()
+
+    def test_load_tables_two_dirs_one_session(self, spark, tmp_path):
+        """Loading a nanos-timestamp dir then a micros dir in ONE session
+        must leave the first dir's cached frames usable (the round-3
+        per-dir conf flip broke them at re-scan time)."""
+        import os
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from uquery_rs_spark.queries.registry import TABLES, load_tables
+
+        src = SF_SMALL
+        nsdir = tmp_path / "nsdir"
+        nsdir.mkdir()
+        for t in TABLES:
+            if t != "events":
+                os.symlink(f"{src}/{t}.parquet", nsdir / f"{t}.parquet")
+        tbl = pq.read_table(f"{src}/events.parquet")
+        i = tbl.schema.get_field_index("ts")
+        tbl = tbl.set_column(i, "ts", tbl["ts"].cast(pa.timestamp("ns")))
+        pq.write_table(tbl, nsdir / "events.parquet", version="2.6")
+
+        ns_events = load_tables(spark, str(nsdir))["events"]
+        n_first = ns_events.count()
+        assert dict(ns_events.dtypes)["ts"] == "timestamp_ntz"
+        load_tables(spark, src)  # micros dir second
+        # the ns dir's cached frame must still execute
+        assert ns_events.count() == n_first > 0
+        assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
