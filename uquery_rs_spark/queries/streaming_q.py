@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.jobs import (
     run_dedup_stream,
+    run_rollup_stream,
     run_sliding_stream,
     run_stateful_user_counter,
     run_tumbling_stream,
@@ -78,6 +79,30 @@ def streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
     state variant (dropDuplicatesWithinWatermark) is the at-scale flip,
     asserted equal on this workload in tests."""
     return run_dedup_stream(spark, sf)
+
+
+@register(
+    "streaming_rollup_parquet",
+    tags=("streaming", "rollup"),
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       event_type,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def streaming_rollup_parquet(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuous aggregate materialized to a serving table
+    (streaming/jobs.py::run_rollup_stream — the hypertable-rollup
+    pattern): streaming daily aggregation written to parquet partitioned
+    by event_type via foreachBatch (complete-mode overwrite = idempotent
+    per epoch, the exactly-once recipe for non-transactional sinks),
+    then read BACK from the rollup files — so the oracle verifies the
+    whole write-then-serve round trip equals the batch aggregate."""
+    return run_rollup_stream(spark, sf)
 
 
 @register(

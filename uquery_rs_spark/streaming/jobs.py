@@ -201,3 +201,61 @@ def run_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(agg, name).orderBy("window_start")
+
+
+def run_rollup_stream(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    """Continuous aggregate (hypertable-rollup pattern): a streaming
+    daily-window aggregation MATERIALIZED to parquet partitioned by
+    event_type, then read back — the serving table downstream dashboards
+    query instead of re-scanning raw events.
+
+    foreachBatch + complete mode makes each microbatch overwrite the
+    rollup with the full updated aggregate — idempotent per epoch, so a
+    replayed batch cannot double-count (the exactly-once recipe for
+    non-transactional sinks). On a finite drained source the final
+    rollup equals the batch aggregate, which the oracle hash-checks;
+    partitioning by event_type means rollup consumers filtering one
+    type prune the rest at the scan.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="uq_rollup_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    ev = streaming_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("day"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+    def write_batch(df: DataFrame, _epoch: int) -> None:
+        df.write.mode("overwrite").partitionBy("event_type").parquet(out_dir)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    return (
+        spark.read.parquet(out_dir)
+        .select("day", "event_type", "n_events", "total_value")
+        .orderBy("day", "event_type")
+    )
