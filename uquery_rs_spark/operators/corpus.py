@@ -69,7 +69,7 @@ def hash_split(
 
 
 def shuffle_order(
-    docs: DataFrame, key_col: str = "doc_id", n_buckets: int = 256
+    docs: DataFrame, key_col: str = "doc_id", n_buckets: int = 256, epoch: int = 0
 ) -> DataFrame:
     """Deterministic global training order: contiguous rank by md5(key).
 
@@ -97,7 +97,15 @@ def shuffle_order(
 
     if not 1 <= n_buckets <= 65536:
         raise ValueError(f"n_buckets must be in [1, 65536], got {n_buckets}")
-    h = F.md5(F.col(key_col).cast("string"))
+    # epoch != 0 salts the hashed key so every training epoch sees a
+    # DIFFERENT (but equally reproducible) order; epoch 0 hashes the
+    # bare key, preserving the original contract.
+    hash_input = (
+        F.col(key_col).cast("string")
+        if epoch == 0
+        else F.concat(F.col(key_col).cast("string"), F.lit(f":{epoch}"))
+    )
+    h = F.md5(hash_input)
     prefix = F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
     # v*n <= 65535*65536 < 2^63: exact in long arithmetic.
     bucket = (prefix * F.lit(n_buckets)) / F.lit(65536)

@@ -1275,6 +1275,57 @@ def ann_cosine_topk_pq(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "corpus_epoch_shuffle_battery",
+    tags=("llm", "corpus", "sampling"),
+    oracle="""
+WITH e1 AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':1'), doc_id)
+           AS rank_e1
+  FROM documents
+),
+e2 AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':2'), doc_id)
+           AS rank_e2
+  FROM documents
+),
+j AS (SELECT e1.doc_id, rank_e1, rank_e2 FROM e1 JOIN e2 USING (doc_id))
+SELECT doc_id, rank_e1, rank_e2,
+       (SELECT count(*) > 0 FROM j x WHERE x.rank_e1 <> x.rank_e2) AS orders_differ
+FROM j
+ORDER BY doc_id
+""",
+)
+def corpus_epoch_shuffle_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-epoch shuffling (operators/corpus.py::shuffle_order with the
+    epoch salt): each epoch's order is a different reproducible
+    permutation — both epochs' ranks per doc hash-checked exactly, plus
+    a corpus-wide assertion that the permutations actually differ (a
+    dropped salt would leave every epoch identical)."""
+    from ..operators.corpus import shuffle_order
+
+    docs = load_tables(spark, sf)["documents"]
+    e1 = shuffle_order(docs, epoch=1).select(
+        "doc_id", F.col("shuffle_rank").alias("rank_e1")
+    )
+    e2 = shuffle_order(docs, epoch=2).select(
+        "doc_id", F.col("shuffle_rank").alias("rank_e2")
+    )
+    j = e1.join(e2, "doc_id")
+    differ = j.agg(
+        (F.sum((F.col("rank_e1") != F.col("rank_e2")).cast("long")) > 0).alias(
+            "orders_differ"
+        )
+    )
+    return (
+        j.crossJoin(F.broadcast(differ))
+        .select("doc_id", "rank_e1", "rank_e2", "orders_differ")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "corpus_shuffle_order",
     tags=("llm", "corpus", "sampling"),
     oracle="""
