@@ -126,8 +126,10 @@ def main() -> None:
     medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name, q in bench_queries.items():
+        fn = q.bench_fn or q.spark_fn
+
         def run():
-            q.spark_fn(spark, sf_dir).toArrow()
+            fn(spark, sf_dir).toArrow()
 
         t0 = time.perf_counter()
         run()
@@ -142,7 +144,10 @@ def main() -> None:
 
         con = oracle_connection(sf_dir)
         for name, q in bench_queries.items():
-            if q.oracle is None:
+            # bench_fn entries time a raw kernel whose oracle describes the
+            # verification-shaped spark_fn — a DuckDB timing of that oracle
+            # would not be comparable, so they stay out of the ratio.
+            if q.oracle is None or q.bench_fn is not None:
                 continue
 
             def run_duck():

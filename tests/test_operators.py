@@ -841,6 +841,28 @@ class TestAsofDirections:
         rows = {r.t: r.v for r in asof_join(left, right, on="t", by="k", direction="nearest").collect()}
         assert rows == {10: "only", 100: "only"}
 
+    def test_null_payload_on_matched_row_stays_null(self, spark):
+        """A NULL payload on the matched (nearest) right row must come
+        through as NULL — not be back-filled from a farther right row
+        (pandas merge_asof: timestamp and values from the SAME row)."""
+        left = spark.createDataFrame([(1, 10)], "k int, t int")
+        right = spark.createDataFrame(
+            [(1, 3, "far"), (1, 9, None), (1, 50, "fwd")], "k int, t int, v string"
+        )
+        for direction in ("backward", "nearest"):
+            out = asof_join(left, right, on="t", by="k", direction=direction).collect()
+            assert out[0].v is None, direction
+
+    def test_nearest_null_payload_does_not_flip_direction(self, spark):
+        """Direction choice compares distances of the nearest rows even
+        when the backward row's payload is NULL (row-level matching)."""
+        left = spark.createDataFrame([(1, 10)], "k int, t int")
+        right = spark.createDataFrame(
+            [(1, 9, None), (1, 12, "fwd")], "k int, t int, v string"
+        )
+        out = asof_join(left, right, on="t", by="k", direction="nearest").collect()
+        assert out[0].v is None  # backward row (gap 1) beats forward (gap 2)
+
     def test_bad_direction_raises(self, spark):
         left = spark.createDataFrame([(1, 10)], "k int, t int")
         import pytest as _pytest

@@ -171,6 +171,37 @@ def test_pack_sequences_accounting(spark, lens, budget):
 
 @spark_settings
 @given(
+    lens=st.lists(st.integers(1, 40), min_size=1, max_size=20),
+    budget=st.sampled_from([8, 32]),
+)
+def test_pack_sequences_key_sparsity_invariance(spark, lens, budget):
+    """Packing must depend only on key ORDER, not key density: hashed /
+    widely-shifted doc ids (sparse keys) yield the same windows as dense
+    0..n ids, with first_doc/last_doc mapped through the key transform —
+    and the range-width bucketing keeps the driver-side per-bucket
+    collect bounded instead of O(n_docs) (the `key div bucket_docs`
+    regression this test pins)."""
+    from uquery_rs_spark.operators.corpus import pack_sequences
+
+    def run(key_of):
+        docs = spark.createDataFrame(
+            [(key_of(i), " ".join(["w"] * n)) for i, n in enumerate(lens)],
+            "doc_id long, text string",
+        )
+        return {
+            r.window_id: (r.n_docs, r.n_boundary, r.first_doc, r.last_doc)
+            for r in pack_sequences(docs, context_tokens=budget).collect()
+        }
+
+    sparse = lambda i: i * 1_000_003_571 + 12_345  # monotone, ~1e9-spaced
+    dense_out, sparse_out = run(lambda i: i), run(sparse)
+    assert set(dense_out) == set(sparse_out)
+    for w, (nd, nb, fd, ld) in dense_out.items():
+        assert sparse_out[w] == (nd, nb, sparse(fd), sparse(ld))
+
+
+@spark_settings
+@given(
     left=st.lists(st.integers(0, 100), min_size=1, max_size=15, unique=True),
     right=st.lists(st.integers(0, 100), min_size=1, max_size=15, unique=True),
     direction=st.sampled_from(["backward", "forward", "nearest"]),

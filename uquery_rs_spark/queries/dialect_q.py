@@ -396,9 +396,9 @@ def int_div_price_buckets(spark: SparkSession, sf: str) -> DataFrame:
     tags=("dialect", "edge"),
     oracle="""
 SELECT p_partkey,
-       l[2:4]                         AS slice_mid,
-       l[-2:]                         AS slice_tail,
-       l[:3]                          AS slice_head,
+       array_to_string(l[2:4], ',')   AS slice_mid,
+       array_to_string(l[-2:], ',')   AS slice_tail,
+       array_to_string(l[:3], ',')    AS slice_head,
        l[0]                           AS idx_zero,
        l[-1]                          AS idx_neg,
        l[9]                           AS idx_oob,
@@ -417,6 +417,9 @@ def dialect_edge_cases(spark: SparkSession, sf: str) -> DataFrame:
     slicing incl. negative bounds, zero/out-of-range indexing (NULL, not
     error — try_element_at), negative indexing, hugeint arithmetic mapped
     to Decimal(38,0), `//` division, implicit string/number comparisons.
+    Slices are serialized with array_to_string/array_join (non-empty by
+    construction — DuckDB returns NULL for an empty list where Spark
+    returns ''): registry convention, no array-typed result columns.
     """
     part = load_tables(spark, sf)["part"].filter(F.col("p_partkey") <= 200)
     l = F.array(
@@ -431,9 +434,9 @@ def dialect_edge_cases(spark: SparkSession, sf: str) -> DataFrame:
         part.select("p_partkey", "p_size", l.alias("l"))
         .select(
             "p_partkey",
-            F.slice("l", 2, 3).alias("slice_mid"),
-            F.slice("l", -2, 2).alias("slice_tail"),
-            F.slice("l", 1, 3).alias("slice_head"),
+            F.array_join(F.slice("l", 2, 3).cast("array<string>"), ",").alias("slice_mid"),
+            F.array_join(F.slice("l", -2, 2).cast("array<string>"), ",").alias("slice_tail"),
+            F.array_join(F.slice("l", 1, 3).cast("array<string>"), ",").alias("slice_head"),
             # 1-based l[i] maps uniformly to 0-based get(l, i-1); i=0 gives
             # get(-1) → NULL, exactly DuckDB's l[0] (try_element_at still
             # rejects index 0 outright).
@@ -582,8 +585,8 @@ def ignore_nulls_window_battery(spark: SparkSession, sf: str) -> DataFrame:
 SELECT p_partkey,
        l[2]                            AS second,
        l[-1]                           AS last_elem,
-       l[2:3]                          AS mid,
-       [x * 2 FOR x IN l IF x > 10]    AS big_doubled
+       array_to_string(l[2:3], ',')    AS mid,
+       array_to_string([x * 2 FOR x IN l IF x > 10], ',') AS big_doubled
 FROM (SELECT p_partkey, [p_partkey, CAST(p_size AS BIGINT), 30, 40] AS l
       FROM part WHERE p_partkey <= 200)
 ORDER BY p_partkey
@@ -594,12 +597,16 @@ def bracket_syntax_battery(spark: SparkSession, sf: str) -> DataFrame:
     (rewrite.py::_rewrite_bracket_syntax): list literals → array(),
     1-based indexing → get/element_at, inclusive slicing → slice, list
     comprehension with IF → transform(filter(...)). Identical SQL text
-    runs verbatim on the DuckDB oracle."""
+    runs verbatim on the DuckDB oracle. Array outputs are serialized via
+    array_to_string (→ array_join) — registry convention: no array-typed
+    result columns (both sublists are non-empty by construction: 30/40
+    always survive the x > 10 filter)."""
     load_tables(spark, sf)
     return _rewritten_sql(
         spark,
-        "SELECT p_partkey, l[2] AS second, l[-1] AS last_elem, l[2:3] AS mid, "
-        "[x * 2 FOR x IN l IF x > 10] AS big_doubled "
+        "SELECT p_partkey, l[2] AS second, l[-1] AS last_elem, "
+        "array_to_string(l[2:3], ',') AS mid, "
+        "array_to_string([x * 2 FOR x IN l IF x > 10], ',') AS big_doubled "
         "FROM (SELECT p_partkey, [p_partkey, CAST(p_size AS BIGINT), 30, 40] AS l "
         "FROM part WHERE p_partkey <= 200) ORDER BY p_partkey",
     )
@@ -610,9 +617,9 @@ def bracket_syntax_battery(spark: SparkSession, sf: str) -> DataFrame:
     tags=("dialect", "functions"),
     oracle="""
 SELECT p_partkey,
-       list_sort(list_distinct(list_transform(string_split(p_name, ' '), w -> upper(w)))) AS words_up,
+       array_to_string(list_sort(list_distinct(list_transform(string_split(p_name, ' '), w -> upper(w)))), '|') AS words_up,
        list_contains(string_split(p_name, ' '), 'red')  AS has_red,
-       list_sort(string_split(p_name, ' '))             AS sorted_words,
+       array_to_string(list_sort(string_split(p_name, ' ')), '|') AS sorted_words,
        array_to_string(string_split(p_name, ' '), '_')  AS joined,
        list_position(string_split(p_name, ' '), 'widget') AS widget_pos,
        regexp_matches(p_name, 'red|blue')               AS colored
@@ -627,15 +634,16 @@ def function_rename_battery(spark: SparkSession, sf: str) -> DataFrame:
     escaped, array_to_string → array_join, regexp_matches → regexp_like
     (both partial-match), list_position → array_position (both return 0
     when missing). list_distinct is UNORDERED in DuckDB but order-
-    preserving in Spark — the battery sorts after distinct. Identical
-    SQL runs verbatim on DuckDB."""
+    preserving in Spark — the battery sorts after distinct. List outputs
+    are serialized via array_to_string (registry convention: no
+    array-typed result columns). Identical SQL runs verbatim on DuckDB."""
     load_tables(spark, sf)
     return _rewritten_sql(
         spark,
         "SELECT p_partkey, "
-        "list_sort(list_distinct(list_transform(string_split(p_name, ' '), w -> upper(w)))) AS words_up, "
+        "array_to_string(list_sort(list_distinct(list_transform(string_split(p_name, ' '), w -> upper(w)))), '|') AS words_up, "
         "list_contains(string_split(p_name, ' '), 'red') AS has_red, "
-        "list_sort(string_split(p_name, ' ')) AS sorted_words, "
+        "array_to_string(list_sort(string_split(p_name, ' ')), '|') AS sorted_words, "
         "array_to_string(string_split(p_name, ' '), '_') AS joined, "
         "list_position(string_split(p_name, ' '), 'widget') AS widget_pos, "
         "regexp_matches(p_name, 'red|blue') AS colored "
@@ -650,7 +658,7 @@ def function_rename_battery(spark: SparkSession, sf: str) -> DataFrame:
 SELECT n,
        info.sq  AS sq,
        info.lbl AS lbl,
-       generate_series(1, n) AS upto
+       array_to_string(generate_series(1, n), ',') AS upto
 FROM (SELECT g AS n,
              struct_pack(sq := g * g, lbl := 'n' || CAST(g AS STRING)) AS info
       FROM (SELECT generate_series AS g FROM generate_series(1, 20)))
@@ -663,12 +671,14 @@ def series_struct_pack_battery(spark: SparkSession, sf: str) -> DataFrame:
     exploded sequence subquery; scalar generate_series → sequence()
     (inclusive bounds in both engines); struct_pack(k := v) →
     named_struct (fields projected scalar — corpus convention keeps
-    whole structs out of result schemas). Identical SQL runs verbatim on
-    DuckDB."""
+    whole structs out of result schemas; the sequence column is
+    serialized via array_to_string for the same reason). Identical SQL
+    runs verbatim on DuckDB."""
     load_tables(spark, sf)
     return _rewritten_sql(
         spark,
-        "SELECT n, info.sq AS sq, info.lbl AS lbl, generate_series(1, n) AS upto "
+        "SELECT n, info.sq AS sq, info.lbl AS lbl, "
+        "array_to_string(generate_series(1, n), ',') AS upto "
         "FROM (SELECT g AS n, struct_pack(sq := g * g, lbl := 'n' || CAST(g AS STRING)) AS info "
         "FROM (SELECT generate_series AS g FROM generate_series(1, 20))) ORDER BY n",
     )

@@ -354,7 +354,7 @@ SELECT p_partkey,
        p_type ILIKE '%brushed%'                        AS has_brushed_ci,
        p_type SIMILAR TO '.*(STEEL|BRASS)'             AS sim_metal,
        p_type GLOB '*STEEL'                            AS glob_steel,
-       string_split_regex(p_type, '\s+')               AS toks
+       array_to_string(string_split_regex(p_type, '\s+'), '|') AS toks
 FROM part WHERE p_partkey <= 300
 ORDER BY p_partkey
 """,
@@ -365,7 +365,10 @@ def regex_pattern_battery(spark: SparkSession, sf: str) -> DataFrame:
     its own syntax); DuckDB regexp_replace without 'g' replaces the FIRST
     match while Spark always replaces all, so unflagged replaces use
     anchored single-match patterns; SIMILAR TO is a fully-anchored regex
-    (Spark: rlike wrapped in ^(...)$); GLOB maps to LIKE wildcards."""
+    (Spark: rlike wrapped in ^(...)$); GLOB maps to LIKE wildcards.
+    ``toks`` is serialized with array_to_string/array_join — registry
+    convention: no array-typed result columns (the driver canonicalizer
+    hashes scalar cells only; enforced by tests/test_oracle_gate.py)."""
     part = load_tables(spark, sf)["part"].filter(F.col("p_partkey") <= 300)
     return part.select(
         "p_partkey",
@@ -375,7 +378,7 @@ def regex_pattern_battery(spark: SparkSession, sf: str) -> DataFrame:
         F.col("p_type").ilike("%brushed%").alias("has_brushed_ci"),
         F.col("p_type").rlike(r"^(.*(STEEL|BRASS))$").alias("sim_metal"),
         F.col("p_type").like("%STEEL").alias("glob_steel"),
-        F.split("p_type", r"\s+").alias("toks"),
+        F.array_join(F.split("p_type", r"\s+"), "|").alias("toks"),
     ).orderBy("p_partkey")
 
 

@@ -438,10 +438,32 @@ def _query_matrix(sf: str):
         return None
 
 
+# Oracle for approximate top-k entries reshaped by _ann_recall_shape (below):
+# the driver hash-checks that every query returned exactly k rows and that
+# the per-query / mean recall bounds held (all booleans TRUE).
+_ANN_RECALL_ORACLE = """
+SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k_returned,
+       TRUE AS hit_ok, TRUE AS mean_ok
+FROM embeddings WHERE vec_id < 100
+ORDER BY query_id
+"""
+
+
+def _ivf_topk_raw(spark: SparkSession, sf: str) -> DataFrame:
+    """The raw IVF probe — bench.py times THIS (bench_fn) so the headline
+    number stays the kernel, not kernel + exact-baseline verification."""
+    emb = load_tables(spark, sf)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 100)
+    return S.ivf_topk(
+        queries, emb, k=5, n_cells=16, nprobe=12, cache_key=f"{sf}/embeddings"
+    ).orderBy("query_id", "rank")
+
+
 @register(
     "ann_ivf_topk",
     bench=True,
-    oracle=None,  # approximate (probes a subset of cells) → rows-only
+    bench_fn=_ivf_topk_raw,
+    oracle=_ANN_RECALL_ORACLE,
     tags=("llm", "similarity"),
 )
 def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -451,12 +473,19 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     hardest case for IVF, and nprobe=12/16 measures recall@5 ≈ 0.92 vs
     the exact baseline (asserted ≥ 0.9 in tests/test_operators.py, which
     also shows nprobe=4 reaching the same recall on clustered data —
-    where the ~4x distance-compute saving actually materializes)."""
+    where the ~4x distance-compute saving actually materializes).
+    Registered output is the within_bound shape (_ann_recall_shape, same
+    convention and bounds as ann_ivf_persistent — same kernel, same
+    isotropic worst case): per-query overlap vs the exact kernel >= 2/5
+    (measured min 3/5) and mean recall >= 0.85 (measured ≈ 0.92),
+    hash-checked by the driver; bench.py times the raw probe via
+    bench_fn."""
+    approx = _ivf_topk_raw(spark, sf)
     emb = load_tables(spark, sf)["embeddings"]
-    queries = emb.filter(F.col("vec_id") < 100)
-    return S.ivf_topk(
-        queries, emb, k=5, n_cells=16, nprobe=12, cache_key=f"{sf}/embeddings"
-    ).orderBy("query_id", "rank")
+    exact = S.cosine_topk_bruteforce(
+        _query_matrix(sf) or emb.filter(F.col("vec_id") < 100), emb, k=5, int8=False
+    ).select("query_id", "neighbor_id")
+    return _ann_recall_shape(approx, exact, k=5, min_hits=2, mean_bound=0.85)
 
 
 # ---------------------------------------------------------------------------
@@ -1173,14 +1202,6 @@ def _ann_recall_shape(
         )
         .orderBy("query_id")
     )
-
-
-_ANN_RECALL_ORACLE = """
-SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k_returned,
-       TRUE AS hit_ok, TRUE AS mean_ok
-FROM embeddings WHERE vec_id < 100
-ORDER BY query_id
-"""
 
 
 @register(

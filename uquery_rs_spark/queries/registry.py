@@ -44,6 +44,12 @@ class Query:
     doc: str = ""
     bench: bool = False  # include in bench.py headline set
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # When set, bench.py times THIS callable instead of spark_fn — used when
+    # the oracle-checked query wraps the kernel in a verification shape
+    # (e.g. _ann_recall_shape runs kernel + exact baseline) that would
+    # distort the timing of the kernel itself. No DuckDB comparison is
+    # recorded for such entries (the oracle matches spark_fn, not bench_fn).
+    bench_fn: Callable[[SparkSession, str], DataFrame] | None = None
 
 
 REGISTRY: dict[str, Query] = {}
@@ -55,13 +61,16 @@ def register(
     doc: str = "",
     bench: bool = False,
     tags: tuple[str, ...] = (),
+    bench_fn: Callable[[SparkSession, str], DataFrame] | None = None,
 ):
     """Decorator registering a query callable under ``name``."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = Query(name, fn, oracle, doc or (fn.__doc__ or ""), bench, tags)
+        REGISTRY[name] = Query(
+            name, fn, oracle, doc or (fn.__doc__ or ""), bench, tags, bench_fn
+        )
         return fn
 
     return deco

@@ -40,24 +40,31 @@ _DEFAULTS: dict[str, str] = {
     # still broadcast from stats, and AQE upgrades shuffle joins to
     # broadcast at runtime when the *actual* post-filter size is small.
     "spark.sql.autoBroadcastJoinThreshold": "10m",
-    # Prefer shuffled-hash join over sort-merge when a side fits
-    # per-partition hash maps: skips two full sorts per join. Spark bounds
-    # the build side by threshold x shuffle.partitions and AQE still
-    # splits skewed partitions, so the OOM guard rails stay on; this is
-    # the default posture of modern vectorized engines. Measured at 10x
-    # sf0.1: q10 3.3s -> 0.9s, sessionization 2.0s -> 0.85s.
-    "spark.sql.join.preferSortMergeJoin": "false",
-    # Shuffle blocks live on tmpfs in local mode (see spark.local.dir
-    # below) and never cross a network, so lz4 framing is pure CPU
-    # overhead here. On a real cluster leave compression ON — there the
-    # bytes do cross the wire.
-    "spark.shuffle.compress": "false",
-    "spark.shuffle.spill.compress": "false",
     # DuckDB dialect: double quotes always delimit identifiers (never
     # string literals) — matches attached-macro bodies and client SQL.
     "spark.sql.ansi.doubleQuotedIdentifiers": "true",
     "spark.scheduler.mode": "FAIR",
     "spark.ui.enabled": "false",
+}
+
+# Applied ONLY when this factory builds a local[*] master — never safe to
+# copy onto a cluster session (previously these sat in _DEFAULTS with a
+# comment saying as much but nothing enforcing it):
+_LOCAL_ONLY: dict[str, str] = {
+    # Prefer shuffled-hash join over sort-merge when a side fits
+    # per-partition hash maps: skips two full sorts per join. Spark bounds
+    # the build side by threshold x shuffle.partitions and AQE still
+    # splits skewed partitions, so the OOM guard rails stay on. Measured
+    # at 10x sf0.1: q10 3.3s -> 0.9s, sessionization 2.0s -> 0.85s.
+    # Local-only because a cluster's spill/network profile changes the
+    # trade-off; leave the Spark default in charge there.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    # Shuffle blocks live on tmpfs in local mode (see spark.local.dir
+    # below) and never cross a network, so lz4 framing is pure CPU
+    # overhead here. On a real cluster compression stays ON — there the
+    # bytes do cross the wire.
+    "spark.shuffle.compress": "false",
+    "spark.shuffle.spill.compress": "false",
 }
 
 
@@ -75,8 +82,12 @@ def get_spark(app_name: str = "uquery_rs_spark", cpus: int | None = None) -> Spa
     if active is not None:
         return active
     n = cpus or default_cpus()
+    # UQ_MASTER lets a deployment point this factory at a real cluster
+    # (spark://…, yarn, k8s://…); the tmpfs/compression tunings below are
+    # gated on the master actually being local.
+    master = os.environ.get("UQ_MASTER", f"local[{n}]")
     builder = (
-        SparkSession.builder.master(f"local[{n}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.driver.memory", os.environ.get("UQ_DRIVER_MEMORY", "32g"))
@@ -85,14 +96,18 @@ def get_spark(app_name: str = "uquery_rs_spark", cpus: int | None = None) -> Spa
     # stalls multi-second on buffered-write flushes, which round-2 bench
     # recorded as phantom query regressions. On a real cluster the
     # equivalent is pointing spark.local.dir at node-local NVMe.
-    shm = os.environ.get("UQ_LOCAL_DIR", "/dev/shm/uq-spark-local")
-    try:
-        os.makedirs(shm, exist_ok=True)
-        builder = builder.config("spark.local.dir", shm)
-    except OSError:
-        pass
+    if master.startswith("local"):
+        shm = os.environ.get("UQ_LOCAL_DIR", "/dev/shm/uq-spark-local")
+        try:
+            os.makedirs(shm, exist_ok=True)
+            builder = builder.config("spark.local.dir", shm)
+        except OSError:
+            pass
     for k, v in _DEFAULTS.items():
         builder = builder.config(k, v)
+    if master.startswith("local"):
+        for k, v in _LOCAL_ONLY.items():
+            builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

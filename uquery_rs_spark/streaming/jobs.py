@@ -254,6 +254,16 @@ def run_rollup_stream(
     q.processAllAvailable()
     q.stop()
     q.awaitTermination(30)
+    import glob
+    import os
+
+    if not glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True):
+        # Zero microbatches (empty events source) → foreachBatch never
+        # wrote; reading the dir would die on schema inference. Return an
+        # explicit empty frame with the rollup schema instead.
+        return spark.createDataFrame(
+            [], "day timestamp_ntz, event_type string, n_events bigint, total_value double"
+        )
     return (
         spark.read.parquet(out_dir)
         .select("day", "event_type", "n_events", "total_value")
