@@ -56,6 +56,35 @@ class TestDedup:
         out = {r.doc_id: r.n_copies for r in D.exact_dedup(docs).collect()}
         assert out == {1: 2, 3: 1}
 
+    def test_containment_max_df_cap_is_subset(self, spark):
+        """df-cutoff degradation contract: capped pairs ⊆ uncapped pairs,
+        with inter/containment never larger; a pair supported ONLY by a
+        stop-shingle disappears under the cap."""
+        # "the of and" appears in EVERY doc (df=4 stop-shingle); docs 1+2
+        # additionally share two rarer shingles, docs 3+4 share only the
+        # stop-shingle.
+        docs = spark.createDataFrame(
+            [
+                (1, "the of and quick brown fox jumps"),
+                (2, "the of and quick brown fox sleeps"),
+                (3, "the of and red"),
+                (4, "the of and blue"),
+            ],
+            "doc_id long, text string",
+        )
+        uncapped = {
+            (r.x, r.y): r.inter
+            for r in D.containment_pairs_exact(docs, threshold=0.3).collect()
+        }
+        capped = {
+            (r.x, r.y): r.inter
+            for r in D.containment_pairs_exact(docs, threshold=0.3, max_df=3).collect()
+        }
+        assert set(capped) <= set(uncapped)
+        assert all(capped[p] <= uncapped[p] for p in capped)
+        assert (3, 4) in uncapped and (3, 4) not in capped  # stop-shingle-only pair
+        assert (1, 2) in capped  # rare-shingle support survives
+
     def test_simhash_identical_docs_zero_hamming(self, spark):
         docs = spark.createDataFrame(
             [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],

@@ -444,6 +444,22 @@ def test_pivot_statement(spark, rw):
     assert rows[0].__fields__ == ["g", "x", "y"]
 
 
+def test_pivot_probe_cached_per_source(spark, rw):
+    """The PIVOT value-discovery probe (a real Spark job at rewrite time)
+    runs once per (table, col) per rewriter session; repeated pivots of
+    the same source reuse the cached value list."""
+    spark.sql(
+        "SELECT * FROM (VALUES ('a', 'x', 1), ('a', 'y', 2)) v(g, p, n)"
+    ).createOrReplaceTempView("uq_pivot_cache_src")
+    stmt = "PIVOT uq_pivot_cache_src ON p USING sum(n) GROUP BY g"
+    first = rw.rewrite(stmt)
+    key = next(k for k in rw._pivot_vals if k[1] == "p" and "cache" in k[0])
+    rw._pivot_vals[key] = list(rw._pivot_vals[key])  # sentinel identity
+    sentinel = rw._pivot_vals[key]
+    assert rw.rewrite(stmt) == first
+    assert rw._pivot_vals[key] is sentinel  # not re-probed/replaced
+
+
 def test_pivot_statement_aliased_agg(spark, rw):
     spark.sql(
         "SELECT * FROM (VALUES ('a', 'x', 1), ('b', 'y', 2)) v(g, p, n)"

@@ -7,10 +7,12 @@ claim "the floor amortizes at scale" is falsifiable: at 10x the data the
 Spark time should grow far slower than 10x (floor still paid once) while
 DuckDB grows ~linearly, collapsing the ratio toward parity.
 
-Usage:  python tools/floor_probe.py SCALED_DIR [BASE_DIR]
+Usage:  python tools/floor_probe.py SCALED_DIR [BASE_DIR] [name ...]
 
-Prints one markdown table row per query: spark/duck best-of-2 at base
-and scaled SF, and the ratio at each scale.
+Prints one markdown table row per query: spark/duck best-of-N at base
+and scaled SF, and the ratio at each scale.  Optional trailing names
+restrict the probe to that subset (round-5: the four queries still
+>=10x at 10x data get a 30x point).
 """
 
 from __future__ import annotations
@@ -45,6 +47,14 @@ FLOOR_SET = [
 
 
 def best_of(run, n=3) -> float:
+    """Best of n timed runs AFTER one untimed warmup.
+
+    The warmup is per-QUERY, not per-session: round-5 measured q21@30x at
+    10.7 s cold vs 3.3 s steady-state in the same session (whole-stage
+    codegen JIT ramp) — without it the probe reports compiler ramp, not
+    plan quality, exactly the artifact that put q21 on the perf-weak list.
+    """
+    run()
     times = []
     for _ in range(n):
         t0 = time.perf_counter()
@@ -56,14 +66,16 @@ def best_of(run, n=3) -> float:
 def main() -> None:
     scaled = sys.argv[1]
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    subset = sys.argv[3:]
+    floor_set = [n for n in FLOOR_SET if n in subset] if subset else FLOOR_SET
 
     spark = get_spark("floor-probe")
     rows = []
     for sf_dir in (base, scaled):
         con = oracle_connection(sf_dir)
         # Warm session + parquet footers.
-        Q.REGISTRY[FLOOR_SET[0]].spark_fn(spark, sf_dir).count()
-        for name in FLOOR_SET:
+        Q.REGISTRY[floor_set[0]].spark_fn(spark, sf_dir).count()
+        for name in floor_set:
             q = Q.REGISTRY[name]
             s = best_of(lambda: q.spark_fn(spark, sf_dir).toArrow())
             d = best_of(lambda: con.execute(q.oracle).arrow())
@@ -79,7 +91,7 @@ def main() -> None:
     print("\n| query | spark@base | duck@base | ratio@base | spark@10x | duck@10x | ratio@10x |")
     print("|---|---|---|---|---|---|---|")
     tot = [0.0, 0.0, 0.0, 0.0]
-    for name in FLOOR_SET:
+    for name in floor_set:
         (sb, db), (ss, ds) = by[name][base], by[name][scaled]
         tot = [tot[0] + sb, tot[1] + db, tot[2] + ss, tot[3] + ds]
         print(f"| {name} | {sb:.2f} | {db:.2f} | {sb / max(db, 1e-9):.1f}x "

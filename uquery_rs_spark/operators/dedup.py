@@ -185,7 +185,7 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id"
 
 
 def _shingle_intersections(
-    docs: DataFrame, n: int, text_col: str, key_col: str
+    docs: DataFrame, n: int, text_col: str, key_col: str, max_df: int | None = None
 ) -> DataFrame:
     """Inverted-index pair intersections: x, y (x<y), nx, ny, inter.
 
@@ -194,6 +194,13 @@ def _shingle_intersections(
     |intersection|. The shingle projection runs ONCE and there are no
     size-lookup joins (a size join would recompute it; a shingle
     self-join would recompute it twice).
+
+    ``max_df`` drops shingles whose posting list exceeds it BEFORE pair
+    expansion, bounding the dominant O(df²) blow-up per shingle (stop-
+    shingle postings are exactly the ones that go quadratic). Recall
+    caveat: pairs whose overlap lives only in dropped high-df shingles
+    report a smaller ``inter`` and may fall below a downstream threshold
+    — capped results are a subset of uncapped (asserted in tests).
     """
     sh = _spread(docs).select(
         F.col(key_col).alias("id"), word_shingles(F.col(text_col), n).alias("s")
@@ -202,10 +209,13 @@ def _shingle_intersections(
         F.struct("id", F.size("s").alias("nsh")).alias("m"), F.explode("s").alias("g")
     )
     pairs_in = _pairs_in_bucket(F.col("ms"))
+    keep = (
+        F.size("ms").between(2, max_df) if max_df is not None else F.size("ms") > 1
+    )
     return (
         post.groupBy("g")
         .agg(F.sort_array(F.collect_list("m")).alias("ms"))
-        .filter(F.size("ms") > 1)
+        .filter(keep)
         .select(F.explode(pairs_in).alias("p"))
         .groupBy(
             F.col("p.x.id").alias("x"),
@@ -243,6 +253,7 @@ def containment_pairs_exact(
     n: int = 3,
     text_col: str = "text",
     key_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Pairs where the SMALLER document's shingle set is >= threshold
     contained in the other: containment = inter / min(nx, ny).
@@ -264,8 +275,16 @@ def containment_pairs_exact(
     winnowing_pairs (e = 0.83 measured): shared substrings guarantee
     shared fingerprints at ~1/8 the index size, independent of the
     documents' size ratio.
+
+    ``max_df`` (document-frequency cutoff) makes the exact operator
+    degrade GRACEFULLY instead of superlinearly when run at scale:
+    shingles appearing in more than ``max_df`` docs are dropped before
+    pair expansion, so per-shingle cost is bounded by max_df². Dropped
+    shingles can only shrink ``inter`` — capped output pairs are a
+    subset of the uncapped ones (recall, not precision, is what's
+    traded; see _shingle_intersections).
     """
-    inter = _shingle_intersections(docs, n, text_col, key_col)
+    inter = _shingle_intersections(docs, n, text_col, key_col, max_df=max_df)
     return (
         inter.withColumn("containment", F.col("inter") / F.least("nx", "ny"))
         .filter(F.col("containment") >= threshold)

@@ -95,6 +95,14 @@ class SqlRewriter:
             "geomean": (["x"], "exp(avg(ln(x)))")
         }
         self._table_macros: set[str] = set()
+        # PIVOT value-discovery probes, keyed (table_expr, col): the
+        # DISTINCT probe is a real Spark job run at REWRITE time, so
+        # repeated pivots of the same source paid it per query. Sources
+        # here are read-only file views, so session-lifetime caching is
+        # sound; a mutated external source would need a new session (or
+        # rewriter) to pick up NEW pivot columns — same bind-time flavor
+        # as DuckDB's own PIVOT, which fixes the column set per prepare.
+        self._pivot_vals: dict[tuple[str, str], list] = {}
 
     def attach_db_file(self, path: str) -> None:
         """Bootstrap tables + macros from a DuckDB file (reference
@@ -1041,13 +1049,17 @@ class SqlRewriter:
         fn, arg, alias = am.group(1), am.group(2).strip(), am.group(3)
         if arg == "*":
             fn, arg = "count", "1"
-        vals = [
-            r[0]
-            for r in self.spark.sql(
-                f"SELECT DISTINCT {col} FROM {tbl} uq_pv_src ORDER BY 1 "
-                f"LIMIT {self._PIVOT_MAX_VALUES + 1}"
-            ).collect()
-        ]
+        cache_key = (tbl, col)
+        vals = self._pivot_vals.get(cache_key)
+        if vals is None:
+            vals = [
+                r[0]
+                for r in self.spark.sql(
+                    f"SELECT DISTINCT {col} FROM {tbl} uq_pv_src ORDER BY 1 "
+                    f"LIMIT {self._PIVOT_MAX_VALUES + 1}"
+                ).collect()
+            ]
+            self._pivot_vals[cache_key] = vals
         if len(vals) > self._PIVOT_MAX_VALUES:
             raise UQueryError.sql_error(
                 f"PIVOT ON {col} exceeds {self._PIVOT_MAX_VALUES} distinct values"
