@@ -56,6 +56,21 @@ class TestDedup:
         out = {r.doc_id: r.n_copies for r in D.exact_dedup(docs).collect()}
         assert out == {1: 2, 3: 1}
 
+    def test_normalized_dedup_collapses_cosmetic_variants(self, spark):
+        """Case / punctuation / whitespace-only edits hash identically;
+        a real word change does not."""
+        docs = spark.createDataFrame(
+            [
+                (1, "Hello, World!"),
+                (2, "  hello   world "),
+                (3, "HELLO WORLD"),
+                (4, "hello there world"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.n_copies for r in D.normalized_dedup(docs).collect()}
+        assert out == {1: 3, 4: 1}
+
     def test_containment_max_df_cap_is_subset(self, spark):
         """df-cutoff degradation contract: capped pairs ⊆ uncapped pairs,
         with inter/containment never larger; a pair supported ONLY by a
@@ -170,6 +185,40 @@ class TestText:
         )
         out = {r.doc_id: r.p for r in TX.with_tokens(df).select("doc_id", TX.predicted_language(F.col(TX.TOKS)).alias("p")).collect()}
         assert out == {1: "en", 2: "es"}
+
+
+class TestRelevance:
+    def test_tfidf_prefers_rare_terms(self, spark):
+        """A term unique to one doc outranks the corpus-wide filler term
+        even at equal tf; ranks are 1..k dense per doc."""
+        docs = spark.createDataFrame(
+            [(1, "common rare"), (2, "common common common"), (3, "common other common")],
+            "doc_id long, text string",
+        )
+        out = TX.tfidf_top_terms(docs, k=2).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append((r.rank, r.term))
+        assert sorted(by_doc[1]) == [(1, "rare"), (2, "common")]
+        assert [t for _, t in sorted(by_doc[2])] == ["common"]  # only one distinct term
+        for ranks in by_doc.values():
+            assert [i for i, _ in sorted(ranks)] == list(range(1, len(ranks) + 1))
+
+    def test_bm25_orders_by_match_and_saturates(self, spark):
+        """More matching terms → higher score; tf saturation keeps a
+        keyword-stuffed doc from dominating a doc matching MORE query
+        terms; non-matching docs score 0."""
+        docs = spark.createDataFrame(
+            [
+                (1, "spark stream join"),  # 2 query terms
+                (2, "spark spark spark spark spark join"),  # 1 term, stuffed
+                (3, "table join group"),  # 0 terms
+                (4, "spark join group"),  # 1 term
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.bm25 for r in TX.bm25_scores(docs, ("spark", "stream")).collect()}
+        assert out[1] > out[2] > out[4] > out[3] == 0.0
 
 
 class TestMultimodal:

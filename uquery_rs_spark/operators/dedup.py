@@ -184,6 +184,34 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id"
     )
 
 
+def normalize_text(text: Column) -> Column:
+    """Canonical text form for normalization-aware dedup: lowercase,
+    strip everything but [a-z0-9] and spaces, collapse whitespace runs,
+    trim. Pure codegen expressions, SQL-replicable bit-for-bit
+    (DuckDB: lower + regexp_replace 'g' + trim)."""
+    cleaned = F.regexp_replace(F.lower(text), "[^a-z0-9 ]", "")
+    return F.trim(F.regexp_replace(cleaned, " +", " "))
+
+
+def normalized_dedup(
+    docs: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup AFTER text normalization: catches the re-crawl /
+    re-encode near-identicals that byte-exact hashing misses (case
+    changes, punctuation or whitespace-only edits — the most common
+    duplication mode in web corpora after byte-exact copies).
+
+    Same hash-groupBy shape and cost as exact_dedup: the shuffle moves
+    32-byte digests + keys, never document bodies; normalization is a
+    per-row projection at scan speed.
+    """
+    return (
+        docs.withColumn("h", F.sha2(normalize_text(F.col(text_col)), 256))
+        .groupBy("h")
+        .agg(F.min(key_col).alias(key_col), F.count("*").alias("n_copies"))
+    )
+
+
 def _shingle_intersections(
     docs: DataFrame, n: int, text_col: str, key_col: str, max_df: int | None = None
 ) -> DataFrame:

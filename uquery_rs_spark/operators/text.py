@@ -325,6 +325,113 @@ def repetition_stats(
     )
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — the classic relevance /
+    keyword-extraction primitive behind corpus quality filters and
+    topic-balanced sampling.
+
+    idf = ln((N + 1) / (df + 1)) + 1 (smoothed, always positive);
+    score = tf * idf rounded to 4 (ordering uses the ROUNDED score +
+    term tie-break so cross-engine libm ulp differences in ln() cannot
+    reorder the top-k).
+
+    Scale shape: explode → per-(doc, term) counts [shuffle 1, map-side
+    combined], term document-frequencies [shuffle 2 over the VOCABULARY,
+    not the corpus], join back (AQE broadcasts the df side when the
+    vocabulary is small), top-k window per doc [shuffle 3]. Corpus size
+    N is a 1-row aggregate broadcast via crossJoin — the same bounded
+    pattern as every verdict-frame broadcast in this repo.
+    """
+    from pyspark.sql import Window as W
+
+    tf = (
+        docs.select(F.col(key_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(key_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                4,
+            ),
+        )
+    )
+    w = W.partitionBy(key_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(key_col, "rank", "term", "tf", "df", "tfidf")
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top: int = 20,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranking of the corpus against a fixed query term set — the
+    retrieval scorer behind RAG candidate selection and targeted corpus
+    slicing ("find the docs about X").
+
+    idf_t = ln(1 + (N - df_t + 0.5) / (df_t + 0.5)); per-doc term
+    frequency saturates via tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+
+    Scale shape: ONE corpus-wide aggregate row (N, avgdl, and one df per
+    query term — |query| columns, computed with array_contains, no
+    explode) broadcast back; scoring is then a pure per-row expression
+    and the global top-``top`` is orderBy+limit = TakeOrdered (per-
+    partition heaps + driver merge of |parts| * top rows, never a full
+    sort shuffle). Entirely whole-stage-codegen, zero Python.
+    """
+    toked = with_tokens(docs, text_col).withColumn("dl", F.size(F.col(TOKS)))
+    stats = toked.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.array_contains(F.col(TOKS), t).cast("long")).alias(f"df_{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    scored = toked.crossJoin(F.broadcast(stats))
+
+    def term_count(term: str) -> Column:
+        # factory, not a default-arg lambda: pyspark would read a second
+        # lambda parameter as the element INDEX of a 2-arg filter.
+        return F.size(F.filter(F.col(TOKS), lambda x: x == F.lit(term)))
+
+    parts = []
+    for i, t in enumerate(query_terms):
+        tf = term_count(t)
+        idf = F.log(
+            1.0
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        denom = tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        parts.append(idf * (tf * (k1 + 1.0)) / denom)
+    score = F.round(sum(parts[1:], parts[0]), 4)
+    return (
+        scored.select(key_col, F.col("dl").alias("doc_len"), score.alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(key_col))
+        .limit(top)
+    )
+
+
 def bpe_train(
     docs: DataFrame, n_merges: int = 50, text_col: str = "text"
 ) -> list[tuple[str, str]]:

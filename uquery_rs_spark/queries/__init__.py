@@ -17,9 +17,11 @@ from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 # gained the within_bound recall oracle), then five entries whose code
 # paths were touched this round (pack_sequences dense-rank bucketing,
 # AS-OF nearest-direction struct fix, containment df-cutoff, PIVOT probe
-# caching), then 26 round-2-verified entries on fairness rotation (oldest
-# driver signal; the remaining r2/r3 entries rotate in rounds 6-7).
-# Exactly 50 names.
+# caching), then the three operators ADDED this round (TF-IDF top-terms,
+# BM25 search, normalized dedup — new entries go in the CURRENT window,
+# round-4 lesson), then 23 round-2-verified entries on fairness rotation
+# (oldest driver signal; the remaining r2/r3 entries rotate in rounds
+# 6-7). Exactly 50 names.
 _ROUND5_WINDOW = (
     "dedup_winnowing",
     "text_bpe_tokenize",
@@ -45,6 +47,9 @@ _ROUND5_WINDOW = (
     "dedup_ngram_containment",
     "pivot_status_by_priority",
     "pivot_statement_status",
+    "text_tfidf_top_terms",
+    "text_bm25_search",
+    "dedup_normalized",
     "qualify_top_orders_per_cust",
     "lateral_top_order_per_customer",
     "grouping_sets_revenue",
@@ -68,9 +73,6 @@ _ROUND5_WINDOW = (
     "set_ops_nation_membership",
     "union_all_price_tiers",
     "distinct_order_priorities",
-    "limit_offset_pagination",
-    "rollup_order_status_priority",
-    "cube_returnflag_linestatus",
 )
 
 

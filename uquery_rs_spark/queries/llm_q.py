@@ -604,6 +604,130 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "text_tfidf_top_terms",
+    tags=("llm", "text", "relevance"),
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+  GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, rank, term, tf, df, tfidf FROM (
+  SELECT doc_id, term, tf, df,
+         round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) DESC, term
+         ) AS rank
+  FROM tf JOIN dfs USING (term) CROSS JOIN n
+) WHERE rank <= 3
+ORDER BY doc_id, rank
+""",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF terms (operators/text.py::tfidf_top_terms):
+    keyword extraction / relevance weighting over the corpus. Ranking
+    uses the ROUNDED score + term tie-break on both engines so libm ulp
+    differences in ln() cannot reorder the top-k; df shuffle is
+    vocabulary-sized, N is a 1-row broadcast."""
+    docs = load_tables(spark, sf)["documents"]
+    return TX.tfidf_top_terms(docs, k=3).orderBy("doc_id", "rank")
+
+
+_BM25_TERMS = ("spark", "vector", "stream")
+
+
+def _bm25_oracle() -> str:
+    k1, b = 1.2, 0.75
+    dfs = ",\n             ".join(
+        f"sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    tfs = ",\n         ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    score = " + ".join(
+        f"ln(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * (tf_{i} * ({k1} + 1.0)) / (tf_{i} + {k1} * (1 - {b} + {b} * doc_len / avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl,
+             {dfs}
+      FROM d),
+t AS (SELECT doc_id, len(toks) AS doc_len,
+         {tfs}
+      FROM d)
+SELECT doc_id, doc_len, round({score}, 4) AS bm25
+FROM t CROSS JOIN s
+ORDER BY round({score}, 4) DESC, doc_id
+LIMIT 20
+"""
+
+
+@register(
+    "text_bm25_search",
+    tags=("llm", "text", "relevance", "search"),
+    oracle=_bm25_oracle(),
+)
+def text_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-20 docs for a fixed query term set (operators/text.py::
+    bm25_scores) — the RAG candidate-selection scorer. One corpus-wide
+    aggregate row (N, avgdl, per-term df via array_contains — no
+    explode) broadcast back; scoring is per-row codegen and the global
+    top-k is TakeOrdered, not a full sort. Rounded-score ordering with
+    doc_id tie-break keeps the cut deterministic across engines."""
+    docs = load_tables(spark, sf)["documents"]
+    return TX.bm25_scores(docs, _BM25_TERMS, top=20)
+
+
+@register(
+    "dedup_normalized",
+    tags=("llm", "dedup", "normalize"),
+    oracle="""
+WITH variants AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, '  ' || upper(text) || ' !!' FROM documents
+),
+norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS n
+  FROM variants
+)
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM norm GROUP BY n
+ORDER BY doc_id
+""",
+)
+def dedup_normalized(spark: SparkSession, sf: str) -> DataFrame:
+    """Normalization-aware exact dedup (operators/dedup.py::
+    normalized_dedup): lowercase + punctuation-strip + whitespace-
+    collapse before hashing, catching case/punctuation-only re-crawl
+    duplicates that byte-exact sha256 misses. The entry UNIONS each doc
+    with a deterministically mutated variant (upper-cased, doubled
+    spaces, trailing '!!', shifted key) so the oracle hash-checks that
+    every variant pair collapses to one group of n_copies=2."""
+    docs = load_tables(spark, sf)["documents"].select("doc_id", "text")
+    variants = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.lit("  "), F.upper("text"), F.lit(" !!")).alias("text"),
+        )
+    )
+    return (
+        D.normalized_dedup(variants)
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "text_lm_perplexity",
     tags=("llm", "text", "quality"),
     oracle="""
