@@ -221,6 +221,44 @@ class TestRelevance:
         assert out[1] > out[2] > out[4] > out[3] == 0.0
 
 
+class TestCorpusAudit:
+    def test_stats_card_values(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c", "en"),
+                (2, "a b c", "en"),  # exact dup
+                (3, "x y", "de"),
+                (4, "p q r s", "en"),
+            ],
+            "doc_id long, text string, lang string",
+        )
+        from uquery_rs_spark.operators.corpus import stats_card
+
+        r = stats_card(docs).collect()[0]
+        assert (r.n_docs, r.total_tokens, r.n_unique_texts) == (4, 12, 3)
+        assert r.dup_rate == 0.25
+        assert (r.n_langs, r.top_lang, r.top_lang_frac) == (2, "en", 0.75)
+        assert r.p50_tokens == 3.0  # interpolated over [2,3,3,4]
+
+    def test_centroid_outliers_flags_planted_vector(self, spark):
+        """A vector pointing away from its tight cluster is the only
+        flagged outlier; a clean cluster yields none."""
+        import math
+
+        rows = []
+        # label 0: 20 near-identical vectors + 1 inverted outlier
+        for i in range(20):
+            rows.append((i, [1.0, 0.01 * i], 0))
+        rows.append((99, [-1.0, 0.0], 0))
+        # label 1: clean cluster only
+        for i in range(10):
+            rows.append((200 + i, [0.0, 1.0 + 0.001 * i], 1))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+        out = S.centroid_outliers(emb, z_thresh=-2.0).collect()
+        assert [(r.label, r.vec_id) for r in out] == [(0, 99)]
+        assert out[0].z <= -2.0 and out[0].cos < 0
+
+
 class TestMultimodal:
     def test_feature_histogram_matches_numpy(self, spark):
         docs = spark.createDataFrame([(1, "abc", "s")], "doc_id long, text string, source string")

@@ -238,6 +238,55 @@ def pack_sequences(
     )
 
 
+def stats_card(
+    docs: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """One-row corpus summary card — the "datasheet" a pipeline prints
+    before training: volume, duplication, language mix, length profile.
+
+    Columns: n_docs, total_tokens, avg_tokens, p50_tokens, p90_tokens,
+    n_unique_texts, dup_rate, n_langs, top_lang, top_lang_frac.
+
+    Scale shape: two aggregation passes over the corpus — one global agg
+    (counts, token percentiles, sha256-distinct) and one tiny groupBy on
+    the language column to pick the modal language (cnt DESC, lang
+    tie-break) — crossJoined as 1-row broadcast frames. No windows, no
+    corpus-sized shuffles (the distinct ships 32-byte digests).
+    """
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    base = docs.select(
+        F.sha2(F.col(text_col), 256).alias("h"), n_tok.alias("n_tok"), F.col(lang_col)
+    )
+    overall = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.avg("n_tok"), 2).alias("avg_tokens"),
+        F.round(F.expr("percentile(n_tok, 0.5)"), 2).alias("p50_tokens"),
+        F.round(F.expr("percentile(n_tok, 0.9)"), 2).alias("p90_tokens"),
+        F.countDistinct("h").alias("n_unique_texts"),
+        F.countDistinct(lang_col).alias("n_langs"),
+    )
+    top = (
+        base.groupBy(lang_col)
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col(lang_col))
+        .limit(1)
+        .select(F.col(lang_col).alias("top_lang"), F.col("cnt").alias("top_cnt"))
+    )
+    return overall.crossJoin(F.broadcast(top)).select(
+        "n_docs",
+        "total_tokens",
+        "avg_tokens",
+        "p50_tokens",
+        "p90_tokens",
+        "n_unique_texts",
+        F.round(1.0 - F.col("n_unique_texts") / F.col("n_docs"), 4).alias("dup_rate"),
+        "n_langs",
+        "top_lang",
+        F.round(F.col("top_cnt") / F.col("n_docs"), 4).alias("top_lang_frac"),
+    )
+
+
 def length_buckets(
     docs: DataFrame, text_col: str = "text", bucket_tokens: int = 32
 ) -> DataFrame:

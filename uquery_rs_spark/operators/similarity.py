@@ -665,21 +665,20 @@ def ivf_probe_index(
     return _global_topk(part, k)
 
 
-def label_centroid_cohesion(
+def _centroid_cos_per_row(
     emb: DataFrame,
-    label_col: str = "label",
-    vec_col: str = "embedding",
+    label_col: str,
+    vec_col: str,
+    id_col: str | None = None,
 ) -> DataFrame:
-    """Per-label centroid cohesion: mean cosine of each vector to its
-    label's mean vector. Columns: label, n_vecs, avg_cos_to_centroid.
+    """Per-row cosine of each vector to its label's mean vector.
 
-    The clustering-quality audit a labeled/clustered corpus runs after
-    assignment. Scale shape: centroids come from ONE map-side-combined
-    posexplode aggregate whose result is (n_labels x dim) rows — tiny,
-    collected and broadcast like any dimension table — then the corpus
-    makes a single Arrow-batched pass computing cosines against the
-    broadcast matrix. No join of the corpus against itself, no
-    per-dimension shuffle of the second pass.
+    Scale shape shared by the cohesion and outlier audits: centroids come
+    from ONE map-side-combined posexplode aggregate whose result is
+    (n_labels x dim) rows — tiny, collected and broadcast like any
+    dimension table — then the corpus makes a single Arrow-batched pass
+    computing cosines against the broadcast matrix. No join of the corpus
+    against itself, no per-dimension shuffle of the second pass.
     """
     spark = emb.sparkSession
     dims = emb.select(label_col, F.posexplode(_as_double(F.col(vec_col))).alias("dim", "x"))
@@ -692,6 +691,7 @@ def label_centroid_cohesion(
         for lab, d in cents.items()
     }
     bc = spark.sparkContext.broadcast(cmat)
+    id_cols = [id_col] if id_col else []
 
     def cos_pass(batches):
         cmat = bc.value
@@ -702,14 +702,71 @@ def label_centroid_cohesion(
             C = np.stack([cmat[int(l)] for l in pdf[label_col]])
             num = np.einsum("ij,ij->i", V, C)
             den = np.linalg.norm(V, axis=1) * np.linalg.norm(C, axis=1)
-            yield pd.DataFrame({"label": pdf[label_col], "cos": num / den})
+            out = {c: pdf[c] for c in id_cols}
+            out["label"] = pdf[label_col]
+            out["cos"] = num / den
+            yield pd.DataFrame(out)
 
-    per_row = emb.select(label_col, vec_col).mapInPandas(
-        cos_pass, "label int, cos double"
-    )
+    schema = (f"{id_col} long, " if id_col else "") + "label int, cos double"
+    return emb.select(*id_cols, label_col, vec_col).mapInPandas(cos_pass, schema)
+
+
+def label_centroid_cohesion(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid cohesion: mean cosine of each vector to its
+    label's mean vector. Columns: label, n_vecs, avg_cos_to_centroid.
+    The clustering-quality audit a labeled/clustered corpus runs after
+    assignment (scale shape: _centroid_cos_per_row)."""
+    per_row = _centroid_cos_per_row(emb, label_col, vec_col)
     return per_row.groupBy("label").agg(
         F.count("*").alias("n_vecs"),
         F.round(F.avg("cos"), 4).alias("avg_cos_to_centroid"),
+    )
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    z_thresh: float = -2.0,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label cosine-to-centroid outliers: vectors whose similarity to
+    their label centroid sits ``z_thresh`` sample standard deviations or
+    more BELOW the label mean — mislabeled / corrupted / off-cluster
+    embeddings, the triage list an embedding-corpus audit acts on.
+
+    The z-score is computed from the ROUNDED (4 dp) cosine on both the
+    Spark and oracle sides so the statistics see bit-identical inputs
+    regardless of summation order; the filter compares the 2-dp-rounded
+    z, keeping the cut deterministic across engines.
+
+    Scale shape: _centroid_cos_per_row (broadcast centroid matrix, one
+    Arrow pass) + a label-keyed stats aggregate (n_labels rows) joined
+    back — AQE broadcasts it. No windows over whole labels, so a
+    billion-row label never serializes through one task.
+    """
+    per_row = _centroid_cos_per_row(emb, label_col, vec_col, id_col=id_col).withColumn(
+        "cos_r", F.round("cos", 4)
+    )
+    stats = per_row.groupBy("label").agg(
+        F.avg("cos_r").alias("mu"), F.stddev_samp("cos_r").alias("sigma")
+    )
+    # sigma == 0 (constant-cosine label, incl. singleton labels) → no
+    # outliers by definition; guarded on both engines (ANSI Spark raises
+    # DIVIDE_BY_ZERO, DuckDB yields inf — neither is the semantics).
+    z = F.round(
+        F.when(F.col("sigma") > 0, (F.col("cos_r") - F.col("mu")) / F.col("sigma")), 2
+    )
+    return (
+        per_row.join(stats, "label")
+        .withColumn("z", z)
+        .filter(F.col("z") <= z_thresh)
+        .select("label", id_col, F.col("cos_r").alias("cos"), "z")
+        .orderBy("label", id_col)
     )
 
 

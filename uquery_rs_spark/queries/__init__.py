@@ -17,9 +17,9 @@ from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 # gained the within_bound recall oracle), then five entries whose code
 # paths were touched this round (pack_sequences dense-rank bucketing,
 # AS-OF nearest-direction struct fix, containment df-cutoff, PIVOT probe
-# caching), then the three operators ADDED this round (TF-IDF top-terms,
-# BM25 search, normalized dedup — new entries go in the CURRENT window,
-# round-4 lesson), then 23 round-2-verified entries on fairness rotation
+# caching), then the five operators ADDED this round (TF-IDF top-terms,
+# BM25 search, normalized dedup, corpus stats card, embedding outliers — new entries go in the CURRENT window,
+# round-4 lesson), then 21 round-2-verified entries on fairness rotation
 # (oldest driver signal; the remaining r2/r3 entries rotate in rounds
 # 6-7). Exactly 50 names.
 _ROUND5_WINDOW = (
@@ -50,6 +50,8 @@ _ROUND5_WINDOW = (
     "text_tfidf_top_terms",
     "text_bm25_search",
     "dedup_normalized",
+    "corpus_stats_card",
+    "emb_outlier_zscore",
     "qualify_top_orders_per_cust",
     "lateral_top_order_per_customer",
     "grouping_sets_revenue",
@@ -71,8 +73,6 @@ _ROUND5_WINDOW = (
     "correlated_subquery_above_cust_avg",
     "cte_top_supplier_revenue",
     "set_ops_nation_membership",
-    "union_all_price_tiers",
-    "distinct_order_priorities",
 )
 
 

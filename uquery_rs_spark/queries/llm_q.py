@@ -1495,6 +1495,88 @@ def corpus_shuffle_order(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "corpus_stats_card",
+    tags=("llm", "corpus", "audit"),
+    oracle="""
+WITH base AS (
+  SELECT sha256(text) AS h, len(string_split(text, ' ')) AS n_tok, lang
+  FROM documents
+),
+overall AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         round(avg(n_tok), 2) AS avg_tokens,
+         round(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_tok), 2) AS p50_tokens,
+         round(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_tok), 2) AS p90_tokens,
+         count(DISTINCT h) AS n_unique_texts,
+         count(DISTINCT lang) AS n_langs
+  FROM base
+),
+top AS (
+  SELECT lang AS top_lang, count(*) AS top_cnt
+  FROM base GROUP BY lang ORDER BY count(*) DESC, lang LIMIT 1
+)
+SELECT n_docs, total_tokens, avg_tokens, p50_tokens, p90_tokens,
+       n_unique_texts,
+       round(1.0 - n_unique_texts * 1.0 / n_docs, 4) AS dup_rate,
+       n_langs, top_lang,
+       round(top_cnt * 1.0 / n_docs, 4) AS top_lang_frac
+FROM overall CROSS JOIN top
+""",
+)
+def corpus_stats_card(spark: SparkSession, sf: str) -> DataFrame:
+    """One-row corpus datasheet (operators/corpus.py::stats_card):
+    volume, token length profile (exact interpolated percentiles),
+    sha256 duplication rate, language mix with modal language. Two
+    aggregate passes, both ending in 1-row broadcast frames — nothing
+    corpus-sized crosses a shuffle except 32-byte digests."""
+    from ..operators.corpus import stats_card
+
+    docs = load_tables(spark, sf)["documents"]
+    return stats_card(docs)
+
+
+@register(
+    "emb_outlier_zscore",
+    tags=("llm", "embedding", "audit"),
+    oracle="""
+WITH dims AS (
+  SELECT label, vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT label, vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+), cents AS (
+  SELECT label, dim, avg(x) AS c FROM dims GROUP BY label, dim
+), dots AS (
+  SELECT d.label, d.vec_id,
+         round(sum(d.x * c.c) / (sqrt(sum(d.x * d.x)) * sqrt(sum(c.c * c.c))), 4)
+           AS cos
+  FROM dims d JOIN cents c ON d.label = c.label AND d.dim = c.dim
+  GROUP BY d.label, d.vec_id
+), stats AS (
+  SELECT label, avg(cos) AS mu, stddev_samp(cos) AS sigma
+  FROM dots GROUP BY label
+)
+SELECT d.label, d.vec_id, d.cos,
+       round(CASE WHEN s.sigma > 0 THEN (d.cos - s.mu) / s.sigma END, 2) AS z
+FROM dots d JOIN stats s USING (label)
+WHERE round(CASE WHEN s.sigma > 0 THEN (d.cos - s.mu) / s.sigma END, 2) <= -2.0
+ORDER BY d.label, d.vec_id
+""",
+)
+def emb_outlier_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label cosine-to-centroid outliers (operators/similarity.py::
+    centroid_outliers): embeddings >=2 sample stddevs below their
+    label's mean centroid similarity — the mislabeled/corrupted-vector
+    triage list. Stats run over the 4-dp-rounded cosine on BOTH sides
+    so summation-order ulps cannot move the cut; label stats are an
+    n_labels-row aggregate joined back (AQE broadcast), never a window
+    over a whole label."""
+    emb = load_tables(spark, sf)["embeddings"]
+    return S.centroid_outliers(emb, z_thresh=-2.0)
+
+
+@register(
     "corpus_length_buckets",
     tags=("llm", "corpus", "batching"),
     oracle="""
