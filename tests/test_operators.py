@@ -240,6 +240,46 @@ class TestCorpusAudit:
         assert (r.n_langs, r.top_lang, r.top_lang_frac) == (2, "en", 0.75)
         assert r.p50_tokens == 3.0  # interpolated over [2,3,3,4]
 
+    def test_version_diff_all_statuses(self, spark):
+        from uquery_rs_spark.operators.corpus import version_diff
+
+        old = spark.createDataFrame(
+            [(1, "a", "s1"), (2, "b", "s1"), (3, "c", "s2")],
+            "doc_id long, text string, source string",
+        )
+        new = spark.createDataFrame(
+            [(1, "a", "s1"), (2, "B2", "s1"), (4, "d", "s2")],  # 3 removed, 4 added
+            "doc_id long, text string, source string",
+        )
+        out = {(r.source, r.status): r.n_docs for r in version_diff(old, new).collect()}
+        assert out == {
+            ("s1", "unchanged"): 1,
+            ("s1", "modified"): 1,
+            ("s2", "removed"): 1,
+            ("s2", "added"): 1,
+        }
+
+    def test_dedup_funnel_stage_accounting(self, spark):
+        """Each tier removes exactly its own duplication mode and the
+        funnel telescopes (n_out of k == n_in of k+1)."""
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta eps"),
+                (2, "alpha beta gamma delta eps"),  # exact dup of 1
+                (3, "Alpha, beta GAMMA  delta eps!"),  # normalized dup of 1
+                (4, "alpha beta gamma delta zeta"),  # near dup of 1 (jaccard>=0.5)
+                (5, "one two three four five six"),  # unique
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.stage: r for r in D.dedup_funnel(docs, threshold=0.5).collect()}
+        assert (rows["1_raw"].n_in, rows["1_raw"].n_out) == (5, 5)
+        assert (rows["2_exact"].n_removed, rows["2_exact"].n_out) == (1, 4)
+        assert (rows["3_normalized"].n_removed, rows["3_normalized"].n_out) == (1, 3)
+        assert (rows["4_near_dup"].n_removed, rows["4_near_dup"].n_out) == (1, 2)
+        for a, b in (("1_raw", "2_exact"), ("2_exact", "3_normalized"), ("3_normalized", "4_near_dup")):
+            assert rows[a].n_out == rows[b].n_in
+
     def test_centroid_outliers_flags_planted_vector(self, spark):
         """A vector pointing away from its tight cluster is the only
         flagged outlier; a clean cluster yields none."""

@@ -287,6 +287,50 @@ def stats_card(
     )
 
 
+def version_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Corpus-version audit: per-source added / removed / modified /
+    unchanged counts between two corpus snapshots — the release gate a
+    versioned training-data pipeline runs before promoting a refresh.
+
+    Scale shape: each side projects (key, sha256, source) at scan speed,
+    then ONE full-outer key join carries 32-byte digests, never document
+    bodies; the result aggregate is (sources x 4) rows. Content equality
+    via digest comparison keeps the join row width constant no matter
+    how large documents get.
+    """
+    o = old.select(
+        F.col(key_col).alias("k"),
+        F.sha2(F.col(text_col), 256).alias("h_old"),
+        F.col(strata_col).alias("src_old"),
+    )
+    n = new.select(
+        F.col(key_col).alias("k"),
+        F.sha2(F.col(text_col), 256).alias("h_new"),
+        F.col(strata_col).alias("src_new"),
+    )
+    status = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        o.join(n, "k", "full_outer")
+        .select(
+            F.coalesce("src_new", "src_old").alias(strata_col),
+            status.alias("status"),
+        )
+        .groupBy(strata_col, "status")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def length_buckets(
     docs: DataFrame, text_col: str = "text", bucket_tokens: int = 32
 ) -> DataFrame:

@@ -330,6 +330,69 @@ def containment_pairs_exact(
     )
 
 
+def dedup_funnel(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Staged dedup pipeline report: how many documents each dedup tier
+    removes — the funnel a production pipeline logs per corpus build.
+    Rows (stage, n_in, n_removed, n_out): raw → exact (sha256) →
+    normalized (case/punct/ws-collapsed sha) → near-dup (shingle
+    Jaccard >= threshold clusters collapsed to their canonical member).
+
+    Stages compose: tier k runs on tier k-1's survivors. Exact and
+    normalized survivor counts are countDistinct over digests (one agg,
+    32-byte shuffle keys); near-dup runs the inverted-index pair kernel
+    on the NORMALIZED canonicals only (already deduped — the
+    exact-cluster explosion that breaks bucket joins is gone by
+    construction) and counts non-canonical members of the connected
+    components. Output is 4 rows assembled from two 1-row aggregate
+    frames — nothing corpus-sized leaves the executors.
+    """
+    raw = docs.select(F.col(key_col), F.col(text_col))
+    nrm = normalize_text(F.col(text_col))
+    canon = raw.groupBy(nrm.alias("nrm")).agg(
+        F.min(key_col).alias(key_col),
+        F.min_by(text_col, key_col).alias(text_col),
+    )
+    pairs = jaccard_pairs_exact(
+        canon, threshold=threshold, n=n, text_col=text_col, key_col=key_col
+    )
+    clusters = dup_clusters(pairs)
+    counts = raw.agg(
+        F.count("*").alias("n_raw"),
+        F.countDistinct(F.sha2(F.col(text_col), 256)).alias("n_exact"),
+        F.countDistinct(nrm).alias("n_norm"),
+    )
+    near = clusters.agg(
+        F.coalesce(
+            F.sum((F.col("canonical") != F.col("id")).cast("long")), F.lit(0).cast("long")
+        ).alias("n_near_removed")
+    )
+    j = counts.crossJoin(F.broadcast(near))
+
+    def stage(name: str, n_in: Column, removed: Column) -> Column:
+        return F.struct(
+            F.lit(name).alias("stage"),
+            n_in.cast("long").alias("n_in"),
+            removed.cast("long").alias("n_removed"),
+            (n_in - removed).cast("long").alias("n_out"),
+        )
+
+    stages = F.array(
+        stage("1_raw", F.col("n_raw"), F.lit(0)),
+        stage("2_exact", F.col("n_raw"), F.col("n_raw") - F.col("n_exact")),
+        stage("3_normalized", F.col("n_exact"), F.col("n_exact") - F.col("n_norm")),
+        stage("4_near_dup", F.col("n_norm"), F.col("n_near_removed")),
+    )
+    return j.select(F.explode(stages).alias("s")).select(
+        "s.stage", "s.n_in", "s.n_removed", "s.n_out"
+    )
+
+
 def minhash_signature(shingles: Column, num_perm: int) -> Column:
     """Array of `num_perm` minhash values computed as one projection.
 

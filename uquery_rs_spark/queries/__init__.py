@@ -17,9 +17,10 @@ from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 # gained the within_bound recall oracle), then five entries whose code
 # paths were touched this round (pack_sequences dense-rank bucketing,
 # AS-OF nearest-direction struct fix, containment df-cutoff, PIVOT probe
-# caching), then the five operators ADDED this round (TF-IDF top-terms,
-# BM25 search, normalized dedup, corpus stats card, embedding outliers — new entries go in the CURRENT window,
-# round-4 lesson), then 21 round-2-verified entries on fairness rotation
+# caching), then the seven operators ADDED this round (TF-IDF
+# top-terms, BM25 search, normalized dedup, corpus stats card, embedding
+# outliers, dedup funnel, corpus version diff — new entries go in the
+# CURRENT window, round-4 lesson), then 19 round-2-verified entries on fairness rotation
 # (oldest driver signal; the remaining r2/r3 entries rotate in rounds
 # 6-7). Exactly 50 names.
 _ROUND5_WINDOW = (
@@ -52,6 +53,8 @@ _ROUND5_WINDOW = (
     "dedup_normalized",
     "corpus_stats_card",
     "emb_outlier_zscore",
+    "dedup_funnel",
+    "corpus_version_diff",
     "qualify_top_orders_per_cust",
     "lateral_top_order_per_customer",
     "grouping_sets_revenue",
@@ -71,8 +74,6 @@ _ROUND5_WINDOW = (
     "range_join_size_buckets",
     "scalar_subquery_above_avg_balance",
     "correlated_subquery_above_cust_avg",
-    "cte_top_supplier_revenue",
-    "set_ops_nation_membership",
 )
 
 

@@ -1577,6 +1577,137 @@ def emb_outlier_zscore(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "dedup_funnel",
+    tags=("llm", "dedup", "pipeline"),
+    oracle="""
+WITH RECURSIVE norm AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS nrm
+  FROM documents
+),
+canon AS (
+  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+  FROM norm GROUP BY nrm
+),
+sh AS (
+  SELECT doc_id AS id,
+         list_distinct([t[i] || '_' || t[i+1] || '_' || t[i+2]
+                        for i in generate_series(1, len(t) - 2)]) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM canon)
+),
+ex AS (SELECT id, unnest(s) AS g FROM sh),
+inter AS (
+  SELECT a.id AS x, b.id AS y, count(*) AS inter
+  FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT x, y FROM inter
+  JOIN (SELECT id, len(s) AS nx FROM sh) sx ON x = sx.id
+  JOIN (SELECT id, len(s) AS ny FROM sh) sy ON y = sy.id
+  WHERE inter * 1.0 / (sx.nx + sy.ny - inter) >= 0.5
+),
+edges AS (SELECT x AS a, y AS b FROM pairs UNION SELECT y, x FROM pairs),
+reach(id, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id
+),
+clust AS (SELECT id, min(lbl) AS canonical FROM reach GROUP BY id),
+near AS (
+  SELECT CAST(coalesce(sum(CASE WHEN canonical <> id THEN 1 END), 0) AS BIGINT)
+           AS n_near
+  FROM clust
+),
+counts AS (
+  SELECT count(*) AS n_raw,
+         count(DISTINCT sha256(text)) AS n_exact,
+         count(DISTINCT nrm) AS n_norm
+  FROM norm
+)
+SELECT stage, n_in, n_removed, n_out FROM (
+  SELECT '1_raw' AS stage, n_raw AS n_in, CAST(0 AS BIGINT) AS n_removed,
+         n_raw AS n_out FROM counts
+  UNION ALL
+  SELECT '2_exact', n_raw, n_raw - n_exact, n_exact FROM counts
+  UNION ALL
+  SELECT '3_normalized', n_exact, n_exact - n_norm, n_norm FROM counts
+  UNION ALL
+  SELECT '4_near_dup', n_norm, n_near, n_norm - n_near
+  FROM counts CROSS JOIN near
+)
+ORDER BY stage
+""",
+)
+def dedup_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Staged dedup funnel (operators/dedup.py::dedup_funnel): raw →
+    sha256-exact → normalized → shingle-Jaccard near-dup, reporting
+    n_in/n_removed/n_out per tier — the per-build log line of a
+    production dedup pipeline. Near-dup clusters collapse via connected
+    components; the oracle reproduces the fixpoint with a recursive CTE
+    over the exact pair graph on the same normalized canonicals."""
+    docs = load_tables(spark, sf)["documents"]
+    return D.dedup_funnel(docs, threshold=0.5).orderBy("stage")
+
+
+@register(
+    "corpus_version_diff",
+    tags=("llm", "corpus", "versioning"),
+    oracle="""
+WITH old AS (SELECT doc_id, text, source FROM documents),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text,
+         source
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 11 = 0
+),
+j AS (
+  SELECT coalesce(n.source, o.source) AS source,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN sha256(o.text) <> sha256(n.text) THEN 'modified'
+              ELSE 'unchanged' END AS status
+  FROM old o FULL OUTER JOIN new n USING (doc_id)
+)
+SELECT source, status, count(*) AS n_docs
+FROM j GROUP BY source, status
+ORDER BY source, status
+""",
+)
+def corpus_version_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus snapshot diff (operators/corpus.py::version_diff):
+    per-source added/removed/modified/unchanged counts between corpus
+    versions — the promotion gate of a versioned data pipeline. The
+    entry derives the 'new' snapshot deterministically (drop every 7th
+    doc, append ' v2' to every 5th, add shifted copies of every 11th)
+    so the oracle hash-checks all four status paths. One full-outer key
+    join carrying sha256 digests, never bodies."""
+    from ..operators.corpus import version_diff
+
+    docs = load_tables(spark, sf)["documents"]
+    old = docs.select("doc_id", "text", "source")
+    new = (
+        old.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 5 == 0, F.concat("text", F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "source",
+        )
+        .unionByName(
+            old.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text", "source"
+            )
+        )
+    )
+    return version_diff(old, new).orderBy("source", "status")
+
+
+@register(
     "corpus_length_buckets",
     tags=("llm", "corpus", "batching"),
     oracle="""
