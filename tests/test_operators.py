@@ -280,6 +280,22 @@ class TestCorpusAudit:
         for a, b in (("1_raw", "2_exact"), ("2_exact", "3_normalized"), ("3_normalized", "4_near_dup")):
             assert rows[a].n_out == rows[b].n_in
 
+    def test_per_source_cap_deterministic_and_capped(self, spark):
+        from uquery_rs_spark.operators.corpus import per_source_cap
+
+        docs = spark.createDataFrame(
+            [(i, f"t{i}", "big" if i < 40 else "small") for i in range(50)],
+            "doc_id long, text string, source string",
+        )
+        a = {r.doc_id for r in per_source_cap(docs, cap=5).collect()}
+        b = {r.doc_id for r in per_source_cap(docs.repartition(7), cap=5).collect()}
+        assert a == b  # partitioning-invariant selection
+        by_src = {}
+        for r in per_source_cap(docs, cap=5).collect():
+            by_src.setdefault(r.source, set()).add(r.doc_id)
+        assert len(by_src["big"]) == 5
+        assert len(by_src["small"]) == 5  # capped even when |source| = 10
+
     def test_centroid_outliers_flags_planted_vector(self, spark):
         """A vector pointing away from its tight cluster is the only
         flagged outlier; a clean cluster yields none."""

@@ -287,6 +287,35 @@ def stats_card(
     )
 
 
+def per_source_cap(
+    docs: DataFrame,
+    cap: int,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` documents per source — the domain-dominance
+    guard of web-corpus mixing (one crawl host must not swamp the mix).
+
+    Selection is DETERMINISTIC: rank within each source by the md5 of
+    the key (a uniform, reproducible order — the same hash-order trick
+    as hash_split/shuffle_order) and keep rank <= cap, so the sample is
+    stable across runs/engines and composes with incremental ingestion.
+    One shuffle on the strata column; per-strata ranking is a window,
+    so a pathologically large single source serializes through one task
+    — at that scale, cap the source upstream with stratified_sample
+    (rate = cap/|source|) instead.
+    """
+    from pyspark.sql import Window as W
+
+    h = F.md5(F.col(key_col).cast("string"))
+    w = W.partitionBy(strata_col).orderBy(h, key_col)
+    return (
+        docs.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+
+
 def version_diff(
     old: DataFrame,
     new: DataFrame,

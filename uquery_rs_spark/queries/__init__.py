@@ -17,10 +17,11 @@ from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 # gained the within_bound recall oracle), then five entries whose code
 # paths were touched this round (pack_sequences dense-rank bucketing,
 # AS-OF nearest-direction struct fix, containment df-cutoff, PIVOT probe
-# caching), then the seven operators ADDED this round (TF-IDF
+# caching), then the eight operators ADDED this round (TF-IDF
 # top-terms, BM25 search, normalized dedup, corpus stats card, embedding
-# outliers, dedup funnel, corpus version diff — new entries go in the
-# CURRENT window, round-4 lesson), then 19 round-2-verified entries on fairness rotation
+# outliers, dedup funnel, corpus version diff, per-source cap — new
+# entries go in the
+# CURRENT window, round-4 lesson), then 18 round-2-verified entries on fairness rotation
 # (oldest driver signal; the remaining r2/r3 entries rotate in rounds
 # 6-7). Exactly 50 names.
 _ROUND5_WINDOW = (
@@ -55,6 +56,7 @@ _ROUND5_WINDOW = (
     "emb_outlier_zscore",
     "dedup_funnel",
     "corpus_version_diff",
+    "corpus_per_source_cap",
     "qualify_top_orders_per_cust",
     "lateral_top_order_per_customer",
     "grouping_sets_revenue",
@@ -73,7 +75,6 @@ _ROUND5_WINDOW = (
     "cross_join_region_status",
     "range_join_size_buckets",
     "scalar_subquery_above_avg_balance",
-    "correlated_subquery_above_cust_avg",
 )
 
 

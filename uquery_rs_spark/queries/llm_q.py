@@ -1652,6 +1652,45 @@ def dedup_funnel(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "corpus_per_source_cap",
+    tags=("llm", "corpus", "sampling"),
+    oracle="""
+SELECT source, count(*) AS n_kept,
+       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_even
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= 15
+GROUP BY source
+ORDER BY source
+""",
+)
+def corpus_per_source_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-dominance cap (operators/corpus.py::per_source_cap): keep
+    at most 15 docs per source, chosen by deterministic md5-of-key
+    order so the sample is reproducible and hash-checkable. The oracle
+    recomputes the identical ranking (DuckDB md5 = Spark md5 on the
+    same string) and verifies per-source kept counts plus a
+    parity-of-keys fingerprint of WHICH docs survived."""
+    from ..operators.corpus import per_source_cap
+
+    docs = load_tables(spark, sf)["documents"]
+    kept = per_source_cap(docs, cap=15)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("n_even"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "corpus_version_diff",
     tags=("llm", "corpus", "versioning"),
     oracle="""
