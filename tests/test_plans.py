@@ -184,3 +184,30 @@ def test_bucketed_join_colocates_without_shuffle(spark):
     finally:
         for t in ("uq_orders_b", "uq_lineitem_b"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_tfidf_reuses_tf_exchange(spark):
+    # tfidf_top_terms joins tf against df-per-term derived FROM tf. The
+    # df aggregate keeps sum(tf) (surfaced as ttf) precisely so Catalyst
+    # cannot prune the branch into a DISTINCT with a non-matching
+    # subplan: with identical subplans AQE reuses the (doc, term)
+    # shuffle and the corpus is exploded ONCE. Executed-plan assertion —
+    # reuse is decided at runtime under AQE.
+    from uquery_rs_spark.operators.text import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    df = tfidf_top_terms(docs, k=3)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
+def test_bm25_is_take_ordered(spark):
+    # Global top-k must be TakeOrdered (per-partition heaps + driver
+    # merge), never a full rangepartition sort of the corpus.
+    from uquery_rs_spark.operators.text import bm25_scores
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    plan = formatted_plan(bm25_scores(docs, ("spark", "vector")))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan

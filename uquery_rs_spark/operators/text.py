@@ -343,9 +343,20 @@ def tfidf_top_terms(
     Scale shape: explode → per-(doc, term) counts [shuffle 1, map-side
     combined], term document-frequencies [shuffle 2 over the VOCABULARY,
     not the corpus], join back (AQE broadcasts the df side when the
-    vocabulary is small), top-k window per doc [shuffle 3]. Corpus size
-    N is a 1-row aggregate broadcast via crossJoin — the same bounded
-    pattern as every verdict-frame broadcast in this repo.
+    vocabulary is small), top-k window per doc [shuffle 3 — with
+    Spark's WindowGroupLimit pruning to k rows per doc BEFORE the
+    exchange]. Corpus size N is a 1-row aggregate broadcast via
+    crossJoin — the same bounded pattern as every verdict-frame
+    broadcast in this repo.
+
+    The df aggregate deliberately also sums tf (surfaced as ``ttf``,
+    corpus-wide term frequency — a useful diagnostic in its own right):
+    without it Catalyst prunes the tf count out of the df branch,
+    turning it into a DISTINCT whose subplan no longer matches the tf
+    side, and ReuseExchange can't fire — the corpus would be exploded
+    and shuffled TWICE (observed in the r5 plan audit). With ttf kept,
+    both join branches share one exchange (ReusedExchange in the plan,
+    asserted in tests/test_plans.py).
     """
     from pyspark.sql import Window as W
 
@@ -354,7 +365,9 @@ def tfidf_top_terms(
         .groupBy(key_col, "term")
         .agg(F.count("*").alias("tf"))
     )
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    df_ = tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("ttf")
+    )
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(df_, "term")
@@ -372,7 +385,7 @@ def tfidf_top_terms(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(key_col, "rank", "term", "tf", "df", "tfidf")
+        .select(key_col, "rank", "term", "tf", "df", "ttf", "tfidf")
     )
 
 

@@ -612,10 +612,11 @@ WITH tf AS (
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
   GROUP BY doc_id, term
 ),
-dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dfs AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+        FROM tf GROUP BY term),
 n AS (SELECT count(*) AS n_docs FROM documents)
-SELECT doc_id, rank, term, tf, df, tfidf FROM (
-  SELECT doc_id, term, tf, df,
+SELECT doc_id, rank, term, tf, df, ttf, tfidf FROM (
+  SELECT doc_id, term, tf, df, ttf,
          round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf,
          row_number() OVER (
            PARTITION BY doc_id
