@@ -259,6 +259,21 @@ class TestCorpusAudit:
             ("s2", "added"): 1,
         }
 
+    def test_version_diff_null_text_classified_by_presence(self, spark):
+        """NULL-text docs present in both snapshots are unchanged (not
+        'added' — digest nullness must not masquerade as absence); a
+        NULL-to-value change is modified."""
+        from uquery_rs_spark.operators.corpus import version_diff
+
+        old = spark.createDataFrame(
+            [(1, None, "s"), (2, None, "s")], "doc_id long, text string, source string"
+        )
+        new = spark.createDataFrame(
+            [(1, None, "s"), (2, "now set", "s")], "doc_id long, text string, source string"
+        )
+        out = {(r.source, r.status): r.n_docs for r in version_diff(old, new).collect()}
+        assert out == {("s", "unchanged"): 1, ("s", "modified"): 1}
+
     def test_dedup_funnel_stage_accounting(self, spark):
         """Each tier removes exactly its own duplication mode and the
         funnel telescopes (n_out of k == n_in of k+1)."""

@@ -34,7 +34,8 @@ def test_gate_rejects_non_scalar_result_columns(spark, oracle_con):
     type: 'list'`` on such cells, so the entry could never go
     driver-green even though values match. compare_query lints every
     entry before hashing; this test pins the rejection with a synthetic
-    offender (the 154-entry gate above proves the registry is clean)."""
+    offender (the full-registry gate above proves the registry is
+    clean)."""
     from uquery_rs_spark.queries.registry import Query
     from pyspark.sql import functions as F
 

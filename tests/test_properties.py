@@ -194,10 +194,15 @@ def test_pack_sequences_key_sparsity_invariance(spark, lens, budget):
         }
 
     sparse = lambda i: i * 1_000_003_571 + 12_345  # monotone, ~1e9-spaced
-    dense_out, sparse_out = run(lambda i: i), run(sparse)
-    assert set(dense_out) == set(sparse_out)
-    for w, (nd, nb, fd, ld) in dense_out.items():
-        assert sparse_out[w] == (nd, nb, sparse(fd), sparse(ld))
+    # full signed-64 span: (_k - mn) would overflow long under ANSI —
+    # the bucketing must not subtract (review catch)
+    extreme = lambda i: (i - len(lens) // 2) * ((1 << 62) // max(len(lens), 1))
+    dense_out = run(lambda i: i)
+    for key_of in (sparse, extreme):
+        other = run(key_of)
+        assert set(dense_out) == set(other)
+        for w, (nd, nb, fd, ld) in dense_out.items():
+            assert other[w] == (nd, nb, key_of(fd), key_of(ld))
 
 
 @spark_settings

@@ -67,6 +67,11 @@ def main() -> None:
     scaled = sys.argv[1]
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     subset = sys.argv[3:]
+    unknown = [n for n in subset if n not in FLOOR_SET]
+    if unknown:
+        raise SystemExit(
+            f"not in FLOOR_SET: {unknown}; choose from {FLOOR_SET}"
+        )
     floor_set = [n for n in FLOOR_SET if n in subset] if subset else FLOOR_SET
 
     spark = get_spark("floor-probe")

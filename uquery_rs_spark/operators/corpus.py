@@ -197,23 +197,29 @@ def pack_sequences(
         schema = "window_id long, n_docs long, n_boundary long, first_doc long, last_doc long"
         return docs.sparkSession.createDataFrame([], schema)
     n_buckets = min(max(1, -(-int(st["n"]) // bucket_docs)), 65536)
-    width = max(1, -(-(int(st["mx"]) - int(st["mn"]) + 1) // n_buckets))
-    # integer `div`, not float floor-division: key spans near 2^63 would
-    # lose low bits in a double quotient.
-    bucketed = base.withColumn(
-        "_b", F.expr(f"(_k - {int(st['mn'])}L) div {width}L")
+    # Width math in Python ints (arbitrary precision): a span across the
+    # full signed-64 range overflows long subtraction. The bucket id is
+    # then just `_k div width` — NO (_k - mn) subtraction on the Spark
+    # side (which overflows for mn ≈ -2^62, _k ≈ +2^62; review catch).
+    # Truncating `div` is weakly monotone in _k for width > 0, which is
+    # all the two-phase prefix sum needs; bucket ids need not start at 0
+    # (offsets are keyed by value) and the count stays <= n_buckets + 1.
+    # Cap keeps the literal inside long range when span/n_buckets would
+    # exceed 2^62 (n_buckets=1 with extreme keys); the bucket count then
+    # lands at <= 4 — still bounded, still monotone.
+    width = min(
+        max(1, -(-(int(st["mx"]) - int(st["mn"]) + 1) // n_buckets)), 1 << 62
     )
+    bucketed = base.withColumn("_b", F.expr(f"_k div {width}L"))
     per_bucket = {
         r["_b"]: r["tok"]
         for r in bucketed.groupBy("_b").agg(F.sum("_n").alias("tok")).collect()
     }
+    # non-empty: the n == 0 case returned above, so per_bucket has rows.
     offsets, acc = {}, 0
     for b in sorted(per_bucket):
         offsets[b] = acc
         acc += per_bucket[b]
-    if not offsets:
-        schema = "window_id long, n_docs long, n_boundary long, first_doc long, last_doc long"
-        return docs.sparkSession.createDataFrame([], schema)
     mapping = F.create_map(*[F.lit(x) for b_off in offsets.items() for x in b_off])
     w = W.partitionBy("_b").orderBy("_k")
     cum = (F.sum("_n").over(w) + mapping[F.col("_b")]).alias("_cum")
@@ -337,16 +343,23 @@ def version_diff(
         F.col(key_col).alias("k"),
         F.sha2(F.col(text_col), 256).alias("h_old"),
         F.col(strata_col).alias("src_old"),
+        F.lit(True).alias("in_old"),
     )
     n = new.select(
         F.col(key_col).alias("k"),
         F.sha2(F.col(text_col), 256).alias("h_new"),
         F.col(strata_col).alias("src_new"),
+        F.lit(True).alias("in_new"),
     )
+    # Presence decides added/removed — NOT digest nullness: sha2(NULL
+    # text) is NULL on a PRESENT row, which would misread a NULL-text doc
+    # as added/removed (review catch). Modification uses null-safe
+    # inequality so NULL-text-vs-value counts as modified and
+    # NULL-vs-NULL as unchanged.
     status = (
-        F.when(F.col("h_old").isNull(), F.lit("added"))
-        .when(F.col("h_new").isNull(), F.lit("removed"))
-        .when(F.col("h_old") != F.col("h_new"), F.lit("modified"))
+        F.when(F.col("in_old").isNull(), F.lit("added"))
+        .when(F.col("in_new").isNull(), F.lit("removed"))
+        .when(~(F.col("h_old").eqNullSafe(F.col("h_new"))), F.lit("modified"))
         .otherwise(F.lit("unchanged"))
     )
     return (

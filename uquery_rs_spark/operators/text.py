@@ -412,6 +412,8 @@ def bm25_scores(
     partition heaps + driver merge of |parts| * top rows, never a full
     sort shuffle). Entirely whole-stage-codegen, zero Python.
     """
+    if not query_terms:
+        raise ValueError("bm25_scores requires at least one query term")
     toked = with_tokens(docs, text_col).withColumn("dl", F.size(F.col(TOKS)))
     stats = toked.agg(
         F.count("*").alias("n_docs"),

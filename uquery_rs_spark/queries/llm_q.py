@@ -1708,7 +1708,7 @@ j AS (
   SELECT coalesce(n.source, o.source) AS source,
          CASE WHEN o.doc_id IS NULL THEN 'added'
               WHEN n.doc_id IS NULL THEN 'removed'
-              WHEN sha256(o.text) <> sha256(n.text) THEN 'modified'
+              WHEN sha256(o.text) IS DISTINCT FROM sha256(n.text) THEN 'modified'
               ELSE 'unchanged' END AS status
   FROM old o FULL OUTER JOIN new n USING (doc_id)
 )

@@ -1059,7 +1059,16 @@ class SqlRewriter:
                     f"LIMIT {self._PIVOT_MAX_VALUES + 1}"
                 ).collect()
             ]
-            self._pivot_vals[cache_key] = vals
+            # Bound memory on a long-lived server (many distinct pivot
+            # sources) with a simple wholesale reset — re-probing is
+            # cheap relative to an unbounded dict, and a reset also
+            # re-reads sources that changed on disk. UQ_PIVOT_CACHE=0
+            # disables caching entirely for sessions whose file-backed
+            # sources mutate (staleness trade documented in __init__).
+            if os.environ.get("UQ_PIVOT_CACHE", "1") != "0":
+                if len(self._pivot_vals) >= 256:
+                    self._pivot_vals.clear()
+                self._pivot_vals[cache_key] = vals
         if len(vals) > self._PIVOT_MAX_VALUES:
             raise UQueryError.sql_error(
                 f"PIVOT ON {col} exceeds {self._PIVOT_MAX_VALUES} distinct values"

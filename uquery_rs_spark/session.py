@@ -89,9 +89,18 @@ def get_spark(app_name: str = "uquery_rs_spark", cpus: int | None = None) -> Spa
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.driver.memory", os.environ.get("UQ_DRIVER_MEMORY", "32g"))
     )
+    if master.startswith("local"):
+        # Pin shuffle parallelism to the local core count. On a cluster
+        # master the driver box's CPU count says nothing about executor
+        # parallelism — leave Spark's default (AQE coalescing makes the
+        # initial number non-critical) unless explicitly overridden.
+        builder = builder.config("spark.sql.shuffle.partitions", str(n))
+    elif "UQ_SHUFFLE_PARTITIONS" in os.environ:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", os.environ["UQ_SHUFFLE_PARTITIONS"]
+        )
     # Shuffle/spill files on tmpfs when available: this box's virtio disk
     # stalls multi-second on buffered-write flushes, which round-2 bench
     # recorded as phantom query regressions. On a real cluster the
