@@ -444,6 +444,23 @@ def test_pivot_statement(spark, rw):
     assert rows[0].__fields__ == ["g", "x", "y"]
 
 
+def test_pivot_statement_over_quoted_path(spark, rw):
+    """Statement-form PIVOT accepts a quoted PATH as its table (the
+    bare-identifier charset used to cut the path at '/' and resolve an
+    empty string)."""
+    from .conftest import SF_SMALL
+    from uquery_rs_spark.rewrite import SqlRewriter
+
+    rw_td = SqlRewriter(spark, allowed_dirs=[SF_SMALL])
+    rows = spark.sql(
+        rw_td.rewrite(f"PIVOT '{SF_SMALL}/region.parquet' ON r_name USING count(*)")
+    ).collect()
+    assert len(rows) == 1 and sorted(rows[0].__fields__) == [
+        "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST",
+    ]
+    assert all(v == 1 for v in rows[0])
+
+
 def test_pivot_probe_cached_per_source(spark, rw):
     """The PIVOT value-discovery probe (a real Spark job at rewrite time)
     runs once per (table, col) per rewriter session; repeated pivots of

@@ -1014,7 +1014,11 @@ class SqlRewriter:
             if close == -1:
                 return None
             return sql[i : close + 1], sql[close + 1 :]
-        mt = re.match(r"[\w.']+", sql[i:])
+        # A quoted table is a PATH — match the full quoted string (paths
+        # contain '/', '-', … that the bare-identifier charset excludes;
+        # the old [\w.']+ charset cut "'/data/x.parquet'" at the slash
+        # and resolved the empty path — round-5 smoke catch).
+        mt = re.match(r"'[^']*'|[\w.]+", sql[i:])
         if mt is None:
             return None
         tbl = mt.group(0)
