@@ -221,6 +221,23 @@ class TestRelevance:
         assert out[1] > out[2] > out[4] > out[3] == 0.0
 
 
+class TestCompressionRatio:
+    def test_repetitive_compresses_below_random(self, spark):
+        import random
+
+        rng = random.Random(7)
+        noise = " ".join("".join(rng.choices("abcdefghij", k=8)) for _ in range(200))
+        docs = spark.createDataFrame(
+            [(1, "spam ham " * 800), (2, noise), (3, "spam ham " * 800)],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in TX.compression_ratio(docs).collect()}
+        assert out[1].ratio < out[2].ratio  # boilerplate compresses far better
+        assert out[1].n_compressed == out[3].n_compressed  # determinism
+        assert all(0 < r.ratio <= 1.1 for r in out.values())
+        assert out[2].n_bytes == len(noise.encode())
+
+
 class TestCorpusAudit:
     def test_stats_card_values(self, spark):
         docs = spark.createDataFrame(

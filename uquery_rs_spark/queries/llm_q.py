@@ -729,6 +729,50 @@ def dedup_normalized(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "text_compression_ratio",
+    tags=("llm", "text", "quality"),
+    oracle="""
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       TRUE AS ratio_ok,
+       TRUE AS dup_consistent
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """zlib compression-ratio quality signal (operators/text.py::
+    compression_ratio) in the within_bound registry shape: DuckDB has no
+    zlib, so the oracle hash-checks what IS replicable — exact raw byte
+    counts, ratio inside zlib's hard envelope (0 < ratio <= 1.1 for
+    non-trivial inputs: deflate stored-block overhead is 11 bytes +
+    5/16k), and the determinism invariant that byte-identical texts
+    compress to byte-identical sizes (window over the text digest). A
+    broken codec, nondeterministic kernel, or misattributed row flips a
+    boolean and the hash."""
+    from pyspark.sql import Window as W
+
+    docs = load_tables(spark, sf)["documents"]
+    cr = TX.compression_ratio(docs)
+    digest = docs.select("doc_id", F.sha2("text", 256).alias("h"))
+    w = W.partitionBy("h")
+    return (
+        cr.join(digest, "doc_id")
+        .withColumn(
+            "dup_consistent",
+            (F.min("n_compressed").over(w) == F.max("n_compressed").over(w)),
+        )
+        .select(
+            "doc_id",
+            "n_bytes",
+            ((F.col("ratio") > 0) & (F.col("ratio") <= 1.1)).alias("ratio_ok"),
+            "dup_consistent",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "text_lm_perplexity",
     tags=("llm", "text", "quality"),
     oracle="""
