@@ -17,12 +17,12 @@ from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 # gained the within_bound recall oracle), then five entries whose code
 # paths were touched this round (pack_sequences dense-rank bucketing,
 # AS-OF nearest-direction struct fix, containment df-cutoff, PIVOT probe
-# caching), then the nine operators ADDED this round (TF-IDF
+# caching), then the ten operators ADDED this round (TF-IDF
 # top-terms, BM25 search, normalized dedup, corpus stats card, embedding
 # outliers, dedup funnel, corpus version diff, per-source cap,
-# compression-ratio quality — new
+# compression-ratio quality, stream-stream interval join — new
 # entries go in the
-# CURRENT window, round-4 lesson), then 17 round-2-verified entries on fairness rotation
+# CURRENT window, round-4 lesson), then 16 round-2-verified entries on fairness rotation
 # (oldest driver signal; the remaining r2/r3 entries rotate in rounds
 # 6-7). Exactly 50 names.
 _ROUND5_WINDOW = (
@@ -59,6 +59,7 @@ _ROUND5_WINDOW = (
     "corpus_version_diff",
     "corpus_per_source_cap",
     "text_compression_ratio",
+    "streaming_interval_join",
     "qualify_top_orders_per_cust",
     "lateral_top_order_per_customer",
     "grouping_sets_revenue",
@@ -75,7 +76,6 @@ _ROUND5_WINDOW = (
     "left_join_customer_order_counts",
     "full_outer_nation_presence",
     "cross_join_region_status",
-    "range_join_size_buckets",
 )
 
 

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.jobs import (
     run_dedup_stream,
+    run_interval_join_stream,
     run_rollup_stream,
     run_sliding_stream,
     run_stateful_user_counter,
@@ -103,6 +104,35 @@ def streaming_rollup_parquet(spark: SparkSession, sf: str) -> DataFrame:
     then read BACK from the rollup files — so the oracle verifies the
     whole write-then-serve round trip equals the batch aggregate."""
     return run_rollup_stream(spark, sf)
+
+
+@register(
+    "streaming_interval_join",
+    tags=("streaming", "join"),
+    oracle="""
+SELECT v.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       round(epoch(p.ts - v.ts) / 60.0, 2) AS mins_to_purchase
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+ORDER BY v.user_id, view_id, purchase_id
+""",
+)
+def streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream interval join (streaming/jobs.py::
+    run_interval_join_stream): purchases attributed to the same user's
+    views within the preceding hour, both sides watermarked so join
+    state expires — the ad-attribution shape and the canonical
+    two-unbounded-sources join. Inner-join emission is match-driven, so
+    the drained finite stream hash-matches the batch interval join the
+    oracle runs."""
+    from .registry import load_tables
+
+    load_tables(spark, sf)
+    return run_interval_join_stream(spark, sf)
 
 
 @register(

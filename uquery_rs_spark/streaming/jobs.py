@@ -203,6 +203,60 @@ def run_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(agg, name).orderBy("window_start")
 
 
+def run_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join: attribute each purchase to the same
+    user's views in the preceding hour — the canonical two-unbounded-
+    sources join (ad-attribution shape). Both sides carry watermarks and
+    the join condition bounds event-time distance, so Spark can expire
+    buffered state: without the time bound a stream-stream join must
+    retain both streams forever. Inner-join emission is match-driven, so
+    on a drained finite source the result equals the batch interval join
+    — which is exactly what the oracle runs.
+
+    Columns: user_id, view_id, purchase_id, mins_to_purchase.
+    """
+    views = (
+        streaming_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        streaming_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.round(
+            (
+                F.col("purchase_ts").cast("double") - F.col("view_ts").cast("double")
+            )
+            / 60.0,
+            2,
+        ).alias("mins_to_purchase"),
+    )
+    out = _drain(joined, f"uq_ssjoin_{uuid.uuid4().hex[:8]}", mode="append")
+    return out.orderBy("user_id", "view_id", "purchase_id")
+
+
 def run_rollup_stream(
     spark: SparkSession, sf_dir: str, out_dir: str | None = None
 ) -> DataFrame:
