@@ -596,3 +596,38 @@ def test_orc_path_as_table(spark, tmp_path):
     rw2 = SqlRewriter(spark, allowed_dirs=[str(tmp_path)])
     rows = spark.sql(rw2.rewrite(f"SELECT sum(v) AS s FROM '{orc}'")).collect()
     assert rows[0].s == 20
+
+
+def test_gap_hunt_rewrites(spark, rw):
+    """Round-5 dialect gap closures: each idiom translates and evaluates
+    to DuckDB's documented result."""
+    cases = {
+        "SELECT list_aggregate([1,2,3], 'sum') AS v": 6,
+        "SELECT list_aggregate([1,NULL,3], 'count') AS v": 2,
+        "SELECT list_reduce([1,2,3,4], (a,b) -> a + b) AS v": 10,
+        "SELECT list_slice([1,2,3,4,5], 2, 4)[1] AS v": 2,
+        "SELECT size(range(5, 2)) AS v": 0,       # exclusive stop, empty
+        "SELECT range(5, 0, -2)[2] AS v": 3,      # negative step
+        "SELECT format('{1}-{0}', 'x', 'y') AS v": "y-x",
+        "SELECT date_diff('month', DATE '2024-01-31', DATE '2024-02-01') AS v": 1,
+        "SELECT date_diff('hour', TIMESTAMP '2024-01-01 10:59:00', "
+        "TIMESTAMP '2024-01-01 11:01:00') AS v": 1,  # boundary, not elapsed
+        "SELECT {'p': {'q': 7}}.p.q AS v": 7,
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        assert got == want, f"{sql}: {got!r} != {want!r}"
+
+
+def test_gap_hunt_unsupported_raise(rw):
+    """Untranslatable forms raise instead of mistranslating."""
+    import pytest as _pytest
+    from uquery_rs_spark.errors import UQueryError
+
+    for sql in (
+        "SELECT list_aggregate([1], 'histogram')",
+        "SELECT format('{:.2f}', 1.0)",
+        "SELECT date_diff('era', DATE '2024-01-01', DATE '2024-01-02')",
+    ):
+        with _pytest.raises(UQueryError):
+            rw.rewrite(sql)

@@ -266,7 +266,10 @@ def test_format_equivalence_across_trio(base_url):
 def test_query_timeout_408(spark):
     server, url = _serve(spark, query_timeout_secs=0.05)
     try:
-        slow = "SELECT count(*) AS n FROM (SELECT a.id FROM range(3000000) a CROSS JOIN range(3000) b)"
+        # dialect-neutral slow query: since round 5 the gateway maps
+        # FROM-position range() to DuckDB's column naming (`range`, not
+        # Spark's `id`), so don't reference either by name here.
+        slow = "SELECT count(*) AS n FROM range(3000000) a CROSS JOIN range(3000) b"
         status, _, body = post(url, slow)
         assert status == 408
         assert json.loads(body)["title"] == "Query Timeout"

@@ -22,7 +22,7 @@ from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 # outliers, dedup funnel, corpus version diff, per-source cap,
 # compression-ratio quality, stream-stream interval join — new
 # entries go in the
-# CURRENT window, round-4 lesson), then 16 round-2-verified entries on fairness rotation
+# CURRENT window, round-4 lesson), then 15 round-2-verified entries (plus the dialect gap battery) on fairness rotation
 # (oldest driver signal; the remaining r2/r3 entries rotate in rounds
 # 6-7). Exactly 50 names.
 _ROUND5_WINDOW = (
@@ -60,6 +60,7 @@ _ROUND5_WINDOW = (
     "corpus_per_source_cap",
     "text_compression_ratio",
     "streaming_interval_join",
+    "dialect_gap_battery",
     "qualify_top_orders_per_cust",
     "lateral_top_order_per_customer",
     "grouping_sets_revenue",
@@ -75,7 +76,6 @@ _ROUND5_WINDOW = (
     "anti_join_idle_customers",
     "left_join_customer_order_counts",
     "full_outer_nation_presence",
-    "cross_join_region_status",
 )
 
 

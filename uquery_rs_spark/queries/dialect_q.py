@@ -685,6 +685,59 @@ def series_struct_pack_battery(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "dialect_gap_battery",
+    tags=("dialect", "functions", "edge"),
+    oracle="""
+SELECT p_partkey,
+       CAST(list_aggregate(l, 'sum') AS BIGINT)   AS l_sum,
+       round(list_aggregate(l, 'avg'), 4)         AS l_avg,
+       list_aggregate(l, 'count')                 AS l_cnt,
+       list_reduce(l, (a, b) -> a + b)            AS l_fold,
+       array_to_string(list_slice(l, 2, 3), ',')  AS l_mid,
+       array_to_string(range(0, p_size % 5 + 2), ',') AS upto,
+       format('{}#{}', p_partkey, p_size)         AS tag,
+       date_diff('month', DATE '1995-01-15', d)   AS months_since,
+       date_diff('day', DATE '1995-01-15', d)     AS days_since,
+       {'pk': p_partkey, 'sz': p_size}.pk         AS s_pk
+FROM (SELECT p_partkey, p_size,
+             [p_partkey, CAST(p_size AS BIGINT), 30] AS l,
+             DATE '1995-01-15' + CAST(p_partkey % 900 AS INT) AS d
+      FROM part WHERE p_partkey <= 200)
+ORDER BY p_partkey
+""",
+)
+def dialect_gap_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-5 dialect gap-hunt closures, end-to-end through the
+    rewriter: list_aggregate (sum/avg/count), list_reduce (first-element
+    fold), list_slice (inclusive bounds), scalar range (EXCLUSIVE stop —
+    vs generate_series's inclusive), fmt-brace format() →
+    format_string, 3-arg date_diff with DuckDB's boundary-crossing
+    semantics (month AND day units over a spread of dates), and bare
+    struct literals → named_struct with scalar field projection.
+    Identical SQL runs verbatim on DuckDB; array outputs serialized per
+    registry convention."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT p_partkey, "
+        "CAST(list_aggregate(l, 'sum') AS BIGINT) AS l_sum, "
+        "round(list_aggregate(l, 'avg'), 4) AS l_avg, "
+        "list_aggregate(l, 'count') AS l_cnt, "
+        "list_reduce(l, (a, b) -> a + b) AS l_fold, "
+        "array_to_string(list_slice(l, 2, 3), ',') AS l_mid, "
+        "array_to_string(range(0, p_size % 5 + 2), ',') AS upto, "
+        "format('{}#{}', p_partkey, p_size) AS tag, "
+        "date_diff('month', DATE '1995-01-15', d) AS months_since, "
+        "date_diff('day', DATE '1995-01-15', d) AS days_since, "
+        "{'pk': p_partkey, 'sz': p_size}.pk AS s_pk "
+        "FROM (SELECT p_partkey, p_size, "
+        "[p_partkey, CAST(p_size AS BIGINT), 30] AS l, "
+        "DATE '1995-01-15' + CAST(p_partkey % 900 AS INT) AS d "
+        "FROM part WHERE p_partkey <= 200) ORDER BY p_partkey",
+    )
+
+
+@register(
     "map_literal_ordered_agg",
     tags=("dialect", "map", "aggregate"),
     oracle="""

@@ -744,12 +744,14 @@ def text_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
     """zlib compression-ratio quality signal (operators/text.py::
     compression_ratio) in the within_bound registry shape: DuckDB has no
     zlib, so the oracle hash-checks what IS replicable — exact raw byte
-    counts, ratio inside zlib's hard envelope (0 < ratio <= 1.1 for
-    non-trivial inputs: deflate stored-block overhead is 11 bytes +
-    5/16k), and the determinism invariant that byte-identical texts
-    compress to byte-identical sizes (window over the text digest). A
-    broken codec, nondeterministic kernel, or misattributed row flips a
-    boolean and the hash."""
+    counts, compressed size inside zlib's hard envelope (n + n/100 + 64
+    covers the wrapper + stored-block worst case at EVERY size — a
+    fixed ratio bound fails on tiny docs where the ~11-byte header
+    dominates: a 47-byte doc measured ratio 1.13), and the determinism
+    invariant that byte-identical texts compress to byte-identical
+    sizes (window over the text digest). A broken codec,
+    nondeterministic kernel, or misattributed row flips a boolean and
+    the hash."""
     from pyspark.sql import Window as W
 
     docs = load_tables(spark, sf)["documents"]
@@ -765,7 +767,13 @@ def text_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "doc_id",
             "n_bytes",
-            ((F.col("ratio") > 0) & (F.col("ratio") <= 1.1)).alias("ratio_ok"),
+            (
+                (F.col("n_compressed") > 0)
+                & (
+                    F.col("n_compressed")
+                    <= F.col("n_bytes") + F.col("n_bytes") / 100 + 64
+                )
+            ).alias("ratio_ok"),
             "dup_consistent",
         )
         .orderBy("doc_id")

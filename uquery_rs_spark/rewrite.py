@@ -265,6 +265,7 @@ class SqlRewriter:
         "list_append": "array_append",
         "list_prepend": "array_prepend",
         "list_position": "array_position",
+        "list_zip": "arrays_zip",
         "regexp_matches": "regexp_like",
         "strlen": "length",
     }
@@ -724,6 +725,275 @@ class SqlRewriter:
         l, sep = args
         call = f"CASE WHEN size({l}) = 0 THEN NULL ELSE array_join({l}, {sep}) END"
         return sql[: m.start()] + call + tail
+
+    # -- round-5 dialect gap-hunt closures (list_aggregate / list_reduce /
+    # list_slice / scalar range / format / 3-arg date_diff / bare struct
+    # literal) — each found by running common DuckDB idioms through the
+    # gateway side-by-side with DuckDB itself. ------------------------------
+
+    _LIST_AGG_RE = re.compile(r"(?i)\blist_(?:aggregate|aggr)\s*\(")
+    _LIST_REDUCE_RE = re.compile(r"(?i)\blist_reduce\s*\(")
+    _LIST_SLICE_RE = re.compile(r"(?i)\blist_slice\s*\(")
+    _RANGE_CALL_RE = re.compile(r"(?i)(?<![\w.])range\s*\(")
+    _FORMAT_RE = re.compile(r"(?i)\bformat\s*\(")
+    # lookahead, not consumption, for the leading quote: _call_args needs
+    # the match to END at '(' for the paren-balance scan.
+    _DATE_DIFF3_RE = re.compile(r"(?i)\b(?:date_diff|datediff)\s*\((?=\s*')")
+    _STRUCT_LIT_RE = re.compile(r"(?<![\w'}])\{\s*'")
+
+    def _call_args(self, regex, sql, pos=0):
+        """(match, close_idx, [args]) for the next non-literal call."""
+        m = self._search_code(regex, sql, pos)
+        if not m:
+            return None
+        close = self._find_close(sql, m.end() - 1)
+        if close == -1:
+            return None
+        return m, close, [a.strip() for a in self._split_top(sql[m.end() : close], ",")]
+
+    def _rewrite_list_aggregate(self, sql: str) -> str:
+        """list_aggregate/list_aggr(l, 'fname') for the common fnames:
+        min/max → array_min/max; count → size of non-null filter (BIGINT
+        like DuckDB); sum → higher-order fold seeded with first-elem*0
+        so the accumulator keeps the ELEMENT type; avg → sum/count in
+        DOUBLE. NULL elements are skipped like DuckDB. Unsupported
+        fnames raise rather than mistranslate."""
+        hit = self._call_args(self._LIST_AGG_RE, sql)
+        if not hit:
+            return sql
+        m, close, args = hit
+        tail = self._rewrite_list_aggregate(sql[close + 1 :])
+        if len(args) != 2:
+            raise UQueryError.sql_error("list_aggregate expects (list, 'function')")
+        l = self._rewrite_list_aggregate(args[0])
+        fname = (self._lit_parse(args[1]) or "").lower()
+        nn = f"filter(({l}), x -> x IS NOT NULL)"
+        sum_expr = (
+            f"aggregate({nn}, try_element_at({nn}, 1) * 0, (a, x) -> a + x)"
+        )
+        count_expr = f"CAST(size({nn}) AS BIGINT)"
+        # avg accumulates in DOUBLE from the start (a decimal-element
+        # fold can't widen its own accumulator type mid-aggregate)
+        avg_sum = (
+            f"aggregate({nn}, CAST(try_element_at({nn}, 1) * 0 AS DOUBLE), (a, x) -> a + x)"
+        )
+        exprs = {
+            "min": f"array_min(({l}))",
+            "max": f"array_max(({l}))",
+            "sum": sum_expr,
+            "count": count_expr,
+            "avg": f"({avg_sum} / {count_expr})",
+            "mean": f"({avg_sum} / {count_expr})",
+        }
+        if fname not in exprs:
+            raise UQueryError.sql_error(
+                f"list_aggregate: unsupported function '{fname}' "
+                f"(supported: {sorted(exprs)})"
+            )
+        return sql[: m.start()] + exprs[fname] + tail
+
+    def _rewrite_list_reduce(self, sql: str) -> str:
+        """list_reduce(l, (a, b) -> …) folds from the FIRST element with
+        no initial value → Spark reduce() over the tail seeded with
+        element 1 (empty list yields NULL where DuckDB errors —
+        documented lenient deviation; lambda syntax is identical)."""
+        hit = self._call_args(self._LIST_REDUCE_RE, sql)
+        if not hit:
+            return sql
+        m, close, args = hit
+        tail = self._rewrite_list_reduce(sql[close + 1 :])
+        if len(args) != 2:
+            raise UQueryError.sql_error("list_reduce expects (list, lambda)")
+        l = self._rewrite_list_reduce(args[0])
+        lam = args[1]
+        repl = (
+            f"reduce(slice(({l}), 2, greatest(size(({l})) - 1, 0)), "
+            f"try_element_at(({l}), 1), {lam})"
+        )
+        return sql[: m.start()] + repl + tail
+
+    def _rewrite_list_slice(self, sql: str) -> str:
+        """list_slice(l, a, b) — 1-based INCLUSIVE bounds → slice(l, a,
+        b - a + 1). Positive indices only (negatives are served by the
+        bracket syntax l[a:b], which handles them)."""
+        hit = self._call_args(self._LIST_SLICE_RE, sql)
+        if not hit:
+            return sql
+        m, close, args = hit
+        tail = self._rewrite_list_slice(sql[close + 1 :])
+        if len(args) != 3:
+            raise UQueryError.sql_error("list_slice expects (list, begin, end)")
+        l, a, b = (self._rewrite_list_slice(x) for x in args)
+        return (
+            sql[: m.start()]
+            + f"slice(({l}), ({a}), ({b}) - ({a}) + 1)"
+            + tail
+        )
+
+    @staticmethod
+    def _range_seq_sql(a: str, b: str, s: str) -> str:
+        """DuckDB range(): start inclusive, stop EXCLUSIVE, empty when
+        the step doesn't move toward stop — vs Spark sequence()'s
+        inclusive stop and auto-negative step. Integer semantics."""
+        empty = "slice(array(CAST(0 AS BIGINT)), 1, 0)"
+        return (
+            f"CASE WHEN ({s}) > 0 AND ({a}) < ({b}) "
+            f"THEN sequence(CAST(({a}) AS BIGINT), CAST(({b}) AS BIGINT) - 1, CAST(({s}) AS BIGINT)) "
+            f"WHEN ({s}) < 0 AND ({a}) > ({b}) "
+            f"THEN sequence(CAST(({a}) AS BIGINT), CAST(({b}) AS BIGINT) + 1, CAST(({s}) AS BIGINT)) "
+            f"ELSE {empty} END"
+        )
+
+    def _rewrite_range_calls(self, sql: str) -> str:
+        """Scalar/FROM-position range(…) → guarded sequence() (exclusive
+        stop, direction-checked step). FROM range(n) exposes the DuckDB
+        column name ``range``."""
+        pos = 0
+        while True:
+            hit = self._call_args(self._RANGE_CALL_RE, sql, pos)
+            if not hit:
+                return sql
+            m, close, args = hit
+            # window frames (`RANGE BETWEEN …`) have no '(' right after
+            # RANGE, so any match here is the function form.
+            if len(args) == 1:
+                a, b, s = "0", args[0], "1"
+            elif len(args) == 2:
+                a, b, s = args[0], args[1], "1"
+            elif len(args) == 3:
+                a, b, s = args
+            else:
+                pos = close + 1
+                continue
+            seq = self._range_seq_sql(a, b, s)
+            head = sql[: m.start()]
+            if re.search(r"(?is)\b(from|join)\s*$", head):
+                repl = f"(SELECT explode({seq}) AS range)"
+            else:
+                repl = seq
+            sql = head + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
+
+    def _rewrite_format(self, sql: str) -> str:
+        """format('…{}…', args) (fmt.format-style braces) →
+        format_string with %s placeholders: `{}` → `%s`, `{k}` →
+        `%(k+1)$s`, `{{`/`}}` → literal braces. Only literal format
+        strings with plain placeholders are translatable; anything with
+        format specs raises rather than mistranslates."""
+        hit = self._call_args(self._FORMAT_RE, sql)
+        if not hit:
+            return sql
+        m, close, args = hit
+        tail = self._rewrite_format(sql[close + 1 :])
+        fmt = self._lit_parse(args[0]) if args else None
+        if fmt is None:
+            raise UQueryError.sql_error("format() requires a literal format string")
+        out, i, n = [], 0, len(fmt)
+        while i < n:
+            c = fmt[i]
+            if c == "{":
+                if fmt[i : i + 2] == "{{":
+                    out.append("{")
+                    i += 2
+                    continue
+                j = fmt.index("}", i)
+                spec = fmt[i + 1 : j]
+                if spec == "":
+                    out.append("%s")
+                elif spec.isdigit():
+                    out.append(f"%{int(spec) + 1}$s")
+                else:
+                    raise UQueryError.sql_error(
+                        f"format(): unsupported placeholder '{{{spec}}}'"
+                    )
+                i = j + 1
+            elif fmt[i : i + 2] == "}}":
+                out.append("}")
+                i += 2
+            elif c == "%":
+                out.append("%%")
+                i += 1
+            else:
+                out.append(c)
+                i += 1
+        lit = "'" + "".join(out).replace("'", "''") + "'"
+        rest = "".join(f", {a}" for a in args[1:])
+        return sql[: m.start()] + f"format_string({lit}{rest})" + tail
+
+    _DATE_DIFF_UNITS = {
+        "day": "CAST(datediff(CAST(({b}) AS DATE), CAST(({a}) AS DATE)) AS BIGINT)",
+        "week": (
+            "CAST(datediff(date_trunc('WEEK', ({b})), date_trunc('WEEK', ({a}))) div 7 AS BIGINT)"
+        ),
+        "month": (
+            "CAST((year(({b})) * 12 + month(({b}))) - (year(({a})) * 12 + month(({a}))) AS BIGINT)"
+        ),
+        "quarter": (
+            "CAST((year(({b})) * 4 + quarter(({b}))) - (year(({a})) * 4 + quarter(({a}))) AS BIGINT)"
+        ),
+        "year": "CAST(year(({b})) - year(({a})) AS BIGINT)",
+        "hour": (
+            "CAST((unix_timestamp(date_trunc('HOUR', CAST(({b}) AS TIMESTAMP))) - "
+            "unix_timestamp(date_trunc('HOUR', CAST(({a}) AS TIMESTAMP)))) div 3600 AS BIGINT)"
+        ),
+        "minute": (
+            "CAST((unix_timestamp(date_trunc('MINUTE', CAST(({b}) AS TIMESTAMP))) - "
+            "unix_timestamp(date_trunc('MINUTE', CAST(({a}) AS TIMESTAMP)))) div 60 AS BIGINT)"
+        ),
+        "second": (
+            "CAST(unix_timestamp(CAST(({b}) AS TIMESTAMP)) - "
+            "unix_timestamp(CAST(({a}) AS TIMESTAMP)) AS BIGINT)"
+        ),
+    }
+
+    def _rewrite_date_diff(self, sql: str) -> str:
+        """DuckDB 3-arg date_diff('unit', a, b) counts unit-BOUNDARY
+        crossings; Spark's date_diff/timestampdiff count COMPLETE units
+        (Jan 31 → Feb 1 is month-diff 1 in DuckDB, 0 in Spark). Each
+        unit maps to explicit truncate-then-diff arithmetic. 2-arg
+        Spark-style datediff has no leading string literal and is left
+        untouched."""
+        hit = self._call_args(self._DATE_DIFF3_RE, sql)
+        if not hit:
+            return sql
+        m, close, args = hit
+        tail = self._rewrite_date_diff(sql[close + 1 :])
+        if len(args) != 3:
+            raise UQueryError.sql_error("date_diff('unit', start, end) expects 3 args")
+        unit = (self._lit_parse(args[0]) or "").lower().rstrip("s")
+        unit = {"min": "minute", "sec": "second", "mon": "month", "yr": "year"}.get(unit, unit)
+        template = self._DATE_DIFF_UNITS.get(unit)
+        if template is None:
+            raise UQueryError.sql_error(
+                f"date_diff: unsupported unit '{unit}' "
+                f"(supported: {sorted(self._DATE_DIFF_UNITS)})"
+            )
+        a, b = self._rewrite_date_diff(args[1]), self._rewrite_date_diff(args[2])
+        return sql[: m.start()] + template.format(a=a, b=b) + tail
+
+    def _rewrite_struct_literal(self, sql: str) -> str:
+        """Bare DuckDB struct literal ``{'k': v, …}`` → named_struct
+        ('k', v, …). Runs AFTER _rewrite_map_literal so ``MAP {…}`` has
+        already been consumed; a brace starting with a quoted key is
+        unambiguous in SQL text."""
+        m = self._search_code(self._STRUCT_LIT_RE, sql)
+        while m:
+            # scan from just after the '{' itself — m.end() sits past the
+            # OPENING quote of the first key, which desyncs quote-skipping
+            depth, i, n = 1, m.start() + 1, len(sql)
+            while i < n and depth:
+                if sql[i] == "'":
+                    i = sql.index("'", i + 1)
+                depth += {"{": 1, "}": -1}.get(sql[i], 0)
+                i += 1
+            inner = sql[m.start() + 1 : i - 1]
+            flat = []
+            for entry in self._split_top(inner, ","):
+                k, _, v = entry.partition(":")
+                flat.append(f"{k.strip()}, {self._rewrite_struct_literal(v.strip())}")
+            sql = sql[: m.start()] + f"named_struct({', '.join(flat)})" + sql[i:]
+            m = self._search_code(self._STRUCT_LIT_RE, sql)
+        return sql
 
     # -- DuckDB bracket syntax: literals, indexing, slicing, comprehensions
 
@@ -1708,8 +1978,17 @@ class SqlRewriter:
         # MAP {} before brackets: a subscript on a map literal must see a
         # ')'-terminated operand to read as postfix.
         sql = self._rewrite_map_literal(sql)
+        # bare struct literals AFTER map literals: `MAP {…}` must be
+        # consumed first or the lookbehind would read it as a struct.
+        sql = self._rewrite_struct_literal(sql)
         sql = self._rewrite_bracket_syntax(sql)
         sql = self._rewrite_function_names(sql)
+        sql = self._rewrite_list_aggregate(sql)
+        sql = self._rewrite_list_reduce(sql)
+        sql = self._rewrite_list_slice(sql)
+        sql = self._rewrite_range_calls(sql)
+        sql = self._rewrite_format(sql)
+        sql = self._rewrite_date_diff(sql)
         sql = self._rewrite_regexp_replace(sql)
         sql = self._rewrite_regexp_extract(sql)
         sql = self._rewrite_list_sort(sql)
