@@ -631,3 +631,32 @@ def test_gap_hunt_unsupported_raise(rw):
     ):
         with _pytest.raises(UQueryError):
             rw.rewrite(sql)
+
+
+def test_gap_hunt_batch2(spark, rw):
+    cases = {
+        "SELECT arg_max(x, y) AS v FROM (VALUES ('a', 1), ('b', 2)) t(x, y)": "b",
+        "SELECT quantile_disc(x, 0.5) AS v FROM (VALUES (1.0), (2.0), (10.0)) t(x)": 2.0,
+        "SELECT round(product(x), 2) AS v FROM (VALUES (-2.0), (3.0), (-4.0)) t(x)": 24.0,
+        "SELECT round(product(x), 2) AS v FROM (VALUES (0.0), (3.0)) t(x)": 0.0,
+        "SELECT epoch(TIMESTAMP '2024-01-01 00:00:00.5') AS v": 1704067200.5,
+        "SELECT dayname(DATE '2024-01-01') AS v": "Monday",
+        "SELECT 42::VARCHAR AS v": "42",
+        "SELECT unicode('A') AS v": 65,
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        assert got == want, f"{sql}: {got!r} != {want!r}"
+    # time_bucket floors to the bucket start (15-min bucket of 10:38)
+    b = spark.sql(
+        rw.rewrite(
+            "SELECT time_bucket(INTERVAL 15 MINUTE, TIMESTAMP '2024-01-01 10:38:00') AS v"
+        )
+    ).collect()[0].v
+    assert (b.hour, b.minute) == (10, 30)
+    # week+ buckets raise (DuckDB aligns them to 2000-01-03, we don't)
+    import pytest as _pytest
+    from uquery_rs_spark.errors import UQueryError
+
+    with _pytest.raises(UQueryError):
+        rw.rewrite("SELECT time_bucket(INTERVAL 1 WEEK, ts) FROM t")

@@ -738,6 +738,53 @@ def dialect_gap_battery(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "dialect_gap_battery2",
+    tags=("dialect", "functions", "aggregate", "datetime"),
+    oracle="""
+SELECT o_orderpriority,
+       arg_max(o_orderkey, o_totalprice)                    AS priciest_order,
+       arg_min(o_orderkey, o_totalprice)                    AS cheapest_order,
+       round(quantile_cont(o_totalprice, 0.5), 2)           AS med_cont,
+       quantile_disc(o_totalprice, 0.25)                    AS q25_disc,
+       round(product(CASE WHEN o_orderkey % 997 = 0 THEN 2.0 ELSE 1.0 END), 2)
+                                                            AS pow2_997s,
+       CAST(min(epoch_ms(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) AS first_ms,
+       min(time_bucket(INTERVAL 6 HOUR, CAST(o_orderdate AS TIMESTAMP))) AS first_bucket,
+       min(dayname(o_orderdate))                            AS first_dayname,
+       min(editdist3(o_orderpriority, 'URGENT'))            AS min_edit,
+       CAST(max(o_orderkey) AS VARCHAR)                     AS max_key_str
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def dialect_gap_battery2(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep batch 2 through the rewriter: arg_max/arg_min → max_by/
+    min_by, quantile_cont/disc → ordered-set percentiles, product →
+    sign/zero-aware log-space fold (rounded — ~1e-15 relative error),
+    epoch_ms → unix_millis, time_bucket → epoch-aligned floor, dayname
+    → full-name date_format (Spark's own returns 'Mon'), editdist3 →
+    levenshtein, bare VARCHAR casts → STRING. Identical SQL verbatim on
+    DuckDB."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT o_orderpriority, "
+        "arg_max(o_orderkey, o_totalprice) AS priciest_order, "
+        "arg_min(o_orderkey, o_totalprice) AS cheapest_order, "
+        "round(quantile_cont(o_totalprice, 0.5), 2) AS med_cont, "
+        "quantile_disc(o_totalprice, 0.25) AS q25_disc, "
+        "round(product(CASE WHEN o_orderkey % 997 = 0 THEN 2.0 ELSE 1.0 END), 2) AS pow2_997s, "
+        "CAST(min(epoch_ms(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) AS first_ms, "
+        "min(time_bucket(INTERVAL 6 HOUR, CAST(o_orderdate AS TIMESTAMP))) AS first_bucket, "
+        "min(dayname(o_orderdate)) AS first_dayname, "
+        "min(editdist3(o_orderpriority, 'URGENT')) AS min_edit, "
+        "CAST(max(o_orderkey) AS VARCHAR) AS max_key_str "
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    )
+
+
+@register(
     "map_literal_ordered_agg",
     tags=("dialect", "map", "aggregate"),
     oracle="""

@@ -268,6 +268,13 @@ class SqlRewriter:
         "list_zip": "arrays_zip",
         "regexp_matches": "regexp_like",
         "strlen": "length",
+        # round-5 sweep batch 2 (1:1 semantics verified against DuckDB)
+        "arg_max": "max_by",
+        "arg_min": "min_by",
+        "argmax": "max_by",
+        "argmin": "min_by",
+        "editdist3": "levenshtein",
+        "unicode": "ascii",  # both: codepoint of the first character
     }
     _FN_RENAME_RE = re.compile(
         r"(?i)\b(" + "|".join(_FN_RENAMES) + r")\s*\(",
@@ -995,6 +1002,114 @@ class SqlRewriter:
             m = self._search_code(self._STRUCT_LIT_RE, sql)
         return sql
 
+    # -- sweep batch 2: datetime epochs / names, quantiles, product,
+    # time_bucket ---------------------------------------------------------
+
+    _DAYNAME_RE = re.compile(r"(?i)\b(day|month)name\s*\(")
+    _EPOCH_RE = re.compile(r"(?i)\bepoch(_ms|_us)?\s*\(")
+    _QUANTILE_RE = re.compile(r"(?i)\bquantile(_cont|_disc)?\s*\(")
+    _PRODUCT_RE = re.compile(r"(?i)\bproduct\s*\(")
+    _TIME_BUCKET_RE = re.compile(r"(?i)\btime_bucket\s*\(")
+    _INTERVAL_LIT_RE = re.compile(r"(?i)^\s*interval\s+'?(\d+)'?\s+(\w+?)s?\s*$")
+    _BUCKET_MS = {"second": 1000, "minute": 60_000, "hour": 3_600_000, "day": 86_400_000}
+
+    def _rewrite_dayname(self, sql: str) -> str:
+        """dayname/monthname → date_format full names (Spark's own
+        dayname() returns the ABBREVIATED name — 'Mon' vs 'Monday')."""
+        hit = self._call_args(self._DAYNAME_RE, sql)
+        if not hit:
+            return sql
+        m, close, args = hit
+        tail = self._rewrite_dayname(sql[close + 1 :])
+        fmt = "EEEE" if m.group(1).lower() == "day" else "MMMM"
+        inner = self._rewrite_dayname(args[0]) if args else ""
+        return sql[: m.start()] + f"date_format(({inner}), '{fmt}')" + tail
+
+    def _rewrite_epoch(self, sql: str) -> str:
+        """epoch(ts) → fractional seconds as DOUBLE (DuckDB keeps the
+        microsecond fraction — bare unix_timestamp truncates); epoch_ms /
+        epoch_us → unix_millis / unix_micros (BIGINT in both engines)."""
+        hit = self._call_args(self._EPOCH_RE, sql)
+        if not hit:
+            return sql
+        m, close, args = hit
+        tail = self._rewrite_epoch(sql[close + 1 :])
+        x = self._rewrite_epoch(args[0]) if args else ""
+        ts = f"CAST(({x}) AS TIMESTAMP)"
+        suffix = (m.group(1) or "").lower()
+        repl = {
+            "": f"CAST(unix_micros({ts}) / 1000000.0 AS DOUBLE)",
+            "_ms": f"unix_millis({ts})",
+            "_us": f"unix_micros({ts})",
+        }[suffix]
+        return sql[: m.start()] + repl + tail
+
+    def _rewrite_quantile(self, sql: str) -> str:
+        """quantile_cont/quantile_disc/quantile(x, q) → Spark's ordered-
+        set percentile_cont/percentile_disc (bare quantile is DISC in
+        DuckDB). List-of-quantiles forms are not translated (array
+        result would violate the scalar-column convention anyway)."""
+        hit = self._call_args(self._QUANTILE_RE, sql)
+        if not hit:
+            return sql
+        m, close, args = hit
+        tail = self._rewrite_quantile(sql[close + 1 :])
+        if len(args) != 2:
+            raise UQueryError.sql_error(
+                "quantile*: only the (expr, scalar_quantile) form is supported"
+            )
+        kind = (m.group(1) or "_disc").lower()
+        x = self._rewrite_quantile(args[0])
+        fn = "percentile_cont" if kind == "_cont" else "percentile_disc"
+        return (
+            sql[: m.start()]
+            + f"{fn}({args[1]}) WITHIN GROUP (ORDER BY ({x}))"
+            + tail
+        )
+
+    def _rewrite_product(self, sql: str) -> str:
+        """product(x) aggregate → zero- and sign-aware exp(sum(ln|x|))
+        (Spark has no product aggregate; DOUBLE result like DuckDB).
+        Log-space evaluation carries ~1e-15 relative error (measured:
+        120.0 vs 119.99999999999997) — round the result like any float
+        aggregate in this corpus."""
+        hit = self._call_args(self._PRODUCT_RE, sql)
+        if not hit:
+            return sql
+        m, close, args = hit
+        tail = self._rewrite_product(sql[close + 1 :])
+        x = self._rewrite_product(args[0]) if args else ""
+        repl = (
+            f"CASE WHEN count_if(({x}) = 0) > 0 THEN 0.0 "
+            f"ELSE exp(sum(ln(abs(CAST(({x}) AS DOUBLE))))) * "
+            f"CASE WHEN pmod(count_if(({x}) < 0), 2) = 1 THEN -1.0 ELSE 1.0 END END"
+        )
+        return sql[: m.start()] + repl + tail
+
+    def _rewrite_time_bucket(self, sql: str) -> str:
+        """time_bucket(INTERVAL n unit, ts) → epoch-aligned floor
+        (timestamp_millis of unix_millis div width). Sub-week units only:
+        they are origin-independent, while DuckDB aligns week+ buckets to
+        2000-01-03 — raise rather than mis-bucket those."""
+        hit = self._call_args(self._TIME_BUCKET_RE, sql)
+        if not hit:
+            return sql
+        m, close, args = hit
+        tail = self._rewrite_time_bucket(sql[close + 1 :])
+        if len(args) != 2:
+            raise UQueryError.sql_error("time_bucket expects (INTERVAL, ts)")
+        im = self._INTERVAL_LIT_RE.match(args[0])
+        unit_ms = im and self._BUCKET_MS.get(im.group(2).lower())
+        if not unit_ms:
+            raise UQueryError.sql_error(
+                f"time_bucket: unsupported width '{args[0]}' "
+                "(literal INTERVAL n second/minute/hour/day only)"
+            )
+        w = int(im.group(1)) * unit_ms
+        ts = f"CAST(({self._rewrite_time_bucket(args[1])}) AS TIMESTAMP)"
+        repl = f"timestamp_millis((unix_millis({ts}) div {w}) * {w})"
+        return sql[: m.start()] + repl + tail
+
     # -- DuckDB bracket syntax: literals, indexing, slicing, comprehensions
 
     @staticmethod
@@ -1689,6 +1804,7 @@ class SqlRewriter:
         "uinteger": "BIGINT",
         "ubigint": "BIGINT",
         "text": "STRING",
+        "varchar": "STRING",  # bare VARCHAR (parameterized VARCHAR(n) kept)
         "bpchar": "STRING",
         "blob": "BINARY",
         "bytea": "BINARY",
@@ -1989,6 +2105,11 @@ class SqlRewriter:
         sql = self._rewrite_range_calls(sql)
         sql = self._rewrite_format(sql)
         sql = self._rewrite_date_diff(sql)
+        sql = self._rewrite_dayname(sql)
+        sql = self._rewrite_epoch(sql)
+        sql = self._rewrite_quantile(sql)
+        sql = self._rewrite_product(sql)
+        sql = self._rewrite_time_bucket(sql)
         sql = self._rewrite_regexp_replace(sql)
         sql = self._rewrite_regexp_extract(sql)
         sql = self._rewrite_list_sort(sql)
