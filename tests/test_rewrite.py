@@ -660,3 +660,30 @@ def test_gap_hunt_batch2(spark, rw):
 
     with _pytest.raises(UQueryError):
         rw.rewrite("SELECT time_bucket(INTERVAL 1 WEEK, ts) FROM t")
+
+
+def test_similar_to_glob_trailing_comma(spark, rw):
+    """Sweep batch 3: SIMILAR TO / GLOB operators and DuckDB's tolerated
+    trailing SELECT comma, end-to-end through the rewriter."""
+    spark.sql("SELECT * FROM (VALUES ('ASIA'), ('EUROPE')) v(n)").createOrReplaceTempView(
+        "uq_sim_src"
+    )
+    cases = {
+        "SELECT count(*) AS v FROM uq_sim_src WHERE n SIMILAR TO 'A.*'": 1,
+        "SELECT count(*) AS v FROM uq_sim_src WHERE n NOT SIMILAR TO '.*A.*'": 1,
+        "SELECT count(*) AS v FROM uq_sim_src WHERE n GLOB '?SIA'": 1,
+        "SELECT count(*) AS v FROM uq_sim_src WHERE n GLOB 'E*'": 1,
+        "SELECT n, FROM uq_sim_src WHERE n = 'ASIA'": "ASIA",  # trailing comma
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0][0]
+        assert got == want, f"{sql}: {got!r} != {want!r}"
+    # literals are never touched
+    s = "SELECT 'x similar to y, from z' AS s"
+    assert rw.rewrite(s) == s
+    # GLOB bracket classes can't map to LIKE — explicit error
+    import pytest as _pytest
+    from uquery_rs_spark.errors import UQueryError
+
+    with _pytest.raises(UQueryError):
+        rw.rewrite("SELECT * FROM t WHERE x GLOB '[abc]*'")

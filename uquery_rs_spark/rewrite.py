@@ -1110,6 +1110,61 @@ class SqlRewriter:
         repl = f"timestamp_millis((unix_millis({ts}) div {w}) * {w})"
         return sql[: m.start()] + repl + tail
 
+    # -- sweep batch 3: SIMILAR TO / GLOB operators, trailing comma -------
+
+    _SIMILAR_TO_RE = re.compile(r"(?i)\b(not\s+)?similar\s+to\s+'((?:[^']|'')*)'")
+    _GLOB_RE = re.compile(r"(?i)\bglob\s+'((?:[^']|'')*)'")
+    _TRAILING_COMMA_RE = re.compile(r",(\s+from\b)", re.IGNORECASE)
+
+    def _rewrite_similar_glob(self, sql: str) -> str:
+        """``x [NOT] SIMILAR TO 'p'`` → anchored ``[NOT] RLIKE
+        '^(?:p)$'`` (SIMILAR TO is a fully-anchored regex in DuckDB);
+        ``x GLOB 'pat'`` → LIKE with * → % and ? → _ (existing LIKE
+        metachars escaped; bracket classes raise — LIKE can't express
+        them). Only the operator + literal is replaced, so the left
+        operand needs no parsing."""
+
+        def similar(m: re.Match) -> str:
+            neg = "NOT " if m.group(1) else ""
+            return f"{neg}RLIKE '^(?:{m.group(2)})$'"
+
+        def glob(m: re.Match) -> str:
+            pat = m.group(1)
+            if "[" in pat or "]" in pat:
+                raise UQueryError.sql_error(
+                    "GLOB bracket classes are not supported (use SIMILAR TO)"
+                )
+            like = (
+                pat.replace("\\", "\\\\")
+                .replace("%", "\\%")
+                .replace("_", "\\_")
+                .replace("*", "%")
+                .replace("?", "_")
+            )
+            return f"LIKE '{like}'"
+
+        out, pos = [], 0
+        while True:
+            ms = self._search_code(self._SIMILAR_TO_RE, sql, pos)
+            mg = self._search_code(self._GLOB_RE, sql, pos)
+            m = min((x for x in (ms, mg) if x), key=lambda x: x.start(), default=None)
+            if m is None:
+                out.append(sql[pos:])
+                return "".join(out)
+            out.append(sql[pos : m.start()])
+            out.append(similar(m) if m.re is self._SIMILAR_TO_RE else glob(m))
+            pos = m.end()
+
+    def _strip_trailing_select_comma(self, sql: str) -> str:
+        """DuckDB tolerates ``SELECT a, b, FROM t``; Spark raises
+        TRAILING_COMMA_IN_SELECT. A comma DIRECTLY preceding FROM is
+        never legal SQL otherwise, so stripping it code-wide is safe."""
+        m = self._search_code(self._TRAILING_COMMA_RE, sql)
+        while m:
+            sql = sql[: m.start()] + m.group(1) + sql[m.end() :]
+            m = self._search_code(self._TRAILING_COMMA_RE, sql)
+        return sql
+
     # -- DuckDB bracket syntax: literals, indexing, slicing, comprehensions
 
     @staticmethod
@@ -2110,6 +2165,8 @@ class SqlRewriter:
         sql = self._rewrite_quantile(sql)
         sql = self._rewrite_product(sql)
         sql = self._rewrite_time_bucket(sql)
+        sql = self._rewrite_similar_glob(sql)
+        sql = self._strip_trailing_select_comma(sql)
         sql = self._rewrite_regexp_replace(sql)
         sql = self._rewrite_regexp_extract(sql)
         sql = self._rewrite_list_sort(sql)
