@@ -687,3 +687,37 @@ def test_similar_to_glob_trailing_comma(spark, rw):
 
     with _pytest.raises(UQueryError):
         rw.rewrite("SELECT * FROM t WHERE x GLOB '[abc]*'")
+
+
+def test_round5_passes_ignore_string_literals(rw):
+    """Every round-5 pass must skip trigger words inside string literals
+    (the _search_code contract), including the trailing-comma stripper."""
+    s = ("SELECT 'product(x) range(1,2) epoch(t) time_bucket(i, t) x similar to y "
+         "glob z date_diff(''day'', a, b) quantile(x, 0.5) list_reduce(l, f) "
+         "arg_max(a, b) dayname(d), from t' AS s")
+    assert rw.rewrite(s) == s
+
+
+def test_gap_hunt_batch4_json_isoweek(spark, rw):
+    cases = {
+        """SELECT json_extract('{"a": {"b": 7}}', '$.a.b') AS v""": "7",
+        """SELECT json_extract('{"a": "x"}', '$.a') AS v""": '"x"',  # JSON quoting kept
+        """SELECT json_extract('{"a": {"b": 7}}', '/a/b') AS v""": "7",  # JSONPointer
+        """SELECT json_extract_string('{"a": "x"}', '$.a') AS v""": "x",
+        """SELECT '{"a": 5}'->>'a' AS v""": "5",  # literal left operand
+        """SELECT json_valid('nope{') AS v""": False,
+        """SELECT json_keys('{"a":1,"b":2}')[1] AS v""": "a",
+        "SELECT isodow(DATE '2024-01-07') AS v": 7,  # Sunday, ISO
+        "SELECT isodow(DATE '2024-01-01') AS v": 1,  # Monday
+        "SELECT yearweek(DATE '2024-01-01') AS v": 202401,
+        "SELECT century(DATE '2024-06-01') AS v": 21,
+        "SELECT string_to_array('a,b', ',')[1] AS v": "a",
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        assert got == want, f"{sql}: {got!r} != {want!r}"
+    # interval constructors compose with date arithmetic
+    t = spark.sql(
+        rw.rewrite("SELECT TIMESTAMP '2024-01-01 00:00:00' + to_hours(3) AS v")
+    ).collect()[0].v
+    assert (t.day, t.hour) == (1, 3)

@@ -62,6 +62,7 @@ _ROUND5_WINDOW = (
     "streaming_interval_join",
     "dialect_gap_battery",
     "dialect_gap_battery2",
+    "dialect_gap_battery3",
     "qualify_top_orders_per_cust",
     "lateral_top_order_per_customer",
     "grouping_sets_revenue",
@@ -75,7 +76,6 @@ _ROUND5_WINDOW = (
     "window_analytics_orders",
     "semi_join_active_customers",
     "anti_join_idle_customers",
-    "left_join_customer_order_counts",
 )
 
 

@@ -785,6 +785,48 @@ def dialect_gap_battery2(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "dialect_gap_battery3",
+    tags=("dialect", "json", "datetime"),
+    oracle="""
+SELECT event_id,
+       json_extract(props, '$.plan')              AS plan_json,
+       json_extract_string(props, '$.plan')       AS plan_text,
+       props->>'plan'                             AS plan_arrow,
+       json_valid(props)                          AS is_valid,
+       isodow(CAST(ts AS DATE))                   AS iso_dow,
+       yearweek(CAST(ts AS DATE))                 AS yw,
+       century(CAST(ts AS DATE))                  AS cen,
+       CAST(ts AS TIMESTAMP) + to_hours(2)        AS shifted
+FROM events
+WHERE event_id <= 300
+ORDER BY event_id
+""",
+)
+def dialect_gap_battery3(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep batch 4 through the rewriter: json_extract → to_json ∘
+    variant_get ∘ parse_json (EXACT DuckDB semantics incl. JSON string
+    quoting), json_extract_string / ->> → get_json_object, json_valid →
+    try_parse_json, ISO-week family (isodow Mon=1..Sun=7, yearweek on
+    the ISO year, century), to_hours interval constructor →
+    make_interval. Identical SQL verbatim on DuckDB over the events
+    props JSON column."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT event_id, "
+        "json_extract(props, '$.plan') AS plan_json, "
+        "json_extract_string(props, '$.plan') AS plan_text, "
+        "props->>'plan' AS plan_arrow, "
+        "json_valid(props) AS is_valid, "
+        "isodow(CAST(ts AS DATE)) AS iso_dow, "
+        "yearweek(CAST(ts AS DATE)) AS yw, "
+        "century(CAST(ts AS DATE)) AS cen, "
+        "CAST(ts AS TIMESTAMP) + to_hours(2) AS shifted "
+        "FROM events WHERE event_id <= 300 ORDER BY event_id",
+    )
+
+
+@register(
     "map_literal_ordered_agg",
     tags=("dialect", "map", "aggregate"),
     oracle="""

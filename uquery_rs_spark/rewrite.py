@@ -67,7 +67,7 @@ _PATH_TABLE_RE = re.compile(
 )
 _TVF_RE = re.compile(r"(?i)\b(?P<fn>read_parquet|read_csv|read_json|read_xlsx)\s*\(")
 _JSON_ARROW_RE = re.compile(
-    r"(?P<col>[A-Za-z_][\w.]*)\s*->>?\s*'(?P<key>[^']+)'"
+    r"(?P<col>'(?:[^']|'')*'|[A-Za-z_][\w.]*)\s*->>?\s*'(?P<key>[^']+)'"
 )
 _FORBIDDEN_RE = re.compile(
     r"(?i)^\s*(set|reset|install|load|attach|detach|create\s+secret|copy|export|import)\b"
@@ -275,11 +275,14 @@ class SqlRewriter:
         "argmin": "min_by",
         "editdist3": "levenshtein",
         "unicode": "ascii",  # both: codepoint of the first character
+        "json_keys": "json_object_keys",
     }
     _FN_RENAME_RE = re.compile(
         r"(?i)\b(" + "|".join(_FN_RENAMES) + r")\s*\(",
     )
-    _SPLIT_CALL_RE = re.compile(r"(?i)\b(?:string_split|str_split)\s*\(")
+    _SPLIT_CALL_RE = re.compile(
+        r"(?i)\b(?:string_split|str_split|string_to_array)\s*\("
+    )
     _REGEX_META = set(".^$*+?()[]{}|\\")
 
     _MAP_LITERAL_RE = re.compile(r"(?i)\bmap\s*\{")
@@ -1109,6 +1112,89 @@ class SqlRewriter:
         ts = f"CAST(({self._rewrite_time_bucket(args[1])}) AS TIMESTAMP)"
         repl = f"timestamp_millis((unix_millis({ts}) div {w}) * {w})"
         return sql[: m.start()] + repl + tail
+
+    # -- sweep batch 4: JSON extraction, ISO-week datetimes, interval
+    # constructors --------------------------------------------------------
+
+    _JSON_EXTRACT_RE = re.compile(r"(?i)\bjson_extract(_string|_path_text)?\s*\(")
+    _JSON_VALID_RE = re.compile(r"(?i)\bjson_valid\s*\(")
+    _ISO_DT_RE = re.compile(r"(?i)\b(isodow|yearweek|century|week)\s*\(")
+    _TO_INTERVAL_RE = re.compile(
+        r"(?i)\bto_(years|months|weeks|days|hours|minutes|seconds)\s*\("
+    )
+    _MAKE_INTERVAL_SLOT = {
+        "years": 0, "months": 1, "weeks": 2, "days": 3,
+        "hours": 4, "minutes": 5, "seconds": 6,
+    }
+
+    def _rewrite_json_extract(self, sql: str) -> str:
+        """json_extract(j, p) → to_json(variant_get(parse_json(j), p)) —
+        EXACT DuckDB semantics incl. JSON string quoting ('"x"' for
+        strings, bare 7 for numbers); json_extract_string /
+        json_extract_path_text → get_json_object (raw text). A literal
+        JSONPointer path ('/a/b') converts to $-path."""
+        hit = self._call_args(self._JSON_EXTRACT_RE, sql)
+        if not hit:
+            return sql
+        m, close, args = hit
+        tail = self._rewrite_json_extract(sql[close + 1 :])
+        if len(args) != 2:
+            raise UQueryError.sql_error("json_extract expects (json, path)")
+        j = self._rewrite_json_extract(args[0])
+        p = args[1]
+        lit = self._lit_parse(p)
+        if lit is not None and lit.startswith("/"):
+            # JSONPointer '/a/b' → JSONPath '$.a.b' (object keys only)
+            p = "'$" + ".".join(lit.split("/")).rstrip(".") + "'"
+        if m.group(1):  # _string / _path_text: raw text extraction
+            repl = f"get_json_object(({j}), {p})"
+        else:
+            repl = f"to_json(variant_get(parse_json(({j})), {p}))"
+        return sql[: m.start()] + repl + tail
+
+    def _rewrite_json_valid(self, sql: str) -> str:
+        hit = self._call_args(self._JSON_VALID_RE, sql)
+        if not hit:
+            return sql
+        m, close, args = hit
+        tail = self._rewrite_json_valid(sql[close + 1 :])
+        j = self._rewrite_json_valid(args[0]) if args else ""
+        return sql[: m.start()] + f"(try_parse_json(({j})) IS NOT NULL)" + tail
+
+    def _rewrite_iso_datetime(self, sql: str) -> str:
+        """ISO-week family: isodow (Mon=1..Sun=7), week (ISO week),
+        yearweek (ISO year*100 + week), century — each as explicit
+        arithmetic over Spark's dayofweek/weekofyear/YEAROFWEEK."""
+        hit = self._call_args(self._ISO_DT_RE, sql)
+        if not hit:
+            return sql
+        m, close, args = hit
+        tail = self._rewrite_iso_datetime(sql[close + 1 :])
+        x = self._rewrite_iso_datetime(args[0]) if args else ""
+        d = f"CAST(({x}) AS DATE)"
+        fn = m.group(1).lower()
+        repl = {
+            "isodow": f"CAST(pmod(dayofweek({d}) + 5, 7) + 1 AS BIGINT)",
+            "week": f"CAST(weekofyear({d}) AS BIGINT)",
+            "yearweek": (
+                f"CAST(extract(YEAROFWEEK FROM {d}) * 100 + weekofyear({d}) AS BIGINT)"
+            ),
+            "century": f"CAST(ceil(year({d}) / 100.0) AS BIGINT)",
+        }[fn]
+        return sql[: m.start()] + repl + tail
+
+    def _rewrite_to_interval(self, sql: str) -> str:
+        """to_days/to_hours/… interval constructors → make_interval with
+        the value in the matching slot."""
+        hit = self._call_args(self._TO_INTERVAL_RE, sql)
+        if not hit:
+            return sql
+        m, close, args = hit
+        tail = self._rewrite_to_interval(sql[close + 1 :])
+        n = self._rewrite_to_interval(args[0]) if args else "0"
+        slots = ["0"] * 7
+        slots[self._MAKE_INTERVAL_SLOT[m.group(1).lower()]] = f"({n})"
+        return sql[: m.start()] + f"make_interval({', '.join(slots)})" + tail
 
     # -- sweep batch 3: SIMILAR TO / GLOB operators, trailing comma -------
 
@@ -2167,6 +2253,10 @@ class SqlRewriter:
         sql = self._rewrite_time_bucket(sql)
         sql = self._rewrite_similar_glob(sql)
         sql = self._strip_trailing_select_comma(sql)
+        sql = self._rewrite_json_extract(sql)
+        sql = self._rewrite_json_valid(sql)
+        sql = self._rewrite_iso_datetime(sql)
+        sql = self._rewrite_to_interval(sql)
         sql = self._rewrite_regexp_replace(sql)
         sql = self._rewrite_regexp_extract(sql)
         sql = self._rewrite_list_sort(sql)
