@@ -721,3 +721,23 @@ def test_gap_hunt_batch4_json_isoweek(spark, rw):
         rw.rewrite("SELECT TIMESTAMP '2024-01-01 00:00:00' + to_hours(3) AS v")
     ).collect()[0].v
     assert (t.day, t.hour) == (1, 3)
+
+
+def test_gap_hunt_batch5_strings(spark, rw):
+    cases = {
+        "SELECT sha256('abc') AS v": (
+            "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
+        ),
+        "SELECT CAST(from_base64('YWI=') AS VARCHAR) AS v": "ab",
+        "SELECT regexp_split_to_array('a1b22c', '[0-9]+')[2] AS v": "b",
+        "SELECT string_split_regex('a b  c', ' +')[3] AS v": "c",
+        "SELECT starts_with('abc', 'ab') AS v": True,
+        "SELECT suffix('abc', 'bc') AS v": True,
+        "SELECT ltrim('xxay', 'x') AS v": "ay",  # Spark's own 2-arg swaps args
+        "SELECT rtrim('axyy', 'y') AS v": "ax",
+        "SELECT ltrim('  a ') AS v": "a ",  # 1-arg untouched
+        "SELECT ord('A') AS v": 65,
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        assert got == want, f"{sql}: {got!r} != {want!r}"

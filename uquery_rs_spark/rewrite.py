@@ -275,7 +275,19 @@ class SqlRewriter:
         "argmin": "min_by",
         "editdist3": "levenshtein",
         "unicode": "ascii",  # both: codepoint of the first character
+        "ord": "ascii",
         "json_keys": "json_object_keys",
+        # Spark split() is regex-based — these are direct renames, unlike
+        # string_split (literal separator, regex-escaped by _SPLIT_CALL_RE)
+        "string_split_regex": "split",
+        "str_split_regex": "split",
+        "regexp_split_to_array": "split",
+        "from_base64": "unbase64",
+        "to_base64": "base64",
+        "starts_with": "startswith",
+        "prefix": "startswith",
+        "suffix": "endswith",
+        "gen_random_uuid": "uuid",
     }
     _FN_RENAME_RE = re.compile(
         r"(?i)\b(" + "|".join(_FN_RENAMES) + r")\s*\(",
@@ -1195,6 +1207,41 @@ class SqlRewriter:
         slots = ["0"] * 7
         slots[self._MAKE_INTERVAL_SLOT[m.group(1).lower()]] = f"({n})"
         return sql[: m.start()] + f"make_interval({', '.join(slots)})" + tail
+
+    # -- sweep batch 5: sha256, char-set trims ----------------------------
+
+    _SHA256_RE = re.compile(r"(?i)\bsha256\s*\(")
+    _TRIM2_RE = re.compile(r"(?i)\b([lr])trim\s*\(")
+
+    def _rewrite_sha256(self, sql: str) -> str:
+        hit = self._call_args(self._SHA256_RE, sql)
+        if not hit:
+            return sql
+        m, close, args = hit
+        tail = self._rewrite_sha256(sql[close + 1 :])
+        x = self._rewrite_sha256(args[0]) if args else ""
+        return sql[: m.start()] + f"sha2(({x}), 256)" + tail
+
+    def _rewrite_trim_chars(self, sql: str) -> str:
+        """2-arg ltrim/rtrim(string, charset) → TRIM(LEADING/TRAILING
+        charset FROM string): Spark's own 2-arg form takes the arguments
+        in the OPPOSITE order (trimStr first), which silently trims the
+        wrong operand. 1-arg forms are identical and left alone."""
+        pos = 0
+        while True:
+            hit = self._call_args(self._TRIM2_RE, sql, pos)
+            if not hit:
+                return sql
+            m, close, args = hit
+            if len(args) != 2:
+                pos = close + 1
+                continue
+            side = "LEADING" if m.group(1).lower() == "l" else "TRAILING"
+            s = self._rewrite_trim_chars(args[0])
+            c = self._rewrite_trim_chars(args[1])
+            repl = f"TRIM({side} {c} FROM ({s}))"
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
 
     # -- sweep batch 3: SIMILAR TO / GLOB operators, trailing comma -------
 
@@ -2257,6 +2304,8 @@ class SqlRewriter:
         sql = self._rewrite_json_valid(sql)
         sql = self._rewrite_iso_datetime(sql)
         sql = self._rewrite_to_interval(sql)
+        sql = self._rewrite_sha256(sql)
+        sql = self._rewrite_trim_chars(sql)
         sql = self._rewrite_regexp_replace(sql)
         sql = self._rewrite_regexp_extract(sql)
         sql = self._rewrite_list_sort(sql)
