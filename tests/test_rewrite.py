@@ -741,3 +741,31 @@ def test_gap_hunt_batch5_strings(spark, rw):
     for sql, want in cases.items():
         got = spark.sql(rw.rewrite(sql)).collect()[0].v
         assert got == want, f"{sql}: {got!r} != {want!r}"
+
+
+def test_gap_hunt_batch6_quantified_and_structs(spark, rw):
+    cases = {
+        "SELECT array_to_string(list_sort(list(x)), ',') AS v FROM (VALUES ('b'),('a')) t(x)": "a,b",
+        "SELECT count(*) AS v FROM (VALUES (1),(2),(4)) t(x) WHERE x = ANY([1, 4])": 2,
+        "SELECT count(*) AS v FROM (VALUES (1),(2),(4)) t(x) WHERE x < ALL([5, 9])": 3,
+        "SELECT count(*) AS v FROM (VALUES (1),(2)) t(x) WHERE x = ANY(SELECT 2)": 1,
+        "SELECT count(*) AS v FROM (VALUES (1),(2)) t(x) WHERE x <> ALL(SELECT 9)": 2,
+        "SELECT struct_extract({'a': 7}, 'a') AS v": 7,
+        "SELECT first(x ORDER BY y) AS v FROM (VALUES ('lo', 1), ('hi', 9)) t(x, y)": "lo",
+        "SELECT last(x ORDER BY y) AS v FROM (VALUES ('lo', 1), ('hi', 9)) t(x, y)": "hi",
+        "SELECT first(x ORDER BY y DESC) AS v FROM (VALUES ('lo', 1), ('hi', 9)) t(x, y)": "hi",
+        "SELECT list_has_all([1,2,3], [2,3]) AS v": True,
+        "SELECT list_has_any([1,2], [5]) AS v": False,
+        "SELECT divide(7, 2) AS v": 3,
+        "SELECT xor(5, 3) AS v": 6,
+        "SELECT list_element([10,20], 2) AS v": 20,
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        assert got == want, f"{sql}: {got!r} != {want!r}"
+    # unsupported op+subquery combination raises, never mistranslates
+    import pytest as _pytest
+    from uquery_rs_spark.errors import UQueryError
+
+    with _pytest.raises(UQueryError):
+        rw.rewrite("SELECT 1 FROM t WHERE x > ALL(SELECT y FROM u)")

@@ -288,6 +288,16 @@ class SqlRewriter:
         "prefix": "startswith",
         "suffix": "endswith",
         "gen_random_uuid": "uuid",
+        # DuckDB list()/array_agg KEEP null elements, Spark array_agg
+        # drops them — documented deviation (null-free columns identical)
+        "list": "array_agg",
+        "list_has_any": "arrays_overlap",
+        "list_intersect": "array_intersect",
+        "list_concat": "concat",
+        "array_length": "size",
+        "list_element": "element_at",
+        "list_extract": "element_at",
+        "row": "struct",
     }
     _FN_RENAME_RE = re.compile(
         r"(?i)\b(" + "|".join(_FN_RENAMES) + r")\s*\(",
@@ -1242,6 +1252,121 @@ class SqlRewriter:
             repl = f"TRIM({side} {c} FROM ({s}))"
             sql = sql[: m.start()] + repl + sql[close + 1 :]
             pos = m.start() + len(repl)
+
+    # -- sweep batch 6: quantified comparisons, ordered first/last,
+    # struct_extract, list_has_all, divide/xor ----------------------------
+
+    _QUANT_CMP_RE = re.compile(
+        r"(?P<lhs>[A-Za-z_][\w.]*)\s*(?P<op><>|!=|<=|>=|=|<|>)\s*"
+        r"(?P<q>ANY|ALL|SOME)\s*\(",
+        re.IGNORECASE,
+    )
+    _FIRST_LAST_RE = re.compile(r"(?i)\b(first|last)\s*\(")
+    _STRUCT_EXTRACT_RE = re.compile(r"(?i)\bstruct_extract\s*\(")
+    _LIST_HAS_ALL_RE = re.compile(r"(?i)\blist_has_all\s*\(")
+    _DIVIDE_RE = re.compile(r"(?i)\bdivide\s*\(")
+    _XOR_RE = re.compile(r"(?i)\bxor\s*\(")
+
+    def _rewrite_quantified_cmp(self, sql: str) -> str:
+        """``x op ANY/SOME(arr)`` → exists(arr, e -> x op e); ``x op
+        ALL(arr)`` → forall(...). Subquery operands map to IN / NOT IN
+        where semantics allow (= ANY, <>/!= ALL); other op+subquery
+        combinations raise. Simple-identifier left operands only."""
+        pos = 0
+        while True:
+            m = self._search_code(self._QUANT_CMP_RE, sql, pos)
+            if not m:
+                return sql
+            close = self._find_close(sql, m.end() - 1)
+            if close == -1:
+                return sql
+            inner = sql[m.end() : close].strip()
+            lhs, op, q = m.group("lhs"), m.group("op"), m.group("q").upper()
+            if op == "!=":
+                op = "<>"
+            if re.match(r"(?is)^select\b", inner):
+                if op == "=" and q in ("ANY", "SOME"):
+                    repl = f"{lhs} IN ({inner})"
+                elif op == "<>" and q == "ALL":
+                    repl = f"{lhs} NOT IN ({inner})"
+                else:
+                    raise UQueryError.sql_error(
+                        f"{op} {q}(subquery) is not supported (only = ANY / <> ALL)"
+                    )
+            else:
+                fn = "forall" if q == "ALL" else "exists"
+                repl = f"{fn}(({inner}), uq_qe -> {lhs} {op} uq_qe)"
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
+
+    def _rewrite_first_last_order(self, sql: str) -> str:
+        """DuckDB ``first/last(x ORDER BY y [DESC])`` → min_by/max_by
+        (single sort key; the argless forms are native in both and left
+        alone)."""
+        pos = 0
+        while True:
+            hit = self._call_args(self._FIRST_LAST_RE, sql, pos)
+            if not hit:
+                return sql
+            m, close, args = hit
+            inner = sql[m.end() : close]
+            split = re.split(r"(?i)\border\s+by\b", inner, maxsplit=1)
+            if len(split) != 2 or len(args) != 1:
+                pos = close + 1
+                continue
+            x, order = split[0].strip().rstrip(","), split[1].strip()
+            desc = bool(re.search(r"(?i)\bdesc\s*$", order))
+            key = re.sub(r"(?i)\s+(asc|desc)\s*$", "", order)
+            take_min = (m.group(1).lower() == "first") != desc
+            fn = "min_by" if take_min else "max_by"
+            repl = f"{fn}({x}, {key})"
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
+
+    def _rewrite_struct_extract(self, sql: str) -> str:
+        """struct_extract(s, 'k') → (s).k (literal keys only)."""
+        hit = self._call_args(self._STRUCT_EXTRACT_RE, sql)
+        if not hit:
+            return sql
+        m, close, args = hit
+        tail = self._rewrite_struct_extract(sql[close + 1 :])
+        if len(args) != 2:
+            raise UQueryError.sql_error("struct_extract expects (struct, 'key')")
+        key = self._lit_parse(args[1])
+        if key is None or not re.fullmatch(r"\w+", key):
+            raise UQueryError.sql_error(
+                "struct_extract: only literal identifier keys are supported"
+            )
+        s = self._rewrite_struct_extract(args[0])
+        return sql[: m.start()] + f"(({s}).{key})" + tail
+
+    def _rewrite_list_has_all(self, sql: str) -> str:
+        hit = self._call_args(self._LIST_HAS_ALL_RE, sql)
+        if not hit:
+            return sql
+        m, close, args = hit
+        tail = self._rewrite_list_has_all(sql[close + 1 :])
+        if len(args) != 2:
+            raise UQueryError.sql_error("list_has_all expects (list, sublist)")
+        a = self._rewrite_list_has_all(args[0])
+        b = self._rewrite_list_has_all(args[1])
+        repl = f"forall(({b}), uq_he -> array_contains(({a}), uq_he))"
+        return sql[: m.start()] + repl + tail
+
+    def _rewrite_divide_xor(self, sql: str) -> str:
+        """divide(a, b) → integer `div` (DuckDB's divide IS // — its `/`
+        on integers returns DOUBLE); xor(a, b) → bitwise ^."""
+        for regex, tmpl in ((self._DIVIDE_RE, "(({a}) div ({b}))"), (self._XOR_RE, "(({a}) ^ ({b}))")):
+            while True:
+                hit = self._call_args(regex, sql)
+                if not hit:
+                    break
+                m, close, args = hit
+                if len(args) != 2:
+                    raise UQueryError.sql_error("divide/xor expect exactly 2 args")
+                repl = tmpl.format(a=args[0], b=args[1])
+                sql = sql[: m.start()] + repl + sql[close + 1 :]
+        return sql
 
     # -- sweep batch 3: SIMILAR TO / GLOB operators, trailing comma -------
 
@@ -2306,6 +2431,11 @@ class SqlRewriter:
         sql = self._rewrite_to_interval(sql)
         sql = self._rewrite_sha256(sql)
         sql = self._rewrite_trim_chars(sql)
+        sql = self._rewrite_quantified_cmp(sql)
+        sql = self._rewrite_first_last_order(sql)
+        sql = self._rewrite_struct_extract(sql)
+        sql = self._rewrite_list_has_all(sql)
+        sql = self._rewrite_divide_xor(sql)
         sql = self._rewrite_regexp_replace(sql)
         sql = self._rewrite_regexp_extract(sql)
         sql = self._rewrite_list_sort(sql)
