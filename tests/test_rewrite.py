@@ -769,3 +769,53 @@ def test_gap_hunt_batch6_quantified_and_structs(spark, rw):
 
     with _pytest.raises(UQueryError):
         rw.rewrite("SELECT 1 FROM t WHERE x > ALL(SELECT y FROM u)")
+
+
+def test_asof_join_sql_form(spark, rw):
+    """SQL ASOF JOIN through the rewriter equals DuckDB semantics on a
+    fixture with ties, NULL payloads, and unmatched rows — all four
+    inequality directions + LEFT + flipped operand order (differential
+    results hand-checked against DuckDB ASOF JOIN)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW uq_asof_trades AS SELECT * FROM VALUES "
+        "(1, 1, CAST(10.0 AS DOUBLE)), (1, 5, 11.0), (1, 8, 12.0), (2, 3, 20.0), "
+        "(3, 4, 30.0) AS t(sym, t, px)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW uq_asof_quotes AS SELECT * FROM VALUES "
+        "(1, 1, CAST(100.0 AS DOUBLE)), (1, 5, CAST(NULL AS DOUBLE)), (1, 7, 102.0), "
+        "(2, 9, 200.0) AS q(sym, qt, bid)"
+    )
+
+    def run(q):
+        return sorted(tuple(map(str, r)) for r in spark.sql(rw.rewrite(q)).collect())
+
+    base = "FROM uq_asof_trades tr ASOF {j} uq_asof_quotes qo ON tr.sym = qo.sym AND {c}"
+    # backward inclusive: t=5 matches the NULL-bid quote AT 5 (not 1)
+    assert run(f"SELECT t, qt, bid {base.format(j='JOIN', c='tr.t >= qo.qt')}") == [
+        ("1", "1", "100.0"), ("5", "5", "None"), ("8", "7", "102.0")
+    ]
+    # LEFT keeps unmatched left rows
+    assert ("3", "None", "None") in run(
+        f"SELECT t, qt, bid {base.format(j='LEFT JOIN', c='tr.t >= qo.qt')}"
+    )
+    # strict backward: the coincident quote is invisible
+    assert run(f"SELECT t, qt {base.format(j='JOIN', c='tr.t > qo.qt')}") == [
+        ("5", "1"), ("8", "7")
+    ]
+    # forward and flipped-operand forms
+    assert run(f"SELECT t, qt {base.format(j='JOIN', c='tr.t <= qo.qt')}") == [
+        ("1", "1"), ("3", "9"), ("5", "5")  # t=8 has no later quote → dropped
+    ]
+    assert run(f"SELECT t, qt {base.format(j='JOIN', c='qo.qt <= tr.t')}") == [
+        ("1", "1"), ("5", "5"), ("8", "7")
+    ]
+    # unsupported shapes raise, never mistranslate
+    import pytest as _pytest
+    from uquery_rs_spark.errors import UQueryError
+
+    with _pytest.raises(UQueryError):
+        rw.rewrite(
+            "SELECT 1 FROM uq_asof_trades tr ASOF JOIN uq_asof_quotes qo "
+            "ON tr.sym = qo.sym"  # no inequality
+        )

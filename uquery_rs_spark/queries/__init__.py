@@ -63,6 +63,7 @@ _ROUND5_WINDOW = (
     "dialect_gap_battery",
     "dialect_gap_battery2",
     "dialect_gap_battery3",
+    "asof_join_sql_form",
     "qualify_top_orders_per_cust",
     "lateral_top_order_per_customer",
     "grouping_sets_revenue",
@@ -74,7 +75,6 @@ _ROUND5_WINDOW = (
     "q6_forecast_revenue",
     "topk_parts_per_brand",
     "window_analytics_orders",
-    "semi_join_active_customers",
     "anti_join_idle_customers",
 )
 

@@ -827,6 +827,37 @@ def dialect_gap_battery3(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "asof_join_sql_form",
+    tags=("dialect", "asof", "join"),
+    oracle="""
+SELECT o_orderkey, o_orderdate, l_shipdate AS first_ship
+FROM orders ASOF JOIN lineitem
+  ON o_orderkey = l_orderkey AND o_orderdate <= l_shipdate
+WHERE o_orderkey <= 2000
+ORDER BY o_orderkey
+""",
+)
+def asof_join_sql_form(spark: SparkSession, sf: str) -> DataFrame:
+    """The literal DuckDB ``ASOF JOIN`` SQL syntax through the gateway
+    (rewrite.py::_rewrite_asof_join): earliest shipment at/after each
+    order's date — forward-direction as-of, one equality key. The
+    rewriter emits the same union + windowed first-non-null shape as
+    operators/asof.py (struct-per-right-row matching, tie ordering by
+    strictness). Projection keeps only tie-invariant columns
+    (l_shipdate is identical across tied lineitems, so arbitrary tie
+    winners can't flip the hash); IDENTICAL SQL runs verbatim on
+    DuckDB's native ASOF JOIN."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT o_orderkey, o_orderdate, l_shipdate AS first_ship "
+        "FROM orders ASOF JOIN lineitem "
+        "ON o_orderkey = l_orderkey AND o_orderdate <= l_shipdate "
+        "WHERE o_orderkey <= 2000 ORDER BY o_orderkey",
+    )
+
+
+@register(
     "map_literal_ordered_agg",
     tags=("dialect", "map", "aggregate"),
     oracle="""

@@ -1368,6 +1368,151 @@ class SqlRewriter:
                 sql = sql[: m.start()] + repl + sql[close + 1 :]
         return sql
 
+    # -- ASOF JOIN SQL form ------------------------------------------------
+
+    _ASOF_RE = re.compile(
+        r"(?i)\b(?P<pre>from|join|,)\s+(?P<lrel>[\w.]+)(?:\s+(?:as\s+)?(?P<lal>\w+))?"
+        r"\s+asof\s+(?P<left>left\s+)?join\s+"
+        r"(?P<rrel>[\w.]+)(?:\s+(?:as\s+)?(?P<ral>\w+))?\s+on\b"
+    )
+    _ASOF_CMP_RE = re.compile(
+        r"^\s*(?P<a>[\w.]+)\s*(?P<op>>=|<=|=|<|>)\s*(?P<b>[\w.]+)\s*$"
+    )
+    _ASOF_STOP = {"where", "group", "order", "limit", "qualify", "union",
+                  "intersect", "except", "join", "inner", "left", "right",
+                  "full", "cross", "window", "having", "asof"}
+
+    def _rewrite_asof_join(self, sql: str) -> str:
+        """DuckDB ``l ASOF [LEFT] JOIN r ON <eq…> AND l.on >= r.on`` → the
+        union + windowed last/first-non-null derived table (the same
+        single-sort-shuffle plan as operators/asof.py, incl. the
+        struct-per-right-row matching so a NULL payload on the matched
+        row stays NULL). All four inequality directions; strictness
+        handled by tie-ordering. The derived table is aliased
+        ``uq_asof``, so downstream references must use BARE column names
+        (documented restriction); aliases out of scope after the join —
+        like any derived table. Both relations must be named
+        tables/views (path tables are views by this point)."""
+        m = self._search_code(self._ASOF_RE, sql)
+        if not m:
+            return sql
+        # reject false positives: "x LEFT JOIN …" where lrel='x' etc. is
+        # fine — the regex requires the literal ASOF keyword.
+        cond_start = m.end()
+        cond_end = len(sql)
+        for s, _e, _w in self._scan_top_level(sql, self._ASOF_STOP, cond_start):
+            cond_end = s
+            break
+        depth = 0
+        for i in range(cond_start, cond_end):
+            c = sql[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    cond_end = i
+                    break
+                depth -= 1
+        cond = sql[cond_start:cond_end].strip()
+        lrel, rrel = m.group("lrel"), m.group("rrel")
+        lal = m.group("lal") or lrel
+        ral = m.group("ral") or rrel
+        inner = not m.group("left")
+        lcols = self.spark.sql(f"SELECT * FROM {lrel} LIMIT 0").columns
+        rcols = self.spark.sql(f"SELECT * FROM {rrel} LIMIT 0").columns
+
+        def side_of(ref: str) -> tuple[str, str]:
+            """→ ('l'|'r', bare column name)."""
+            if "." in ref:
+                pre, col = ref.rsplit(".", 1)
+                if pre.lower() in (lal.lower(), lrel.lower()):
+                    return "l", col
+                if pre.lower() in (ral.lower(), rrel.lower()):
+                    return "r", col
+                raise UQueryError.sql_error(f"ASOF JOIN: unknown qualifier '{pre}'")
+            inl, inr = ref in lcols, ref in rcols
+            if inl and not inr:
+                return "l", ref
+            if inr and not inl:
+                return "r", ref
+            raise UQueryError.sql_error(
+                f"ASOF JOIN: ambiguous or unknown column '{ref}' — qualify it"
+            )
+
+        keys: list[tuple[str, str]] = []
+        on_pair = None  # (lcol, rcol, op_normalized_to_l_side)
+        for conj in self._split_top(cond, "AND"):
+            cm = self._ASOF_CMP_RE.match(conj)
+            if not cm:
+                raise UQueryError.sql_error(
+                    f"ASOF JOIN: unsupported condition '{conj.strip()[:60]}'"
+                )
+            sa, ca = side_of(cm.group("a"))
+            sb, cb = side_of(cm.group("b"))
+            op = cm.group("op")
+            if sa == sb:
+                raise UQueryError.sql_error(
+                    "ASOF JOIN: each condition must compare the two sides"
+                )
+            if sa == "r":  # normalize to left operand first
+                sa, sb, ca, cb = sb, sa, cb, ca
+                op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}.get(op, op)
+            if op == "=":
+                keys.append((ca, cb))
+            elif on_pair is None:
+                on_pair = (ca, cb, op)
+            else:
+                raise UQueryError.sql_error("ASOF JOIN: exactly one inequality required")
+        if on_pair is None:
+            raise UQueryError.sql_error("ASOF JOIN: an inequality condition is required")
+        lon, ron, op = on_pair
+        backward = op in (">=", ">")
+        inclusive = op in (">=", "<=")
+        # tie order: whether the coincident RIGHT row is visible to the
+        # left row's frame
+        if backward:
+            l_ord, r_ord = (1, 0) if inclusive else (0, 1)
+            win = ("last", "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+        else:
+            l_ord, r_ord = (0, 1) if inclusive else (1, 0)
+            win = ("first", "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING")
+
+        l_sel = ", ".join(
+            [f"{lal}.`{c}` AS __l{i}" for i, c in enumerate(lcols)]
+            + [f"NULL AS __r{j}" for j in range(len(rcols))]
+            + [f"{lal}.`{k}` AS __k{n}" for n, (k, _) in enumerate(keys)]
+            + [f"{lal}.`{lon}` AS __on", "1 AS __tag", f"{l_ord} AS __ord"]
+        )
+        r_sel = ", ".join(
+            [f"NULL AS __l{i}" for i in range(len(lcols))]
+            + [f"{ral}.`{c}` AS __r{j}" for j, c in enumerate(rcols)]
+            + [f"{ral}.`{rk}` AS __k{n}" for n, (_, rk) in enumerate(keys)]
+            + [f"{ral}.`{ron}` AS __on", "0 AS __tag", f"{r_ord} AS __ord"]
+        )
+        match = (
+            "CASE WHEN __tag = 0 THEN named_struct("
+            + ", ".join(f"'r{j}', __r{j}" for j in range(len(rcols)))
+            + ") END"
+        )
+        part = ", ".join(f"__k{n}" for n in range(len(keys))) or "1"
+        w = (
+            f"{win[0]}({match}) IGNORE NULLS OVER (PARTITION BY {part} "
+            f"ORDER BY __on ASC, __ord ASC {win[1]})"
+        )
+        out = ", ".join(
+            [f"__l{i} AS `{c}`" for i, c in enumerate(lcols)]
+            + [f"__m.r{j} AS `{c}`" for j, c in enumerate(rcols)]
+        )
+        guard = " AND __m IS NOT NULL" if inner else ""
+        gen = (
+            f"{m.group('pre')} (SELECT {out} FROM ("
+            f"SELECT u.*, {w} AS __m FROM ("
+            f"SELECT {l_sel} FROM {lrel} {lal} UNION ALL "
+            f"SELECT {r_sel} FROM {rrel} {ral}"
+            f") u) WHERE __tag = 1{guard}) uq_asof"
+        )
+        return self._rewrite_asof_join(sql[: m.start()] + gen + " " + sql[cond_end:])
+
     # -- sweep batch 3: SIMILAR TO / GLOB operators, trailing comma -------
 
     _SIMILAR_TO_RE = re.compile(r"(?i)\b(not\s+)?similar\s+to\s+'((?:[^']|'')*)'")
@@ -2400,6 +2545,7 @@ class SqlRewriter:
         sql = self._rewrite_pivot_statement(sql)
         sql = self._rewrite_unpivot_statement(sql)
         sql = self._rewrite_path_tables(sql)
+        sql = self._rewrite_asof_join(sql)
         # literal escape space first: user literals are DuckDB (escape-
         # free); every pass below emits literals in Spark escape space
         sql = self._normalize_literals(sql)
