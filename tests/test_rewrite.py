@@ -771,6 +771,33 @@ def test_gap_hunt_batch6_quantified_and_structs(spark, rw):
         rw.rewrite("SELECT 1 FROM t WHERE x > ALL(SELECT y FROM u)")
 
 
+def test_list_null_semantics(spark, rw):
+    """ADVICE r5: list_concat treats a NULL input as empty (NULL only
+    when both are); list_has_any is false — not NULL — when non-NULL
+    inputs share only a NULL element. All DuckDB-1.0.0-verified."""
+    cases = {
+        "SELECT list_concat(NULL, [1,2]) AS v": [1, 2],
+        "SELECT list_concat([1,2], NULL) AS v": [1, 2],
+        "SELECT list_concat([1], [2,3]) AS v": [1, 2, 3],
+        "SELECT list_concat(NULL, NULL) AS v": None,
+        "SELECT list_concat(list_concat([1],[2]), [3]) AS v": [1, 2, 3],
+        "SELECT list_has_any([NULL], [1,NULL]) AS v": False,
+        "SELECT list_has_any(NULL, [1]) AS v": None,
+        "SELECT list_has_any([1,NULL], [1]) AS v": True,
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        assert got == want, f"{sql}: {got!r} != {want!r}"
+    # unbalanced format brace raises UQueryError, not bare ValueError
+    import pytest as _pytest
+    from uquery_rs_spark.errors import UQueryError
+
+    with _pytest.raises(UQueryError):
+        rw.rewrite("SELECT format('x{y', 1)")
+    with _pytest.raises(UQueryError):
+        rw.rewrite("SELECT list_concat([1])")
+
+
 def test_asof_join_sql_form(spark, rw):
     """SQL ASOF JOIN through the rewriter equals DuckDB semantics on a
     fixture with ties, NULL payloads, and unmatched rows — all four
@@ -818,4 +845,55 @@ def test_asof_join_sql_form(spark, rw):
         rw.rewrite(
             "SELECT 1 FROM uq_asof_trades tr ASOF JOIN uq_asof_quotes qo "
             "ON tr.sym = qo.sym"  # no inequality
+        )
+
+
+def test_asof_join_sql_extended_forms(spark, rw):
+    """Round-6 extensions (r5 verdict item #3 + ADVICE): USING clause,
+    subquery relations, NULL ordering/equality keys never match, and
+    same-named right columns get the _1 suffix (referenceable by bare
+    name downstream). Expected rows hand-checked against DuckDB 1.0.0."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW uq_asof_tr2 AS SELECT * FROM VALUES "
+        "(1, 1, 10.0), (1, 5, 11.0), (2, 3, 20.0), (3, 4, 30.0) AS t(sym, t, px)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW uq_asof_qo2 AS SELECT * FROM VALUES "
+        "(1, 1, 100.0), (1, CAST(NULL AS INT), 101.0), (1, 7, 102.0), "
+        "(CAST(NULL AS INT), 2, 150.0), (2, 9, 200.0) AS q(sym, t, bid)"
+    )
+
+    def run(q):
+        return sorted(tuple(map(str, r)) for r in spark.sql(rw.rewrite(q)).collect())
+
+    # USING: last column is the >= ordering key; join cols emitted once
+    # (left copy); NULL right keys (the t=NULL and sym=NULL quotes) never
+    # match — DuckDB-verified
+    assert run(
+        "SELECT sym, t, px, bid FROM uq_asof_tr2 "
+        "ASOF LEFT JOIN uq_asof_qo2 USING (sym, t) ORDER BY px"
+    ) == [
+        ("1", "1", "10.0", "100.0"),
+        ("1", "5", "11.0", "100.0"),
+        ("2", "3", "20.0", "None"),
+        ("3", "4", "30.0", "None"),
+    ]
+    # subquery relations on both sides + ON form; right dup columns get _1
+    rows = run(
+        "SELECT sym, t, px, sym_1, t_1, bid "
+        "FROM (SELECT * FROM uq_asof_tr2 WHERE px < 25) tt "
+        "ASOF JOIN (SELECT sym, t, bid FROM uq_asof_qo2) qq "
+        "ON tt.sym = qq.sym AND tt.t >= qq.t ORDER BY px"
+    )
+    assert rows == [
+        ("1", "1", "10.0", "1", "1", "100.0"),
+        ("1", "5", "11.0", "1", "1", "100.0"),
+    ]
+    # USING with a non-shared column raises
+    import pytest as _pytest
+    from uquery_rs_spark.errors import UQueryError
+
+    with _pytest.raises(UQueryError):
+        rw.rewrite(
+            "SELECT 1 FROM uq_asof_tr2 ASOF JOIN uq_asof_qo2 USING (sym, px)"
         )

@@ -80,7 +80,14 @@ def asof_join(
         F.lit(1).alias("__tag"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(out_names[c]) for c in right_cols],
     )
-    rhs = right.select(
+    # NULL compares match nothing (ADVICE r5, verified vs DuckDB): a right
+    # row with a NULL ordering key or NULL equality key can never be the
+    # match — drop before the union so the window can't pick it up (NULLs
+    # sort first under ASC and would otherwise be visible to every frame).
+    null_free = F.col(on).isNotNull()
+    for k in by:
+        null_free = null_free & F.col(k).isNotNull()
+    rhs = right.filter(null_free).select(
         *[
             F.col(c) if c in by or c == on else F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in left.columns
@@ -129,6 +136,8 @@ def asof_join(
             | (b.isNotNull() & ((F.col(on) - b["__on"]) <= (f["__on"] - F.col(on)))),
             b,
         ).otherwise(f)
+    # a left row with a NULL ordering key never matches either
+    chosen = F.when(F.col(on).isNull(), F.lit(None)).otherwise(chosen)
     matched = [chosen[out_names[c]].alias(out_names[c]) for c in right_cols]
     return (
         unioned.select(*[c for c in left.columns], "__tag", *matched)

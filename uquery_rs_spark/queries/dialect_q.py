@@ -858,6 +858,76 @@ def asof_join_sql_form(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "asof_join_using_subquery",
+    tags=("dialect", "asof", "join"),
+    oracle="""
+SELECT k, d, l_linenumber, o_totalprice
+FROM (SELECT l_orderkey AS k, l_shipdate AS d, l_linenumber FROM lineitem WHERE l_orderkey <= 2000) li
+ASOF LEFT JOIN (SELECT o_orderkey AS k, o_orderdate AS d, o_totalprice FROM orders) od
+USING (k, d)
+ORDER BY k, d, l_linenumber
+""",
+)
+def asof_join_using_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-6 ASOF extensions (r5 verdict item #3): the ``USING (k…, on)``
+    clause — last USING column is the ``>=`` backward ordering key, join
+    columns emitted once from the left side (DuckDB star shape) — and
+    parenthesised SUBQUERY relations on BOTH sides
+    (rewrite.py::_rewrite_asof_join, the backward/forward relation
+    parser). Latest order at/before each shipment of the same orderkey;
+    one order row per key makes the match tie-invariant. IDENTICAL SQL
+    runs verbatim on DuckDB's native ASOF JOIN."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT k, d, l_linenumber, o_totalprice "
+        "FROM (SELECT l_orderkey AS k, l_shipdate AS d, l_linenumber "
+        "FROM lineitem WHERE l_orderkey <= 2000) li "
+        "ASOF LEFT JOIN (SELECT o_orderkey AS k, o_orderdate AS d, "
+        "o_totalprice FROM orders) od USING (k, d) "
+        "ORDER BY k, d, l_linenumber",
+    )
+
+
+@register(
+    "asof_join_null_keys",
+    tags=("dialect", "asof", "join"),
+    oracle="""
+SELECT o_orderkey, o_orderdate, ship AS matched_ship
+FROM orders ASOF LEFT JOIN
+  (SELECT l_orderkey,
+          CASE WHEN l_linenumber = 1 THEN NULL ELSE l_shipdate END AS sd,
+          l_shipdate AS ship
+   FROM lineitem) s
+ON o_orderkey = s.l_orderkey AND o_orderdate <= s.sd
+WHERE o_orderkey <= 2000
+ORDER BY o_orderkey
+""",
+)
+def asof_join_null_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """ADVICE-r5 NULL-semantics fix pinned against DuckDB: right rows
+    whose ordering key is NULL (every linenumber-1 shipment here) must
+    never match — they are filtered out of the union's right branch
+    before the window (rewrite.py::_rewrite_asof_join r_where), so
+    ``first(...) IGNORE NULLS`` can't land on a NULL-keyed row that
+    sorts first under ASC. ship == sd on every matchable row keeps the
+    result tie-invariant. IDENTICAL SQL verbatim on both engines (left
+    ordering keys are non-NULL in TPC-H, so DuckDB 1.0.0's keyed
+    NULL-to-NULL quirk — documented deviation — is not in play)."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT o_orderkey, o_orderdate, ship AS matched_ship "
+        "FROM orders ASOF LEFT JOIN "
+        "(SELECT l_orderkey, "
+        "CASE WHEN l_linenumber = 1 THEN NULL ELSE l_shipdate END AS sd, "
+        "l_shipdate AS ship FROM lineitem) s "
+        "ON o_orderkey = s.l_orderkey AND o_orderdate <= s.sd "
+        "WHERE o_orderkey <= 2000 ORDER BY o_orderkey",
+    )
+
+
+@register(
     "map_literal_ordered_agg",
     tags=("dialect", "map", "aggregate"),
     oracle="""

@@ -291,9 +291,9 @@ class SqlRewriter:
         # DuckDB list()/array_agg KEEP null elements, Spark array_agg
         # drops them — documented deviation (null-free columns identical)
         "list": "array_agg",
-        "list_has_any": "arrays_overlap",
+        # list_has_any / list_concat moved to _rewrite_list_nulls (NULL
+        # semantics differ from the 1:1 Spark functions — ADVICE r5)
         "list_intersect": "array_intersect",
-        "list_concat": "concat",
         "array_length": "size",
         "list_element": "element_at",
         "list_extract": "element_at",
@@ -928,7 +928,9 @@ class SqlRewriter:
                     out.append("{")
                     i += 2
                     continue
-                j = fmt.index("}", i)
+                j = fmt.find("}", i)
+                if j == -1:
+                    raise UQueryError.sql_error("format(): unbalanced '{' in format string")
                 spec = fmt[i + 1 : j]
                 if spec == "":
                     out.append("%s")
@@ -1015,9 +1017,15 @@ class SqlRewriter:
             depth, i, n = 1, m.start() + 1, len(sql)
             while i < n and depth:
                 if sql[i] == "'":
-                    i = sql.index("'", i + 1)
+                    i = sql.find("'", i + 1)
+                    if i == -1:
+                        raise UQueryError.sql_error(
+                            "struct literal: unterminated string literal"
+                        )
                 depth += {"{": 1, "}": -1}.get(sql[i], 0)
                 i += 1
+            if depth:
+                raise UQueryError.sql_error("struct literal: unbalanced '{'")
             inner = sql[m.start() + 1 : i - 1]
             flat = []
             for entry in self._split_top(inner, ","):
@@ -1264,6 +1272,8 @@ class SqlRewriter:
     _FIRST_LAST_RE = re.compile(r"(?i)\b(first|last)\s*\(")
     _STRUCT_EXTRACT_RE = re.compile(r"(?i)\bstruct_extract\s*\(")
     _LIST_HAS_ALL_RE = re.compile(r"(?i)\blist_has_all\s*\(")
+    _LIST_CONCAT_RE = re.compile(r"(?i)\b(?:list_concat|list_cat|array_concat|array_cat)\s*\(")
+    _LIST_HAS_ANY_RE = re.compile(r"(?i)\b(?:list_has_any|array_has_any)\s*\(")
     _DIVIDE_RE = re.compile(r"(?i)\bdivide\s*\(")
     _XOR_RE = re.compile(r"(?i)\bxor\s*\(")
 
@@ -1353,6 +1363,49 @@ class SqlRewriter:
         repl = f"forall(({b}), uq_he -> array_contains(({a}), uq_he))"
         return sql[: m.start()] + repl + tail
 
+    def _rewrite_list_nulls(self, sql: str) -> str:
+        """NULL-input semantics fixes (ADVICE r5, verified vs DuckDB
+        1.0.0): ``list_concat(a, b)`` treats a NULL input as empty —
+        NULL only when BOTH are NULL — where Spark ``concat`` is
+        NULL-propagating; ``list_has_any(a, b)`` returns false (never
+        NULL) for non-NULL inputs whose only shared element is NULL,
+        where Spark ``arrays_overlap`` returns NULL. Both expand to
+        CASE forms that re-evaluate the argument expressions (cheap
+        scalar exprs; no CSE needed for correctness). list_intersect's
+        asymmetric NULL (DuckDB: NULL second arg → [], NULL first →
+        NULL) remains a documented deviation — Spark array_intersect
+        is NULL-propagating both ways."""
+        for regex, tmpl in (
+            # the ELSE branches coalesce each arg with the OTHER one —
+            # runtime no-op (ELSE only runs when both are non-NULL) that
+            # gives Spark's analyzer a concrete array type when an arg is
+            # an untyped NULL literal (bare NULL types as STRING otherwise)
+            (
+                self._LIST_CONCAT_RE,
+                "(CASE WHEN ({a}) IS NULL THEN ({b}) "
+                "WHEN ({b}) IS NULL THEN ({a}) "
+                "ELSE concat(coalesce(({a}), ({b})), coalesce(({b}), ({a}))) END)",
+            ),
+            (
+                self._LIST_HAS_ANY_RE,
+                "(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN NULL "
+                "ELSE coalesce(arrays_overlap(coalesce(({a}), ({b})), "
+                "coalesce(({b}), ({a}))), false) END)",
+            ),
+        ):
+            while True:
+                hit = self._call_args(regex, sql)
+                if not hit:
+                    break
+                m, close, args = hit
+                if len(args) != 2:
+                    raise UQueryError.sql_error(
+                        "list_concat/list_has_any expect exactly 2 args"
+                    )
+                repl = tmpl.format(a=args[0], b=args[1])
+                sql = sql[: m.start()] + repl + sql[close + 1 :]
+        return sql
+
     def _rewrite_divide_xor(self, sql: str) -> str:
         """divide(a, b) → integer `div` (DuckDB's divide IS // — its `/`
         on integers returns DOUBLE); xor(a, b) → bitwise ^."""
@@ -1370,11 +1423,7 @@ class SqlRewriter:
 
     # -- ASOF JOIN SQL form ------------------------------------------------
 
-    _ASOF_RE = re.compile(
-        r"(?i)\b(?P<pre>from|join|,)\s+(?P<lrel>[\w.]+)(?:\s+(?:as\s+)?(?P<lal>\w+))?"
-        r"\s+asof\s+(?P<left>left\s+)?join\s+"
-        r"(?P<rrel>[\w.]+)(?:\s+(?:as\s+)?(?P<ral>\w+))?\s+on\b"
-    )
+    _ASOF_KW_RE = re.compile(r"(?i)\basof\s+(?P<left>left\s+)?join\b")
     _ASOF_CMP_RE = re.compile(
         r"^\s*(?P<a>[\w.]+)\s*(?P<op>>=|<=|=|<|>)\s*(?P<b>[\w.]+)\s*$"
     )
@@ -1382,44 +1431,179 @@ class SqlRewriter:
                   "intersect", "except", "join", "inner", "left", "right",
                   "full", "cross", "window", "having", "asof"}
 
-    def _rewrite_asof_join(self, sql: str) -> str:
-        """DuckDB ``l ASOF [LEFT] JOIN r ON <eq…> AND l.on >= r.on`` → the
-        union + windowed last/first-non-null derived table (the same
-        single-sort-shuffle plan as operators/asof.py, incl. the
-        struct-per-right-row matching so a NULL payload on the matched
-        row stays NULL). All four inequality directions; strictness
-        handled by tie-ordering. The derived table is aliased
-        ``uq_asof``, so downstream references must use BARE column names
-        (documented restriction); aliases out of scope after the join —
-        like any derived table. Both relations must be named
-        tables/views (path tables are views by this point)."""
-        m = self._search_code(self._ASOF_RE, sql)
-        if not m:
-            return sql
-        # reject false positives: "x LEFT JOIN …" where lrel='x' etc. is
-        # fine — the regex requires the literal ASOF keyword.
-        cond_start = m.end()
-        cond_end = len(sql)
-        for s, _e, _w in self._scan_top_level(sql, self._ASOF_STOP, cond_start):
-            cond_end = s
-            break
+    @staticmethod
+    def _asof_scan_balanced(sql: str, i: int) -> int:
+        """``sql[i] == '('`` → index just past the matching ')'."""
         depth = 0
-        for i in range(cond_start, cond_end):
+        n = len(sql)
+        while i < n:
             c = sql[i]
-            if c == "(":
+            if c == "'":
+                j = sql.find("'", i + 1)
+                i = n if j == -1 else j
+            elif c == "(":
                 depth += 1
             elif c == ")":
-                if depth == 0:
-                    cond_end = i
-                    break
                 depth -= 1
-        cond = sql[cond_start:cond_end].strip()
-        lrel, rrel = m.group("lrel"), m.group("rrel")
-        lal = m.group("lal") or lrel
-        ral = m.group("ral") or rrel
+                if depth == 0:
+                    return i + 1
+            i += 1
+        raise UQueryError.sql_error("ASOF JOIN: unbalanced '(' in relation")
+
+    @staticmethod
+    def _asof_scan_balanced_back(sql: str, end: int) -> int:
+        """``sql[end-1] == ')'`` → index of the matching '('. Scans
+        backward; single-quoted literals are skipped (their quotes pair
+        up, so counting both quotes of a literal keeps parity)."""
+        depth, i = 0, end - 1
+        in_lit = False
+        while i >= 0:
+            c = sql[i]
+            if c == "'":
+                in_lit = not in_lit
+            elif not in_lit:
+                if c == ")":
+                    depth += 1
+                elif c == "(":
+                    depth -= 1
+                    if depth == 0:
+                        return i
+            i -= 1
+        raise UQueryError.sql_error("ASOF JOIN: unbalanced ')' before ASOF")
+
+    def _asof_parse_right(self, sql: str, pos: int):
+        """Parse the relation after ``ASOF JOIN`` → (rel_sql, alias|None,
+        end, kind) where kind is 'on'|'using' for the keyword found."""
+        n = len(sql)
+        i = pos
+        while i < n and sql[i].isspace():
+            i += 1
+        if i < n and sql[i] == "(":
+            j = self._asof_scan_balanced(sql, i)
+            rel = sql[i:j]
+        else:
+            mrel = re.match(r"[\w.]+", sql[i:])
+            if not mrel:
+                raise UQueryError.sql_error("ASOF JOIN: missing right relation")
+            j = i + mrel.end()
+            rel = mrel.group(0)
+        alias = None
+        mtail = re.match(r"\s+(?:as\s+)?(\w+)", sql[j:], re.I)
+        while mtail:
+            word = mtail.group(1)
+            if word.lower() in ("on", "using"):
+                break
+            alias = word
+            j += mtail.end()
+            mtail = re.match(r"\s+(?:as\s+)?(\w+)", sql[j:], re.I)
+        mkw = re.match(r"\s+(on|using)\b", sql[j:], re.I)
+        if not mkw:
+            raise UQueryError.sql_error("ASOF JOIN: expected ON or USING")
+        return rel, alias, j + mkw.end(), mkw.group(1).lower()
+
+    def _asof_parse_left(self, sql: str, end: int):
+        """Parse the relation before ``ASOF`` (scanning backward) →
+        (rel_sql, alias|None, start). The relation must follow a
+        top-level FROM / JOIN / ','."""
+
+        def read_word(i: int) -> tuple[str, int]:
+            j = i
+            while j > 0 and (sql[j - 1].isalnum() or sql[j - 1] in "_."):
+                j -= 1
+            return sql[j:i], j
+
+        def skip_ws(i: int) -> int:
+            while i > 0 and sql[i - 1].isspace():
+                i -= 1
+            return i
+
+        def check_pre(i: int) -> None:
+            k = skip_ws(i)
+            if k > 0 and sql[k - 1] == ",":
+                return
+            w, _ = read_word(k)
+            if w.lower() not in ("from", "join"):
+                raise UQueryError.sql_error(
+                    "ASOF JOIN: left relation must follow FROM/JOIN/','"
+                )
+
+        i = skip_ws(end)
+        if i > 0 and sql[i - 1] == ")":
+            start = self._asof_scan_balanced_back(sql, i)
+            check_pre(start)
+            return sql[start:i], None, start
+        word, j = read_word(i)
+        if not word:
+            raise UQueryError.sql_error("ASOF JOIN: missing left relation")
+        k = skip_ws(j)
+        if k > 0 and sql[k - 1] == ")":
+            # word is the alias of a parenthesised subquery
+            start = self._asof_scan_balanced_back(sql, k)
+            check_pre(start)
+            return sql[start:k], word, start
+        word2, j2 = read_word(k)
+        if word2.lower() == "as":
+            k2 = skip_ws(j2)
+            if k2 > 0 and sql[k2 - 1] == ")":
+                start = self._asof_scan_balanced_back(sql, k2)
+                check_pre(start)
+                return sql[start:k2], word, start
+            word3, j3 = read_word(k2)
+            check_pre(j3)
+            return word3, word, j3
+        if not word2 or word2.lower() in ("from", "join"):
+            # bare relation: `FROM t ASOF JOIN …`
+            return word, None, j
+        k2 = skip_ws(j2)
+        if k2 > 0 and sql[k2 - 1] == ",":
+            return word, None, j
+        # `FROM t alias ASOF JOIN …`
+        check_pre(j2)
+        return word2, word, j2
+
+    def _rewrite_asof_join(self, sql: str) -> str:
+        """DuckDB ``l ASOF [LEFT] JOIN r ON <eq…> AND l.on >= r.on`` (or
+        ``… USING (k…, on)`` — last USING column is the ``>=`` ordering,
+        DuckDB docs "AsOf Joins") → the union + windowed last/first-
+        non-null derived table (the same single-sort-shuffle plan as
+        operators/asof.py, incl. the struct-per-right-row matching so a
+        NULL payload on the matched row stays NULL). All four inequality
+        directions; strictness handled by tie-ordering. Relations may be
+        named tables/views or parenthesised subqueries (path tables are
+        views by this point).
+
+        NULL semantics (ADVICE r5): a right row whose ordering key or any
+        equality key is NULL is filtered out of the right branch (NULL
+        compares match nothing), and a left row with a NULL ordering key
+        gets a NULL match — both verified against DuckDB. (DuckDB 1.0.0's
+        KEYED path matches NULL-to-NULL ordering keys backward; its own
+        unkeyed path does not — we follow the strict comparison
+        semantics both ways.)
+
+        Output naming: left columns keep their names; right columns that
+        collide get a ``_1`` suffix (DuckDB's duplicate-disambiguation
+        shape), so every column is referenceable downstream by BARE name
+        — the derived table is aliased ``uq_asof`` and the original
+        relation aliases go out of scope, like any derived table. For
+        USING, the join columns are emitted once (left copy, DuckDB
+        star shape)."""
+        m = self._search_code(self._ASOF_KW_RE, sql)
+        if not m:
+            return sql
+        lrel, lal_in, start = self._asof_parse_left(sql, m.start())
+        rrel, ral_in, cond_start, kw = self._asof_parse_right(sql, m.end())
         inner = not m.group("left")
-        lcols = self.spark.sql(f"SELECT * FROM {lrel} LIMIT 0").columns
-        rcols = self.spark.sql(f"SELECT * FROM {rrel} LIMIT 0").columns
+        lsub = lrel.startswith("(")
+        rsub = rrel.startswith("(")
+        lal = lal_in or ("__uq_l" if lsub or "." in lrel else lrel)
+        ral = ral_in or ("__uq_r" if rsub or "." in rrel else rrel)
+        try:
+            lcols = self.spark.sql(f"SELECT * FROM {lrel} LIMIT 0").columns
+            rcols = self.spark.sql(f"SELECT * FROM {rrel} LIMIT 0").columns
+        except Exception as exc:
+            raise UQueryError.sql_error(
+                f"ASOF JOIN: cannot resolve relation schema: {exc}"
+            ) from exc
 
         def side_of(ref: str) -> tuple[str, str]:
             """→ ('l'|'r', bare column name)."""
@@ -1441,30 +1625,74 @@ class SqlRewriter:
 
         keys: list[tuple[str, str]] = []
         on_pair = None  # (lcol, rcol, op_normalized_to_l_side)
-        for conj in self._split_top(cond, "AND"):
-            cm = self._ASOF_CMP_RE.match(conj)
-            if not cm:
+        using_cols: list[str] = []
+        if kw == "using":
+            i = cond_start
+            while i < len(sql) and sql[i].isspace():
+                i += 1
+            if i >= len(sql) or sql[i] != "(":
+                raise UQueryError.sql_error("ASOF JOIN USING: expected '(col, …)'")
+            close = self._asof_scan_balanced(sql, i)
+            using_cols = [c.strip() for c in sql[i + 1 : close - 1].split(",")]
+            if not using_cols or not all(
+                re.fullmatch(r"\w+", c) for c in using_cols
+            ):
                 raise UQueryError.sql_error(
-                    f"ASOF JOIN: unsupported condition '{conj.strip()[:60]}'"
+                    "ASOF JOIN USING: bare column names only"
                 )
-            sa, ca = side_of(cm.group("a"))
-            sb, cb = side_of(cm.group("b"))
-            op = cm.group("op")
-            if sa == sb:
+            for c in using_cols:
+                if c not in lcols or c not in rcols:
+                    raise UQueryError.sql_error(
+                        f"ASOF JOIN USING: column '{c}' must exist on both sides"
+                    )
+            # DuckDB: the LAST USING column is the >= ordering key
+            keys = [(c, c) for c in using_cols[:-1]]
+            on_pair = (using_cols[-1], using_cols[-1], ">=")
+            cond_end = close
+        else:
+            cond_end = len(sql)
+            for s, _e, _w in self._scan_top_level(sql, self._ASOF_STOP, cond_start):
+                cond_end = s
+                break
+            depth = 0
+            for i in range(cond_start, cond_end):
+                c = sql[i]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    if depth == 0:
+                        cond_end = i
+                        break
+                    depth -= 1
+            cond = sql[cond_start:cond_end].strip()
+            for conj in self._split_top(cond, "AND"):
+                cm = self._ASOF_CMP_RE.match(conj)
+                if not cm:
+                    raise UQueryError.sql_error(
+                        f"ASOF JOIN: unsupported condition '{conj.strip()[:60]}'"
+                    )
+                sa, ca = side_of(cm.group("a"))
+                sb, cb = side_of(cm.group("b"))
+                op = cm.group("op")
+                if sa == sb:
+                    raise UQueryError.sql_error(
+                        "ASOF JOIN: each condition must compare the two sides"
+                    )
+                if sa == "r":  # normalize to left operand first
+                    sa, sb, ca, cb = sb, sa, cb, ca
+                    op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}.get(op, op)
+                if op == "=":
+                    keys.append((ca, cb))
+                elif on_pair is None:
+                    on_pair = (ca, cb, op)
+                else:
+                    raise UQueryError.sql_error(
+                        "ASOF JOIN: exactly one inequality required"
+                    )
+            if on_pair is None:
                 raise UQueryError.sql_error(
-                    "ASOF JOIN: each condition must compare the two sides"
+                    "ASOF JOIN: an inequality condition is required"
                 )
-            if sa == "r":  # normalize to left operand first
-                sa, sb, ca, cb = sb, sa, cb, ca
-                op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}.get(op, op)
-            if op == "=":
-                keys.append((ca, cb))
-            elif on_pair is None:
-                on_pair = (ca, cb, op)
-            else:
-                raise UQueryError.sql_error("ASOF JOIN: exactly one inequality required")
-        if on_pair is None:
-            raise UQueryError.sql_error("ASOF JOIN: an inequality condition is required")
         lon, ron, op = on_pair
         backward = op in (">=", ">")
         inclusive = op in (">=", "<=")
@@ -1489,6 +1717,13 @@ class SqlRewriter:
             + [f"{ral}.`{rk}` AS __k{n}" for n, (_, rk) in enumerate(keys)]
             + [f"{ral}.`{ron}` AS __on", "0 AS __tag", f"{r_ord} AS __ord"]
         )
+        # NULL compares match nothing: right rows with a NULL ordering key
+        # or a NULL equality key can never be the match — drop them before
+        # the union so the window can't pick them (ADVICE r5).
+        r_where = " AND ".join(
+            [f"{ral}.`{ron}` IS NOT NULL"]
+            + [f"{ral}.`{rk}` IS NOT NULL" for _, rk in keys]
+        )
         match = (
             "CASE WHEN __tag = 0 THEN named_struct("
             + ", ".join(f"'r{j}', __r{j}" for j in range(len(rcols)))
@@ -1499,19 +1734,33 @@ class SqlRewriter:
             f"{win[0]}({match}) IGNORE NULLS OVER (PARTITION BY {part} "
             f"ORDER BY __on ASC, __ord ASC {win[1]})"
         )
+        # a LEFT row with a NULL ordering key never matches either
+        w = f"IF(__on IS NULL, NULL, {w})"
+        if kw == "using":
+            r_emit = [(j, c) for j, c in enumerate(rcols) if c not in set(using_cols)]
+        else:
+            r_emit = list(enumerate(rcols))
+        used = set(lcols)
+        r_named: list[tuple[int, str]] = []
+        for j, c in r_emit:
+            name, k = c, 1
+            while name in used:
+                name, k = f"{c}_{k}", k + 1
+            used.add(name)
+            r_named.append((j, name))
         out = ", ".join(
             [f"__l{i} AS `{c}`" for i, c in enumerate(lcols)]
-            + [f"__m.r{j} AS `{c}`" for j, c in enumerate(rcols)]
+            + [f"__m.r{j} AS `{name}`" for j, name in r_named]
         )
         guard = " AND __m IS NOT NULL" if inner else ""
         gen = (
-            f"{m.group('pre')} (SELECT {out} FROM ("
+            f"(SELECT {out} FROM ("
             f"SELECT u.*, {w} AS __m FROM ("
             f"SELECT {l_sel} FROM {lrel} {lal} UNION ALL "
-            f"SELECT {r_sel} FROM {rrel} {ral}"
+            f"SELECT {r_sel} FROM {rrel} {ral} WHERE {r_where}"
             f") u) WHERE __tag = 1{guard}) uq_asof"
         )
-        return self._rewrite_asof_join(sql[: m.start()] + gen + " " + sql[cond_end:])
+        return self._rewrite_asof_join(sql[:start] + gen + " " + sql[cond_end:])
 
     # -- sweep batch 3: SIMILAR TO / GLOB operators, trailing comma -------
 
@@ -2545,7 +2794,6 @@ class SqlRewriter:
         sql = self._rewrite_pivot_statement(sql)
         sql = self._rewrite_unpivot_statement(sql)
         sql = self._rewrite_path_tables(sql)
-        sql = self._rewrite_asof_join(sql)
         # literal escape space first: user literals are DuckDB (escape-
         # free); every pass below emits literals in Spark escape space
         sql = self._normalize_literals(sql)
@@ -2581,6 +2829,7 @@ class SqlRewriter:
         sql = self._rewrite_first_last_order(sql)
         sql = self._rewrite_struct_extract(sql)
         sql = self._rewrite_list_has_all(sql)
+        sql = self._rewrite_list_nulls(sql)
         sql = self._rewrite_divide_xor(sql)
         sql = self._rewrite_regexp_replace(sql)
         sql = self._rewrite_regexp_extract(sql)
@@ -2595,6 +2844,9 @@ class SqlRewriter:
         sql = self._rewrite_exclude(sql)
         sql = self._rewrite_using_sample(sql)
         sql = self._expand_macros(sql)
+        # ASOF after the expression passes: subquery relations must be
+        # Spark-valid when their schema is probed (LIMIT 0)
+        sql = self._rewrite_asof_join(sql)
         sql = self._rewrite_distinct_on(sql)
         sql = self._rewrite_qualify(sql)
         sql = self._rewrite_star_replace(sql)
