@@ -771,6 +771,68 @@ def test_gap_hunt_batch6_quantified_and_structs(spark, rw):
         rw.rewrite("SELECT 1 FROM t WHERE x > ALL(SELECT y FROM u)")
 
 
+def test_gap_hunt_batch7_windows_and_functions(spark, rw):
+    """Sweep batch 7 (round-6): frame EXCLUDE, named-window extension,
+    ORDER BY null placement, 1-based lambda index args, hamming,
+    to_base, list-typed date_part, map_from_entries tuples, COLUMNS
+    lambdas. Expected values DuckDB-1.0.0-verified."""
+    cases = {
+        "SELECT array_to_string(list_transform([10,20,30], (x, i) -> x + i), ',') AS v": "11,22,33",
+        "SELECT array_to_string(list_filter([10,20,30], (x, i) -> i % 2 = 1), ',') AS v": "10,30",
+        "SELECT hamming('abcd','abxd') AS v": 1,
+        "SELECT mismatches('aa','ab') AS v": 1,
+        "SELECT to_base(255, 16) AS v": "FF",
+        "SELECT to_base(255, 2, 12) AS v": "000011111111",
+        "SELECT date_part(['year','month'], DATE '2024-03-15').month AS v": 3,
+        "SELECT cardinality(map_from_entries([('a', 1), ('b', 2)])) AS v": 2,
+        # EXCLUDE CURRENT ROW: sum of the 1-each-side frame minus self;
+        # single-row exclusion frame → NULL (DuckDB-verified)
+        "SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN CURRENT ROW AND "
+        "CURRENT ROW EXCLUDE CURRENT ROW) AS v FROM (VALUES (7)) t(x)": None,
+        "SELECT max(s) AS v FROM (SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN "
+        "1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS s "
+        "FROM (VALUES (1),(2),(3)) t(x))": 4,
+        # EXCLUDE NO OTHERS is a stripped no-op
+        "SELECT max(s) AS v FROM (SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN "
+        "1 PRECEDING AND 1 FOLLOWING EXCLUDE NO OTHERS) AS s "
+        "FROM (VALUES (1),(2),(3)) t(x))": 6,
+        # NULLS LAST is DuckDB's ASC default — Spark's is NULLS FIRST
+        "SELECT first_value(x) OVER (ORDER BY x) AS v FROM "
+        "(VALUES (3),(NULL),(4)) t(x) LIMIT 1": 3,
+        # named-window EXTENSION form (OVER (w ORDER BY …))
+        "SELECT max(s) AS v FROM (SELECT sum(x) OVER (w ORDER BY x) AS s "
+        "FROM (VALUES (1),(2),(4)) t(x) WINDOW w AS (PARTITION BY x % 2))": 6,
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        assert got == want, f"{sql}: {got!r} != {want!r}"
+    # columns lambda forms expand through the COLUMNS machinery
+    row = spark.sql(rw.rewrite(
+        "SELECT min(COLUMNS(c -> c LIKE 'x%')) FROM (SELECT 1 AS xa, 2 AS xb, 3 AS yc)"
+    )).collect()[0]
+    assert row.asDict() == {"xa": 1, "xb": 2}
+    # translate-or-raise: untranslatable forms raise, never mistranslate
+    import pytest as _pytest
+    from uquery_rs_spark.errors import UQueryError
+
+    for bad in [
+        "SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) FROM t",
+        "SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) FROM t",
+        "SELECT min(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM t",
+        "SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING EXCLUDE CURRENT ROW) FROM t",
+        "SELECT struct_insert({'a':1}, b := 2)",
+        "SELECT mad(x) FROM t",
+        "SELECT x FROM t ORDER BY x LIMIT 50%",
+        "SELECT '101'::BITSTRING",
+        "SELECT CAST('a' AS ENUM('a','b'))",
+        "SELECT jaro_winkler_similarity('a','b')",
+        "SELECT strip_accents('x')",
+        "SELECT md5_number('x')",
+    ]:
+        with _pytest.raises(UQueryError):
+            rw.rewrite(bad)
+
+
 def test_list_null_semantics(spark, rw):
     """ADVICE r5: list_concat treats a NULL input as empty (NULL only
     when both are); list_has_any is false — not NULL — when non-NULL

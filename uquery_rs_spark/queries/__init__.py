@@ -9,73 +9,69 @@ from __future__ import annotations
 from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 
 
-# Round-5 verification window (harnesses sample REGISTRY[:50]).
-# Composition: the 13 entries never driver-verified through round 4, then
-# the six entries fixed this round (the five dialect/regex batteries whose
-# array-typed result columns crashed the driver canonicalizer — now
-# serialized via array_to_string/array_join — and ann_ivf_topk, which
-# gained the within_bound recall oracle), then five entries whose code
-# paths were touched this round (pack_sequences dense-rank bucketing,
-# AS-OF nearest-direction struct fix, containment df-cutoff, PIVOT probe
-# caching), then the ten operators ADDED this round (TF-IDF
-# top-terms, BM25 search, normalized dedup, corpus stats card, embedding
-# outliers, dedup funnel, corpus version diff, per-source cap,
-# compression-ratio quality, stream-stream interval join — new
-# entries go in the
-# CURRENT window, round-4 lesson), then 15 round-2-verified entries (plus the dialect gap battery) on fairness rotation
-# (oldest driver signal; the remaining r2/r3 entries rotate in rounds
-# 6-7). Exactly 50 names.
-_ROUND5_WINDOW = (
-    "dedup_winnowing",
-    "text_bpe_tokenize",
-    "emb_dim_variance",
-    "ann_cosine_topk_pq",
-    "corpus_epoch_shuffle_battery",
-    "corpus_chunk_documents",
-    "corpus_token_budget_mix",
-    "dedup_bloom_membership",
-    "multimodal_audio_rms",
-    "asof_direction_battery",
-    "events_resample_gapfill",
-    "events_markov_transitions",
-    "streaming_rollup_parquet",
-    "regex_pattern_battery",
-    "dialect_edge_cases",
-    "bracket_syntax_battery",
-    "function_rename_battery",
-    "series_struct_pack_battery",
-    "ann_ivf_topk",
-    "corpus_pack_sequences",
-    "asof_join_purchase_view",
-    "dedup_ngram_containment",
-    "pivot_status_by_priority",
-    "pivot_statement_status",
-    "text_tfidf_top_terms",
-    "text_bm25_search",
-    "dedup_normalized",
-    "corpus_stats_card",
-    "emb_outlier_zscore",
-    "dedup_funnel",
-    "corpus_version_diff",
-    "corpus_per_source_cap",
-    "text_compression_ratio",
-    "streaming_interval_join",
-    "dialect_gap_battery",
-    "dialect_gap_battery2",
-    "dialect_gap_battery3",
-    "asof_join_sql_form",
-    "qualify_top_orders_per_cust",
-    "lateral_top_order_per_customer",
-    "grouping_sets_revenue",
-    "recursive_cte_monthly_orders",
-    "using_join_nation_region",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "topk_parts_per_brand",
-    "window_analytics_orders",
-    "anti_join_idle_customers",
+# Round-6 verification window (harnesses sample REGISTRY[:50]).
+# Composition: the four entries ADDED this round (batch-7 dialect
+# batteries — window EXCLUDE / null placement / lambda index /
+# hamming-to_base-date_part-map_from_entries-COLUMNS — and the two ASOF
+# extension entries: USING+subquery relations and the NULL-key fix; new
+# entries go in the CURRENT window, round-4 lesson), then the 36 entries
+# whose freshest driver signal is round 2 (core TPC-H q2/q4/q7-q9/
+# q11-q22, set ops, subqueries, joins, VALUES — the staleness watch-item
+# from the r5 verdict), then the ten most SQL-surface-exposed round-3
+# entries (the new ORDER-BY-null-placement pass touches every SQL query,
+# so the SQL-flavored batteries rotate in ahead of the operator-API
+# ones; remaining r3 entries rotate in round 7). Exactly 50 names.
+_ROUND6_WINDOW = (
+    "dialect_gap_battery4",
+    "dialect_gap_battery5",
+    "asof_join_using_subquery",
+    "asof_join_null_keys",
+    "approx_distinct_parts",
+    "correlated_subquery_above_cust_avg",
+    "cross_join_region_status",
+    "cte_top_supplier_revenue",
+    "cube_returnflag_linestatus",
+    "distinct_order_priorities",
+    "filtered_aggregates",
+    "full_outer_nation_presence",
+    "left_join_customer_order_counts",
+    "limit_offset_pagination",
+    "listagg_nations_per_region",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue_ratio",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
+    "q22_idle_rich_customers",
+    "q2_min_balance_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "range_join_size_buckets",
+    "rollup_order_status_priority",
+    "scalar_subquery_above_avg_balance",
+    "semi_join_active_customers",
+    "set_ops_nation_membership",
+    "stats_aggregates_prices",
+    "union_all_price_tiers",
+    "values_inline_table",
+    "array_functions",
+    "datetime_functions",
+    "math_functions",
+    "regex_functions",
+    "string_functions_battery",
+    "explode_unnest_series",
+    "daily_user_activity",
+    "cohort_retention_daily",
+    "funnel_view_click_purchase",
+    "sessionization_30min",
 )
 
 
@@ -84,7 +80,7 @@ def load_all() -> None:
 
     Import order controls registry order, which external harnesses may use
     to window their correctness sampling.  After importing, the registry is
-    reordered so :data:`_ROUND5_WINDOW` occupies the front — see that
+    reordered so :data:`_ROUND6_WINDOW` occupies the front — see that
     constant for the rationale.  Rotate the window each round so every
     entry eventually gets hard-signal verification.
     """
@@ -96,8 +92,8 @@ def load_all() -> None:
     from . import relational  # noqa: F401
     from . import tpch_q  # noqa: F401
 
-    ordered = [n for n in _ROUND5_WINDOW if n in REGISTRY]
-    ordered += [n for n in REGISTRY if n not in _ROUND5_WINDOW]
+    ordered = [n for n in _ROUND6_WINDOW if n in REGISTRY]
+    ordered += [n for n in REGISTRY if n not in _ROUND6_WINDOW]
     snapshot = dict(REGISTRY)
     REGISTRY.clear()
     for _name in ordered:

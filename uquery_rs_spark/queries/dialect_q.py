@@ -858,6 +858,115 @@ def asof_join_sql_form(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "dialect_gap_battery4",
+    tags=("dialect", "battery", "window"),
+    oracle="""
+SELECT o_orderkey,
+       round(sum(p) OVER (PARTITION BY cust ORDER BY o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW), 2) AS peer_sum,
+       round(avg(p) OVER (PARTITION BY cust ORDER BY o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW), 4) AS peer_avg,
+       count(p) OVER (PARTITION BY cust ORDER BY o_orderkey
+         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS peer_cnt,
+       count(*) OVER (PARTITION BY cust ORDER BY o_orderkey
+         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS peer_rows,
+       round(sum(p) OVER (PARTITION BY cust ORDER BY o_orderkey
+         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE NO OTHERS), 2) AS incl_sum,
+       round(first_value(p) OVER (PARTITION BY cust ORDER BY p, o_orderkey), 2) AS first_p,
+       CAST(sum(o_orderkey) OVER (w ORDER BY o_orderkey) AS BIGINT) AS named_ext
+FROM (SELECT o_orderkey, o_custkey % 10 AS cust,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS p
+      FROM orders WHERE o_orderkey <= 2000)
+WINDOW w AS (PARTITION BY cust)
+ORDER BY o_orderkey
+""",
+)
+def dialect_gap_battery4(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep batch 7, window corners (r5 verdict item #1): frame
+    EXCLUDE CURRENT ROW for sum/avg/count/count(*) (→ frame aggregate
+    minus the current row's contribution, NULL on an empty exclusion
+    frame), EXCLUDE NO OTHERS (→ stripped, the default), the
+    named-window EXTENSION form ``OVER (w ORDER BY …)`` (→ spec
+    inlined; Spark rejects it natively), and — the silent-wrong-answer
+    find of this batch — ORDER BY null placement: Spark's ASC default
+    is NULLS FIRST, DuckDB's is NULLS LAST, so every ASC key gets an
+    explicit NULLS LAST (first_p pins it via the NULL-bearing p
+    column). IDENTICAL SQL verbatim on DuckDB."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT o_orderkey, "
+        "round(sum(p) OVER (PARTITION BY cust ORDER BY o_orderkey "
+        "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW), 2) AS peer_sum, "
+        "round(avg(p) OVER (PARTITION BY cust ORDER BY o_orderkey "
+        "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW), 4) AS peer_avg, "
+        "count(p) OVER (PARTITION BY cust ORDER BY o_orderkey "
+        "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS peer_cnt, "
+        "count(*) OVER (PARTITION BY cust ORDER BY o_orderkey "
+        "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS peer_rows, "
+        "round(sum(p) OVER (PARTITION BY cust ORDER BY o_orderkey "
+        "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE NO OTHERS), 2) AS incl_sum, "
+        "round(first_value(p) OVER (PARTITION BY cust ORDER BY p, o_orderkey), 2) AS first_p, "
+        "CAST(sum(o_orderkey) OVER (w ORDER BY o_orderkey) AS BIGINT) AS named_ext "
+        "FROM (SELECT o_orderkey, o_custkey % 10 AS cust, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS p "
+        "FROM orders WHERE o_orderkey <= 2000) "
+        "WINDOW w AS (PARTITION BY cust) "
+        "ORDER BY o_orderkey",
+    )
+
+
+@register(
+    "dialect_gap_battery5",
+    tags=("dialect", "battery"),
+    oracle="""
+SELECT doc_id,
+       array_to_string(list_transform(string_split(text, ' ')[1:4],
+         (w, i) -> concat(CAST(i AS VARCHAR), ':', substr(w, 1, 3))), '|') AS idx_words,
+       array_to_string(list_filter(string_split(text, ' ')[1:6],
+         (w, i) -> i % 2 = 1), '|') AS odd_words,
+       hamming(substr(md5(text), 1, 8), substr(md5(lang), 1, 8)) AS ham,
+       to_base(doc_id, 16) AS hexid,
+       to_base(doc_id, 2, 12) AS binid,
+       date_part(['year','month','day'], CAST('2024-01-01' AS DATE) + INTERVAL 1 DAY * (doc_id % 400)).month AS mth,
+       array_to_string(map_values(map_from_entries([('id', doc_id % 10), ('len', n_chars % 10)])), ',') AS mvals,
+       min(COLUMNS(c -> c LIKE 'n_%'))
+FROM documents
+WHERE doc_id <= 300
+GROUP BY ALL
+ORDER BY doc_id
+""",
+)
+def dialect_gap_battery5(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep batch 7, function corners: list lambdas WITH index args
+    (DuckDB's i is 1-based, Spark's 0-based — substituted (i+1)),
+    hamming/mismatches (→ character zip_with; unequal lengths
+    raise_error like DuckDB), to_base (→ conv, zero-padded 3-arg form,
+    negative input raises), list-typed date_part (→ named_struct of
+    scalar parts), map_from_entries with bare tuple literals (→
+    struct(...) entries), and COLUMNS(c -> c LIKE …) lambda predicates
+    (→ anchored-regex form of the existing COLUMNS machinery; DuckDB
+    names fn(COLUMNS) outputs by the bare column name — matched).
+    IDENTICAL SQL verbatim on DuckDB."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT doc_id, "
+        "array_to_string(list_transform(string_split(text, ' ')[1:4], "
+        "(w, i) -> concat(CAST(i AS VARCHAR), ':', substr(w, 1, 3))), '|') AS idx_words, "
+        "array_to_string(list_filter(string_split(text, ' ')[1:6], "
+        "(w, i) -> i % 2 = 1), '|') AS odd_words, "
+        "hamming(substr(md5(text), 1, 8), substr(md5(lang), 1, 8)) AS ham, "
+        "to_base(doc_id, 16) AS hexid, "
+        "to_base(doc_id, 2, 12) AS binid, "
+        "date_part(['year','month','day'], CAST('2024-01-01' AS DATE) + INTERVAL 1 DAY * (doc_id % 400)).month AS mth, "
+        "array_to_string(map_values(map_from_entries([('id', doc_id % 10), ('len', n_chars % 10)])), ',') AS mvals, "
+        "min(COLUMNS(c -> c LIKE 'n_%')) "
+        "FROM documents WHERE doc_id <= 300 GROUP BY ALL ORDER BY doc_id",
+    )
+
+
+@register(
     "asof_join_using_subquery",
     tags=("dialect", "asof", "join"),
     oracle="""

@@ -1363,6 +1363,192 @@ class SqlRewriter:
         repl = f"forall(({b}), uq_he -> array_contains(({a}), uq_he))"
         return sql[: m.start()] + repl + tail
 
+    # -- sweep batch 7: explicit raises for untranslatable idioms ---------
+
+    _UNSUPPORTED_FN_RE = re.compile(
+        r"(?i)\b(struct_insert|mad|jaro_similarity|jaro_winkler_similarity|"
+        r"damerau_levenshtein|strip_accents|nfc_normalize|md5_number|"
+        r"md5_number_lower|md5_number_upper)\s*\("
+    )
+    _LIMIT_PCT_RE = re.compile(r"(?i)\blimit\s+\d+(?:\.\d+)?\s*%")
+    _BIT_ENUM_RE = re.compile(
+        r"(?i)(::\s*bit(?:string)?\b|\bas\s+bit(?:string)?\s*[),]|\benum\s*\()"
+    )
+
+    def _raise_unsupported(self, sql: str) -> str:
+        """Batch-7 sweep: idioms DuckDB admits that have no faithful
+        Spark translation RAISE here instead of reaching Catalyst as a
+        garbled expression (the sweep's translate-or-raise rule).
+        struct_insert needs struct-type introspection, mad() nests two
+        medians (not one aggregate), jaro*/damerau/strip_accents/
+        nfc_normalize have no Spark builtin, md5_number* return HUGEINT
+        halves with DuckDB's byte order, LIMIT n% needs a total count,
+        BITSTRING/ENUM are DuckDB-only types."""
+        m = self._search_code(self._UNSUPPORTED_FN_RE, sql)
+        if m:
+            raise UQueryError.sql_error(
+                f"{m.group(1)}() has no Spark equivalent (unsupported)"
+            )
+        m = self._search_code(self._LIMIT_PCT_RE, sql)
+        if m:
+            raise UQueryError.sql_error(
+                "LIMIT n% is not supported (needs a pre-count; use LIMIT n)"
+            )
+        m = self._search_code(self._BIT_ENUM_RE, sql)
+        if m:
+            raise UQueryError.sql_error(
+                "BITSTRING/ENUM types are not supported"
+            )
+        return sql
+
+    # -- sweep batch 7: hamming / to_base -----------------------------------
+
+    _HAMMING_RE = re.compile(r"(?i)\b(?:hamming|mismatches)\s*\(")
+    _TO_BASE_RE = re.compile(r"(?i)\bto_base\s*\(")
+
+    def _rewrite_hamming_to_base(self, sql: str) -> str:
+        """hamming(a, b) (alias mismatches) → character-wise zip_with
+        compare; unequal lengths raise at RUNTIME via raise_error — the
+        same failure DuckDB produces. to_base(n, b[, min_len]) →
+        conv(n, 10, b) zero-padded; negative n raises like DuckDB
+        (conv would silently wrap to unsigned)."""
+        while True:
+            hit = self._call_args(self._HAMMING_RE, sql)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) != 2:
+                raise UQueryError.sql_error("hamming expects exactly 2 args")
+            a, b = args
+            repl = (
+                f"(CASE WHEN length(({a})) <> length(({b})) "
+                f"THEN raise_error('hamming: strings must be of equal length') "
+                f"ELSE size(filter(zip_with(split(({a}), ''), split(({b}), ''), "
+                f"(uq_hx, uq_hy) -> uq_hx <> uq_hy), uq_hb -> uq_hb)) END)"
+            )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+        while True:
+            hit = self._call_args(self._TO_BASE_RE, sql)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) not in (2, 3):
+                raise UQueryError.sql_error("to_base expects (number, radix[, min_length])")
+            a, b = args[0], args[1]
+            core = f"conv(({a}), 10, ({b}))"
+            if len(args) == 3:
+                core = f"lpad({core}, GREATEST(length({core}), ({args[2]})), '0')"
+            repl = (
+                f"(CASE WHEN ({a}) < 0 "
+                f"THEN raise_error('to_base: number must be >= 0') "
+                f"ELSE {core} END)"
+            )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+        return sql
+
+    # -- sweep batch 7: list-typed date_part, map_from_entries tuples ------
+
+    _DATE_PART_LIST_RE = re.compile(r"(?i)\bdate_?part\s*\((?=\s*\[)")
+    # 1:1-safe parts only (dow/isodow/week etc. have engine-specific
+    # numbering handled by the scalar ISO rewrites; the list form keeps
+    # to the unambiguous calendar fields)
+    _DATE_PART_OK = {"year", "month", "day", "hour", "minute", "second", "quarter"}
+
+    def _rewrite_date_part_list(self, sql: str) -> str:
+        """DuckDB ``date_part(['year','month'], e)`` returns a STRUCT of
+        the named parts → named_struct over Spark's scalar date_part.
+        Runs before the bracket pass (the list must still be [...])."""
+        hit = self._call_args(self._DATE_PART_LIST_RE, sql)
+        if not hit:
+            return sql
+        m, close, args = hit
+        tail = self._rewrite_date_part_list(sql[close + 1 :])
+        if len(args) != 2:
+            raise UQueryError.sql_error("date_part([...], expr) expects 2 args")
+        lst = args[0].strip()
+        if not (lst.startswith("[") and lst.endswith("]")):
+            raise UQueryError.sql_error("date_part: part list must be a [...] literal")
+        parts = []
+        for p in self._split_top(lst[1:-1], ","):
+            name = self._lit_parse(p.strip())
+            if name is None or name.lower() not in self._DATE_PART_OK:
+                raise UQueryError.sql_error(
+                    f"date_part list: unsupported part {p.strip()[:20]!r} "
+                    f"(supported: {sorted(self._DATE_PART_OK)})"
+                )
+            parts.append(name)
+        e = args[1]
+        fields = ", ".join(
+            f"'{p}', date_part('{p.upper()}', ({e}))" for p in parts
+        )
+        return sql[: m.start()] + f"named_struct({fields})" + tail
+
+    _MAP_ENTRIES_RE = re.compile(r"(?i)\bmap_from_entries\s*\(")
+
+    def _rewrite_map_entries_tuples(self, sql: str) -> str:
+        """DuckDB admits bare tuple literals in map_from_entries
+        (``[('a', 1), …]``) — each top-level parenthesised tuple becomes
+        struct(...). Runs before the bracket pass; struct-literal
+        entries ({'k':…}) are handled by the struct-literal pass."""
+        hit = self._call_args(self._MAP_ENTRIES_RE, sql)
+        if not hit:
+            return sql
+        m, close, args = hit
+        tail = self._rewrite_map_entries_tuples(sql[close + 1 :])
+        if len(args) == 1:
+            lst = args[0].strip()
+            if lst.startswith("[") and lst.endswith("]"):
+                out = []
+                for el in self._split_top(lst[1:-1], ","):
+                    el = el.strip()
+                    if (
+                        el.startswith("(")
+                        and el.endswith(")")
+                        and len(self._split_top(el[1:-1], ",")) > 1
+                    ):
+                        out.append(f"struct({el[1:-1]})")
+                    else:
+                        out.append(el)
+                args = ["[" + ", ".join(out) + "]"]
+        inner = ", ".join(args)
+        return sql[: m.start()] + f"map_from_entries({inner})" + tail
+
+    # -- sweep batch 7: lambda index args (DuckDB 1-based → Spark 0-based) --
+
+    _LAMBDA_FN_RE = re.compile(r"(?i)\b(transform|filter)\s*\(")
+    _LAMBDA2_RE = re.compile(
+        r"^\s*\(\s*(?P<x>\w+)\s*,\s*(?P<i>\w+)\s*\)\s*->(?P<body>.*)$", re.S
+    )
+
+    def _rewrite_lambda_index(self, sql: str) -> str:
+        """DuckDB list lambdas with an index arg — ``(x, i) -> …`` — are
+        1-BASED; Spark's transform/filter two-arg lambdas are 0-based.
+        The index variable is substituted with (i + 1) in the body.
+        Runs right after the function renames (list_transform/list_filter
+        are already transform/filter) and before any pass that emits its
+        own — always single-arg — lambdas."""
+        pos = 0
+        while True:
+            hit = self._call_args(self._LAMBDA_FN_RE, sql, pos)
+            if not hit:
+                break
+            m, close, args = hit
+            # recurse into the args FIRST so nested transform/filter
+            # calls are shifted exactly once, then skip the whole span
+            args = [self._rewrite_lambda_index(a) for a in args]
+            if len(args) == 2:
+                lm = self._LAMBDA2_RE.match(args[1])
+                if lm:
+                    idx = lm.group("i")
+                    body = re.sub(
+                        rf"\b{re.escape(idx)}\b", f"({idx} + 1)", lm.group("body")
+                    )
+                    args[1] = f"({lm.group('x')}, {idx}) -> {body}"
+            repl = f"{m.group(1)}({', '.join(a.strip() for a in args)})"
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
+        return sql
+
     def _rewrite_list_nulls(self, sql: str) -> str:
         """NULL-input semantics fixes (ADVICE r5, verified vs DuckDB
         1.0.0): ``list_concat(a, b)`` treats a NULL input as empty —
@@ -1405,6 +1591,211 @@ class SqlRewriter:
                 repl = tmpl.format(a=args[0], b=args[1])
                 sql = sql[: m.start()] + repl + sql[close + 1 :]
         return sql
+
+    # -- sweep batch 7: ORDER BY null placement, named-window extension,
+    # window-frame EXCLUDE ------------------------------------------------
+
+    _ORDER_BY_RE = re.compile(r"(?i)\border\s+by\b")
+    _ORDER_STOP = {"rows", "range", "groups", "exclude", "limit", "offset",
+                   "union", "intersect", "except", "window", "fetch",
+                   "qualify", "having"}
+    _KEY_TAIL_SKIP_RE = re.compile(r"(?i)(\bnulls\s+(first|last)|\bdesc)\s*$")
+
+    def _rewrite_order_nulls(self, sql: str) -> str:
+        """DuckDB's default null placement is NULLS LAST for BOTH sort
+        directions; Spark's ASC default is NULLS FIRST — a silent
+        result-changing divergence for window functions over nullable
+        keys (first_value over ORDER BY x: DuckDB returns the smallest
+        non-NULL x's row, Spark the NULL row — verified both engines)
+        and for ORDER BY + LIMIT. Every ASC key without an explicit
+        NULLS clause gets NULLS LAST appended, in every ORDER BY
+        context (SELECT, OVER, WINDOW defs, WITHIN GROUP — all accept
+        it, probed). DESC needs nothing (both default NULLS LAST).
+        ``ORDER BY ALL`` is left untouched (Spark's ALL cannot take a
+        NULLS clause)."""
+        pos = 0
+        while True:
+            m = self._search_code(self._ORDER_BY_RE, sql, pos)
+            if not m:
+                return sql
+            i, n, depth, end = m.end(), len(sql), 0, len(sql)
+            bounds = []
+            key_start = i
+            while i < n:
+                c = sql[i]
+                if c == "'":
+                    j = sql.find("'", i + 1)
+                    i = n if j == -1 else j
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    if depth == 0:
+                        end = i
+                        break
+                    depth -= 1
+                elif c == "," and depth == 0:
+                    bounds.append((key_start, i))
+                    key_start = i + 1
+                elif depth == 0 and (c.isalpha() or c == "_"):
+                    j = i
+                    while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                        j += 1
+                    if sql[i:j].lower() in self._ORDER_STOP:
+                        end = i
+                        break
+                    i = j - 1
+                i += 1
+            bounds.append((key_start, min(end, n)))
+            segs = []
+            for s0, s1 in bounds:
+                seg = sql[s0:s1]
+                st = seg.strip()
+                if not st or st.lower() == "all" or self._KEY_TAIL_SKIP_RE.search(seg):
+                    segs.append(seg)
+                else:
+                    cut = len(seg.rstrip())
+                    segs.append(seg[:cut] + " NULLS LAST" + seg[cut:])
+            new = sql[m.start() : m.end()] + ",".join(segs)
+            sql = sql[: m.start()] + new + sql[end:]
+            pos = m.start() + len(new)
+
+    _WINDOW_DEF_RE = re.compile(r"(?i)\bwindow\s+(\w+)\s+as\s*\(")
+    _WINDOW_DEF_MORE_RE = re.compile(r"(?i)^\s*,\s*(\w+)\s+as\s*\(")
+    _OVER_NAMED_RE = re.compile(r"(?i)\bover\s*\(\s*(\w+)\b")
+
+    def _rewrite_named_window_ext(self, sql: str) -> str:
+        """DuckDB's named-window EXTENSION syntax ``OVER (w ORDER BY x)``
+        — a named window plus extra clauses — is rejected by Spark
+        (bare ``OVER w`` is fine). The named spec is inlined textually;
+        the WINDOW clause itself stays (Spark supports it)."""
+        defs: dict[str, str] = {}
+        m = self._search_code(self._WINDOW_DEF_RE, sql)
+        if m:
+            name, open_i = m.group(1), sql.index("(", m.end() - 1)
+            while True:
+                close = self._find_close(sql, open_i)
+                if close == -1:
+                    break
+                defs[name.lower()] = sql[open_i + 1 : close]
+                more = self._WINDOW_DEF_MORE_RE.match(sql[close + 1 :])
+                if not more:
+                    break
+                name, open_i = more.group(1), close + more.end()
+        if not defs:
+            return sql
+        pos = 0
+        while True:
+            m = self._search_code(self._OVER_NAMED_RE, sql, pos)
+            if not m:
+                return sql
+            name = m.group(1).lower()
+            if name not in defs:
+                pos = m.end()
+                continue
+            # inline: OVER (w <rest>) → OVER (<spec> <rest>)
+            word_start = m.start(1)
+            repl = defs[name]
+            sql = sql[:word_start] + repl + sql[m.end(1) :]
+            pos = word_start + len(repl)
+
+    _FRAME_EXCLUDE_RE = re.compile(
+        r"(?i)\bexclude\s+(current\s+row|group|ties|no\s+others)\b"
+    )
+    # frames that do NOT contain the current row — the subtraction
+    # translation would be wrong there
+    _FRAME_NO_CURRENT_RE = re.compile(
+        r"(?i)\band\s+\d+\s+preceding|\bbetween\s+\d+\s+following"
+    )
+
+    def _rewrite_window_exclude(self, sql: str) -> str:
+        """Window-frame EXCLUDE (DuckDB/SQL:2011; Spark has none):
+        ``EXCLUDE NO OTHERS`` is the default — stripped. ``EXCLUDE
+        CURRENT ROW`` for sum/count/avg becomes frame-aggregate MINUS
+        the current row's contribution (count guard reproduces DuckDB's
+        NULL on an empty exclusion frame — verified). GROUP/TIES and
+        non-invertible aggregates raise (translate-or-raise)."""
+        while True:
+            m = self._search_code(self._FRAME_EXCLUDE_RE, sql)
+            if not m:
+                return sql
+            mode = re.sub(r"\s+", " ", m.group(1).lower())
+            if mode == "no others":
+                sql = sql[: m.start()].rstrip() + sql[m.end() :]
+                continue
+            if mode in ("group", "ties"):
+                raise UQueryError.sql_error(
+                    f"EXCLUDE {mode.upper()} is not supported "
+                    "(only CURRENT ROW / NO OTHERS)"
+                )
+            # CURRENT ROW: locate enclosing OVER ( … ) and preceding agg
+            depth, i = 0, m.start() - 1
+            open_idx = -1
+            while i >= 0:
+                c = sql[i]
+                if c == ")":
+                    depth += 1
+                elif c == "(":
+                    if depth == 0:
+                        open_idx = i
+                        break
+                    depth -= 1
+                i -= 1
+            pre = sql[:open_idx].rstrip() if open_idx > 0 else ""
+            if open_idx < 0 or not pre.lower().endswith("over"):
+                raise UQueryError.sql_error(
+                    "EXCLUDE CURRENT ROW: only inline OVER (...) frames are "
+                    "supported (not WINDOW definitions)"
+                )
+            over_close = self._find_close(sql, open_idx)
+            if over_close == -1:
+                raise UQueryError.sql_error("EXCLUDE: unbalanced OVER frame")
+            spec = (
+                sql[open_idx + 1 : m.start()] + sql[m.end() : over_close]
+            ).strip()
+            if self._FRAME_NO_CURRENT_RE.search(spec):
+                raise UQueryError.sql_error(
+                    "EXCLUDE CURRENT ROW: frame does not contain the current row"
+                )
+            # the aggregate call directly before OVER
+            agg_end = len(pre) - len("over")
+            agg_text = pre[:agg_end].rstrip()
+            if not agg_text.endswith(")"):
+                raise UQueryError.sql_error("EXCLUDE: expected agg(...) OVER")
+            aopen = self._asof_scan_balanced_back(agg_text, len(agg_text))
+            fname_m = re.search(r"(\w+)\s*$", agg_text[:aopen])
+            if not fname_m:
+                raise UQueryError.sql_error("EXCLUDE: expected agg(...) OVER")
+            fname = fname_m.group(1).lower()
+            arg = agg_text[aopen + 1 : -1].strip()
+            agg_start = fname_m.start(1)
+            if re.match(r"(?i)^\s*distinct\b", arg):
+                raise UQueryError.sql_error(
+                    "EXCLUDE CURRENT ROW with DISTINCT is not supported"
+                )
+            if fname == "count" and arg == "*":
+                repl = f"(count(*) OVER ({spec}) - 1)"
+            elif fname in ("count", "sum", "avg"):
+                nn = f"(CASE WHEN ({arg}) IS NULL THEN 0 ELSE 1 END)"
+                cnt = f"(count({arg}) OVER ({spec}) - {nn})"
+                if fname == "count":
+                    repl = cnt
+                elif fname == "sum":
+                    repl = (
+                        f"(CASE WHEN {cnt} = 0 THEN NULL "
+                        f"ELSE sum({arg}) OVER ({spec}) - coalesce(({arg}), 0) END)"
+                    )
+                else:
+                    repl = (
+                        f"(CASE WHEN {cnt} = 0 THEN NULL "
+                        f"ELSE (sum({arg}) OVER ({spec}) - coalesce(({arg}), 0)) "
+                        f"/ {cnt} END)"
+                    )
+            else:
+                raise UQueryError.sql_error(
+                    f"EXCLUDE CURRENT ROW: unsupported aggregate '{fname}' "
+                    "(only sum/count/avg are invertible)"
+                )
+            sql = sql[:agg_start] + repl + sql[over_close + 1 :]
 
     def _rewrite_divide_xor(self, sql: str) -> str:
         """divide(a, b) → integer `div` (DuckDB's divide IS // — its `/`
@@ -2307,8 +2698,31 @@ class SqlRewriter:
     _COLUMNS_RE = re.compile(
         r"(?i)(?:(?P<fn>\w+)\s*\(\s*)?\bcolumns\s*\(\s*'(?P<pat>[^']+)'\s*\)(?(fn)\s*\))"
     )
+    _COLUMNS_STAR_RE = re.compile(r"(?i)\bcolumns\s*\(\s*\*\s*\)")
+    _COLUMNS_LAMBDA_RE = re.compile(
+        r"(?i)\bcolumns\s*\(\s*(\w+)\s*->\s*\1\s+(?P<neg>not\s+)?like\s+"
+        r"'(?P<pat>[^']*)'\s*\)"
+    )
+
+    @staticmethod
+    def _columns_lambda_to_regex(m: "re.Match[str]") -> str:
+        """``COLUMNS(c -> c [NOT] LIKE 'pat')`` → the quoted-regex form:
+        LIKE is a FULL match (anchored), % → .*, _ → . — NOT LIKE becomes
+        a negative lookahead that still consumes the name (sweep batch 7;
+        DuckDB-verified on min(COLUMNS(c -> c LIKE 'x%')))."""
+        rx = "".join(
+            ".*" if ch == "%" else "." if ch == "_" else re.escape(ch)
+            for ch in m.group("pat")
+        )
+        full = f"^(?!{rx}$).*$" if m.group("neg") else f"^{rx}$"
+        return f"COLUMNS('{full}')"
 
     def _rewrite_columns_expr(self, sql: str) -> str:
+        sql = self._COLUMNS_STAR_RE.sub("COLUMNS('.*')", sql)
+        sql = self._COLUMNS_LAMBDA_RE.sub(self._columns_lambda_to_regex, sql)
+        return self._rewrite_columns_expr_impl(sql)
+
+    def _rewrite_columns_expr_impl(self, sql: str) -> str:
         """DuckDB ``COLUMNS('regex')`` → the matching columns, expanded
         from a LIMIT-0 probe of the query with the expression replaced by
         ``*``. A wrapping aggregate ``fn(COLUMNS('re'))`` applies fn per
@@ -2324,8 +2738,10 @@ class SqlRewriter:
         )
         if cut is not None:
             probe = probe[:cut]
+        # the probe must analyze NOW — resolve len() and DuckDB type
+        # names (CAST … AS VARCHAR) that the main pipeline maps later
         schema = self.spark.sql(
-            f"SELECT * FROM ({self._rewrite_len(probe)}) uq_cols LIMIT 0"
+            f"SELECT * FROM ({self._rewrite_len(self._rewrite_cast(probe))}) uq_cols LIMIT 0"
         ).schema
         names = list(dict.fromkeys(schema.fieldNames()))
 
@@ -2369,7 +2785,7 @@ class SqlRewriter:
         # len() resolves last in the main pipeline, but this probe must
         # analyze NOW — resolve len() in the probe text only
         schema = self.spark.sql(
-            f"SELECT * FROM ({self._rewrite_len(probe)}) uq_probe LIMIT 0"
+            f"SELECT * FROM ({self._rewrite_len(self._rewrite_cast(probe))}) uq_probe LIMIT 0"
         ).schema
         cols = [
             f"({repl[f.name.lower()]}) AS {f.name}" if f.name.lower() in repl else f"`{f.name}`"
@@ -2797,6 +3213,7 @@ class SqlRewriter:
         # literal escape space first: user literals are DuckDB (escape-
         # free); every pass below emits literals in Spark escape space
         sql = self._normalize_literals(sql)
+        sql = self._raise_unsupported(sql)
         sql = self._rewrite_json_arrows(sql)
         # MAP {} before brackets: a subscript on a map literal must see a
         # ')'-terminated operand to read as postfix.
@@ -2804,8 +3221,13 @@ class SqlRewriter:
         # bare struct literals AFTER map literals: `MAP {…}` must be
         # consumed first or the lookbehind would read it as a struct.
         sql = self._rewrite_struct_literal(sql)
+        # list-typed date_part and tuple entries need the [...] / (…,…)
+        # source text — before the bracket pass consumes it
+        sql = self._rewrite_date_part_list(sql)
+        sql = self._rewrite_map_entries_tuples(sql)
         sql = self._rewrite_bracket_syntax(sql)
         sql = self._rewrite_function_names(sql)
+        sql = self._rewrite_lambda_index(sql)
         sql = self._rewrite_list_aggregate(sql)
         sql = self._rewrite_list_reduce(sql)
         sql = self._rewrite_list_slice(sql)
@@ -2830,6 +3252,7 @@ class SqlRewriter:
         sql = self._rewrite_struct_extract(sql)
         sql = self._rewrite_list_has_all(sql)
         sql = self._rewrite_list_nulls(sql)
+        sql = self._rewrite_hamming_to_base(sql)
         sql = self._rewrite_divide_xor(sql)
         sql = self._rewrite_regexp_replace(sql)
         sql = self._rewrite_regexp_extract(sql)
@@ -2839,6 +3262,13 @@ class SqlRewriter:
         sql = self._rewrite_struct_pack(sql)
         sql = self._rewrite_generate_series(sql)
         sql = self._rewrite_string_agg_order(sql)
+        # window passes after every ORDER-BY-generating expression pass:
+        # named specs inline first, then null placement (the inlined text
+        # gets NULLS LAST too), then frame EXCLUDE (its spec copies carry
+        # the fixed null placement)
+        sql = self._rewrite_named_window_ext(sql)
+        sql = self._rewrite_order_nulls(sql)
+        sql = self._rewrite_window_exclude(sql)
         sql = self._rewrite_strftime(sql)
         sql = self._rewrite_int_div(sql)
         sql = self._rewrite_exclude(sql)
