@@ -304,3 +304,39 @@ def test_explain_statement(base_url):
     status, _, body = post(base_url, "EXPLAIN SELECT 1 AS n", "text/plain")
     assert status == 200
     assert "Physical Plan" in json.loads(body)[0]["plan"]
+
+
+# -- executor-side JSON serialization parity (engine fast path) -------------
+
+
+def test_json_fast_path_byte_parity(spark):
+    """engine.execute() serializes JSON rows executor-side (mapInArrow);
+    the bytes must be IDENTICAL to feeding the same Arrow batches through
+    the writer on the driver — across doubles, dates, timestamps, NULLs,
+    unicode and quotes."""
+    import io as _io
+
+    from uquery_rs_spark.engine import Engine, _arrow_schema, _stream_arrow_batches
+    from uquery_rs_spark.writers.consumers import JsonArrayWriter, JsonLinesWriter
+
+    eng = Engine(spark, pool_size=2)
+    sql = (
+        "SELECT id, CAST(id AS DOUBLE)/7 AS frac, "
+        "concat('n\"é', CAST(id AS STRING)) AS s, id % 2 = 0 AS b, "
+        "DATE '2024-01-01' + CAST(id % 300 AS INT) AS d, "
+        "TIMESTAMP_NTZ '2024-01-01 10:00:00' + make_interval(0,0,0,0,0,0,id % 86400) AS ts, "
+        "IF(id % 10 = 0, NULL, id) AS nullable "
+        "FROM range(5000) DISTRIBUTE BY id % 4"
+    )
+    for writer_cls in (JsonLinesWriter, JsonArrayWriter):
+        fast_sink = _io.BytesIO()
+        eng.prepare(sql).execute(writer_cls(fast_sink))
+        df = spark.sql(sql)
+        schema = _arrow_schema(df)
+        slow_sink = _io.BytesIO()
+        w = writer_cls(slow_sink)
+        w.on_schema(schema)
+        for b in _stream_arrow_batches(df, schema, 1024):
+            w.on_batch(b)
+        w.finish()
+        assert fast_sink.getvalue() == slow_sink.getvalue()

@@ -139,10 +139,22 @@ class PreparedQuery:
             except Exception as e:  # AnalysisException etc.
                 raise UQueryError.sql_error(_first_line(e)) from e
             consumer.on_schema(schema)
+            # serialized fast path: a consumer that can accept pre-encoded
+            # row bytes (the JSON writers) supplies a mapInArrow factory —
+            # the Arrow→Python conversion + serialization then runs in the
+            # EXECUTORS, parallel across partitions, instead of single-
+            # threaded on the driver. Byte output is identical.
+            ser_factory = getattr(consumer, "batch_bytes_serializer", None)
+            ser_fn = ser_factory(schema) if ser_factory is not None else None
             sc.setJobGroup(self.job_group, f"uquery {self.job_group}", interruptOnCancel=True)
             try:
-                for batch in _stream_arrow_batches(df, schema, batch_rows):
-                    consumer.on_batch(batch)
+                if ser_fn is not None:
+                    ser = df.mapInArrow(ser_fn, "payload binary")
+                    for row in ser.toLocalIterator(prefetchPartitions=True):
+                        consumer.on_batch_bytes(row.payload)
+                else:
+                    for batch in _stream_arrow_batches(df, schema, batch_rows):
+                        consumer.on_batch(batch)
             except UQueryError:
                 raise
             except Exception as e:

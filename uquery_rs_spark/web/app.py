@@ -80,6 +80,17 @@ class _FirstBatchNotifier(RecordBatchConsumer):
         self._streaming = True
         self.ready.set()
 
+    def batch_bytes_serializer(self, schema: pa.Schema):
+        """Forward the engine's serialized fast path to the wrapped writer
+        (None → engine falls back to the Arrow-batch path)."""
+        f = getattr(self.inner, "batch_bytes_serializer", None)
+        return f(schema) if f is not None else None
+
+    def on_batch_bytes(self, payload: bytes) -> None:
+        self.inner.on_batch_bytes(payload)
+        self._streaming = True
+        self.ready.set()
+
     def finish(self) -> None:
         self.inner.finish()
         self.ready.set()

@@ -41,6 +41,30 @@ def _rows(batch: pa.RecordBatch) -> list[dict]:
     return batch.to_pylist()
 
 
+def _json_payload_fn(schema: pa.Schema, sep: bytes):
+    """mapInArrow factory: serialize each executor-side Arrow batch to
+    `sep`-joined orjson rows as ONE binary cell. The JSON bytes are
+    IDENTICAL to the driver-side writers (same _dump_row), but the
+    Arrow→Python conversion + serialization — the measured bottleneck,
+    ~12 MB/s single-threaded — runs in the executors, parallel across
+    partitions and free of the driver's GIL. The batch is cast to the
+    ANNOUNCED schema first, like the driver path, so timestamp tz
+    metadata differences can't leak into the text."""
+
+    def fn(iterator):
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            if batch.schema != schema:
+                batch = batch.cast(schema)
+            payload = sep.join(map(_dump_row, batch.to_pylist()))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([payload], type=pa.binary())], names=["payload"]
+            )
+
+    return fn
+
+
 class JsonArrayWriter(RecordBatchConsumer):
     """`[{...},{...}]` — golden shape from reference src/main.rs:154-167
     (ArrayWriter semantics: one array, rows as objects, compact)."""
@@ -56,7 +80,15 @@ class JsonArrayWriter(RecordBatchConsumer):
         rows = _rows(batch)
         if not rows:
             return
-        payload = b",".join(map(_dump_row, rows))
+        self.on_batch_bytes(b",".join(map(_dump_row, rows)))
+
+    def batch_bytes_serializer(self, schema: pa.Schema):
+        """Engine fast path: rows serialized executor-side (same bytes)."""
+        return _json_payload_fn(schema, b",")
+
+    def on_batch_bytes(self, payload: bytes) -> None:
+        if not payload:
+            return
         if not self._first:
             self._sink.write(b",")
         self._first = False
@@ -78,7 +110,15 @@ class JsonLinesWriter(RecordBatchConsumer):
     def on_batch(self, batch: pa.RecordBatch) -> None:
         rows = _rows(batch)
         if rows:
-            self._sink.write(b"\n".join(map(_dump_row, rows)) + b"\n")
+            self.on_batch_bytes(b"\n".join(map(_dump_row, rows)))
+
+    def batch_bytes_serializer(self, schema: pa.Schema):
+        """Engine fast path: rows serialized executor-side (same bytes)."""
+        return _json_payload_fn(schema, b"\n")
+
+    def on_batch_bytes(self, payload: bytes) -> None:
+        if payload:
+            self._sink.write(payload + b"\n")
 
     def finish(self) -> None:
         pass
