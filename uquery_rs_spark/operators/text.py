@@ -600,3 +600,111 @@ def bpe_encode_counts(
     return docs.select("doc_id", text_col).mapInPandas(
         encode, "doc_id long, n_words long, n_bpe_tokens long"
     )
+
+
+# Gopher document-quality rules (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", App. A1.1 — public thresholds). The two
+# line-based rules (bullet-start / ellipsis-end fractions) need
+# multi-line text and are omitted on the single-line corpus; the
+# remaining five are the word-shape core of the filter.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher quality signals + the accept flag.
+
+    All pure JVM expression trees over ONE projected token split (no
+    UDF, no shuffle — evaluates at scan speed; at 100 TB this is a
+    narrow map the optimizer fuses into the scan stage):
+
+    - n_words in [50, 100_000]
+    - mean word length in [3, 10]
+    - symbol-to-word ratio ('#' or '...') <= 0.1
+    - fraction of words containing an alphabetic char >= 0.80
+    - at least 2 of the 8 Gopher stop words present
+    """
+    toks = F.col(TOKS)
+    n_words = F.size(toks)
+    # chars excluding the separators / words — Gopher's mean word length
+    mean_wl = F.length(F.regexp_replace(F.col(text_col), " ", "")) / n_words
+    n_hash = F.size(F.filter(toks, lambda t: t.contains("#")))
+    n_ell = F.size(F.filter(toks, lambda t: t.contains("...")))
+    sym_ratio = (n_hash + n_ell) / n_words
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))) / n_words
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.filter(stop_arr, lambda w: F.array_contains(toks, w)))
+    out = (
+        with_tokens(docs, text_col)
+        .select(
+            "doc_id",
+            n_words.alias("n_words"),
+            F.round(mean_wl, 4).alias("mean_word_len"),
+            F.round(sym_ratio, 4).alias("symbol_ratio"),
+            F.round(alpha_frac, 4).alias("alpha_word_frac"),
+            stop_hits.alias("stop_hits"),
+        )
+    )
+    passed = (
+        F.col("n_words").between(50, 100_000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("stop_hits") >= 2)
+    )
+    return out.withColumn("gopher_pass", passed)
+
+
+def boilerplate_removal(
+    docs: DataFrame,
+    min_docs: int,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Cross-document boilerplate unit removal (the CCNet/RefinedWeb
+    line-dedup step): split each document on ``sep``, count the DISTINCT
+    documents containing each exact unit, drop units appearing in >=
+    ``min_docs`` documents, and reconstruct the text in original order.
+
+    Columns: key, n_units, n_removed, cleaned_text.
+
+    Scale shape: posexplode (fan-out = units/doc), one shuffle on the
+    unit value for the distinct-doc count, a shuffle anti-join back, and
+    one shuffle on the key for ordered reconstruction — the standard
+    boilerplate-removal topology. The unit-frequency side is naturally
+    heavy-tailed; only (unit, count) pairs shuffle, never whole
+    documents, and the final aggregate carries (pos, unit) structs so
+    reconstruction needs no second sort. In production ``sep`` is a
+    newline; tests use the single-line corpus with ``sep=' '`` (word
+    granularity) to exercise the identical machinery.
+    """
+    units = docs.select(
+        key_col, F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "unit")
+    )
+    common = (
+        units.groupBy("unit")
+        .agg(F.countDistinct(key_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("unit")
+    )
+    kept = units.join(common, "unit", "left_anti")
+    n_total = units.groupBy(key_col).agg(F.count("*").alias("n_units"))
+    recon = kept.groupBy(key_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "unit"))),
+                lambda s: s["unit"],
+            ),
+            sep,
+        ).alias("cleaned_text"),
+    )
+    return (
+        n_total.join(recon, key_col, "left")
+        .select(
+            key_col,
+            "n_units",
+            (F.col("n_units") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+    )

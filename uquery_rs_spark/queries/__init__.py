@@ -10,22 +10,26 @@ from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 
 
 # Round-6 verification window (harnesses sample REGISTRY[:50]).
-# Composition: the four entries ADDED this round (batch-7 dialect
+# Composition: the six entries ADDED this round (batch-7 dialect
 # batteries — window EXCLUDE / null placement / lambda index /
-# hamming-to_base-date_part-map_from_entries-COLUMNS — and the two ASOF
-# extension entries: USING+subquery relations and the NULL-key fix; new
-# entries go in the CURRENT window, round-4 lesson), then the 36 entries
-# whose freshest driver signal is round 2 (core TPC-H q2/q4/q7-q9/
-# q11-q22, set ops, subqueries, joins, VALUES — the staleness watch-item
-# from the r5 verdict), then the ten most SQL-surface-exposed round-3
-# entries (the new ORDER-BY-null-placement pass touches every SQL query,
-# so the SQL-flavored batteries rotate in ahead of the operator-API
-# ones; remaining r3 entries rotate in round 7). Exactly 50 names.
+# hamming-to_base-date_part-map_from_entries-COLUMNS; the two ASOF
+# extension entries: USING+subquery relations and the NULL-key fix;
+# Gopher quality rules and boilerplate-line removal — new entries go in
+# the CURRENT window, round-4 lesson), then the 36 entries whose
+# freshest driver signal is round 2 (core TPC-H q2/q4/q7-q9/q11-q22,
+# set ops, subqueries, joins, VALUES — the staleness watch-item from
+# the r5 verdict), then the eight most SQL-surface-exposed round-3
+# entries (the new ORDER-BY-null-placement pass touches every SQL
+# query, so the SQL-flavored batteries rotate in ahead of the
+# operator-API ones; remaining r3 entries rotate in round 7).
+# Exactly 50 names.
 _ROUND6_WINDOW = (
     "dialect_gap_battery4",
     "dialect_gap_battery5",
     "asof_join_using_subquery",
     "asof_join_null_keys",
+    "text_gopher_quality",
+    "text_boilerplate_removal",
     "approx_distinct_parts",
     "correlated_subquery_above_cust_avg",
     "cross_join_region_status",
@@ -70,8 +74,6 @@ _ROUND6_WINDOW = (
     "explode_unnest_series",
     "daily_user_activity",
     "cohort_retention_daily",
-    "funnel_view_click_purchase",
-    "sessionization_30min",
 )
 
 

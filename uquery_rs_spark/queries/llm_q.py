@@ -2339,3 +2339,82 @@ def emb_label_cohesion(spark: SparkSession, sf: str) -> DataFrame:
     the oracle takes the equivalent explode/join path in SQL."""
     emb = load_tables(spark, sf)["embeddings"]
     return S.label_centroid_cohesion(emb).orderBy("label")
+
+
+@register(
+    "text_gopher_quality",
+    tags=("llm", "text", "quality"),
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_words,
+       round(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), 4) AS mean_word_len,
+       round((len(list_filter(string_split(text, ' '), t -> contains(t, '#')))
+            + len(list_filter(string_split(text, ' '), t -> contains(t, '...')))) * 1.0
+            / len(string_split(text, ' ')), 4) AS symbol_ratio,
+       round(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '[a-zA-Z]'))) * 1.0
+            / len(string_split(text, ' ')), 4) AS alpha_word_frac,
+       len(list_filter(['the','be','to','of','and','that','have','with'],
+            w -> list_contains(string_split(text, ' '), w))) AS stop_hits,
+       (len(string_split(text, ' ')) BETWEEN 50 AND 100000)
+        AND (round(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), 4) BETWEEN 3 AND 10)
+        AND (round((len(list_filter(string_split(text, ' '), t -> contains(t, '#')))
+             + len(list_filter(string_split(text, ' '), t -> contains(t, '...')))) * 1.0
+             / len(string_split(text, ' ')), 4) <= 0.1)
+        AND (round(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '[a-zA-Z]'))) * 1.0
+             / len(string_split(text, ' ')), 4) >= 0.8)
+        AND (len(list_filter(['the','be','to','of','and','that','have','with'],
+             w -> list_contains(string_split(text, ' '), w))) >= 2) AS gopher_pass
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021 App. A1.1 —
+    public thresholds): word count, mean word length, symbol-to-word
+    ratio, alphabetic-word fraction, stop-word hits, and the combined
+    accept flag. Pure JVM expression trees over one projected token
+    split (operators/text.py::gopher_quality_stats) — fuses into the
+    scan stage, no shuffle, no UDF; the flag uses the ROUNDED signal
+    columns so both engines compare identical values."""
+    docs = load_tables(spark, sf)["documents"]
+    return TX.gopher_quality_stats(docs).orderBy("doc_id")
+
+
+@register(
+    "text_boilerplate_removal",
+    tags=("llm", "text", "dedup"),
+    oracle="""
+WITH units AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS unit
+  FROM documents),
+common AS (
+  SELECT unit FROM units
+  GROUP BY unit
+  HAVING count(DISTINCT doc_id) >= 0.8 * (SELECT count(*) FROM documents)),
+kept AS (
+  SELECT * FROM units WHERE unit NOT IN (SELECT unit FROM common)),
+tot AS (SELECT doc_id, count(*) AS n_units FROM units GROUP BY doc_id),
+rec AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(unit, ' ' ORDER BY pos) AS cleaned_text
+        FROM kept GROUP BY doc_id)
+SELECT t.doc_id, n_units,
+       n_units - coalesce(n_kept, 0) AS n_removed,
+       coalesce(cleaned_text, '') AS cleaned_text
+FROM tot t LEFT JOIN rec r ON t.doc_id = r.doc_id
+ORDER BY t.doc_id
+""",
+)
+def text_boilerplate_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document boilerplate removal (the CCNet/RefinedWeb
+    line-dedup step): units occurring in >= 80% of documents are
+    dropped and each text reconstructed in original order
+    (operators/text.py::boilerplate_removal — posexplode, distinct-doc
+    count shuffle on the unit, anti-join back, ordered reconstruction
+    via (pos, unit) structs). Production uses newline units; this
+    corpus is single-line so the entry runs at word granularity —
+    identical machinery, and the removed units are exactly the
+    corpus-wide stopword-like tokens."""
+    docs = load_tables(spark, sf)["documents"]
+    min_docs = int(0.8 * docs.count())
+    return TX.boilerplate_removal(docs, min_docs, sep=" ").orderBy("doc_id")
