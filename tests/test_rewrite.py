@@ -833,6 +833,47 @@ def test_gap_hunt_batch7_windows_and_functions(spark, rw):
             rw.rewrite(bad)
 
 
+def test_gap_hunt_batch8_scalar_semantics(spark, rw):
+    """Sweep batch 8: concat NULL-skip + stringify-everything, one-arg
+    log = log10, substring character-window rule, even/fdiv/fmod
+    (floored), isfinite/isinf, list_unique, format_bytes, strpos,
+    array_to_string element cast, current_schema. DuckDB-verified."""
+    cases = {
+        "SELECT concat('a', NULL, 'b') AS v": "ab",
+        "SELECT concat('x', 1, DATE '2024-01-01') AS v": "x12024-01-01",
+        "SELECT concat(concat('a', NULL), 'b') AS v": "ab",
+        "SELECT log(100) AS v": 2.0,
+        "SELECT log(2, 8) AS v": 3.0,
+        "SELECT substring('abcdef', 0, 3) AS v": "ab",
+        "SELECT substring('abcdef', -10, 8) AS v": "abcd",
+        "SELECT substring('abcdef', 2, -1) AS v": "a",
+        "SELECT substring('abcdef', 2, 3) AS v": "bcd",  # native fast path
+        "SELECT substring(NULL, 1, 2) AS v": None,
+        "SELECT even(2.5) AS v": 4.0,
+        "SELECT even(-2.5) AS v": -4.0,
+        "SELECT fdiv(-7, 2) AS v": -4.0,
+        "SELECT fmod(-7.5, 2) AS v": 0.5,
+        "SELECT fmod(7.5, -2) AS v": -0.5,
+        "SELECT isfinite(1.0) AS v": True,
+        "SELECT isinf(CAST('inf' AS DOUBLE)) AS v": True,
+        "SELECT list_unique([1,2,2,NULL]) AS v": 2,
+        "SELECT format_bytes(1536) AS v": "1.5 KiB",
+        "SELECT format_bytes(999) AS v": "999 bytes",
+        "SELECT strpos('hello', 'll') AS v": 3,
+        "SELECT array_to_string([1, NULL, 2], '-') AS v": "1-2",
+        "SELECT current_schema() AS v": "main",
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        assert got == want, f"{sql}: {got!r} != {want!r}"
+    import pytest as _pytest
+    from uquery_rs_spark.errors import UQueryError
+
+    for bad in ["SELECT age(x, y) FROM t", "SELECT gamma(5)", "SELECT make_time(1,2,3)"]:
+        with _pytest.raises(UQueryError):
+            rw.rewrite(bad)
+
+
 def test_list_null_semantics(spark, rw):
     """ADVICE r5: list_concat treats a NULL input as empty (NULL only
     when both are); list_has_any is false — not NULL — when non-NULL

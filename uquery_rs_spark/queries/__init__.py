@@ -26,6 +26,7 @@ from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 _ROUND6_WINDOW = (
     "dialect_gap_battery4",
     "dialect_gap_battery5",
+    "dialect_gap_battery6",
     "asof_join_using_subquery",
     "asof_join_null_keys",
     "text_gopher_quality",
@@ -73,7 +74,6 @@ _ROUND6_WINDOW = (
     "string_functions_battery",
     "explode_unnest_series",
     "daily_user_activity",
-    "cohort_retention_daily",
 )
 
 

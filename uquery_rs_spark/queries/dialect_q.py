@@ -967,6 +967,61 @@ def dialect_gap_battery5(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "dialect_gap_battery6",
+    tags=("dialect", "battery"),
+    oracle="""
+SELECT doc_id,
+       concat(lang, NULL, '-', source, '-', doc_id % 10) AS tagged,
+       round(log(n_chars), 4) AS log10_chars,
+       round(log(2, n_chars), 4) AS log2_chars,
+       substring(text, 0, 12) AS zero_start,
+       substring(text, -8, 12) AS tail_window,
+       even(n_chars / 7.0) AS even_bucket,
+       fmod(doc_id - 250, 7) AS floored_mod,
+       fdiv(doc_id - 250, 7) AS floored_div,
+       list_unique(string_split(text, ' ')) AS uniq_words,
+       format_bytes(n_chars * 1024) AS pretty_size,
+       strpos(text, 'data') AS data_pos,
+       array_to_string(string_split(text, ' ')[1:3], '|') AS head_words,
+       isfinite(n_chars * 1.0) AS finite
+FROM documents
+WHERE doc_id <= 300
+ORDER BY doc_id
+""",
+)
+def dialect_gap_battery6(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep batch 8 — scalar-function semantics, pinned verbatim on
+    both engines: concat skips NULLs and stringifies every argument
+    (→ concat_ws + CAST); one-arg log is LOG10 in DuckDB but ln in
+    Spark (→ log10 — a silent wrong answer for every bare log());
+    substring's character-window rule for 0/negative starts (→ clipped
+    window form; literal positive calls stay native); even (round away
+    to even); fmod/fdiv are FLOORED (divisor-sign) where Spark's % is
+    truncated (→ ((a%b)+b)%b); list_unique (distinct non-NULL count);
+    format_bytes (binary-unit CASE); strpos → instr;
+    array_to_string casts non-VARCHAR elements; isfinite arithmetic."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT doc_id, "
+        "concat(lang, NULL, '-', source, '-', doc_id % 10) AS tagged, "
+        "round(log(n_chars), 4) AS log10_chars, "
+        "round(log(2, n_chars), 4) AS log2_chars, "
+        "substring(text, 0, 12) AS zero_start, "
+        "substring(text, -8, 12) AS tail_window, "
+        "even(n_chars / 7.0) AS even_bucket, "
+        "fmod(doc_id - 250, 7) AS floored_mod, "
+        "fdiv(doc_id - 250, 7) AS floored_div, "
+        "list_unique(string_split(text, ' ')) AS uniq_words, "
+        "format_bytes(n_chars * 1024) AS pretty_size, "
+        "strpos(text, 'data') AS data_pos, "
+        "array_to_string(string_split(text, ' ')[1:3], '|') AS head_words, "
+        "isfinite(n_chars * 1.0) AS finite "
+        "FROM documents WHERE doc_id <= 300 ORDER BY doc_id",
+    )
+
+
+@register(
     "asof_join_using_subquery",
     tags=("dialect", "asof", "join"),
     oracle="""

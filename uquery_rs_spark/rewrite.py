@@ -281,6 +281,7 @@ class SqlRewriter:
         # string_split (literal separator, regex-escaped by _SPLIT_CALL_RE)
         "string_split_regex": "split",
         "str_split_regex": "split",
+        "strpos": "instr",  # both: 1-based position, 0 when absent
         "regexp_split_to_array": "split",
         "from_base64": "unbase64",
         "to_base64": "base64",
@@ -755,7 +756,11 @@ class SqlRewriter:
         if len(args) != 2:
             return sql[: m.start()] + f"array_join({', '.join(args)})" + tail
         l, sep = args
-        call = f"CASE WHEN size({l}) = 0 THEN NULL ELSE array_join({l}, {sep}) END"
+        # cast elements to STRING: DuckDB stringifies non-VARCHAR lists
+        # (array_to_string([1,2], '-') = '1-2'); Spark's array_join
+        # rejects non-string arrays (batch-8 sweep)
+        le = f"transform(({l}), uq_a2s -> CAST(uq_a2s AS STRING))"
+        call = f"CASE WHEN size({l}) = 0 THEN NULL ELSE array_join({le}, {sep}) END"
         return sql[: m.start()] + call + tail
 
     # -- round-5 dialect gap-hunt closures (list_aggregate / list_reduce /
@@ -1368,7 +1373,8 @@ class SqlRewriter:
     _UNSUPPORTED_FN_RE = re.compile(
         r"(?i)\b(struct_insert|mad|jaro_similarity|jaro_winkler_similarity|"
         r"damerau_levenshtein|strip_accents|nfc_normalize|md5_number|"
-        r"md5_number_lower|md5_number_upper)\s*\("
+        r"md5_number_lower|md5_number_upper|age|gamma|lgamma|make_time|"
+        r"txid_current)\s*\("
     )
     _LIMIT_PCT_RE = re.compile(r"(?i)\blimit\s+\d+(?:\.\d+)?\s*%")
     _BIT_ENUM_RE = re.compile(
@@ -1399,6 +1405,174 @@ class SqlRewriter:
             raise UQueryError.sql_error(
                 "BITSTRING/ENUM types are not supported"
             )
+        return sql
+
+    # -- sweep batch 8: scalar-function semantics ---------------------------
+
+    _CONCAT_RE = re.compile(r"(?i)\bconcat\s*\(")
+    _LOG_RE = re.compile(r"(?i)\blog\s*\(")
+    _SUBSTRING_RE = re.compile(r"(?i)\bsubstr(?:ing)?\s*\(")
+    _EVEN_RE = re.compile(r"(?i)\beven\s*\(")
+    _FDIV_RE = re.compile(r"(?i)\bfdiv\s*\(")
+    _FMOD_RE = re.compile(r"(?i)\bfmod\s*\(")
+    _ISFIN_RE = re.compile(r"(?i)\bis(finite|inf)\s*\(")
+    _LIST_UNIQUE_RE = re.compile(r"(?i)\b(?:list|array)_unique\s*\(")
+    _FORMAT_BYTES_RE = re.compile(r"(?i)\bformat_bytes\s*\(")
+    _CURRENT_SCHEMA_RE = re.compile(r"(?i)\bcurrent_schema\s*\(\s*\)")
+    _POS_INT_RE = re.compile(r"^\s*\+?\d+\s*$")
+
+    def _rewrite_scalar_semantics(self, sql: str) -> str:
+        """Batch-8 sweep — silent scalar divergences (DuckDB-verified):
+
+        - ``concat``: DuckDB stringifies EVERY argument and SKIPS NULLs
+          (concat('a', NULL, 'b') = 'ab'; concat([1,2]) = '[1, 2]');
+          Spark concat is NULL-propagating and type-generic →
+          concat_ws('', CAST(each AS STRING)). Runs BEFORE
+          _rewrite_list_nulls so that pass's generated array concat()
+          is never touched. Deviation: scientific-notation float
+          formatting differs ('1.5e-07' vs '1.5E-7').
+        - one-arg ``log``: DuckDB log10, Spark ln → log10. (2-arg
+          log(base, x) agrees.)
+        - 3-arg ``substring``/``substr``: DuckDB uses a character-window
+          rule — start 0 or negative starts count a virtual window that
+          is CLIPPED to the string, negative lengths walk backward
+          (substring('abcdef', 0, 3) = 'ab', (-10, 8) = 'abcd',
+          (2, -1) = 'a'); Spark clamps start to 1. The general window
+          form: b = s>0 ? s : s=0 ? 0 : len+s+1, window
+          [min(b, b+L), max(b, b+L)) ∩ [1, len+1]. Calls with literal
+          start >= 1 and literal length >= 0 (the common case) are left
+          native — both engines agree there.
+        - ``even``: round away from zero to the next even integer.
+        - ``fdiv``/``fmod``: DuckDB's are FLOORED division/modulo (sign
+          of the divisor: fmod(-7.5, 2) = 0.5, fmod(7.5, -2) = -0.5);
+          Spark % truncates → ((a % b) + b) % b, floor(a/b); DOUBLE
+          like DuckDB.
+        - ``isfinite``/``isinf`` (no Spark builtin) → isnan/Infinity
+          arithmetic; isnan agrees natively.
+        - ``list_unique``/``array_unique`` → count of distinct
+          non-NULL elements.
+        - ``format_bytes`` → binary-unit CASE chain ('1.0 KiB').
+        - ``current_schema()`` → 'main' (DuckDB's default schema — the
+          gateway serves DuckDB-dialect clients).
+        """
+        # concat: must split args to cast each
+        while True:
+            hit = self._call_args(self._CONCAT_RE, sql)
+            if not hit:
+                break
+            m, close, args = hit
+            inner = ", ".join(f"CAST(({a}) AS STRING)" for a in args)
+            sql = sql[: m.start()] + f"concat_ws('', {inner})" + sql[close + 1 :]
+        # one-arg log
+        pos = 0
+        while True:
+            hit = self._call_args(self._LOG_RE, sql, pos)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) == 1:
+                sql = sql[: m.start()] + f"log10({args[0]})" + sql[close + 1 :]
+                pos = m.start()
+            else:
+                pos = close + 1
+        # 3-arg substring window rule
+        pos = 0
+        while True:
+            hit = self._call_args(self._SUBSTRING_RE, sql, pos)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) != 3 or (
+                self._POS_INT_RE.match(args[1])
+                and int(args[1]) >= 1
+                and self._POS_INT_RE.match(args[2])
+            ):
+                pos = close + 1
+                continue
+            s, st, ln = args
+            b = (
+                f"(CASE WHEN ({st}) > 0 THEN ({st}) WHEN ({st}) = 0 THEN 0 "
+                f"ELSE length(({s})) + ({st}) + 1 END)"
+            )
+            lo = f"GREATEST(LEAST({b}, {b} + ({ln})), 1)"
+            hi = f"LEAST(GREATEST({b}, {b} + ({ln})), length(({s})) + 1)"
+            repl = (
+                f"(CASE WHEN ({s}) IS NULL OR ({st}) IS NULL OR ({ln}) IS NULL "
+                f"THEN NULL WHEN {hi} > {lo} "
+                f"THEN substring(({s}), {lo}, {hi} - {lo}) ELSE '' END)"
+            )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
+        # simple 1-2 arg templates
+        for regex, n_args, tmpl in (
+            (
+                self._EVEN_RE,
+                1,
+                "(CASE WHEN ({a}) >= 0 THEN CAST(2 * ceil(({a}) / 2.0) AS DOUBLE) "
+                "ELSE CAST(2 * floor(({a}) / 2.0) AS DOUBLE) END)",
+            ),
+            (self._FDIV_RE, 2, "CAST(floor(({a}) / ({b})) AS DOUBLE)"),
+            (
+                self._FMOD_RE,
+                2,
+                "CAST(((({a}) % ({b})) + ({b})) % ({b}) AS DOUBLE)",
+            ),
+            (
+                self._LIST_UNIQUE_RE,
+                1,
+                "size(array_distinct(array_compact(({a}))))",
+            ),
+        ):
+            while True:
+                hit = self._call_args(regex, sql)
+                if not hit:
+                    break
+                m, close, args = hit
+                if len(args) != n_args:
+                    raise UQueryError.sql_error(
+                        f"{m.group(0).strip('( ')} expects {n_args} arg(s)"
+                    )
+                repl = tmpl.format(a=args[0], b=args[-1])
+                sql = sql[: m.start()] + repl + sql[close + 1 :]
+        # isfinite / isinf
+        while True:
+            hit = self._call_args(self._ISFIN_RE, sql)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) != 1:
+                raise UQueryError.sql_error("isfinite/isinf expect 1 arg")
+            a = args[0]
+            if m.group(1).lower() == "inf":
+                repl = f"(abs(CAST(({a}) AS DOUBLE)) = CAST('Infinity' AS DOUBLE))"
+            else:
+                repl = (
+                    f"(NOT isnan(CAST(({a}) AS DOUBLE)) AND "
+                    f"abs(CAST(({a}) AS DOUBLE)) <> CAST('Infinity' AS DOUBLE))"
+                )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+        # format_bytes
+        while True:
+            hit = self._call_args(self._FORMAT_BYTES_RE, sql)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) != 1:
+                raise UQueryError.sql_error("format_bytes expects 1 arg")
+            a = args[0]
+            units = [("PiB", 1024 ** 5), ("TiB", 1024 ** 4), ("GiB", 1024 ** 3),
+                     ("MiB", 1024 ** 2), ("KiB", 1024)]
+            branches = " ".join(
+                f"WHEN ({a}) >= {size} THEN "
+                f"format_string('%.1f {u}', CAST(({a}) AS DOUBLE) / {size})"
+                for u, size in units
+            )
+            repl = (
+                f"(CASE {branches} ELSE concat_ws('', CAST(({a}) AS STRING), "
+                f"' bytes') END)"
+            )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+        sql = self._CURRENT_SCHEMA_RE.sub("'main'", sql)
         return sql
 
     # -- sweep batch 7: hamming / to_base -----------------------------------
@@ -3004,7 +3178,10 @@ class SqlRewriter:
 
         def form(k: int, expr: str) -> str:
             kw, _, ty = occ[k]
-            return f"{kw.upper()}CAST({expr} AS {ty.strip()})"
+            # recurse: a CAST nested inside another cast's operand (e.g.
+            # concat-generated CAST(CAST(x AS VARCHAR) AS STRING)) needs
+            # its OWN type-name mapping — the linear scan skipped it
+            return f"{kw.upper()}CAST({self._rewrite_cast(expr)} AS {ty.strip()})"
 
         def compose(forms: list[str]) -> str:
             out = [segs[0]]
@@ -3228,6 +3405,9 @@ class SqlRewriter:
         sql = self._rewrite_bracket_syntax(sql)
         sql = self._rewrite_function_names(sql)
         sql = self._rewrite_lambda_index(sql)
+        # batch-8 scalar semantics BEFORE list_nulls (that pass emits
+        # array concat() calls that must stay un-stringified)
+        sql = self._rewrite_scalar_semantics(sql)
         sql = self._rewrite_list_aggregate(sql)
         sql = self._rewrite_list_reduce(sql)
         sql = self._rewrite_list_slice(sql)
