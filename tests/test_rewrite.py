@@ -65,8 +65,10 @@ def test_json_arrow_operator(spark, rw):
 
 
 def test_geomean_macro_expansion(spark, rw):
+    # batch-9: geomean is handled by _rewrite_agg_semantics (DOUBLE
+    # cast matches DuckDB's double result for decimal inputs)
     sql = rw.rewrite("SELECT geomean(x) AS g FROM (VALUES (1.0), (4.0)) t(x)")
-    assert "exp(avg(ln((x))))" in sql
+    assert "exp(avg(ln(CAST((x) AS DOUBLE))))" in sql
     assert abs(spark.sql(sql).collect()[0].g - 2.0) < 1e-9
 
 
@@ -870,6 +872,44 @@ def test_gap_hunt_batch8_scalar_semantics(spark, rw):
     from uquery_rs_spark.errors import UQueryError
 
     for bad in ["SELECT age(x, y) FROM t", "SELECT gamma(5)", "SELECT make_time(1,2,3)"]:
+        with _pytest.raises(UQueryError):
+            rw.rewrite(bad)
+
+
+def test_gap_hunt_batch9_aggregates(spark, rw):
+    """Sweep batch 9: aggregate semantics. skewness/kurtosis sample-
+    estimator correction (incl. NULL at n<=2 / n<=3 via try_divide),
+    any_value NULL-skip, arbitrary → first row, favg/fsum, geomean,
+    no-op ORDER BY stripping in order-insensitive aggregates, FILTER
+    without WHERE. Expected values DuckDB-1.0.0-verified."""
+    cases = {
+        # DuckDB sample estimators on (1,2,4,8): G1=1.137624, G2=0.757656
+        "SELECT round(skewness(x), 6) AS v FROM (VALUES (CAST(1 AS DOUBLE)),(2),(4),(8)) t(x)": 1.137624,
+        "SELECT round(kurtosis(x), 6) AS v FROM (VALUES (CAST(1 AS DOUBLE)),(2),(4),(8)) t(x)": 0.757656,
+        "SELECT skewness(x) AS v FROM (VALUES (CAST(1 AS DOUBLE)),(2)) t(x)": None,
+        "SELECT kurtosis(x) AS v FROM (VALUES (CAST(1 AS DOUBLE)),(2),(3)) t(x)": None,
+        "SELECT any_value(x) AS v FROM (VALUES (NULL),(7)) t(x)": 7,
+        "SELECT arbitrary(x) AS v FROM (VALUES (NULL),(7)) t(x)": None,
+        "SELECT favg(x) AS v FROM (VALUES (1.5),(2.5)) t(x)": 2.0,
+        "SELECT fsum(x) AS v FROM (VALUES (1.5),(2.5)) t(x)": 4.0,
+        "SELECT round(geomean(x), 6) AS v FROM (VALUES (1.0),(4.0)) t(x)": 2.0,
+        "SELECT sum(x ORDER BY x) AS v FROM (VALUES (1),(2)) t(x)": 3,
+        "SELECT count(DISTINCT x ORDER BY x) AS v FROM (VALUES (1),(1),(2)) t(x)": 2,
+        "SELECT count(x) FILTER (x > 1) AS v FROM (VALUES (1),(2),(3)) t(x)": 2,
+        "SELECT approx_quantile(x, 0.5) AS v FROM (VALUES (1),(2),(4)) t(x)": 2,
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        assert got == want, f"{sql}: {got!r} != {want!r}"
+    import pytest as _pytest
+    from uquery_rs_spark.errors import UQueryError
+
+    for bad in [
+        "SELECT entropy(x) FROM t",
+        "SELECT histogram(x) FROM t",
+        "SELECT skewness(x) OVER (PARTITION BY y) FROM t",
+        "SELECT skewness(DISTINCT x) FROM t",
+    ]:
         with _pytest.raises(UQueryError):
             rw.rewrite(bad)
 

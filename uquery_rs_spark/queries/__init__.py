@@ -27,6 +27,7 @@ _ROUND6_WINDOW = (
     "dialect_gap_battery4",
     "dialect_gap_battery5",
     "dialect_gap_battery6",
+    "dialect_gap_battery7",
     "asof_join_using_subquery",
     "asof_join_null_keys",
     "text_gopher_quality",
@@ -73,7 +74,6 @@ _ROUND6_WINDOW = (
     "regex_functions",
     "string_functions_battery",
     "explode_unnest_series",
-    "daily_user_activity",
 )
 
 

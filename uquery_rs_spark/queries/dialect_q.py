@@ -1022,6 +1022,52 @@ def dialect_gap_battery6(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "dialect_gap_battery7",
+    tags=("dialect", "battery", "aggregate"),
+    oracle="""
+SELECT o_orderpriority,
+       round(skewness(o_totalprice), 4) AS skew_p,
+       round(kurtosis(o_totalprice), 4) AS kurt_p,
+       round(favg(o_totalprice), 2) AS favg_p,
+       round(fsum(o_totalprice), 2) AS fsum_p,
+       round(geomean(o_totalprice), 2) AS geo_p,
+       CAST(sum(o_orderkey ORDER BY o_orderkey) AS BIGINT) AS sum_ordered,
+       count(*) FILTER (o_totalprice > 100000) AS n_big,
+       any_value(o_orderpriority) AS prio_echo
+FROM orders
+WHERE o_orderkey <= 4000
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def dialect_gap_battery7(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep batch 9 — aggregate semantics, pinned verbatim on both
+    engines: skewness/kurtosis are DuckDB's SAMPLE estimators (Spark's
+    population g1/g2 corrected by the standard G1/G2 factors — a
+    silent near-miss that round(4) only hides for large n);
+    favg/fsum (Kahan) → avg/sum over DOUBLE; geomean →
+    exp(avg(ln(x))); a no-op ORDER BY inside sum() is stripped;
+    aggregate FILTER without the WHERE keyword gains it; any_value
+    skips NULLs (echoed on the group key, where it is deterministic
+    on both engines)."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT o_orderpriority, "
+        "round(skewness(o_totalprice), 4) AS skew_p, "
+        "round(kurtosis(o_totalprice), 4) AS kurt_p, "
+        "round(favg(o_totalprice), 2) AS favg_p, "
+        "round(fsum(o_totalprice), 2) AS fsum_p, "
+        "round(geomean(o_totalprice), 2) AS geo_p, "
+        "CAST(sum(o_orderkey ORDER BY o_orderkey) AS BIGINT) AS sum_ordered, "
+        "count(*) FILTER (o_totalprice > 100000) AS n_big, "
+        "any_value(o_orderpriority) AS prio_echo "
+        "FROM orders WHERE o_orderkey <= 4000 "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    )
+
+
+@register(
     "asof_join_using_subquery",
     tags=("dialect", "asof", "join"),
     oracle="""

@@ -282,6 +282,7 @@ class SqlRewriter:
         "string_split_regex": "split",
         "str_split_regex": "split",
         "strpos": "instr",  # both: 1-based position, 0 when absent
+        "approx_quantile": "approx_percentile",  # both sketch-based
         "regexp_split_to_array": "split",
         "from_base64": "unbase64",
         "to_base64": "base64",
@@ -1374,7 +1375,7 @@ class SqlRewriter:
         r"(?i)\b(struct_insert|mad|jaro_similarity|jaro_winkler_similarity|"
         r"damerau_levenshtein|strip_accents|nfc_normalize|md5_number|"
         r"md5_number_lower|md5_number_upper|age|gamma|lgamma|make_time|"
-        r"txid_current)\s*\("
+        r"txid_current|entropy|histogram)\s*\("
     )
     _LIMIT_PCT_RE = re.compile(r"(?i)\blimit\s+\d+(?:\.\d+)?\s*%")
     _BIT_ENUM_RE = re.compile(
@@ -1573,6 +1574,128 @@ class SqlRewriter:
             )
             sql = sql[: m.start()] + repl + sql[close + 1 :]
         sql = self._CURRENT_SCHEMA_RE.sub("'main'", sql)
+        return sql
+
+    # -- sweep batch 9: aggregate-function semantics ------------------------
+
+    _SKEW_KURT_RE = re.compile(r"(?i)\b(skewness|skew|kurtosis)\s*\(")
+    _ANY_VALUE_RE = re.compile(r"(?i)\bany_value\s*\(")
+    _FAVG_RE = re.compile(r"(?i)\b(favg|fsum)\s*\(")
+    _GEOMEAN_RE = re.compile(r"(?i)\b(?:geomean|geometric_mean)\s*\(")
+    _AGG_ORDER_RE = re.compile(r"(?i)\b(sum|avg|count|min|max)\s*\(")
+    _FILTER_NO_WHERE_RE = re.compile(r"(?i)(\)\s*filter\s*\(\s*)(?!where\b)")
+
+    def _rewrite_agg_semantics(self, sql: str) -> str:
+        """Batch-9 sweep — aggregate semantics (DuckDB-verified):
+
+        - ``skewness``/``kurtosis``: DuckDB computes the SAMPLE
+          estimators (G1, excess G2), Spark the population ones (g1,
+          g2) — a silent near-miss that survives round(4) only for
+          large n (n=500: 0.007013 vs 0.006992). Corrected via the
+          standard factors: G1 = g1·sqrt(n(n-1))/(n-2),
+          G2 = (n-1)/((n-2)(n-3))·((n+1)g2 + 6); small-n divisions hit
+          0 and yield NULL exactly where DuckDB returns NULL. Window
+          (OVER) usage raises — the correction would need the same
+          frame on count().
+        - ``any_value``: DuckDB SKIPS NULLs (returns the first
+          non-NULL); Spark's default takes the first row →
+          any_value(x, true). ``arbitrary`` (first row, NULL included)
+          maps to plain any_value via _FN_RENAMES.
+        - ``favg``/``fsum`` (Kahan-compensated) → avg/sum over DOUBLE.
+        - ``geomean`` → exp(avg(ln(x))).
+        - ORDER BY inside order-INSENSITIVE aggregates (sum/avg/count/
+          min/max admit it in DuckDB as a no-op) is stripped.
+        - aggregate ``FILTER (cond)`` without the WHERE keyword gains
+          it (Spark requires FILTER (WHERE …)).
+        """
+        pos = 0
+        while True:
+            m = self._search_code(self._SKEW_KURT_RE, sql, pos)
+            if not m:
+                break
+            close = self._find_close(sql, sql.index("(", m.end() - 1))
+            if close == -1:
+                break
+            a = sql[m.end() : close]
+            if re.match(r"(?i)over\b", sql[close + 1 :].lstrip()):
+                raise UQueryError.sql_error(
+                    "skewness/kurtosis OVER windows are not supported "
+                    "(sample-estimator correction needs a framed count)"
+                )
+            if re.match(r"(?i)\s*distinct\b", a):
+                raise UQueryError.sql_error(
+                    "skewness/kurtosis DISTINCT is not supported"
+                )
+            n = f"count(({a}))"
+            # try_divide: n <= 2 (skew) / n <= 3 (kurt) hit a zero divisor
+            # and must yield NULL like DuckDB — ANSI mode would throw
+            if m.group(1).lower() == "kurtosis":
+                repl = (
+                    f"(try_divide({n} - 1, ({n} - 2) * ({n} - 3)) * "
+                    f"(({n} + 1) * kurtosis(({a})) + 6))"
+                )
+            else:
+                repl = (
+                    f"try_divide(skewness(({a})) * sqrt({n} * ({n} - 1)), {n} - 2)"
+                )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
+        while True:
+            hit = self._call_args(self._ANY_VALUE_RE, sql)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) != 1:
+                break  # already 2-arg (our own output) — leave
+            sql = sql[: m.start()] + f"any_value(({args[0]}), true)" + sql[close + 1 :]
+        while True:
+            hit = self._call_args(self._FAVG_RE, sql)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) != 1:
+                raise UQueryError.sql_error("favg/fsum expect 1 arg")
+            fn = "avg" if m.group(1).lower() == "favg" else "sum"
+            sql = (
+                sql[: m.start()]
+                + f"{fn}(CAST(({args[0]}) AS DOUBLE))"
+                + sql[close + 1 :]
+            )
+        while True:
+            hit = self._call_args(self._GEOMEAN_RE, sql)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) != 1:
+                raise UQueryError.sql_error("geomean expects 1 arg")
+            sql = (
+                sql[: m.start()]
+                + f"exp(avg(ln(CAST(({args[0]}) AS DOUBLE))))"
+                + sql[close + 1 :]
+            )
+        # strip no-op ORDER BY inside order-insensitive aggregates
+        pos = 0
+        while True:
+            m = self._search_code(self._AGG_ORDER_RE, sql, pos)
+            if not m:
+                break
+            close = self._find_close(sql, sql.index("(", m.end() - 1))
+            if close == -1:
+                break
+            inner = sql[m.end() : close]
+            ob = next(
+                (s for s, _e, _w in self._scan_top_level(inner, {"order"})), None
+            )
+            if ob is not None and re.match(r"(?i)order\s+by\b", inner[ob:]):
+                sql = sql[: m.end()] + inner[:ob].rstrip() + sql[close:]
+                pos = m.start()
+            else:
+                pos = close + 1
+        sql = self._FILTER_NO_WHERE_RE.sub(lambda mm: mm.group(1) + "WHERE ", sql)
+        # arbitrary = first row's value, NULL included — Spark any_value's
+        # DEFAULT. Renamed here (not _FN_RENAMES) so the any_value loop
+        # above never adds ", true" to it.
+        sql = re.sub(r"(?i)\barbitrary\s*\(", "any_value(", sql)
         return sql
 
     # -- sweep batch 7: hamming / to_base -----------------------------------
@@ -3408,6 +3531,7 @@ class SqlRewriter:
         # batch-8 scalar semantics BEFORE list_nulls (that pass emits
         # array concat() calls that must stay un-stringified)
         sql = self._rewrite_scalar_semantics(sql)
+        sql = self._rewrite_agg_semantics(sql)
         sql = self._rewrite_list_aggregate(sql)
         sql = self._rewrite_list_reduce(sql)
         sql = self._rewrite_list_slice(sql)
