@@ -914,6 +914,45 @@ def test_gap_hunt_batch9_aggregates(spark, rw):
             rw.rewrite(bad)
 
 
+def test_gap_hunt_batch10_datetime(spark, rw):
+    """Sweep batch 10: datetime numbering and diff corners. EXTRACT of
+    DuckDB-specific fields, Sunday-0 dow family, sub-second extracts
+    include the seconds component, julian civil-midnight convention,
+    epoch_ns, date_sub complete-unit diffs (truncated toward zero,
+    month-end clamped). DuckDB-1.0.0-verified."""
+    cases = {
+        "SELECT EXTRACT(dow FROM DATE '2024-03-17') AS v": 0,       # Sunday
+        "SELECT dayofweek(DATE '2024-03-17') AS v": 0,
+        "SELECT weekday(DATE '2024-03-16') AS v": 6,                # Saturday
+        "SELECT EXTRACT(epoch FROM TIMESTAMP '2024-01-01 00:00:00') AS v": 1704067200.0,
+        "SELECT EXTRACT(microseconds FROM TIMESTAMP '2024-01-01 00:00:01.5') AS v": 1500000,
+        "SELECT EXTRACT(milliseconds FROM TIMESTAMP '2024-01-01 00:00:01.5') AS v": 1500,
+        "SELECT julian(DATE '2024-01-01') AS v": 2460311.0,
+        "SELECT julian(TIMESTAMP '2024-01-01 12:00:00') AS v": 2460311.5,
+        "SELECT epoch_ns(TIMESTAMP '2024-01-01 00:00:00') AS v": 1704067200000000000,
+        # complete-unit diffs: month-end clamp (Jan 31 → Feb 29 IS one
+        # month), truncation toward zero on negatives
+        "SELECT date_sub('month', DATE '2024-01-31', DATE '2024-02-29') AS v": 1,
+        "SELECT date_sub('month', DATE '2024-01-15', DATE '2024-03-14') AS v": 1,
+        "SELECT date_sub('month', DATE '2024-03-14', DATE '2024-01-15') AS v": -1,
+        "SELECT date_sub('year', DATE '2020-02-29', DATE '2024-02-28') AS v": 3,
+        "SELECT datesub('day', DATE '2024-01-01', DATE '2024-01-05') AS v": 4,
+        "SELECT date_sub('hour', TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 05:30:00') AS v": 5,
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        assert got == want, f"{sql}: {got!r} != {want!r}"
+    # Spark's own 2-arg date_sub stays native
+    assert str(spark.sql(rw.rewrite("SELECT date_sub(DATE '2024-01-10', 3) AS v")).collect()[0].v) == "2024-01-07"
+    import pytest as _pytest
+    from uquery_rs_spark.errors import UQueryError
+
+    for bad in ["SELECT nextafter(1.0, 2.0)", "SELECT timezone('UTC', x) FROM t",
+                "SELECT get_current_time()"]:
+        with _pytest.raises(UQueryError):
+            rw.rewrite(bad)
+
+
 def test_list_null_semantics(spark, rw):
     """ADVICE r5: list_concat treats a NULL input as empty (NULL only
     when both are); list_has_any is false — not NULL — when non-NULL

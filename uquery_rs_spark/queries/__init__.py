@@ -28,6 +28,8 @@ _ROUND6_WINDOW = (
     "dialect_gap_battery5",
     "dialect_gap_battery6",
     "dialect_gap_battery7",
+    "dialect_gap_battery8",
+    "emb_dim_variance",
     "asof_join_using_subquery",
     "asof_join_null_keys",
     "text_gopher_quality",
@@ -72,8 +74,6 @@ _ROUND6_WINDOW = (
     "datetime_functions",
     "math_functions",
     "regex_functions",
-    "string_functions_battery",
-    "explode_unnest_series",
 )
 
 

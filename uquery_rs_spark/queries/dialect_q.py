@@ -1068,6 +1068,53 @@ def dialect_gap_battery7(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "dialect_gap_battery8",
+    tags=("dialect", "battery", "datetime"),
+    oracle="""
+SELECT event_id,
+       EXTRACT(dow FROM CAST(ts AS DATE)) AS dw,
+       dayofweek(CAST(ts AS DATE)) AS dw_fn,
+       weekday(CAST(ts AS DATE)) AS wd,
+       EXTRACT(epoch FROM CAST(ts AS TIMESTAMP)) AS ep,
+       EXTRACT(milliseconds FROM CAST(ts AS TIMESTAMP)) AS ms,
+       round(julian(CAST(ts AS DATE)), 1) AS jd,
+       epoch_ns(CAST(ts AS TIMESTAMP)) AS ens,
+       date_sub('month', DATE '2024-01-31', CAST(ts AS DATE)) AS months_since,
+       date_sub('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since
+FROM events
+WHERE event_id <= 300
+ORDER BY event_id
+""",
+)
+def dialect_gap_battery8(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep batch 10 — datetime corners, pinned verbatim on both
+    engines: EXTRACT of DuckDB-specific fields (dow/epoch/
+    milliseconds → function forms, then the epoch/ISO rewrites);
+    the Sunday-0 dow family (Spark dayofweek is Sunday-1, weekday is
+    Monday-0 — both silently wrong without the -1 mapping); julian
+    (civil-midnight epoch-days); epoch_ns; date_sub complete-unit
+    diffs with month-end clamping and toward-zero truncation
+    (months_between / exact microsecond div — a bare CAST would get
+    the DuckDB-cast ROUNDING treatment and be off by one on half the
+    rows)."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT event_id, "
+        "EXTRACT(dow FROM CAST(ts AS DATE)) AS dw, "
+        "dayofweek(CAST(ts AS DATE)) AS dw_fn, "
+        "weekday(CAST(ts AS DATE)) AS wd, "
+        "EXTRACT(epoch FROM CAST(ts AS TIMESTAMP)) AS ep, "
+        "EXTRACT(milliseconds FROM CAST(ts AS TIMESTAMP)) AS ms, "
+        "round(julian(CAST(ts AS DATE)), 1) AS jd, "
+        "epoch_ns(CAST(ts AS TIMESTAMP)) AS ens, "
+        "date_sub('month', DATE '2024-01-31', CAST(ts AS DATE)) AS months_since, "
+        "date_sub('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since "
+        "FROM events WHERE event_id <= 300 ORDER BY event_id",
+    )
+
+
+@register(
     "asof_join_using_subquery",
     tags=("dialect", "asof", "join"),
     oracle="""

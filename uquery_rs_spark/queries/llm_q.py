@@ -1414,10 +1414,10 @@ WITH dims AS (
                        generate_subscripts(embedding, 1) AS i) t
 )
 SELECT dim,
-       round(avg(x), 4)        AS mean,
-       round(var_samp(x), 4)   AS variance,
-       round(min(x), 4)        AS lo,
-       round(max(x), 4)        AS hi
+       round(avg(x), 4) + 0      AS mean,
+       round(var_samp(x), 4) + 0 AS variance,
+       round(min(x), 4) + 0      AS lo,
+       round(max(x), 4) + 0      AS hi
 FROM dims
 GROUP BY dim
 ORDER BY dim
@@ -1437,10 +1437,13 @@ def emb_dim_variance(spark: SparkSession, sf: str) -> DataFrame:
     return (
         dims.groupBy("dim")
         .agg(
-            F.round(F.avg("x"), 4).alias("mean"),
-            F.round(F.var_samp("x"), 4).alias("variance"),
-            F.round(F.min("x"), 4).alias("lo"),
-            F.round(F.max("x"), 4).alias("hi"),
+            # + 0 normalizes IEEE signed zero: round() of a tiny negative
+            # mean yields -0.0 in DuckDB but 0.0 in Spark, and the value
+            # hasher distinguishes the reprs (caught by the sf0.1 gate)
+            (F.round(F.avg("x"), 4) + F.lit(0)).alias("mean"),
+            (F.round(F.var_samp("x"), 4) + F.lit(0)).alias("variance"),
+            (F.round(F.min("x"), 4) + F.lit(0)).alias("lo"),
+            (F.round(F.max("x"), 4) + F.lit(0)).alias("hi"),
         )
         .orderBy("dim")
     )

@@ -1045,7 +1045,7 @@ class SqlRewriter:
     # time_bucket ---------------------------------------------------------
 
     _DAYNAME_RE = re.compile(r"(?i)\b(day|month)name\s*\(")
-    _EPOCH_RE = re.compile(r"(?i)\bepoch(_ms|_us)?\s*\(")
+    _EPOCH_RE = re.compile(r"(?i)\bepoch(_ms|_us|_ns)?\s*\(")
     _QUANTILE_RE = re.compile(r"(?i)\bquantile(_cont|_disc)?\s*\(")
     _PRODUCT_RE = re.compile(r"(?i)\bproduct\s*\(")
     _TIME_BUCKET_RE = re.compile(r"(?i)\btime_bucket\s*\(")
@@ -1080,6 +1080,7 @@ class SqlRewriter:
             "": f"CAST(unix_micros({ts}) / 1000000.0 AS DOUBLE)",
             "_ms": f"unix_millis({ts})",
             "_us": f"unix_micros({ts})",
+            "_ns": f"(unix_micros({ts}) * 1000)",
         }[suffix]
         return sql[: m.start()] + repl + tail
 
@@ -1375,7 +1376,8 @@ class SqlRewriter:
         r"(?i)\b(struct_insert|mad|jaro_similarity|jaro_winkler_similarity|"
         r"damerau_levenshtein|strip_accents|nfc_normalize|md5_number|"
         r"md5_number_lower|md5_number_upper|age|gamma|lgamma|make_time|"
-        r"txid_current|entropy|histogram)\s*\("
+        r"txid_current|entropy|histogram|nextafter|get_current_time|"
+        r"bit_position|timezone)\s*\("
     )
     _LIMIT_PCT_RE = re.compile(r"(?i)\blimit\s+\d+(?:\.\d+)?\s*%")
     _BIT_ENUM_RE = re.compile(
@@ -1696,6 +1698,128 @@ class SqlRewriter:
         # DEFAULT. Renamed here (not _FN_RENAMES) so the any_value loop
         # above never adds ", true" to it.
         sql = re.sub(r"(?i)\barbitrary\s*\(", "any_value(", sql)
+        return sql
+
+    # -- sweep batch 10: datetime corners -----------------------------------
+
+    _EXTRACT_SPECIAL_RE = re.compile(
+        r"(?i)\bextract\s*\(\s*(dow|dayofweek|weekday|epoch|microseconds|"
+        r"milliseconds|isodow|yearweek|century|isoyear|week)\s+from\b"
+    )
+    _DOW_FAMILY_RE = re.compile(r"(?i)\b(dow|dayofweek|weekday)\s*\(")
+    _SUBSECOND_RE = re.compile(r"(?i)\b(microseconds|milliseconds)\s*\(")
+    _JULIAN_RE = re.compile(r"(?i)\bjulian\s*\(")
+    _DATE_SUB_RE = re.compile(r"(?i)\bdate_?sub\s*\(")
+    _DATE_SUB_US = {
+        "week": 7 * 86_400_000_000, "day": 86_400_000_000,
+        "hour": 3_600_000_000, "minute": 60_000_000, "second": 1_000_000,
+    }
+
+    def _rewrite_datetime_corners(self, sql: str) -> str:
+        """Batch-10 sweep — datetime numbering and diff corners
+        (DuckDB-verified):
+
+        - EXTRACT of DuckDB-specific fields is converted to the
+          function form (``EXTRACT(epoch FROM x)`` → ``epoch(x)``) and
+          picked up by the existing epoch/ISO rewrites below.
+        - ``dow``/``dayofweek``/``weekday`` are all Sunday=0 in DuckDB;
+          Spark's dayofweek is Sunday=1 and weekday is Monday=0 →
+          (dayofweek(x) - 1). A silent off-by-one (or worse, for
+          weekday).
+        - ``microseconds``/``milliseconds`` include the SECONDS
+          component (1.5 s → 1_500_000 µs) → date_format('ss.SSSSSS')
+          arithmetic.
+        - ``julian`` → 2440588 + epoch-days (DuckDB's civil-midnight
+          convention; noon = .5).
+        - ``date_sub``/``datesub``('unit', a, b) counts COMPLETE units
+          (truncated toward zero, month-end clamped: Jan 31 → Feb 29
+          is one complete month) → months_between truncation for the
+          month family, exact microsecond `div` for day and smaller.
+          NOT Spark's two-arg date_sub (day subtraction) — DuckDB's is
+          always the 3-arg form; 2-arg calls are left native.
+        """
+        while True:
+            m = self._search_code(self._EXTRACT_SPECIAL_RE, sql)
+            if not m:
+                break
+            open_i = sql.index("(", m.start())
+            close = self._find_close(sql, open_i)
+            if close == -1:
+                break
+            fld = m.group(1).lower()
+            e = sql[m.end() : close]
+            sql = sql[: m.start()] + f"{fld}({e})" + sql[close + 1 :]
+        pos = 0
+        while True:
+            hit = self._call_args(self._DOW_FAMILY_RE, sql, pos)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) != 1:
+                raise UQueryError.sql_error("dow/dayofweek/weekday expect 1 arg")
+            repl = f"(dayofweek(({args[0]})) - 1)"
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
+        while True:
+            hit = self._call_args(self._SUBSECOND_RE, sql)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) != 1:
+                raise UQueryError.sql_error("microseconds/milliseconds expect 1 arg")
+            scale = 1_000_000 if m.group(1).lower() == "microseconds" else 1000
+            # floor BEFORE the cast: DuckDB milliseconds TRUNCATES the
+            # microsecond remainder, and a bare fractional CAST would get
+            # the DuckDB-cast rounding treatment from _rewrite_cast
+            repl = (
+                f"CAST(floor(CAST(date_format(CAST(({args[0]}) AS TIMESTAMP), "
+                f"'ss.SSSSSS') AS DECIMAL(9,6)) * {scale}) AS BIGINT)"
+            )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+        while True:
+            hit = self._call_args(self._JULIAN_RE, sql)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) != 1:
+                raise UQueryError.sql_error("julian expects 1 arg")
+            repl = (
+                f"(2440588.0 + CAST(unix_micros(CAST(({args[0]}) AS TIMESTAMP)) "
+                f"AS DOUBLE) / 86400000000.0)"
+            )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+        pos = 0
+        while True:
+            hit = self._call_args(self._DATE_SUB_RE, sql, pos)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) != 3:
+                pos = close + 1  # Spark's own 2-arg date_sub — leave native
+                continue
+            unit = (self._lit_parse(args[0]) or "").lower().rstrip("s")
+            unit = {"mon": "month", "yr": "year", "min": "minute", "sec": "second"}.get(unit, unit)
+            a = f"CAST(({args[1]}) AS TIMESTAMP)"
+            b = f"CAST(({args[2]}) AS TIMESTAMP)"
+            if unit in ("year", "quarter", "month"):
+                div = {"year": 12, "quarter": 3, "month": 1}[unit]
+                mb = f"months_between({b}, {a})"
+                # truncate toward zero explicitly — a bare CAST here would
+                # get the DuckDB-cast ROUNDING treatment from
+                # _rewrite_cast downstream (floor/ceil return BIGINT)
+                repl = (
+                    f"(CASE WHEN {mb} >= 0 THEN floor({mb} / {div}) "
+                    f"ELSE ceil({mb} / {div}) END)"
+                )
+            elif unit in self._DATE_SUB_US:
+                us = self._DATE_SUB_US[unit]
+                repl = f"((unix_micros({b}) - unix_micros({a})) div {us})"
+            else:
+                raise UQueryError.sql_error(
+                    f"date_sub: unsupported unit '{unit}'"
+                )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
         return sql
 
     # -- sweep batch 7: hamming / to_base -----------------------------------
@@ -3532,6 +3656,9 @@ class SqlRewriter:
         # array concat() calls that must stay un-stringified)
         sql = self._rewrite_scalar_semantics(sql)
         sql = self._rewrite_agg_semantics(sql)
+        # batch-10 datetime corners BEFORE the epoch/ISO passes (the
+        # EXTRACT conversion emits epoch()/isodow() function forms)
+        sql = self._rewrite_datetime_corners(sql)
         sql = self._rewrite_list_aggregate(sql)
         sql = self._rewrite_list_reduce(sql)
         sql = self._rewrite_list_slice(sql)
