@@ -953,6 +953,41 @@ def test_gap_hunt_batch10_datetime(spark, rw):
             rw.rewrite(bad)
 
 
+def test_gap_hunt_batch11_string_list(spark, rw):
+    """Sweep batch 11: left/right negative n, 1-arg string_agg default
+    separator, chr beyond 255 (Spark char is mod-256 — UTF-8 encoded
+    by hand), parse_filename, list metric functions, jaccard,
+    regexp_full_match, like_escape. DuckDB-1.0.0-verified."""
+    cases = {
+        "SELECT left('abcde', -2) AS v": "abc",
+        "SELECT right('abcde', -2) AS v": "cde",
+        "SELECT right('abc', -9) AS v": "",
+        "SELECT string_agg(x) AS v FROM (VALUES ('a'),('b')) t(x)": "a,b",
+        "SELECT string_agg(x ORDER BY x DESC) AS v FROM (VALUES ('a'),('b')) t(x)": "b,a",
+        "SELECT group_concat(x, '|') AS v FROM (VALUES ('a'),('b')) t(x)": "a|b",
+        "SELECT chr(8364) AS v": "€",
+        "SELECT chr(128512) AS v": "\U0001f600",
+        "SELECT chr(200) AS v": "È",
+        "SELECT parse_filename('/x/y/z.txt') AS v": "z.txt",
+        "SELECT list_inner_product([1.0,2.0],[3.0,4.0]) AS v": 11.0,
+        "SELECT list_distance([0.0,0.0],[3.0,4.0]) AS v": 5.0,
+        "SELECT round(list_cosine_similarity([1.0,0.0],[1.0,0.0]), 6) AS v": 1.0,
+        "SELECT jaccard('abc','bcd') AS v": 0.5,
+        "SELECT regexp_full_match('abcd', 'a.c') AS v": False,
+        "SELECT like_escape('a%c', 'a$%c', '$') AS v": True,
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        assert got == want, f"{sql}: {got!r} != {want!r}"
+    import pytest as _pytest
+    from uquery_rs_spark.errors import UQueryError
+
+    for bad in ["SELECT bar(3,0,10,10)", "SELECT parse_dirname('/x')",
+                "SELECT left_grapheme('ab', 1)"]:
+        with _pytest.raises(UQueryError):
+            rw.rewrite(bad)
+
+
 def test_list_null_semantics(spark, rw):
     """ADVICE r5: list_concat treats a NULL input as empty (NULL only
     when both are); list_has_any is false — not NULL — when non-NULL

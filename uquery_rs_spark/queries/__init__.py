@@ -29,6 +29,7 @@ _ROUND6_WINDOW = (
     "dialect_gap_battery6",
     "dialect_gap_battery7",
     "dialect_gap_battery8",
+    "dialect_gap_battery9",
     "emb_dim_variance",
     "asof_join_using_subquery",
     "asof_join_null_keys",
@@ -73,7 +74,6 @@ _ROUND6_WINDOW = (
     "array_functions",
     "datetime_functions",
     "math_functions",
-    "regex_functions",
 )
 
 

@@ -1115,6 +1115,52 @@ def dialect_gap_battery8(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "dialect_gap_battery9",
+    tags=("dialect", "battery", "string"),
+    oracle="""
+SELECT doc_id,
+       left(text, -400) AS head_neg,
+       right(text, -400) AS tail_neg,
+       chr(CAST(65 + doc_id % 26 AS INT)) AS latin_c,
+       chr(CAST(945 + doc_id % 24 AS INT)) AS greek_c,
+       chr(CAST(128512 + doc_id % 16 AS INT)) AS emoji_c,
+       parse_filename(concat('/corpus/', source, '/', doc_id, '.txt')) AS fname,
+       round(jaccard(lang, source), 4) AS lang_src_jac,
+       regexp_full_match(lang, '[a-z]+') AS lang_alpha,
+       like_escape(source, '%$_%', '$') AS has_underscore
+FROM documents
+WHERE doc_id <= 300
+ORDER BY doc_id
+""",
+)
+def dialect_gap_battery9(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep batch 11 — string/list corners, pinned verbatim on both
+    engines: left/right with NEGATIVE n (drop |n| chars from the other
+    end — Spark returns ''), chr beyond codepoint 255 (Spark's char is
+    mod-256; the rewriter UTF-8-encodes 2/3/4-byte sequences by hand —
+    Greek and emoji planes covered), parse_filename, character-set
+    jaccard, anchored regexp_full_match, and like_escape with an
+    explicit escape character. Plus the 1-arg string_agg ','-default
+    and group_concat (unit-tested; order-dependent, so not in the
+    hash-compared battery)."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT doc_id, "
+        "left(text, -400) AS head_neg, "
+        "right(text, -400) AS tail_neg, "
+        "chr(CAST(65 + doc_id % 26 AS INT)) AS latin_c, "
+        "chr(CAST(945 + doc_id % 24 AS INT)) AS greek_c, "
+        "chr(CAST(128512 + doc_id % 16 AS INT)) AS emoji_c, "
+        "parse_filename(concat('/corpus/', source, '/', doc_id, '.txt')) AS fname, "
+        "round(jaccard(lang, source), 4) AS lang_src_jac, "
+        "regexp_full_match(lang, '[a-z]+') AS lang_alpha, "
+        "like_escape(source, '%$_%', '$') AS has_underscore "
+        "FROM documents WHERE doc_id <= 300 ORDER BY doc_id",
+    )
+
+
+@register(
     "asof_join_using_subquery",
     tags=("dialect", "asof", "join"),
     oracle="""

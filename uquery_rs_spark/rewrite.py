@@ -1377,7 +1377,8 @@ class SqlRewriter:
         r"damerau_levenshtein|strip_accents|nfc_normalize|md5_number|"
         r"md5_number_lower|md5_number_upper|age|gamma|lgamma|make_time|"
         r"txid_current|entropy|histogram|nextafter|get_current_time|"
-        r"bit_position|timezone)\s*\("
+        r"bit_position|timezone|bar|parse_dirname|parse_dirpath|parse_path|"
+        r"left_grapheme|right_grapheme)\s*\("
     )
     _LIMIT_PCT_RE = re.compile(r"(?i)\blimit\s+\d+(?:\.\d+)?\s*%")
     _BIT_ENUM_RE = re.compile(
@@ -1820,6 +1821,192 @@ class SqlRewriter:
                 )
             sql = sql[: m.start()] + repl + sql[close + 1 :]
             pos = m.start() + len(repl)
+        return sql
+
+    # -- sweep batch 11: string/list function corners -----------------------
+
+    _LEFT_RIGHT_RE = re.compile(r"(?i)\b(left|right)\s*\(")
+    _STRING_AGG1_RE = re.compile(r"(?i)\b(?:string_agg|group_concat)\s*\(")
+    _CHR_RE = re.compile(r"(?i)\bchr\s*\(")
+    _PARSE_FILENAME_RE = re.compile(r"(?i)\bparse_filename\s*\(")
+    _LIST_METRIC_RE = re.compile(
+        r"(?i)\b(?:list|array)_(cosine_similarity|distance|inner_product|dot_product)\s*\("
+    )
+    _JACCARD_RE = re.compile(r"(?i)\bjaccard\s*\(")
+    _REGEXP_FULL_RE = re.compile(r"(?i)\bregexp_full_match\s*\(")
+    _LIKE_ESCAPE_RE = re.compile(r"(?i)\b(i?)like_escape\s*\(")
+
+    def _rewrite_string_list_corners(self, sql: str) -> str:
+        """Batch-11 sweep (DuckDB-verified):
+
+        - ``left``/``right`` with NEGATIVE n drop |n| characters from
+          the other end in DuckDB; Spark returns '' → length-relative
+          CASE. Positive-literal calls stay native.
+        - 1-arg ``string_agg``/``group_concat`` defaults the separator
+          to ',' in DuckDB; Spark's concatenates bare → ',' inserted.
+        - ``chr`` beyond 255: Spark's char() is mod-256 — a codepoint
+          is UTF-8-encoded by hand (2/3/4-byte branches) and decoded.
+        - ``parse_filename`` → trailing path component.
+        - ``list_cosine_similarity``/``list_distance``/
+          ``list_inner_product`` (+ array_/dot aliases) → zip_with /
+          aggregate arithmetic over DOUBLE.
+        - ``jaccard`` → character-set Jaccard via split + set algebra.
+        - ``regexp_full_match`` → anchored RLIKE.
+        - ``like_escape``/``ilike_escape`` → LIKE/ILIKE … ESCAPE.
+        ``hash()`` stays native and engine-specific (documented — like
+        random(), its VALUES are not portable, only its distribution).
+        """
+        pos = 0
+        while True:
+            hit = self._call_args(self._LEFT_RIGHT_RE, sql, pos)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) != 2 or (
+                self._POS_INT_RE.match(args[1]) and int(args[1]) >= 0
+            ):
+                pos = close + 1
+                continue
+            fn = m.group(1).lower()
+            s, n = args
+            repl = (
+                f"{fn}(({s}), CASE WHEN ({n}) < 0 "
+                f"THEN GREATEST(length(({s})) + ({n}), 0) ELSE ({n}) END)"
+            )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
+        pos = 0
+        while True:
+            hit = self._call_args(self._STRING_AGG1_RE, sql, pos)
+            if not hit:
+                break
+            m, close, args = hit
+            is_gc = "group_concat" in m.group(0).lower()
+            if len(args) == 1:
+                a = args[0]
+                ob = next(
+                    (s for s, _e, _w in self._scan_top_level(a, {"order"})), None
+                )
+                if ob is not None and re.match(r"(?i)order\s+by\b", a[ob:]):
+                    # keep the in-args ORDER BY adjacent to the separator so
+                    # the string_agg_order pass converts it to WITHIN GROUP
+                    repl = f"string_agg({a[:ob].rstrip()}, ',' {a[ob:]})"
+                else:
+                    repl = f"string_agg(({a}), ',')"
+            elif is_gc and len(args) == 2:
+                repl = f"string_agg({args[0]}, {args[1]})"
+            else:
+                pos = close + 1
+                continue
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
+        while True:
+            hit = self._call_args(self._CHR_RE, sql)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) != 1:
+                raise UQueryError.sql_error("chr expects 1 arg")
+            c = f"({args[0]})"
+            hx = lambda e: f"lpad(conv({e}, 10, 16), 2, '0')"  # noqa: E731
+            two = f"concat_ws('', {hx(f'192 + {c} div 64')}, {hx(f'128 + {c} % 64')})"
+            three = (
+                f"concat_ws('', {hx(f'224 + {c} div 4096')}, "
+                f"{hx(f'128 + ({c} div 64) % 64')}, {hx(f'128 + {c} % 64')})"
+            )
+            four = (
+                f"concat_ws('', {hx(f'240 + {c} div 262144')}, "
+                f"{hx(f'128 + ({c} div 4096) % 64')}, "
+                f"{hx(f'128 + ({c} div 64) % 64')}, {hx(f'128 + {c} % 64')})"
+            )
+            repl = (
+                f"(CASE WHEN {c} < 128 THEN char({c}) "
+                f"WHEN {c} < 2048 THEN decode(unhex({two}), 'UTF-8') "
+                f"WHEN {c} < 65536 THEN decode(unhex({three}), 'UTF-8') "
+                f"ELSE decode(unhex({four}), 'UTF-8') END)"
+            )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+        while True:
+            hit = self._call_args(self._PARSE_FILENAME_RE, sql)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) != 1:
+                raise UQueryError.sql_error("parse_filename expects 1 arg (path)")
+            repl = f"regexp_extract(({args[0]}), '([^/\\\\\\\\]*)$', 1)"
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+        while True:
+            hit = self._call_args(self._LIST_METRIC_RE, sql)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) != 2:
+                raise UQueryError.sql_error("list metric functions expect 2 args")
+            a = f"transform(({args[0]}), uq_lm -> CAST(uq_lm AS DOUBLE))"
+            b = f"transform(({args[1]}), uq_lm -> CAST(uq_lm AS DOUBLE))"
+            dot = (
+                f"aggregate(zip_with({a}, {b}, (uq_x, uq_y) -> uq_x * uq_y), "
+                f"0D, (uq_acc, uq_v) -> uq_acc + uq_v)"
+            )
+            kind = m.group(1).lower()
+            if kind in ("inner_product", "dot_product"):
+                repl = f"({dot})"
+            elif kind == "distance":
+                repl = (
+                    f"sqrt(aggregate(zip_with({a}, {b}, "
+                    f"(uq_x, uq_y) -> (uq_x - uq_y) * (uq_x - uq_y)), "
+                    f"0D, (uq_acc, uq_v) -> uq_acc + uq_v))"
+                )
+            else:  # cosine_similarity
+                norm = lambda v: (  # noqa: E731
+                    f"sqrt(aggregate(transform({v}, uq_w -> uq_w * uq_w), "
+                    f"0D, (uq_acc, uq_v) -> uq_acc + uq_v))"
+                )
+                repl = f"(({dot}) / ({norm(a)} * {norm(b)}))"
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+        while True:
+            hit = self._call_args(self._JACCARD_RE, sql)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) != 2:
+                raise UQueryError.sql_error("jaccard expects 2 args")
+            sa = f"array_distinct(split(({args[0]}), ''))"
+            sb = f"array_distinct(split(({args[1]}), ''))"
+            repl = (
+                f"(CAST(size(array_intersect({sa}, {sb})) AS DOUBLE) / "
+                f"size(array_union({sa}, {sb})))"
+            )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+        while True:
+            hit = self._call_args(self._REGEXP_FULL_RE, sql)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) != 2:
+                raise UQueryError.sql_error("regexp_full_match expects 2 args")
+            pat = self._lit_parse(args[1])
+            if pat is None:
+                raise UQueryError.sql_error(
+                    "regexp_full_match: literal patterns only"
+                )
+            repl = f"(({args[0]}) RLIKE '^(?:{pat})$')"
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+        while True:
+            hit = self._call_args(self._LIKE_ESCAPE_RE, sql)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) != 3:
+                raise UQueryError.sql_error("like_escape expects (string, pattern, escape)")
+            esc = self._lit_parse(args[2])
+            if esc is None or len(esc) != 1:
+                raise UQueryError.sql_error(
+                    "like_escape: escape must be a 1-char literal"
+                )
+            op = "ILIKE" if m.group(1).lower() == "i" else "LIKE"
+            repl = f"(({args[0]}) {op} ({args[1]}) ESCAPE '{esc}')"
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
         return sql
 
     # -- sweep batch 7: hamming / to_base -----------------------------------
@@ -3659,6 +3846,7 @@ class SqlRewriter:
         # batch-10 datetime corners BEFORE the epoch/ISO passes (the
         # EXTRACT conversion emits epoch()/isodow() function forms)
         sql = self._rewrite_datetime_corners(sql)
+        sql = self._rewrite_string_list_corners(sql)
         sql = self._rewrite_list_aggregate(sql)
         sql = self._rewrite_list_reduce(sql)
         sql = self._rewrite_list_slice(sql)
