@@ -35,6 +35,7 @@ _ROUND6_WINDOW = (
     "asof_join_null_keys",
     "text_gopher_quality",
     "text_boilerplate_removal",
+    "streaming_enrich_join",
     "approx_distinct_parts",
     "correlated_subquery_above_cust_avg",
     "cross_join_region_status",
@@ -73,7 +74,6 @@ _ROUND6_WINDOW = (
     "values_inline_table",
     "array_functions",
     "datetime_functions",
-    "math_functions",
 )
 
 

@@ -156,3 +156,28 @@ def streaming_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
     availableNow) — on a finite source, complete mode equals the batch
     sliding_window_events query, which is what the oracle checks."""
     return run_sliding_stream(spark, sf)
+
+
+@register(
+    "streaming_enrich_join",
+    tags=("streaming", "join"),
+    oracle="""
+SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def streaming_enrich_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static enrichment join (streaming/jobs.py::
+    run_enrich_join_stream): unbounded events probe a BROADCAST static
+    dimension per microbatch — no stream-side shuffle before the final
+    segment aggregate, the standard enrichment topology. On the finite
+    drained source the result must equal the batch left join + group-by
+    — the oracle checks exactly that (left join keeps every event:
+    dropped or duplicated events flip the count)."""
+    from ..streaming.jobs import run_enrich_join_stream
+
+    return run_enrich_join_stream(spark, sf)

@@ -323,3 +323,36 @@ def run_rollup_stream(
         .select("day", "event_type", "n_events", "total_value")
         .orderBy("day", "event_type")
     )
+
+
+def run_enrich_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join: unbounded events joined to a static
+    broadcast dimension (customer segment), then aggregated per segment.
+
+    The canonical streaming-enrichment shape: the static side is read
+    once, broadcast to every task, and each microbatch probes it with no
+    state and no stream-side shuffle before the aggregation — at any
+    stream rate the join itself is embarrassingly parallel and the only
+    stateful operator is the final windowless aggregate (bounded by
+    segment cardinality). Left join keeps events with no matching
+    dimension row (UNKNOWN segment) — the enrichment must never drop
+    events.
+    """
+    stream = streaming_events(spark, sf_dir)
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_mktsegment")
+    )
+    enriched = (
+        stream.withWatermark("ts", "1 hour")
+        .join(F.broadcast(cust), stream["user_id"] == cust["c_custkey"], "left")
+        .groupBy(
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    name = f"uq_enrich_{uuid.uuid4().hex[:8]}"
+    return _drain(enriched, name).orderBy("segment")
