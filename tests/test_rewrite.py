@@ -975,6 +975,14 @@ def test_gap_hunt_batch11_string_list(spark, rw):
         "SELECT jaccard('abc','bcd') AS v": 0.5,
         "SELECT regexp_full_match('abcd', 'a.c') AS v": False,
         "SELECT like_escape('a%c', 'a$%c', '$') AS v": True,
+        # ANSI follow-up: out-of-bounds / zero indices are NULL in DuckDB
+        # (ANSI element_at ERRORS) — try_element_at + zero guard
+        "SELECT [1,2][5] AS v": None,
+        "SELECT [1,2][-5] AS v": None,
+        "SELECT [1,2][0] AS v": None,
+        "SELECT list_extract([1,2], 5) AS v": None,
+        "SELECT list_extract([1,2], -1) AS v": 2,
+        "SELECT list_element([10,20], 2) AS v": 20,
     }
     for sql, want in cases.items():
         got = spark.sql(rw.rewrite(sql)).collect()[0].v

@@ -297,8 +297,8 @@ class SqlRewriter:
         # semantics differ from the 1:1 Spark functions — ADVICE r5)
         "list_intersect": "array_intersect",
         "array_length": "size",
-        "list_element": "element_at",
-        "list_extract": "element_at",
+        # list_element / list_extract moved to _rewrite_list_index (ANSI
+        # element_at ERRORS on out-of-bounds; DuckDB returns NULL)
         "row": "struct",
     }
     _FN_RENAME_RE = re.compile(
@@ -1279,6 +1279,7 @@ class SqlRewriter:
     _FIRST_LAST_RE = re.compile(r"(?i)\b(first|last)\s*\(")
     _STRUCT_EXTRACT_RE = re.compile(r"(?i)\bstruct_extract\s*\(")
     _LIST_HAS_ALL_RE = re.compile(r"(?i)\blist_has_all\s*\(")
+    _LIST_INDEX_RE = re.compile(r"(?i)\b(?:list_element|list_extract|array_extract)\s*\(")
     _LIST_CONCAT_RE = re.compile(r"(?i)\b(?:list_concat|list_cat|array_concat|array_cat)\s*\(")
     _LIST_HAS_ANY_RE = re.compile(r"(?i)\b(?:list_has_any|array_has_any)\s*\(")
     _DIVIDE_RE = re.compile(r"(?i)\bdivide\s*\(")
@@ -2157,6 +2158,31 @@ class SqlRewriter:
             pos = m.start() + len(repl)
         return sql
 
+    def _rewrite_list_index(self, sql: str) -> str:
+        """list_element/list_extract/array_extract (1-based, negative
+        from the end) → try_element_at with a zero-index guard: DuckDB
+        returns NULL for index 0 and ANY out-of-bounds index, while
+        ANSI element_at ERRORS on out-of-bounds and even try_element_at
+        errors on 0 (batch-11 ANSI follow-up). Nonzero literal indices
+        skip the guard."""
+        while True:
+            hit = self._call_args(self._LIST_INDEX_RE, sql)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) != 2:
+                raise UQueryError.sql_error("list_element/list_extract expect 2 args")
+            a, i = args
+            if re.fullmatch(r"\s*-?[1-9]\d*\s*", i):
+                repl = f"try_element_at(({a}), ({i}))"
+            else:
+                repl = (
+                    f"(CASE WHEN ({i}) = 0 THEN NULL "
+                    f"ELSE try_element_at(({a}), ({i})) END)"
+                )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+        return sql
+
     def _rewrite_list_nulls(self, sql: str) -> str:
         """NULL-input semantics fixes (ADVICE r5, verified vs DuckDB
         1.0.0): ``list_concat(a, b)`` treats a NULL input as empty —
@@ -2945,11 +2971,17 @@ class SqlRewriter:
             # unknowable at rewrite time; DuckDB returns a list for maps)
             return f"element_at({operand}, {idx})"
         if re.fullmatch(r"-\d+", idx):
-            return f"element_at({operand}, {idx})"
+            # try_: ANSI element_at errors on out-of-bounds; DuckDB → NULL
+            return f"try_element_at({operand}, {idx})"
         if re.fullmatch(r"\d+", idx):
             return f"get({operand}, {int(idx) - 1})"
-        # assumes a list (1-based) — integer-keyed map access is ambiguous
-        return f"get({operand}, ({idx}) - 1)"
+        # assumes a list (1-based, negative counts from the end) —
+        # integer-keyed map access is ambiguous. Zero-guard + try_: DuckDB
+        # yields NULL for l[0] and any out-of-bounds index
+        return (
+            f"(CASE WHEN ({idx}) = 0 THEN NULL "
+            f"ELSE try_element_at({operand}, ({idx})) END)"
+        )
 
     def _bracket_literal(self, inner: str) -> str:
         """`[items]` → array(items); `[expr FOR v IN src [IF cond]]` →
@@ -3870,6 +3902,7 @@ class SqlRewriter:
         sql = self._rewrite_first_last_order(sql)
         sql = self._rewrite_struct_extract(sql)
         sql = self._rewrite_list_has_all(sql)
+        sql = self._rewrite_list_index(sql)
         sql = self._rewrite_list_nulls(sql)
         sql = self._rewrite_hamming_to_base(sql)
         sql = self._rewrite_divide_xor(sql)
