@@ -996,6 +996,36 @@ def test_gap_hunt_batch11_string_list(spark, rw):
             rw.rewrite(bad)
 
 
+def test_gap_hunt_batch12_operators(spark, rw):
+    """Sweep batch 12: operator symbols. ^ and ** are POWER in DuckDB
+    (Spark ^ is XOR — 2^3 is 8 vs 1, silent), ~ family is regexp/LIKE,
+    <-> / <=> are array euclidean distance / cosine similarity; plus
+    map_extract and the remaining list functions.
+    DuckDB-1.0.0-verified."""
+    cases = {
+        "SELECT 2 ^ 3 AS v": 8.0,
+        "SELECT 2 ** 3 AS v": 8.0,
+        "SELECT 1 + 2 ^ 2 AS v": 5.0,
+        "SELECT 2 ^ 3 ^ 2 AS v": 64.0,
+        "SELECT xor(5, 3) AS v": 6,    # the xor() FUNCTION stays bitwise
+        "SELECT 'abc' ~ 'a.c' AS v": True,
+        "SELECT 'abc' !~ 'a.c' AS v": False,
+        "SELECT 'ABC' ~~* 'a%' AS v": True,
+        "SELECT 'abc' !~~ 'b%' AS v": True,
+        "SELECT [1.0,2.0] <-> [3.0,4.0] AS v": 2.8284271247461903,
+        "SELECT round([1.0,0.0] <=> [1.0,0.0], 6) AS v": 1.0,
+        "SELECT map_extract(MAP {'a': 1}, 'a')[1] AS v": 1,
+        "SELECT len(map_extract(MAP {'a': 1}, 'x')) AS v": 0,
+        "SELECT array_to_string(list_reverse([1,2,3]), ',') AS v": "3,2,1",
+        "SELECT array_to_string(list_reverse_sort([3,1,2]), ',') AS v": "3,2,1",
+        "SELECT array_to_string(list_select([10,20,30], [1,3]), ',') AS v": "10,30",
+        "SELECT array_to_string(list_grade_up([30,10,20]), ',') AS v": "2,3,1",
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        assert got == want, f"{sql}: {got!r} != {want!r}"
+
+
 def test_list_null_semantics(spark, rw):
     """ADVICE r5: list_concat treats a NULL input as empty (NULL only
     when both are); list_has_any is false — not NULL — when non-NULL

@@ -30,6 +30,7 @@ _ROUND6_WINDOW = (
     "dialect_gap_battery7",
     "dialect_gap_battery8",
     "dialect_gap_battery9",
+    "dialect_gap_battery10",
     "emb_dim_variance",
     "asof_join_using_subquery",
     "asof_join_null_keys",
@@ -73,7 +74,6 @@ _ROUND6_WINDOW = (
     "union_all_price_tiers",
     "values_inline_table",
     "array_functions",
-    "datetime_functions",
 )
 
 

@@ -1161,6 +1161,54 @@ def dialect_gap_battery9(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "dialect_gap_battery10",
+    tags=("dialect", "battery", "operators"),
+    oracle="""
+SELECT doc_id,
+       round(n_chars ^ 0.5, 4) AS sqrt_chars,
+       round(2 ** (doc_id % 10), 1) AS pow2,
+       lang ~ '^[a-z]+$' AS lang_alpha,
+       text ~~ '%data%' AS has_data,
+       source ~~* 'WEB%' AS web_src,
+       round([1.0, n_chars / 100.0] <-> [0.0, 0.0], 4) AS vec_norm,
+       round([1.0, doc_id % 7 * 1.0] <=> [1.0, 1.0], 4) AS vec_cos,
+       map_extract(MAP {'n': n_chars % 5}, 'n')[1] AS m_val,
+       array_to_string(list_grade_up([n_chars % 7, doc_id % 5, 3]), ',') AS grade,
+       array_to_string(list_select(string_split(text, ' '), [1, 3]), '|') AS pick
+FROM documents
+WHERE doc_id <= 300
+ORDER BY doc_id
+""",
+)
+def dialect_gap_battery10(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep batch 12 — operator symbols, pinned verbatim on both
+    engines: ``^``/``**`` are POWER in DuckDB while Spark's ``^`` is
+    XOR — 2^3 is 8 vs 1, the nastiest silent class of the round
+    (operand-atomic extraction keeps DuckDB's precedence; the xor()
+    FUNCTION still emits a genuine XOR); the ``~`` operator family →
+    RLIKE/LIKE/ILIKE; ``<->``/``<=>`` array euclidean distance /
+    cosine similarity → the batch-11 list-metric arithmetic;
+    map_extract (single-element list, [] when missing), list_select,
+    list_grade_up (stable argsort via struct array_sort)."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT doc_id, "
+        "round(n_chars ^ 0.5, 4) AS sqrt_chars, "
+        "round(2 ** (doc_id % 10), 1) AS pow2, "
+        "lang ~ '^[a-z]+$' AS lang_alpha, "
+        "text ~~ '%data%' AS has_data, "
+        "source ~~* 'WEB%' AS web_src, "
+        "round([1.0, n_chars / 100.0] <-> [0.0, 0.0], 4) AS vec_norm, "
+        "round([1.0, doc_id % 7 * 1.0] <=> [1.0, 1.0], 4) AS vec_cos, "
+        "map_extract(MAP {'n': n_chars % 5}, 'n')[1] AS m_val, "
+        "array_to_string(list_grade_up([n_chars % 7, doc_id % 5, 3]), ',') AS grade, "
+        "array_to_string(list_select(string_split(text, ' '), [1, 3]), '|') AS pick "
+        "FROM documents WHERE doc_id <= 300 ORDER BY doc_id",
+    )
+
+
+@register(
     "asof_join_using_subquery",
     tags=("dialect", "asof", "join"),
     oracle="""

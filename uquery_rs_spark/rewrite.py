@@ -1412,6 +1412,208 @@ class SqlRewriter:
             )
         return sql
 
+    # -- sweep batch 12: operator symbols -----------------------------------
+
+    def _atom_left(self, sql: str, i: int):
+        """Start index of the expression atom ending just before ``i``
+        (identifier/dotted name, literal, or a balanced ()/[]-group with
+        an optional call name) — None if the context is not atomic."""
+        j = i
+        while j > 0 and sql[j - 1].isspace():
+            j -= 1
+        if j == 0:
+            return None
+        c = sql[j - 1]
+        if c in ")]":
+            depth, k, in_lit = 0, j - 1, False
+            opener = {"]": "[", ")": "("}[c]
+            closer = c
+            while k >= 0:
+                ch = sql[k]
+                if ch == "'":
+                    in_lit = not in_lit
+                elif not in_lit:
+                    if ch == closer:
+                        depth += 1
+                    elif ch == opener:
+                        depth -= 1
+                        if depth == 0:
+                            break
+                k -= 1
+            if k < 0:
+                return None
+            while k > 0 and (sql[k - 1].isalnum() or sql[k - 1] in "_."):
+                k -= 1
+            return k
+        if c == "'":
+            k = sql.rfind("'", 0, j - 1)
+            return k if k >= 0 else None
+        if c.isalnum() or c in "_.":
+            k = j
+            while k > 0 and (sql[k - 1].isalnum() or sql[k - 1] in "_."):
+                k -= 1
+            return k
+        return None
+
+    def _atom_right(self, sql: str, i: int):
+        """End index (exclusive) of the atom starting at/after ``i`` —
+        optional sign, then literal / identifier / balanced group, plus
+        postfix call/subscript chains."""
+        n = len(sql)
+        j = i
+        while j < n and sql[j].isspace():
+            j += 1
+        if j < n and sql[j] in "+-":
+            j += 1
+        if j >= n:
+            return None
+        c = sql[j]
+        if c == "'":
+            k = sql.find("'", j + 1)
+            return None if k == -1 else k + 1
+        if c in "([":
+            close = self._find_close(sql, j) if c == "(" else None
+            if c == "[":
+                depth, k, in_lit = 0, j, False
+                while k < n:
+                    ch = sql[k]
+                    if ch == "'":
+                        in_lit = not in_lit
+                    elif not in_lit:
+                        if ch == "[":
+                            depth += 1
+                        elif ch == "]":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                    k += 1
+                close = k if k < n else -1
+            if close in (None, -1):
+                return None
+            j = close + 1
+        elif c.isalnum() or c == "_":
+            while j < n and (sql[j].isalnum() or sql[j] in "_."):
+                j += 1
+        else:
+            return None
+        # postfix chains: calls and subscripts
+        while j < n:
+            k = j
+            while k < n and sql[k].isspace():
+                k += 1
+            if k < n and sql[k] == "(":
+                close = self._find_close(sql, k)
+                if close == -1:
+                    return j
+                j = close + 1
+            elif k < n and sql[k] == "[" and k == j:  # no space before subscript
+                depth, p, in_lit = 0, k, False
+                while p < n:
+                    ch = sql[p]
+                    if ch == "'":
+                        in_lit = not in_lit
+                    elif not in_lit:
+                        if ch == "[":
+                            depth += 1
+                        elif ch == "]":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                    p += 1
+                if p >= n:
+                    return j
+                j = p + 1
+            else:
+                break
+        return j
+
+    _LIKE_OPS = [  # longest first
+        ("!~~*", " NOT ILIKE "), ("~~*", " ILIKE "),
+        ("!~~", " NOT LIKE "), ("~~", " LIKE "),
+        ("!~", " NOT RLIKE "),
+    ]
+    _FN_OPS = [("**", "power"), ("<->", "list_distance"), ("<=>", "list_cosine_similarity")]
+
+    def _rewrite_operator_symbols(self, sql: str) -> str:
+        """Batch-12 sweep — operator symbols (DuckDB-verified):
+
+        - ``^`` and ``**`` are POWER in DuckDB; Spark's ``^`` is XOR —
+          2 ^ 3 is 8 vs 1, a silent wrong answer → power(a, b). Runs
+          BEFORE _rewrite_divide_xor, whose xor() output ^ must stay.
+        - ``~``/``!~`` are regexp match → [NOT] RLIKE (infix only — a
+          prefix ~ is bitwise NOT in both engines and left alone);
+          ``~~``/``~~*``/negations → LIKE/ILIKE keywords.
+        - ``<->`` / ``<=>`` are array euclidean distance / cosine
+          SIMILARITY → the list metric translations of batch 11.
+          (Spark's own null-safe ``<=>`` is not part of the DuckDB
+          dialect this gateway serves.)
+        Operand extraction is atomic (literal / identifier / balanced
+        group + postfix chains) — matching DuckDB's precedence, where
+        power and the metric operators bind tighter than arithmetic.
+        """
+        # keyword operators first (plain splice, no operand parsing);
+        # scan literal-aware, longest-first, including bare infix ~
+        out = []
+        last = ""  # last non-space char emitted (outside literals)
+        i, n = 0, len(sql)
+        while i < n:
+            c = sql[i]
+            if c == "'":
+                k = sql.find("'", i + 1)
+                k = n if k == -1 else k + 1
+                out.append(sql[i:k])
+                last = "'"
+                i = k
+                continue
+            hit = next(
+                ((op, kw) for op, kw in self._LIKE_OPS if sql.startswith(op, i)),
+                None,
+            )
+            if hit:
+                out.append(hit[1])
+                last = " "
+                i += len(hit[0])
+                continue
+            if (
+                c == "~"
+                and not sql.startswith("~~", i)
+                and (last.isalnum() or last in "_.')]")
+            ):
+                out.append(" RLIKE ")
+                last = " "
+                i += 1
+                continue
+            out.append(c)
+            if not c.isspace():
+                last = c
+            i += 1
+        sql = "".join(out)
+        # function-style operators: need both operands
+        for op, fn in self._FN_OPS + [("^", "power")]:
+            while True:
+                idx = None
+                i, in_lit = 0, False
+                while i < len(sql):
+                    ch = sql[i]
+                    if ch == "'":
+                        in_lit = not in_lit
+                    elif not in_lit and sql.startswith(op, i):
+                        idx = i
+                        break
+                    i += 1
+                if idx is None:
+                    break
+                ls = self._atom_left(sql, idx)
+                re_ = self._atom_right(sql, idx + len(op))
+                if ls is None or re_ is None:
+                    raise UQueryError.sql_error(
+                        f"cannot parse operands of '{op}' (use {fn}(a, b))"
+                    )
+                left = sql[ls:idx].strip()
+                right = sql[idx + len(op) : re_].strip()
+                sql = sql[:ls] + f"{fn}(({left}), ({right}))" + sql[re_:]
+        return sql
+
     # -- sweep batch 8: scalar-function semantics ---------------------------
 
     _CONCAT_RE = re.compile(r"(?i)\bconcat\s*\(")
@@ -1965,6 +2167,48 @@ class SqlRewriter:
                 )
                 repl = f"(({dot}) / ({norm(a)} * {norm(b)}))"
             sql = sql[: m.start()] + repl + sql[close + 1 :]
+        # batch-12 additions: remaining map/list functions
+        for regex, n_args, tmpl in (
+            (
+                re.compile(r"(?i)\bmap_extract\s*\("),
+                2,
+                # DuckDB returns a single-element LIST ([] when missing)
+                "filter(array(try_element_at(({a}), ({b}))), uq_mv -> uq_mv IS NOT NULL)",
+            ),
+            (
+                re.compile(r"(?i)\b(?:list|array)_reverse_sort\s*\("),
+                1,
+                "sort_array(({a}), false)",
+            ),
+            (
+                re.compile(r"(?i)\blist_reverse\s*\("),
+                1,
+                "reverse(({a}))",
+            ),
+            (
+                re.compile(r"(?i)\blist_select\s*\("),
+                2,
+                "transform(({b}), uq_si -> try_element_at(({a}), uq_si))",
+            ),
+            (
+                re.compile(r"(?i)\blist_grade_up\s*\("),
+                1,
+                # indices that would sort the list ascending, ties stable
+                "transform(array_sort(zip_with(({a}), sequence(1, size(({a}))), "
+                "(uq_v, uq_i) -> struct(uq_v AS v, uq_i AS i))), uq_s -> uq_s.i)",
+            ),
+        ):
+            while True:
+                hit = self._call_args(regex, sql)
+                if not hit:
+                    break
+                m, close, args = hit
+                if len(args) != n_args:
+                    raise UQueryError.sql_error(
+                        f"{m.group(0).strip('( ')} expects {n_args} arg(s)"
+                    )
+                repl = tmpl.format(a=args[0], b=args[-1])
+                sql = sql[: m.start()] + repl + sql[close + 1 :]
         while True:
             hit = self._call_args(self._JACCARD_RE, sql)
             if not hit:
@@ -3871,6 +4115,9 @@ class SqlRewriter:
         sql = self._rewrite_bracket_syntax(sql)
         sql = self._rewrite_function_names(sql)
         sql = self._rewrite_lambda_index(sql)
+        # batch-12 operator symbols BEFORE divide_xor (whose xor() output
+        # emits a genuine XOR ^) and before the list-metric translations
+        sql = self._rewrite_operator_symbols(sql)
         # batch-8 scalar semantics BEFORE list_nulls (that pass emits
         # array concat() calls that must stay un-stringified)
         sql = self._rewrite_scalar_semantics(sql)
