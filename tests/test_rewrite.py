@@ -1026,6 +1026,40 @@ def test_gap_hunt_batch12_operators(spark, rw):
         assert got == want, f"{sql}: {got!r} != {want!r}"
 
 
+def test_polymorphic_string_subscripts(spark, rw):
+    """DuckDB subscripts apply to STRINGS with the same 1-based window
+    arithmetic as lists ('abcdef'[2:4] = 'bcd'; [i] = one char, OOB/0
+    = ''). The bracket pass emits BOTH translations in a uq_poly
+    marker resolved by a LIMIT-0 type probe at the end of the pipeline
+    (_rewrite_poly_subscript) — list behavior is unchanged.
+    DuckDB-1.0.0-verified."""
+    cases = {
+        "SELECT 'abcdef'[2] AS v": "b",
+        "SELECT 'abcdef'[0] AS v": "",
+        "SELECT 'abcdef'[9] AS v": "",
+        "SELECT 'abcdef'[-1] AS v": "f",
+        "SELECT 'abcdef'[2:4] AS v": "bcd",
+        "SELECT 'abcdef'[2:-2] AS v": "bcde",
+        "SELECT 'abcdef'[:3] AS v": "abc",
+        "SELECT 'abcdef'[-3:] AS v": "def",
+        "SELECT 'abcdef'[4:2] AS v": "",
+        "SELECT 'abcdef'[0:2] AS v": "ab",
+        # column operand, dynamic index, mixed with list subscripts
+        "SELECT x[2] AS v FROM (VALUES ('hello')) t(x)": "e",
+        "SELECT x[n] AS v FROM (VALUES ('hello', 9)) t(x, n)": "",
+        "SELECT [1,2,3][5] AS v": None,  # lists unchanged
+        "SELECT [['a','bc'],['d']][1][2] AS v": "bc",  # nested resolves
+        # subscripted text inside * REPLACE / COLUMNS probes analyzes
+        "SELECT * REPLACE (t[1:2] AS t) FROM (SELECT 'xyz' AS t)": None,
+    }
+    for sql, want in cases.items():
+        row = spark.sql(rw.rewrite(sql)).collect()[0]
+        if want is not None or "REPLACE" not in sql:
+            assert row.v == want, f"{sql}: {row.v!r} != {want!r}"
+        else:
+            assert row.t == "xy"
+
+
 def test_list_null_semantics(spark, rw):
     """ADVICE r5: list_concat treats a NULL input as empty (NULL only
     when both are); list_has_any is false — not NULL — when non-NULL

@@ -2867,8 +2867,10 @@ class SqlRewriter:
         lal = lal_in or ("__uq_l" if lsub or "." in lrel else lrel)
         ral = ral_in or ("__uq_r" if rsub or "." in rrel else rrel)
         try:
-            lcols = self.spark.sql(f"SELECT * FROM {lrel} LIMIT 0").columns
-            rcols = self.spark.sql(f"SELECT * FROM {rrel} LIMIT 0").columns
+            lp = self._rewrite_poly_subscript(lrel)
+            rp = self._rewrite_poly_subscript(rrel)
+            lcols = self.spark.sql(f"SELECT * FROM {lp} LIMIT 0").columns
+            rcols = self.spark.sql(f"SELECT * FROM {rp} LIMIT 0").columns
         except Exception as exc:
             raise UQueryError.sql_error(
                 f"ASOF JOIN: cannot resolve relation schema: {exc}"
@@ -3169,37 +3171,61 @@ class SqlRewriter:
             if c.isalnum() or c in "_.":
                 i -= 1
                 continue
+            if c == "'":
+                # string-literal operand ('abc'[2]): scan to the opening
+                # quote (escaped '' pairs re-enter the literal)
+                j = head.rfind("'", 0, i - 1)
+                if j < 0:
+                    break
+                i = j
+                continue
             break
         return head[:i], head[i:]
+
+    @staticmethod
+    def _slice_form(operand: str, a: str, b: str, slice_fn: str, size_fn: str) -> str:
+        """The normalized DuckDB slice (1-based inclusive, negative from
+        the end, clamped; inverted → empty) over either container kind:
+        (slice, size) for lists, (substring, length) for strings —
+        identical window arithmetic, verified on both engines."""
+        neg = lambda x: re.fullmatch(r"-\d+", x)  # noqa: E731
+        if not b:
+            if neg(a):
+                return f"{slice_fn}({operand}, {a}, {a.lstrip('-')})"
+            start = a or "1"
+            return f"{slice_fn}({operand}, {start}, {size_fn}({operand}))"
+        b_ix = f"{size_fn}({operand}) + ({b}) + 1" if neg(b) else b
+        a_ix = f"{size_fn}({operand}) + ({a}) + 1" if neg(a) else (a or "1")
+        start = a_ix if re.fullmatch(r"[1-9]\d*", a_ix) else f"greatest(1, {a_ix})"
+        return f"{slice_fn}({operand}, {start}, greatest(0, ({b_ix}) - ({start}) + 1))"
 
     def _bracket_postfix(self, operand: str, inner: str) -> str:
         """1-based DuckDB indexing/slicing on `operand` → Spark calls.
 
         index: l[i] → get(l, i-1) (i=0 and out-of-range give NULL);
-        negative literal → element_at (counts from the end).
+        negative literal → try_element_at (counts from the end).
         slice (1-based INCLUSIVE bounds): l[a:b] → slice(l, a, b-a+1);
         open ends use 1 / size(l); negative a with open end keeps the
         tail (slice(l, -k, k)).
+
+        The operand's type is unknowable at rewrite time, and DuckDB
+        subscripts also apply to STRINGS ('abcdef'[2:4] = 'bcd', [i] =
+        one character, OOB/0 → '') with the SAME window arithmetic —
+        so list and string translations are BOTH emitted inside a
+        ``uq_poly(list_form, string_form)`` marker that
+        _rewrite_poly_subscript resolves with a LIMIT-0 type probe at
+        the end of the pipeline. The string index form is emitted as a
+        DuckDB-semantics 3-arg substring and picked up by the batch-8
+        window translation downstream.
         """
         colon_parts = self._split_top(inner, ":")
         if len(colon_parts) > 1:
             a, b = (p.strip() for p in colon_parts[:2])
-            neg = lambda x: re.fullmatch(r"-\d+", x)  # noqa: E731
             if not a and not b:
                 return operand
-            if not b:
-                if neg(a):
-                    return f"slice({operand}, {a}, {a.lstrip('-')})"
-                start = a or "1"
-                return f"slice({operand}, {start}, size({operand}))"
-            # DuckDB bounds: negative k counts from the end (-1 = last);
-            # start clamps up to 1 and inverted/empty ranges yield [] —
-            # normalize both bounds to positive 1-based and clamp, so
-            # l[2:-1], l[-3:-1], l[:-2] and l[4:2] all match.
-            b_ix = f"size({operand}) + ({b}) + 1" if neg(b) else b
-            a_ix = f"size({operand}) + ({a}) + 1" if neg(a) else (a or "1")
-            start = a_ix if re.fullmatch(r"[1-9]\d*", a_ix) else f"greatest(1, {a_ix})"
-            return f"slice({operand}, {start}, greatest(0, ({b_ix}) - ({start}) + 1))"
+            lst = self._slice_form(operand, a, b, "slice", "size")
+            st = self._slice_form(operand, a, b, "substring", "length")
+            return f"uq_poly({lst}, {st})"
         idx = inner.strip()
         if operand.lower().startswith("map("):
             # subscript directly on a MAP {} literal: key lookup whatever
@@ -3216,15 +3242,24 @@ class SqlRewriter:
             return f"element_at({operand}, {idx})"
         if re.fullmatch(r"-\d+", idx):
             # try_: ANSI element_at errors on out-of-bounds; DuckDB → NULL
-            return f"try_element_at({operand}, {idx})"
+            return (
+                f"uq_poly(try_element_at({operand}, {idx}), "
+                f"substring({operand}, {idx}, 1))"
+            )
         if re.fullmatch(r"\d+", idx):
-            return f"get({operand}, {int(idx) - 1})"
-        # assumes a list (1-based, negative counts from the end) —
-        # integer-keyed map access is ambiguous. Zero-guard + try_: DuckDB
-        # yields NULL for l[0] and any out-of-bounds index
+            return (
+                f"uq_poly(get({operand}, {int(idx) - 1}), "
+                f"substring({operand}, {idx}, 1))"
+            )
+        # assumes a list or string (1-based, negative counts from the
+        # end) — integer-keyed map access is ambiguous. Zero-guard +
+        # try_: DuckDB yields NULL for l[0] and any out-of-bounds list
+        # index ('' for strings — the dynamic substring gets the batch-8
+        # window translation which reproduces that)
         return (
-            f"(CASE WHEN ({idx}) = 0 THEN NULL "
-            f"ELSE try_element_at({operand}, ({idx})) END)"
+            f"uq_poly((CASE WHEN ({idx}) = 0 THEN NULL "
+            f"ELSE try_element_at({operand}, ({idx})) END), "
+            f"substring({operand}, ({idx}), 1))"
         )
 
     def _bracket_literal(self, inner: str) -> str:
@@ -3273,7 +3308,7 @@ class SqlRewriter:
                 # postfix binds TIGHTLY (`l[2]`, `f(a)[1]`): the char
                 # immediately before '[' decides; a space means literal.
                 prev = head[-1:]
-                if prev and (prev.isalnum() or prev in "_)]"):
+                if prev and (prev.isalnum() or prev in "_)]'"):
                     pre, operand = self._take_operand(head)
                     out = [pre, self._bracket_postfix(operand, inner)]
                 else:
@@ -3622,8 +3657,9 @@ class SqlRewriter:
         )
         if cut is not None:
             probe = probe[:cut]
-        # the probe must analyze NOW — resolve len() and DuckDB type
-        # names (CAST … AS VARCHAR) that the main pipeline maps later
+        # the probe must analyze NOW — resolve polymorphic subscripts,
+        # len() and DuckDB type names that the main pipeline maps later
+        probe = self._rewrite_poly_subscript(probe)
         schema = self.spark.sql(
             f"SELECT * FROM ({self._rewrite_len(self._rewrite_cast(probe))}) uq_cols LIMIT 0"
         ).schema
@@ -3667,7 +3703,8 @@ class SqlRewriter:
             repl[parts[1].strip().strip('"').lower()] = parts[0].strip()
         probe = sql[: m.start()] + "*" + sql[close + 1 :]
         # len() resolves last in the main pipeline, but this probe must
-        # analyze NOW — resolve len() in the probe text only
+        # analyze NOW — resolve subscripts + len() in the probe text only
+        probe = self._rewrite_poly_subscript(probe)
         schema = self.spark.sql(
             f"SELECT * FROM ({self._rewrite_len(self._rewrite_cast(probe))}) uq_probe LIMIT 0"
         ).schema
@@ -3847,6 +3884,78 @@ class SqlRewriter:
         if "(" in base:  # parameterized (DECIMAL(p,s), VARCHAR(n)): keep
             return ty
         return self._TYPE_RENAMES.get(base, ty)
+
+    _UQ_POLY_RE = re.compile(r"\buq_poly\s*\(")
+
+    def _rewrite_poly_subscript(self, sql: str) -> str:
+        """Resolve ``uq_poly(list_form, string_form)`` markers emitted by
+        _bracket_postfix: a LIMIT-0 analysis probe decides per occurrence
+        whether the subscripted operand is a STRING (DuckDB subscripts
+        work on both strings and lists with the same window arithmetic).
+        The probe substitutes the STRING form for the occurrence under
+        test and a bare NULL for every other marker — it analyzes iff
+        the operand is a string AND the string result fits the
+        surrounding expression. Any probe failure falls back to the list
+        form (the pre-round-6 behavior). Innermost markers resolve
+        first so nested subscripts compose."""
+        if "uq_poly" not in sql:
+            return sql
+        for _ in range(100):  # bounded: one marker resolved per lap
+            hits = []
+            pos = 0
+            while True:
+                hit = self._call_args(self._UQ_POLY_RE, sql, pos)
+                if not hit:
+                    break
+                m, close, args = hit
+                hits.append((m, close, args))
+                pos = m.end()
+            if not hits:
+                return sql
+            # innermost: a marker whose args contain no nested marker
+            target = next(
+                (h for h in hits if all("uq_poly" not in a for a in h[2])),
+                hits[-1],
+            )
+            m, close, args = target
+            if len(args) != 2:
+                raise UQueryError.sql_error("internal: malformed uq_poly marker")
+            lst, st = args
+
+            TOKEN = "/*uq_probe_target*/"
+
+            def neutralize(text: str) -> str:
+                # an ANCESTOR marker contains the occurrence under test
+                # (tagged with TOKEN) inside its list arg — keep that arg
+                # so the occurrence survives; SIBLING markers are
+                # independent spans and neutralize to NULL, which
+                # analyzes in any context (a string-typed ancestor then
+                # fails the probe and the occurrence falls back to the
+                # list form — loud, not silent)
+                while True:
+                    h = self._call_args(self._UQ_POLY_RE, text)
+                    if not h:
+                        return text
+                    hm, hclose, hargs = h
+                    span = text[hm.start() : hclose + 1]
+                    if TOKEN in span and len(hargs) == 2:
+                        inner = hargs[0]
+                    else:
+                        inner = "NULL"
+                    text = text[: hm.start()] + f"({inner})" + text[hclose + 1 :]
+
+            probe = neutralize(
+                sql[: m.start()] + f"({TOKEN}({st}))" + sql[close + 1 :]
+            )
+            try:
+                self.spark.sql(
+                    f"SELECT * FROM ({self._rewrite_len(self._rewrite_cast(probe))}) uq_ps LIMIT 0"
+                )
+                chosen = st
+            except Exception:
+                chosen = lst
+            sql = sql[: m.start()] + f"({chosen})" + sql[close + 1 :]
+        return sql
 
     def _rewrite_cast(self, sql: str) -> str:
         """CAST/TRY_CAST parity: map DuckDB type names Spark rejects, and
@@ -4181,6 +4290,9 @@ class SqlRewriter:
         sql = self._rewrite_star_replace(sql)
         sql = self._rewrite_columns_expr(sql)
         sql = self._rewrite_union_by_name(sql)
+        # polymorphic subscripts resolve by LIMIT-0 probe — the text must
+        # be fully Spark-valid modulo casts/len, which the probe composes
+        sql = self._rewrite_poly_subscript(sql)
         sql = self._rewrite_cast(sql)  # probes compose with _rewrite_len
         sql = self._rewrite_len(sql)  # LAST: probes need valid Spark SQL
         return sql
