@@ -1026,6 +1026,32 @@ def test_gap_hunt_batch12_operators(spark, rw):
         assert got == want, f"{sql}: {got!r} != {want!r}"
 
 
+def test_gap_hunt_batch13_window_filter(spark, rw):
+    """Sweep batch 13: aggregate FILTER over a WINDOW (Spark rejects
+    it) folds into the argument as CASE; DISTINCT window aggregates
+    raise. Verified-identical natively (no action): lag/lead negative
+    offsets and defaults, ntile/percent_rank/cume_dist/nth_value,
+    RANGE numeric and INTERVAL frames, mean alias."""
+    rows = spark.sql(rw.rewrite(
+        "SELECT x, count(*) FILTER (x > 1) OVER (ORDER BY x) AS c, "
+        "sum(x) FILTER (WHERE x <> 2) OVER (ORDER BY x "
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s "
+        "FROM (VALUES (1),(2),(2),(5)) t(x)"
+    )).collect()
+    assert [(r.x, r.c, r.s) for r in rows] == [
+        (1, 0, 1), (2, 2, 1), (2, 2, None), (5, 3, 5)
+    ]
+    # plain aggregate FILTER stays native
+    assert spark.sql(rw.rewrite(
+        "SELECT count(*) FILTER (x > 1) AS c FROM (VALUES (1),(2)) t(x)"
+    )).collect()[0].c == 1
+    import pytest as _pytest
+    from uquery_rs_spark.errors import UQueryError
+
+    with _pytest.raises(UQueryError):
+        rw.rewrite("SELECT count(DISTINCT x) OVER (ORDER BY x) FROM t")
+
+
 def test_polymorphic_string_subscripts(spark, rw):
     """DuckDB subscripts apply to STRINGS with the same 1-based window
     arithmetic as lists ('abcdef'[2:4] = 'bcd'; [i] = one char, OOB/0

@@ -873,7 +873,8 @@ SELECT o_orderkey,
        round(sum(p) OVER (PARTITION BY cust ORDER BY o_orderkey
          ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE NO OTHERS), 2) AS incl_sum,
        round(first_value(p) OVER (PARTITION BY cust ORDER BY p, o_orderkey), 2) AS first_p,
-       CAST(sum(o_orderkey) OVER (w ORDER BY o_orderkey) AS BIGINT) AS named_ext
+       CAST(sum(o_orderkey) OVER (w ORDER BY o_orderkey) AS BIGINT) AS named_ext,
+       count(*) FILTER (p > 150000) OVER (PARTITION BY cust ORDER BY o_orderkey) AS big_so_far
 FROM (SELECT o_orderkey, o_custkey % 10 AS cust,
              CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS p
       FROM orders WHERE o_orderkey <= 2000)
@@ -907,7 +908,8 @@ def dialect_gap_battery4(spark: SparkSession, sf: str) -> DataFrame:
         "round(sum(p) OVER (PARTITION BY cust ORDER BY o_orderkey "
         "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE NO OTHERS), 2) AS incl_sum, "
         "round(first_value(p) OVER (PARTITION BY cust ORDER BY p, o_orderkey), 2) AS first_p, "
-        "CAST(sum(o_orderkey) OVER (w ORDER BY o_orderkey) AS BIGINT) AS named_ext "
+        "CAST(sum(o_orderkey) OVER (w ORDER BY o_orderkey) AS BIGINT) AS named_ext, "
+        "count(*) FILTER (p > 150000) OVER (PARTITION BY cust ORDER BY o_orderkey) AS big_so_far "
         "FROM (SELECT o_orderkey, o_custkey % 10 AS cust, "
         "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS p "
         "FROM orders WHERE o_orderkey <= 2000) "

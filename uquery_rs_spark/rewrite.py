@@ -2576,6 +2576,64 @@ class SqlRewriter:
             sql = sql[:word_start] + repl + sql[m.end(1) :]
             pos = word_start + len(repl)
 
+    _WINDOW_FILTER_RE = re.compile(r"(?i)\)\s*filter\s*\(\s*where\b")
+    _DISTINCT_OVER_RE = re.compile(
+        r"(?i)\b\w+\s*\(\s*distinct\b[^()]*\)\s*over\b"
+    )
+
+    def _rewrite_window_filter(self, sql: str) -> str:
+        """Batch-13 sweep: aggregate ``FILTER`` over a WINDOW — DuckDB
+        supports ``agg(x) FILTER (WHERE c) OVER (w)``, Spark rejects it
+        → the filter folds into the argument: agg(CASE WHEN c THEN x
+        END) (NULL rows don't aggregate), count(*) → count(CASE WHEN c
+        THEN 1 END). Multi-arg aggregates raise. DISTINCT window
+        aggregates (running distinct counts) have no Spark equivalent
+        and raise. Plain (non-window) FILTER is native and untouched
+        (the batch-9 pass already inserts the WHERE keyword)."""
+        m = self._search_code(self._DISTINCT_OVER_RE, sql)
+        if m:
+            raise UQueryError.sql_error(
+                "DISTINCT aggregates over windows are not supported"
+            )
+        pos = 0
+        while True:
+            m = self._search_code(self._WINDOW_FILTER_RE, sql, pos)
+            if not m:
+                return sql
+            fopen = sql.index("(", m.start() + 1)
+            fclose = self._find_close(sql, fopen)
+            if fclose == -1:
+                return sql
+            after = sql[fclose + 1 :].lstrip()
+            if not re.match(r"(?i)over\b", after):
+                # plain aggregate FILTER — native in Spark, skip it
+                pos = fclose + 1
+                continue
+            cond = re.sub(r"(?i)^\s*where\b", "", sql[fopen + 1 : fclose]).strip()
+            # the aggregate call directly before FILTER
+            agg_text = sql[: m.start() + 1]  # includes its close paren
+            aopen = self._asof_scan_balanced_back(agg_text, len(agg_text))
+            fname_m = re.search(r"(\w+)\s*$", agg_text[:aopen])
+            if not fname_m:
+                raise UQueryError.sql_error("FILTER: expected agg(...) before it")
+            fname = fname_m.group(1)
+            arg = agg_text[aopen + 1 : -1].strip()
+            if re.match(r"(?i)^distinct\b", arg):
+                raise UQueryError.sql_error(
+                    "FILTER with DISTINCT over a window is not supported"
+                )
+            args = self._split_top(arg, ",") if arg else []
+            if arg == "*":
+                new_call = f"{fname}(CASE WHEN {cond} THEN 1 END)"
+            elif len(args) == 1:
+                new_call = f"{fname}(CASE WHEN {cond} THEN ({arg}) END)"
+            else:
+                raise UQueryError.sql_error(
+                    "windowed FILTER supports single-argument aggregates only"
+                )
+            sql = sql[: fname_m.start(1)] + new_call + sql[fclose + 1 :]
+            pos = 0  # text changed — rescan from the top
+
     _FRAME_EXCLUDE_RE = re.compile(
         r"(?i)\bexclude\s+(current\s+row|group|ties|no\s+others)\b"
     )
@@ -4277,6 +4335,7 @@ class SqlRewriter:
         sql = self._rewrite_named_window_ext(sql)
         sql = self._rewrite_order_nulls(sql)
         sql = self._rewrite_window_exclude(sql)
+        sql = self._rewrite_window_filter(sql)
         sql = self._rewrite_strftime(sql)
         sql = self._rewrite_int_div(sql)
         sql = self._rewrite_exclude(sql)
