@@ -1050,6 +1050,14 @@ def test_gap_hunt_batch13_window_filter(spark, rw):
 
     with _pytest.raises(UQueryError):
         rw.rewrite("SELECT count(DISTINCT x) OVER (ORDER BY x) FROM t")
+    # temporal range(): exclusive stop, TIMESTAMP result (DuckDB-matched)
+    rows = spark.sql(rw.rewrite(
+        "SELECT * FROM range(DATE '2024-01-01', DATE '2024-01-04', INTERVAL 1 DAY)"
+    )).collect()
+    assert len(rows) == 3 and str(rows[0].range) == "2024-01-01 00:00:00"
+    # statement-form PIVOT with several aggregates raises cleanly
+    with _pytest.raises(UQueryError):
+        rw.rewrite("PIVOT t ON p USING sum(v) AS s, count(*) AS c GROUP BY g")
 
 
 def test_polymorphic_string_subscripts(spark, rw):

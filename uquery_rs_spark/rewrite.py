@@ -903,7 +903,18 @@ class SqlRewriter:
             else:
                 pos = close + 1
                 continue
-            seq = self._range_seq_sql(a, b, s)
+            if re.search(r"(?i)\binterval\b", s):
+                # temporal range (batch-13): DuckDB's stop stays EXCLUSIVE
+                # and the result is TIMESTAMP even for DATE bounds;
+                # sequence() is inclusive → drop a stop-equal last element.
+                # Positive-interval steps only (the DuckDB-common form).
+                bt = f"CAST(({b}) AS TIMESTAMP)"
+                seq = (
+                    f"filter(sequence(CAST(({a}) AS TIMESTAMP), {bt}, ({s})), "
+                    f"uq_rg -> uq_rg <> {bt})"
+                )
+            else:
+                seq = self._range_seq_sql(a, b, s)
             head = sql[: m.start()]
             if re.search(r"(?is)\b(from|join)\s*$", head):
                 repl = f"(SELECT explode({seq}) AS range)"
@@ -3507,6 +3518,11 @@ class SqlRewriter:
         col, agg = m.group("col"), m.group("agg").strip()
         groups = [g.strip() for g in (m.group("groups") or "").split(",") if g.strip()]
         tail = m.group("tail") or ""
+        if len(self._split_top(agg, ",")) > 1:
+            raise UQueryError.sql_error(
+                "statement-form PIVOT supports ONE aggregate "
+                "(use the parenthesised PIVOT (a AS x, b AS y FOR ...) form)"
+            )
         am = re.match(r"(?is)^(\w+)\s*\((.*)\)\s*(?:as\s+(\w+))?$", agg)
         if am is None:
             raise UQueryError.sql_error(f"unsupported PIVOT aggregate: {agg[:60]}")
