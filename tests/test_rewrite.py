@@ -1220,3 +1220,21 @@ def test_asof_join_sql_extended_forms(spark, rw):
         rw.rewrite(
             "SELECT 1 FROM uq_asof_tr2 ASOF JOIN uq_asof_qo2 USING (sym, px)"
         )
+
+
+def test_session_statements_blocked(rw):
+    """Session/prepared/transaction statements are blocked at the gate
+    with the configuration-locked error — not a confusing parse error
+    (batch-13 error-quality sweep: PREPARE/EXECUTE/txn/PRAGMA join the
+    SET/ATTACH/COPY family)."""
+    import pytest as _pytest
+    from uquery_rs_spark.errors import UQueryError
+
+    for stmt in [
+        "PREPARE q AS SELECT $1", "EXECUTE q(1)", "DEALLOCATE q",
+        "BEGIN TRANSACTION", "COMMIT", "ROLLBACK",
+        "CHECKPOINT", "VACUUM", "PRAGMA database_list",
+        "COPY t TO 'x.csv'",
+    ]:
+        with _pytest.raises(UQueryError):
+            rw.rewrite(stmt)

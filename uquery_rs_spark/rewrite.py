@@ -70,7 +70,9 @@ _JSON_ARROW_RE = re.compile(
     r"(?P<col>'(?:[^']|'')*'|[A-Za-z_][\w.]*)\s*->>?\s*'(?P<key>[^']+)'"
 )
 _FORBIDDEN_RE = re.compile(
-    r"(?i)^\s*(set|reset|install|load|attach|detach|create\s+secret|copy|export|import)\b"
+    r"(?i)^\s*(set|reset|install|load|attach|detach|create\s+secret|copy|"
+    r"export|import|prepare|execute|deallocate|begin|commit|rollback|"
+    r"checkpoint|vacuum|pragma)\b"
 )
 
 
