@@ -822,13 +822,13 @@ def test_gap_hunt_batch7_windows_and_functions(spark, rw):
         "SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) FROM t",
         "SELECT min(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM t",
         "SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING EXCLUDE CURRENT ROW) FROM t",
-        "SELECT struct_insert({'a':1}, b := 2)",
-        "SELECT mad(x) FROM t",
-        "SELECT x FROM t ORDER BY x LIMIT 50%",
+        # batch 15 closed struct_insert/mad/LIMIT n%/jaro*/strip_accents
+        # (see test_gap_hunt_batch15) — these variants still raise:
+        "SELECT x FROM t LIMIT 50%",  # orderless: arbitrary subset
+        "SELECT mad(x) OVER (PARTITION BY g) FROM t",
+        "SELECT struct_insert(x) FROM t",
         "SELECT '101'::BITSTRING",
         "SELECT CAST('a' AS ENUM('a','b'))",
-        "SELECT jaro_winkler_similarity('a','b')",
-        "SELECT strip_accents('x')",
         "SELECT md5_number('x')",
     ]:
         with _pytest.raises(UQueryError):
@@ -871,7 +871,7 @@ def test_gap_hunt_batch8_scalar_semantics(spark, rw):
     import pytest as _pytest
     from uquery_rs_spark.errors import UQueryError
 
-    for bad in ["SELECT age(x, y) FROM t", "SELECT gamma(5)", "SELECT make_time(1,2,3)"]:
+    for bad in ["SELECT age(x, y) FROM t", "SELECT make_time(1,2,3)"]:
         with _pytest.raises(UQueryError):
             rw.rewrite(bad)
 
@@ -905,8 +905,10 @@ def test_gap_hunt_batch9_aggregates(spark, rw):
     from uquery_rs_spark.errors import UQueryError
 
     for bad in [
-        "SELECT entropy(x) FROM t",
-        "SELECT histogram(x) FROM t",
+        # entropy/histogram translate since batch 15 — the windowed /
+        # DISTINCT forms stay untranslatable
+        "SELECT entropy(x) OVER (PARTITION BY y) FROM t",
+        "SELECT histogram(DISTINCT x) FROM t",
         "SELECT skewness(x) OVER (PARTITION BY y) FROM t",
         "SELECT skewness(DISTINCT x) FROM t",
     ]:
@@ -947,7 +949,7 @@ def test_gap_hunt_batch10_datetime(spark, rw):
     import pytest as _pytest
     from uquery_rs_spark.errors import UQueryError
 
-    for bad in ["SELECT nextafter(1.0, 2.0)", "SELECT timezone('UTC', x) FROM t",
+    for bad in ["SELECT timezone('UTC', x) FROM t",
                 "SELECT get_current_time()"]:
         with _pytest.raises(UQueryError):
             rw.rewrite(bad)
@@ -990,8 +992,7 @@ def test_gap_hunt_batch11_string_list(spark, rw):
     import pytest as _pytest
     from uquery_rs_spark.errors import UQueryError
 
-    for bad in ["SELECT bar(3,0,10,10)", "SELECT parse_dirname('/x')",
-                "SELECT left_grapheme('ab', 1)"]:
+    for bad in ["SELECT bar(3,0,10,10)", "SELECT left_grapheme('ab', 1)"]:
         with _pytest.raises(UQueryError):
             rw.rewrite(bad)
 
@@ -1029,7 +1030,8 @@ def test_gap_hunt_batch12_operators(spark, rw):
 def test_gap_hunt_batch13_window_filter(spark, rw):
     """Sweep batch 13: aggregate FILTER over a WINDOW (Spark rejects
     it) folds into the argument as CASE; DISTINCT window aggregates
-    raise. Verified-identical natively (no action): lag/lead negative
+    translate since batch 15 (unsupported ones still raise).
+    Verified-identical natively (no action): lag/lead negative
     offsets and defaults, ntile/percent_rank/cume_dist/nth_value,
     RANGE numeric and INTERVAL frames, mean alias."""
     rows = spark.sql(rw.rewrite(
@@ -1048,8 +1050,15 @@ def test_gap_hunt_batch13_window_filter(spark, rw):
     import pytest as _pytest
     from uquery_rs_spark.errors import UQueryError
 
+    # running DISTINCT count now translates (batch 15, collect_set);
+    # aggregates outside count/sum/avg/min/max still raise
+    rows = spark.sql(rw.rewrite(
+        "SELECT x, count(DISTINCT x) OVER (ORDER BY x) AS rc "
+        "FROM (VALUES (1),(2),(2),(5)) t(x)"
+    )).collect()
+    assert [(r.x, r.rc) for r in rows] == [(1, 1), (2, 2), (2, 2), (5, 3)]
     with _pytest.raises(UQueryError):
-        rw.rewrite("SELECT count(DISTINCT x) OVER (ORDER BY x) FROM t")
+        rw.rewrite("SELECT median(DISTINCT x) OVER (ORDER BY x) FROM t")
     # temporal range(): exclusive stop, TIMESTAMP result (DuckDB-matched)
     rows = spark.sql(rw.rewrite(
         "SELECT * FROM range(DATE '2024-01-01', DATE '2024-01-04', INTERVAL 1 DAY)"
@@ -1238,3 +1247,59 @@ def test_session_statements_blocked(rw):
     ]:
         with _pytest.raises(UQueryError):
             rw.rewrite(stmt)
+
+
+def test_gap_hunt_batch15_closures(spark, rw):
+    """Sweep batch 15: the former raise-only corners, now translated.
+    mad/entropy/histogram as collect_list expression trees, era,
+    DISTINCT aggregates over windows via collect_set, md5_number
+    halves (little-endian byte order, DECIMAL(20,0) width),
+    struct_insert via the FIELD_NOT_FOUND schema probe, top-level
+    ORDER BY … LIMIT n% (floor semantics). Expected values
+    DuckDB-1.0.0-verified (see the batch-15 probe transcripts in
+    NOTES.md)."""
+    cases = {
+        "SELECT mad(x) AS v FROM (VALUES (1.0),(2.0),(4.0),(10.0)) t(x)": 1.5,
+        "SELECT mad(x) AS v FROM (VALUES (1),(2),(4)) t(x)": 1.0,
+        "SELECT mad(x) AS v FROM (VALUES (CAST(NULL AS DOUBLE))) t(x)": None,
+        "SELECT entropy(x) AS v FROM (VALUES ('a'),('a'),('b'),('c')) t(x)": 1.5,
+        "SELECT entropy(x) AS v FROM (VALUES (1),(1),(1)) t(x)": 0.0,
+        "SELECT entropy(x) AS v FROM (VALUES (CAST(NULL AS INT))) t(x)": 0.0,
+        "SELECT map_keys(histogram(x))[2] AS v FROM (VALUES ('b'),('a'),('a')) t(x)": "b",
+        "SELECT map_values(histogram(x))[1] AS v FROM (VALUES ('b'),('a'),('a')) t(x)": 2,
+        "SELECT histogram(x) AS v FROM (VALUES (CAST(NULL AS INT))) t(x)": None,
+        "SELECT extract(era FROM DATE '2020-05-05') AS v": 1,
+        "SELECT era(DATE '0001-01-01') AS v": 1,
+        # md5_number halves: DuckDB-verified values for 'abc'
+        "SELECT CAST(md5_number_lower('abc') AS STRING) AS v": "8250560606382298838",
+        "SELECT CAST(md5_number_upper('abc') AS STRING) AS v": "12704604231530709392",
+        "SELECT struct_insert({'a': 1, 'b': 'x'}, c := 5).c AS v": 5,
+        "SELECT struct_insert(named_struct('a', 1), b := 2, d := 3).d AS v": 3,
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        assert got == want, f"{sql}: {got!r} != {want!r}"
+    # DISTINCT over windows (collect_set translation)
+    rows = spark.sql(rw.rewrite(
+        "SELECT g, count(DISTINCT s) OVER (PARTITION BY g) AS cd, "
+        "sum(DISTINCT x) OVER (PARTITION BY g) AS sd "
+        "FROM (VALUES (1, 'a', 10), (1, 'a', 10), (1, 'b', 20), (2, NULL, 5)) "
+        "t(g, s, x) ORDER BY g, x"
+    )).collect()
+    assert [(r.g, r.cd, r.sd) for r in rows] == [(1, 2, 30), (1, 2, 30), (1, 2, 30), (2, 0, 5)]
+    # LIMIT n%: floor(p*count/100) rows of the ordered result
+    rows = spark.sql(rw.rewrite(
+        "SELECT x FROM (VALUES (5),(1),(4),(2),(3),(6),(7),(8),(9),(10)) t(x) "
+        "ORDER BY x LIMIT 25%"
+    )).collect()
+    assert [r.x for r in rows] == [1, 2]
+    assert [r.asDict() for r in rows][0].keys() == {"x"}  # helpers dropped
+    # duplicate struct entry raises like DuckDB; non-struct base raises
+    for bad in [
+        "SELECT struct_insert({'a': 1}, a := 2)",
+        "SELECT struct_insert(5, a := 2)",
+        "SELECT median(DISTINCT x) OVER (PARTITION BY g) FROM t",
+        "SELECT x FROM t ORDER BY 1 LIMIT 10%",  # ordinal key in OVER
+    ]:
+        with pytest.raises(UQueryError):
+            rw.rewrite(bad)

@@ -1,0 +1,235 @@
+"""Dialect-parity scalar functions with no Spark builtin, as Arrow-batched
+pandas UDFs registered lazily by the rewrite layer (sweep batch 15).
+
+The reference delegates these to DuckDB's scalar catalog (pass-through at
+src/core/duckdb.rs:87-88); Spark has no equivalent builtins, so they run
+as vectorized Python — the documented slow-path vehicle, acceptable for
+dialect parity scalars that never sit on an analytic hot path.
+
+Every semantic below is pinned against DuckDB 1.x by direct probe and by
+the differential tests in tests/test_parity_udfs.py:
+
+- string DISTANCES operate on UTF-8 BYTES, not codepoints
+  (levenshtein('café','cafe') = 2 in DuckDB; jaro over 'café'/'cafe'
+  = (3/5 + 3/4 + 1)/3 — five bytes, not four chars),
+- jaro_similarity('', anything) = 0.0 — including BOTH empty,
+- the Winkler boost applies only when jaro > 0.7, prefix cap 4 bytes,
+  scale 0.1 (verified: no boost at jaro 0.528 despite a 2-byte prefix),
+- damerau_levenshtein is the UNRESTRICTED distance with an alphabet
+  table ('CA'→'ABC' = 2 where optimal-string-alignment gives 3),
+- strip_accents = NFD → drop nonspacing marks (Mn) → NFC recompose;
+  ligatures and standalone letters survive ('ﬁ' and 'ẞ' unchanged,
+  'Ḝ' → 'E'),
+- gamma(0)/lgamma(0) ERROR ("cannot take gamma of zero"); gamma at
+  negative integers = nan but lgamma there = +inf; overflow = inf,
+- parse_path('/a/b/') = ['/', 'a', 'b'] (root is a component, empty
+  segments drop, '/' and '\\' both separate); parse_dirname keeps the
+  final component only when a trailing separator marks it a directory
+  ('a/' → 'a', '/c.txt' → '/', 'c.txt' → ''); parse_dirpath is the
+  text before the last separator, or the input minus exactly one
+  trailing separator ('a//' → 'a/', '/' → '/').
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import unicodedata
+import weakref
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+
+_SEP_RE = re.compile(r"[/\\]")
+
+
+def _jaro(a: bytes, b: bytes) -> float:
+    if not a or not b:
+        return 0.0  # DuckDB: either side empty (incl. both) → 0
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    window = max(la, lb) // 2 - 1
+    b_hit = [False] * lb
+    matches = 0
+    a_match, b_match = [], []
+    for i, ca in enumerate(a):
+        lo, hi = max(0, i - window), min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not b_hit[j] and b[j] == ca:
+                b_hit[j] = True
+                a_match.append(ca)
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    b_match = [b[j] for j in range(lb) if b_hit[j]]
+    t = sum(x != y for x, y in zip(a_match, b_match)) // 2
+    m = float(matches)
+    return (m / la + m / lb + (m - t) / m) / 3.0
+
+
+def _jaro_winkler(a: bytes, b: bytes) -> float:
+    j = _jaro(a, b)
+    if j <= 0.7:  # boost threshold (DuckDB-verified: 0.528 stays)
+        return j
+    prefix = 0
+    for x, y in zip(a[:4], b[:4]):
+        if x != y:
+            break
+        prefix += 1
+    return j + 0.1 * prefix * (1.0 - j)
+
+
+def _damerau(a: bytes, b: bytes) -> int:
+    """Unrestricted Damerau-Levenshtein (alphabet table)."""
+    la, lb = len(a), len(b)
+    if not la or not lb:
+        return la or lb
+    inf = la + lb
+    da: dict[int, int] = {}
+    d = [[inf] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+def _strip_accents(s: str) -> str:
+    decomposed = unicodedata.normalize("NFD", s)
+    stripped = "".join(c for c in decomposed if unicodedata.category(c) != "Mn")
+    return unicodedata.normalize("NFC", stripped)
+
+
+def _gamma(x: float) -> float:
+    if x == 0.0:
+        raise ValueError("cannot take gamma of zero")  # DuckDB errors too
+    try:
+        return math.gamma(x)
+    except ValueError:  # negative integers: DuckDB → nan
+        return float("nan")
+    except OverflowError:
+        return float("inf")
+
+
+def _lgamma(x: float) -> float:
+    if x == 0.0:
+        raise ValueError("cannot take log gamma of zero")
+    try:
+        return math.lgamma(x)
+    except ValueError:  # negative integers: DuckDB → +inf
+        return float("inf")
+    except OverflowError:
+        return float("inf")
+
+
+def _path_components(s: str) -> list[str]:
+    comps = [c for c in _SEP_RE.split(s) if c]
+    if s[:1] in ("/", "\\"):
+        comps.insert(0, "/")  # root is its own component
+    return comps
+
+
+def _parse_dirname(s: str) -> str:
+    comps = _path_components(s)
+    if s[-1:] not in ("/", "\\"):
+        comps = comps[:-1]  # last component is a file — drop it
+    return comps[0] if comps else ""
+
+
+def _parse_dirpath(s: str) -> str:
+    if not s:
+        return ""
+    if s[-1] in ("/", "\\"):
+        return s[:-1] if len(s) > 1 else s  # '/' stays '/'
+    idx = max(s.rfind("/"), s.rfind("\\"))
+    return s[:idx] if idx >= 0 else ""
+
+
+def _map1(fn):
+    # pd.isna: numeric nulls arrive as NaN under Arrow, string nulls as
+    # None. (Deviation: a genuine NaN argument to gamma/lgamma therefore
+    # yields NULL, not NaN — indistinguishable from null in the batch.)
+    def apply(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if v is None or (not isinstance(v, str) and pd.isna(v)) else fn(v))
+
+    return apply
+
+
+def _map2_bytes(fn):
+    def apply(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if a is None or b is None
+                else fn(a.encode("utf-8"), b.encode("utf-8"))
+                for a, b in zip(s1, s2)
+            ]
+        )
+
+    return apply
+
+
+def _build_udfs() -> dict:
+    return {
+        "uq_jaro": pandas_udf(_map2_bytes(_jaro), "double"),
+        "uq_jaro_winkler": pandas_udf(_map2_bytes(_jaro_winkler), "double"),
+        "uq_damerau_lev": pandas_udf(_map2_bytes(_damerau), "long"),
+        "uq_strip_accents": pandas_udf(_map1(_strip_accents), "string"),
+        "uq_nfc_normalize": pandas_udf(
+            _map1(lambda s: unicodedata.normalize("NFC", s)), "string"
+        ),
+        "uq_gamma": pandas_udf(
+            _map1(lambda x: _gamma(float(x))), "double"
+        ),
+        "uq_lgamma": pandas_udf(
+            _map1(lambda x: _lgamma(float(x))), "double"
+        ),
+        "uq_nextafter": pandas_udf(
+            lambda a, b: pd.Series(
+                [
+                    None if pd.isna(x) or pd.isna(y) else math.nextafter(x, y)
+                    for x, y in zip(a, b)
+                ]
+            ),
+            "double",
+        ),
+        "uq_parse_dirname": pandas_udf(_map1(_parse_dirname), "string"),
+        "uq_parse_dirpath": pandas_udf(_map1(_parse_dirpath), "string"),
+        "uq_parse_path": pandas_udf(
+            _map1(_path_components), "array<string>"
+        ),
+    }
+
+
+_registered: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
+def register_parity_udfs(spark: SparkSession) -> None:
+    """Idempotently register the parity UDFs on `spark` (called by the
+    rewrite layer the first time a query uses one of these names, so
+    driver-style plain sessions get them without engine setup)."""
+    if spark in _registered:
+        return
+    for name, udf in _build_udfs().items():
+        spark.udf.register(name, udf)
+    _registered.add(spark)

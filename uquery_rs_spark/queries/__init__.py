@@ -22,8 +22,13 @@ from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 # entries (the new ORDER-BY-null-placement pass touches every SQL
 # query, so the SQL-flavored batteries rotate in ahead of the
 # operator-API ones; remaining r3 entries rotate in round 7).
-# Exactly 50 names.
+# Exactly 50 names. (Batch-15 additions prepended late round 6 — the
+# three entries they displaced (set_ops/stats_aggregates/union_all/
+# values/array batteries tail) rotate in round 7 with the rest of r3.)
 _ROUND6_WINDOW = (
+    "dialect_gap_battery11",
+    "dialect_gap_battery12",
+    "dialect_gap_battery13",
     "dialect_gap_battery4",
     "dialect_gap_battery5",
     "dialect_gap_battery6",
@@ -70,10 +75,7 @@ _ROUND6_WINDOW = (
     "scalar_subquery_above_avg_balance",
     "semi_join_active_customers",
     "set_ops_nation_membership",
-    "stats_aggregates_prices",
-    "union_all_price_tiers",
     "values_inline_table",
-    "array_functions",
 )
 
 

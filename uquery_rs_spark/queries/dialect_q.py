@@ -1530,3 +1530,134 @@ def escape_literal_battery(spark: SparkSession, sf: str) -> DataFrame:
     mangle. The identical SQL runs verbatim on DuckDB."""
     load_tables(spark, sf)
     return _rewritten_sql(spark, _E_LITERAL_SQL)
+
+
+@register(
+    "dialect_gap_battery11",
+    tags=("dialect", "battery", "functions"),
+    oracle="""
+SELECT doc_id,
+       round(jaro_similarity(lang, source), 4) AS js,
+       round(jaro_winkler_similarity(source, lang), 4) AS jw,
+       damerau_levenshtein(lang, substr(source, 1, 4)) AS dl,
+       strip_accents('caf' || chr(233) || ' M' || chr(252) || 'ller') AS sa,
+       nfc_normalize('e' || chr(769)) AS nf,
+       parse_dirname('/corpus/' || source || '/' || doc_id || '.txt') AS dn,
+       parse_dirpath('corpus/' || source || '/' || doc_id || '.txt') AS dp,
+       array_to_string(parse_path(source || '/' || lang), ',') AS pp,
+       CAST(md5_number_lower(lang) AS VARCHAR) AS mlo,
+       CAST(md5_number_upper(source) AS VARCHAR) AS mhi,
+       round(gamma(1.0 + (doc_id % 5) / 2.0), 4) AS gm,
+       round(lgamma(n_chars / 10.0 + 1), 4) AS lg,
+       nextafter(doc_id * 1.0, 0.0) AS na
+FROM documents
+WHERE doc_id <= 300
+ORDER BY doc_id
+""",
+)
+def dialect_gap_battery11(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep batch 15 — the former raise-only scalars, pinned verbatim
+    on both engines: byte-based jaro/jaro-winkler/unrestricted
+    damerau_levenshtein, strip_accents (NFD→drop-marks→NFC),
+    nfc_normalize (combining acute recomposes), the parse_dir* path
+    family (trailing-separator rules), md5_number halves
+    (little-endian byte order; DECIMAL(20,0) → VARCHAR carries the
+    UBIGINT digits), gamma/lgamma/nextafter. The UDF-backed names
+    register lazily on the session at rewrite time
+    (functions/parity_udfs.py), so the driver's plain session needs no
+    engine setup."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT doc_id, "
+        "round(jaro_similarity(lang, source), 4) AS js, "
+        "round(jaro_winkler_similarity(source, lang), 4) AS jw, "
+        "damerau_levenshtein(lang, substr(source, 1, 4)) AS dl, "
+        "strip_accents('caf' || chr(233) || ' M' || chr(252) || 'ller') AS sa, "
+        "nfc_normalize('e' || chr(769)) AS nf, "
+        "parse_dirname('/corpus/' || source || '/' || doc_id || '.txt') AS dn, "
+        "parse_dirpath('corpus/' || source || '/' || doc_id || '.txt') AS dp, "
+        "array_to_string(parse_path(source || '/' || lang), ',') AS pp, "
+        "CAST(md5_number_lower(lang) AS VARCHAR) AS mlo, "
+        "CAST(md5_number_upper(source) AS VARCHAR) AS mhi, "
+        "round(gamma(1.0 + (doc_id % 5) / 2.0), 4) AS gm, "
+        "round(lgamma(n_chars / 10.0 + 1), 4) AS lg, "
+        "nextafter(doc_id * 1.0, 0.0) AS na "
+        "FROM documents WHERE doc_id <= 300 ORDER BY doc_id",
+    )
+
+
+@register(
+    "dialect_gap_battery12",
+    tags=("dialect", "battery", "aggregates"),
+    oracle="""
+SELECT o_orderpriority,
+       round(mad(o_totalprice), 4) AS mad_price,
+       round(entropy(o_orderstatus), 4) AS ent_status,
+       array_to_string(map_keys(histogram(o_orderstatus)), ',') AS hist_keys,
+       array_to_string(map_values(histogram(o_orderstatus)), ',') AS hist_vals,
+       min(extract(era from o_orderdate)) AS min_era,
+       struct_insert({'pri': o_orderpriority}, tag := 'x').tag AS si_tag
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+LIMIT 60%
+""",
+)
+def dialect_gap_battery12(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep batch 15 — nested-aggregate translations pinned verbatim:
+    mad (median-of-absolute-deviations as an expression tree over ONE
+    collect_list — Catalyst dedupes the repeated aggregate), entropy
+    (log2, empty→0.0, the +0 signed-zero guard), histogram (map keys
+    ascending, BIGINT counts — serialized to scalar key/value strings
+    for the hasher), EXTRACT(era) (CE=1), struct_insert (schema-probed
+    via FIELD_NOT_FOUND field enumeration), and top-level ORDER BY …
+    LIMIT 60% (floor(0.6·5 groups) = 3 rows via a count window over
+    the ordered body)."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT o_orderpriority, "
+        "round(mad(o_totalprice), 4) AS mad_price, "
+        "round(entropy(o_orderstatus), 4) AS ent_status, "
+        "array_to_string(map_keys(histogram(o_orderstatus)), ',') AS hist_keys, "
+        "array_to_string(map_values(histogram(o_orderstatus)), ',') AS hist_vals, "
+        "min(extract(era from o_orderdate)) AS min_era, "
+        "struct_insert({'pri': o_orderpriority}, tag := 'x').tag AS si_tag "
+        "FROM orders GROUP BY o_orderpriority "
+        "ORDER BY o_orderpriority LIMIT 60%",
+    )
+
+
+@register(
+    "dialect_gap_battery13",
+    tags=("dialect", "battery", "windows"),
+    oracle="""
+SELECT o_orderkey,
+       o_orderpriority,
+       count(DISTINCT o_orderstatus) OVER (PARTITION BY o_orderpriority) AS cd_status,
+       round(sum(DISTINCT o_totalprice) OVER (PARTITION BY o_orderpriority) / 1000000, 4) AS sd_price_m,
+       round(avg(DISTINCT round(o_totalprice, -3)) OVER (PARTITION BY o_orderpriority), 4) AS ad_ktier,
+       min(DISTINCT o_orderstatus) OVER (PARTITION BY o_orderpriority) AS mn_status
+FROM orders
+WHERE o_orderkey <= 2000
+ORDER BY o_orderkey
+""",
+)
+def dialect_gap_battery13(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep batch 15 — DISTINCT aggregates over windows (Spark rejects
+    them outright) via collect_set expression trees: count → size,
+    sum → element-typed fold, avg → DOUBLE fold / size with try_divide,
+    min/max → DISTINCT dropped. The repeated collect_set window dedupes
+    to one physical window function. IDENTICAL SQL verbatim on DuckDB's
+    native DISTINCT window aggregates."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT o_orderkey, o_orderpriority, "
+        "count(DISTINCT o_orderstatus) OVER (PARTITION BY o_orderpriority) AS cd_status, "
+        "round(sum(DISTINCT o_totalprice) OVER (PARTITION BY o_orderpriority) / 1000000, 4) AS sd_price_m, "
+        "round(avg(DISTINCT round(o_totalprice, -3)) OVER (PARTITION BY o_orderpriority), 4) AS ad_ktier, "
+        "min(DISTINCT o_orderstatus) OVER (PARTITION BY o_orderpriority) AS mn_status "
+        "FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey",
+    )

@@ -1387,11 +1387,9 @@ class SqlRewriter:
     # -- sweep batch 7: explicit raises for untranslatable idioms ---------
 
     _UNSUPPORTED_FN_RE = re.compile(
-        r"(?i)\b(struct_insert|mad|jaro_similarity|jaro_winkler_similarity|"
-        r"damerau_levenshtein|strip_accents|nfc_normalize|md5_number|"
-        r"md5_number_lower|md5_number_upper|age|gamma|lgamma|make_time|"
-        r"txid_current|entropy|histogram|nextafter|get_current_time|"
-        r"bit_position|timezone|bar|parse_dirname|parse_dirpath|parse_path|"
+        r"(?i)\b(md5_number|age|make_time|"
+        r"txid_current|get_current_time|"
+        r"bit_position|timezone|bar|"
         r"left_grapheme|right_grapheme)\s*\("
     )
     _LIMIT_PCT_RE = re.compile(r"(?i)\blimit\s+\d+(?:\.\d+)?\s*%")
@@ -1403,20 +1401,20 @@ class SqlRewriter:
         """Batch-7 sweep: idioms DuckDB admits that have no faithful
         Spark translation RAISE here instead of reaching Catalyst as a
         garbled expression (the sweep's translate-or-raise rule).
-        struct_insert needs struct-type introspection, mad() nests two
-        medians (not one aggregate), jaro*/damerau/strip_accents/
-        nfc_normalize have no Spark builtin, md5_number* return HUGEINT
-        halves with DuckDB's byte order, LIMIT n% needs a total count,
-        BITSTRING/ENUM are DuckDB-only types."""
+        md5_number returns a full HUGEINT (no 128-bit Spark integer —
+        the _lower/_upper halves ARE translated, batch 15), age() is
+        volatile INTERVAL arithmetic, make_time needs a TIME type,
+        timezone() needs session-tz semantics, graphemes need cluster
+        segmentation, BITSTRING/ENUM are DuckDB-only types. Batch 15
+        closed the former members struct_insert/mad/entropy/histogram/
+        jaro*/damerau/strip_accents/nfc_normalize/gamma/lgamma/
+        parse_dir*/md5_number_lower|upper/LIMIT n% — see
+        _rewrite_parity_fns, _rewrite_nested_aggs,
+        _rewrite_struct_insert, _rewrite_limit_pct."""
         m = self._search_code(self._UNSUPPORTED_FN_RE, sql)
         if m:
             raise UQueryError.sql_error(
                 f"{m.group(1)}() has no Spark equivalent (unsupported)"
-            )
-        m = self._search_code(self._LIMIT_PCT_RE, sql)
-        if m:
-            raise UQueryError.sql_error(
-                "LIMIT n% is not supported (needs a pre-count; use LIMIT n)"
             )
         m = self._search_code(self._BIT_ENUM_RE, sql)
         if m:
@@ -1424,6 +1422,306 @@ class SqlRewriter:
                 "BITSTRING/ENUM types are not supported"
             )
         return sql
+
+    # -- sweep batch 15: UDF-backed parity scalars, nested aggregates,
+    # struct_insert (schema-probed), LIMIT n% ------------------------------
+
+    _PARITY_FN_MAP = {
+        "jaro_winkler_similarity": "uq_jaro_winkler",
+        "jaro_similarity": "uq_jaro",
+        "damerau_levenshtein": "uq_damerau_lev",
+        "strip_accents": "uq_strip_accents",
+        "nfc_normalize": "uq_nfc_normalize",
+        "lgamma": "uq_lgamma",
+        "gamma": "uq_gamma",
+        "nextafter": "uq_nextafter",
+        "parse_dirname": "uq_parse_dirname",
+        "parse_dirpath": "uq_parse_dirpath",
+        "parse_path": "uq_parse_path",
+    }
+    _PARITY_FN_RE = re.compile(
+        r"(?i)\b(" + "|".join(_PARITY_FN_MAP) + r")\s*\("
+    )
+    _MD5_HALF_RE = re.compile(r"(?i)\bmd5_number_(lower|upper)\s*\(")
+
+    def _rewrite_parity_fns(self, sql: str) -> str:
+        """Batch-15 sweep: DuckDB scalars with no Spark builtin →
+        Arrow-batched pandas UDFs (functions/parity_udfs.py), registered
+        lazily on first use so plain driver sessions get them without
+        engine setup. Semantics pinned against DuckDB there (byte-based
+        distances, Winkler 0.7 threshold, unrestricted Damerau, NFD→
+        drop-marks→NFC accent stripping, gamma pole behavior, the
+        parse_dir* trailing-separator rules).
+
+        md5_number_lower/upper need no UDF: DuckDB reads the two UBIGINT
+        halves little-endian from the digest (lower = bytes 9-16, upper
+        = bytes 1-8 — verified against hashlib) → byte-pair-reversed
+        conv(hex, 16, 10) on Spark's own md5(), CAST to DECIMAL(20,0)
+        because the unsigned values exceed BIGINT (width deviation:
+        UBIGINT → DECIMAL(20,0), same digits)."""
+        while True:
+            hit = self._call_args(self._MD5_HALF_RE, sql)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) != 1:
+                raise UQueryError.sql_error("md5_number_*: expects 1 argument")
+            # hex chars of byte i (1-based) are (2i-1, 2i); little-endian
+            # means emitting bytes high-to-low: 16..9 (lower) / 8..1 (upper)
+            byte_range = range(16, 8, -1) if m.group(1).lower() == "lower" else range(8, 0, -1)
+            # md5 repeated per byte-pair — Catalyst CSE collapses the
+            # common subexpression to one digest per row
+            pairs = ", ".join(
+                f"substr(md5(({args[0]})), {2 * b - 1}, 2)" for b in byte_range
+            )
+            repl = f"CAST(conv(concat({pairs}), 16, 10) AS DECIMAL(20, 0))"
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+        m = self._search_code(self._PARITY_FN_RE, sql)
+        if not m:
+            return sql
+        from .functions.parity_udfs import register_parity_udfs
+
+        register_parity_udfs(self.spark)
+        out, pos = [], 0
+        while m:
+            out.append(sql[pos : m.start()])
+            out.append(self._PARITY_FN_MAP[m.group(1).lower()] + "(")
+            pos = m.end()
+            m = self._search_code(self._PARITY_FN_RE, sql, pos)
+        out.append(sql[pos:])
+        return "".join(out)
+
+    _MAD_RE = re.compile(r"(?i)\bmad\s*\(")
+    _ENTROPY_RE = re.compile(r"(?i)\bentropy\s*\(")
+    _HISTOGRAM_RE = re.compile(r"(?i)\bhistogram\s*\(")
+
+    def _nested_agg_guard(self, sql: str, close: int, fn: str) -> str:
+        """These translations are full expressions over collect_list —
+        OVER/FILTER can't attach to them. Raise, never mistranslate."""
+        after = sql[close + 1 :].lstrip()
+        if re.match(r"(?i)(over|filter)\b", after):
+            raise UQueryError.sql_error(
+                f"{fn} with OVER/FILTER is not supported"
+            )
+        return after
+
+    @staticmethod
+    def _median_of(arr: str) -> str:
+        """Interpolated median of a sorted DOUBLE array (DuckDB's rule
+        for non-decimal inputs; try_element_at keeps ANSI quiet)."""
+        # element_at wants INT: shiftright keeps size()'s INT type
+        # (div widens to BIGINT, and an emitted CAST would cost two
+        # failed _rewrite_cast probe round-trips per occurrence)
+        mid = f"shiftright(size({arr}) + 1, 1)"
+        lo = f"shiftright(size({arr}), 1)"
+        return (
+            f"CASE WHEN size({arr}) % 2 = 1 "
+            f"THEN try_element_at({arr}, {mid}) "
+            f"ELSE (try_element_at({arr}, {lo}) + "
+            f"try_element_at({arr}, {lo} + 1)) / 2 END"
+        )
+
+    def _rewrite_nested_aggs(self, sql: str) -> str:
+        """Batch-15 sweep: aggregates whose DuckDB semantics nest a
+        second aggregation — expressed as expression trees over ONE
+        collect_list (Catalyst dedupes the repeated aggregate, so each
+        group materializes its list once; memory is O(group), the
+        standard exact-median footprint, documented):
+
+        - ``mad(x)``: median(abs(x - median(x))), interpolated like
+          DuckDB's double median; all-NULL/empty group → NULL.
+        - ``entropy(x)``: -Σ (c/n)·log2(c/n) over value frequencies;
+          NULLs skipped; empty group → 0.0 (DuckDB-verified, not NULL);
+          ``+ 0`` normalizes IEEE -0.0 (the sf0.1-gate signed-zero rule).
+        - ``histogram(x)``: MAP of value → BIGINT count, keys ascending;
+          empty → NULL (verified).
+        """
+        for regex, kind in (
+            (self._MAD_RE, "mad"),
+            (self._ENTROPY_RE, "entropy"),
+            (self._HISTOGRAM_RE, "histogram"),
+        ):
+            while True:
+                hit = self._call_args(regex, sql)
+                if not hit:
+                    break
+                m, close, args = hit
+                self._nested_agg_guard(sql, close, kind)
+                if len(args) != 1 or re.match(r"(?i)^distinct\b", args[0]):
+                    raise UQueryError.sql_error(f"{kind} expects 1 plain argument")
+                x = args[0]
+                if kind == "mad":
+                    # the group median comes from Spark's native exact
+                    # interpolated percentile AGGREGATE — as a plain
+                    # post-aggregation attribute it is loop-invariant in
+                    # the lambda below. (The first draft inlined the
+                    # median as an element_at-over-array_sort expression
+                    # INSIDE the transform lambda; Spark re-evaluates the
+                    # sort per element — O(n² log n) per group, measured
+                    # hanging the sf0.01 gate on a 3000-row group.)
+                    cl = f"collect_list(CAST(({x}) AS DOUBLE))"
+                    med = f"percentile(CAST(({x}) AS DOUBLE), 0.5)"
+                    devs = (
+                        f"array_sort(transform({cl}, "
+                        f"uq_mv -> abs(uq_mv - {med})))"
+                    )
+                    repl = (
+                        f"(CASE WHEN size({cl}) = 0 THEN NULL "
+                        f"ELSE ({self._median_of(devs)}) END)"
+                    )
+                elif kind == "entropy":
+                    cl = f"collect_list({x})"
+                    n = f"CAST(size({cl}) AS DOUBLE)"
+                    freqs = (
+                        f"transform(array_distinct({cl}), uq_ev -> "
+                        f"CAST(size(filter({cl}, uq_e -> uq_e = uq_ev)) AS DOUBLE))"
+                    )
+                    repl = (
+                        f"((0 - aggregate({freqs}, CAST(0 AS DOUBLE), "
+                        f"(uq_a, uq_c) -> uq_a + (uq_c / {n}) * log2(uq_c / {n}))) + 0)"
+                    )
+                else:
+                    cl = f"collect_list({x})"
+                    entries = (
+                        f"transform(array_sort(array_distinct({cl})), uq_hv -> "
+                        f"struct(uq_hv AS key, "
+                        f"CAST(size(filter({cl}, uq_e -> uq_e = uq_hv)) AS BIGINT) AS value))"
+                    )
+                    repl = (
+                        f"(CASE WHEN size({cl}) = 0 THEN NULL "
+                        f"ELSE map_from_entries({entries}) END)"
+                    )
+                sql = sql[: m.start()] + repl + sql[close + 1 :]
+        return sql
+
+    _STRUCT_INSERT_RE = re.compile(r"(?i)\bstruct_insert\s*\(")
+    _SI_FIELDS_RE = re.compile(r"No such struct field `[^`]*` in (.+)")
+
+    def _rewrite_struct_insert(self, sql: str) -> str:
+        """Batch-15: ``struct_insert(s, k := v, …)`` appends fields to a
+        struct. The existing field names are unknowable from text — a
+        LIMIT-0 analysis probe replaces the call with a field access
+        that cannot resolve, and Spark's FIELD_NOT_FOUND error text
+        enumerates the struct's actual fields (backticked). DuckDB
+        errors on duplicate entry names — reproduced. Runs late (after
+        the expression passes) so the probe text is Spark-valid modulo
+        the cast/len passes it composes, same contract as the
+        polymorphic-subscript probe."""
+        while True:
+            # innermost-first: a nested struct_insert inside the probe
+            # text would fail analysis with the wrong error
+            hit, pos = None, 0
+            while True:
+                nxt = self._call_args(self._STRUCT_INSERT_RE, sql, pos)
+                if not nxt:
+                    break
+                hit = nxt
+                if not any("struct_insert" in a.lower() for a in nxt[2]):
+                    break
+                pos = nxt[0].end()
+            if not hit:
+                return sql
+            m, close, args = hit
+            if len(args) < 2:
+                raise UQueryError.sql_error(
+                    "struct_insert expects (struct, name := value, …)"
+                )
+            base = args[0]
+            inserts = []
+            for a in args[1:]:
+                k, sep, v = a.partition(":=")
+                if not sep:
+                    raise UQueryError.sql_error(
+                        "struct_insert: entries must use name := value"
+                    )
+                inserts.append((k.strip(), v.strip()))
+            probe = (
+                sql[: m.start()]
+                + f"(({base}).uq_si_missing_field)"
+                + sql[close + 1 :]
+            )
+            fields: list[str] = []
+            try:
+                self.spark.sql(
+                    f"SELECT * FROM ({self._rewrite_len(self._rewrite_cast(probe))}) uq_si LIMIT 0"
+                )
+            except Exception as exc:
+                fm = self._SI_FIELDS_RE.search(str(exc))
+                if fm:
+                    fields = re.findall(r"`([^`]+)`", fm.group(1))
+            if not fields:
+                raise UQueryError.sql_error(
+                    "struct_insert: first argument is not a struct "
+                    "(or its fields could not be probed)"
+                )
+            existing = {f.lower() for f in fields}
+            for k, _v in inserts:
+                if k.lower() in existing:
+                    raise UQueryError.sql_error(
+                        f'struct_insert: duplicate struct entry name "{k}"'
+                    )
+                existing.add(k.lower())
+            parts = [f"'{f}', ({base}).`{f}`" for f in fields]
+            parts += [f"'{k}', ({v})" for k, v in inserts]
+            repl = f"named_struct({', '.join(parts)})"
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+
+    def _rewrite_limit_pct(self, sql: str) -> str:
+        """Batch-15: top-level ``ORDER BY … LIMIT p%`` (DuckDB keeps
+        floor(p·count/100) rows — verified: 15% of 10 → 1, 26% → 2) →
+        row_number + count window over the ordered body, filtered and
+        re-ordered, helper columns dropped via ``* EXCEPT``. The
+        pre-count this needs is exactly one extra exchange-free window
+        over the already-global sort DuckDB's own LIMIT % pays too.
+        Orderless or subquery LIMIT % raises (DuckDB's orderless form
+        returns an arbitrary subset — untranslatable deterministically);
+        ordinal ORDER BY keys raise (inside OVER they'd silently become
+        constants)."""
+        if not self._search_code(self._LIMIT_PCT_RE, sql):
+            return sql
+        hits = [
+            (s, e, w)
+            for s, e, w in self._scan_top_level(sql, {"order", "limit"})
+        ]
+        lim = next(
+            (
+                (s, e)
+                for s, e, w in hits
+                if w == "limit"
+                and re.match(r"\s*\d+(?:\.\d+)?\s*%\s*$", sql[e:])
+            ),
+            None,
+        )
+        order = next(
+            ((s, e) for s, e, w in reversed(hits) if w == "order" and (not lim or s < lim[0])),
+            None,
+        )
+        if not lim or not order or not re.match(
+            r"(?i)\s*by\b", sql[order[1] :]
+        ):
+            raise UQueryError.sql_error(
+                "LIMIT n% requires a top-level ORDER BY (DuckDB's "
+                "orderless form returns an arbitrary subset)"
+            )
+        pct = sql[lim[1] :].strip().rstrip("%").strip()
+        keys_text = sql[order[1] : lim[0]]
+        keys_text = re.sub(r"(?i)^\s*by\b", "", keys_text).strip()
+        if any(
+            re.fullmatch(r"\d+", k.strip().split()[0])
+            for k in self._split_top(keys_text, ",")
+            if k.strip()
+        ):
+            raise UQueryError.sql_error(
+                "LIMIT n% with ordinal ORDER BY keys is not supported"
+            )
+        body = sql[: order[0]].strip()
+        return (
+            f"SELECT * EXCEPT (uq_rn, uq_cnt) FROM ("
+            f"SELECT uq_lp.*, row_number() OVER (ORDER BY {keys_text}) AS uq_rn, "
+            f"count(*) OVER () AS uq_cnt FROM ({body}) uq_lp"
+            f") uq_lpq WHERE uq_rn <= floor(uq_cnt * {pct} / 100.0) "
+            f"ORDER BY uq_rn"
+        )
 
     # -- sweep batch 12: operator symbols -----------------------------------
 
@@ -1921,8 +2219,9 @@ class SqlRewriter:
 
     _EXTRACT_SPECIAL_RE = re.compile(
         r"(?i)\bextract\s*\(\s*(dow|dayofweek|weekday|epoch|microseconds|"
-        r"milliseconds|isodow|yearweek|century|isoyear|week)\s+from\b"
+        r"milliseconds|isodow|yearweek|century|isoyear|week|era)\s+from\b"
     )
+    _ERA_FN_RE = re.compile(r"(?i)\bera\s*\(")
     _DOW_FAMILY_RE = re.compile(r"(?i)\b(dow|dayofweek|weekday)\s*\(")
     _SUBSECOND_RE = re.compile(r"(?i)\b(microseconds|milliseconds)\s*\(")
     _JULIAN_RE = re.compile(r"(?i)\bjulian\s*\(")
@@ -1966,6 +2265,18 @@ class SqlRewriter:
             fld = m.group(1).lower()
             e = sql[m.end() : close]
             sql = sql[: m.start()] + f"{fld}({e})" + sql[close + 1 :]
+        # era: CE = 1, BC = 0 (batch 15; DuckDB-verified — year <= 0 is
+        # BC in the proleptic calendar). Both EXTRACT (converted above)
+        # and the function form.
+        while True:
+            hit = self._call_args(self._ERA_FN_RE, sql)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) != 1:
+                raise UQueryError.sql_error("era expects 1 arg")
+            repl = f"(CASE WHEN year(({args[0]})) >= 1 THEN 1 ELSE 0 END)"
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
         pos = 0
         while True:
             hit = self._call_args(self._DOW_FAMILY_RE, sql, pos)
@@ -2590,9 +2901,71 @@ class SqlRewriter:
             pos = word_start + len(repl)
 
     _WINDOW_FILTER_RE = re.compile(r"(?i)\)\s*filter\s*\(\s*where\b")
-    _DISTINCT_OVER_RE = re.compile(
-        r"(?i)\b\w+\s*\(\s*distinct\b[^()]*\)\s*over\b"
-    )
+    _DISTINCT_AGG_RE = re.compile(r"(?i)\b(\w+)\s*\(\s*distinct\b")
+
+    def _rewrite_distinct_over(self, sql: str) -> str:
+        """Batch-15: DISTINCT aggregates over windows (running distinct
+        counts — Spark rejects them) → expression trees over
+        ``collect_set(x) OVER w`` (same NULL-skipping, frame semantics
+        ride the window spec): count → size, sum → element-typed fold,
+        avg → DOUBLE fold / size (try_divide: empty set → NULL like
+        DuckDB), min/max → DISTINCT dropped (no-op). Other aggregates
+        raise. The repeated collect_set is one physical window function
+        (identical expressions dedupe)."""
+        pos = 0
+        while True:
+            m = self._search_code(self._DISTINCT_AGG_RE, sql, pos)
+            if not m:
+                return sql
+            open_i = sql.index("(", m.end(1))
+            close = self._find_close(sql, open_i)
+            if close == -1:
+                return sql
+            after = sql[close + 1 :]
+            om = re.match(r"(?i)\s*over\s*", after)
+            if not om:
+                pos = close + 1  # plain DISTINCT aggregate — native
+                continue
+            rest = after[om.end() :]
+            if rest.startswith("("):
+                wclose = self._find_close(after, om.end())
+                if wclose == -1:
+                    return sql
+                win = after[om.end() : wclose + 1]
+                end = close + 1 + wclose + 1
+            else:
+                wm = re.match(r"\w+", rest)
+                if not wm:
+                    raise UQueryError.sql_error("OVER: expected window")
+                win = wm.group(0)
+                end = close + 1 + om.end() + wm.end()
+            fn = m.group(1).lower()
+            arg = re.sub(
+                r"(?i)^\s*distinct\b", "", sql[open_i + 1 : close]
+            ).strip()
+            cs = f"collect_set({arg}) OVER {win}"
+            if fn == "count":
+                repl = f"CAST(size({cs}) AS BIGINT)"
+            elif fn == "sum":
+                repl = (
+                    f"aggregate({cs}, try_element_at({cs}, 1) * 0, "
+                    f"(uq_a, uq_x) -> uq_a + uq_x)"
+                )
+            elif fn in ("avg", "mean"):
+                repl = (
+                    f"try_divide(aggregate({cs}, "
+                    f"CAST(try_element_at({cs}, 1) * 0 AS DOUBLE), "
+                    f"(uq_a, uq_x) -> uq_a + uq_x), CAST(size({cs}) AS DOUBLE))"
+                )
+            elif fn in ("min", "max"):
+                repl = f"{fn}({arg}) OVER {win}"
+            else:
+                raise UQueryError.sql_error(
+                    f"DISTINCT {fn}() over a window is not supported "
+                    "(count/sum/avg/min/max only)"
+                )
+            sql = sql[: m.start()] + repl + sql[end:]
+            pos = m.start() + len(repl)
 
     def _rewrite_window_filter(self, sql: str) -> str:
         """Batch-13 sweep: aggregate ``FILTER`` over a WINDOW — DuckDB
@@ -2600,14 +2973,11 @@ class SqlRewriter:
         → the filter folds into the argument: agg(CASE WHEN c THEN x
         END) (NULL rows don't aggregate), count(*) → count(CASE WHEN c
         THEN 1 END). Multi-arg aggregates raise. DISTINCT window
-        aggregates (running distinct counts) have no Spark equivalent
-        and raise. Plain (non-window) FILTER is native and untouched
-        (the batch-9 pass already inserts the WHERE keyword)."""
-        m = self._search_code(self._DISTINCT_OVER_RE, sql)
-        if m:
-            raise UQueryError.sql_error(
-                "DISTINCT aggregates over windows are not supported"
-            )
+        aggregates are handled by _rewrite_distinct_over (batch 15),
+        which runs first, so any DISTINCT reaching the FILTER fold
+        here is the untranslatable combination and raises below. Plain
+        (non-window) FILTER is native and untouched (the batch-9 pass
+        already inserts the WHERE keyword)."""
         pos = 0
         while True:
             m = self._search_code(self._WINDOW_FILTER_RE, sql, pos)
@@ -4299,6 +4669,9 @@ class SqlRewriter:
         sql = self._rewrite_map_entries_tuples(sql)
         sql = self._rewrite_bracket_syntax(sql)
         sql = self._rewrite_function_names(sql)
+        # batch-15 parity scalars after the rename table (their names
+        # are not in it) and before lambda/scalar passes touch the args
+        sql = self._rewrite_parity_fns(sql)
         sql = self._rewrite_lambda_index(sql)
         # batch-12 operator symbols BEFORE divide_xor (whose xor() output
         # emits a genuine XOR ^) and before the list-metric translations
@@ -4307,6 +4680,9 @@ class SqlRewriter:
         # array concat() calls that must stay un-stringified)
         sql = self._rewrite_scalar_semantics(sql)
         sql = self._rewrite_agg_semantics(sql)
+        # batch-15 nested aggregates (mad/entropy/histogram) emit plain
+        # Spark lambdas/CASTs that later passes leave alone
+        sql = self._rewrite_nested_aggs(sql)
         # batch-10 datetime corners BEFORE the epoch/ISO passes (the
         # EXTRACT conversion emits epoch()/isodow() function forms)
         sql = self._rewrite_datetime_corners(sql)
@@ -4346,6 +4722,9 @@ class SqlRewriter:
         sql = self._rewrite_struct_pack(sql)
         sql = self._rewrite_generate_series(sql)
         sql = self._rewrite_string_agg_order(sql)
+        # batch-15 LIMIT n% before the window passes: its emitted
+        # OVER (ORDER BY …) keys get NULLS LAST from _rewrite_order_nulls
+        sql = self._rewrite_limit_pct(sql)
         # window passes after every ORDER-BY-generating expression pass:
         # named specs inline first, then null placement (the inlined text
         # gets NULLS LAST too), then frame EXCLUDE (its spec copies carry
@@ -4353,6 +4732,7 @@ class SqlRewriter:
         sql = self._rewrite_named_window_ext(sql)
         sql = self._rewrite_order_nulls(sql)
         sql = self._rewrite_window_exclude(sql)
+        sql = self._rewrite_distinct_over(sql)
         sql = self._rewrite_window_filter(sql)
         sql = self._rewrite_strftime(sql)
         sql = self._rewrite_int_div(sql)
@@ -4367,6 +4747,9 @@ class SqlRewriter:
         sql = self._rewrite_star_replace(sql)
         sql = self._rewrite_columns_expr(sql)
         sql = self._rewrite_union_by_name(sql)
+        # batch-15 struct_insert next to the other probe passes (same
+        # Spark-valid-modulo-cast/len contract)
+        sql = self._rewrite_struct_insert(sql)
         # polymorphic subscripts resolve by LIMIT-0 probe — the text must
         # be fully Spark-valid modulo casts/len, which the probe composes
         sql = self._rewrite_poly_subscript(sql)
