@@ -1185,3 +1185,35 @@ class TestHardenedPaths:
         # the ns dir's cached frame must still execute
         assert ns_events.count() == n_first > 0
         assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+
+
+class TestC4Quality:
+    def test_line_and_page_rules(self, spark):
+        from uquery_rs_spark.operators.text import c4_quality_stats
+
+        rows = [
+            # 3 good lines -> pass
+            (1, "one two three four five.\nsix seven eight nine ten!\n"
+                'eleven twelve thirteen fourteen fifteen?'),
+            # good lines but a curly brace -> page reject
+            (2, "one two three four five.\nsix seven eight nine ten.\n"
+                "a b c d e. {"),
+            # lorem ipsum -> page reject
+            (3, "one two three four five.\nsix seven eight nine ten.\n"
+                "lorem ipsum dolor sit amet."),
+            # line rules: no terminal punct / <5 words / javascript
+            (4, "no punctuation here at all\nshort line.\n"
+                "enable javascript to view this page.\n"
+                "this perfectly fine line survives."),
+            (5, ""),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r.doc_id: r for r in c4_quality_stats(df).collect()}
+        assert out[1].c4_pass and out[1].n_kept_lines == 3
+        assert not out[2].c4_pass and out[2].has_brace
+        # page 3: 'lorem ipsum dolor sit amet.' is ALSO a kept line
+        # (5 words, terminal punct) — the page still rejects
+        assert not out[3].c4_pass and out[3].has_lorem
+        assert out[4].n_kept_lines == 1
+        assert out[4].cleaned_text == "this perfectly fine line survives."
+        assert out[5].n_kept_lines == 0 and out[5].cleaned_text == ""

@@ -1303,3 +1303,45 @@ def test_gap_hunt_batch15_closures(spark, rw):
     ]:
         with pytest.raises(UQueryError):
             rw.rewrite(bad)
+
+
+def test_gap_hunt_batch16(spark, rw):
+    """Sweep batch 16: unnest in SELECT/FROM position → explode,
+    ordered array_agg via comparator-lambda struct sort, COLLATE
+    NOCASE → UTF8_LCASE, to_hex → hex, 3-arg list_reduce (1-based
+    iteration counter), named-argument calls raise cleanly. Verified
+    natively identical (no action): flatten, list_sort direction
+    strings, grouping(), bit_count, <<//>>, IS [NOT] DISTINCT FROM,
+    array/struct/row comparisons, regexp_extract group index,
+    negative-step range/generate_series, interval multiplication.
+    DuckDB-1.0.0-verified."""
+    cases = {
+        "SELECT array_to_string(array_agg(x ORDER BY x DESC), ',') AS v "
+        "FROM (VALUES (1),(3),(2)) t(x)": "3,2,1",
+        # NULL keys last in BOTH directions (DuckDB default)
+        "SELECT array_to_string(array_agg(x ORDER BY k), ',') AS v "
+        "FROM (VALUES (1,3),(2,NULL),(3,1)) t(x,k)": "3,1,2",
+        "SELECT array_to_string(array_agg(x ORDER BY k DESC NULLS FIRST), ',') AS v "
+        "FROM (VALUES (1,3),(2,NULL),(3,1)) t(x,k)": "2,1,3",
+        "SELECT 'a' COLLATE NOCASE = 'A' AS v": True,
+        "SELECT to_hex(255) AS v": "FF",
+        "SELECT list_reduce([1,2,3], (a,b,i) -> a+b*i) AS v": 9,
+        "SELECT list_reduce([5], (a,b,i) -> a+b*i) AS v": 5,
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        assert got == want, f"{sql}: {got!r} != {want!r}"
+    # unnest: one row per element, both positions
+    assert [r.v for r in spark.sql(rw.rewrite(
+        "SELECT unnest([10,20]) AS v")).collect()] == [10, 20]
+    assert [r.v for r in spark.sql(rw.rewrite(
+        "SELECT x * 2 AS v FROM unnest([1,2]) t(x)")).collect()] == [2, 4]
+    for bad in [
+        "SELECT round(x := 2.5, d := 1)",
+        "SELECT 'a' COLLATE NOACCENT = 'b'",
+        "SELECT unnest([1], recursive := true)",
+        "SELECT array_agg(DISTINCT x ORDER BY x) FROM t",
+        "SELECT array_agg(x ORDER BY x) OVER (PARTITION BY g) FROM t",
+    ]:
+        with pytest.raises(UQueryError):
+            rw.rewrite(bad)

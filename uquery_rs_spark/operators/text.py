@@ -708,3 +708,57 @@ def boilerplate_removal(
             F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+def c4_quality_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """C4 line + page filtering signals (Raffel et al. 2020 §2.2 —
+    public rules), as pure JVM expression trees over one line split
+    (scan-fused, no shuffle, no UDF — the same 100 TB shape as
+    gopher_quality_stats):
+
+    line rules (kept lines):
+    - ends in a terminal punctuation mark (. ! ? ") after rtrim
+    - at least 5 whitespace-separated words
+    - does not contain 'javascript' (case-insensitive)
+
+    page rules (c4_pass):
+    - at least 3 kept lines (C4's >=3-sentences proxy at line level)
+    - no 'lorem ipsum' (case-insensitive), no '{' anywhere
+
+    Columns: key, n_lines, n_kept_lines, has_lorem, has_brace,
+    cleaned_text (kept lines re-joined on `sep`), c4_pass. The
+    dirty-word blocklist step of the original is intentionally
+    omitted (no list shipped); callers chain their own blocklist
+    filter on cleaned_text.
+    """
+    import re as _re
+
+    lines = F.split(F.col(text_col), _re.escape(sep))
+
+    def _keep(line: Column) -> Column:
+        return (
+            F.rtrim(line).rlike('[.!?"]$')
+            & (F.size(F.split(F.trim(line), " +")) >= 5)
+            & ~F.lower(line).contains("javascript")
+        )
+
+    kept = F.filter(lines, _keep)
+    out = docs.select(
+        key_col,
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        F.lower(F.col(text_col)).contains("lorem ipsum").alias("has_lorem"),
+        F.col(text_col).contains("{").alias("has_brace"),
+        F.array_join(kept, sep).alias("cleaned_text"),
+    )
+    passed = (
+        (F.col("n_kept_lines") >= 3)
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace")
+    )
+    return out.withColumn("c4_pass", passed)

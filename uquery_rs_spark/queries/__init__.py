@@ -26,6 +26,8 @@ from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 # three entries they displaced (set_ops/stats_aggregates/union_all/
 # values/array batteries tail) rotate in round 7 with the rest of r3.)
 _ROUND6_WINDOW = (
+    "text_c4_quality",
+    "dialect_gap_battery14",
     "dialect_gap_battery11",
     "dialect_gap_battery12",
     "dialect_gap_battery13",
@@ -74,8 +76,6 @@ _ROUND6_WINDOW = (
     "rollup_order_status_priority",
     "scalar_subquery_above_avg_balance",
     "semi_join_active_customers",
-    "set_ops_nation_membership",
-    "values_inline_table",
 )
 
 

@@ -1661,3 +1661,43 @@ def dialect_gap_battery13(spark: SparkSession, sf: str) -> DataFrame:
         "min(DISTINCT o_orderstatus) OVER (PARTITION BY o_orderpriority) AS mn_status "
         "FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey",
     )
+
+
+@register(
+    "dialect_gap_battery14",
+    tags=("dialect", "battery", "functions"),
+    oracle="""
+SELECT o_orderpriority,
+       array_to_string(array_agg(o_orderkey ORDER BY o_totalprice DESC, o_orderkey), ',') AS top_keys,
+       array_to_string(array_agg(o_orderstatus ORDER BY o_orderkey), ',') AS statuses,
+       max(CASE WHEN o_orderstatus COLLATE NOCASE = 'f' THEN o_orderkey END) AS max_f_key,
+       to_hex(max(o_orderkey)) AS hex_key,
+       bit_count(max(o_orderkey)) AS bits,
+       list_reduce(array_agg(o_orderkey ORDER BY o_orderkey), (a, b, i) -> a + b * (i % 3)) AS lr3
+FROM orders
+WHERE o_orderkey <= 500
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def dialect_gap_battery14(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep batch 16 pinned verbatim on both engines: ordered
+    array_agg (comparator-lambda sort of (key…, value) structs — multi
+    key, DESC, DuckDB's NULLS-LAST-both-directions default), COLLATE
+    NOCASE → UTF8_LCASE, to_hex → hex, bit_count (native), and the
+    3-arg list_reduce lambda (i = 1-based iteration counter, zipped
+    tail). unnest-in-SELECT is pinned by the unit tests (generator
+    rows don't compose into one battery row)."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT o_orderpriority, "
+        "array_to_string(array_agg(o_orderkey ORDER BY o_totalprice DESC, o_orderkey), ',') AS top_keys, "
+        "array_to_string(array_agg(o_orderstatus ORDER BY o_orderkey), ',') AS statuses, "
+        "max(CASE WHEN o_orderstatus COLLATE NOCASE = 'f' THEN o_orderkey END) AS max_f_key, "
+        "to_hex(max(o_orderkey)) AS hex_key, "
+        "bit_count(max(o_orderkey)) AS bits, "
+        "list_reduce(array_agg(o_orderkey ORDER BY o_orderkey), (a, b, i) -> a + b * (i % 3)) AS lr3 "
+        "FROM orders WHERE o_orderkey <= 500 "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    )

@@ -2421,3 +2421,63 @@ def text_boilerplate_removal(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_tables(spark, sf)["documents"]
     min_docs = int(0.8 * docs.count())
     return TX.boilerplate_removal(docs, min_docs, sep=" ").orderBy("doc_id")
+
+
+@register(
+    "text_c4_quality",
+    tags=("llm", "text", "quality"),
+    oracle="""
+WITH synth AS (
+  SELECT doc_id,
+         concat(replace(replace(replace(text, ' table ', '.' || chr(10)),
+                                ' line ', '!' || chr(10)),
+                        ' spark ', ' javascript '),
+                CASE WHEN doc_id % 7 = 0 THEN ' {' ELSE '' END,
+                CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum.' ELSE '' END) AS text
+  FROM documents),
+base AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)),
+           l -> regexp_matches(rtrim(l), '[.!?"]$')
+                AND len(string_split_regex(trim(l), ' +')) >= 5
+                AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM synth)
+SELECT doc_id,
+       len(lines) AS n_lines,
+       len(kept) AS n_kept_lines,
+       contains(lower(text), 'lorem ipsum') AS has_lorem,
+       contains(text, '{') AS has_brace,
+       coalesce(array_to_string(kept, chr(10)), '') AS cleaned_text,
+       len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+                      AND NOT contains(text, '{') AS c4_pass
+FROM base
+ORDER BY doc_id
+""",
+)
+def text_c4_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 line + page filtering (Raffel et al. 2020 §2.2): keep lines
+    ending in terminal punctuation with >= 5 words and no
+    'javascript'; reject pages with < 3 kept lines, 'lorem ipsum', or
+    a curly brace (operators/text.py::c4_quality_stats — pure
+    expression trees, scan-fused, no shuffle). The single-line
+    synthetic corpus gets a deterministic line structure first
+    (literal replaces turning ' table '/' line ' into punctuated
+    newlines, ' spark ' into ' javascript ', plus injected braces and
+    lorem-ipsum markers on doc_id strides) — identical construction in
+    the oracle."""
+    docs = load_tables(spark, sf)["documents"]
+    synth = docs.withColumn(
+        "text",
+        F.concat(
+            F.expr(
+                "replace(replace(replace(text, ' table ', '.' || chr(10)), "
+                "' line ', '!' || chr(10)), ' spark ', ' javascript ')"
+            ),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" {")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" lorem ipsum.")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    return TX.c4_quality_stats(synth).orderBy("doc_id")

@@ -292,6 +292,8 @@ class SqlRewriter:
         "prefix": "startswith",
         "suffix": "endswith",
         "gen_random_uuid": "uuid",
+        # batch 16: to_hex(255)='FF', to_hex(-1)=16 F's on both engines
+        "to_hex": "hex",
         # DuckDB list()/array_agg KEEP null elements, Spark array_agg
         # drops them — documented deviation (null-free columns identical)
         "list": "array_agg",
@@ -742,9 +744,10 @@ class SqlRewriter:
         return sql[: m.start()] + call + tail
 
     def _rewrite_array_to_string(self, sql: str) -> str:
-        """array_to_string(l, sep) → array_join guarded for the empty
-        list: DuckDB yields NULL for [], Spark's array_join yields ''.
-        (NULL elements are skipped by both.)"""
+        """array_to_string(l, sep) → array_join guarded for lists with
+        no NON-NULL elements: DuckDB yields NULL for [] AND for [NULL]
+        (verified batch 16), Spark's array_join yields ''. NULL
+        elements are skipped by both when any non-null remains."""
         m = self._search_code(self._ARRAY_TO_STRING_RE, sql)
         if not m:
             return sql
@@ -763,7 +766,10 @@ class SqlRewriter:
         # (array_to_string([1,2], '-') = '1-2'); Spark's array_join
         # rejects non-string arrays (batch-8 sweep)
         le = f"transform(({l}), uq_a2s -> CAST(uq_a2s AS STRING))"
-        call = f"CASE WHEN size({l}) = 0 THEN NULL ELSE array_join({le}, {sep}) END"
+        call = (
+            f"CASE WHEN size(filter(({l}), uq_ae -> uq_ae IS NOT NULL)) = 0 "
+            f"THEN NULL ELSE array_join({le}, {sep}) END"
+        )
         return sql[: m.start()] + call + tail
 
     # -- round-5 dialect gap-hunt closures (list_aggregate / list_reduce /
@@ -832,11 +838,24 @@ class SqlRewriter:
             )
         return sql[: m.start()] + exprs[fname] + tail
 
+    _LAM3_RE = re.compile(
+        r"^\(\s*(\w+)\s*,\s*(\w+)\s*,\s*(\w+)\s*\)\s*->\s*(.*)$", re.S
+    )
+
     def _rewrite_list_reduce(self, sql: str) -> str:
         """list_reduce(l, (a, b) -> …) folds from the FIRST element with
         no initial value → Spark reduce() over the tail seeded with
         element 1 (empty list yields NULL where DuckDB errors —
-        documented lenient deviation; lambda syntax is identical)."""
+        documented lenient deviation; lambda syntax is identical).
+
+        Batch 16: the (a, b, i) form — i is the 1-based ITERATION
+        counter (DuckDB-verified: list_reduce([1,2,3], (a,b,i) ->
+        a+b*i) = 9, so i=1 when b is element 2) → the tail is zipped
+        with sequence(1, n-1) into structs and the body's b/i
+        references rebind to the struct fields (lambda params shadow
+        outer names, so whole-word substitution outside literals is
+        exact). Single-element lists skip the fold (zip_with pads with
+        NULLs otherwise)."""
         hit = self._call_args(self._LIST_REDUCE_RE, sql)
         if not hit:
             return sql
@@ -846,10 +865,36 @@ class SqlRewriter:
             raise UQueryError.sql_error("list_reduce expects (list, lambda)")
         l = self._rewrite_list_reduce(args[0])
         lam = args[1]
-        repl = (
-            f"reduce(slice(({l}), 2, greatest(size(({l})) - 1, 0)), "
-            f"try_element_at(({l}), 1), {lam})"
-        )
+        m3 = self._LAM3_RE.match(lam)
+        if m3:
+            acc, elem, idx, body = m3.groups()
+            for name, repl_f in ((elem, "uq_zs.uq_ze"), (idx, "uq_zs.uq_zi")):
+                word = re.compile(rf"\b{re.escape(name)}\b")
+                out, pos2 = [], 0
+                while True:
+                    wm = self._search_code(word, body, pos2)
+                    if not wm:
+                        break
+                    out.append(body[pos2 : wm.start()])
+                    out.append(repl_f)
+                    pos2 = wm.end()
+                out.append(body[pos2:])
+                body = "".join(out)
+            zipped = (
+                f"zip_with(slice(({l}), 2, size(({l})) - 1), "
+                f"sequence(1, size(({l})) - 1), "
+                f"(uq_ze, uq_zi) -> struct(uq_ze AS uq_ze, uq_zi AS uq_zi))"
+            )
+            repl = (
+                f"(CASE WHEN size(({l})) <= 1 THEN try_element_at(({l}), 1) "
+                f"ELSE aggregate({zipped}, try_element_at(({l}), 1), "
+                f"({acc}, uq_zs) -> ({body})) END)"
+            )
+        else:
+            repl = (
+                f"reduce(slice(({l}), 2, greatest(size(({l})) - 1, 0)), "
+                f"try_element_at(({l}), 1), {lam})"
+            )
         return sql[: m.start()] + repl + tail
 
     def _rewrite_list_slice(self, sql: str) -> str:
@@ -1490,6 +1535,152 @@ class SqlRewriter:
             m = self._search_code(self._PARITY_FN_RE, sql, pos)
         out.append(sql[pos:])
         return "".join(out)
+
+    # -- sweep batch 16 -----------------------------------------------------
+
+    _UNNEST_FROM_RE = re.compile(r"(?i)\b(from|join)\s+unnest\s*\(")
+    _UNNEST_RE = re.compile(r"(?i)\bunnest\s*\(")
+    _COLLATE_RE = re.compile(r"(?i)\bcollate\s+(\w+)")
+
+    def _rewrite_unnest(self, sql: str) -> str:
+        """Batch-16 sweep: ``unnest(arr)`` in SELECT position is DuckDB's
+        one-row-per-element generator → Spark explode (a bare rename —
+        Spark then enforces its own generator placement rules, so
+        expression-wrapped forms like ``unnest(a) + 1`` fail LOUDLY
+        rather than mistranslate). ``FROM unnest(arr)`` (table-function
+        position) → an exploded subquery with column ``unnest``
+        (DuckDB auto-names the column after the expression text — not
+        portable either way; alias it). ``recursive := true`` raises."""
+        while True:
+            m = self._search_code(self._UNNEST_FROM_RE, sql)
+            if not m:
+                break
+            close = self._find_close(sql, m.end() - 1)
+            if close == -1:
+                break
+            inner = sql[m.end() : close]
+            if ":=" in inner:
+                raise UQueryError.sql_error(
+                    "unnest: the recursive := form is not supported"
+                )
+            sql = (
+                sql[: m.start()]
+                + f"{m.group(1)} (SELECT explode({inner}) AS unnest)"
+                + sql[close + 1 :]
+            )
+        if self._search_code(self._UNNEST_RE, sql):
+            out, pos = [], 0
+            while True:
+                m = self._search_code(self._UNNEST_RE, sql, pos)
+                if not m:
+                    break
+                close = self._find_close(sql, m.end() - 1)
+                if close != -1 and ":=" in sql[m.end() : close]:
+                    raise UQueryError.sql_error(
+                        "unnest: the recursive := form is not supported"
+                    )
+                out.append(sql[pos : m.start()])
+                out.append("explode(")
+                pos = m.end()
+            out.append(sql[pos:])
+            sql = "".join(out)
+        return sql
+
+    def _rewrite_collate(self, sql: str) -> str:
+        """Batch-16 sweep: ``COLLATE NOCASE`` → Spark's UTF8_LCASE
+        collation (spot-verified identical: 'A' < 'b', 'É' = 'é',
+        'ß' <> 'SS' — both engines use simple case folding, not full
+        folding). Other DuckDB collations (NOACCENT, NFC, ICU locales)
+        have no Spark equivalent and raise."""
+        pos = 0
+        while True:
+            m = self._search_code(self._COLLATE_RE, sql, pos)
+            if not m:
+                return sql
+            name = m.group(1).lower()
+            if name == "nocase":
+                sql = sql[: m.start()] + "COLLATE UTF8_LCASE" + sql[m.end() :]
+                pos = m.start() + len("COLLATE UTF8_LCASE")
+            elif name in ("utf8_binary", "utf8_lcase", "unicode", "unicode_ci"):
+                pos = m.end()  # already a Spark collation name
+            else:
+                raise UQueryError.sql_error(
+                    f"COLLATE {m.group(1)} is not supported (only NOCASE)"
+                )
+
+    _ARRAY_AGG_RE = re.compile(r"(?i)\barray_agg\s*\(")
+
+    def _rewrite_array_agg_order(self, sql: str) -> str:
+        """Batch-16 sweep: ``array_agg(x ORDER BY k …)`` — DuckDB's
+        ordered aggregate; Spark's array_agg has no ORDER BY → collect
+        (key…, value) structs and sort with an explicit comparator
+        lambda (array_sort's 2-arg form), then project the value back
+        out. Honors multiple keys, ASC/DESC and NULLS FIRST/LAST per
+        key (DuckDB defaults NULLS LAST for BOTH directions — the
+        batch-7 finding). Ties are engine-unspecified on both sides.
+        Window usage and DISTINCT+ORDER BY raise. Side effect that
+        NARROWS a documented deviation: structs are never NULL, so the
+        ordered form keeps NULL values exactly like DuckDB (the
+        unordered array_agg rename drops them)."""
+        pos = 0
+        while True:
+            hit = self._call_args(self._ARRAY_AGG_RE, sql, pos)
+            if not hit:
+                return sql
+            m, close, args = hit
+            inner = sql[m.end() : close]
+            ob = next(
+                (s for s, _e, _w in self._scan_top_level(inner, {"order"})),
+                None,
+            )
+            if ob is None or not re.match(r"(?i)order\s+by\b", inner[ob:]):
+                pos = close + 1
+                continue
+            if re.match(r"(?i)\s*over\b", sql[close + 1 :].lstrip()[:5]):
+                raise UQueryError.sql_error(
+                    "array_agg ORDER BY over a window is not supported"
+                )
+            expr = inner[:ob].strip()
+            if re.match(r"(?i)^distinct\b", expr):
+                raise UQueryError.sql_error(
+                    "array_agg DISTINCT with ORDER BY is not supported"
+                )
+            keys = []
+            for k in self._split_top(
+                re.sub(r"(?i)^order\s+by\s*", "", inner[ob:]).strip(), ","
+            ):
+                k = k.strip()
+                nm = re.search(r"(?i)\s+nulls\s+(first|last)\s*$", k)
+                nulls_first = bool(nm and nm.group(1).lower() == "first")
+                k = k[: nm.start()] if nm else k
+                dm = re.search(r"(?i)\s+(asc|desc)\s*$", k)
+                desc = bool(dm and dm.group(1).lower() == "desc")
+                k = (k[: dm.start()] if dm else k).strip()
+                keys.append((k, desc, nulls_first))
+            fields = ", ".join(
+                [f"({k}) AS uq_k{n}" for n, (k, _d, _nf) in enumerate(keys)]
+                + [f"({expr}) AS uq_av"]
+            )
+            cmp_body = "0"
+            for n in range(len(keys) - 1, -1, -1):
+                _k, desc, nulls_first = keys[n]
+                lt, gt = ("1", "-1") if desc else ("-1", "1")
+                n_l, n_r = ("-1", "1") if nulls_first else ("1", "-1")
+                f = f"uq_k{n}"
+                cmp_body = (
+                    f"CASE WHEN uq_l.{f} IS NULL AND uq_r.{f} IS NULL THEN {cmp_body} "
+                    f"WHEN uq_l.{f} IS NULL THEN {n_l} "
+                    f"WHEN uq_r.{f} IS NULL THEN {n_r} "
+                    f"WHEN uq_l.{f} < uq_r.{f} THEN {lt} "
+                    f"WHEN uq_l.{f} > uq_r.{f} THEN {gt} "
+                    f"ELSE {cmp_body} END"
+                )
+            repl = (
+                f"transform(array_sort(collect_list(struct({fields})), "
+                f"(uq_l, uq_r) -> {cmp_body}), uq_s -> uq_s.uq_av)"
+            )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
 
     _MAD_RE = re.compile(r"(?i)\bmad\s*\(")
     _ENTROPY_RE = re.compile(r"(?i)\bentropy\s*\(")
@@ -4672,6 +4863,11 @@ class SqlRewriter:
         # batch-15 parity scalars after the rename table (their names
         # are not in it) and before lambda/scalar passes touch the args
         sql = self._rewrite_parity_fns(sql)
+        # batch-16: ordered array_agg AFTER the list->array_agg rename,
+        # unnest (FROM + select generator), COLLATE NOCASE
+        sql = self._rewrite_array_agg_order(sql)
+        sql = self._rewrite_unnest(sql)
+        sql = self._rewrite_collate(sql)
         sql = self._rewrite_lambda_index(sql)
         # batch-12 operator symbols BEFORE divide_xor (whose xor() output
         # emits a genuine XOR ^) and before the list-metric translations
@@ -4755,6 +4951,15 @@ class SqlRewriter:
         sql = self._rewrite_poly_subscript(sql)
         sql = self._rewrite_cast(sql)  # probes compose with _rewrite_len
         sql = self._rewrite_len(sql)  # LAST: probes need valid Spark SQL
+        # every legitimate := consumer (struct_pack/struct_insert/TVF
+        # options/macro tables) has run — a leftover := is a DuckDB
+        # named-argument call, which Spark's builtins don't accept
+        # (batch 16: clean raise, not a parser error)
+        m = self._search_code(re.compile(r":="), sql)
+        if m:
+            raise UQueryError.sql_error(
+                "named function arguments (name := value) are not supported"
+            )
         return sql
 
 
