@@ -1345,3 +1345,57 @@ def test_gap_hunt_batch16(spark, rw):
     ]:
         with pytest.raises(UQueryError):
             rw.rewrite(bad)
+
+
+def test_gap_hunt_batch17(spark, rw):
+    """Sweep batch 17: decade/millennium extracts (millennium counts
+    like century: 2000→2, 2001→3), POLYMORPHIC epoch_ms (BIGINT arg
+    CONSTRUCTS a timestamp — the old reading silently returned a
+    number; uq_poly probe dispatch), 1-arg make_timestamp(µs),
+    gcd/lcm (UDF-backed, DuckDB sign semantics), list_pack/list_apply
+    renames, signbit → sign test (DuckDB's own signbit(-0.0) is
+    false), 1-arg encode → UTF-8 binary. DuckDB-1.0.0-verified."""
+    cases = {
+        "SELECT extract(decade from DATE '1994-07-02') AS v": 199,
+        "SELECT extract(millennium from DATE '2000-12-31') AS v": 2,
+        "SELECT extract(millennium from DATE '2001-01-01') AS v": 3,
+        "SELECT CAST(epoch_ms(1704067200123) AS STRING) AS v":
+            "2024-01-01 00:00:00.123",
+        "SELECT epoch_ms(TIMESTAMP '2024-01-01 00:00:00.5') AS v":
+            1704067200500,
+        "SELECT CAST(make_timestamp(1704067200000000) AS STRING) AS v":
+            "2024-01-01 00:00:00",
+        "SELECT gcd(12, 18) AS v": 6,
+        "SELECT lcm(-4, 6) AS v": 12,
+        "SELECT gcd(0, 0) AS v": 0,
+        "SELECT array_to_string(list_pack(1,2,3), ',') AS v": "1,2,3",
+        "SELECT array_to_string(list_apply([1,2], x -> x*2), ',') AS v": "2,4",
+        "SELECT signbit(-3.0) AS v": True,
+        "SELECT signbit(-0.0) AS v": False,
+        "SELECT octet_length(encode('é')) AS v": 2,
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        assert got == want, f"{sql}: {got!r} != {want!r}"
+
+
+def test_read_text_blob_tvfs(spark, tmp_path):
+    """read_text / read_blob TVFs (DuckDB schema: filename, content,
+    size, last_modified) via Spark's binaryFile source — distributed
+    whole-file reads, glob support, sandboxed like every other path."""
+    (tmp_path / "a.txt").write_text("alpha beta")
+    (tmp_path / "b.txt").write_text("gamma")
+    rw2 = SqlRewriter(spark, allowed_dirs=[str(tmp_path)])
+    rows = spark.sql(rw2.rewrite(
+        f"SELECT filename, content, size FROM read_text('{tmp_path}/*.txt') "
+        "ORDER BY filename"
+    )).collect()
+    assert [(r.filename.rsplit("/", 1)[1], r.content, r.size) for r in rows] == [
+        ("a.txt", "alpha beta", 10), ("b.txt", "gamma", 5)
+    ]
+    blob = spark.sql(rw2.rewrite(
+        f"SELECT content, size FROM read_blob('{tmp_path}/a.txt')"
+    )).collect()[0]
+    assert bytes(blob.content) == b"alpha beta" and blob.size == 10
+    with pytest.raises(UQueryError):
+        rw2.rewrite("SELECT * FROM read_text('/etc/passwd')")

@@ -213,6 +213,28 @@ def _build_udfs() -> dict:
             ),
             "double",
         ),
+        # gcd/lcm (batch 17): Spark has no builtin; math.gcd/lcm on
+        # int64 pairs, null-propagating. DuckDB gcd(0,0)=0, lcm(0,x)=0,
+        # sign: gcd is non-negative, lcm follows |product| (verified in
+        # the differential tests).
+        "uq_gcd": pandas_udf(
+            lambda a, b: pd.Series(
+                [
+                    None if pd.isna(x) or pd.isna(y) else math.gcd(int(x), int(y))
+                    for x, y in zip(a, b)
+                ]
+            ),
+            "long",
+        ),
+        "uq_lcm": pandas_udf(
+            lambda a, b: pd.Series(
+                [
+                    None if pd.isna(x) or pd.isna(y) else math.lcm(int(x), int(y))
+                    for x, y in zip(a, b)
+                ]
+            ),
+            "long",
+        ),
         "uq_parse_dirname": pandas_udf(_map1(_parse_dirname), "string"),
         "uq_parse_dirpath": pandas_udf(_map1(_parse_dirpath), "string"),
         "uq_parse_path": pandas_udf(

@@ -1701,3 +1701,43 @@ def dialect_gap_battery14(spark: SparkSession, sf: str) -> DataFrame:
         "FROM orders WHERE o_orderkey <= 500 "
         "GROUP BY o_orderpriority ORDER BY o_orderpriority",
     )
+
+
+@register(
+    "dialect_gap_battery15",
+    tags=("dialect", "battery", "datetime"),
+    oracle="""
+SELECT o_orderkey,
+       extract(decade from o_orderdate) AS dec_ord,
+       extract(millennium from o_orderdate) AS mil_ord,
+       CAST(epoch_ms(epoch_ms(o_orderdate)) AS VARCHAR) AS ms_roundtrip,
+       CAST(make_timestamp(epoch_us(o_orderdate)) AS VARCHAR) AS us_roundtrip,
+       gcd(o_orderkey, o_custkey) AS g,
+       lcm(o_orderkey % 12, 8) AS l,
+       signbit(o_totalprice - 150000) AS below_150k,
+       octet_length(encode(o_orderpriority)) AS pri_bytes
+FROM orders
+WHERE o_orderkey <= 500
+ORDER BY o_orderkey
+""",
+)
+def dialect_gap_battery15(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep batch 17 pinned verbatim: decade/millennium extracts,
+    epoch_ms ROUND-TRIP (extraction then BIGINT-arg construction —
+    exercising the uq_poly probe dispatch both ways in one
+    expression), single-arg make_timestamp(µs), UDF-backed gcd/lcm,
+    signbit, 1-arg encode."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT o_orderkey, "
+        "extract(decade from o_orderdate) AS dec_ord, "
+        "extract(millennium from o_orderdate) AS mil_ord, "
+        "CAST(epoch_ms(epoch_ms(o_orderdate)) AS VARCHAR) AS ms_roundtrip, "
+        "CAST(make_timestamp(epoch_us(o_orderdate)) AS VARCHAR) AS us_roundtrip, "
+        "gcd(o_orderkey, o_custkey) AS g, "
+        "lcm(o_orderkey % 12, 8) AS l, "
+        "signbit(o_totalprice - 150000) AS below_150k, "
+        "octet_length(encode(o_orderpriority)) AS pri_bytes "
+        "FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey",
+    )

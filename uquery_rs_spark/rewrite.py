@@ -65,7 +65,10 @@ from .sources.files import REMOTE_SCHEMES, resolve_path
 _PATH_TABLE_RE = re.compile(
     r"(?i)(?P<kw>\b(?:from|join)\s+)'(?P<path>[^']+)'(?!\s*,\s*')"
 )
-_TVF_RE = re.compile(r"(?i)\b(?P<fn>read_parquet|read_csv|read_json|read_xlsx)\s*\(")
+_TVF_RE = re.compile(
+    r"(?i)\b(?P<fn>read_parquet|read_csv|read_json|read_xlsx|read_text|"
+    r"read_blob)\s*\("
+)
 _JSON_ARROW_RE = re.compile(
     r"(?P<col>'(?:[^']|'')*'|[A-Za-z_][\w.]*)\s*->>?\s*'(?P<key>[^']+)'"
 )
@@ -294,6 +297,9 @@ class SqlRewriter:
         "gen_random_uuid": "uuid",
         # batch 16: to_hex(255)='FF', to_hex(-1)=16 F's on both engines
         "to_hex": "hex",
+        # batch 17
+        "list_pack": "array",
+        "list_apply": "transform",
         # DuckDB list()/array_agg KEEP null elements, Spark array_agg
         # drops them — documented deviation (null-free columns identical)
         "list": "array_agg",
@@ -1125,7 +1131,16 @@ class SqlRewriter:
     def _rewrite_epoch(self, sql: str) -> str:
         """epoch(ts) → fractional seconds as DOUBLE (DuckDB keeps the
         microsecond fraction — bare unix_timestamp truncates); epoch_ms /
-        epoch_us → unix_millis / unix_micros (BIGINT in both engines)."""
+        epoch_us → unix_millis / unix_micros (BIGINT in both engines).
+
+        Batch 17: epoch_ms is POLYMORPHIC in DuckDB — with a BIGINT
+        argument it CONSTRUCTS a timestamp from epoch-milliseconds
+        (the old timestamp-only reading silently returned the µs count
+        instead — the sweep's worst class). Emitted as a uq_poly
+        marker: the late LIMIT-0 probe picks timestamp_millis(x) iff
+        the argument is integral (Spark's timestamp_millis rejects
+        STRING and TIMESTAMP outright, so the dispatch is unambiguous),
+        else the extraction form."""
         hit = self._call_args(self._EPOCH_RE, sql)
         if not hit:
             return sql
@@ -1136,7 +1151,7 @@ class SqlRewriter:
         suffix = (m.group(1) or "").lower()
         repl = {
             "": f"CAST(unix_micros({ts}) / 1000000.0 AS DOUBLE)",
-            "_ms": f"unix_millis({ts})",
+            "_ms": f"uq_poly(unix_millis({ts}), timestamp_millis(({x})))",
             "_us": f"unix_micros({ts})",
             "_ns": f"(unix_micros({ts}) * 1000)",
         }[suffix]
@@ -1213,7 +1228,9 @@ class SqlRewriter:
 
     _JSON_EXTRACT_RE = re.compile(r"(?i)\bjson_extract(_string|_path_text)?\s*\(")
     _JSON_VALID_RE = re.compile(r"(?i)\bjson_valid\s*\(")
-    _ISO_DT_RE = re.compile(r"(?i)\b(isodow|yearweek|century|week)\s*\(")
+    _ISO_DT_RE = re.compile(
+        r"(?i)\b(isodow|yearweek|century|week|decade|millennium)\s*\("
+    )
     _TO_INTERVAL_RE = re.compile(
         r"(?i)\bto_(years|months|weeks|days|hours|minutes|seconds)\s*\("
     )
@@ -1275,6 +1292,10 @@ class SqlRewriter:
                 f"CAST(extract(YEAROFWEEK FROM {d}) * 100 + weekofyear({d}) AS BIGINT)"
             ),
             "century": f"CAST(ceil(year({d}) / 100.0) AS BIGINT)",
+            # batch 17: decade = floor(year/10); millennium counts like
+            # century (1994 -> 2, 2000 -> 2, 2001 -> 3 — verified)
+            "decade": f"CAST(floor(year({d}) / 10.0) AS BIGINT)",
+            "millennium": f"CAST(ceil(year({d}) / 1000.0) AS BIGINT)",
         }[fn]
         return sql[: m.start()] + repl + tail
 
@@ -1480,6 +1501,10 @@ class SqlRewriter:
         "lgamma": "uq_lgamma",
         "gamma": "uq_gamma",
         "nextafter": "uq_nextafter",
+        "greatest_common_divisor": "uq_gcd",
+        "least_common_multiple": "uq_lcm",
+        "gcd": "uq_gcd",
+        "lcm": "uq_lcm",
         "parse_dirname": "uq_parse_dirname",
         "parse_dirpath": "uq_parse_dirpath",
         "parse_path": "uq_parse_path",
@@ -1681,6 +1706,51 @@ class SqlRewriter:
             )
             sql = sql[: m.start()] + repl + sql[close + 1 :]
             pos = m.start() + len(repl)
+
+    _SIGNBIT_RE = re.compile(r"(?i)\bsignbit\s*\(")
+    _ENCODE_RE = re.compile(r"(?i)\bencode\s*\(")
+    _MAKE_TS_RE = re.compile(r"(?i)\bmake_timestamp\s*\(")
+
+    def _rewrite_b17_scalars(self, sql: str) -> str:
+        """Batch-17 scalar corners: ``signbit(x)`` → (x < 0) —
+        DuckDB's own signbit(-0.0) is false, so the sign test is exact;
+        1-arg ``encode(s)`` (UTF-8 BLOB) → Spark's 2-arg
+        encode(s, 'UTF-8'); 1-arg ``make_timestamp(µs)`` →
+        timestamp_micros (the 6-arg form is natively identical and
+        stays untouched)."""
+        while True:
+            hit = self._call_args(self._SIGNBIT_RE, sql)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) != 1:
+                raise UQueryError.sql_error("signbit expects 1 arg")
+            sql = sql[: m.start()] + f"(({args[0]}) < 0)" + sql[close + 1 :]
+        pos = 0
+        while True:
+            hit = self._call_args(self._ENCODE_RE, sql, pos)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) != 1:
+                pos = close + 1  # Spark's own 2-arg encode — leave native
+                continue
+            repl = f"encode(({args[0]}), 'UTF-8')"
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
+        pos = 0
+        while True:
+            hit = self._call_args(self._MAKE_TS_RE, sql, pos)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) != 1:
+                pos = close + 1  # 6-arg civil form — natively identical
+                continue
+            repl = f"timestamp_micros(({args[0]}))"
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
+        return sql
 
     _MAD_RE = re.compile(r"(?i)\bmad\s*\(")
     _ENTROPY_RE = re.compile(r"(?i)\bentropy\s*\(")
@@ -2410,7 +2480,8 @@ class SqlRewriter:
 
     _EXTRACT_SPECIAL_RE = re.compile(
         r"(?i)\bextract\s*\(\s*(dow|dayofweek|weekday|epoch|microseconds|"
-        r"milliseconds|isodow|yearweek|century|isoyear|week|era)\s+from\b"
+        r"milliseconds|isodow|yearweek|century|isoyear|week|era|decade|"
+        r"millennium)\s+from\b"
     )
     _ERA_FN_RE = re.compile(r"(?i)\bera\s*\(")
     _DOW_FAMILY_RE = re.compile(r"(?i)\b(dow|dayofweek|weekday)\s*\(")
@@ -4563,8 +4634,13 @@ class SqlRewriter:
 
             def neutralize(text: str) -> str:
                 # an ANCESTOR marker contains the occurrence under test
-                # (tagged with TOKEN) inside its list arg — keep that arg
-                # so the occurrence survives; SIBLING markers are
+                # (tagged with TOKEN) inside one of its args — keep THE
+                # ARG HOLDING THE TOKEN so the occurrence survives (for
+                # subscripts that is the list arg; for markers whose
+                # args EMBED a nested marker twice — e.g. the epoch_ms
+                # dispatch — it may be either, and keeping arg 0
+                # unconditionally silently dropped the target, flipping
+                # the nested resolution); SIBLING markers are
                 # independent spans and neutralize to NULL, which
                 # analyzes in any context (a string-typed ancestor then
                 # fails the probe and the occurrence falls back to the
@@ -4576,7 +4652,9 @@ class SqlRewriter:
                     hm, hclose, hargs = h
                     span = text[hm.start() : hclose + 1]
                     if TOKEN in span and len(hargs) == 2:
-                        inner = hargs[0]
+                        inner = next(
+                            (a for a in hargs if TOKEN in a), hargs[0]
+                        )
                     else:
                         inner = "NULL"
                     text = text[: hm.start()] + f"({inner})" + text[hclose + 1 :]
@@ -4868,6 +4946,7 @@ class SqlRewriter:
         sql = self._rewrite_array_agg_order(sql)
         sql = self._rewrite_unnest(sql)
         sql = self._rewrite_collate(sql)
+        sql = self._rewrite_b17_scalars(sql)
         sql = self._rewrite_lambda_index(sql)
         # batch-12 operator symbols BEFORE divide_xor (whose xor() output
         # emits a genuine XOR ^) and before the list-metric translations

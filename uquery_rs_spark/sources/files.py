@@ -71,6 +71,27 @@ def resolve_path(
         from .excel import scan_excel
 
         return scan_excel(spark, path, options or {})
+    if ext in ("text", "blob"):
+        # read_text / read_blob TVFs (DuckDB schema: filename, content,
+        # size, last_modified) → Spark's binaryFile source, which
+        # distributes whole-file reads across executors and supports
+        # globs. filename drops the file: URI scheme to match DuckDB's
+        # raw-path output; last_modified is session-tz (width deviation,
+        # like to_timestamp).
+        from pyspark.sql import functions as F
+
+        df = spark.read.format("binaryFile").load(path)
+        content = (
+            F.decode(F.col("content"), "UTF-8")
+            if ext == "text"
+            else F.col("content")
+        )
+        return df.select(
+            F.regexp_replace(F.col("path"), "^file:", "").alias("filename"),
+            content.alias("content"),
+            F.col("length").alias("size"),
+            F.col("modificationTime").alias("last_modified"),
+        )
     if ext is None or ext not in FORMATS:
         raise UQueryError.sql_error(f"cannot infer table format for path: {path}")
     spark_fmt, defaults = FORMATS[ext]
