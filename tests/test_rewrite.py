@@ -1399,3 +1399,39 @@ def test_read_text_blob_tvfs(spark, tmp_path):
     assert bytes(blob.content) == b"alpha beta" and blob.size == 10
     with pytest.raises(UQueryError):
         rw2.rewrite("SELECT * FROM read_text('/etc/passwd')")
+
+
+def test_gap_hunt_batch18(spark, rw):
+    """Sweep batch 18: standard TRIM(BOTH/LEADING/TRAILING … FROM …)
+    — previously the quoted operand after FROM was eaten by the
+    path-as-table regex (misparse class) — plus bare 2-arg trim()
+    joining the batch-5 charset-order fix, today(), any_value(x ORDER
+    BY k) → NULL-guarded min_by/max_by (first NON-null in order),
+    try_strptime → try_to_timestamp, polymorphic length() on lists
+    (native-first shortcut: all-string queries pay one probe),
+    list_where mask selection, list_value → array. Verified natively
+    identical: position(IN), substring(FROM FOR incl. negative),
+    grouping_id, strftime/strptime (already mapped), map_entries
+    key/value names, date_part over intervals. DuckDB-1.0.0-verified."""
+    cases = {
+        "SELECT trim(BOTH 'x' FROM 'xxaxx') AS v": "a",
+        "SELECT trim('xxaxx', 'x') AS v": "a",
+        "SELECT trim(LEADING 'x' FROM 'xxaxx') AS v": "axx",
+        "SELECT trim(TRAILING FROM 'a  ') AS v": "a",
+        "SELECT trim(TRAILING 'yx' FROM 'axyxy') AS v": "a",
+        "SELECT today() = current_date AS v": True,
+        "SELECT any_value(x ORDER BY x DESC) AS v FROM (VALUES (1),(3),(2)) t(x)": 3,
+        # first row in k-order has NULL x — any_value skips to 'b'
+        "SELECT any_value(x ORDER BY k) AS v "
+        "FROM (VALUES (NULL, 1),('b', 2),('c', 3)) t(x, k)": "b",
+        "SELECT try_strptime('bogus', '%Y-%m-%d') AS v": None,
+        "SELECT length([1,2,3]) AS v": 3,
+        "SELECT length('abc') AS v": 3,
+        "SELECT array_to_string(list_where([1,2,3], [true,false,true]), ',') AS v": "1,3",
+        "SELECT array_to_string(list_value(1,2,3), ',') AS v": "1,2,3",
+        "SELECT position('ll' IN 'hello') AS v": 3,
+        "SELECT substring('abcdef' FROM -2) AS v": "ef",
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        assert got == want, f"{sql}: {got!r} != {want!r}"

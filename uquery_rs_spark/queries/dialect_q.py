@@ -1741,3 +1741,42 @@ def dialect_gap_battery15(spark: SparkSession, sf: str) -> DataFrame:
         "octet_length(encode(o_orderpriority)) AS pri_bytes "
         "FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey",
     )
+
+
+@register(
+    "dialect_gap_battery16",
+    tags=("dialect", "battery", "strings"),
+    oracle="""
+SELECT doc_id,
+       trim(BOTH 'aeiou' FROM lang) AS lang_core,
+       trim(source, 'wb') AS src_trim,
+       length(string_split(text, ' ')) AS n_words,
+       trim(TRAILING 'ghn' FROM lang) AS lang_rtrim,
+       array_to_string(list_where([source, lang, 'x'], [true, false, true]), '|') AS src_mask,
+       position('a' IN lang) AS a_pos,
+       CAST(try_strptime('2024-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-15',
+                         '%Y-%m-%d') AS VARCHAR) AS mid_month
+FROM documents
+WHERE doc_id <= 300
+ORDER BY doc_id
+""",
+)
+def dialect_gap_battery16(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep batch 18 pinned verbatim: standard TRIM-FROM syntax (the
+    quoted operand no longer reads as a path table), bare 2-arg trim
+    charset order, polymorphic length() over a list,
+    list_where, position(IN), try_strptime."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT doc_id, "
+        "trim(BOTH 'aeiou' FROM lang) AS lang_core, "
+        "trim(source, 'wb') AS src_trim, "
+        "length(string_split(text, ' ')) AS n_words, "
+        "trim(TRAILING 'ghn' FROM lang) AS lang_rtrim, "
+        "array_to_string(list_where([source, lang, 'x'], [true, false, true]), '|') AS src_mask, "
+        "position('a' IN lang) AS a_pos, "
+        "CAST(try_strptime('2024-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-15', "
+        "'%Y-%m-%d') AS VARCHAR) AS mid_month "
+        "FROM documents WHERE doc_id <= 300 ORDER BY doc_id",
+    )

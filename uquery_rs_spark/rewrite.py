@@ -300,6 +300,9 @@ class SqlRewriter:
         # batch 17
         "list_pack": "array",
         "list_apply": "transform",
+        # batch 18
+        "list_value": "array",
+        "today": "current_date",
         # DuckDB list()/array_agg KEEP null elements, Spark array_agg
         # drops them — documented deviation (null-free columns identical)
         "list": "array_agg",
@@ -1315,7 +1318,7 @@ class SqlRewriter:
     # -- sweep batch 5: sha256, char-set trims ----------------------------
 
     _SHA256_RE = re.compile(r"(?i)\bsha256\s*\(")
-    _TRIM2_RE = re.compile(r"(?i)\b([lr])trim\s*\(")
+    _TRIM2_RE = re.compile(r"(?i)\b([lr]?)trim\s*\(")
 
     def _rewrite_sha256(self, sql: str) -> str:
         hit = self._call_args(self._SHA256_RE, sql)
@@ -1327,10 +1330,11 @@ class SqlRewriter:
         return sql[: m.start()] + f"sha2(({x}), 256)" + tail
 
     def _rewrite_trim_chars(self, sql: str) -> str:
-        """2-arg ltrim/rtrim(string, charset) → TRIM(LEADING/TRAILING
-        charset FROM string): Spark's own 2-arg form takes the arguments
-        in the OPPOSITE order (trimStr first), which silently trims the
-        wrong operand. 1-arg forms are identical and left alone."""
+        """2-arg ltrim/rtrim/trim(string, charset) → TRIM(LEADING/
+        TRAILING/BOTH charset FROM string): Spark's own 2-arg forms take
+        the arguments in the OPPOSITE order (trimStr first), which
+        silently trims the wrong operand — bare 2-arg trim() included
+        (batch-18 find). 1-arg forms are identical and left alone."""
         pos = 0
         while True:
             hit = self._call_args(self._TRIM2_RE, sql, pos)
@@ -1340,7 +1344,7 @@ class SqlRewriter:
             if len(args) != 2:
                 pos = close + 1
                 continue
-            side = "LEADING" if m.group(1).lower() == "l" else "TRAILING"
+            side = {"l": "LEADING", "r": "TRAILING", "": "BOTH"}[m.group(1).lower()]
             s = self._rewrite_trim_chars(args[0])
             c = self._rewrite_trim_chars(args[1])
             repl = f"TRIM({side} {c} FROM ({s}))"
@@ -1355,7 +1359,7 @@ class SqlRewriter:
         r"(?P<q>ANY|ALL|SOME)\s*\(",
         re.IGNORECASE,
     )
-    _FIRST_LAST_RE = re.compile(r"(?i)\b(first|last)\s*\(")
+    _FIRST_LAST_RE = re.compile(r"(?i)\b(first|last|any_value)\s*\(")
     _STRUCT_EXTRACT_RE = re.compile(r"(?i)\bstruct_extract\s*\(")
     _LIST_HAS_ALL_RE = re.compile(r"(?i)\blist_has_all\s*\(")
     _LIST_INDEX_RE = re.compile(r"(?i)\b(?:list_element|list_extract|array_extract)\s*\(")
@@ -1399,7 +1403,11 @@ class SqlRewriter:
     def _rewrite_first_last_order(self, sql: str) -> str:
         """DuckDB ``first/last(x ORDER BY y [DESC])`` → min_by/max_by
         (single sort key; the argless forms are native in both and left
-        alone)."""
+        alone). Batch 18: ``any_value(x ORDER BY y)`` is the same
+        positional pick but skips NULL x — the sort key is wrapped in
+        CASE WHEN x IS NOT NULL so min_by/max_by ignore NULL-x rows
+        (they skip NULL ordering keys), reproducing first-NON-NULL-in-
+        order exactly."""
         pos = 0
         while True:
             hit = self._call_args(self._FIRST_LAST_RE, sql, pos)
@@ -1414,8 +1422,11 @@ class SqlRewriter:
             x, order = split[0].strip().rstrip(","), split[1].strip()
             desc = bool(re.search(r"(?i)\bdesc\s*$", order))
             key = re.sub(r"(?i)\s+(asc|desc)\s*$", "", order)
-            take_min = (m.group(1).lower() == "first") != desc
+            fname = m.group(1).lower()
+            take_min = (fname != "last") != desc
             fn = "min_by" if take_min else "max_by"
+            if fname == "any_value":
+                key = f"CASE WHEN ({x}) IS NOT NULL THEN ({key}) END"
             repl = f"{fn}({x}, {key})"
             sql = sql[: m.start()] + repl + sql[close + 1 :]
             pos = m.start() + len(repl)
@@ -1560,6 +1571,67 @@ class SqlRewriter:
             m = self._search_code(self._PARITY_FN_RE, sql, pos)
         out.append(sql[pos:])
         return "".join(out)
+
+    # -- sweep batch 18 -----------------------------------------------------
+
+    _TRIM_STD_RE = re.compile(
+        r"(?i)\btrim\s*\(\s*(both|leading|trailing)\b"
+    )
+
+    def _rewrite_trim_std(self, sql: str) -> str:
+        """Batch-18: SQL-standard ``TRIM([BOTH|LEADING|TRAILING] [chars]
+        FROM str)``. Spark parses this natively, but the quoted operand
+        after FROM matched the path-as-table regex first — `trim(BOTH
+        'x' FROM 'y')` became a table scan of path 'y' (misparse class,
+        found by the sweep). Runs BEFORE _rewrite_path_tables and emits
+        the DuckDB FUNCTION forms (trim/ltrim/rtrim(s[, chars])) so the
+        batch-5 charset-order pass translates them uniformly."""
+        while True:
+            m = self._search_code(self._TRIM_STD_RE, sql)
+            if not m:
+                return sql
+            open_i = sql.index("(", m.start())
+            close = self._find_close(sql, open_i)
+            if close == -1:
+                return sql
+            inner = sql[open_i + 1 : close]
+            kw = m.group(1).lower()
+            rest = inner[re.search(r"(?i)\b" + kw, inner).end() :]
+            split = None
+            for s, e, _w in self._scan_top_level(rest, {"from"}):
+                split = (s, e)
+                break
+            if split is None:
+                raise UQueryError.sql_error(
+                    "TRIM: expected FROM in the standard form"
+                )
+            chars = rest[: split[0]].strip()
+            src = rest[split[1] :].strip()
+            fn = {"both": "trim", "leading": "ltrim", "trailing": "rtrim"}[kw]
+            # DuckDB-convention 2-arg order (string, chars) — the
+            # batch-5/18 charset pass reorders for Spark downstream
+            repl = f"{fn}(({src}), ({chars}))" if chars else f"{fn}(({src}))"
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+
+    _LIST_WHERE_RE = re.compile(r"(?i)\blist_where\s*\(")
+
+    def _rewrite_list_where(self, sql: str) -> str:
+        """Batch-18: ``list_where(l, mask)`` → mask-select via zipped
+        structs (NULL mask entries drop the element, like DuckDB)."""
+        while True:
+            hit = self._call_args(self._LIST_WHERE_RE, sql)
+            if not hit:
+                return sql
+            m, close, args = hit
+            if len(args) != 2:
+                raise UQueryError.sql_error("list_where expects (list, mask)")
+            l, mask = args
+            repl = (
+                f"transform(filter(zip_with(({l}), ({mask}), "
+                f"(uq_we, uq_wm) -> struct(uq_we AS e, uq_wm AS m)), "
+                f"uq_ws -> uq_ws.m), uq_ws -> uq_ws.e)"
+            )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
 
     # -- sweep batch 16 -----------------------------------------------------
 
@@ -2418,13 +2490,18 @@ class SqlRewriter:
                 )
             sql = sql[: m.start()] + repl + sql[close + 1 :]
             pos = m.start() + len(repl)
+        pos = 0
         while True:
-            hit = self._call_args(self._ANY_VALUE_RE, sql)
+            hit = self._call_args(self._ANY_VALUE_RE, sql, pos)
             if not hit:
                 break
             m, close, args = hit
             if len(args) != 1:
-                break  # already 2-arg (our own output) — leave
+                pos = close + 1  # already 2-arg (our own output) — leave
+                continue
+            if re.search(r"(?i)\border\s+by\b", args[0]):
+                pos = close + 1  # ordered form — batch-18 pass below
+                continue
             sql = sql[: m.start()] + f"any_value(({args[0]}), true)" + sql[close + 1 :]
         while True:
             hit = self._call_args(self._FAVG_RE, sql)
@@ -4429,7 +4506,7 @@ class SqlRewriter:
         "%j": "DDD", "%a": "EEE", "%A": "EEEE", "%b": "MMM", "%B": "MMMM",
         "%p": "a", "%Z": "zzz", "%z": "xx", "%%": "%",
     }
-    _STRF_RE = re.compile(r"(?i)\b(strftime|strptime)\s*\(")
+    _STRF_RE = re.compile(r"(?i)\b(strftime|try_strptime|strptime)\s*\(")
 
     def _rewrite_strftime(self, sql: str) -> str:
         """DuckDB ``strftime(ts, '%Y-%m-%d')`` / ``strptime(s, fmt)`` →
@@ -4464,7 +4541,12 @@ class SqlRewriter:
             if close == -1:
                 break
             args = self._split_top(sql[m.end() : close], ",")
-            fn = "date_format" if m.group(1).lower() == "strftime" else "to_timestamp"
+            fn = {
+                "strftime": "date_format",
+                "strptime": "to_timestamp",
+                # batch 18: NULL on parse failure, like DuckDB
+                "try_strptime": "try_to_timestamp",
+            }[m.group(1).lower()]
             if len(args) == 2 and args[1].strip().startswith("'"):
                 fmt = args[1].strip()[1:-1]
                 sql = (
@@ -4492,6 +4574,27 @@ class SqlRewriter:
         """
         if not self._LEN_RE.search(sql):
             return sql
+        return self._poly_size_impl(sql, self._LEN_RE)
+
+    _LENGTH_RE = re.compile(r"(?i)\blength\s*\(")
+
+    def _rewrite_length_poly(self, sql: str) -> str:
+        """Batch-18: DuckDB ``length()`` is polymorphic too (chars of a
+        string / elements of a LIST — Spark's length rejects arrays).
+        The common all-string case costs ONE analysis probe: if the
+        query analyzes with every length() native, nothing changes;
+        only a failing query pays the per-occurrence size-vs-length
+        probes (same machinery as len())."""
+        if not self._search_code(self._LENGTH_RE, sql):
+            return sql
+        try:
+            self.spark.sql(f"SELECT * FROM ({sql}) uq_lnp LIMIT 0")
+            return sql
+        except Exception:
+            pass
+        return self._poly_size_impl(sql, self._LENGTH_RE)
+
+    def _poly_size_impl(self, sql: str, regex: "re.Pattern[str]") -> str:
         # split into [text0, arg0, text1, arg1, ..., textN] skipping
         # occurrences inside string literals
         segs: list[str] = []
@@ -4504,7 +4607,7 @@ class SqlRewriter:
                 j = sql.find("'", i + 1)
                 i = n if j == -1 else j + 1
                 continue
-            m = self._LEN_RE.match(sql, i)
+            m = regex.match(sql, i)
             if m and not (i > 0 and (sql[i - 1].isalnum() or sql[i - 1] in "_.")):
                 close = self._find_close(sql, m.end() - 1)
                 if close == -1:
@@ -4920,6 +5023,9 @@ class SqlRewriter:
         sql = self._rewrite_tvfs(sql)
         sql = self._rewrite_pivot_statement(sql)
         sql = self._rewrite_unpivot_statement(sql)
+        # batch-18: standard TRIM(... FROM 'lit') BEFORE path tables —
+        # the quoted operand after FROM would read as a path table
+        sql = self._rewrite_trim_std(sql)
         sql = self._rewrite_path_tables(sql)
         # literal escape space first: user literals are DuckDB (escape-
         # free); every pass below emits literals in Spark escape space
@@ -4985,6 +5091,7 @@ class SqlRewriter:
         sql = self._rewrite_first_last_order(sql)
         sql = self._rewrite_struct_extract(sql)
         sql = self._rewrite_list_has_all(sql)
+        sql = self._rewrite_list_where(sql)
         sql = self._rewrite_list_index(sql)
         sql = self._rewrite_list_nulls(sql)
         sql = self._rewrite_hamming_to_base(sql)
@@ -5030,6 +5137,7 @@ class SqlRewriter:
         sql = self._rewrite_poly_subscript(sql)
         sql = self._rewrite_cast(sql)  # probes compose with _rewrite_len
         sql = self._rewrite_len(sql)  # LAST: probes need valid Spark SQL
+        sql = self._rewrite_length_poly(sql)  # after len: same contract
         # every legitimate := consumer (struct_pack/struct_insert/TVF
         # options/macro tables) has run — a leftover := is a DuckDB
         # named-argument call, which Spark's builtins don't accept
