@@ -1435,3 +1435,50 @@ def test_gap_hunt_batch18(spark, rw):
     for sql, want in cases.items():
         got = spark.sql(rw.rewrite(sql)).collect()[0].v
         assert got == want, f"{sql}: {got!r} != {want!r}"
+
+
+def test_gap_hunt_batch19(spark, rw):
+    """Sweep batch 19: STEP slices l[a:b:s] — the 2-part parse silently
+    DROPPED the step (sweep find); negative steps walk reversed;
+    stride via an index sequence (a 2-arg filter lambda would get the
+    batch-7 1-based shift). Plus the list-function family:
+    list_sum/avg/count (list_aggregate folds), list_first/last
+    (INCLUDING NULLs — DuckDB-verified), list_any_value (first
+    non-null), list_resize (truncate + pad), list_median
+    (interpolated; decimal-literal lists keep the documented
+    decimal-median deviation), list_mode (tie → smallest, tie order
+    engine-unspecified), array_pop_back/front, array_reduce alias,
+    generate_subscripts dim-1, regexp_escape (exact RE2 QuoteMeta —
+    re.escape skips '/' and ','), date_add(x, INTERVAL)."""
+    cases = {
+        "SELECT array_to_string([1,2,3,4,5][1:5:2], ',') AS v": "1,3,5",
+        "SELECT array_to_string([10,20,30,40][2:4:2], ',') AS v": "20,40",
+        "SELECT array_to_string([1,2,3,4,5][5:1:-2], ',') AS v": "5,3,1",
+        "SELECT array_to_string([1,2,3,4][:4:2], ',') AS v": "1,3",
+        "SELECT generate_subscripts([10,20,30], 1) AS v": 1,
+        "SELECT array_to_string(list_resize([1,2], 4, 0), ',') AS v": "1,2,0,0",
+        "SELECT array_to_string(list_resize([1,2,3], 2), ',') AS v": "1,2",
+        "SELECT list_any_value([NULL, 7, 3]) AS v": 7,
+        "SELECT list_first([NULL, 2]) AS v": None,
+        "SELECT list_last([1, NULL]) AS v": None,
+        "SELECT list_sum([1,2,NULL]) AS v": 3,
+        "SELECT list_count([1,NULL,2]) AS v": 2,
+        "SELECT list_median([3, 1, 2, 8]) AS v": 2.5,
+        "SELECT list_mode(['b','a','a']) AS v": "a",
+        "SELECT array_to_string(array_pop_back([1,2,3]), ',') AS v": "1,2",
+        "SELECT array_to_string(array_pop_front([1,2,3]), ',') AS v": "2,3",
+        "SELECT array_reduce([1,2,3], (a,b) -> a+b) AS v": 6,
+        "SELECT regexp_escape('a.b/c,d') AS v": "a\\.b\\/c\\,d",
+        "SELECT CAST(date_add(DATE '2024-01-31', INTERVAL 1 MONTH) AS STRING) AS v":
+            "2024-02-29 00:00:00",
+        "SELECT CAST(date_add(DATE '2024-01-01', 5) AS STRING) AS v": "2024-01-06",
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        assert got == want, f"{sql}: {got!r} != {want!r}"
+    for bad in [
+        "SELECT [1,2][1:2:0]",              # zero step errors in DuckDB too
+        "SELECT generate_subscripts([1], 2)",
+    ]:
+        with pytest.raises(UQueryError):
+            rw.rewrite(bad)

@@ -165,6 +165,15 @@ def _parse_dirpath(s: str) -> str:
     return s[:idx] if idx >= 0 else ""
 
 
+def _quote_meta(s: str) -> str:
+    return "".join(
+        ("\\" + c)
+        if ord(c) < 128 and not ("a" <= c <= "z" or "A" <= c <= "Z" or "0" <= c <= "9" or c == "_")
+        else c
+        for c in s
+    )
+
+
 def _map1(fn):
     # pd.isna: numeric nulls arrive as NaN under Arrow, string nulls as
     # None. (Deviation: a genuine NaN argument to gamma/lgamma therefore
@@ -235,6 +244,10 @@ def _build_udfs() -> dict:
             ),
             "long",
         ),
+        # RE2 QuoteMeta: EVERY ASCII non-word char escaped (incl. space,
+        # comma, '/', '#'), non-ASCII untouched. re.escape is NOT this —
+        # since 3.7 it skips regex-neutral chars like '/' and ','.
+        "uq_regexp_escape": pandas_udf(_map1(_quote_meta), "string"),
         "uq_parse_dirname": pandas_udf(_map1(_parse_dirname), "string"),
         "uq_parse_dirpath": pandas_udf(_map1(_parse_dirpath), "string"),
         "uq_parse_path": pandas_udf(

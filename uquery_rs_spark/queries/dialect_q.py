@@ -1780,3 +1780,46 @@ def dialect_gap_battery16(spark: SparkSession, sf: str) -> DataFrame:
         "'%Y-%m-%d') AS VARCHAR) AS mid_month "
         "FROM documents WHERE doc_id <= 300 ORDER BY doc_id",
     )
+
+
+@register(
+    "dialect_gap_battery17",
+    tags=("dialect", "battery", "lists"),
+    oracle="""
+SELECT doc_id,
+       array_to_string(string_split(text, ' ')[1:9:3], '|') AS stride3,
+       array_to_string(string_split(text, ' ')[6:2:-2], '|') AS back2,
+       CAST(list_sum([doc_id % 7, n_chars % 5, NULL]) AS BIGINT) AS lsum,
+       list_median([CAST(doc_id % 11 AS DOUBLE), 4.0, 7.0, 1.0]) AS lmed,
+       list_first(string_split(text, ' ')) AS lfirst,
+       list_any_value([NULL, lang, source]) AS lany,
+       array_to_string(list_resize([lang, source], 4), '|') AS lresize,
+       regexp_escape(substr(source, 1, 3) || '.*') AS resc,
+       array_to_string(array_pop_front(string_split(source, '')), '') AS popf
+FROM documents
+WHERE doc_id <= 300
+ORDER BY doc_id
+""",
+)
+def dialect_gap_battery17(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep batch 19 pinned verbatim: step slices (positive stride and
+    negative reversed walk — the former 2-part parse silently dropped
+    the step), list_sum NULL-skip fold, interpolated list_median on
+    DOUBLE elements, list_first (NULL-keeping), list_any_value,
+    list_resize NULL-pad (DuckDB's own 3-arg fill form crashes on non-constant lists — std::bad_array_new_length — so the fill form is pinned on literals in the unit battery), exact QuoteMeta regexp_escape, array_pop_front.
+    string_split('') per-char split verified identical en route."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT doc_id, "
+        "array_to_string(string_split(text, ' ')[1:9:3], '|') AS stride3, "
+        "array_to_string(string_split(text, ' ')[6:2:-2], '|') AS back2, "
+        "CAST(list_sum([doc_id % 7, n_chars % 5, NULL]) AS BIGINT) AS lsum, "
+        "list_median([CAST(doc_id % 11 AS DOUBLE), 4.0, 7.0, 1.0]) AS lmed, "
+        "list_first(string_split(text, ' ')) AS lfirst, "
+        "list_any_value([NULL, lang, source]) AS lany, "
+        "array_to_string(list_resize([lang, source], 4), '|') AS lresize, "
+        "regexp_escape(substr(source, 1, 3) || '.*') AS resc, "
+        "array_to_string(array_pop_front(string_split(source, '')), '') AS popf "
+        "FROM documents WHERE doc_id <= 300 ORDER BY doc_id",
+    )

@@ -787,7 +787,7 @@ class SqlRewriter:
     # gateway side-by-side with DuckDB itself. ------------------------------
 
     _LIST_AGG_RE = re.compile(r"(?i)\blist_(?:aggregate|aggr)\s*\(")
-    _LIST_REDUCE_RE = re.compile(r"(?i)\blist_reduce\s*\(")
+    _LIST_REDUCE_RE = re.compile(r"(?i)\b(?:list|array)_reduce\s*\(")
     _LIST_SLICE_RE = re.compile(r"(?i)\blist_slice\s*\(")
     _RANGE_CALL_RE = re.compile(r"(?i)(?<![\w.])range\s*\(")
     _FORMAT_RE = re.compile(r"(?i)\bformat\s*\(")
@@ -1512,6 +1512,9 @@ class SqlRewriter:
         "lgamma": "uq_lgamma",
         "gamma": "uq_gamma",
         "nextafter": "uq_nextafter",
+        # Python re.escape (3.7+) IS RE2 QuoteMeta: every ASCII
+        # non-word char escaped, non-ASCII untouched (DuckDB-verified)
+        "regexp_escape": "uq_regexp_escape",
         "greatest_common_divisor": "uq_gcd",
         "least_common_multiple": "uq_lcm",
         "gcd": "uq_gcd",
@@ -1631,6 +1634,128 @@ class SqlRewriter:
                 f"(uq_we, uq_wm) -> struct(uq_we AS e, uq_wm AS m)), "
                 f"uq_ws -> uq_ws.m), uq_ws -> uq_ws.e)"
             )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+
+    # -- sweep batch 19 -----------------------------------------------------
+
+    _B19_LIST_AGG_ALIAS = {
+        "list_sum": "sum",
+        "list_avg": "avg",
+        "list_count": "count",
+    }
+    _B19_LIST_ALIAS_RE = re.compile(r"(?i)\b(list_sum|list_avg|list_count)\s*\(")
+    _B19_FN_RE = re.compile(
+        r"(?i)\b(generate_subscripts|list_resize|list_any_value|list_first|"
+        r"list_last|list_median|list_mode|array_pop_back|array_pop_front)\s*\("
+    )
+    _DATE_ADD_RE = re.compile(r"(?i)\bdate_add\s*\(")
+
+    def _rewrite_b19_fns(self, sql: str) -> str:
+        """Batch-19 sweep — list-function family + friends:
+
+        - list_sum/avg/count → the list_aggregate machinery (same
+          NULL-skipping folds);
+        - list_first/last = FIRST/LAST element INCLUDING NULLs
+          (DuckDB-verified: list_first([NULL,2]) is NULL) →
+          try_element_at at 1 / max(size,1);
+        - list_any_value = first NON-null;
+        - list_resize(l, n[, fill]) → slice + array_repeat pad
+          (truncates when n < size, like DuckDB);
+        - list_median → the interpolated median expression over the
+          non-null DOUBLE-cast sort (decimal-element lists keep the
+          documented decimal-median deviation);
+        - list_mode → argmax by (count, then SMALLEST value) — tie
+          order is engine-unspecified in DuckDB (like mode());
+        - array_pop_back/front → guarded slices;
+        - generate_subscripts(a, 1) → explode(sequence(1, size)) —
+          dim >= 2 raises in DuckDB itself;
+        - regexp_escape → RE2-QuoteMeta-style class escape (ASCII
+          non-word chars; astral-plane chars additionally escaped —
+          harmless width of the Java regex class, documented);
+        - date_add(x, INTERVAL …) → timestamp + interval (DuckDB
+          returns TIMESTAMP; the int-days form stays native).
+        """
+        pos = 0
+        while True:
+            hit = self._call_args(self._B19_LIST_ALIAS_RE, sql, pos)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) != 1:
+                raise UQueryError.sql_error(f"{m.group(1)} expects 1 arg")
+            agg = self._B19_LIST_AGG_ALIAS[m.group(1).lower()]
+            repl = f"list_aggregate(({args[0]}), '{agg}')"
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start()
+        pos = 0
+        while True:
+            hit = self._call_args(self._DATE_ADD_RE, sql, pos)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) != 2 or not re.match(r"(?i)^interval\b", args[1]):
+                pos = close + 1  # Spark's own (date, int) form — native
+                continue
+            repl = f"(CAST(({args[0]}) AS TIMESTAMP) + {args[1]})"
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
+        while True:
+            hit = self._call_args(self._B19_FN_RE, sql)
+            if not hit:
+                return sql
+            m, close, args = hit
+            fn = m.group(1).lower()
+            a0 = args[0]
+            if fn == "generate_subscripts":
+                if len(args) != 2 or args[1].strip() != "1":
+                    raise UQueryError.sql_error(
+                        "generate_subscripts: only dimension 1 is supported "
+                        "(DuckDB raises beyond it too)"
+                    )
+                repl = f"explode(sequence(1, size(({a0}))))"
+            elif fn == "list_resize":
+                if len(args) not in (2, 3):
+                    raise UQueryError.sql_error(
+                        "list_resize expects (list, size[, fill])"
+                    )
+                n = f"CAST(({args[1]}) AS INT)"
+                fill = (
+                    f"({args[2]})"
+                    if len(args) == 3
+                    else f"(CASE WHEN false THEN try_element_at(({a0}), 1) END)"
+                )
+                # list_concat, not concat: the batch-8 concat pass
+                # downstream stringifies bare concat() calls
+                repl = (
+                    f"list_concat(slice(({a0}), 1, least({n}, size(({a0})))), "
+                    f"array_repeat({fill}, greatest({n} - size(({a0})), 0)))"
+                )
+            elif fn == "list_any_value":
+                repl = f"try_element_at(filter(({a0}), uq_le -> uq_le IS NOT NULL), 1)"
+            elif fn == "list_first":
+                repl = f"try_element_at(({a0}), 1)"
+            elif fn == "list_last":
+                repl = f"try_element_at(({a0}), greatest(size(({a0})), 1))"
+            elif fn == "list_median":
+                arr = (
+                    f"array_sort(transform(filter(({a0}), "
+                    f"uq_le -> uq_le IS NOT NULL), uq_mv -> CAST(uq_mv AS DOUBLE)))"
+                )
+                repl = (
+                    f"(CASE WHEN size({arr}) = 0 THEN NULL "
+                    f"ELSE ({self._median_of(arr)}) END)"
+                )
+            elif fn == "list_mode":
+                nn = f"filter(({a0}), uq_le -> uq_le IS NOT NULL)"
+                repl = (
+                    f"try_element_at(array_sort(transform(array_distinct({nn}), "
+                    f"uq_v -> struct(0 - size(filter({nn}, uq_e2 -> uq_e2 = uq_v)) AS c, "
+                    f"uq_v AS v))), 1).v"
+                )
+            elif fn == "array_pop_back":
+                repl = f"slice(({a0}), 1, greatest(size(({a0})) - 1, 0))"
+            else:  # array_pop_front
+                repl = f"slice(({a0}), 2, greatest(size(({a0})) - 1, 0))"
             sql = sql[: m.start()] + repl + sql[close + 1 :]
 
     # -- sweep batch 16 -----------------------------------------------------
@@ -3999,6 +4124,36 @@ class SqlRewriter:
         window translation downstream.
         """
         colon_parts = self._split_top(inner, ":")
+        if len(colon_parts) == 3:
+            # batch-19: STEP slices — l[a:b:s] takes every s-th element
+            # of the inclusive window; a negative step walks b..a
+            # REVERSED ([5:1:-2] = [5,3,1], [::-1] = full reverse);
+            # step 0 errors like DuckDB. The old 2-part parse silently
+            # DROPPED the step (sweep find). Lists only — DuckDB itself
+            # raises "not implemented" for strings with steps.
+            a, b, s = (p.strip() for p in colon_parts)
+            if not re.fullmatch(r"-?\d+", s):
+                raise UQueryError.sql_error(
+                    "slice step must be a literal integer"
+                )
+            step = int(s)
+            if step == 0:
+                raise UQueryError.sql_error("Slice step cannot be zero")
+            if step > 0:
+                base = self._slice_form(operand, a, b, "slice", "size")
+            else:
+                base = f"reverse({self._slice_form(operand, b, a, 'slice', 'size')})"
+                step = -step
+            if step == 1:
+                return base
+            # stride via an index sequence + 1-arg lambda: a 2-arg
+            # filter lambda here would get the batch-7 1-based index
+            # shift downstream (this text predates that pass)
+            return (
+                f"(CASE WHEN size({base}) = 0 THEN {base} "
+                f"ELSE transform(sequence(1, size({base}), {step}), "
+                f"uq_ix -> element_at({base}, uq_ix)) END)"
+            )
         if len(colon_parts) > 1:
             a, b = (p.strip() for p in colon_parts[:2])
             if not a and not b:
@@ -5053,6 +5208,9 @@ class SqlRewriter:
         sql = self._rewrite_unnest(sql)
         sql = self._rewrite_collate(sql)
         sql = self._rewrite_b17_scalars(sql)
+        # batch-19 list family BEFORE list_aggregate (list_sum/avg/count
+        # expand to list_aggregate text)
+        sql = self._rewrite_b19_fns(sql)
         sql = self._rewrite_lambda_index(sql)
         # batch-12 operator symbols BEFORE divide_xor (whose xor() output
         # emits a genuine XOR ^) and before the list-metric translations
