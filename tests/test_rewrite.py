@@ -1482,3 +1482,51 @@ def test_gap_hunt_batch19(spark, rw):
     ]:
         with pytest.raises(UQueryError):
             rw.rewrite(bad)
+
+
+def test_gap_hunt_batch20(spark, rw):
+    """Sweep batch 20: bare split() is LITERAL-separator in DuckDB while
+    Spark's split is regex ('.' exploded per char — the silent-wrong
+    find); flatten skips NULL sublists; factorial/postfix ! beyond
+    BIGINT via DECIMAL(38,0) (DuckDB HUGEINT range -1..33, n<=1 → 1,
+    34 raises); 1-arg numeric trunc (toward zero — Spark trunc is
+    date-only); list_contains returns FALSE on null-bearing misses
+    (Spark 3VL NULL) and NULL for NULL needle/list; list_indexof /
+    from_hex renames; setseed typed-NULL no-op."""
+    cases = {
+        "SELECT array_to_string(split('a.b.c', '.'), '|') AS v": "a|b|c",
+        "SELECT split('x1y2z', '1y') AS v": ["x", "2z"],
+        "SELECT split('a.b.c', '.')[2] AS v": "b",
+        "SELECT array_to_string(flatten([[1],NULL,[2]]), ',') AS v": "1,2",
+        "SELECT 5! AS v": 120,
+        "SELECT (2+3)! AS v": 120,
+        "SELECT factorial(-1) AS v": 1,
+        "SELECT factorial(0) AS v": 1,
+        "SELECT CAST(factorial(21) AS STRING) AS v": "51090942171709440000",
+        "SELECT CAST(factorial(33) AS STRING) AS v":
+            "8683317618811886495518194401280000000",
+        "SELECT 3 != 4 AS v": True,
+        "SELECT CAST(trunc(-2.7) AS INT) AS v": -2,
+        "SELECT CAST(trunc(2.789) AS INT) AS v": 2,
+        "SELECT list_contains([1,NULL], 2) AS v": False,
+        "SELECT list_contains([1,NULL], 1) AS v": True,
+        "SELECT list_contains(NULL, 1) AS v": None,
+        "SELECT list_contains([1,2], NULL) AS v": None,
+        "SELECT list_indexof([1,2,3], 5) AS v": 0,
+        "SELECT octet_length(from_hex('0a0b')) AS v": 2,
+        "SELECT setseed(0.5) AS v": None,
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        if isinstance(got, list):
+            got = list(got)
+        assert got == want, f"{sql}: {got!r} != {want!r}"
+    for bad in [
+        "SELECT 3.5! AS v",                  # DuckDB: integer operand only
+        "SELECT current_setting('threads')",  # engine-specific
+    ]:
+        with pytest.raises(UQueryError):
+            rw.rewrite(bad)
+    # factorial(34) raises at RUNTIME like DuckDB's Out of Range
+    with pytest.raises(Exception):
+        spark.sql(rw.rewrite("SELECT factorial(34) AS v")).collect()

@@ -1823,3 +1823,50 @@ def dialect_gap_battery17(spark: SparkSession, sf: str) -> DataFrame:
         "array_to_string(array_pop_front(string_split(source, '')), '') AS popf "
         "FROM documents WHERE doc_id <= 300 ORDER BY doc_id",
     )
+
+
+@register(
+    "dialect_gap_battery18",
+    tags=("dialect", "battery", "lists"),
+    oracle="""
+SELECT doc_id,
+       array_to_string(split(text, 'a. '), '~')     AS splt,
+       split(text, ' ')[2]                          AS splt2,
+       array_to_string(flatten([string_split(lang, ''), NULL, [source]]), '|') AS flat,
+       CAST(factorial(CAST(doc_id % 25 AS INTEGER) + 5) AS VARCHAR) AS factbig,
+       CAST((CAST(doc_id % 6 AS INTEGER))! AS BIGINT) AS bang,
+       CAST(trunc(n_chars / 7.0 - 50) AS BIGINT)    AS trnc,
+       list_contains([lang, NULL], 'en')            AS lc_hit,
+       list_contains([source, NULL], 'nope')        AS lc_miss,
+       list_indexof(string_split(text, ' '), 'the') AS idx,
+       octet_length(from_hex('0a0b'))               AS fhx
+FROM documents
+WHERE doc_id <= 300
+ORDER BY doc_id
+""",
+)
+def dialect_gap_battery18(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep batch 20 pinned verbatim: bare split() is LITERAL-separator
+    in DuckDB (Spark's split is regex — 'a. ' would match as a pattern:
+    the silent-wrong find of the batch), flatten skips NULL SUBLISTS,
+    factorial beyond BIGINT (21!..29! — DuckDB HUGEINT vs our
+    DECIMAL(38,0), same digits via VARCHAR), postfix ``!``, 1-arg
+    numeric trunc (toward zero, negatives), list_contains FALSE on
+    null-bearing misses (Spark 3VL gives NULL natively), list_indexof,
+    from_hex."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT doc_id, "
+        "array_to_string(split(text, 'a. '), '~') AS splt, "
+        "split(text, ' ')[2] AS splt2, "
+        "array_to_string(flatten([string_split(lang, ''), NULL, [source]]), '|') AS flat, "
+        "CAST(factorial(CAST(doc_id % 25 AS INTEGER) + 5) AS VARCHAR) AS factbig, "
+        "CAST((CAST(doc_id % 6 AS INTEGER))! AS BIGINT) AS bang, "
+        "CAST(trunc(n_chars / 7.0 - 50) AS BIGINT) AS trnc, "
+        "list_contains([lang, NULL], 'en') AS lc_hit, "
+        "list_contains([source, NULL], 'nope') AS lc_miss, "
+        "list_indexof(string_split(text, ' '), 'the') AS idx, "
+        "octet_length(from_hex('0a0b')) AS fhx "
+        "FROM documents WHERE doc_id <= 300 ORDER BY doc_id",
+    )

@@ -264,12 +264,17 @@ class SqlRewriter:
         "list_transform": "transform",
         "list_filter": "filter",
         "list_distinct": "array_distinct",
-        "list_contains": "array_contains",
+        # list_contains/array_contains moved to _rewrite_b20_fns (DuckDB
+        # returns false on null-bearing misses where Spark 3VL gives NULL)
         "list_min": "array_min",
         "list_max": "array_max",
         "list_append": "array_append",
         "list_prepend": "array_prepend",
         "list_position": "array_position",
+        # batch 20: same missing→0 / NULL-needle→NULL contract verified
+        "list_indexof": "array_position",
+        "array_indexof": "array_position",
+        "from_hex": "unhex",
         "list_zip": "arrays_zip",
         "regexp_matches": "regexp_like",
         "strlen": "length",
@@ -317,8 +322,12 @@ class SqlRewriter:
     _FN_RENAME_RE = re.compile(
         r"(?i)\b(" + "|".join(_FN_RENAMES) + r")\s*\(",
     )
+    # batch 20: bare `split` IS literal-separator in DuckDB (alias of
+    # string_split) while Spark's split() is regex — without the escape,
+    # split('a.b', '.') silently explodes per-char. Internal passes that
+    # emit Spark regex split() all run after _rewrite_function_names.
     _SPLIT_CALL_RE = re.compile(
-        r"(?i)\b(?:string_split|str_split|string_to_array)\s*\("
+        r"(?i)\b(?:string_split|str_split|string_to_array|split)\s*\("
     )
     _REGEX_META = set(".^$*+?()[]{}|\\")
 
@@ -1635,6 +1644,147 @@ class SqlRewriter:
                 f"uq_ws -> uq_ws.m), uq_ws -> uq_ws.e)"
             )
             sql = sql[: m.start()] + repl + sql[close + 1 :]
+
+    # -- sweep batch 20 -----------------------------------------------------
+
+    # 2!..33! — DuckDB's factorial range is HUGEINT (int128): 33! is the
+    # last value that fits, 34! raises Out of Range. DECIMAL(38,0) holds
+    # all of them (33! has 37 digits).
+    _FACTORIALS = [str(__import__("math").factorial(n)) for n in range(2, 34)]
+    _B20_FN_RE = re.compile(
+        r"(?i)\b(flatten|factorial|trunc|list_contains|array_contains|"
+        r"setseed|current_setting)\s*\("
+    )
+    # postfix factorial: operand ends with \w / ) / ] and the '!' is not
+    # part of != / !~ (operator-symbols has consumed !~ by this point)
+    _BANG_RE = re.compile(r"(?<=[\w)\]])\s*!(?![=~])")
+
+    def _factorial_case(self, n: str) -> str:
+        lut = ", ".join(f"CAST('{v}' AS DECIMAL(38,0))" for v in self._FACTORIALS)
+        return (
+            f"(CASE WHEN ({n}) IS NULL THEN CAST(NULL AS DECIMAL(38,0)) "
+            f"WHEN ({n}) > 33 THEN CAST(raise_error('factorial: value out of "
+            f"range') AS DECIMAL(38,0)) "
+            f"WHEN ({n}) <= 1 THEN CAST(1 AS DECIMAL(38,0)) "
+            f"ELSE element_at(array({lut}), CAST(({n}) AS INT) - 1) END)"
+        )
+
+    def _rewrite_b20_postfix_bang(self, sql: str) -> str:
+        """DuckDB postfix ``n!`` = factorial (5! = 120). Runs after the
+        operator-symbols pass so ``!~`` is already consumed; ``!=`` is
+        excluded by lookahead. The operand is the preceding atom
+        (number / identifier chain / balanced group); a fractional
+        numeric literal raises like DuckDB's binder does."""
+        while True:
+            m = self._search_code(self._BANG_RE, sql)
+            if not m:
+                return sql
+            end = m.start()
+            while end > 0 and sql[end - 1].isspace():
+                end -= 1
+            i = end
+            if i > 0 and sql[i - 1] in ")]":
+                depth = 0
+                while i > 0:
+                    i -= 1
+                    if sql[i] in ")]":
+                        depth += 1
+                    elif sql[i] in "([":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                # include a preceding function name, if any
+                j = i
+                while j > 0 and (sql[j - 1].isalnum() or sql[j - 1] in "_."):
+                    j -= 1
+                i = j
+            else:
+                while i > 0 and (sql[i - 1].isalnum() or sql[i - 1] in "_."):
+                    i -= 1
+            operand = sql[i:end]
+            if not operand:
+                raise UQueryError.sql_error("'!': missing operand for factorial")
+            if re.fullmatch(r"\d+\.\d+", operand):
+                raise UQueryError.sql_error(
+                    "factorial (!) requires an integer operand"
+                )
+            sql = sql[:i] + f"factorial({operand})" + sql[m.end() :]
+
+    def _rewrite_b20_fns(self, sql: str) -> str:
+        """Batch-20 sweep:
+
+        - flatten: DuckDB SKIPS NULL sublists (flatten([[1],NULL,[2]]) =
+          [1,2]) where Spark returns NULL → filter first (null ELEMENTS
+          inside sublists are kept by both);
+        - factorial / postfix ``!`` → DECIMAL(38,0) lookup (DuckDB:
+          HUGEINT; n<=1 → 1 incl. negatives, n>33 raises — all
+          DuckDB-verified). Width deviation: DECIMAL vs HUGEINT, same
+          digits;
+        - 1-arg trunc → CASE floor/ceil (Spark trunc is date-only;
+          toward-zero truncation verified incl. negatives). Type
+          deviation: DOUBLE input yields BIGINT (DuckDB keeps DOUBLE) —
+          same value; 2-arg calls stay native (Spark date trunc);
+        - list_contains/array_contains: DuckDB returns FALSE when the
+          value is absent from a null-bearing list and NULL for a NULL
+          needle; Spark's three-valued array_contains returns NULL for
+          both → CASE + coalesce(..., false) (the ifnull on the needle
+          types untyped NULL literals; the CASE short-circuits before it
+          matters);
+        - setseed → typed-NULL no-op (random() is documented
+          engine-specific — seeding cannot carry across engines);
+        - current_setting raises (engine-specific configuration keys).
+        """
+        sql = self._rewrite_b20_postfix_bang(sql)
+        pos = 0
+        while True:
+            hit = self._call_args(self._B20_FN_RE, sql, pos)
+            if not hit:
+                return sql
+            m, close, args = hit
+            fn = m.group(1).lower()
+            # nested batch-20 calls inside the args translate first; the
+            # scan then skips past the emitted text (which re-uses
+            # flatten/array_contains names)
+            args = [self._rewrite_b20_fns(a) for a in args]
+            a0 = args[0] if args else ""
+            if fn == "current_setting":
+                raise UQueryError.sql_error(
+                    "current_setting() is engine-specific and not supported"
+                )
+            if fn == "flatten":
+                if len(args) != 1:
+                    raise UQueryError.sql_error("flatten expects 1 arg")
+                repl = f"flatten(filter(({a0}), uq_fl -> uq_fl IS NOT NULL))"
+            elif fn == "factorial":
+                if len(args) != 1:
+                    raise UQueryError.sql_error("factorial expects 1 arg")
+                repl = self._factorial_case(a0)
+            elif fn == "trunc":
+                if len(args) != 1:
+                    pos = close + 1  # Spark's own date trunc(date, fmt)
+                    continue
+                repl = (
+                    f"(CASE WHEN ({a0}) >= 0 THEN floor(({a0})) "
+                    f"ELSE ceil(({a0})) END)"
+                )
+            elif fn == "setseed":
+                repl = "CAST(NULL AS DOUBLE)"
+            else:  # list_contains / array_contains
+                if len(args) != 2:
+                    raise UQueryError.sql_error(f"{fn} expects (list, value)")
+                a, x = a0, args[1]
+                # the ifnull wrappers only TYPE untyped NULL literals
+                # (either side) — the CASE short-circuits before they
+                # could change a value
+                ta = f"ifnull(({a}), array(({x})))"
+                repl = (
+                    f"(CASE WHEN ({x}) IS NULL OR ({a}) IS NULL "
+                    f"THEN CAST(NULL AS BOOLEAN) "
+                    f"ELSE coalesce(array_contains({ta}, "
+                    f"ifnull(({x}), try_element_at({ta}, 1))), false) END)"
+                )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
 
     # -- sweep batch 19 -----------------------------------------------------
 
@@ -5215,6 +5365,8 @@ class SqlRewriter:
         # batch-12 operator symbols BEFORE divide_xor (whose xor() output
         # emits a genuine XOR ^) and before the list-metric translations
         sql = self._rewrite_operator_symbols(sql)
+        # batch-20 AFTER operator symbols (postfix ! must not see !~)
+        sql = self._rewrite_b20_fns(sql)
         # batch-8 scalar semantics BEFORE list_nulls (that pass emits
         # array concat() calls that must stay un-stringified)
         sql = self._rewrite_scalar_semantics(sql)
