@@ -1530,3 +1530,86 @@ def test_gap_hunt_batch20(spark, rw):
     # factorial(34) raises at RUNTIME like DuckDB's Out of Range
     with pytest.raises(Exception):
         spark.sql(rw.rewrite("SELECT factorial(34) AS v")).collect()
+
+
+def test_gap_hunt_batch21_json(spark, rw):
+    """Sweep batch 21 — the DuckDB json-extension tail. Constructors
+    (json_object pairwise with NULL-key drop + dup keys kept,
+    json_array positional with 'null' elements, json_quote with the
+    SQL-NULL→NULL asymmetry, row_to_json), minify json(), RFC-7386
+    json_merge_patch n-ary fold, json_structure (UBIGINT/BIGINT/DOUBLE
+    widening, NULL wildcard, object key union, conflict→JSON),
+    json_type 1/2-arg (JSONPath subset + JSON Pointer + bare key),
+    json_contains (recursive containment, STRICT scalar classes:
+    [1.0] does not contain 1), aggregates json_group_array/object
+    (empty group → NULL). Nested producers splice raw JSON, not
+    re-quoted strings. All values DuckDB-1.0-verified."""
+    cases = {
+        "SELECT json_object('a', 1, 'a', 2) AS v": '{"a":1,"a":2}',
+        "SELECT json_object(NULL, 1) AS v": "{}",
+        "SELECT json_object('k', NULL) AS v": '{"k":null}',
+        "SELECT json_object(s, n) AS v FROM (VALUES ('x', 3)) t(s,n)": '{"x":3}',
+        "SELECT json_object() AS v": "{}",
+        "SELECT json_array(1, 'a', true, 1.5, DATE '2024-01-02') AS v":
+            '[1,"a",true,1.5,"2024-01-02"]',
+        "SELECT json_array(NULL) AS v": "[null]",
+        "SELECT json_array() AS v": "[]",
+        "SELECT json_array([1,2], {'a': 1}) AS v": '[[1,2],{"a":1}]',
+        "SELECT json_quote('a\"b') AS v": '"a\\"b"',
+        "SELECT json_quote(NULL) AS v": None,
+        "SELECT row_to_json({'b': 2}) AS v": '{"b":2}',
+        "SELECT json(' [1, 2,  {\"a\": 3}] ') AS v": '[1,2,{"a":3}]',
+        "SELECT json_merge_patch('{\"a\":1}','{\"b\":2}','{\"c\":3}') AS v":
+            '{"a":1,"b":2,"c":3}',
+        "SELECT json_merge_patch('{\"a\":{\"x\":1}}','{\"a\":{\"y\":2}}') AS v":
+            '{"a":{"x":1,"y":2}}',
+        "SELECT json_merge_patch('{\"a\":1}','{\"a\":null}') AS v": "{}",
+        "SELECT json_merge_patch('[1,2]', '{\"a\":1}') AS v": '{"a":1}',
+        "SELECT json_merge_patch('{\"a\":1}', NULL) AS v": None,
+        "SELECT json_structure('[1,-1]') AS v": '["BIGINT"]',
+        "SELECT json_structure('[1,1.5]') AS v": '["DOUBLE"]',
+        "SELECT json_structure('[1,true]') AS v": '["JSON"]',
+        "SELECT json_structure('[null,1]') AS v": '["UBIGINT"]',
+        "SELECT json_structure('[{\"b\":1},{\"a\":2}]') AS v":
+            '[{"b":"UBIGINT","a":"UBIGINT"}]',
+        "SELECT json_structure('[{\"a\":1},{\"a\":\"x\"}]') AS v":
+            '[{"a":"JSON"}]',
+        "SELECT json_structure('18446744073709551616') AS v": '"DOUBLE"',
+        "SELECT json_type('1') AS v": "UBIGINT",
+        "SELECT json_type('-1') AS v": "BIGINT",
+        "SELECT json_type('1.0') AS v": "DOUBLE",
+        "SELECT json_type('null') AS v": "NULL",
+        "SELECT json_type('{\"a\":{\"b\":[5]}}', '$.a.b[0]') AS v": "UBIGINT",
+        "SELECT json_type('{\"a\":{\"b\":[5]}}', '/a/b/0') AS v": "UBIGINT",
+        "SELECT json_type('{\"a\":1}', 'a') AS v": "UBIGINT",
+        "SELECT json_type('{\"a\":1}', 'missing') AS v": None,
+        "SELECT json_contains('{\"a\":{\"b\":1}}', '{\"b\":1}') AS v": True,
+        "SELECT json_contains('{\"a\":1}', '{\"a\":2}') AS v": False,
+        "SELECT json_contains('[[1,2]]', '[2]') AS v": True,
+        "SELECT json_contains('[1,2]', '[2,1]') AS v": True,
+        "SELECT json_contains('[1.0]', '1') AS v": False,
+        "SELECT json_contains('[1.0]', '1.0') AS v": True,
+        "SELECT json_group_array(x) AS v FROM (VALUES (1),(2),(NULL)) t(x)":
+            "[1,2,null]",
+        "SELECT json_group_array(x) AS v FROM (VALUES ('a')) t(x) WHERE x='z'":
+            None,
+        "SELECT json_group_object(k, x) AS v FROM (VALUES ('a',1),('b',NULL)) t(k,x)":
+            '{"a":1,"b":null}',
+        "SELECT json_group_object(k, x) AS v FROM (VALUES (1,'x')) t(k,x)":
+            '{"1":"x"}',
+        "SELECT json_object('a', json_array(1, json_quote('q'))) AS v":
+            '{"a":[1,"q"]}',
+        "SELECT json_array(json_object('k', 5), 7) AS v": '[{"k":5},7]',
+        "SELECT json_array(json_quote(NULL)) AS v": "[null]",
+        "SELECT json_group_array(json_object(k, x)) AS v FROM (VALUES ('a',1)) t(k,x)":
+            '[{"a":1}]',
+        "SELECT json_array_length('[1,2,3]') AS v": 3,
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        assert got == want, f"{sql}: {got!r} != {want!r}"
+    with pytest.raises(UQueryError):
+        rw.rewrite("SELECT json_object('a')")  # odd arg count
+    # malformed JSON raises at runtime, like DuckDB's json()
+    with pytest.raises(Exception):
+        spark.sql(rw.rewrite("SELECT json('[1,2')")).collect()

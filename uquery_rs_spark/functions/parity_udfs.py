@@ -32,6 +32,7 @@ the differential tests in tests/test_parity_udfs.py:
 
 from __future__ import annotations
 
+import json as _json
 import math
 import re
 import unicodedata
@@ -174,6 +175,184 @@ def _quote_meta(s: str) -> str:
     )
 
 
+# -- JSON tail (sweep batch 21) ----------------------------------------
+# DuckDB's json extension functions with no Spark equivalent. All output
+# compact separators (',', ':') and raw unicode, byte-matching DuckDB's
+# yyjson writer on the probed matrix (tests/test_parity_udfs.py).
+
+_U64_MAX = 2**64 - 1
+_I64_MIN = -(2**63)
+
+
+def _jdump(v) -> str:
+    return _json.dumps(v, ensure_ascii=False, separators=(",", ":"))
+
+
+def _json_minify(s: str) -> str:
+    # malformed input raises, like DuckDB's json() (loud, not silent)
+    return _jdump(_json.loads(s))
+
+
+def _merge_patch(target, patch):
+    """RFC 7386: a non-object patch replaces; null values remove keys."""
+    if not isinstance(patch, dict) or isinstance(patch, bool):
+        return patch
+    out = dict(target) if isinstance(target, dict) else {}
+    for k, v in patch.items():
+        if v is None:
+            out.pop(k, None)
+        else:
+            out[k] = _merge_patch(out.get(k), v)
+    return out
+
+
+def _json_merge2(a: str, b: str) -> str:
+    return _jdump(_merge_patch(_json.loads(a), _json.loads(b)))
+
+
+def _jscalar_name(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "BOOLEAN"
+    if isinstance(v, int):
+        if 0 <= v <= _U64_MAX:
+            return "UBIGINT"
+        if _I64_MIN <= v < 0:
+            return "BIGINT"
+        return "DOUBLE"  # beyond 64-bit: DuckDB degrades to DOUBLE
+    if isinstance(v, float):
+        return "DOUBLE"
+    return "VARCHAR"
+
+
+def _junify(a, b):
+    """DuckDB json_structure unification: NULL is a wildcard; integer
+    widths widen (UBIGINT+BIGINT→BIGINT, any+DOUBLE→DOUBLE); arrays
+    unify elementwise; objects union keys (first-seen order);
+    anything else conflicts to 'JSON'."""
+    if a == "NULL":
+        return b
+    if b == "NULL":
+        return a
+    if a == b:
+        return a
+    num = {"UBIGINT", "BIGINT", "DOUBLE"}
+    if isinstance(a, str) and isinstance(b, str) and a in num and b in num:
+        return "DOUBLE" if "DOUBLE" in (a, b) else "BIGINT"
+    if isinstance(a, list) and isinstance(b, list):
+        return [_junify(a[0], b[0])]
+    if isinstance(a, dict) and isinstance(b, dict):
+        out = dict(a)
+        for k, v in b.items():
+            out[k] = _junify(out[k], v) if k in out else v
+        return out
+    return "JSON"
+
+
+def _jstructure_of(v):
+    if isinstance(v, list):
+        s = "NULL"
+        for e in v:
+            s = _junify(s, _jstructure_of(e))
+        return [s]
+    if isinstance(v, dict):
+        return {k: _jstructure_of(x) for k, x in v.items()}
+    return _jscalar_name(v)
+
+
+def _json_structure(s: str) -> str:
+    return _jdump(_jstructure_of(_json.loads(s)))
+
+
+def _jpath_get(v, path):
+    """(found, value) for DuckDB's path forms: '$'-rooted JSONPath
+    subset (.key / [idx]), '/'-rooted JSON Pointer, or a bare key."""
+    if path is None or path in ("", "$"):
+        return True, v
+    if path.startswith("/"):
+        cur = v
+        for p in path.split("/")[1:]:
+            if isinstance(cur, dict) and p in cur:
+                cur = cur[p]
+            elif isinstance(cur, list) and p.lstrip("-").isdigit():
+                i = int(p)
+                if -len(cur) <= i < len(cur):
+                    cur = cur[i]
+                else:
+                    return False, None
+            else:
+                return False, None
+        return True, cur
+    if path.startswith("$"):
+        if "*" in path:
+            raise ValueError("json path wildcards are not supported")
+        cur = v
+        for key, idx in re.findall(r"\.([^.\[\]]+)|\[(-?\d+)\]", path[1:]):
+            if key:
+                if isinstance(cur, dict) and key in cur:
+                    cur = cur[key]
+                else:
+                    return False, None
+            else:
+                i = int(idx)
+                if isinstance(cur, list) and -len(cur) <= i < len(cur):
+                    cur = cur[i]
+                else:
+                    return False, None
+        return True, cur
+    if isinstance(v, dict) and path in v:
+        return True, v[path]
+    return False, None
+
+
+def _json_type(s: str, path=None):
+    found, v = _jpath_get(_json.loads(s), path)
+    if not found:
+        return None
+    if isinstance(v, list):
+        return "ARRAY"
+    if isinstance(v, dict):
+        return "OBJECT"
+    return _jscalar_name(v)
+
+
+def _jscal_eq(a, b) -> bool:
+    # strict class equality: DuckDB json_contains('[1.0]','1') is FALSE
+    # (verified) — int and float never compare equal
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool) and a is b
+    return type(a) is type(b) and a == b
+
+
+def _jcontained_in(n, h) -> bool:
+    if isinstance(n, dict):
+        return isinstance(h, dict) and all(
+            k in h and _jcontained_in(v, h[k]) for k, v in n.items()
+        )
+    if isinstance(n, list):
+        return isinstance(h, list) and all(
+            any(_jcontained_in(e, x) for x in h) for e in n
+        )
+    if isinstance(h, (dict, list)):
+        return False
+    return _jscal_eq(n, h)
+
+
+def _jcontains(h, n) -> bool:
+    if _jcontained_in(n, h):
+        return True
+    if isinstance(h, dict):
+        return any(_jcontains(v, n) for v in h.values())
+    if isinstance(h, list):
+        return any(_jcontains(e, n) for e in h)
+    return False
+
+
+def _json_contains(h: str, n: str) -> bool:
+    return _jcontains(_json.loads(h), _json.loads(n))
+
+
 def _map1(fn):
     # pd.isna: numeric nulls arrive as NaN under Arrow, string nulls as
     # None. (Deviation: a genuine NaN argument to gamma/lgamma therefore
@@ -252,6 +431,38 @@ def _build_udfs() -> dict:
         "uq_parse_dirpath": pandas_udf(_map1(_parse_dirpath), "string"),
         "uq_parse_path": pandas_udf(
             _map1(_path_components), "array<string>"
+        ),
+        # JSON tail (batch 21): null-propagating on SQL NULL inputs;
+        # malformed JSON raises at runtime like DuckDB's json extension
+        "uq_json_minify": pandas_udf(_map1(_json_minify), "string"),
+        "uq_json_structure": pandas_udf(_map1(_json_structure), "string"),
+        "uq_json_type1": pandas_udf(_map1(_json_type), "string"),
+        "uq_json_type2": pandas_udf(
+            lambda s, p: pd.Series(
+                [
+                    None if a is None or b is None else _json_type(a, b)
+                    for a, b in zip(s, p)
+                ]
+            ),
+            "string",
+        ),
+        "uq_json_merge_patch": pandas_udf(
+            lambda s, p: pd.Series(
+                [
+                    None if a is None or b is None else _json_merge2(a, b)
+                    for a, b in zip(s, p)
+                ]
+            ),
+            "string",
+        ),
+        "uq_json_contains": pandas_udf(
+            lambda s, p: pd.Series(
+                [
+                    None if a is None or b is None else _json_contains(a, b)
+                    for a, b in zip(s, p)
+                ]
+            ),
+            "boolean",
         ),
     }
 

@@ -1870,3 +1870,52 @@ def dialect_gap_battery18(spark: SparkSession, sf: str) -> DataFrame:
         "octet_length(from_hex('0a0b')) AS fhx "
         "FROM documents WHERE doc_id <= 300 ORDER BY doc_id",
     )
+
+
+@register(
+    "dialect_gap_battery19",
+    tags=("dialect", "battery", "json"),
+    oracle="""
+SELECT doc_id,
+       json_object('lang', lang, 'n', n_chars, NULL, 'x') AS jobj,
+       json_array(doc_id, lang, NULL)                     AS jarr,
+       json_quote(substr(text, 1, 20))                    AS jq,
+       json(concat('{"a": ', CAST(doc_id % 5 AS VARCHAR), ' ,  "b":"', lang, '"}')) AS jmin,
+       json_merge_patch(concat('{"a":', CAST(doc_id % 3 AS VARCHAR), '}'), '{"b":2,"a":null}') AS jmp,
+       json_structure(concat('[', CAST(doc_id % 7 AS VARCHAR), ', ', CAST(n_chars AS VARCHAR), '.5]')) AS jst,
+       json_type(concat('{"k":', CAST(doc_id AS VARCHAR), '}'), 'k') AS jt2,
+       json_contains(concat('[1,2,', CAST(doc_id % 9 AS VARCHAR), ']'), '7') AS jc,
+       json_group_array(lang)                             AS jga,
+       json_group_object(source, n_chars)                 AS jgo
+FROM documents
+WHERE doc_id <= 300
+GROUP BY doc_id, lang, source, n_chars, text
+ORDER BY doc_id
+""",
+)
+def dialect_gap_battery19(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep batch 21 pinned verbatim: the json-extension tail over
+    data-dependent inputs — constructors (NULL-key drop, 'null'
+    elements, quote asymmetry), minify, RFC-7386 merge with null-key
+    removal, structure skeletons (UBIGINT widening to DOUBLE), typed
+    path extraction, strict containment, and the group aggregates over
+    singleton groups (multi-element ordering pinned in the unit battery
+    on local[1] — input order is the shared caveat with 1-arg
+    string_agg on both engines)."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT doc_id, "
+        "json_object('lang', lang, 'n', n_chars, NULL, 'x') AS jobj, "
+        "json_array(doc_id, lang, NULL) AS jarr, "
+        "json_quote(substr(text, 1, 20)) AS jq, "
+        "json(concat('{\"a\": ', CAST(doc_id % 5 AS VARCHAR), ' ,  \"b\":\"', lang, '\"}')) AS jmin, "
+        "json_merge_patch(concat('{\"a\":', CAST(doc_id % 3 AS VARCHAR), '}'), '{\"b\":2,\"a\":null}') AS jmp, "
+        "json_structure(concat('[', CAST(doc_id % 7 AS VARCHAR), ', ', CAST(n_chars AS VARCHAR), '.5]')) AS jst, "
+        "json_type(concat('{\"k\":', CAST(doc_id AS VARCHAR), '}'), 'k') AS jt2, "
+        "json_contains(concat('[1,2,', CAST(doc_id % 9 AS VARCHAR), ']'), '7') AS jc, "
+        "json_group_array(lang) AS jga, "
+        "json_group_object(source, n_chars) AS jgo "
+        "FROM documents WHERE doc_id <= 300 "
+        "GROUP BY doc_id, lang, source, n_chars, text ORDER BY doc_id",
+    )

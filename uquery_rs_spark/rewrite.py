@@ -1645,6 +1645,169 @@ class SqlRewriter:
             )
             sql = sql[: m.start()] + repl + sql[close + 1 :]
 
+    # -- sweep batch 21: the JSON tail --------------------------------------
+
+    # NB: longer names that share prefixes (json_array_length, json_keys,
+    # json_extract…) can't match — every alternative requires '(' right
+    # after the name. json_array_length is natively identical (verified).
+    _B21_JSON_RE = re.compile(
+        r"(?i)(?<![\w.])(json_object|json_array|json_quote|"
+        r"json_merge_patch|json_structure|json_type|json_contains|"
+        r"json_group_array|json_group_object|row_to_json|json)\s*\("
+    )
+    _JSON_OPTS = "map('ignoreNullFields', 'false')"
+
+    # calls whose RESULT is already JSON text — nested inside another
+    # batch-21 constructor they splice raw instead of re-encoding as a
+    # quoted string (DuckDB's JSON logical type nests structurally)
+    _B21_PRODUCER_RE = re.compile(
+        r"(?i)^[\s(]*(json_object|json_array|json_quote|json_merge_patch|"
+        r"json_group_array|json_group_object|row_to_json|json)\s*\("
+    )
+
+    def _jenc(self, v: str) -> str:
+        """Scalar→JSON text via Spark's own to_json writer: encode
+        named_struct('x', v) (constant '{"x":' prefix, 5 chars) and slice
+        the value out. NULL encodes as 'null' (ignoreNullFields off).
+        Matches DuckDB's yyjson output for strings/numbers/bools/dates/
+        lists/structs; TIMESTAMP args deviate (ISO 'T' form vs DuckDB's
+        space-separated) — cast to VARCHAR first for byte parity."""
+        tj = f"to_json(named_struct('x', ({v})), {self._JSON_OPTS})"
+        return f"substr({tj}, 6, length({tj}) - 6)"
+
+    def _jenc_val(self, raw_arg: str, translated: str) -> str:
+        """JSON-encode a value position: a nested batch-21 producer is
+        already JSON text and splices raw (SQL NULL → 'null' to keep the
+        element, like DuckDB); anything else goes through the encoder.
+        (Limitation: json_extract results — translated before this pass
+        runs — re-encode as strings; cast via ->> for raw splicing.)"""
+        if self._B21_PRODUCER_RE.match(raw_arg):
+            return f"coalesce(({translated}), 'null')"
+        return self._jenc(translated)
+
+    def _rewrite_b21_json(self, sql: str) -> str:
+        """Batch-21 sweep — DuckDB's json extension tail (semantics
+        probed on DuckDB 1.0, pinned in tests/test_parity_udfs.py):
+
+        - json_object: pairwise; a NULL KEY drops the pair (→ '{}'),
+          duplicate keys are KEPT, non-literal keys work (encoded via
+          CAST AS STRING); NULL values encode as null;
+        - json_array: positional, NULL → 'null', empty → '[]';
+        - json_quote: scalar/compound encode, SQL NULL → NULL (not
+          'null' — DuckDB-verified asymmetry vs json_array);
+        - row_to_json: struct encode (same writer);
+        - json(x): minify round-trip (UDF; malformed raises like
+          DuckDB);
+        - json_merge_patch: RFC 7386 left-fold for n args, strict on
+          SQL NULL;
+        - json_structure: type skeleton (UBIGINT/BIGINT/DOUBLE widening,
+          NULL wildcard, object key union, conflict → "JSON");
+        - json_type: 1- and 2-arg (path: $-JSONPath subset, JSON
+          Pointer, bare key; missing path → NULL);
+        - json_contains: recursive containment (object subset, array
+          set-containment, scalar descent);
+        - json_group_array/json_group_object: aggregate forms over
+          collect_list / map_from_entries (array form keeps NULLs as
+          'null'; element order is input order on both engines — at
+          32-partition scale Spark's order is partition order, same
+          caveat as 1-arg string_agg);
+        - json_array_length: rename (both count top-level elements).
+        """
+        hit = self._call_args(self._B21_JSON_RE, sql)
+        if not hit:
+            return sql
+        from .functions.parity_udfs import register_parity_udfs
+
+        register_parity_udfs(self.spark)
+        while hit:
+            m, close, raw_args = hit
+            fn = m.group(1).lower()
+            raw_args = [a for a in raw_args if a]
+            # nested batch-21 calls inside args translate first (the
+            # outer scan skips past the emitted replacement text)
+            args = [self._rewrite_b21_json(a) for a in raw_args]
+            if fn == "json_object":
+                if len(args) % 2:
+                    raise UQueryError.sql_error(
+                        "json_object expects an even number of arguments"
+                    )
+                pairs = [
+                    f"CASE WHEN ({k}) IS NULL THEN NULL ELSE "
+                    f"concat({self._jenc(f'CAST(({k}) AS STRING)')}, ':', "
+                    f"{self._jenc_val(rv, v)}) END"
+                    for (k, v, rv) in zip(args[::2], args[1::2], raw_args[1::2])
+                ]
+                body = f"concat_ws(',', {', '.join(pairs)})" if pairs else "''"
+                repl = f"concat('{{', {body}, '}}')"
+            elif fn == "json_array":
+                body = (
+                    "concat_ws(',', "
+                    + ", ".join(
+                        self._jenc_val(r, a) for r, a in zip(raw_args, args)
+                    )
+                    + ")"
+                    if args
+                    else "''"
+                )
+                repl = f"concat('[', {body}, ']')"
+            elif fn in ("json_quote", "row_to_json"):
+                if len(args) != 1:
+                    raise UQueryError.sql_error(f"{fn} expects 1 arg")
+                repl = (
+                    f"(CASE WHEN ({args[0]}) IS NULL THEN CAST(NULL AS STRING) "
+                    f"ELSE {self._jenc(args[0])} END)"
+                )
+            elif fn == "json":
+                if len(args) != 1:
+                    raise UQueryError.sql_error("json expects 1 arg")
+                repl = f"uq_json_minify(({args[0]}))"
+            elif fn == "json_merge_patch":
+                if len(args) < 2:
+                    raise UQueryError.sql_error(
+                        "json_merge_patch expects at least 2 args"
+                    )
+                repl = f"({args[0]})"
+                for a in args[1:]:
+                    repl = f"uq_json_merge_patch({repl}, ({a}))"
+            elif fn == "json_structure":
+                repl = f"uq_json_structure(({args[0]}))"
+            elif fn == "json_type":
+                if len(args) == 1:
+                    repl = f"uq_json_type1(({args[0]}))"
+                elif len(args) == 2:
+                    repl = f"uq_json_type2(({args[0]}), ({args[1]}))"
+                else:
+                    raise UQueryError.sql_error("json_type expects 1 or 2 args")
+            elif fn == "json_contains":
+                if len(args) != 2:
+                    raise UQueryError.sql_error(
+                        "json_contains expects (haystack, needle)"
+                    )
+                repl = f"uq_json_contains(({args[0]}), ({args[1]}))"
+            elif fn == "json_group_array":
+                if len(args) != 1:
+                    raise UQueryError.sql_error("json_group_array expects 1 arg")
+                # empty group → NULL (DuckDB's macro is string_agg-based)
+                cl = f"collect_list({self._jenc_val(raw_args[0], args[0])})"
+                repl = (
+                    f"IF(size({cl}) = 0, CAST(NULL AS STRING), "
+                    f"concat('[', concat_ws(',', {cl}), ']'))"
+                )
+            else:  # json_group_object
+                if len(args) != 2:
+                    raise UQueryError.sql_error(
+                        "json_group_object expects (key, value)"
+                    )
+                k, v = args
+                cl = f"collect_list(struct(CAST(({k}) AS STRING) AS k, ({v}) AS v))"
+                repl = (
+                    f"IF(size({cl}) = 0, CAST(NULL AS STRING), "
+                    f"to_json(map_from_entries({cl}), {self._JSON_OPTS}))"
+                )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            hit = self._call_args(self._B21_JSON_RE, sql, m.start() + len(repl))
+        return sql
+
     # -- sweep batch 20 -----------------------------------------------------
 
     # 2!..33! — DuckDB's factorial range is HUGEINT (int128): 33! is the
@@ -5393,6 +5556,9 @@ class SqlRewriter:
         sql = self._strip_trailing_select_comma(sql)
         sql = self._rewrite_json_extract(sql)
         sql = self._rewrite_json_valid(sql)
+        # batch-21 JSON tail AFTER scalar_semantics (emits concat()
+        # calls that must stay un-stringified) and after json_extract
+        sql = self._rewrite_b21_json(sql)
         sql = self._rewrite_iso_datetime(sql)
         sql = self._rewrite_to_interval(sql)
         sql = self._rewrite_sha256(sql)
