@@ -1613,3 +1613,53 @@ def test_gap_hunt_batch21_json(spark, rw):
     # malformed JSON raises at runtime, like DuckDB's json()
     with pytest.raises(Exception):
         spark.sql(rw.rewrite("SELECT json('[1,2')")).collect()
+
+
+def test_gap_hunt_batch22(spark, rw):
+    """Sweep batch 22: printf → format_string with spec-driven casts
+    (%i→%d, DOUBLE for %e/%f, INT for %c, %g raises — C/Java trailing
+    zeros disagree); grapheme family (UAX-29 clusters: flags pair,
+    ZWJ emoji are one cluster, skin modifiers join) with DuckDB's
+    substring window rules; split_part literal-0 → ''; strptime with a
+    format LIST (strict unless try_, NULL in → NULL out); AT TIME ZONE
+    single (naive→instant) and chained (wall-time conversion);
+    generate_series with INTERVAL step yields TIMESTAMPs even for DATE
+    bounds. All DuckDB-verified."""
+    cases = {
+        "SELECT printf('%s|%d|%5.2f|%x|%o|%%', 'a', 42, 1.5, 255, 8) AS v":
+            "a|42| 1.50|ff|10|%",
+        "SELECT printf('%i', 42) AS v": "42",
+        "SELECT printf('%c', 65) AS v": "A",
+        "SELECT substring_grapheme('🇩🇪🇫🇷x', 2, 2) AS v": "🇫🇷x",
+        "SELECT length_grapheme('🤦🏼‍♂️a') AS v": 2,
+        "SELECT length_grapheme('a👍🏽b') AS v": 3,
+        "SELECT substring_grapheme('abcdef', 0, 3) AS v": "ab",
+        "SELECT substring_grapheme('abcdef', 2, -1) AS v": "a",
+        "SELECT substring_grapheme('abc', -1, 2) AS v": "c",
+        "SELECT split_part('a.b.c', '.', 0) AS v": "",
+        "SELECT split_part('a.b.c', '.', -1) AS v": "c",
+        "SELECT CAST(strptime('05/03/2024', ['%Y-%m-%d', '%d/%m/%Y']) AS TIMESTAMP) AS v":
+            __import__("datetime").datetime(2024, 3, 5),
+        "SELECT CAST(try_strptime('nope', ['%Y-%m-%d']) AS TIMESTAMP) AS v": None,
+        "SELECT epoch(TIMESTAMP '2024-01-01 12:00:00' AT TIME ZONE 'America/New_York') AS v":
+            1704128400.0,
+        "SELECT CAST(((TIMESTAMP '2024-01-01 12:00:00' AT TIME ZONE 'UTC') "
+        "AT TIME ZONE 'America/New_York') AS VARCHAR) AS v":
+            "2024-01-01 07:00:00",
+        "SELECT CAST(generate_series(DATE '2024-01-01', DATE '2024-01-02', "
+        "INTERVAL 1 DAY) AS VARCHAR) AS v":
+            "[2024-01-01 00:00:00, 2024-01-02 00:00:00]",
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        assert got == want, f"{sql}: {got!r} != {want!r}"
+    for bad in [
+        "SELECT printf('%g', 1.5)",
+        "SELECT printf('%d %d', 1)",
+        "SELECT printf(fmt, 1) FROM t",  # non-literal format
+    ]:
+        with pytest.raises(UQueryError):
+            rw.rewrite(bad)
+    # strict strptime raises at runtime when no format matches
+    with pytest.raises(Exception):
+        spark.sql(rw.rewrite("SELECT strptime('x', ['%Y']) AS v")).collect()

@@ -353,6 +353,66 @@ def _json_contains(h: str, n: str) -> bool:
     return _jcontains(_json.loads(h), _json.loads(n))
 
 
+# -- grapheme clusters (sweep batch 22) ---------------------------------
+# DuckDB delegates to utf8proc's UAX #29 extended grapheme clusters.
+# This is the UAX-29 subset that matters in practice: CRLF, combining
+# marks (Mn/Mc/Me), ZWNJ/ZWJ joins (emoji sequences), variation
+# selectors, skin-tone modifiers, and regional-indicator pairs (flags).
+# Pinned against DuckDB on the matrix in tests/test_parity_udfs.py.
+
+
+def _graphemes(s: str) -> list:
+    out, cur = [], []
+    prev, ri = -1, 0
+    for ch in s:
+        cp = ord(ch)
+        join = False
+        if cur:
+            if prev == 0x0D and cp == 0x0A:
+                join = True
+            elif (
+                unicodedata.category(ch) in ("Mn", "Mc", "Me")
+                or cp in (0x200C, 0x200D)
+                or 0xFE00 <= cp <= 0xFE0F
+                or 0x1F3FB <= cp <= 0x1F3FF
+            ):
+                join = True
+            elif prev == 0x200D:
+                join = True
+            elif 0x1F1E6 <= cp <= 0x1F1FF and 0x1F1E6 <= prev <= 0x1F1FF and ri % 2:
+                join = True
+        if join:
+            cur.append(ch)
+        else:
+            if cur:
+                out.append("".join(cur))
+            cur = [ch]
+        ri = ri + 1 if 0x1F1E6 <= cp <= 0x1F1FF else 0
+        prev = cp
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def _substr_grapheme(s: str, start: int, length=None) -> str:
+    """DuckDB substring window rules over grapheme units: negative start
+    counts from the end, start 0 eats into the length, negative length
+    takes the window BEFORE start (same clipped-window arithmetic the
+    batch-8 substring rewrite pins for characters)."""
+    g = _graphemes(s)
+    n = len(g)
+    e = n + start + 1 if start < 0 else start
+    if length is None:
+        a, b = e, n + 1
+    elif length >= 0:
+        a, b = e, e + length
+    else:
+        a, b = e + length, e
+    a = max(a, 1)
+    b = max(b, a)
+    return "".join(g[a - 1 : b - 1])
+
+
 def _map1(fn):
     # pd.isna: numeric nulls arrive as NaN under Arrow, string nulls as
     # None. (Deviation: a genuine NaN argument to gamma/lgamma therefore
@@ -463,6 +523,30 @@ def _build_udfs() -> dict:
                 ]
             ),
             "boolean",
+        ),
+        # grapheme family (batch 22)
+        "uq_length_grapheme": pandas_udf(
+            _map1(lambda s: len(_graphemes(s))), "long"
+        ),
+        "uq_substr_grapheme2": pandas_udf(
+            lambda s, a: pd.Series(
+                [
+                    None if x is None or pd.isna(b) else _substr_grapheme(x, int(b))
+                    for x, b in zip(s, a)
+                ]
+            ),
+            "string",
+        ),
+        "uq_substr_grapheme3": pandas_udf(
+            lambda s, a, l: pd.Series(
+                [
+                    None
+                    if x is None or pd.isna(b) or pd.isna(c)
+                    else _substr_grapheme(x, int(b), int(c))
+                    for x, b, c in zip(s, a, l)
+                ]
+            ),
+            "string",
         ),
     }
 

@@ -1919,3 +1919,53 @@ def dialect_gap_battery19(spark: SparkSession, sf: str) -> DataFrame:
         "FROM documents WHERE doc_id <= 300 "
         "GROUP BY doc_id, lang, source, n_chars, text ORDER BY doc_id",
     )
+
+
+@register(
+    "dialect_gap_battery20",
+    tags=("dialect", "battery", "strings"),
+    oracle="""
+SELECT doc_id,
+       printf('%s #%05d: %7.3f / %x', lang, CAST(doc_id AS INTEGER), n_chars / 7.0, n_chars) AS pf,
+       substring_grapheme(substr(text, 1, 30), CAST(doc_id % 10 AS INTEGER) - 3, 8) AS sg,
+       length_grapheme(substr(text, 1, 40)) AS lg,
+       split_part(text, ' ', 3)  AS sp3,
+       split_part(text, ' ', -2) AS spm2,
+       split_part(text, ' ', 0)  AS sp0,
+       CAST(strptime(concat('2024-', lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0'), '-15'),
+                     ['%d/%m/%Y', '%Y-%m-%d']) AS TIMESTAMP) AS stp,
+       epoch(CAST(concat('2024-03-0', CAST(doc_id % 9 + 1 AS VARCHAR), ' 12:00:00') AS TIMESTAMP)
+             AT TIME ZONE 'America/New_York') AS tzep,
+       CAST(generate_series(DATE '2024-01-01', DATE '2024-01-01' + CAST(doc_id % 3 AS INTEGER),
+                            INTERVAL 1 DAY) AS VARCHAR) AS gser
+FROM documents
+WHERE doc_id <= 300
+ORDER BY doc_id
+""",
+)
+def dialect_gap_battery20(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep batch 22 pinned verbatim: printf over mixed specs with
+    data-dependent args, grapheme substring/length with the negative/
+    zero start window rules, split_part (positive / negative / the
+    literal-0 empty case), list-form strptime (first format fails →
+    second matches), AT TIME ZONE through epoch (the instant survives
+    the display-form deviation), and INTERVAL-step generate_series
+    casting DATE bounds to TIMESTAMP elements."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT doc_id, "
+        "printf('%s #%05d: %7.3f / %x', lang, CAST(doc_id AS INTEGER), n_chars / 7.0, n_chars) AS pf, "
+        "substring_grapheme(substr(text, 1, 30), CAST(doc_id % 10 AS INTEGER) - 3, 8) AS sg, "
+        "length_grapheme(substr(text, 1, 40)) AS lg, "
+        "split_part(text, ' ', 3) AS sp3, "
+        "split_part(text, ' ', -2) AS spm2, "
+        "split_part(text, ' ', 0) AS sp0, "
+        "CAST(strptime(concat('2024-', lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0'), '-15'), "
+        "['%d/%m/%Y', '%Y-%m-%d']) AS TIMESTAMP) AS stp, "
+        "epoch(CAST(concat('2024-03-0', CAST(doc_id % 9 + 1 AS VARCHAR), ' 12:00:00') AS TIMESTAMP) "
+        "AT TIME ZONE 'America/New_York') AS tzep, "
+        "CAST(generate_series(DATE '2024-01-01', DATE '2024-01-01' + CAST(doc_id % 3 AS INTEGER), "
+        "INTERVAL 1 DAY) AS VARCHAR) AS gser "
+        "FROM documents WHERE doc_id <= 300 ORDER BY doc_id",
+    )

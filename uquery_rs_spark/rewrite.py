@@ -415,7 +415,28 @@ class SqlRewriter:
                 + sql[close + 1 :]
             )
             m = self._SERIES_FROM_RE.search(sql)
-        return re.sub(r"(?i)\bgenerate_series\s*\(", "sequence(", sql)
+        sql = re.sub(r"(?i)\bgenerate_series\s*\(", "sequence(", sql)
+        # batch 22: an INTERVAL step makes DuckDB's result TIMESTAMP even
+        # for DATE bounds; Spark's sequence keeps DATE elements — cast
+        # the bounds so the element type (and its string form) matches
+        hit = self._call_args(re.compile(r"(?i)\bsequence\s*\("), sql)
+        pos = 0
+        while hit:
+            m, close, args = hit
+            if len(args) == 3 and re.match(
+                r"(?i)^\s*(interval\b|make_interval|make_dt_interval|make_ym_interval)",
+                args[2],
+            ):
+                repl = (
+                    f"sequence(CAST(({args[0]}) AS TIMESTAMP), "
+                    f"CAST(({args[1]}) AS TIMESTAMP), {args[2]})"
+                )
+                sql = sql[: m.start()] + repl + sql[close + 1 :]
+                pos = m.start() + len(repl)
+            else:
+                pos = close + 1
+            hit = self._call_args(re.compile(r"(?i)\bsequence\s*\("), sql, pos)
+        return sql
 
     def _rewrite_function_names(self, sql: str) -> str:
         """Rename DuckDB functions to their Spark equivalents, skipping
@@ -1531,6 +1552,8 @@ class SqlRewriter:
         "parse_dirname": "uq_parse_dirname",
         "parse_dirpath": "uq_parse_dirpath",
         "parse_path": "uq_parse_path",
+        # batch 22: UAX-29 grapheme clusters (utf8proc parity)
+        "length_grapheme": "uq_length_grapheme",
     }
     _PARITY_FN_RE = re.compile(
         r"(?i)\b(" + "|".join(_PARITY_FN_MAP) + r")\s*\("
@@ -1644,6 +1667,165 @@ class SqlRewriter:
                 f"uq_ws -> uq_ws.m), uq_ws -> uq_ws.e)"
             )
             sql = sql[: m.start()] + repl + sql[close + 1 :]
+
+    # -- sweep batch 22: printf / graphemes / AT TIME ZONE ------------------
+
+    _PRINTF_RE = re.compile(r"(?i)\bprintf\s*\(")
+    _PRINTF_SPEC_RE = re.compile(r"%(?:(\d+)\$)?[-+ #0]*\d*(?:\.\d+)?([a-zA-Z%])")
+    _SUBSTR_G_RE = re.compile(r"(?i)\bsubstring_grapheme\s*\(")
+    _SPLIT_PART_RE = re.compile(r"(?i)\bsplit_part\s*\(")
+    _AT_TZ_RE = re.compile(r"(?i)\bat\s+time\s+zone\s+('(?:[^']|'')*')")
+
+    def _rewrite_b22_fns(self, sql: str) -> str:
+        """Batch-22 sweep:
+
+        - printf → format_string with spec-driven argument casts
+          (DuckDB's fmt engine vs Java's Formatter): %d/%i/%x/%X/%o/%b
+          args cast BIGINT (%i itself becomes %d — Java rejects it),
+          %f/%e/%E args cast DOUBLE (Java rejects DECIMAL), %c casts
+          INT; %g raises (C strips trailing zeros, Java does not —
+          mistranslation would be silent); non-literal formats raise.
+          Deviation: DuckDB is type-STRICT (%s with an int errors) —
+          Java happily stringifies, so we are laxer, never wrong-valued;
+        - substring_grapheme → grapheme-cluster UDFs with DuckDB's
+          substring window rules (negative start from the end, negative
+          length takes the window before);
+        - split_part with a LITERAL index 0 → '' (DuckDB returns
+          empty; Spark raises). A runtime 0 still raises — loud, never
+          silent;
+        - ``x AT TIME ZONE 'z'`` → to_utc_timestamp (naive wall time in
+          z → instant), and the chained tstz form
+          ``(x AT TIME ZONE 'a') AT TIME ZONE 'b'`` → from_utc ∘ to_utc
+          (wall-time conversion between zones). Display deviation:
+          DuckDB renders the single-application TIMESTAMPTZ result with
+          a '+00' suffix in a UTC session — compare via epoch or CAST.
+        """
+        while True:
+            hit = self._call_args(self._PRINTF_RE, sql)
+            if not hit:
+                break
+            m, close, args = hit
+            if not args or not (args[0].startswith("'") and args[0].endswith("'")):
+                raise UQueryError.sql_error(
+                    "printf: only literal format strings are supported"
+                )
+            fmt = args[0][1:-1]
+            casts = []
+            for sm in self._PRINTF_SPEC_RE.finditer(fmt):
+                conv = sm.group(2)
+                if conv == "%":
+                    continue
+                if sm.group(1):
+                    raise UQueryError.sql_error(
+                        "printf: positional specifiers are not supported"
+                    )
+                if conv in ("g", "G"):
+                    raise UQueryError.sql_error(
+                        "printf %g: C and Java formatting disagree "
+                        "(trailing zeros) — use %e or %f"
+                    )
+                if conv not in "dioxXbeEfFsc":
+                    raise UQueryError.sql_error(f"printf: unsupported %{conv}")
+                casts.append(
+                    {
+                        "d": "BIGINT", "i": "BIGINT", "o": "BIGINT",
+                        "x": "BIGINT", "X": "BIGINT", "b": "BIGINT",
+                        "e": "DOUBLE", "E": "DOUBLE", "f": "DOUBLE",
+                        "F": "DOUBLE", "c": "INT", "s": None,
+                    }[conv]
+                )
+            fmt = re.sub(r"%([-+ #0]*\d*(?:\.\d+)?)i", r"%\1d", fmt)
+            vals = args[1:]
+            if len(vals) != len(casts):
+                raise UQueryError.sql_error(
+                    f"printf: format has {len(casts)} specifier(s) but "
+                    f"{len(vals)} argument(s) were passed"
+                )
+            out = [f"'{fmt}'"] + [
+                f"CAST(({v}) AS {c})" if c else f"({v})"
+                for v, c in zip(vals, casts)
+            ]
+            sql = sql[: m.start()] + f"format_string({', '.join(out)})" + sql[close + 1 :]
+        while True:
+            hit = self._call_args(self._SUBSTR_G_RE, sql)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) == 2:
+                repl = f"uq_substr_grapheme2(({args[0]}), CAST(({args[1]}) AS INT))"
+            elif len(args) == 3:
+                repl = (
+                    f"uq_substr_grapheme3(({args[0]}), "
+                    f"CAST(({args[1]}) AS INT), CAST(({args[2]}) AS INT))"
+                )
+            else:
+                raise UQueryError.sql_error(
+                    "substring_grapheme expects (string, start[, length])"
+                )
+            from .functions.parity_udfs import register_parity_udfs
+
+            register_parity_udfs(self.spark)
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+        pos = 0
+        while True:
+            hit = self._call_args(self._SPLIT_PART_RE, sql, pos)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) == 3 and args[2].strip() == "0":
+                sql = sql[: m.start()] + "''" + sql[close + 1 :]
+                pos = m.start()
+            else:
+                pos = close + 1
+        while True:
+            m = self._search_code(self._AT_TZ_RE, sql)
+            if not m:
+                return sql
+            zone = m.group(1)
+            end = m.start()
+            while end > 0 and sql[end - 1].isspace():
+                end -= 1
+            i = end
+            if i > 0 and sql[i - 1] == "'":
+                # a literal operand: TIMESTAMP '…' / DATE '…'
+                i -= 1
+                while i > 0 and sql[i - 1] != "'":
+                    i -= 1
+                i -= 1
+                j = i
+                while j > 0 and sql[j - 1].isspace():
+                    j -= 1
+                k = j
+                while k > 0 and (sql[k - 1].isalnum() or sql[k - 1] == "_"):
+                    k -= 1
+                if k < j and re.fullmatch(r"(?i)timestamp(tz)?|date", sql[k:j]):
+                    i = k
+            elif i > 0 and sql[i - 1] == ")":
+                depth = 0
+                while i > 0:
+                    i -= 1
+                    if sql[i] == ")":
+                        depth += 1
+                    elif sql[i] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                j = i
+                while j > 0 and (sql[j - 1].isalnum() or sql[j - 1] in "_."):
+                    j -= 1
+                i = j
+            else:
+                while i > 0 and (sql[i - 1].isalnum() or sql[i - 1] in "_."):
+                    i -= 1
+            operand = sql[i:end]
+            if not operand:
+                raise UQueryError.sql_error("AT TIME ZONE: missing operand")
+            fn = (
+                "from_utc_timestamp"
+                if re.match(r"(?i)^\(*\s*to_utc_timestamp\s*\(", operand)
+                else "to_utc_timestamp"
+            )
+            sql = sql[:i] + f"{fn}({operand}, {zone})" + sql[m.end() :]
 
     # -- sweep batch 21: the JSON tail --------------------------------------
 
@@ -5015,6 +5197,42 @@ class SqlRewriter:
                 # batch 18: NULL on parse failure, like DuckDB
                 "try_strptime": "try_to_timestamp",
             }[m.group(1).lower()]
+            fmt_arg = args[1].strip() if len(args) == 2 else ""
+            # the bracket pass has already turned [..] into array(..)
+            am = re.match(r"(?i)^array\s*\(", fmt_arg)
+            if am and fmt_arg.endswith(")"):
+                fmt_arg = "[" + fmt_arg[am.end() : -1] + "]"
+            if fn != "date_format" and fmt_arg.startswith("["):
+                # batch 22: strptime(s, ['%fmt1', '%fmt2', …]) tries each
+                # format in order. strptime errors when NONE match (but
+                # is NULL on NULL input); try_strptime yields NULL.
+                # Width deviation: DuckDB's list form returns TIMESTAMPTZ
+                # (displays '+00' in a UTC session) — ours stays naive,
+                # same wall-time value (CAST AS TIMESTAMP for parity).
+                fmts = [
+                    f.strip()
+                    for f in self._split_top(fmt_arg[1:-1], ",")
+                    if f.strip()
+                ]
+                if not all(f.startswith("'") and f.endswith("'") for f in fmts):
+                    raise UQueryError.sql_error(
+                        "strptime: format list must be string literals"
+                    )
+                a0 = args[0].strip()
+                tries = ", ".join(
+                    f"try_to_timestamp({a0}, '{xlate(f[1:-1])}')" for f in fmts
+                )
+                body = f"coalesce({tries})"
+                if fn == "to_timestamp":  # strict strptime
+                    body = (
+                        f"(CASE WHEN ({a0}) IS NULL THEN CAST(NULL AS TIMESTAMP) "
+                        f"WHEN {body} IS NOT NULL THEN {body} "
+                        f"ELSE CAST(raise_error('strptime: no format matched') "
+                        f"AS TIMESTAMP) END)"
+                    )
+                sql = sql[: m.start()] + body + sql[close + 1 :]
+                m = self._STRF_RE.search(sql, m.start() + len(body))
+                continue
             if len(args) == 2 and args[1].strip().startswith("'"):
                 fmt = args[1].strip()[1:-1]
                 sql = (
@@ -5530,6 +5748,8 @@ class SqlRewriter:
         sql = self._rewrite_operator_symbols(sql)
         # batch-20 AFTER operator symbols (postfix ! must not see !~)
         sql = self._rewrite_b20_fns(sql)
+        # batch-22: printf/graphemes/AT TIME ZONE/split_part(…, 0)
+        sql = self._rewrite_b22_fns(sql)
         # batch-8 scalar semantics BEFORE list_nulls (that pass emits
         # array concat() calls that must stay un-stringified)
         sql = self._rewrite_scalar_semantics(sql)
