@@ -949,7 +949,9 @@ def test_gap_hunt_batch10_datetime(spark, rw):
     import pytest as _pytest
     from uquery_rs_spark.errors import UQueryError
 
-    for bad in ["SELECT timezone('UTC', x) FROM t",
+    # (2-arg timezone() became a supported AT-TIME-ZONE mirror in the
+    # batch-23 sweep; only the 1-arg form still raises)
+    for bad in ["SELECT timezone('UTC')",
                 "SELECT get_current_time()"]:
         with _pytest.raises(UQueryError):
             rw.rewrite(bad)
@@ -992,7 +994,9 @@ def test_gap_hunt_batch11_string_list(spark, rw):
     import pytest as _pytest
     from uquery_rs_spark.errors import UQueryError
 
-    for bad in ["SELECT bar(3,0,10,10)", "SELECT left_grapheme('ab', 1)"]:
+    # (bar() became a supported exact-rendering UDF in the batch-23
+    # sweep — left_grapheme/right_grapheme still raise)
+    for bad in ["SELECT bar(3)", "SELECT left_grapheme('ab', 1)"]:
         with _pytest.raises(UQueryError):
             rw.rewrite(bad)
 
@@ -1663,3 +1667,55 @@ def test_gap_hunt_batch22(spark, rw):
     # strict strptime raises at runtime when no format matches
     with pytest.raises(Exception):
         spark.sql(rw.rewrite("SELECT strptime('x', ['%Y']) AS v")).collect()
+
+
+def test_gap_hunt_batch23(spark, rw):
+    """Sweep batch 23: dollar-quoted strings ($$…$$ / $tag$…$tag$ →
+    Spark-space literals); element_at is DuckDB's MAP accessor returning
+    a single-element LIST ([] when missing — the Spark-native scalar
+    was a silent shape divergence); timezone(zone, ts) = AT TIME ZONE;
+    bar() exact rendering (eighth blocks + byte-width space padding);
+    bitstring zero-pad with the runtime length check; date_trunc
+    returns DATE for day-and-coarser units (decade/isoyear raise);
+    literal lhs quantified subqueries raise explicitly."""
+    cases = {
+        "SELECT $$dollar 'quoted'$$ AS v": "dollar 'quoted'",
+        "SELECT $tag$nested $$ text$tag$ AS v": "nested $$ text",
+        "SELECT $$back\\slash$$ AS v": "back\\slash",
+        "SELECT element_at(MAP {'a': 1}, 'a') AS v": [1],
+        "SELECT element_at(MAP {'a': 1}, 'zz') AS v": [],
+        "SELECT bar(2, 0, 10, 10) AS v": "██    ",
+        "SELECT bar(2.5, 0, 10, 10) AS v": "██▌ ",
+        "SELECT bar(0.2, 0, 10, 10) AS v": "▏       ",
+        "SELECT bar(0, 0, 10, 10) AS v": "          ",
+        "SELECT bar(11, 0, 10, 10) AS v": "██████████",
+        "SELECT bar(5, 10, 0, 10) AS v": "          ",
+        "SELECT bitstring('1010', 8) AS v": "00001010",
+        "SELECT CAST(date_trunc('week', DATE '2024-03-07') AS VARCHAR) AS v":
+            "2024-03-04",
+        "SELECT CAST(date_trunc('quarter', TIMESTAMP '2024-05-07 10:00:00') "
+        "AS VARCHAR) AS v": "2024-04-01",
+        "SELECT CAST(date_trunc('hour', TIMESTAMP '2024-05-07 10:20:30') "
+        "AS VARCHAR) AS v": "2024-05-07 10:00:00",
+        "SELECT CAST(datetrunc('month', DATE '2024-05-07') AS VARCHAR) AS v":
+            "2024-05-01",
+        "SELECT CAST(timezone('America/New_York', "
+        "TIMESTAMP '2024-01-01 12:00:00') AS VARCHAR) AS v":
+            "2024-01-01 17:00:00",
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        if isinstance(got, list):
+            got = list(got)
+        assert got == want, f"{sql}: {got!r} != {want!r}"
+    for bad in [
+        "SELECT 1 = ALL (SELECT 1)",
+        "SELECT timezone('UTC')",
+        "SELECT date_trunc('decade', DATE '2024-01-01')",
+        "SELECT bar(3)",
+    ]:
+        with pytest.raises(UQueryError):
+            rw.rewrite(bad)
+    # bitstring length check raises at runtime like DuckDB
+    with pytest.raises(Exception):
+        spark.sql(rw.rewrite("SELECT bitstring('1010', 3) AS v")).collect()

@@ -353,6 +353,27 @@ def _json_contains(h: str, n: str) -> bool:
     return _jcontains(_json.loads(h), _json.loads(n))
 
 
+# -- bar() (sweep batch 23) ---------------------------------------------
+# DuckDB semantics decoded by probe: x clamps into [min, max] AS GIVEN
+# (a reversed range collapses to empty), the bar is floor(f·width·8)
+# eighths (█ + U+2589..258F partials), and the result pads with spaces
+# until its UTF-8 BYTE length reaches `width` (█ is 3 bytes — that's
+# why bar(2,0,10,10) is '██' + 4 spaces).
+
+_BAR_PARTIAL = ["", "▏", "▎", "▍", "▌", "▋", "▊", "▉"]
+
+
+def _bar(x: float, lo: float, hi: float, width: float) -> str:
+    x = max(lo, min(hi, x))
+    span = hi - lo
+    f = (x - lo) / span if span != 0 else 0.0
+    f = max(0.0, min(1.0, f))
+    n8 = int(f * int(width) * 8)
+    out = "█" * (n8 // 8) + _BAR_PARTIAL[n8 % 8]
+    pad = int(width) - len(out.encode("utf-8"))
+    return out + " " * max(0, pad)
+
+
 # -- grapheme clusters (sweep batch 22) ---------------------------------
 # DuckDB delegates to utf8proc's UAX #29 extended grapheme clusters.
 # This is the UAX-29 subset that matters in practice: CRLF, combining
@@ -523,6 +544,17 @@ def _build_udfs() -> dict:
                 ]
             ),
             "boolean",
+        ),
+        "uq_bar": pandas_udf(
+            lambda x, lo, hi, w: pd.Series(
+                [
+                    None
+                    if pd.isna(a) or pd.isna(b) or pd.isna(c) or pd.isna(d)
+                    else _bar(float(a), float(b), float(c), float(d))
+                    for a, b, c, d in zip(x, lo, hi, w)
+                ]
+            ),
+            "string",
         ),
         # grapheme family (batch 22)
         "uq_length_grapheme": pandas_udf(

@@ -1286,7 +1286,7 @@ def asof_join_null_keys(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
 SELECT r_name,
        string_agg(n_name, ',' ORDER BY n_name DESC) AS nations_desc,
-       MAP {'region': r_name}['region'][1] AS region_echo
+       element_at(MAP {'region': r_name}, 'region')[1] AS region_echo
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 ORDER BY r_name
@@ -1294,15 +1294,17 @@ ORDER BY r_name
 )
 def map_literal_ordered_agg(spark: SparkSession, sf: str) -> DataFrame:
     """MAP literal syntax (→ map()) and DuckDB's in-args ORDER BY on
-    string_agg (→ listagg WITHIN GROUP) through the rewriter; identical
-    SQL runs verbatim on DuckDB except the map subscript: DuckDB's
-    m[key] returns a LIST (unwrapped with [1] on the oracle side) while
-    Spark's element_at returns the value directly."""
+    string_agg (→ listagg WITHIN GROUP) through the rewriter. Since
+    batch 23 the SQL runs VERBATIM on both engines: element_at is
+    DuckDB's MAP accessor returning a single-element LIST (batch-23
+    rename to the map_extract translation), unwrapped with [1] on both
+    sides (the r6 sweep closed the old deviation where Spark's native
+    element_at returned the bare value)."""
     load_tables(spark, sf)
     return _rewritten_sql(
         spark,
         "SELECT r_name, string_agg(n_name, ',' ORDER BY n_name DESC) AS nations_desc, "
-        "element_at(MAP {'region': r_name}, 'region') AS region_echo "
+        "element_at(MAP {'region': r_name}, 'region')[1] AS region_echo "
         "FROM nation JOIN region ON n_regionkey = r_regionkey "
         "GROUP BY r_name ORDER BY r_name",
     )
@@ -1968,4 +1970,46 @@ def dialect_gap_battery20(spark: SparkSession, sf: str) -> DataFrame:
         "CAST(generate_series(DATE '2024-01-01', DATE '2024-01-01' + CAST(doc_id % 3 AS INTEGER), "
         "INTERVAL 1 DAY) AS VARCHAR) AS gser "
         "FROM documents WHERE doc_id <= 300 ORDER BY doc_id",
+    )
+
+
+@register(
+    "dialect_gap_battery21",
+    tags=("dialect", "battery", "misc"),
+    oracle="""
+SELECT o_orderkey,
+       $$fixed $tag$ text$$                                  AS dq,
+       element_at(MAP {'p': o_orderpriority}, 'p')[1]        AS me,
+       element_at(MAP {'p': o_orderpriority}, concat('x', o_orderstatus))[1] AS me_miss,
+       bar(o_totalprice % 97, 0, 100, 12)                    AS brr,
+       CAST(bitstring(CASE o_orderstatus WHEN 'F' THEN '10' ELSE '1' END, 6) AS VARCHAR) AS bits,
+       CAST(date_trunc('week', o_orderdate) AS VARCHAR)      AS wk,
+       CAST(date_trunc('quarter', o_orderdate) AS VARCHAR)   AS qtr,
+       epoch(timezone('America/New_York', CAST(o_orderdate AS TIMESTAMP))) AS tzep
+FROM orders
+WHERE o_orderkey <= 800
+ORDER BY o_orderkey
+""",
+)
+def dialect_gap_battery21(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep batch 23 pinned verbatim: dollar-quoted literals, the
+    element_at MAP accessor (single-element list, empty on miss —
+    serialized per the scalar-column lint), exact bar() rendering over
+    data-dependent fractions, bitstring zero-pad, date_trunc's DATE
+    return for coarse units (string forms match), and timezone() via
+    epoch (instant-equality across the TIMESTAMPTZ display deviation).
+    me_miss unwraps the empty miss list to NULL on both sides ([1])."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT o_orderkey, "
+        "$$fixed $tag$ text$$ AS dq, "
+        "element_at(MAP {'p': o_orderpriority}, 'p')[1] AS me, "
+        "element_at(MAP {'p': o_orderpriority}, concat('x', o_orderstatus))[1] AS me_miss, "
+        "bar(o_totalprice % 97, 0, 100, 12) AS brr, "
+        "CAST(bitstring(CASE o_orderstatus WHEN 'F' THEN '10' ELSE '1' END, 6) AS VARCHAR) AS bits, "
+        "CAST(date_trunc('week', o_orderdate) AS VARCHAR) AS wk, "
+        "CAST(date_trunc('quarter', o_orderdate) AS VARCHAR) AS qtr, "
+        "epoch(timezone('America/New_York', CAST(o_orderdate AS TIMESTAMP))) AS tzep "
+        "FROM orders WHERE o_orderkey <= 800 ORDER BY o_orderkey",
     )

@@ -527,6 +527,18 @@ class SqlRewriter:
                     out.append("'" + sql[i + 1 : j].replace("\\", "\\\\") + "'")
                 i = j + 1
                 continue
+            if c == "$":
+                # batch-23: dollar-quoted strings $$…$$ / $tag$…$tag$
+                # (escape-free in DuckDB) → standard Spark-space literal
+                dm = re.match(r"\$(\w*)\$", sql[i:])
+                if dm:
+                    closer = dm.group(0)
+                    end = sql.find(closer, i + len(closer))
+                    if end != -1:
+                        raw = sql[i + len(closer) : end]
+                        out.append(SqlRewriter._lit_emit(raw))
+                        i = end + len(closer)
+                        continue
             out.append(c)
             i += 1
         return "".join(out)
@@ -635,6 +647,17 @@ class SqlRewriter:
         while m and cls._in_literal(sql, m.start()):
             m = pattern.search(sql, m.end())
         return m
+
+    @classmethod
+    def _sub_code(cls, pattern: "re.Pattern[str]", repl: str, sql: str) -> str:
+        """Plain-text substitution skipping string literals."""
+        pos = 0
+        while True:
+            m = cls._search_code(pattern, sql, pos)
+            if not m:
+                return sql
+            sql = sql[: m.start()] + repl + sql[m.end() :]
+            pos = m.start() + len(repl)
 
     # -- regexp_replace / regexp_extract argument semantics ---------------
 
@@ -1384,8 +1407,12 @@ class SqlRewriter:
     # -- sweep batch 6: quantified comparisons, ordered first/last,
     # struct_extract, list_has_all, divide/xor ----------------------------
 
+    # lhs: identifier chain, number, or string literal (batch 23 widened
+    # the literal forms so `1 = ALL (subq)` raises explicitly instead of
+    # reaching Spark's parser)
     _QUANT_CMP_RE = re.compile(
-        r"(?P<lhs>[A-Za-z_][\w.]*)\s*(?P<op><>|!=|<=|>=|=|<|>)\s*"
+        r"(?P<lhs>[A-Za-z_][\w.]*|\d+(?:\.\d+)?|'(?:[^']|'')*')\s*"
+        r"(?P<op><>|!=|<=|>=|=|<|>)\s*"
         r"(?P<q>ANY|ALL|SOME)\s*\(",
         re.IGNORECASE,
     )
@@ -1496,9 +1523,9 @@ class SqlRewriter:
     _UNSUPPORTED_FN_RE = re.compile(
         r"(?i)\b(md5_number|age|make_time|"
         r"txid_current|get_current_time|"
-        r"bit_position|timezone|bar|"
+        r"bit_position|"
         r"left_grapheme|right_grapheme)\s*\("
-    )
+    )  # timezone/bar moved to batch-23 translations
     _LIMIT_PCT_RE = re.compile(r"(?i)\blimit\s+\d+(?:\.\d+)?\s*%")
     _BIT_ENUM_RE = re.compile(
         r"(?i)(::\s*bit(?:string)?\b|\bas\s+bit(?:string)?\s*[),]|\benum\s*\()"
@@ -1671,6 +1698,92 @@ class SqlRewriter:
     # -- sweep batch 22: printf / graphemes / AT TIME ZONE ------------------
 
     _PRINTF_RE = re.compile(r"(?i)\bprintf\s*\(")
+    _B23_FN_RE = re.compile(
+        r"(?i)\b(timezone|bar|bitstring|date_trunc|datetrunc)\s*\("
+    )
+    # DuckDB date_trunc returns DATE for day-and-coarser units (Spark is
+    # always TIMESTAMP); units Spark's date_trunc lacks raise
+    _TRUNC_DATE_UNITS = {"year", "quarter", "month", "week", "day"}
+    _TRUNC_TS_UNITS = {
+        "hour", "minute", "second", "millisecond", "microsecond",
+        "milliseconds", "microseconds",
+    }
+
+    def _rewrite_b23_fns(self, sql: str) -> str:
+        """Batch-23 sweep:
+
+        - timezone(zone, ts) IS ``ts AT TIME ZONE zone`` → the same
+          to_utc/from_utc mirror (1-arg timezone() still raises);
+        - bar(x, min, max[, width=80]) → exact DuckDB rendering UDF
+          (eighth blocks, byte-width space padding);
+        - bitstring(s, n) → zero-pad (DuckDB errors when n < length —
+          reproduced via raise_error). Partial support: the BIT type
+          itself stays unsupported, this is the display form;
+        - date_trunc/datetrunc with a literal day-or-coarser unit →
+          CAST(... AS DATE) (DuckDB returns DATE there, Spark always
+          TIMESTAMP — the string forms silently diverge otherwise);
+          decade/century/millennium/isoyear/era raise (no Spark unit).
+        """
+        pos = 0
+        while True:
+            hit = self._call_args(self._B23_FN_RE, sql, pos)
+            if not hit:
+                return sql
+            m, close, args = hit
+            fn = m.group(1).lower()
+            # nested batch-23 calls inside args translate first
+            args = [self._rewrite_b23_fns(a) for a in args]
+            if fn == "timezone":
+                if len(args) != 2:
+                    raise UQueryError.sql_error(
+                        "timezone() is only supported as timezone(zone, ts)"
+                    )
+                z, x = args
+                tfn = (
+                    "from_utc_timestamp"
+                    if re.match(r"(?i)^\(*\s*to_utc_timestamp\s*\(", x)
+                    else "to_utc_timestamp"
+                )
+                repl = f"{tfn}(({x}), ({z}))"
+            elif fn == "bar":
+                if len(args) not in (3, 4):
+                    raise UQueryError.sql_error(
+                        "bar expects (x, min, max[, width])"
+                    )
+                w = args[3] if len(args) == 4 else "80"
+                from .functions.parity_udfs import register_parity_udfs
+
+                register_parity_udfs(self.spark)
+                repl = (
+                    f"uq_bar(CAST(({args[0]}) AS DOUBLE), "
+                    f"CAST(({args[1]}) AS DOUBLE), "
+                    f"CAST(({args[2]}) AS DOUBLE), CAST(({w}) AS DOUBLE))"
+                )
+            elif fn == "bitstring":
+                if len(args) != 2:
+                    raise UQueryError.sql_error("bitstring expects (string, length)")
+                s, n = args
+                repl = (
+                    f"(CASE WHEN length(({s})) > ({n}) THEN "
+                    f"CAST(raise_error('bitstring: Length must be equal or "
+                    f"larger than input string') AS STRING) "
+                    f"ELSE lpad(({s}), CAST(({n}) AS INT), '0') END)"
+                )
+            else:  # date_trunc / datetrunc
+                unit = (self._lit_parse(args[0].strip()) or "").lower() if args else ""
+                if len(args) != 2 or not unit:
+                    # non-literal unit: native pass-through (datetrunc renamed)
+                    repl = f"date_trunc({', '.join(args)})"
+                elif unit in self._TRUNC_DATE_UNITS:
+                    repl = f"CAST(date_trunc('{unit}', ({args[1]})) AS DATE)"
+                elif unit in self._TRUNC_TS_UNITS:
+                    repl = f"date_trunc('{unit}', ({args[1]}))"
+                else:
+                    raise UQueryError.sql_error(
+                        f"date_trunc: unit '{unit}' has no Spark equivalent"
+                    )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
     _PRINTF_SPEC_RE = re.compile(r"%(?:(\d+)\$)?[-+ #0]*\d*(?:\.\d+)?([a-zA-Z%])")
     _SUBSTR_G_RE = re.compile(r"(?i)\bsubstring_grapheme\s*\(")
     _SPLIT_PART_RE = re.compile(r"(?i)\bsplit_part\s*\(")
@@ -5721,6 +5834,13 @@ class SqlRewriter:
         # MAP {} before brackets: a subscript on a map literal must see a
         # ')'-terminated operand to read as postfix.
         sql = self._rewrite_map_literal(sql)
+        # batch-23: DuckDB element_at is the MAP accessor (returns a
+        # single-element LIST, [] when missing) — exactly map_extract.
+        # Must run before the bracket pass, whose step-slice output emits
+        # Spark's own element_at().
+        sql = self._sub_code(
+            re.compile(r"(?i)\belement_at\s*\("), "map_extract(", sql
+        )
         # bare struct literals AFTER map literals: `MAP {…}` must be
         # consumed first or the lookbehind would read it as a struct.
         sql = self._rewrite_struct_literal(sql)
@@ -5750,6 +5870,8 @@ class SqlRewriter:
         sql = self._rewrite_b20_fns(sql)
         # batch-22: printf/graphemes/AT TIME ZONE/split_part(…, 0)
         sql = self._rewrite_b22_fns(sql)
+        # batch-23: timezone()/bar()/bitstring()/date_trunc DATE units
+        sql = self._rewrite_b23_fns(sql)
         # batch-8 scalar semantics BEFORE list_nulls (that pass emits
         # array concat() calls that must stay un-stringified)
         sql = self._rewrite_scalar_semantics(sql)
