@@ -1719,3 +1719,44 @@ def test_gap_hunt_batch23(spark, rw):
     # bitstring length check raises at runtime like DuckDB
     with pytest.raises(Exception):
         spark.sql(rw.rewrite("SELECT bitstring('1010', 3) AS v")).collect()
+
+
+def test_gap_hunt_batch24(spark, rw):
+    """Sweep batch 24: SQL-standard FETCH FIRST/NEXT + OFFSET n ROWS
+    (combined form swaps into Spark's LIMIT-before-OFFSET order);
+    typeof renders DuckDB typenames recursively (INTEGER[], STRUCT(a
+    INTEGER), MAP(VARCHAR, INTEGER), NULL → '"NULL"'); from_json /
+    json_transform translate the structure literal to a Spark DDL
+    schema (json-null and SQL NULL → NULL; malformed docs are a
+    documented PERMISSIVE laxness); array_slice rides the bracket
+    machinery (negatives, steps, string polymorphism)."""
+    cases = {
+        "SELECT x FROM (VALUES (1),(2),(3)) t(x) ORDER BY x "
+        "OFFSET 1 ROWS FETCH NEXT 1 ROWS ONLY": 2,
+        "SELECT x FROM (VALUES (1),(2)) t(x) ORDER BY x FETCH FIRST ROW ONLY": 1,
+        "SELECT typeof(1) AS v": "INTEGER",
+        "SELECT typeof([['a']]) AS v": "VARCHAR[][]",
+        "SELECT typeof({'a': 1}) AS v": "STRUCT(a INTEGER)",
+        "SELECT typeof(MAP {'a': 1}) AS v": "MAP(VARCHAR, INTEGER)",
+        "SELECT typeof(NULL) AS v": '"NULL"',
+        "SELECT from_json('{\"a\":1}', '{\"a\":\"BIGINT\"}').a AS v": 1,
+        "SELECT json_transform('{\"a\":1}', '{\"a\":\"VARCHAR\"}').a AS v": "1",
+        "SELECT from_json('null', '{\"a\":\"BIGINT\"}') IS NULL AS v": True,
+        "SELECT from_json('[1,2]', '[\"BIGINT\"]')[2] AS v": 2,
+        "SELECT array_to_string(array_slice([1,2,3,4,5], 5, 1, -2), ',') AS v":
+            "5,3,1",
+        "SELECT array_to_string(array_slice([1,2,3,4,5], -3, -1), ',') AS v":
+            "3,4,5",
+        "SELECT array_slice('abcdef', 2, 4) AS v": "bcd",
+    }
+    for sql, want in cases.items():
+        row = spark.sql(rw.rewrite(sql)).collect()[0]
+        got = row[0]
+        assert got == want, f"{sql}: {got!r} != {want!r}"
+    for bad in [
+        "SELECT from_json('{}', structure) FROM t",   # non-literal structure
+        "SELECT from_json('{}', '{\"a\":\"NOPE\"}')",  # unknown type
+        "SELECT array_slice([1,2], 1)",                # missing end
+    ]:
+        with pytest.raises(UQueryError):
+            rw.rewrite(bad)

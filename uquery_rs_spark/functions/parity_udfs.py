@@ -353,6 +353,54 @@ def _json_contains(h: str, n: str) -> bool:
     return _jcontains(_json.loads(h), _json.loads(n))
 
 
+# -- typeof() (sweep batch 24) ------------------------------------------
+# Spark typename → DuckDB typename, recursively through array/map/struct.
+
+_SPARK_TO_DUCK_BASE = {
+    "int": "INTEGER", "tinyint": "TINYINT", "smallint": "SMALLINT",
+    "bigint": "BIGINT", "float": "FLOAT", "double": "DOUBLE",
+    "string": "VARCHAR", "boolean": "BOOLEAN", "date": "DATE",
+    "binary": "BLOB", "timestamp": "TIMESTAMP", "timestamp_ntz": "TIMESTAMP",
+    "void": '"NULL"', "interval day to second": "INTERVAL",
+    "interval year to month": "INTERVAL", "interval": "INTERVAL",
+}
+
+
+def _split_top_commas(s: str) -> list:
+    out, depth, cur = [], 0, []
+    for c in s:
+        if c in "<(":
+            depth += 1
+        elif c in ">)":
+            depth -= 1
+        if c == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def _duck_typename(t: str) -> str:
+    t = t.strip()
+    if t.startswith("array<") and t.endswith(">"):
+        return _duck_typename(t[6:-1]) + "[]"
+    if t.startswith("map<") and t.endswith(">"):
+        k, v = _split_top_commas(t[4:-1])
+        return f"MAP({_duck_typename(k)}, {_duck_typename(v)})"
+    if t.startswith("struct<") and t.endswith(">"):
+        fields = []
+        for f in _split_top_commas(t[7:-1]):
+            name, _, ft = f.partition(":")
+            fields.append(f"{name.strip()} {_duck_typename(ft)}")
+        return f"STRUCT({', '.join(fields)})"
+    if t.startswith("decimal("):
+        return "DECIMAL" + t[7:]
+    return _SPARK_TO_DUCK_BASE.get(t, t.upper())
+
+
 # -- bar() (sweep batch 23) ---------------------------------------------
 # DuckDB semantics decoded by probe: x clamps into [min, max] AS GIVEN
 # (a reversed range collapses to empty), the bar is floor(f·width·8)
@@ -545,6 +593,7 @@ def _build_udfs() -> dict:
             ),
             "boolean",
         ),
+        "uq_duck_typename": pandas_udf(_map1(_duck_typename), "string"),
         "uq_bar": pandas_udf(
             lambda x, lo, hi, w: pd.Series(
                 [

@@ -2013,3 +2013,46 @@ def dialect_gap_battery21(spark: SparkSession, sf: str) -> DataFrame:
         "epoch(timezone('America/New_York', CAST(o_orderdate AS TIMESTAMP))) AS tzep "
         "FROM orders WHERE o_orderkey <= 800 ORDER BY o_orderkey",
     )
+
+
+@register(
+    "dialect_gap_battery22",
+    tags=("dialect", "battery", "misc"),
+    oracle="""
+SELECT o_orderkey,
+       typeof(o_totalprice)                                        AS tp,
+       typeof([o_orderstatus])                                     AS tl,
+       from_json(concat('{"k":', CAST(o_orderkey AS VARCHAR), ',"s":"', o_orderstatus, '"}'),
+                 '{"k":"BIGINT","s":"VARCHAR"}').k                 AS fjk,
+       json_transform(concat('{"k":', CAST(o_orderkey % 7 AS VARCHAR), '}'),
+                      '{"k":"VARCHAR"}').k                         AS jtk,
+       array_to_string(array_slice(string_split(o_orderpriority, ''), 5, 1, -2), '') AS sl,
+       array_slice(o_orderpriority, 2, 12)                         AS sstr
+FROM orders
+WHERE o_orderkey <= 800
+ORDER BY o_orderkey
+OFFSET 5 ROWS FETCH NEXT 600 ROWS ONLY
+""",
+)
+def dialect_gap_battery22(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep batch 24 pinned verbatim: typeof over scalar/list types
+    (DuckDB typename rendering), from_json/json_transform structure
+    translation with struct field access, array_slice with a negative
+    step and over a STRING (bracket-machinery polymorphism), and the
+    SQL-standard OFFSET n ROWS + FETCH NEXT n ROWS ONLY page clause
+    (order-swapped into Spark's LIMIT/OFFSET)."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT o_orderkey, "
+        "typeof(o_totalprice) AS tp, "
+        "typeof([o_orderstatus]) AS tl, "
+        "from_json(concat('{\"k\":', CAST(o_orderkey AS VARCHAR), ',\"s\":\"', o_orderstatus, '\"}'), "
+        "'{\"k\":\"BIGINT\",\"s\":\"VARCHAR\"}').k AS fjk, "
+        "json_transform(concat('{\"k\":', CAST(o_orderkey % 7 AS VARCHAR), '}'), "
+        "'{\"k\":\"VARCHAR\"}').k AS jtk, "
+        "array_to_string(array_slice(string_split(o_orderpriority, ''), 5, 1, -2), '') AS sl, "
+        "array_slice(o_orderpriority, 2, 12) AS sstr "
+        "FROM orders WHERE o_orderkey <= 800 ORDER BY o_orderkey "
+        "OFFSET 5 ROWS FETCH NEXT 600 ROWS ONLY",
+    )

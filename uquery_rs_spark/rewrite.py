@@ -1695,11 +1695,150 @@ class SqlRewriter:
             )
             sql = sql[: m.start()] + repl + sql[close + 1 :]
 
+    # -- sweep batch 24: FETCH FIRST / typeof / from_json / array_slice -----
+
+    _FETCH_COMBINED_RE = re.compile(
+        r"(?i)\boffset\s+(\d+)\s+rows?\s+fetch\s+(?:first|next)\s*(\d*)\s*rows?\s+only"
+    )
+    _FETCH_RE = re.compile(r"(?i)\bfetch\s+(?:first|next)\s*(\d*)\s*rows?\s+only")
+    _OFFSET_ROWS_RE = re.compile(r"(?i)\boffset\s+(\d+)\s+rows?\b")
+
+    _ARRAY_SLICE_RE = re.compile(r"(?i)\barray_slice\s*\(")
+
+    def _rewrite_array_slice_fn(self, sql: str) -> str:
+        """array_slice(l, a, b[, step]) → the bracket form (l)[a:b[:s]]
+        (runs before the bracket pass; inherits its negative-index,
+        step, and string-polymorphism handling)."""
+        while True:
+            hit = self._call_args(self._ARRAY_SLICE_RE, sql)
+            if not hit:
+                return sql
+            m, close, args = hit
+            if len(args) not in (3, 4):
+                raise UQueryError.sql_error(
+                    "array_slice expects (list, begin, end[, step])"
+                )
+            parts = ":".join(a.strip() for a in args[1:])
+            sql = sql[: m.start()] + f"(({args[0]}))[{parts}]" + sql[close + 1 :]
+
+    def _rewrite_fetch_first(self, sql: str) -> str:
+        """SQL-standard ``FETCH FIRST/NEXT [n] ROWS ONLY`` → LIMIT, and
+        ``OFFSET n ROWS`` → OFFSET n. The standard puts OFFSET before
+        FETCH; Spark's grammar wants LIMIT before OFFSET — the combined
+        form swaps them."""
+        sql = self._sub_code_fn(
+            self._FETCH_COMBINED_RE,
+            lambda m: f"LIMIT {m.group(2) or '1'} OFFSET {m.group(1)}",
+            sql,
+        )
+        sql = self._sub_code_fn(
+            self._FETCH_RE, lambda m: f"LIMIT {m.group(1) or '1'}", sql
+        )
+        return self._sub_code_fn(
+            self._OFFSET_ROWS_RE, lambda m: f"OFFSET {m.group(1)}", sql
+        )
+
+    @classmethod
+    def _sub_code_fn(cls, pattern, fn, sql: str) -> str:
+        """Callable substitution skipping string literals."""
+        pos = 0
+        while True:
+            m = cls._search_code(pattern, sql, pos)
+            if not m:
+                return sql
+            repl = fn(m)
+            sql = sql[: m.start()] + repl + sql[m.end() :]
+            pos = m.start() + len(repl)
+
+    # Spark typename → DuckDB typename (uq_duck_typename UDF input)
+    _TYPEOF_RE = re.compile(r"(?i)\btypeof\s*\(")
+
+    _DUCK_TO_SPARK_TYPE = {
+        "VARCHAR": "STRING", "BIGINT": "BIGINT", "UBIGINT": "BIGINT",
+        "INTEGER": "INT", "UINTEGER": "BIGINT", "SMALLINT": "SMALLINT",
+        "USMALLINT": "INT", "TINYINT": "TINYINT", "UTINYINT": "SMALLINT",
+        "DOUBLE": "DOUBLE", "FLOAT": "FLOAT", "REAL": "FLOAT",
+        "BOOLEAN": "BOOLEAN", "DATE": "DATE", "TIMESTAMP": "TIMESTAMP",
+        "TIME": "STRING", "BLOB": "BINARY", "JSON": "STRING",
+        "NULL": "STRING", "UUID": "STRING", "HUGEINT": "DECIMAL(38,0)",
+    }
+
+    @classmethod
+    def _spark_schema_of(cls, v) -> str:
+        """DuckDB json_structure-style type skeleton → Spark DDL type."""
+        if isinstance(v, str):
+            t = v.strip()
+            if t.endswith("[]"):
+                return f"ARRAY<{cls._spark_schema_of(t[:-2])}>"
+            up = t.upper()
+            if up.startswith("DECIMAL"):
+                return up
+            if up in cls._DUCK_TO_SPARK_TYPE:
+                return cls._DUCK_TO_SPARK_TYPE[up]
+            raise UQueryError.sql_error(f"from_json: unsupported type '{t}'")
+        if isinstance(v, list):
+            if len(v) != 1:
+                raise UQueryError.sql_error(
+                    "from_json: array structure must have one element type"
+                )
+            return f"ARRAY<{cls._spark_schema_of(v[0])}>"
+        if isinstance(v, dict):
+            fields = ", ".join(
+                f"`{k}`: {cls._spark_schema_of(x)}" for k, x in v.items()
+            )
+            return f"STRUCT<{fields}>"
+        raise UQueryError.sql_error("from_json: invalid structure literal")
+
+    _FROM_JSON_RE = re.compile(r"(?i)\b(from_json|json_transform)\s*\(")
+
+    def _rewrite_from_json(self, sql: str) -> str:
+        """DuckDB ``from_json(j, structure)`` / ``json_transform`` →
+        Spark from_json with the structure literal translated to a DDL
+        schema ('{"a":"BIGINT"}' → STRUCT<a: BIGINT>). JSON-'null' (and
+        SQL NULL) input → NULL like DuckDB. Documented laxness: a
+        malformed document yields a struct of NULLs where DuckDB errors
+        (Spark's PERMISSIVE reader; FAILFAST was probed and rejected —
+        it also errors on valid-but-uncoercible field values where
+        DuckDB yields NULL fields). Non-literal structures raise."""
+        pos = 0
+        while True:
+            hit = self._call_args(self._FROM_JSON_RE, sql, pos)
+            if not hit:
+                return sql
+            m, close, args = hit
+            if len(args) != 2:
+                raise UQueryError.sql_error(
+                    f"{m.group(1)} expects (json, structure)"
+                )
+            struct_lit = self._lit_parse(args[1].strip())
+            if struct_lit is None:
+                raise UQueryError.sql_error(
+                    f"{m.group(1)}: structure must be a string literal"
+                )
+            import json as _json
+
+            try:
+                schema = self._spark_schema_of(_json.loads(struct_lit))
+            except UQueryError:
+                raise
+            except Exception as exc:
+                raise UQueryError.sql_error(
+                    f"{m.group(1)}: invalid structure: {exc}"
+                ) from exc
+            j = args[0]
+            repl = (
+                f"(CASE WHEN ({j}) IS NULL OR trim(({j})) = 'null' "
+                f"THEN CAST(NULL AS {schema}) "
+                f"ELSE from_json(({j}), '{schema}') END)"
+            )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
+
     # -- sweep batch 22: printf / graphemes / AT TIME ZONE ------------------
 
     _PRINTF_RE = re.compile(r"(?i)\bprintf\s*\(")
     _B23_FN_RE = re.compile(
-        r"(?i)\b(timezone|bar|bitstring|date_trunc|datetrunc)\s*\("
+        r"(?i)\b(timezone|bar|bitstring|date_trunc|datetrunc|typeof)\s*\("
     )
     # DuckDB date_trunc returns DATE for day-and-coarser units (Spark is
     # always TIMESTAMP); units Spark's date_trunc lacks raise
@@ -1733,6 +1872,18 @@ class SqlRewriter:
             fn = m.group(1).lower()
             # nested batch-23 calls inside args translate first
             args = [self._rewrite_b23_fns(a) for a in args]
+            if fn == "typeof":
+                # batch 24: Spark typenames → DuckDB ('int' → INTEGER,
+                # 'array<int>' → INTEGER[], struct/map recursively)
+                if len(args) != 1:
+                    raise UQueryError.sql_error("typeof expects 1 arg")
+                from .functions.parity_udfs import register_parity_udfs
+
+                register_parity_udfs(self.spark)
+                repl = f"uq_duck_typename(typeof(({args[0]})))"
+                sql = sql[: m.start()] + repl + sql[close + 1 :]
+                pos = m.start() + len(repl)
+                continue
             if fn == "timezone":
                 if len(args) != 2:
                     raise UQueryError.sql_error(
@@ -5819,6 +5970,8 @@ class SqlRewriter:
             )
         sql = self._rewrite_summarize(sql)
         sql = self._rewrite_from_first(sql)
+        # batch-24: standard FETCH FIRST / OFFSET n ROWS → LIMIT/OFFSET
+        sql = self._rewrite_fetch_first(sql)
         sql = self._rewrite_tvfs(sql)
         sql = self._rewrite_pivot_statement(sql)
         sql = self._rewrite_unpivot_statement(sql)
@@ -5844,6 +5997,10 @@ class SqlRewriter:
         # bare struct literals AFTER map literals: `MAP {…}` must be
         # consumed first or the lookbehind would read it as a struct.
         sql = self._rewrite_struct_literal(sql)
+        # batch-24: array_slice(l, a, b[, step]) is the function spelling
+        # of the bracket slice — convert BEFORE the bracket pass so
+        # negatives/steps/string-poly all ride the same machinery
+        sql = self._rewrite_array_slice_fn(sql)
         # list-typed date_part and tuple entries need the [...] / (…,…)
         # source text — before the bracket pass consumes it
         sql = self._rewrite_date_part_list(sql)
@@ -5901,6 +6058,8 @@ class SqlRewriter:
         # batch-21 JSON tail AFTER scalar_semantics (emits concat()
         # calls that must stay un-stringified) and after json_extract
         sql = self._rewrite_b21_json(sql)
+        # batch-24: from_json/json_transform structure translation
+        sql = self._rewrite_from_json(sql)
         sql = self._rewrite_iso_datetime(sql)
         sql = self._rewrite_to_interval(sql)
         sql = self._rewrite_sha256(sql)
