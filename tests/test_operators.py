@@ -1217,3 +1217,44 @@ class TestC4Quality:
         assert out[4].n_kept_lines == 1
         assert out[4].cleaned_text == "this perfectly fine line survives."
         assert out[5].n_kept_lines == 0 and out[5].cleaned_text == ""
+
+
+class TestWebUrl:
+    def test_canonicalize_parts(self, spark):
+        from uquery_rs_spark.operators import web as W
+
+        df = spark.createDataFrame(
+            [
+                (1, "HTTPS://WWW.Sub.Example.CO.UK:443/a/b/?utm_source=x&q=1&fbclid=z#f"),
+                (2, "http://example.com:80"),
+                (3, "http://example.com/path?ref=homepage"),
+                (4, "https://localhost/x"),
+            ],
+            "id int, url string",
+        )
+        out = {r.id: r for r in W.canonicalize(df).collect()}
+        r1 = out[1]
+        assert r1.url_scheme == "https"
+        assert r1.url_host == "sub.example.co.uk"  # www+port stripped, lowered
+        assert r1.url_path == "/a/b"               # trailing slash dropped
+        assert r1.url_query == "q=1"               # tracking params dropped, order kept
+        assert r1.url_canonical == "https://sub.example.co.uk/a/b?q=1"
+        assert r1.url_domain == "example.co.uk"    # two-level public suffix
+        r2 = out[2]
+        assert r2.url_host == "example.com" and r2.url_path == "/"
+        assert r2.url_canonical == "http://example.com/"
+        assert out[3].url_query == "" and out[3].url_canonical == "http://example.com/path"
+        assert out[4].url_domain == "localhost"    # single-label host
+
+    def test_blocklist_broadcast_anti(self, spark):
+        from uquery_rs_spark.operators import web as W
+
+        docs = spark.createDataFrame(
+            [(1, "http://a.bad.com/x"), (2, "http://ok.org/y")], "id int, url string"
+        )
+        bl = spark.createDataFrame([("bad.com",)], ["domain"])
+        kept = W.blocklist_filter(W.canonicalize(docs), bl)
+        assert [r.id for r in kept.collect()] == [2]
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        # the corpus side must NOT reshuffle: broadcast left-anti join
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

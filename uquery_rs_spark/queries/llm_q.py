@@ -2481,3 +2481,123 @@ def text_c4_quality(spark: SparkSession, sf: str) -> DataFrame:
         ),
     )
     return TX.c4_quality_stats(synth).orderBy("doc_id")
+
+
+_URL_SYNTH_SQL = (
+    "concat('HTTPS://www.', source, 'corp.', "
+    "CASE WHEN doc_id % 5 = 0 THEN 'co.uk' ELSE 'com' END, "
+    "CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END, "
+    "'/Docs/', CAST(doc_id AS {t}), "
+    "CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END, "
+    "CASE WHEN doc_id % 2 = 0 THEN "
+    "concat('?utm_source=feed&id=', CAST(doc_id % 50 AS {t}), "
+    "'&fbclid=xyz&page=2') ELSE '?b=2&a=1' END, '#frag')"
+)
+
+_URL_ORACLE_PARTS = """
+base AS (
+  SELECT doc_id, {url} AS url FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+      '^www\\.', ''), ':(80|443)$', '') AS host,
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawp,
+    array_to_string(list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+      x -> x <> '' AND NOT regexp_matches(x,
+        '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|ref)=')), '&') AS query
+  FROM base
+),
+norm AS (
+  SELECT doc_id, url, scheme, host, query,
+    CASE WHEN rawp IN ('', '/') THEN '/' ELSE regexp_replace(rawp, '/$', '') END AS path,
+    string_split(host, '.') AS labels
+  FROM parts
+),
+dom AS (
+  SELECT *,
+    CASE WHEN len(labels) <= 2 THEN host
+         WHEN concat(labels[-2], '.', labels[-1]) IN
+              ('co.uk','org.uk','gov.uk','ac.uk','com.au','net.au','org.au',
+               'co.jp','or.jp','ne.jp','co.kr','com.br','com.cn','com.mx',
+               'co.in','co.za','com.tr','com.ar') AND len(labels) >= 3
+         THEN concat(labels[-3], '.', labels[-2], '.', labels[-1])
+         ELSE concat(labels[-2], '.', labels[-1]) END AS domain
+  FROM norm
+)
+"""
+
+
+@register(
+    "web_url_canonicalize",
+    tags=("llm", "web", "dedup"),
+    oracle="WITH "
+    + _URL_ORACLE_PARTS.format(url=_URL_SYNTH_SQL.format(t='VARCHAR'))
+    + """
+SELECT doc_id, url,
+       scheme   AS url_scheme,
+       host     AS url_host,
+       path     AS url_path,
+       query    AS url_query,
+       concat(scheme, '://', host, path,
+              CASE WHEN query <> '' THEN concat('?', query) ELSE '' END)
+                AS url_canonical,
+       domain   AS url_domain
+FROM dom
+ORDER BY doc_id
+""",
+)
+def web_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization (operators/web.py::canonicalize): scheme/
+    host normalization (lowercase, www-strip, default-port strip),
+    trailing-slash path rule, tracking-parameter removal preserving
+    parameter order, fragment drop, PSL-approximate registered domain.
+    Pure scan-fused expression trees (no shuffle, no UDF) — the regex
+    patterns avoid lookarounds so the identical logic runs on DuckDB
+    as the oracle. URLs synthesized deterministically from doc fields
+    (mixed-case scheme, :443 ports, .co.uk second-level suffixes,
+    utm/fbclid noise, fragments)."""
+    from ..operators import web as W
+
+    docs = load_tables(spark, sf)["documents"]
+    synth = docs.select("doc_id", F.expr(_URL_SYNTH_SQL.format(t="STRING")).alias("url"))
+    return W.canonicalize(synth, "url").orderBy("doc_id")
+
+
+@register(
+    "web_domain_blocklist",
+    tags=("llm", "web", "quality"),
+    oracle="WITH "
+    + _URL_ORACLE_PARTS.format(url=_URL_SYNTH_SQL.format(t='VARCHAR'))
+    + """
+SELECT domain AS url_domain, count(*) AS n_docs
+FROM dom
+ANTI JOIN (VALUES ('src0corp.com'), ('src2corp.co.uk'), ('src7corp.com'))
+     b(bdomain) ON dom.domain = b.bdomain
+GROUP BY domain
+ORDER BY url_domain
+""",
+)
+def web_domain_blocklist(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain blocklist filtering (operators/web.py::blocklist_filter):
+    UT1-style blocklist as a broadcast LEFT ANTI join on the registered
+    domain (the corpus side never reshuffles), then per-domain doc
+    counts — the domain-mix report a crawl pipeline runs after
+    filtering. Blocklist pinned to three synthesized domains."""
+    from ..operators import web as W
+
+    docs = load_tables(spark, sf)["documents"]
+    synth = docs.select("doc_id", F.expr(_URL_SYNTH_SQL.format(t="STRING")).alias("url"))
+    canon = W.canonicalize(synth, "url")
+    bl = spark.createDataFrame(
+        [("src0corp.com",), ("src2corp.co.uk",), ("src7corp.com",)],
+        ["domain"],
+    )
+    kept = W.blocklist_filter(canon, bl)
+    return (
+        kept.groupBy("url_domain")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("url_domain")
+    )
