@@ -762,3 +762,55 @@ def c4_quality_stats(
         & ~F.col("has_brace")
     )
     return out.withColumn("c4_pass", passed)
+
+
+def quality_classifier(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_buckets: int = 1048576,
+) -> DataFrame:
+    """Hashed-feature linear quality classifier — the fastText-filter
+    shape every modern data pipeline runs (DCLM/phi-style quality
+    filtering: hash word features into a fixed table, score with a
+    linear model, threshold).
+
+    The PLUMBING is the real thing and is what this operator
+    demonstrates at scale: per-token feature hashing (31-polynomial
+    rolling hash over codepoints, modulo ``n_buckets``), a weight
+    lookup per bucket, mean-pooled linear score, threshold label —
+    all pure JVM expression trees fused into the scan (no UDF, no
+    shuffle, no model broadcast needed at this size; a real weight
+    table would broadcast-join on the bucket id).
+
+    The WEIGHTS are a deterministic stand-in (no pretrained model ships
+    in this container): w(b) = ((b * 2654435761) % 1000003) / 1000003
+    * 2 - 1 — a Knuth-hash pseudo-random in [-1, 1), integer-exact on
+    any engine, which is what makes the operator oracle-checkable
+    end-to-end on DuckDB. Swap in a broadcast weight table trained
+    offline for production.
+
+    Returns key, n_tokens, quality_score (round 4), quality_label.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    bucket = lambda t: F.aggregate(  # noqa: E731
+        F.split(t, ""),
+        F.lit(0).cast("bigint"),
+        lambda a, c: (a * 31 + F.ascii(c)) % n_buckets,
+    )
+    weight = lambda b: (  # noqa: E731
+        ((b * 2654435761) % 1000003) / 1000003.0 * 2 - 1
+    )
+    total = F.aggregate(
+        toks, F.lit(0.0), lambda s, t: s + weight(bucket(t))
+    )
+    n = F.size(toks)
+    score = F.round(total / F.greatest(n, F.lit(1)), 4)
+    return docs.select(
+        key_col,
+        n.cast("bigint").alias("n_tokens"),
+        score.alias("quality_score"),
+        (score > 0).alias("quality_label"),
+    )

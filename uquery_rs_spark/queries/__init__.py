@@ -26,6 +26,7 @@ from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 # three entries they displaced (set_ops/stats_aggregates/union_all/
 # values/array batteries tail) rotate in round 7 with the rest of r3.)
 _ROUND6_WINDOW = (
+    "text_quality_classifier",
     "web_url_canonicalize",
     "web_domain_blocklist",
     "dialect_gap_battery22",
@@ -75,7 +76,6 @@ _ROUND6_WINDOW = (
     "q18_large_volume_orders",
     "q19_discounted_revenue",
     "q20_potential_promotion",
-    "q21_suppliers_kept_waiting",
 )
 
 

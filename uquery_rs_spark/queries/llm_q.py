@@ -2601,3 +2601,40 @@ def web_domain_blocklist(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("url_domain")
     )
+
+
+@register(
+    "text_quality_classifier",
+    tags=("llm", "text", "quality"),
+    oracle="""
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(list_sum(list_transform(toks,
+             t -> ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+                     (a, c) -> (a * 31 + c) % 1048576)
+                   * 2654435761) % 1000003) / 1000003.0 * 2 - 1))
+             / greatest(len(toks), 1), 4) AS quality_score,
+       round(list_sum(list_transform(toks,
+             t -> ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+                     (a, c) -> (a * 31 + c) % 1048576)
+                   * 2654435761) % 1000003) / 1000003.0 * 2 - 1))
+             / greatest(len(toks), 1), 4) > 0 AS quality_label
+FROM (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+  FROM documents)
+ORDER BY doc_id
+""",
+)
+def text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashed-feature linear quality classifier
+    (operators/text.py::quality_classifier): per-token 31-polynomial
+    codepoint hash into 2^20 buckets, Knuth-hash stand-in weights in
+    [-1,1), mean-pooled score + threshold — the fastText-filter shape,
+    scan-fused with zero shuffle. Integer-exact hashing makes the
+    whole model oracle-checkable on DuckDB (list_reduce seeded via
+    list_prepend — DuckDB's reduce has no init arg)."""
+    docs = load_tables(spark, sf)["documents"]
+    return TX.quality_classifier(docs).orderBy("doc_id")
