@@ -1009,3 +1009,67 @@ def cosine_topk_pq(
         pq_topk, "query_id long, neighbor_id long, sim double"
     )
     return _global_topk(part, k)
+
+
+def diversity_sample(
+    emb: DataFrame,
+    k_cells: int = 8,
+    per_cell: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced diversity sampling (the DCLM/DataComp-style
+    step after dedup: cap every embedding-space mode so dominant
+    clusters can't crowd the mixture).
+
+    Assignment: nearest of ``k_cells`` SEED centroids by cosine —
+    seeds are the k lowest-id vectors, deterministically, with NO Lloyd
+    iterations, which keeps the whole operator oracle-expressible on
+    DuckDB (swap in _spherical_kmeans centroids for production
+    clustering quality; the sampling machinery is unchanged). Scores
+    round to 6 before the argmax (ties → lowest cell id) so the
+    assignment is float-order-robust across engines.
+
+    Per-cell cap: md5-prefix-fraction acceptance against the cell's
+    count (accept iff frac * count < per_cell), the importance_sample
+    acceptance pattern — deterministic, reproducible under
+    repartitioning, incremental-ingestion-stable, and EXACT in
+    integers (h * count < per_cell * 65536).
+
+    100 TB shape: seeds broadcast (k×d literals), assignment is one
+    scan; cell counts are a k-row aggregate broadcast-joined back —
+    the corpus itself never shuffles (no per-cell window/sort).
+    Returns (id, cell, cell_count) for the kept rows.
+    """
+    seeds = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(k_cells).collect()
+    )
+    v = _as_double(F.col(vec_col))
+    vnorm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    entries = []
+    for row in seeds:
+        svec = [float(x) for x in row[vec_col]]
+        s = F.array(*[F.lit(x) for x in svec])
+        snorm = float(np.sqrt(np.sum(np.float64(svec) ** 2)))
+        cos = dot(v, s) / (vnorm * F.lit(snorm))
+        entries.append(
+            F.struct(
+                (-F.round(cos, 6)).alias("ns"),
+                F.lit(int(row[id_col])).cast("long").alias("cid"),
+            )
+        )
+    assigned = emb.select(
+        F.col(id_col),
+        F.array_min(F.array(*entries))["cid"].alias("cell"),
+    )
+    counts = assigned.groupBy("cell").agg(F.count("*").alias("cell_count"))
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return (
+        assigned.join(F.broadcast(counts), "cell")
+        .filter(h * F.col("cell_count") < per_cell * 65536)
+        .select(id_col, "cell", "cell_count")
+    )

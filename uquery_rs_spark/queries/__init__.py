@@ -26,6 +26,7 @@ from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 # three entries they displaced (set_ops/stats_aggregates/union_all/
 # values/array batteries tail) rotate in round 7 with the rest of r3.)
 _ROUND6_WINDOW = (
+    "emb_diversity_sample",
     "text_quality_classifier",
     "web_url_canonicalize",
     "web_domain_blocklist",
@@ -75,7 +76,6 @@ _ROUND6_WINDOW = (
     "q17_small_quantity_revenue",
     "q18_large_volume_orders",
     "q19_discounted_revenue",
-    "q20_potential_promotion",
 )
 
 

@@ -2638,3 +2638,39 @@ def text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     list_prepend — DuckDB's reduce has no init arg)."""
     docs = load_tables(spark, sf)["documents"]
     return TX.quality_classifier(docs).orderBy("doc_id")
+
+
+@register(
+    "emb_diversity_sample",
+    tags=("llm", "embedding", "sampling"),
+    oracle="""
+WITH seeds AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+assign AS (
+  SELECT e.vec_id,
+         (SELECT s.cid FROM seeds s
+          ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cvec), 6) DESC,
+                   s.cid ASC
+          LIMIT 1) AS cell
+  FROM embeddings e
+),
+counts AS (SELECT cell, count(*) AS cell_count FROM assign GROUP BY cell)
+SELECT a.vec_id, a.cell, c.cell_count
+FROM assign a JOIN counts c USING (cell)
+WHERE CAST(concat('0x', substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 4)) AS INTEGER)
+      * c.cell_count < 20 * 65536
+ORDER BY a.vec_id
+""",
+)
+def emb_diversity_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-balanced diversity sampling
+    (operators/similarity.py::diversity_sample): cosine assignment to
+    8 deterministic seed centroids (round-6 argmax, ties → lowest cell
+    id), md5-fraction per-cell cap acceptance (exact integer compare).
+    The corpus never shuffles — counts are a k-row aggregate broadcast
+    back. Oracle replays the identical model on DuckDB via
+    list_cosine_similarity over DOUBLE[] casts."""
+    embs = load_tables(spark, sf)["embeddings"]
+    return S.diversity_sample(embs).orderBy("vec_id")
