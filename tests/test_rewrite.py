@@ -257,8 +257,14 @@ def test_map_literal_computed_key_subscript(spark, rw):
 
 
 def test_bracket_map_string_key(spark, rw):
+    # batch 25: map subscripts return DuckDB's single-element LIST
+    # (the uq_polymap probe dispatch — the old scalar was a deviation)
     row = spark.sql(
         rw.rewrite("SELECT m['k'] AS v FROM (SELECT map('k', 7) AS m)")
+    ).collect()[0]
+    assert list(row.v) == [7]
+    row = spark.sql(
+        rw.rewrite("SELECT m['k'][1] AS v FROM (SELECT map('k', 7) AS m)")
     ).collect()[0]
     assert row.v == 7
 
@@ -1760,3 +1766,40 @@ def test_gap_hunt_batch24(spark, rw):
     ]:
         with pytest.raises(UQueryError):
             rw.rewrite(bad)
+
+
+def test_gap_hunt_batch25(spark, rw):
+    """Sweep batch 25: dot-chaining method calls (x.f(a) → f(x, a),
+    chains and bracket operands included); map-vs-struct string-key
+    subscripts resolve by probe (uq_polymap): MAP subscripts return
+    DuckDB's single-element LIST ([] on miss), STRUCT subscripts the
+    field, chained [1] unwraps; CAST(x AS JSON) validates-and-preserves
+    VARCHAR text and encodes other types (typeof-dispatched);
+    current_database()/current_user session literals. glob() TVF is
+    covered in test_sources (sandboxed paths)."""
+    cases = {
+        "SELECT [1,2,3].list_sum() AS v": 6,
+        "SELECT ('x').len() AS v": 1,
+        "SELECT x.upper().lower() AS v FROM (SELECT 'Ab' AS x)": "ab",
+        "SELECT [1,2].list_append(3)[3] AS v": 3,
+        "SELECT x.round(1) AS v FROM (SELECT CAST(2.34 AS DOUBLE) AS x)": 2.3,
+        "SELECT map_from_entries([('a', 1)])['a'] AS v": [1],
+        "SELECT map_from_entries([('a', 1)])['b'] AS v": [],
+        "SELECT map_from_entries([('a', 1)])['a'][1] AS v": 1,
+        "SELECT s['b'][1] AS v FROM (SELECT {'b': 'txt'} AS s)": "t",
+        "SELECT upper(s['b']) AS v FROM (SELECT {'b': 'txt'} AS s)": "TXT",
+        "SELECT CAST('{\"a\":  1}' AS JSON) AS v": '{"a":  1}',
+        "SELECT CAST(5 AS JSON) AS v": "5",
+        "SELECT CAST(MAP {'a': 1} AS JSON) AS v": '{"a":1}',
+        "SELECT CAST(NULL AS JSON) AS v": None,
+        "SELECT current_database() AS v": "memory",
+        "SELECT current_user AS v": "duckdb",
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        if isinstance(got, list):
+            got = list(got)
+        assert got == want, f"{sql}: {got!r} != {want!r}"
+    # malformed CAST AS JSON raises at runtime (DuckDB Conversion Error)
+    with pytest.raises(Exception):
+        spark.sql(rw.rewrite("SELECT CAST('nope' AS JSON) AS v")).collect()

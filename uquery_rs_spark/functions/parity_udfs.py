@@ -193,6 +193,23 @@ def _json_minify(s: str) -> str:
     return _jdump(_json.loads(s))
 
 
+def _json_validate(s: str) -> str:
+    # CAST(varchar AS JSON): validate but PRESERVE the original text
+    # (DuckDB keeps whitespace — json() is the minifying form)
+    _json.loads(s)
+    return s
+
+
+def _json_cast(tname: str, encoded: str) -> str:
+    """CAST(x AS JSON) dispatch: `encoded` is to_json's rendering of x.
+    VARCHAR inputs arrive JSON-QUOTED — loads() recovers the original
+    text losslessly, which then validates-and-preserves; every other
+    type keeps the encoded rendering (DuckDB-verified)."""
+    if tname == "VARCHAR":
+        return _json_validate(_json.loads(encoded))
+    return encoded
+
+
 def _merge_patch(target, patch):
     """RFC 7386: a non-object patch replaces; null values remove keys."""
     if not isinstance(patch, dict) or isinstance(patch, bool):
@@ -564,6 +581,16 @@ def _build_udfs() -> dict:
         # JSON tail (batch 21): null-propagating on SQL NULL inputs;
         # malformed JSON raises at runtime like DuckDB's json extension
         "uq_json_minify": pandas_udf(_map1(_json_minify), "string"),
+        "uq_json_validate": pandas_udf(_map1(_json_validate), "string"),
+        "uq_json_cast": pandas_udf(
+            lambda t, e: pd.Series(
+                [
+                    None if a is None or b is None else _json_cast(a, b)
+                    for a, b in zip(t, e)
+                ]
+            ),
+            "string",
+        ),
         "uq_json_structure": pandas_udf(_map1(_json_structure), "string"),
         "uq_json_type1": pandas_udf(_map1(_json_type), "string"),
         "uq_json_type2": pandas_udf(

@@ -2056,3 +2056,48 @@ def dialect_gap_battery22(spark: SparkSession, sf: str) -> DataFrame:
         "FROM orders WHERE o_orderkey <= 800 ORDER BY o_orderkey "
         "OFFSET 5 ROWS FETCH NEXT 600 ROWS ONLY",
     )
+
+
+@register(
+    "dialect_gap_battery23",
+    tags=("dialect", "battery", "misc"),
+    oracle="""
+SELECT p_partkey,
+       p_name.upper().substr(3, 8)                       AS chained,
+       CAST([p_size, p_partkey % 5].list_sum() AS BIGINT) AS chain_sum,
+       array_to_string(MAP {'brand': p_brand}['brand'], '|') AS mp,
+       MAP {'brand': p_brand}['brand'][1]                AS mp1,
+       {'t': p_type}['t']                                AS st,
+       CAST(concat('{"k": ', CAST(p_partkey % 9 AS VARCHAR), '}') AS JSON) AS jc,
+       CAST(p_size AS JSON)                              AS jn,
+       current_database()                                AS db,
+       current_user                                      AS usr
+FROM part
+WHERE p_partkey <= 400
+ORDER BY p_partkey
+""",
+)
+def dialect_gap_battery23(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep batch 25 pinned verbatim: dot-chained method calls over
+    columns (upper→substr chain, list_sum over a split), MAP literal
+    subscripts returning DuckDB's single-element LIST (+[1] unwrap),
+    STRUCT subscript field access, CAST AS JSON (VARCHAR text
+    preserved, numbers encoded), and the session identity literals.
+    The mp column stays a LIST on both engines — serialized via the
+    [1] unwrap columns for the scalar lint (mp itself is emitted as
+    array_to_string below)."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT p_partkey, "
+        "p_name.upper().substr(3, 8) AS chained, "
+        "CAST([p_size, p_partkey % 5].list_sum() AS BIGINT) AS chain_sum, "
+        "array_to_string(MAP {'brand': p_brand}['brand'], '|') AS mp, "
+        "MAP {'brand': p_brand}['brand'][1] AS mp1, "
+        "{'t': p_type}['t'] AS st, "
+        "CAST(concat('{\"k\": ', CAST(p_partkey % 9 AS VARCHAR), '}') AS JSON) AS jc, "
+        "CAST(p_size AS JSON) AS jn, "
+        "current_database() AS db, "
+        "current_user AS usr "
+        "FROM part WHERE p_partkey <= 400 ORDER BY p_partkey",
+    )

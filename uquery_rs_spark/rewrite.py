@@ -1695,6 +1695,127 @@ class SqlRewriter:
             )
             sql = sql[: m.start()] + repl + sql[close + 1 :]
 
+    # -- sweep batch 25: dot-chaining / glob TVF / session literals ---------
+
+    # `.name(` where the name isn't preceded by whitespace-only (an
+    # operand must sit before the dot). Keywords that legitimately
+    # follow a dot never carry a call paren.
+    _DOT_CHAIN_RE = re.compile(r"\.\s*([A-Za-z_]\w*)\s*\(")
+
+    def _rewrite_dot_chain(self, sql: str) -> str:
+        """DuckDB function chaining: ``x.f(a, b)`` = ``f(x, a, b)``
+        (``[1,2].list_sum()``, ``col.lower().trim()`` — probed working
+        on columns, bracket results, and call results; a dotted STRING
+        LITERAL is a parse error in DuckDB itself). Runs after the
+        bracket pass (list literals are already array(...) calls, so
+        every operand ends in an identifier chain, ')' or marker) and
+        before the rename pass (chained names rename afterwards).
+
+        Known ambiguity (documented): ``a.b(x)`` with ``a`` a schema
+        name would be a qualified call — the gateway has no schemas, so
+        the chain reading always wins."""
+        while True:
+            m = self._search_code(self._DOT_CHAIN_RE, sql)
+            if not m:
+                return sql
+            close = self._find_close(sql, m.end() - 1)
+            if close == -1:
+                return sql
+            # scan the operand backwards from the dot
+            i = m.start()
+            while i > 0 and sql[i - 1].isspace():
+                i -= 1
+            end = i
+            if i > 0 and sql[i - 1] == ")":
+                depth = 0
+                while i > 0:
+                    i -= 1
+                    if sql[i] == ")":
+                        depth += 1
+                    elif sql[i] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                j = i
+                while j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_"):
+                    j -= 1
+                i = j
+            else:
+                while i > 0 and (sql[i - 1].isalnum() or sql[i - 1] in "_."):
+                    i -= 1
+            operand = sql[i:end]
+            if not operand or operand.endswith("."):
+                # no operand (e.g. a decimal literal handled elsewhere)
+                return sql
+            fname = m.group(1)
+            args = sql[m.end() : close].strip()
+            inner = f"({operand})" + (f", {args}" if args else "")
+            sql = sql[:i] + f"{fname}({inner})" + sql[close + 1 :]
+
+    _JSON_CAST_RE = re.compile(r"(?i)\b(try_)?cast\s*\(")
+
+    def _rewrite_json_cast(self, sql: str) -> str:
+        """``CAST(x AS JSON)`` / ``x::JSON``: DuckDB VALIDATES a VARCHAR
+        input and PRESERVES its text (whitespace kept — probed; json()
+        is the minifying form), while other types encode through the
+        json writer. The input's type is dispatched per ROW-CONSTANT
+        typeof() (the uq_duck_typename UDF), so one translation serves
+        any operand type."""
+        pos = 0
+        while True:
+            hit = self._call_args(self._JSON_CAST_RE, sql, pos)
+            if not hit:
+                return sql
+            m, close, args = hit
+            parts = self._split_top(sql[m.end() : close], "as")
+            if len(parts) != 2 or parts[1].strip().lower() != "json":
+                pos = close + 1
+                continue
+            x = parts[0].strip()
+            from .functions.parity_udfs import register_parity_udfs
+
+            register_parity_udfs(self.spark)
+            repl = (
+                f"(CASE WHEN ({x}) IS NULL THEN CAST(NULL AS STRING) "
+                f"ELSE uq_json_cast(uq_duck_typename(typeof(({x}))), "
+                f"{self._jenc(x)}) END)"
+            )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
+
+    _GLOB_TVF_RE = re.compile(r"(?i)\b(from|join)\s+glob\s*\(")
+
+    def _rewrite_glob_tvf(self, sql: str) -> str:
+        """DuckDB ``FROM glob('pattern')`` → inline VALUES of the
+        matched paths (column ``file``, sorted — DuckDB's listing
+        order). Driver-side resolution rides the same sandbox as every
+        read_* path."""
+        while True:
+            hit = self._call_args(self._GLOB_TVF_RE, sql)
+            if not hit:
+                return sql
+            m, close, args = hit
+            if len(args) != 1:
+                raise UQueryError.sql_error("glob expects one pattern")
+            pat = self._lit_parse(args[0].strip())
+            if pat is None:
+                raise UQueryError.sql_error("glob: pattern must be a literal")
+            self.check_path(pat)
+            import glob as _glob
+
+            files = sorted(_glob.glob(pat))
+            if files:
+                rows = ", ".join(
+                    "('" + f.replace("'", "''") + "')" for f in files
+                )
+                repl = f"{m.group(1)} (VALUES {rows}) AS uq_glob(file)"
+            else:
+                repl = (
+                    f"{m.group(1)} (SELECT CAST(NULL AS STRING) AS file "
+                    f"WHERE false) AS uq_glob"
+                )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+
     # -- sweep batch 24: FETCH FIRST / typeof / from_json / array_slice -----
 
     _FETCH_COMBINED_RE = re.compile(
@@ -4930,10 +5051,13 @@ class SqlRewriter:
             return (
                 f"filter(array(try_element_at({operand}, {idx})), uq_mv -> uq_mv IS NOT NULL)"
             )
-        if idx.startswith("'"):  # string key ⇒ map/struct column access
-            # (scalar — a non-literal operand's map-vs-struct type is
-            # unknowable at rewrite time; DuckDB returns a list for maps)
-            return f"element_at({operand}, {idx})"
+        if idx.startswith("'"):  # string key ⇒ map/struct access
+            # batch 25: map-vs-struct resolves by LIMIT-0 probe
+            # (uq_polymap marker): MAP subscripts return DuckDB's
+            # single-element LIST ([] when missing), STRUCT subscripts
+            # return the field. Fallback: scalar element_at (the
+            # pre-batch-25 behavior).
+            return f"uq_polymap({operand}, {idx})"
         if re.fullmatch(r"-\d+", idx):
             # try_: ANSI element_at errors on out-of-bounds; DuckDB → NULL
             return (
@@ -5647,6 +5771,26 @@ class SqlRewriter:
         return self._TYPE_RENAMES.get(base, ty)
 
     _UQ_POLY_RE = re.compile(r"\buq_poly\s*\(")
+    _UQ_POLY_ANY_RE = re.compile(r"\buq_poly(map)?\s*\(")
+
+    def _neutralize_markers(self, text: str, token: str) -> str:
+        """Neutralize every unresolved poly marker in a probe text: an
+        ANCESTOR marker (containing the tagged occurrence) keeps the arg
+        holding the token so the occurrence survives; SIBLING markers
+        become NULL, which analyzes in any context (a falsely-NULLed
+        context fails the probe and the occurrence falls back — loud,
+        not silent)."""
+        while True:
+            h = self._call_args(self._UQ_POLY_ANY_RE, text)
+            if not h:
+                return text
+            hm, hclose, hargs = h
+            span = text[hm.start() : hclose + 1]
+            if token in span and len(hargs) == 2:
+                inner = next((a for a in hargs if token in a), hargs[0])
+            else:
+                inner = "NULL"
+            text = text[: hm.start()] + f"({inner})" + text[hclose + 1 :]
 
     def _rewrite_poly_subscript(self, sql: str) -> str:
         """Resolve ``uq_poly(list_form, string_form)`` markers emitted by
@@ -5661,11 +5805,12 @@ class SqlRewriter:
         first so nested subscripts compose."""
         if "uq_poly" not in sql:
             return sql
+        TOKEN = "/*uq_probe_target*/"
         for _ in range(100):  # bounded: one marker resolved per lap
             hits = []
             pos = 0
             while True:
-                hit = self._call_args(self._UQ_POLY_RE, sql, pos)
+                hit = self._call_args(self._UQ_POLY_ANY_RE, sql, pos)
                 if not hit:
                     break
                 m, close, args = hit
@@ -5674,6 +5819,7 @@ class SqlRewriter:
             if not hits:
                 return sql
             # innermost: a marker whose args contain no nested marker
+            # (of EITHER kind — batch 25 added uq_polymap)
             target = next(
                 (h for h in hits if all("uq_poly" not in a for a in h[2])),
                 hits[-1],
@@ -5681,47 +5827,54 @@ class SqlRewriter:
             m, close, args = target
             if len(args) != 2:
                 raise UQueryError.sql_error("internal: malformed uq_poly marker")
-            lst, st = args
 
-            TOKEN = "/*uq_probe_target*/"
-
-            def neutralize(text: str) -> str:
-                # an ANCESTOR marker contains the occurrence under test
-                # (tagged with TOKEN) inside one of its args — keep THE
-                # ARG HOLDING THE TOKEN so the occurrence survives (for
-                # subscripts that is the list arg; for markers whose
-                # args EMBED a nested marker twice — e.g. the epoch_ms
-                # dispatch — it may be either, and keeping arg 0
-                # unconditionally silently dropped the target, flipping
-                # the nested resolution); SIBLING markers are
-                # independent spans and neutralize to NULL, which
-                # analyzes in any context (a string-typed ancestor then
-                # fails the probe and the occurrence falls back to the
-                # list form — loud, not silent)
-                while True:
-                    h = self._call_args(self._UQ_POLY_RE, text)
-                    if not h:
-                        return text
-                    hm, hclose, hargs = h
-                    span = text[hm.start() : hclose + 1]
-                    if TOKEN in span and len(hargs) == 2:
-                        inner = next(
-                            (a for a in hargs if TOKEN in a), hargs[0]
-                        )
-                    else:
-                        inner = "NULL"
-                    text = text[: hm.start()] + f"({inner})" + text[hclose + 1 :]
-
-            probe = neutralize(
-                sql[: m.start()] + f"({TOKEN}({st}))" + sql[close + 1 :]
-            )
-            try:
-                self.spark.sql(
-                    f"SELECT * FROM ({self._rewrite_len(self._rewrite_cast(probe))}) uq_ps LIMIT 0"
+            def probe_ok(cand: str) -> bool:
+                probe = self._neutralize_markers(
+                    sql[: m.start()] + f"({TOKEN}({cand}))" + sql[close + 1 :],
+                    TOKEN,
                 )
-                chosen = st
-            except Exception:
-                chosen = lst
+                try:
+                    self.spark.sql(
+                        f"SELECT * FROM ({self._rewrite_len(self._rewrite_cast(probe))}) uq_ps LIMIT 0"
+                    )
+                    return True
+                except Exception:
+                    return False
+
+            if m.group(1):  # uq_polymap(operand, 'key') — batch 25
+                op, key = args
+                # MAP reading first (string-keyed try_element_at
+                # analyzes only for maps): DuckDB's m['k'] single-
+                # element LIST; then the STRUCT field reading; scalar
+                # element_at stays the fallback (pre-batch-25 shape).
+                mapform = (
+                    f"filter(array(try_element_at(({op}), {key})), "
+                    f"uq_mv -> uq_mv IS NOT NULL)"
+                )
+                raw_key = (self._lit_parse(key.strip()) or "").replace("`", "``")
+                structform = f"(({op})).`{raw_key}`"
+                chosen = f"element_at(({op}), {key})"
+                for cand in (mapform, structform):
+                    # CONTEXT-NEUTRAL probe: the dispatch is on the
+                    # operand's TYPE, not the surrounding fit (the same
+                    # subscript text sits in BOTH args of an ancestor
+                    # uq_poly, whose string-form context would veto the
+                    # correct map reading). The wrapper forces the
+                    # candidate to analyze while presenting a neutral
+                    # value to the ancestor — no single neutral type
+                    # fits every context (get() is array-strict,
+                    # upper() rejects arrays), so the candidate is
+                    # accepted if EITHER the NULL or the array wrapper
+                    # analyzes. A context rejecting both falls through
+                    # to the scalar fallback (pre-batch-25 behavior).
+                    if probe_ok(f"IF(({cand}) IS NULL, NULL, NULL)") or probe_ok(
+                        f"IF(({cand}) IS NULL, array(1), array(1))"
+                    ):
+                        chosen = cand
+                        break
+            else:  # uq_poly(list_form, string_form)
+                lst, st = args
+                chosen = st if probe_ok(st) else lst
             sql = sql[: m.start()] + f"({chosen})" + sql[close + 1 :]
         return sql
 
@@ -5973,6 +6126,7 @@ class SqlRewriter:
         # batch-24: standard FETCH FIRST / OFFSET n ROWS → LIMIT/OFFSET
         sql = self._rewrite_fetch_first(sql)
         sql = self._rewrite_tvfs(sql)
+        sql = self._rewrite_glob_tvf(sql)
         sql = self._rewrite_pivot_statement(sql)
         sql = self._rewrite_unpivot_statement(sql)
         # batch-18: standard TRIM(... FROM 'lit') BEFORE path tables —
@@ -6006,6 +6160,9 @@ class SqlRewriter:
         sql = self._rewrite_date_part_list(sql)
         sql = self._rewrite_map_entries_tuples(sql)
         sql = self._rewrite_bracket_syntax(sql)
+        # batch-25: dot-chaining x.f(a) → f(x, a) AFTER brackets (list
+        # literals are array(...) calls by now) and BEFORE renames
+        sql = self._rewrite_dot_chain(sql)
         sql = self._rewrite_function_names(sql)
         # batch-15 parity scalars after the rename table (their names
         # are not in it) and before lambda/scalar passes touch the args
@@ -6078,6 +6235,20 @@ class SqlRewriter:
         sql = self._rewrite_list_sort(sql)
         sql = self._rewrite_array_to_string(sql)
         sql = self._rewrite_colon_cast(sql)
+        # batch-25: CAST(x AS JSON) — typeof-dispatched (VARCHAR input
+        # validates and PRESERVES text, DuckDB-verified; other types
+        # encode via the json writer); session identity literals
+        sql = self._rewrite_json_cast(sql)
+        sql = self._sub_code_fn(
+            re.compile(r"(?i)\bcurrent_database\s*\(\s*\)"),
+            lambda m: "'memory'",
+            sql,
+        )
+        sql = self._sub_code_fn(
+            re.compile(r"(?i)\bcurrent_user\b(?!\s*\()"),
+            lambda m: "'duckdb'",
+            sql,
+        )
         sql = self._rewrite_struct_pack(sql)
         sql = self._rewrite_generate_series(sql)
         sql = self._rewrite_string_agg_order(sql)
