@@ -1803,3 +1803,23 @@ def test_gap_hunt_batch25(spark, rw):
     # malformed CAST AS JSON raises at runtime (DuckDB Conversion Error)
     with pytest.raises(Exception):
         spark.sql(rw.rewrite("SELECT CAST('nope' AS JSON) AS v")).collect()
+
+
+def test_glob_tvf(spark, tmp_path):
+    """glob('pattern') TVF (batch 25): one `file` column, sorted paths,
+    empty pattern → zero rows, sandboxed like every read_* path."""
+    (tmp_path / "x1.csv").write_text("a")
+    (tmp_path / "x2.csv").write_text("b")
+    rw2 = SqlRewriter(spark, allowed_dirs=[str(tmp_path)])
+    rows = spark.sql(
+        rw2.rewrite(f"SELECT file FROM glob('{tmp_path}/*.csv') ORDER BY file")
+    ).collect()
+    assert [r.file.rsplit("/", 1)[1] for r in rows] == ["x1.csv", "x2.csv"]
+    assert (
+        spark.sql(
+            rw2.rewrite(f"SELECT count(*) AS n FROM glob('{tmp_path}/z*.csv')")
+        ).collect()[0].n
+        == 0
+    )
+    with pytest.raises(UQueryError):
+        rw2.rewrite("SELECT * FROM glob('/etc/*')")
