@@ -1823,3 +1823,33 @@ def test_glob_tvf(spark, tmp_path):
     )
     with pytest.raises(UQueryError):
         rw2.rewrite("SELECT * FROM glob('/etc/*')")
+
+
+def test_session_ddl_batch26(spark, rw):
+    """Batch 26: CREATE [OR REPLACE] [TEMP] VIEW/TABLE AS are
+    session-scoped TEMPORARY views (CTAS caches — Spark's closest
+    shape to DuckDB materialization; never the persistent metastore),
+    with bodies run through the FULL dialect pipeline; DROP maps to
+    DROP VIEW; DML raises (immutable views — documented deviation)."""
+    spark.sql(rw.rewrite("CREATE VIEW uq_t26v AS SELECT list_sum([1,2,3]) AS s"))
+    assert spark.sql(rw.rewrite("SELECT s FROM uq_t26v")).collect()[0].s == 6
+    spark.sql(rw.rewrite("CREATE OR REPLACE VIEW uq_t26v AS SELECT 9 AS s"))
+    assert spark.sql("SELECT s FROM uq_t26v").collect()[0].s == 9
+    spark.sql(rw.rewrite("CREATE TABLE uq_t26t AS SELECT 5! AS f"))
+    assert int(spark.sql("SELECT f FROM uq_t26t").collect()[0].f) == 120
+    # both are session-temporary — nothing reached the persistent catalog
+    for t in spark.catalog.listTables("default"):
+        if t.name in ("uq_t26v", "uq_t26t"):
+            assert t.isTemporary
+    spark.sql(rw.rewrite("DROP TABLE uq_t26t"))
+    spark.sql(rw.rewrite("DROP VIEW IF EXISTS uq_t26v"))
+    spark.sql(rw.rewrite("DROP VIEW IF EXISTS uq_t26_never"))
+    for bad in [
+        "INSERT INTO x VALUES (1)",
+        "UPDATE x SET a = 1",
+        "DELETE FROM x",
+        "TRUNCATE TABLE x",
+        "CREATE TABLE x (a INT)",
+    ]:
+        with pytest.raises(UQueryError):
+            rw.rewrite(bad)

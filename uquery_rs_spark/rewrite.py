@@ -1695,6 +1695,68 @@ class SqlRewriter:
             )
             sql = sql[: m.start()] + repl + sql[close + 1 :]
 
+    # -- sweep batch 26: session DDL ----------------------------------------
+
+    _CREATE_VIEW_RE = re.compile(
+        r"(?is)^\s*create\s+(or\s+replace\s+)?(?:temp(?:orary)?\s+)?view\s+"
+        r"([\w.\"]+)\s+as\s+(.*)$"
+    )
+    _CREATE_TABLE_RE = re.compile(
+        r"(?is)^\s*create\s+(or\s+replace\s+)?(?:temp(?:orary)?\s+)?table\s+"
+        r"([\w.\"]+)\s+as\s+(.*)$"
+    )
+    _DROP_RE = re.compile(
+        r"(?is)^\s*drop\s+(view|table)\s+(if\s+exists\s+)?([\w.\"]+)\s*;?\s*$"
+    )
+    _DML_RE = re.compile(r"(?is)^\s*(insert|update|delete|merge|truncate)\b")
+
+    def _rewrite_session_ddl(self, sql: str) -> str:
+        """Session-scoped DDL (batch 26 — the reference's pooled DuckDB
+        connections admit in-session CREATE/DROP, main.rs exercises
+        CREATE TABLE AS via --init-sql):
+
+        - CREATE [OR REPLACE] [TEMP] VIEW name AS body → a TEMPORARY
+          view (session-scoped, like a DuckDB in-memory connection —
+          never the persistent metastore), with the body run through
+          the FULL dialect pipeline;
+        - CREATE [OR REPLACE] [TEMP] TABLE name AS body → CACHE TABLE
+          name AS body (temp view + eager materialization — the
+          closest Spark shape to DuckDB's CTAS; re-evaluation
+          non-determinism is what the cache removes);
+        - DROP VIEW/TABLE [IF EXISTS] name → DROP VIEW on the temp
+          view;
+        - INSERT/UPDATE/DELETE/MERGE/TRUNCATE raise: the rebuild's
+          session tables are views over immutable sources (documented
+          deviation — DuckDB's in-memory tables are mutable).
+        """
+        m = self._CREATE_VIEW_RE.match(sql)
+        if m:
+            orep, name, body = m.groups()
+            return (
+                f"CREATE {'OR REPLACE ' if orep else ''}TEMPORARY VIEW "
+                f"{name.strip()} AS {self.rewrite(body)}"
+            )
+        m = self._CREATE_TABLE_RE.match(sql)
+        if m:
+            _orep, name, body = m.groups()
+            return f"CACHE TABLE {name.strip()} AS {self.rewrite(body)}"
+        m = self._DROP_RE.match(sql)
+        if m:
+            _kind, ifex, name = m.groups()
+            return f"DROP VIEW {'IF EXISTS ' if ifex else ''}{name.strip()}"
+        if self._DML_RE.match(sql):
+            raise UQueryError.sql_error(
+                "data-modification statements are not supported: session "
+                "tables are immutable views (use CREATE OR REPLACE TABLE "
+                "name AS ... to rebuild)"
+            )
+        if re.match(r"(?is)^\s*create\b", sql):
+            raise UQueryError.sql_error(
+                "only CREATE [OR REPLACE] [TEMP] VIEW/TABLE ... AS <query> "
+                "is supported"
+            )
+        return sql
+
     # -- sweep batch 25: dot-chaining / glob TVF / session literals ---------
 
     # `.name(` where the name isn't preceded by whitespace-only (an
@@ -6121,6 +6183,10 @@ class SqlRewriter:
             raise UQueryError.sql_error(
                 "session-mutating statements are disabled (configuration is locked)"
             )
+        # batch-26 session DDL first: CREATE VIEW/TABLE bodies recurse
+        # through the full pipeline, DML raises
+        if re.match(r"(?is)^\s*(create|drop|insert|update|delete|merge|truncate)\b", sql):
+            return self._rewrite_session_ddl(sql)
         sql = self._rewrite_summarize(sql)
         sql = self._rewrite_from_first(sql)
         # batch-24: standard FETCH FIRST / OFFSET n ROWS → LIMIT/OFFSET
