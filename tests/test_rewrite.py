@@ -1853,3 +1853,43 @@ def test_session_ddl_batch26(spark, rw):
     ]:
         with pytest.raises(UQueryError):
             rw.rewrite(bad)
+
+
+def test_information_schema_batch27(spark, rw):
+    """Batch 27: information_schema.tables/columns are derived tables
+    built from the Spark catalog (DuckDB's 13/45-column standard
+    shapes, 'memory'/'main' identity, DuckDB typenames, uq_* plumbing
+    views filtered); user aliases and bare-name qualified references
+    both work."""
+    spark.createDataFrame([(1, "x")], "a int, b string").createOrReplaceTempView(
+        "uq27_demo"
+    )
+    spark.createDataFrame([(1,)], "z int").createOrReplaceTempView("uq_internal27")
+    rows = spark.sql(
+        rw.rewrite(
+            "SELECT table_catalog, table_schema, table_name, table_type "
+            "FROM information_schema.tables WHERE table_name LIKE 'uq%27%'"
+        )
+    ).collect()
+    assert [tuple(r) for r in rows] == [("memory", "main", "uq27_demo", "VIEW")]
+    cols = spark.sql(
+        rw.rewrite(
+            "SELECT column_name, ordinal_position, data_type, is_nullable "
+            "FROM information_schema.columns WHERE table_name = 'uq27_demo' "
+            "ORDER BY ordinal_position"
+        )
+    ).collect()
+    assert [tuple(r) for r in cols] == [
+        ("a", 1, "INTEGER", "YES"),
+        ("b", 2, "VARCHAR", "YES"),
+    ]
+    n = spark.sql(
+        rw.rewrite(
+            "SELECT count(*) AS n FROM information_schema.columns c "
+            "JOIN information_schema.tables t ON c.table_name = t.table_name "
+            "WHERE t.table_name = 'uq27_demo'"
+        )
+    ).collect()[0].n
+    assert n == 2
+    spark.catalog.dropTempView("uq27_demo")
+    spark.catalog.dropTempView("uq_internal27")

@@ -2101,3 +2101,37 @@ def dialect_gap_battery23(spark: SparkSession, sf: str) -> DataFrame:
         "current_user AS usr "
         "FROM part WHERE p_partkey <= 400 ORDER BY p_partkey",
     )
+
+
+@register(
+    "dialect_gap_battery24",
+    tags=("dialect", "battery", "introspection"),
+    oracle="""
+SELECT c.table_name, c.column_name, c.ordinal_position, c.data_type,
+       c.is_nullable, t.table_type
+FROM information_schema.columns c
+JOIN information_schema.tables t ON c.table_name = t.table_name
+WHERE c.table_name IN ('region','nation','customer','supplier','part',
+                       'orders','lineitem','documents','embeddings')
+ORDER BY c.table_name, c.ordinal_position
+""",
+)
+def dialect_gap_battery24(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch 27 pinned verbatim: the information_schema introspection
+    surface over the nine date/scalar-typed driver tables (events'
+    TIMESTAMP_NS column is the excluded known width deviation — DuckDB
+    reports the parquet nanos type, our views read it as TIMESTAMP).
+    Both engines list the same views with the same DuckDB typenames
+    (INTEGER/BIGINT/VARCHAR/DOUBLE/DATE/FLOAT[]), joined across the
+    tables/columns relations."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT c.table_name, c.column_name, c.ordinal_position, c.data_type, "
+        "c.is_nullable, t.table_type "
+        "FROM information_schema.columns c "
+        "JOIN information_schema.tables t ON c.table_name = t.table_name "
+        "WHERE c.table_name IN ('region','nation','customer','supplier','part',"
+        "'orders','lineitem','documents','embeddings') "
+        "ORDER BY c.table_name, c.ordinal_position",
+    )

@@ -1695,6 +1695,139 @@ class SqlRewriter:
             )
             sql = sql[: m.start()] + repl + sql[close + 1 :]
 
+    # -- sweep batch 27: information_schema ---------------------------------
+
+    _INFO_SCHEMA_RE = re.compile(
+        r"(?i)\binformation_schema\s*\.\s*(tables|columns)\b"
+    )
+
+    # DuckDB's information_schema.tables columns (DESCRIBE-probed)
+    _IS_TABLES_COLS = (
+        "table_catalog", "table_schema", "table_name", "table_type",
+        "self_referencing_column_name", "reference_generation",
+        "user_defined_type_catalog", "user_defined_type_schema",
+        "user_defined_type_name", "is_insertable_into", "is_typed",
+        "commit_action", "TABLE_COMMENT",
+    )
+    # the SQL-standard 45-column shape, DuckDB-probed; only the core
+    # identification columns carry values (like DuckDB's own view)
+    _IS_COLUMNS_COLS = (
+        "table_catalog", "table_schema", "table_name", "column_name",
+        "ordinal_position", "column_default", "is_nullable", "data_type",
+        "character_maximum_length", "character_octet_length",
+        "numeric_precision", "numeric_precision_radix", "numeric_scale",
+        "datetime_precision", "interval_type", "interval_precision",
+        "character_set_catalog", "character_set_schema",
+        "character_set_name", "collation_catalog", "collation_schema",
+        "collation_name", "domain_catalog", "domain_schema", "domain_name",
+        "udt_catalog", "udt_schema", "udt_name", "scope_catalog",
+        "scope_schema", "scope_name", "maximum_cardinality",
+        "dtd_identifier", "is_self_referencing", "is_identity",
+        "identity_generation", "identity_start", "identity_increment",
+        "identity_maximum", "identity_minimum", "identity_cycle",
+        "is_generated", "generation_expression", "is_updatable",
+        "COLUMN_COMMENT",
+    )
+
+    @staticmethod
+    def _sql_str(v) -> str:
+        if v is None:
+            return "CAST(NULL AS STRING)"
+        return "'" + str(v).replace("'", "''") + "'"
+
+    def _rewrite_information_schema(self, sql: str) -> str:
+        """``information_schema.tables`` / ``.columns`` (batch 27 — BI
+        tools and the reference's DuckDB both expose them) → inline
+        derived tables built from the Spark catalog at rewrite time,
+        aliased ``tables``/``columns`` like DuckDB's bare references.
+        catalog/schema render as DuckDB's in-memory identity
+        ('memory'/'main'); data_type uses DuckDB typenames (the
+        batch-24 mapper); internal ``uq_*`` plumbing views are
+        filtered. Zero-table catalogs yield a typed empty relation."""
+        if not self._search_code(self._INFO_SCHEMA_RE, sql):
+            return sql
+        from .functions.parity_udfs import _duck_typename
+
+        tabs = [
+            t
+            for t in self.spark.catalog.listTables()
+            if not t.name.startswith("uq_")
+        ]
+
+        def emit(rel: str) -> str:
+            if rel == "tables":
+                cols, rows = self._IS_TABLES_COLS, [
+                    (
+                        "memory", "main", t.name,
+                        "VIEW" if t.tableType in (None, "TEMPORARY", "VIEW")
+                        else "BASE TABLE",
+                        None, None, None, None, None, "NO", "NO", None, None,
+                    )
+                    for t in tabs
+                ]
+                num_cols: set[str] = set()
+            else:
+                cols = self._IS_COLUMNS_COLS
+                num_cols = {
+                    "ordinal_position", "character_maximum_length",
+                    "character_octet_length", "numeric_precision",
+                    "numeric_precision_radix", "numeric_scale",
+                    "datetime_precision", "interval_precision",
+                    "maximum_cardinality",
+                }
+                rows = []
+                for t in tabs:
+                    for i, c in enumerate(self.spark.catalog.listColumns(t.name)):
+                        row = {k: None for k in cols}
+                        row.update(
+                            table_catalog="memory", table_schema="main",
+                            table_name=t.name, column_name=c.name,
+                            ordinal_position=i + 1, is_nullable="YES",
+                            data_type=_duck_typename(c.dataType),
+                            is_self_referencing="NO", is_identity="NO",
+                            identity_cycle="NO", is_generated="NEVER",
+                            is_updatable="NO",
+                        )
+                        rows.append(tuple(row[k] for k in cols))
+            col_list = ", ".join(f"`{c}`" for c in cols)
+            if rows:
+                vals = ", ".join(
+                    "("
+                    + ", ".join(
+                        (str(v) if isinstance(v, int) else self._sql_str(v))
+                        if cols[j] not in num_cols or v is not None
+                        else "CAST(NULL AS INT)"
+                        for j, v in enumerate(r)
+                    )
+                    + ")"
+                    for r in rows
+                )
+                return f"(SELECT * FROM (VALUES {vals}) AS uq_is({col_list})) AS {rel}"
+            typed = ", ".join(
+                f"CAST(NULL AS {'INT' if c in num_cols else 'STRING'}) AS `{c}`"
+                for c in cols
+            )
+            return f"(SELECT {typed} WHERE false) AS {rel}"
+
+        stop_words = {
+            "on", "where", "group", "order", "limit", "join", "inner",
+            "left", "right", "full", "cross", "union", "except",
+            "intersect", "using", "having", "qualify", "offset", "fetch",
+            "asof", "positional", "semi", "anti",
+        }
+        pos = 0
+        while True:
+            m = self._search_code(self._INFO_SCHEMA_RE, sql, pos)
+            if not m:
+                return sql
+            repl = emit(m.group(1).lower())
+            # a user alias right after the reference replaces ours
+            nxt = re.match(r"\s+(as\s+)?([A-Za-z_]\w*)", sql[m.end() :])
+            if nxt and nxt.group(2).lower() not in stop_words:
+                repl = repl.rsplit(" AS ", 1)[0]
+            sql = sql[: m.start()] + repl + sql[m.end() :]
+            pos = m.start() + len(repl)
+
     # -- sweep batch 26: session DDL ----------------------------------------
 
     _CREATE_VIEW_RE = re.compile(
@@ -6193,6 +6326,7 @@ class SqlRewriter:
         sql = self._rewrite_fetch_first(sql)
         sql = self._rewrite_tvfs(sql)
         sql = self._rewrite_glob_tvf(sql)
+        sql = self._rewrite_information_schema(sql)
         sql = self._rewrite_pivot_statement(sql)
         sql = self._rewrite_unpivot_statement(sql)
         # batch-18: standard TRIM(... FROM 'lit') BEFORE path tables —
