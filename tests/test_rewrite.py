@@ -632,9 +632,12 @@ def test_gap_hunt_unsupported_raise(rw):
     import pytest as _pytest
     from uquery_rs_spark.errors import UQueryError
 
+    # (format('{:.2f}') graduated to a supported translation in the
+    # batch-28 format-spec sweep; the fmt/Java disagreements still raise)
     for sql in (
         "SELECT list_aggregate([1], 'histogram')",
-        "SELECT format('{:.2f}', 1.0)",
+        "SELECT format('{:^8}', 1.0)",
+        "SELECT format('{:g}', 1.0)",
         "SELECT date_diff('era', DATE '2024-01-01', DATE '2024-01-02')",
     ):
         with _pytest.raises(UQueryError):
@@ -1893,3 +1896,47 @@ def test_information_schema_batch27(spark, rw):
     assert n == 2
     spark.catalog.dropTempView("uq27_demo")
     spark.catalog.dropTempView("uq_internal27")
+
+
+def test_gap_hunt_batch28(spark, rw):
+    """Sweep batch 28: reverse() is GRAPHEME-aware in DuckDB (combining
+    accents and ZWJ emoji stay clustered — Spark's codepoint reverse
+    was a silent-wrong; lists still reverse natively via list_reverse
+    and the step-slice sentinel); the format() spec mini-language
+    ({:.2f}, {:>6}, {:06.1f}, {:x}, {:,}, {:o}, {:e}, {:b}/{:08b} via
+    conv; center-align/%g raise); integer-keyed MAP subscripts return
+    DuckDB's single-element LIST (uq_polymapi probe with the map_keys
+    discriminator — lists/strings fall back to the uq_poly pair);
+    regexp_extract named-group lists → STRUCT; literal ::INTERVAL →
+    Spark INTERVAL literals (comparable ANSI classes);
+    timezone_hour/minute → 0; transaction_timestamp → now."""
+    cases = {
+        "SELECT reverse('éx') AS v": "xé",
+        "SELECT reverse('🤦🏼‍♂️ab') AS v": "ba🤦🏼‍♂️",
+        "SELECT array_to_string(list_reverse([1,2,3]), ',') AS v": "3,2,1",
+        "SELECT array_to_string([1,2,3,4,5][5:1:-2], ',') AS v": "5,3,1",
+        "SELECT (MAP {1: 'a'})[1] AS v": ["a"],
+        "SELECT m[2][1] AS v FROM (SELECT MAP {2: 'b'} AS m)": "b",
+        "SELECT [10,20][2] AS v": 20,
+        "SELECT [10,20][-1] AS v": 20,
+        "SELECT 'abc'[2] AS v": "b",
+        "SELECT format('{:.2f}|{:>6}|{:06.1f}', 3.14159, 'ab', 2.5) AS v":
+            "3.14|    ab|0002.5",
+        "SELECT format('{:x}', 255) AS v": "ff",
+        "SELECT format('{:,}', 1234567) AS v": "1,234,567",
+        "SELECT format('{:08b}', 5) AS v": "00000101",
+        "SELECT regexp_extract('2024-03-05', '(\\d+)-(\\d+)', ['y', 'm']).y AS v":
+            "2024",
+        "SELECT '2 days'::INTERVAL > '1 day'::INTERVAL AS v": True,
+        "SELECT '1 day 2 hours'::INTERVAL = INTERVAL '26 hours' AS v": True,
+        "SELECT timezone_hour(TIMESTAMP '2024-01-01 00:00:00') AS v": 0,
+        "SELECT transaction_timestamp() IS NOT NULL AS v": True,
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        if isinstance(got, list):
+            got = list(got)
+        assert got == want, f"{sql}: {got!r} != {want!r}"
+    for bad in ["SELECT format('{:^8}', 1)", "SELECT format('{:g}', 1.0)"]:
+        with pytest.raises(UQueryError):
+            rw.rewrite(bad)

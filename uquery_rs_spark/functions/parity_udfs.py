@@ -632,7 +632,13 @@ def _build_udfs() -> dict:
             ),
             "string",
         ),
-        # grapheme family (batch 22)
+        # grapheme family (batch 22; reverse joined batch 28 — DuckDB's
+        # reverse() is GRAPHEME-aware and string-only: reverse('éx')
+        # with a combining accent keeps the cluster, Spark's reverses
+        # codepoints)
+        "uq_reverse_graphemes": pandas_udf(
+            _map1(lambda s: "".join(reversed(_graphemes(s)))), "string"
+        ),
         "uq_length_grapheme": pandas_udf(
             _map1(lambda s: len(_graphemes(s))), "long"
         ),

@@ -807,7 +807,11 @@ def quality_classifier(
         toks, F.lit(0.0), lambda s, t: s + weight(bucket(t))
     )
     n = F.size(toks)
-    score = F.round(total / F.greatest(n, F.lit(1)), 4)
+    # + 0 normalizes IEEE -0.0 (a tiny negative sum rounding to zero) —
+    # the repo rule since the r6 emb_dim_variance sf0.1 catch: any
+    # round() of a possibly-tiny-negative aggregate needs it, or the
+    # value hasher distinguishes the -0.0/0.0 reprs across engines
+    score = F.round(total / F.greatest(n, F.lit(1)), 4) + F.lit(0.0)
     return docs.select(
         key_col,
         n.cast("bigint").alias("n_tokens"),

@@ -2135,3 +2135,45 @@ def dialect_gap_battery24(spark: SparkSession, sf: str) -> DataFrame:
         "'orders','lineitem','documents','embeddings') "
         "ORDER BY c.table_name, c.ordinal_position",
     )
+
+
+@register(
+    "dialect_gap_battery25",
+    tags=("dialect", "battery", "strings"),
+    oracle="""
+SELECT p_partkey,
+       reverse(substr(p_name, 1, 12))                     AS rev,
+       format('{:>10}|{:05d}|{:.3f}|{:x}|{:,}', substr(p_brand, 1, 8),
+              CAST(p_partkey % 999 AS INTEGER), p_retailprice / 7,
+              CAST(p_size AS BIGINT), CAST(p_partkey AS BIGINT) * 1001) AS fmtd,
+       format('{:08b}', CAST(p_size AS BIGINT))           AS fbin,
+       MAP {1: p_brand}[1][1]                             AS mik,
+       regexp_extract(p_type, '(\\w+) (\\w+)', ['head', 'mid']).mid AS rx,
+       ('2 days'::INTERVAL > '1 day'::INTERVAL)           AS iv,
+       timezone_hour(CAST(DATE '2024-01-01' AS TIMESTAMP)) AS tzh
+FROM part
+WHERE p_partkey <= 400
+ORDER BY p_partkey
+""",
+)
+def dialect_gap_battery25(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep batch 28 pinned verbatim: grapheme-aware reverse over
+    data, the format() spec mini-language (align/zero-pad/precision/
+    hex/grouping/binary) with data-dependent args, integer-keyed MAP
+    subscript list unwrap, named-group regexp_extract struct field,
+    comparable ::INTERVAL literals, timezone_hour."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT p_partkey, "
+        "reverse(substr(p_name, 1, 12)) AS rev, "
+        "format('{:>10}|{:05d}|{:.3f}|{:x}|{:,}', substr(p_brand, 1, 8), "
+        "CAST(p_partkey % 999 AS INTEGER), p_retailprice / 7, "
+        "CAST(p_size AS BIGINT), CAST(p_partkey AS BIGINT) * 1001) AS fmtd, "
+        "format('{:08b}', CAST(p_size AS BIGINT)) AS fbin, "
+        "MAP {1: p_brand}[1][1] AS mik, "
+        "regexp_extract(p_type, '(\\w+) (\\w+)', ['head', 'mid']).mid AS rx, "
+        "('2 days'::INTERVAL > '1 day'::INTERVAL) AS iv, "
+        "timezone_hour(CAST(DATE '2024-01-01' AS TIMESTAMP)) AS tzh "
+        "FROM part WHERE p_partkey <= 400 ORDER BY p_partkey",
+    )

@@ -2614,7 +2614,7 @@ SELECT doc_id,
                      list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
                      (a, c) -> (a * 31 + c) % 1048576)
                    * 2654435761) % 1000003) / 1000003.0 * 2 - 1))
-             / greatest(len(toks), 1), 4) AS quality_score,
+             / greatest(len(toks), 1), 4) + 0 AS quality_score,
        round(list_sum(list_transform(toks,
              t -> ((list_reduce(list_prepend(CAST(0 AS BIGINT),
                      list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),

@@ -304,6 +304,8 @@ class SqlRewriter:
         "to_hex": "hex",
         # batch 17
         "list_pack": "array",
+        # batch 28: both are the statement-start timestamp
+        "transaction_timestamp": "now",
         "list_apply": "transform",
         # batch 18
         "list_value": "array",
@@ -760,8 +762,36 @@ class SqlRewriter:
             if close == -1:
                 break
             inner = self._rewrite_regexp_extract(sql[m.end() : close])
-            if len(self._split_top(inner, ",")) == 2:
+            parts = self._split_top(inner, ",")
+            if len(parts) == 2:
                 inner += ", 0"
+            elif (
+                len(parts) == 3
+                and not m.group(1)  # regexp_extract only (not _all)
+                and re.match(r"(?i)^\s*array\s*\(", parts[2].strip())
+            ):
+                # batch 28: named-group LIST form returns a STRUCT —
+                # regexp_extract(s, pat, ['a','b']) = {'a': g1, 'b': g2}
+                # (unmatched optional groups are '' on both engines)
+                am = re.match(r"(?i)^\s*array\s*\(", parts[2].strip())
+                names_body = parts[2].strip()[am.end() : -1]
+                names = [
+                    self._lit_parse(n.strip())
+                    for n in self._split_top(names_body, ",")
+                ]
+                if any(n is None for n in names):
+                    raise UQueryError.sql_error(
+                        "regexp_extract: group names must be string literals"
+                    )
+                s_arg, p_arg = parts[0].strip(), parts[1].strip()
+                fields = ", ".join(
+                    f"'{n}', regexp_extract({s_arg}, {p_arg}, {i + 1})"
+                    for i, n in enumerate(names)
+                )
+                out.append(sql[pos : m.start()] + f"named_struct({fields})")
+                pos = close + 1
+                m = self._search_code(self._REGEXP_EXTRACT_RE, sql, pos)
+                continue
             out.append(sql[pos : m.end()] + inner + ")")
             pos = close + 1
             m = self._search_code(self._REGEXP_EXTRACT_RE, sql, pos)
@@ -1032,12 +1062,76 @@ class SqlRewriter:
             sql = head + repl + sql[close + 1 :]
             pos = m.start() + len(repl)
 
+    _FMT_SPEC_RE = re.compile(
+        r"^(?:(?P<fill>.)?(?P<align>[<>^]))?(?P<sign>[+ ]?)(?P<alt>#?)"
+        r"(?P<zero>0?)(?P<width>\d*)(?P<comma>,?)(?:\.(?P<prec>\d+))?"
+        r"(?P<typ>[a-zA-Z%]?)$"
+    )
+
+    def _fmt_spec_to_pct(self, body: str):
+        """fmt format-spec → (java %-spec-sans-%, cast_type, wrap) —
+        batch 28 extended the plain-{} translation to the spec
+        mini-language. Raises on forms where C++ fmt and Java's
+        Formatter disagree (center align, %g, custom fills, {:%}) —
+        translate-or-raise, never mistranslate."""
+        sm = self._FMT_SPEC_RE.match(body)
+        if not sm:
+            raise UQueryError.sql_error(
+                f"format(): unsupported placeholder '{{:{body}}}'"
+            )
+        fill, align = sm.group("fill"), sm.group("align")
+        sign, alt, zero = sm.group("sign"), sm.group("alt"), sm.group("zero")
+        width, comma, prec = sm.group("width"), sm.group("comma"), sm.group("prec")
+        typ = sm.group("typ")
+        if fill not in (None, "", " ") or align == "^":
+            raise UQueryError.sql_error(
+                "format(): custom fills and center alignment are not supported"
+            )
+        if typ in ("g", "G", "%"):
+            raise UQueryError.sql_error(
+                f"format(): '{typ}' — C++ fmt and Java formatting disagree"
+            )
+        flags = ("-" if align == "<" else "") + sign + alt + zero + (comma or "")
+        cast, wrap = None, None
+        if typ in ("d",):
+            cast = "BIGINT"
+        elif typ in ("x", "X", "o"):
+            cast = "BIGINT"
+        elif typ in ("f", "F", "e", "E"):
+            cast = "DOUBLE"
+        elif typ == "b":
+            # Java %b is boolean — binary renders via conv(); width
+            # handled by the %s width, zero-padding via lpad
+            wrap = "lower(conv(CAST(({a}) AS BIGINT), 10, 2))"
+            if zero and width:
+                wrap = f"lpad({wrap}, {int(width)}, '0')"
+                width, flags = "", flags.replace("0", "")
+            typ = "s"
+        elif typ == "" and comma:
+            # {:,} — grouping implies a numeric: fmt's int default
+            typ, cast = "d", "BIGINT"
+        elif typ in ("s", ""):
+            if typ == "" and width and not align:
+                raise UQueryError.sql_error(
+                    "format(): width without a type or alignment is "
+                    "ambiguous (fmt aligns strings left, numbers right) — "
+                    "add '<'/'>' or a type"
+                )
+            typ = "s"
+        else:
+            raise UQueryError.sql_error(
+                f"format(): unsupported type '{typ}'"
+            )
+        prec_s = f".{prec}" if prec is not None else ""
+        return f"{flags}{width}{prec_s}{typ}", cast, wrap
+
     def _rewrite_format(self, sql: str) -> str:
         """format('…{}…', args) (fmt.format-style braces) →
-        format_string with %s placeholders: `{}` → `%s`, `{k}` →
-        `%(k+1)$s`, `{{`/`}}` → literal braces. Only literal format
-        strings with plain placeholders are translatable; anything with
-        format specs raises rather than mistranslates."""
+        format_string: `{}` → `%s`, `{k}` → positional, `{{`/`}}` →
+        literal braces, and (batch 28) the format-spec mini-language
+        ({:.2f}, {:>6}, {:06.1f}, {:x}, {:,}, {:+.1f}, {:o}, {:e},
+        {:b} via conv) with spec-driven argument casts. Only literal
+        format strings translate; fmt/Java disagreements raise."""
         hit = self._call_args(self._FORMAT_RE, sql)
         if not hit:
             return sql
@@ -1046,7 +1140,30 @@ class SqlRewriter:
         fmt = self._lit_parse(args[0]) if args else None
         if fmt is None:
             raise UQueryError.sql_error("format() requires a literal format string")
+        vals = list(args[1:])
+        casts: dict[int, str] = {}
+        wraps: dict[int, str] = {}
+
+        def consume(k: int, cast, wrap):
+            if k >= len(vals):
+                raise UQueryError.sql_error(
+                    "format(): more placeholders than arguments"
+                )
+            if cast:
+                if casts.get(k, cast) != cast:
+                    raise UQueryError.sql_error(
+                        "format(): conflicting specs for one argument"
+                    )
+                casts[k] = cast
+            if wrap:
+                if k in wraps and wraps[k] != wrap:
+                    raise UQueryError.sql_error(
+                        "format(): conflicting specs for one argument"
+                    )
+                wraps[k] = wrap
+
         out, i, n = [], 0, len(fmt)
+        auto = 0
         while i < n:
             c = fmt[i]
             if c == "{":
@@ -1058,10 +1175,20 @@ class SqlRewriter:
                 if j == -1:
                     raise UQueryError.sql_error("format(): unbalanced '{' in format string")
                 spec = fmt[i + 1 : j]
-                if spec == "":
-                    out.append("%s")
-                elif spec.isdigit():
-                    out.append(f"%{int(spec) + 1}$s")
+                argnum, _, body = spec.partition(":")
+                if ":" not in spec:
+                    argnum, body = spec, ""
+                if body:
+                    pct, cast, wrap = self._fmt_spec_to_pct(body)
+                else:
+                    pct, cast, wrap = "s", None, None
+                if argnum == "":
+                    consume(auto, cast, wrap)
+                    out.append(f"%{pct}")
+                    auto += 1
+                elif argnum.isdigit():
+                    consume(int(argnum), cast, wrap)
+                    out.append(f"%{int(argnum) + 1}${pct}")
                 else:
                     raise UQueryError.sql_error(
                         f"format(): unsupported placeholder '{{{spec}}}'"
@@ -1077,7 +1204,15 @@ class SqlRewriter:
                 out.append(c)
                 i += 1
         lit = "'" + "".join(out).replace("'", "''") + "'"
-        rest = "".join(f", {a}" for a in args[1:])
+        final_args = []
+        for k, v in enumerate(vals):
+            if k in wraps:
+                final_args.append(wraps[k].format(a=v))
+            elif k in casts:
+                final_args.append(f"CAST(({v}) AS {casts[k]})")
+            else:
+                final_args.append(v)
+        rest = "".join(f", {a}" for a in final_args)
         return sql[: m.start()] + f"format_string({lit}{rest})" + tail
 
     _DATE_DIFF_UNITS = {
@@ -1975,6 +2110,33 @@ class SqlRewriter:
                 f"ELSE uq_json_cast(uq_duck_typename(typeof(({x}))), "
                 f"{self._jenc(x)}) END)"
             )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
+
+    def _rewrite_interval_cast(self, sql: str) -> str:
+        """``'1 day 2 hours'::INTERVAL`` / CAST(literal AS INTERVAL)
+        (batch 28) → Spark's INTERVAL literal, which picks the proper
+        ANSI interval class (day-time or year-month) so comparisons
+        work — CAST-to-bare-INTERVAL yields the legacy calendar type
+        that can't compare against interval literals. Mixed-class
+        literals error loudly in Spark's parser (DuckDB's calendar
+        intervals admit them — documented). Non-literal operands stay
+        native."""
+        pos = 0
+        while True:
+            hit = self._call_args(self._JSON_CAST_RE, sql, pos)
+            if not hit:
+                return sql
+            m, close, args = hit
+            parts = self._split_top(sql[m.end() : close], "as")
+            if len(parts) != 2 or parts[1].strip().lower() != "interval":
+                pos = close + 1
+                continue
+            lit = self._lit_parse(parts[0].strip())
+            if lit is None:
+                pos = close + 1
+                continue
+            repl = "INTERVAL '" + lit.replace("'", "''") + "'"
             sql = sql[: m.start()] + repl + sql[close + 1 :]
             pos = m.start() + len(repl)
 
@@ -5217,7 +5379,10 @@ class SqlRewriter:
             if step > 0:
                 base = self._slice_form(operand, a, b, "slice", "size")
             else:
-                base = f"reverse({self._slice_form(operand, b, a, 'slice', 'size')})"
+                # uq_native_reverse: a sentinel the batch-28 grapheme
+                # pass must NOT intercept (lists reverse natively);
+                # restored to reverse() at the end of the pipeline
+                base = f"uq_native_reverse({self._slice_form(operand, b, a, 'slice', 'size')})"
                 step = -step
             if step == 1:
                 return base
@@ -5253,26 +5418,33 @@ class SqlRewriter:
             # return the field. Fallback: scalar element_at (the
             # pre-batch-25 behavior).
             return f"uq_polymap({operand}, {idx})"
+        # batch 28: integer subscripts are also MAP key access in DuckDB
+        # (m[1] → single-element LIST) — the uq_polymapi marker probes
+        # map-ness first (map_keys discriminator) and otherwise falls
+        # back to the list/string uq_poly pair below
         if re.fullmatch(r"-\d+", idx):
             # try_: ANSI element_at errors on out-of-bounds; DuckDB → NULL
             return (
+                f"uq_polymapi({operand}, {idx}, "
                 f"uq_poly(try_element_at({operand}, {idx}), "
-                f"substring({operand}, {idx}, 1))"
+                f"substring({operand}, {idx}, 1)))"
             )
         if re.fullmatch(r"\d+", idx):
             return (
+                f"uq_polymapi({operand}, {idx}, "
                 f"uq_poly(get({operand}, {int(idx) - 1}), "
-                f"substring({operand}, {idx}, 1))"
+                f"substring({operand}, {idx}, 1)))"
             )
         # assumes a list or string (1-based, negative counts from the
-        # end) — integer-keyed map access is ambiguous. Zero-guard +
-        # try_: DuckDB yields NULL for l[0] and any out-of-bounds list
-        # index ('' for strings — the dynamic substring gets the batch-8
-        # window translation which reproduces that)
+        # end). Zero-guard + try_: DuckDB yields NULL for l[0] and any
+        # out-of-bounds list index ('' for strings — the dynamic
+        # substring gets the batch-8 window translation which
+        # reproduces that)
         return (
+            f"uq_polymapi({operand}, ({idx}), "
             f"uq_poly((CASE WHEN ({idx}) = 0 THEN NULL "
             f"ELSE try_element_at({operand}, ({idx})) END), "
-            f"substring({operand}, ({idx}), 1))"
+            f"substring({operand}, ({idx}), 1)))"
         )
 
     def _bracket_literal(self, inner: str) -> str:
@@ -5966,7 +6138,7 @@ class SqlRewriter:
         return self._TYPE_RENAMES.get(base, ty)
 
     _UQ_POLY_RE = re.compile(r"\buq_poly\s*\(")
-    _UQ_POLY_ANY_RE = re.compile(r"\buq_poly(map)?\s*\(")
+    _UQ_POLY_ANY_RE = re.compile(r"\buq_poly(mapi?)?\s*\(")
 
     def _neutralize_markers(self, text: str, token: str) -> str:
         """Neutralize every unresolved poly marker in a probe text: an
@@ -5981,7 +6153,7 @@ class SqlRewriter:
                 return text
             hm, hclose, hargs = h
             span = text[hm.start() : hclose + 1]
-            if token in span and len(hargs) == 2:
+            if token in span and len(hargs) in (2, 3):
                 inner = next((a for a in hargs if token in a), hargs[0])
             else:
                 inner = "NULL"
@@ -6013,15 +6185,25 @@ class SqlRewriter:
                 pos = m.end()
             if not hits:
                 return sql
-            # innermost: a marker whose args contain no nested marker
-            # (of EITHER kind — batch 25 added uq_polymap)
+            # Resolution order: a uq_polymapi whose OPERAND/KEY args are
+            # marker-free resolves first — its third arg (the list/
+            # string fallback marker) must not resolve before map-ness
+            # is decided (batch 28). Otherwise: innermost marker of any
+            # kind (args contain no nested marker).
             target = next(
+                (
+                    h
+                    for h in hits
+                    if h[0].group(1) == "mapi"
+                    and "uq_poly" not in h[2][0]
+                    and "uq_poly" not in h[2][1]
+                ),
+                None,
+            ) or next(
                 (h for h in hits if all("uq_poly" not in a for a in h[2])),
                 hits[-1],
             )
             m, close, args = target
-            if len(args) != 2:
-                raise UQueryError.sql_error("internal: malformed uq_poly marker")
 
             def probe_ok(cand: str) -> bool:
                 probe = self._neutralize_markers(
@@ -6036,6 +6218,26 @@ class SqlRewriter:
                 except Exception:
                     return False
 
+            if m.group(1) == "mapi":
+                # uq_polymapi(op, key, fallback) — integer-key map
+                # probe (batch 28): map_keys() analyzes only for maps
+                if len(args) != 3:
+                    raise UQueryError.sql_error("internal: malformed uq_polymapi")
+                op, key, fallback = args
+                guard = f"map_keys(({op}))"
+                if probe_ok(f"IF(({guard}) IS NULL, NULL, NULL)") or probe_ok(
+                    f"IF(({guard}) IS NULL, array(1), array(1))"
+                ):
+                    chosen = (
+                        f"filter(array(try_element_at(({op}), {key})), "
+                        f"uq_mv -> uq_mv IS NOT NULL)"
+                    )
+                else:
+                    chosen = fallback  # the uq_poly pair resolves next lap
+                sql = sql[: m.start()] + f"({chosen})" + sql[close + 1 :]
+                continue
+            if len(args) != 2:
+                raise UQueryError.sql_error("internal: malformed uq_poly marker")
             if m.group(1):  # uq_polymap(operand, 'key') — batch 25
                 op, key = args
                 # MAP reading first (string-keyed try_element_at
@@ -6363,6 +6565,40 @@ class SqlRewriter:
         # batch-25: dot-chaining x.f(a) → f(x, a) AFTER brackets (list
         # literals are array(...) calls by now) and BEFORE renames
         sql = self._rewrite_dot_chain(sql)
+        # batch-28: DuckDB reverse() is GRAPHEME-aware and string-only
+        # (list reversal is list_reverse); intercept user calls here —
+        # later passes emit Spark's native reverse for lists, and the
+        # bracket pass's step-slice emission used the sentinel above
+        if self._search_code(re.compile(r"(?i)(?<![\w.])reverse\s*\("), sql):
+            from .functions.parity_udfs import register_parity_udfs
+
+            register_parity_udfs(self.spark)
+            sql = self._sub_code(
+                re.compile(r"(?i)(?<![\w.])reverse\s*\("),
+                "uq_reverse_graphemes(",
+                sql,
+            )
+        # restore the bracket pass's sentinel (list reversal is native)
+        sql = self._sub_code(
+            re.compile(r"\buq_native_reverse\s*\("), "reverse(", sql
+        )
+        # batch-28: timezone_hour/minute are 0 for naive timestamps
+        # (UTC session — DuckDB-verified), NULL-propagating
+        for tzfn in ("timezone_hour", "timezone_minute"):
+            while True:
+                hit = self._call_args(
+                    re.compile(rf"(?i)\b{tzfn}\s*\("), sql
+                )
+                if not hit:
+                    break
+                m, close, args = hit
+                if len(args) != 1:
+                    raise UQueryError.sql_error(f"{tzfn} expects 1 arg")
+                repl = (
+                    f"(CASE WHEN CAST(({args[0]}) AS TIMESTAMP) IS NULL "
+                    f"THEN CAST(NULL AS BIGINT) ELSE 0 END)"
+                )
+                sql = sql[: m.start()] + repl + sql[close + 1 :]
         sql = self._rewrite_function_names(sql)
         # batch-15 parity scalars after the rename table (their names
         # are not in it) and before lambda/scalar passes touch the args
@@ -6439,6 +6675,7 @@ class SqlRewriter:
         # validates and PRESERVES text, DuckDB-verified; other types
         # encode via the json writer); session identity literals
         sql = self._rewrite_json_cast(sql)
+        sql = self._rewrite_interval_cast(sql)
         sql = self._sub_code_fn(
             re.compile(r"(?i)\bcurrent_database\s*\(\s*\)"),
             lambda m: "'memory'",
