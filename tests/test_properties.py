@@ -232,3 +232,130 @@ def test_asof_matches_pandas_merge_asof(spark, left, right, direction):
     )
     exp = {int(r.t): (None if pd.isna(r.v) else r.v) for r in exp_df.itertuples()}
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# Differential fuzz: random dialect expressions, DuckDB as the oracle
+# (round 6 — the sweep's methodology as a generator: any expression
+# DuckDB accepts must evaluate to the SAME value through the gateway)
+# ---------------------------------------------------------------------------
+
+_SAFE_STRS = ["'abc'", "'Héllo'", "'a,b,c'", "''", "'x y'", "'éx'"]
+_INTS = ["0", "1", "2", "3", "7", "-3", "12"]
+
+
+def _int_expr(draw, depth):
+    if depth <= 0:
+        return draw(st.sampled_from(_INTS))
+    kind = draw(st.integers(0, 9))
+    a = _int_expr(draw, depth - 1)
+    b = _int_expr(draw, depth - 1)
+    s = _str_expr(draw, depth - 1)
+    if kind == 0:
+        return f"({a} + {b})"
+    if kind == 1:
+        return f"({a} - {b})"
+    if kind == 2:
+        return f"({a} * {b})"
+    if kind == 3:
+        return f"abs({a})"
+    if kind == 4:
+        return f"greatest({a}, {b})"
+    if kind == 5:
+        return f"least({a}, {b})"
+    if kind == 6:
+        return f"length({s})"
+    if kind == 7:
+        return f"list_sum([{a}, {b}])"
+    if kind == 8:
+        return f"ascii({s})"
+    return f"len({s})"
+
+
+def _str_expr(draw, depth):
+    if depth <= 0:
+        return draw(st.sampled_from(_SAFE_STRS))
+    kind = draw(st.integers(0, 9))
+    a = _str_expr(draw, depth - 1)
+    i = _int_expr(draw, 0)
+    if kind == 0:
+        return f"upper({a})"
+    if kind == 1:
+        return f"lower({a})"
+    if kind == 2:
+        return f"trim({a})"
+    if kind == 3:
+        return f"reverse({a})"
+    if kind == 4:
+        return f"substr({a}, {i}, 2)"
+    if kind == 5:
+        return f"left({a}, {i})"
+    if kind == 6:
+        return f"right({a}, {i})"
+    if kind == 7:
+        return f"split_part({a}, ',', 1)"
+    if kind == 8:
+        return f"concat({a}, {a})"
+    return f"repeat({a}, 2)"
+
+
+@st.composite
+def _expr_batch(draw):
+    out = []
+    for _ in range(12):
+        depth = draw(st.integers(1, 3))
+        if draw(st.booleans()):
+            out.append(_int_expr(draw, depth))
+        else:
+            out.append(_str_expr(draw, depth))
+    return out
+
+
+def _norm(v):
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return int(v) if v == int(v) else float(v)
+    return v
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(_expr_batch())
+def test_differential_expression_fuzz(spark, exprs):
+    """Any randomly generated expression DuckDB evaluates successfully
+    must produce the SAME value through the gateway (the dialect
+    sweep's contract, property-tested). DuckDB-side errors skip the
+    expression (overflow, factorial range, …)."""
+    import duckdb
+
+    rw = SqlRewriter(spark)
+    con = duckdb.connect()
+    keep, want = [], []
+    for e in exprs:
+        try:
+            want.append(con.sql(f"SELECT {e}").fetchall()[0][0])
+            keep.append(e)
+        except Exception:
+            continue
+    if not keep:
+        return
+    sel = ", ".join(f"{e} AS c{i}" for i, e in enumerate(keep))
+    try:
+        row = spark.sql(rw.rewrite(f"SELECT {sel}")).collect()[0]
+    except Exception:
+        # identify the offender one by one for a useful failure message
+        for e, w in zip(keep, want):
+            try:
+                got = spark.sql(rw.rewrite(f"SELECT {e} AS v")).collect()[0][0]
+            except Exception as exc:
+                raise AssertionError(
+                    f"gateway rejects DuckDB-valid expression {e!r}: {exc}"
+                ) from exc
+            assert _norm(got) == _norm(w), f"{e}: {got!r} != {w!r}"
+        raise
+    for e, w, got in zip(keep, want, row):
+        assert _norm(got) == _norm(w), f"{e}: {got!r} != {w!r}"
