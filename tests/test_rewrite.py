@@ -1940,3 +1940,30 @@ def test_gap_hunt_batch28(spark, rw):
     for bad in ["SELECT format('{:^8}', 1)", "SELECT format('{:g}', 1.0)"]:
         with pytest.raises(UQueryError):
             rw.rewrite(bad)
+
+
+def test_fuzzer_catches_batch28(spark, rw):
+    """Regression pins for the three differential-fuzzer catches:
+    (1) nested left/right/substr with negative/zero args inside a
+    NATIVE outer call were skipped untranslated (silent wrong);
+    (2) list_sum over DECIMAL elements hit Spark's fold-stable-type
+    rule (uq_poly DOUBLE fallback, width deviation documented);
+    (3) list_position is width-strict in Spark where DuckDB coerces
+    numerics (both-sides-DOUBLE fallback)."""
+    cases = {
+        "SELECT right(right('abc', -1), 1) AS v": "c",
+        "SELECT left(right('1234', -3), 1) AS v": "4",
+        "SELECT right(left('abcd', -1), -1) AS v": "bc",
+        "SELECT substr(substr('x y', 0, 2), 2, 2) AS v": "",
+        "SELECT substr(substr('abcdef', 0, 4), -2, 2) AS v": "bc",
+        "SELECT list_sum([1, floor(3 / 2.0)]) AS v": 2.0,
+        "SELECT CAST(list_sum([1.5, 2.25]) AS DOUBLE) AS v": 3.75,
+        "SELECT list_sum([1, 2, NULL]) AS v": 3,
+        "SELECT list_position([floor(4 / 2.0), 1.0], 2) AS v": 1,
+        "SELECT list_position([1, 2], 2.0) AS v": 2,
+        "SELECT list_position(['a','b'], 'b') AS v": 2,
+        "SELECT list_position([1, 2, 3], 5) AS v": 0,
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        assert got == want, f"{sql}: {got!r} != {want!r}"

@@ -270,10 +270,9 @@ class SqlRewriter:
         "list_max": "array_max",
         "list_append": "array_append",
         "list_prepend": "array_prepend",
-        "list_position": "array_position",
-        # batch 20: same missing→0 / NULL-needle→NULL contract verified
-        "list_indexof": "array_position",
-        "array_indexof": "array_position",
+        # list_position/list_indexof/array_indexof moved to
+        # _rewrite_b20_fns (fuzzer catch: Spark's array_position is
+        # width-strict where DuckDB coerces numeric types)
         "from_hex": "unhex",
         "list_zip": "arrays_zip",
         "regexp_matches": "regexp_like",
@@ -906,8 +905,15 @@ class SqlRewriter:
         l = self._rewrite_list_aggregate(args[0])
         fname = (self._lit_parse(args[1]) or "").lower()
         nn = f"filter(({l}), x -> x IS NOT NULL)"
+        # element-typed fold; DECIMAL elements widen per step which
+        # Spark's aggregate() rejects (fold-stable type required —
+        # fuzzer catch, batch 28) → uq_poly falls back to a DOUBLE
+        # fold (documented width deviation, same values)
         sum_expr = (
-            f"aggregate({nn}, try_element_at({nn}, 1) * 0, (a, x) -> a + x)"
+            f"uq_poly("
+            f"aggregate(transform({nn}, uq_dv -> CAST(uq_dv AS DOUBLE)), "
+            f"CAST(0 AS DOUBLE), (a, x) -> a + x), "
+            f"aggregate({nn}, try_element_at({nn}, 1) * 0, (a, x) -> a + x))"
         )
         count_expr = f"CAST(size({nn}) AS BIGINT)"
         # avg accumulates in DOUBLE from the start (a decimal-element
@@ -2740,6 +2746,7 @@ class SqlRewriter:
     _FACTORIALS = [str(__import__("math").factorial(n)) for n in range(2, 34)]
     _B20_FN_RE = re.compile(
         r"(?i)\b(flatten|factorial|trunc|list_contains|array_contains|"
+        r"list_position|list_indexof|array_indexof|"
         r"setseed|current_setting)\s*\("
     )
     # postfix factorial: operand ends with \w / ) / ] and the '!' is not
@@ -2854,6 +2861,24 @@ class SqlRewriter:
                     f"(CASE WHEN ({a0}) >= 0 THEN floor(({a0})) "
                     f"ELSE ceil(({a0})) END)"
                 )
+            elif fn in ("list_position", "list_indexof", "array_indexof"):
+                if len(args) != 2:
+                    raise UQueryError.sql_error(f"{fn} expects (list, value)")
+                a, x = a0, args[1]
+                # DuckDB coerces the needle's numeric width; Spark's
+                # array_position is type-strict (fuzzer catch, batch
+                # 28). The native form probes first; mismatched widths
+                # fall back to the both-sides-widened form.
+                # DOUBLE on both sides: Spark demands EXACT type match
+                # down to decimal precision; arithmetic re-unification
+                # still disagreed (probed) — the double cast is the
+                # only stable meeting point for mixed numerics
+                widened = (
+                    f"array_position("
+                    f"transform(({a}), uq_pe -> CAST(uq_pe AS DOUBLE)), "
+                    f"CAST(({x}) AS DOUBLE))"
+                )
+                repl = f"uq_poly({widened}, array_position(({a}), ({x})))"
             elif fn == "setseed":
                 repl = "CAST(NULL AS DOUBLE)"
             else:  # list_contains / array_contains
@@ -3700,9 +3725,14 @@ class SqlRewriter:
                 and int(args[1]) >= 1
                 and self._POS_INT_RE.match(args[2])
             ):
-                pos = close + 1
+                # scan INSIDE the skipped native call — a nested substr
+                # with 0/negative args must still translate (fuzzer
+                # catch, batch 28 — the left/right class)
+                pos = m.end()
                 continue
-            s, st, ln = args
+            # nested substr in the args translates first (the repl
+            # embeds s many times; skipping past hid inner windows)
+            s, st, ln = (self._rewrite_scalar_semantics(a) for a in args)
             b = (
                 f"(CASE WHEN ({st}) > 0 THEN ({st}) WHEN ({st}) = 0 THEN 0 "
                 f"ELSE length(({s})) + ({st}) + 1 END)"
@@ -4093,10 +4123,14 @@ class SqlRewriter:
             if len(args) != 2 or (
                 self._POS_INT_RE.match(args[1]) and int(args[1]) >= 0
             ):
-                pos = close + 1
+                # scan INSIDE the skipped call — right(right(s, -1), 1)
+                # has a negative inner call (fuzzer catch, batch 28)
+                pos = m.end()
                 continue
             fn = m.group(1).lower()
-            s, n = args
+            # nested left/right in the args translate first (the repl
+            # embeds s twice; skipping past it hid inner negatives)
+            s, n = (self._rewrite_string_list_corners(a) for a in args)
             repl = (
                 f"{fn}(({s}), CASE WHEN ({n}) < 0 "
                 f"THEN GREATEST(length(({s})) + ({n}), 0) ELSE ({n}) END)"
