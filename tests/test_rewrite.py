@@ -1967,3 +1967,16 @@ def test_fuzzer_catches_batch28(spark, rw):
     for sql, want in cases.items():
         got = spark.sql(rw.rewrite(sql)).collect()[0].v
         assert got == want, f"{sql}: {got!r} != {want!r}"
+
+
+def test_statement_normalizations_batch28(spark, rw):
+    """EXPLAIN ANALYZE → EXPLAIN (no runtime profile — documented) and
+    SHOW ALL TABLES → SHOW TABLES."""
+    spark.createDataFrame([(1,)], "a int").createOrReplaceTempView("uq28s")
+    assert spark.sql(rw.rewrite("EXPLAIN ANALYZE SELECT 1")).collect()
+    names = [
+        r.tableName
+        for r in spark.sql(rw.rewrite("SHOW ALL TABLES")).collect()
+    ]
+    assert "uq28s" in names
+    spark.catalog.dropTempView("uq28s")

@@ -6556,6 +6556,12 @@ class SqlRewriter:
         # through the full pipeline, DML raises
         if re.match(r"(?is)^\s*(create|drop|insert|update|delete|merge|truncate)\b", sql):
             return self._rewrite_session_ddl(sql)
+        # batch-28 statement normalizations: DuckDB's EXPLAIN ANALYZE
+        # profiles at runtime — Spark's closest is the plain plan
+        # (documented: no runtime profile); SHOW ALL TABLES lists the
+        # same set as SHOW TABLES here (single in-memory schema)
+        sql = re.sub(r"(?is)^\s*explain\s+analyze\b", "EXPLAIN", sql)
+        sql = re.sub(r"(?is)^\s*show\s+all\s+tables\b", "SHOW TABLES", sql)
         sql = self._rewrite_summarize(sql)
         sql = self._rewrite_from_first(sql)
         # batch-24: standard FETCH FIRST / OFFSET n ROWS → LIMIT/OFFSET
