@@ -68,7 +68,9 @@ def test_geomean_macro_expansion(spark, rw):
     # batch-9: geomean is handled by _rewrite_agg_semantics (DOUBLE
     # cast matches DuckDB's double result for decimal inputs)
     sql = rw.rewrite("SELECT geomean(x) AS g FROM (VALUES (1.0), (4.0)) t(x)")
-    assert "exp(avg(ln(CAST((x) AS DOUBLE))))" in sql
+    # (exact text untested since batch 28 — the avg pass adds its own
+    # DOUBLE cast on top of the macro's)
+    assert "exp(avg(" in sql and "ln(CAST((x) AS DOUBLE))" in sql
     assert abs(spark.sql(sql).collect()[0].g - 2.0) < 1e-9
 
 
@@ -1980,3 +1982,31 @@ def test_statement_normalizations_batch28(spark, rw):
     ]
     assert "uq28s" in names
     spark.catalog.dropTempView("uq28s")
+
+
+def test_agg_fuzzer_catches_batch28(spark, rw):
+    """Regression pins for the aggregate-fuzzer catches: arg_max/
+    arg_min/max_by/min_by skip NULL-VALUE rows like DuckDB; first/last
+    with in-args ORDER BY KEEP null keys at the ordering's end
+    (composite null-rank struct key); avg over DECIMAL returns DOUBLE;
+    corr over zero variance is NULL (not an ANSI error), pairwise-
+    complete."""
+    cases = {
+        "SELECT min_by(s, i) AS v FROM (VALUES (12, 'a'), (1, NULL)) t(i, s)": "a",
+        "SELECT arg_max(s, i) AS v FROM (VALUES (1, NULL), (7, 'a'), (2, 'b')) "
+        "t(i, s)": "a",
+        "SELECT last(i ORDER BY i) AS v FROM (VALUES (2), (12), (NULL)) t(i)": None,
+        "SELECT first(i ORDER BY i) AS v FROM (VALUES (2), (NULL), (-3)) t(i)": -3,
+        "SELECT last(i ORDER BY i DESC) AS v FROM (VALUES (2), (NULL), (-3)) t(i)":
+            None,
+        "SELECT first(i ORDER BY i NULLS FIRST) AS v FROM (VALUES (2), (NULL)) "
+        "t(i)": None,
+        "SELECT avg(d) AS v FROM (VALUES (1.5), (3.0), (-0.5), (12.0), (1.5), "
+        "(1.5), (-0.5)) t(d)": 2.642857142857143,
+        "SELECT corr(i, d) AS v FROM (VALUES (0, 1.5), (3, 1.5)) t(i, d)": None,
+        "SELECT round(corr(i, d), 6) AS v FROM (VALUES (1, 1.0), (2, 3.0), "
+        "(3, 2.0)) t(i, d)": 0.5,
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        assert got == want, f"{sql}: {got!r} != {want!r}"

@@ -278,10 +278,9 @@ class SqlRewriter:
         "regexp_matches": "regexp_like",
         "strlen": "length",
         # round-5 sweep batch 2 (1:1 semantics verified against DuckDB)
-        "arg_max": "max_by",
-        "arg_min": "min_by",
-        "argmax": "max_by",
-        "argmin": "min_by",
+        # arg_max/arg_min/max_by/min_by moved to _rewrite_b28_aggs
+        # (agg-fuzzer catch: DuckDB skips NULL-VALUE rows, Spark's
+        # max_by can return one)
         "editdist3": "levenshtein",
         "unicode": "ascii",  # both: codepoint of the first character
         "ord": "ascii",
@@ -1598,6 +1597,59 @@ class SqlRewriter:
             sql = sql[: m.start()] + repl + sql[close + 1 :]
             pos = m.start() + len(repl)
 
+    _B28_AGG_RE = re.compile(
+        r"(?i)\b(arg_max|arg_min|argmax|argmin|max_by|min_by|avg|mean|corr)\s*\("
+    )
+
+    def _rewrite_b28_aggs(self, sql: str) -> str:
+        """Agg-fuzzer catches (batch 28, DuckDB-verified):
+
+        - arg_max/arg_min (and their max_by/min_by spellings) SKIP rows
+          whose VALUE argument is NULL in DuckDB; Spark's max_by can
+          return one → the ordering key is nulled on NULL-value rows
+          (Spark skips NULL keys);
+        - avg/mean over DECIMAL returns DOUBLE in DuckDB while Spark
+          keeps DECIMAL(p, s+4) — a silent precision difference →
+          avg(CAST(x AS DOUBLE)) (no-op for the int/double columns
+          everywhere else);
+        - corr over zero-variance input is NULL in DuckDB but a
+          DIVIDE_BY_ZERO error under Spark's ANSI mode → pairwise-
+          complete covar_pop / (σx·σy) with try_divide.
+        """
+        pos = 0
+        while True:
+            hit = self._call_args(self._B28_AGG_RE, sql, pos)
+            if not hit:
+                return sql
+            m, close, args = hit
+            fn = m.group(1).lower()
+            if fn in ("avg", "mean"):
+                if len(args) != 1:
+                    pos = close + 1
+                    continue
+                a = args[0].strip()
+                dm = re.match(r"(?i)^distinct\s+", a)
+                prefix, a = ("DISTINCT ", a[dm.end() :]) if dm else ("", a)
+                repl = f"avg({prefix}CAST(({a}) AS DOUBLE))"
+            elif fn == "corr":
+                if len(args) != 2:
+                    pos = close + 1
+                    continue
+                x, y = args
+                repl = (
+                    f"try_divide(covar_pop(({x}), ({y})), "
+                    f"stddev_pop(IF(({y}) IS NULL, NULL, ({x}))) * "
+                    f"stddev_pop(IF(({x}) IS NULL, NULL, ({y}))))"
+                )
+            else:
+                if len(args) != 2:
+                    raise UQueryError.sql_error(f"{fn} expects (value, key)")
+                x, k = args
+                out = "max_by" if fn in ("arg_max", "argmax", "max_by") else "min_by"
+                repl = f"{out}(({x}), IF(({x}) IS NULL, NULL, ({k})))"
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
+
     def _rewrite_first_last_order(self, sql: str) -> str:
         """DuckDB ``first/last(x ORDER BY y [DESC])`` → min_by/max_by
         (single sort key; the argless forms are native in both and left
@@ -1618,14 +1670,33 @@ class SqlRewriter:
                 pos = close + 1
                 continue
             x, order = split[0].strip().rstrip(","), split[1].strip()
+            nf = re.search(r"(?i)\bnulls\s+(first|last)\s*$", order)
+            nulls_last = True  # DuckDB default, both directions
+            if nf:
+                nulls_last = nf.group(1).lower() == "last"
+                order = order[: nf.start()].strip()
             desc = bool(re.search(r"(?i)\bdesc\s*$", order))
             key = re.sub(r"(?i)\s+(asc|desc)\s*$", "", order)
             fname = m.group(1).lower()
             take_min = (fname != "last") != desc
             fn = "min_by" if take_min else "max_by"
+            # batch 28 (agg-fuzzer catch): first/last KEEP NULL values —
+            # a NULL-key row at the ordering's end IS the `last` pick
+            # (the old bare min_by/max_by skipped NULL keys). The
+            # composite (null-rank, key) struct encodes the placement;
+            # any_value keeps its skip-NULL-x semantics via the CASE.
+            null_wins = (not nulls_last) if fname != "last" else nulls_last
+            # fn=min_by: null wins ⇔ flag -1; fn=max_by: null wins ⇔ +1
+            flag_null = -1 if (null_wins == (fn == "min_by")) else 1
+            composite = (
+                f"struct(IF(({key}) IS NULL, {flag_null}, 0) AS uq_nr, "
+                f"({key}) AS uq_k)"
+            )
             if fname == "any_value":
-                key = f"CASE WHEN ({x}) IS NOT NULL THEN ({key}) END"
-            repl = f"{fn}({x}, {key})"
+                key_expr = f"CASE WHEN ({x}) IS NOT NULL THEN {composite} END"
+            else:
+                key_expr = composite
+            repl = f"{fn}({x}, {key_expr})"
             sql = sql[: m.start()] + repl + sql[close + 1 :]
             pos = m.start() + len(repl)
 
@@ -6666,6 +6737,10 @@ class SqlRewriter:
         # array concat() calls that must stay un-stringified)
         sql = self._rewrite_scalar_semantics(sql)
         sql = self._rewrite_agg_semantics(sql)
+        # batch-28 agg fixes AFTER agg_semantics (ORDER BY stripping,
+        # favg emission) and BEFORE first_last (its min_by/max_by
+        # emissions keep NULL values by design)
+        sql = self._rewrite_b28_aggs(sql)
         # batch-15 nested aggregates (mad/entropy/histogram) emit plain
         # Spark lambdas/CASTs that later passes leave alone
         sql = self._rewrite_nested_aggs(sql)
