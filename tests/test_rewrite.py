@@ -2010,3 +2010,31 @@ def test_agg_fuzzer_catches_batch28(spark, rw):
     for sql, want in cases.items():
         got = spark.sql(rw.rewrite(sql)).collect()[0].v
         assert got == want, f"{sql}: {got!r} != {want!r}"
+
+
+def test_unicode_case_distance_batch28(spark, rw):
+    """Unicode edge matrix (batch 28): DuckDB cases via utf8proc's
+    SIMPLE 1:1 codepoint mapping — upper('straße') = 'STRAẞE' (not
+    SS), ligatures/ŉ unchanged, no final-sigma context, lower('İ') =
+    'i', µ → Μ; its levenshtein and hamming/mismatches run on UTF-8
+    BYTES (hamming errors on unequal byte lengths). ASCII inputs keep
+    the native JVM fast path (length = octet_length guard)."""
+    cases = {
+        "SELECT upper('straße') AS v": "STRAẞE",
+        "SELECT lower('İ') AS v": "i",
+        "SELECT upper('ﬁn') AS v": "ﬁN",
+        "SELECT lower('ΣΙΓΜΑΣ') AS v": "σιγμασ",
+        "SELECT upper('µ') AS v": "Μ",
+        "SELECT upper('plain ascii') AS v": "PLAIN ASCII",
+        "SELECT levenshtein('héllo', 'hello') AS v": 2,
+        "SELECT levenshtein('🤦', 'a') AS v": 4,
+        "SELECT levenshtein('abc', 'axc') AS v": 1,
+        "SELECT hamming('ab', 'ba') AS v": 2,
+        "SELECT mismatches('éé', 'éé') AS v": 0,
+        "SELECT upper(NULL) AS v": None,
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        assert got == want, f"{sql}: {got!r} != {want!r}"
+    with pytest.raises(Exception):
+        spark.sql(rw.rewrite("SELECT hamming('aa', 'aé') AS v")).collect()

@@ -370,6 +370,55 @@ def _json_contains(h: str, n: str) -> bool:
     return _jcontains(_json.loads(h), _json.loads(n))
 
 
+# -- simple case mapping + byte distances (sweep batch 28, unicode edge
+# matrix): DuckDB cases via utf8proc's SIMPLE (1:1 codepoint) mapping —
+# no full/context mappings: upper('straße')='STRAẞE' (not SS),
+# upper('ﬁn')='ﬁN' (ligature kept), lower('ΣΙΓΜΑΣ') has NO final
+# sigma, lower('İ')='i'. Python/JVM both apply FULL mappings, so the
+# per-codepoint loop reproduces simple semantics (a multi-char full
+# map means "no simple mapping" → keep, except the table exceptions).
+
+_SIMPLE_UPPER_EXC = {"ß": "ẞ"}
+_SIMPLE_LOWER_EXC = {"İ": "i"}
+
+
+def _simple_case(s: str, upper: bool) -> str:
+    out = []
+    exc = _SIMPLE_UPPER_EXC if upper else _SIMPLE_LOWER_EXC
+    for ch in s:
+        m = ch.upper() if upper else ch.lower()
+        out.append(m if len(m) == 1 else exc.get(ch, ch))
+    return "".join(out)
+
+
+def _lev_bytes(a: bytes, b: bytes) -> int:
+    # DuckDB's levenshtein operates on UTF-8 BYTES (like the jaro
+    # family above): levenshtein('héllo','hello') = 2, ('🤦','a') = 4
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _hamming_bytes(a: bytes, b: bytes) -> int:
+    # byte-based, equal BYTE lengths required (DuckDB errors on
+    # 'aa' vs 'aé' — 2 vs 3 bytes)
+    if len(a) != len(b):
+        raise ValueError(
+            "Mismatch Function: Strings must be of equal length!"
+        )
+    return sum(x != y for x, y in zip(a, b))
+
+
 # -- typeof() (sweep batch 24) ------------------------------------------
 # Spark typename → DuckDB typename, recursively through array/map/struct.
 
@@ -621,6 +670,14 @@ def _build_udfs() -> dict:
             "boolean",
         ),
         "uq_duck_typename": pandas_udf(_map1(_duck_typename), "string"),
+        "uq_upper_simple": pandas_udf(
+            _map1(lambda s: _simple_case(s, True)), "string"
+        ),
+        "uq_lower_simple": pandas_udf(
+            _map1(lambda s: _simple_case(s, False)), "string"
+        ),
+        "uq_lev_bytes": pandas_udf(_map2_bytes(_lev_bytes), "long"),
+        "uq_hamming_bytes": pandas_udf(_map2_bytes(_hamming_bytes), "long"),
         "uq_bar": pandas_udf(
             lambda x, lo, hi, w: pd.Series(
                 [

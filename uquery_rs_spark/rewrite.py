@@ -4403,12 +4403,12 @@ class SqlRewriter:
             if len(args) != 2:
                 raise UQueryError.sql_error("hamming expects exactly 2 args")
             a, b = args
-            repl = (
-                f"(CASE WHEN length(({a})) <> length(({b})) "
-                f"THEN raise_error('hamming: strings must be of equal length') "
-                f"ELSE size(filter(zip_with(split(({a}), ''), split(({b}), ''), "
-                f"(uq_hx, uq_hy) -> uq_hx <> uq_hy), uq_hb -> uq_hb)) END)"
-            )
+            # batch 28 (unicode matrix): DuckDB hamming is BYTE-based
+            # (equal BYTE lengths, byte compares — 'aa' vs 'aé' errors)
+            from .functions.parity_udfs import register_parity_udfs
+
+            register_parity_udfs(self.spark)
+            repl = f"uq_hamming_bytes(({a}), ({b}))"
             sql = sql[: m.start()] + repl + sql[close + 1 :]
         while True:
             hit = self._call_args(self._TO_BASE_RE, sql)
@@ -6693,6 +6693,47 @@ class SqlRewriter:
         sql = self._sub_code(
             re.compile(r"\buq_native_reverse\s*\("), "reverse(", sql
         )
+        # batch-28 unicode matrix: DuckDB cases via utf8proc's SIMPLE
+        # 1:1 mapping (upper('straße')='STRAẞE', no full/context maps)
+        # and its string distances run on UTF-8 BYTES. ASCII input —
+        # detected by length = octet_length — keeps the native JVM
+        # fast path; only non-ASCII rows pay the parity UDF.
+        for name, native, udf, nargs in (
+            ("upper", "upper", "uq_upper_simple", 1),
+            ("ucase", "upper", "uq_upper_simple", 1),
+            ("lower", "lower", "uq_lower_simple", 1),
+            ("lcase", "lower", "uq_lower_simple", 1),
+            ("levenshtein", "levenshtein", "uq_lev_bytes", 2),
+            ("editdist3", "levenshtein", "uq_lev_bytes", 2),
+        ):
+            pat = re.compile(rf"(?i)(?<![\w.]){name}\s*\(")
+            pos2 = 0
+            while True:
+                hit = self._call_args(pat, sql, pos2)
+                if not hit:
+                    break
+                m2, close2, args2 = hit
+                if len(args2) != nargs:
+                    pos2 = close2 + 1
+                    continue
+                from .functions.parity_udfs import register_parity_udfs
+
+                register_parity_udfs(self.spark)
+                ascii_guard = " AND ".join(
+                    f"length(({a})) = octet_length(({a}))" for a in args2
+                )
+                argtext = ", ".join(f"({a})" for a in args2)
+                hybrid = (
+                    f"CASE WHEN {ascii_guard} THEN {native}({argtext}) "
+                    f"ELSE {udf}({argtext}) END"
+                )
+                # uq_poly: a Python UDF can't sit inside a higher-order
+                # lambda — there the probe falls back to the native JVM
+                # form (residual deviation: non-ASCII casing INSIDE
+                # lambdas keeps full-map semantics; documented)
+                repl = f"uq_poly({native}({argtext}), {hybrid})"
+                sql = sql[: m2.start()] + repl + sql[close2 + 1 :]
+                pos2 = m2.start() + len(repl)
         # batch-28: timezone_hour/minute are 0 for naive timestamps
         # (UTC session — DuckDB-verified), NULL-propagating
         for tzfn in ("timezone_hour", "timezone_minute"):
