@@ -26,6 +26,7 @@ from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 # three entries they displaced (set_ops/stats_aggregates/union_all/
 # values/array batteries tail) rotate in round 7 with the rest of r3.)
 _ROUND6_WINDOW = (
+    "dialect_gap_battery26",
     "dialect_gap_battery25",
     "dialect_gap_battery24",
     "dialect_gap_battery23",
@@ -75,7 +76,6 @@ _ROUND6_WINDOW = (
     "q13_customer_distribution",
     "q14_promo_revenue_ratio",
     "q15_top_supplier",
-    "q16_supplier_count_by_part",
 )
 
 

@@ -2177,3 +2177,41 @@ def dialect_gap_battery25(spark: SparkSession, sf: str) -> DataFrame:
         "timezone_hour(CAST(DATE '2024-01-01' AS TIMESTAMP)) AS tzh "
         "FROM part WHERE p_partkey <= 400 ORDER BY p_partkey",
     )
+
+
+@register(
+    "dialect_gap_battery26",
+    tags=("dialect", "battery", "unicode"),
+    oracle="""
+SELECT doc_id,
+       upper(concat('straße-', lang))                    AS up_simple,
+       lower(concat('İΣTANBULΣ-', source))               AS low_simple,
+       upper(substr(text, 1, 20))                        AS up_ascii,
+       levenshtein(concat('é', lang), concat('e', lang)) AS lev_bytes,
+       levenshtein(substr(text, 1, 10), lang)            AS lev_ascii,
+       hamming(concat('é', source), concat('é', source)) AS ham_eq,
+       reverse(concat('é', substr(text, 1, 8)))          AS rev_g
+FROM documents
+WHERE doc_id <= 300
+ORDER BY doc_id
+""",
+)
+def dialect_gap_battery26(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode parity pinned on data (batch 28): utf8proc SIMPLE case
+    mapping (ß→ẞ, İ→i, no final-sigma context) through the non-ASCII
+    UDF path AND the ASCII native fast path side by side; byte-based
+    levenshtein (é counts 2); byte-equal hamming; grapheme-aware
+    reverse over a combining-accent prefix."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT doc_id, "
+        "upper(concat('straße-', lang)) AS up_simple, "
+        "lower(concat('İΣTANBULΣ-', source)) AS low_simple, "
+        "upper(substr(text, 1, 20)) AS up_ascii, "
+        "levenshtein(concat('é', lang), concat('e', lang)) AS lev_bytes, "
+        "levenshtein(substr(text, 1, 10), lang) AS lev_ascii, "
+        "hamming(concat('é', source), concat('é', source)) AS ham_eq, "
+        "reverse(concat('é', substr(text, 1, 8))) AS rev_g "
+        "FROM documents WHERE doc_id <= 300 ORDER BY doc_id",
+    )
