@@ -2038,3 +2038,23 @@ def test_unicode_case_distance_batch28(spark, rw):
         assert got == want, f"{sql}: {got!r} != {want!r}"
     with pytest.raises(Exception):
         spark.sql(rw.rewrite("SELECT hamming('aa', 'aé') AS v")).collect()
+
+
+def test_create_macro_session(spark, rw):
+    """In-session CREATE [OR REPLACE] MACRO / DROP MACRO (batch 28) —
+    the same inline-at-bind machinery as --db-file attached macros;
+    table macros become temp views; duplicate names raise like
+    DuckDB's catalog."""
+    assert spark.sql(rw.rewrite("CREATE MACRO uq_addx(a, b) AS a + b")).collect() == []
+    assert spark.sql(rw.rewrite("SELECT uq_addx(1, 2) AS v")).collect()[0].v == 3
+    with pytest.raises(UQueryError):
+        rw.rewrite("CREATE MACRO uq_addx(a) AS a")
+    spark.sql(rw.rewrite("CREATE OR REPLACE MACRO uq_addx(a, b) AS a * b"))
+    assert spark.sql(rw.rewrite("SELECT uq_addx(3, 2) AS v")).collect()[0].v == 6
+    spark.sql(rw.rewrite("CREATE MACRO uq_t26m() AS TABLE SELECT 42 AS x"))
+    assert spark.sql(rw.rewrite("SELECT * FROM uq_t26m()")).collect()[0].x == 42
+    spark.sql(rw.rewrite("DROP MACRO uq_addx"))
+    with pytest.raises(UQueryError):
+        rw.rewrite("SELECT uq_addx(1, 2)") and rw.rewrite("DROP MACRO uq_addx")
+    spark.sql(rw.rewrite("DROP MACRO IF EXISTS uq_never"))
+    spark.sql(rw.rewrite("DROP MACRO uq_t26m"))

@@ -2054,6 +2054,13 @@ class SqlRewriter:
         r"(?is)^\s*drop\s+(view|table)\s+(if\s+exists\s+)?([\w.\"]+)\s*;?\s*$"
     )
     _DML_RE = re.compile(r"(?is)^\s*(insert|update|delete|merge|truncate)\b")
+    _CREATE_MACRO_RE = re.compile(
+        r"(?is)^\s*create\s+(or\s+replace\s+)?(?:temp(?:orary)?\s+)?"
+        r"(?:macro|function)\s+(\w+)\s*\(([^)]*)\)\s+as\s+(table\s+)?(.*?)\s*;?\s*$"
+    )
+    _DROP_MACRO_RE = re.compile(
+        r"(?is)^\s*drop\s+(?:macro|function)\s+(if\s+exists\s+)?(\w+)\s*;?\s*$"
+    )
 
     def _rewrite_session_ddl(self, sql: str) -> str:
         """Session-scoped DDL (batch 26 — the reference's pooled DuckDB
@@ -2085,6 +2092,43 @@ class SqlRewriter:
         if m:
             _orep, name, body = m.groups()
             return f"CACHE TABLE {name.strip()} AS {self.rewrite(body)}"
+        m = self._CREATE_MACRO_RE.match(sql)
+        if m:
+            # batch 28: in-session CREATE [OR REPLACE] MACRO — the same
+            # inline-at-bind machinery the --db-file attach uses
+            # (reference main.rs:413-450 provisions macros; users also
+            # define them per session in DuckDB)
+            orep, name, params, is_table, body = m.groups()
+            if not orep and name.lower() in self._macros:
+                raise UQueryError.sql_error(
+                    f"Macro with name \"{name}\" already exists "
+                    f"(use CREATE OR REPLACE)"
+                )
+            if is_table:
+                if params.strip():
+                    raise UQueryError.sql_error(
+                        "table macros with parameters are not supported"
+                    )
+                self.spark.sql(
+                    f"CREATE OR REPLACE TEMPORARY VIEW {name} AS "
+                    f"{self.rewrite(body)}"
+                )
+                self.add_table_macro(name)
+            else:
+                plist = [p.strip() for p in params.split(",") if p.strip()]
+                self.add_scalar_macro(name, plist, body)
+            return "SELECT 1 AS ok WHERE false"  # DDL: empty result
+        m = self._DROP_MACRO_RE.match(sql)
+        if m:
+            ifex, name = m.groups()
+            if name.lower() in self._macros:
+                del self._macros[name.lower()]
+            elif name.lower() in self._table_macros:
+                self._table_macros.discard(name.lower())
+                self.spark.sql(f"DROP VIEW IF EXISTS {name}")
+            elif not ifex:
+                raise UQueryError.sql_error(f"Macro \"{name}\" does not exist")
+            return "SELECT 1 AS ok WHERE false"
         m = self._DROP_RE.match(sql)
         if m:
             _kind, ifex, name = m.groups()
