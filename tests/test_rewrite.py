@@ -882,7 +882,8 @@ def test_gap_hunt_batch8_scalar_semantics(spark, rw):
     import pytest as _pytest
     from uquery_rs_spark.errors import UQueryError
 
-    for bad in ["SELECT age(x, y) FROM t", "SELECT make_time(1,2,3)"]:
+    # (age() graduated to the batch-28 calendar-decomposition string)
+    for bad in ["SELECT age(x, y, z) FROM t", "SELECT make_time(1,2,3)"]:
         with _pytest.raises(UQueryError):
             rw.rewrite(bad)
 
@@ -2058,3 +2059,39 @@ def test_create_macro_session(spark, rw):
         rw.rewrite("SELECT uq_addx(1, 2)") and rw.rewrite("DROP MACRO uq_addx")
     spark.sql(rw.rewrite("DROP MACRO IF EXISTS uq_never"))
     spark.sql(rw.rewrite("DROP MACRO uq_t26m"))
+
+
+def test_temporal_fuzzer_catches_batch28(spark, rw):
+    """Temporal-fuzzer pins: DATE ± INTERVAL widens to TIMESTAMP
+    (DuckDB's type — the string forms silently diverged; INTERVAL ±
+    INTERVAL and ts-ts chains stay native via the probe); age() as
+    DuckDB's calendar decomposition string (borrow rules
+    differential-pinned; the INTERVAL-vs-STRING type is the documented
+    width deviation); datepart('dow'/…) routes through the
+    engine-numbered conversions (Sunday-0)."""
+    cases = {
+        "SELECT CAST((DATE '2024-03-01' - INTERVAL 3 MONTH) AS VARCHAR) AS v":
+            "2023-12-01 00:00:00",
+        "SELECT CAST((DATE '2024-01-01' + 5 - INTERVAL 1 DAY) AS VARCHAR) AS v":
+            "2024-01-05 00:00:00",
+        "SELECT CAST((INTERVAL 1 DAY + INTERVAL 2 DAY) = INTERVAL 3 DAY "
+        "AS VARCHAR) AS v": "true",
+        "SELECT age(TIMESTAMP '2024-03-15 10:30:00', "
+        "TIMESTAMP '2024-01-31 23:59:59.5') AS v": "1 month 14 days 10:30:00.5",
+        "SELECT age(TIMESTAMP '2024-01-31 23:59:59.5', "
+        "TIMESTAMP '2024-03-15 10:30:00') AS v": "-1 month -14 days -10:30:00.5",
+        "SELECT age(TIMESTAMP '2024-03-01 00:00:00', "
+        "TIMESTAMP '2024-02-29 00:00:01') AS v": "23:59:59",
+        "SELECT age(TIMESTAMP '2024-02-29 00:00:00', "
+        "TIMESTAMP '2023-02-28 00:00:00') AS v": "1 year 1 day",
+        "SELECT age(TIMESTAMP '2024-01-01 00:00:00', "
+        "TIMESTAMP '2024-01-01 00:00:00') AS v": "00:00:00",
+        "SELECT age(TIMESTAMP '2024-12-31 23:00:00', "
+        "TIMESTAMP '2020-01-01 01:30:00') AS v": "4 years 11 months 30 days 21:30:00",
+        "SELECT datepart('dow', DATE '2024-03-01') AS v": 5,
+        "SELECT date_part('dow', TIMESTAMP '2024-01-31 23:59:59.5') AS v": 3,
+        "SELECT datepart('isodow', DATE '2024-03-01') AS v": 5,
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        assert got == want, f"{sql}: {got!r} != {want!r}"

@@ -419,6 +419,58 @@ def _hamming_bytes(a: bytes, b: bytes) -> int:
     return sum(x != y for x, y in zip(a, b))
 
 
+# -- age() (batch 28, temporal fuzzer) ----------------------------------
+# DuckDB/postgres calendar decomposition, differential-pinned: months
+# by calendar fields, time borrowed from days, days borrowed from B's
+# month ('2024-03-15 10:30' vs '2024-01-31 23:59:59.5' = '1 month
+# 14 days 10:30:00.5' — the borrow uses January's 31); a < b negates
+# every component. Returns the DISPLAY STRING (DuckDB's type is
+# INTERVAL — a mixed calendar interval Spark cannot represent; string
+# compares/display match, interval arithmetic fails loudly).
+
+import calendar as _calendar
+
+
+def _age_parts(a, b):
+    months = (a.year - b.year) * 12 + (a.month - b.month)
+    days = a.day - b.day
+    us_a = ((a.hour * 60 + a.minute) * 60 + a.second) * 1_000_000 + a.microsecond
+    us_b = ((b.hour * 60 + b.minute) * 60 + b.second) * 1_000_000 + b.microsecond
+    micros = us_a - us_b
+    if micros < 0:
+        micros += 86_400_000_000
+        days -= 1
+    if days < 0:
+        months -= 1
+        days += _calendar.monthrange(b.year, b.month)[1]
+    return months, days, micros
+
+
+def _age_str(a, b) -> str:
+    neg = a < b
+    if neg:
+        a, b = b, a
+    months, days, micros = _age_parts(a, b)
+    years, months = divmod(months, 12)
+    out = []
+    sign = "-" if neg else ""
+    if years:
+        out.append(f"{sign}{years} year" + ("s" if years != 1 else ""))
+    if months:
+        out.append(f"{sign}{months} month" + ("s" if months != 1 else ""))
+    if days:
+        out.append(f"{sign}{days} day" + ("s" if days != 1 else ""))
+    if micros or not out:
+        s, us = divmod(micros, 1_000_000)
+        h, rem = divmod(s, 3600)
+        mi, se = divmod(rem, 60)
+        t = f"{h:02d}:{mi:02d}:{se:02d}"
+        if us:
+            t += ("%.6f" % (us / 1_000_000))[1:].rstrip("0")
+        out.append(sign + t)
+    return " ".join(out)
+
+
 # -- typeof() (sweep batch 24) ------------------------------------------
 # Spark typename → DuckDB typename, recursively through array/map/struct.
 
@@ -677,6 +729,15 @@ def _build_udfs() -> dict:
             _map1(lambda s: _simple_case(s, False)), "string"
         ),
         "uq_lev_bytes": pandas_udf(_map2_bytes(_lev_bytes), "long"),
+        "uq_age": pandas_udf(
+            lambda a, b: pd.Series(
+                [
+                    None if pd.isna(x) or pd.isna(y) else _age_str(x, y)
+                    for x, y in zip(a, b)
+                ]
+            ),
+            "string",
+        ),
         "uq_hamming_bytes": pandas_udf(_map2_bytes(_hamming_bytes), "long"),
         "uq_bar": pandas_udf(
             lambda x, lo, hi, w: pd.Series(

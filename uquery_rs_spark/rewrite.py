@@ -1733,11 +1733,11 @@ class SqlRewriter:
     # -- sweep batch 7: explicit raises for untranslatable idioms ---------
 
     _UNSUPPORTED_FN_RE = re.compile(
-        r"(?i)\b(md5_number|age|make_time|"
+        r"(?i)\b(md5_number|make_time|"
         r"txid_current|get_current_time|"
         r"bit_position|"
         r"left_grapheme|right_grapheme)\s*\("
-    )  # timezone/bar moved to batch-23 translations
+    )  # timezone/bar moved to batch-23, age to batch-28 translations
     _LIMIT_PCT_RE = re.compile(r"(?i)\blimit\s+\d+(?:\.\d+)?\s*%")
     _BIT_ENUM_RE = re.compile(
         r"(?i)(::\s*bit(?:string)?\b|\bas\s+bit(?:string)?\s*[),]|\benum\s*\()"
@@ -2261,6 +2261,124 @@ class SqlRewriter:
             sql = sql[: m.start()] + repl + sql[close + 1 :]
             pos = m.start() + len(repl)
 
+    _PM_INTERVAL_RE = re.compile(r"([+\-])\s*(?=INTERVAL\b)", re.I)
+
+    def _rewrite_date_interval_widen(self, sql: str) -> str:
+        """``X ± INTERVAL …`` (batch 28, temporal fuzzer): DuckDB widens
+        a DATE operand to TIMESTAMP; Spark keeps DATE — the string
+        forms silently diverge ('2023-12-01' vs '… 00:00:00'). The
+        left operand gets CAST(AS TIMESTAMP) — a no-op for timestamps,
+        the DuckDB type for dates. INTERVAL ± INTERVAL is left native
+        (same semantics both engines)."""
+        pos = 0
+        while True:
+            m = self._search_code(self._PM_INTERVAL_RE, sql, pos)
+            if not m:
+                return sql
+            # operand scan-back (the AT TIME ZONE machinery's shape)
+            end = m.start()
+            while end > 0 and sql[end - 1].isspace():
+                end -= 1
+            i = end
+            if i > 0 and sql[i - 1] == "'":
+                i -= 1
+                while i > 0 and sql[i - 1] != "'":
+                    i -= 1
+                i -= 1
+                j = i
+                while j > 0 and sql[j - 1].isspace():
+                    j -= 1
+                k = j
+                while k > 0 and (sql[k - 1].isalnum() or sql[k - 1] == "_"):
+                    k -= 1
+                if k < j and re.fullmatch(
+                    r"(?i)date|timestamp(tz|_s|_ms|_ns)?", sql[k:j]
+                ):
+                    i = k
+                else:
+                    pos = m.end() + 8  # a bare string ± interval: skip
+                    continue
+            elif i > 0 and sql[i - 1] in ")]":
+                depth = 0
+                while i > 0:
+                    i -= 1
+                    if sql[i] in ")]":
+                        depth += 1
+                    elif sql[i] in "([":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                j = i
+                while j > 0 and (sql[j - 1].isalnum() or sql[j - 1] in "_."):
+                    j -= 1
+                i = j
+            else:
+                while i > 0 and (sql[i - 1].isalnum() or sql[i - 1] in "_."):
+                    i -= 1
+            # absorb a preceding additive chain (DATE '…' + 5 - INTERVAL):
+            # the ± operand is the whole chain, not its last atom
+            while True:
+                j = i
+                while j > 0 and sql[j - 1].isspace():
+                    j -= 1
+                if j == 0 or sql[j - 1] not in "+-":
+                    break
+                j -= 1
+                while j > 0 and sql[j - 1].isspace():
+                    j -= 1
+                k = j
+                if k > 0 and sql[k - 1] == "'":
+                    k -= 1
+                    while k > 0 and sql[k - 1] != "'":
+                        k -= 1
+                    k -= 1
+                    k2 = k
+                    while k2 > 0 and sql[k2 - 1].isspace():
+                        k2 -= 1
+                    k3 = k2
+                    while k3 > 0 and (sql[k3 - 1].isalnum() or sql[k3 - 1] == "_"):
+                        k3 -= 1
+                    if k3 < k2 and re.fullmatch(
+                        r"(?i)date|timestamp(tz|_s|_ms|_ns)?", sql[k3:k2]
+                    ):
+                        k = k3
+                    else:
+                        break  # string-literal chain member: stop here
+                elif k > 0 and sql[k - 1] in ")]":
+                    depth = 0
+                    while k > 0:
+                        k -= 1
+                        if sql[k] in ")]":
+                            depth += 1
+                        elif sql[k] in "([":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                    k2 = k
+                    while k2 > 0 and (sql[k2 - 1].isalnum() or sql[k2 - 1] in "_."):
+                        k2 -= 1
+                    k = k2
+                else:
+                    while k > 0 and (sql[k - 1].isalnum() or sql[k - 1] in "_."):
+                        k -= 1
+                if k == j:
+                    break
+                i = k
+            operand = sql[i:end]
+            if (
+                not operand
+                or re.match(r"(?i)^\s*interval\b", operand)
+                or re.search(r"(?i)\binterval\s+('[^']*'|\d+)\s*\w*\s*$", sql[:i])
+            ):
+                pos = m.end() + 8
+                continue
+            # uq_poly: an INTERVAL-yielding operand (ts - ts chains)
+            # can't cast to TIMESTAMP — the probe falls back native
+            # (same semantics both engines there)
+            repl = f"uq_poly(({operand}), CAST(({operand}) AS TIMESTAMP))"
+            sql = sql[:i] + repl + sql[end:]
+            pos = i + len(repl) + (m.end() - end) + 8
+
     _GLOB_TVF_RE = re.compile(r"(?i)\b(from|join)\s+glob\s*\(")
 
     def _rewrite_glob_tvf(self, sql: str) -> str:
@@ -2437,7 +2555,7 @@ class SqlRewriter:
 
     _PRINTF_RE = re.compile(r"(?i)\bprintf\s*\(")
     _B23_FN_RE = re.compile(
-        r"(?i)\b(timezone|bar|bitstring|date_trunc|datetrunc|typeof)\s*\("
+        r"(?i)\b(timezone|bar|bitstring|date_trunc|datetrunc|typeof|age)\s*\("
     )
     # DuckDB date_trunc returns DATE for day-and-coarser units (Spark is
     # always TIMESTAMP); units Spark's date_trunc lacks raise
@@ -2471,6 +2589,27 @@ class SqlRewriter:
             fn = m.group(1).lower()
             # nested batch-23 calls inside args translate first
             args = [self._rewrite_b23_fns(a) for a in args]
+            if fn == "age":
+                # batch 28: DuckDB/postgres calendar decomposition as
+                # its DISPLAY STRING (DuckDB's mixed calendar INTERVAL
+                # has no Spark type — string compare/display match,
+                # interval arithmetic on the result fails loudly;
+                # documented width deviation). 1-arg = vs current_date.
+                if len(args) not in (1, 2):
+                    raise UQueryError.sql_error("age expects 1 or 2 args")
+                from .functions.parity_udfs import register_parity_udfs
+
+                register_parity_udfs(self.spark)
+                a0 = (
+                    f"CAST(({args[0]}) AS TIMESTAMP)"
+                    if len(args) == 2
+                    else "CAST(current_date AS TIMESTAMP)"
+                )
+                a1 = f"CAST(({args[-1]}) AS TIMESTAMP)"
+                repl = f"uq_age({a0}, {a1})"
+                sql = sql[: m.start()] + repl + sql[close + 1 :]
+                pos = m.start() + len(repl)
+                continue
             if fn == "typeof":
                 # batch 24: Spark typenames → DuckDB ('int' → INTEGER,
                 # 'array<int>' → INTEGER[], struct/map recursively)
@@ -4100,6 +4239,29 @@ class SqlRewriter:
           NOT Spark's two-arg date_sub (day subtraction) — DuckDB's is
           always the 3-arg form; 2-arg calls are left native.
         """
+        # batch 28 (temporal fuzzer): datepart/date_part with a LITERAL
+        # engine-numbered part string bypassed the conversions below
+        # (datepart('dow', x) reached Spark's Sunday-1 date_part) —
+        # route it to the same function forms EXTRACT uses
+        pos28 = 0
+        dp_re = re.compile(
+            r"(?i)\b(?:date_part|datepart)\s*\(\s*'(dow|dayofweek|weekday|"
+            r"isodow|epoch|microseconds|milliseconds|week|yearweek|century|"
+            r"decade|millennium|julian|era)'\s*,"
+        )
+        while True:
+            m = self._search_code(dp_re, sql, pos28)
+            if not m:
+                break
+            open_i = sql.index("(", m.start())
+            close = self._find_close(sql, open_i)
+            if close == -1:
+                break
+            fld = m.group(1).lower()
+            e = sql[m.end() : close]
+            repl = f"{fld}({e})"
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos28 = m.start()
         while True:
             m = self._search_code(self._EXTRACT_SPECIAL_RE, sql)
             if not m:
@@ -6289,23 +6451,36 @@ class SqlRewriter:
     _UQ_POLY_RE = re.compile(r"\buq_poly\s*\(")
     _UQ_POLY_ANY_RE = re.compile(r"\buq_poly(mapi?)?\s*\(")
 
-    def _neutralize_markers(self, text: str, token: str) -> str:
+    def _neutralize_markers(
+        self, text: str, token: str, mode: str = "null"
+    ) -> str:
         """Neutralize every unresolved poly marker in a probe text: an
         ANCESTOR marker (containing the tagged occurrence) keeps the arg
-        holding the token so the occurrence survives; SIBLING markers
-        become NULL, which analyzes in any context (a falsely-NULLed
-        context fails the probe and the occurrence falls back — loud,
-        not silent)."""
+        holding the token so the occurrence survives. SIBLING markers:
+        mode 'null' replaces them with NULL (type-wildcard — but a
+        strict context like get() then fails the probe for an UNRELATED
+        reason); mode 'arg1' substitutes each sibling's conservative
+        fallback form instead (list/native/scalar), which keeps the
+        rest of the text well-typed. probe_ok tries both (batch-28
+        temporal-fuzzer catch: a NULLed sibling elsewhere in the query
+        silently vetoed the date-widening arm)."""
         while True:
             h = self._call_args(self._UQ_POLY_ANY_RE, text)
             if not h:
                 return text
             hm, hclose, hargs = h
             span = text[hm.start() : hclose + 1]
+            kind = hm.group(1)
             if token in span and len(hargs) in (2, 3):
                 inner = next((a for a in hargs if token in a), hargs[0])
-            else:
+            elif mode == "null":
                 inner = "NULL"
+            elif kind == "mapi" and len(hargs) == 3:
+                inner = hargs[2]
+            elif kind == "map" and len(hargs) == 2:
+                inner = f"element_at(({hargs[0]}), {hargs[1]})"
+            else:
+                inner = hargs[0]
             text = text[: hm.start()] + f"({inner})" + text[hclose + 1 :]
 
     def _rewrite_poly_subscript(self, sql: str) -> str:
@@ -6355,17 +6530,17 @@ class SqlRewriter:
             m, close, args = target
 
             def probe_ok(cand: str) -> bool:
-                probe = self._neutralize_markers(
-                    sql[: m.start()] + f"({TOKEN}({cand}))" + sql[close + 1 :],
-                    TOKEN,
-                )
-                try:
-                    self.spark.sql(
-                        f"SELECT * FROM ({self._rewrite_len(self._rewrite_cast(probe))}) uq_ps LIMIT 0"
-                    )
-                    return True
-                except Exception:
-                    return False
+                tagged = sql[: m.start()] + f"({TOKEN}({cand}))" + sql[close + 1 :]
+                for mode in ("null", "arg1"):
+                    probe = self._neutralize_markers(tagged, TOKEN, mode)
+                    try:
+                        self.spark.sql(
+                            f"SELECT * FROM ({self._rewrite_len(self._rewrite_cast(probe))}) uq_ps LIMIT 0"
+                        )
+                        return True
+                    except Exception:
+                        continue
+                return False
 
             if m.group(1) == "mapi":
                 # uq_polymapi(op, key, fallback) — integer-key map
@@ -6876,6 +7051,7 @@ class SqlRewriter:
         # encode via the json writer); session identity literals
         sql = self._rewrite_json_cast(sql)
         sql = self._rewrite_interval_cast(sql)
+        sql = self._rewrite_date_interval_widen(sql)
         sql = self._sub_code_fn(
             re.compile(r"(?i)\bcurrent_database\s*\(\s*\)"),
             lambda m: "'memory'",
