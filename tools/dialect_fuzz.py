@@ -1,0 +1,305 @@
+"""Differential dialect fuzzer: random query trees, DuckDB as oracle.
+
+The round-6 sweep methodology as a generator. Five axes; every
+expression DuckDB evaluates must produce the same (normalized) value
+through the gateway. Residual mismatch classes that are DOCUMENTED
+deviations are listed in NOTES (decimal median discreteness,
+arg-function ties, bare any_value input-order).
+
+Usage:
+    python tools/dialect_fuzz.py [expr|agg|window|rel|temporal|all] [batches] [seed]
+
+Catches credited to this harness (round 6): nested left/right/substr
+negative windows, decimal list_sum folds, width-strict list_position,
+arg_max NULL-value skip, null-keeping first/last ordering, avg DECIMAL
+width, corr ANSI divide-by-zero, DATE±INTERVAL widening, age(),
+datepart('dow') off-by-one.
+"""
+import sys
+import random
+import decimal
+import datetime
+
+sys.path.insert(0, ".")
+import duckdb  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+from uquery_rs_spark.rewrite import SqlRewriter  # noqa: E402
+
+STRS = ["'abc'", "'Héllo'", "'a,b,c'", "''", "'x y'", "'éx'", "'AbC dEf'",
+        "'  pad  '", "'1234'", "'a.b'"]
+INTS = ["0", "1", "2", "3", "7", "-3", "12", "-1", "5"]
+DATES = ["DATE '2024-01-31'", "DATE '2023-12-01'", "DATE '2024-02-29'",
+         "DATE '2024-03-01'", "DATE '1999-12-31'", "DATE '2024-07-04'"]
+TSS = ["TIMESTAMP '2024-01-31 23:59:59.5'", "TIMESTAMP '2024-02-29 00:00:01'",
+       "TIMESTAMP '2023-06-15 12:30:45.123'"]
+UNITS = ["day", "week", "month", "quarter", "year", "hour", "minute", "second"]
+IVALS = ["INTERVAL 1 DAY", "INTERVAL 3 MONTH", "INTERVAL 90 MINUTE",
+         "INTERVAL 1 YEAR", "INTERVAL 2 WEEK", "INTERVAL 36 HOUR"]
+
+
+def norm(v):
+    if isinstance(v, decimal.Decimal):
+        return int(v) if v == int(v) else round(float(v), 9)
+    if isinstance(v, float):
+        return int(v) if v == int(v) else round(v, 9)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return v
+
+
+class Gen:
+    def __init__(self, rnd):
+        self.rnd = rnd
+
+    def iexpr(self, d):
+        r = self.rnd
+        if d <= 0:
+            return r.choice(INTS)
+        a, b = self.iexpr(d - 1), self.iexpr(d - 1)
+        s = self.sexpr(d - 1)
+        dt = self.dexpr(d - 1)
+        return r.choice([
+            f"({a} + {b})", f"({a} - {b})", f"({a} * {b})", f"abs({a})",
+            f"greatest({a}, {b})", f"least({a}, {b})", f"length({s})",
+            f"list_sum([{a}, {b}])", f"ascii({s})", f"len({s})",
+            f"sign({a})", f"floor({a} / 2.0)", f"instr({s}, 'a')",
+            f"list_position([{a}, {b}], {a})",
+            f"day({dt})", f"month({dt})", f"isodow({dt})",
+        ])
+
+    def sexpr(self, d):
+        r = self.rnd
+        if d <= 0:
+            return r.choice(STRS)
+        a, b = self.sexpr(d - 1), self.sexpr(d - 1)
+        i = r.choice(INTS)
+        dt = self.dexpr(d - 1)
+        return r.choice([
+            f"upper({a})", f"lower({a})", f"trim({a})", f"reverse({a})",
+            f"substr({a}, {i}, 2)", f"left({a}, {i})", f"right({a}, {i})",
+            f"split_part({a}, ',', 1)", f"concat({a}, {b})",
+            f"repeat({a}, 2)", f"lpad({a}, 6, '*')", f"rpad({a}, 6, '*')",
+            f"replace({a}, 'a', 'Z')", f"translate({a}, 'ab', 'xy')",
+            f"array_to_string([{a}, {b}], '|')",
+            f"list_last(string_split({a}, ','))",
+            f"strftime({dt}, '%Y/%m/%d')", f"dayname(CAST({dt} AS DATE))",
+        ])
+
+    def dexpr(self, d):
+        r = self.rnd
+        if d <= 0:
+            return r.choice(DATES + TSS)
+        a = self.dexpr(d - 1)
+        return r.choice([
+            f"({a} + {r.choice(IVALS)})", f"({a} - {r.choice(IVALS)})",
+            f"date_trunc('{r.choice(UNITS)}', {a})",
+            f"last_day(CAST({a} AS DATE))",
+            f"(CAST({a} AS DATE) + {r.choice(['1', '30', '-7'])})",
+        ])
+
+    def temporal_scalar(self):
+        r = self.rnd
+        a, b = self.dexpr(r.randint(0, 2)), self.dexpr(r.randint(0, 2))
+        u = r.choice(UNITS)
+        return r.choice([
+            f"CAST({a} AS VARCHAR)",
+            f"date_diff('{u}', CAST({a} AS TIMESTAMP), CAST({b} AS TIMESTAMP))",
+            f"datepart('{r.choice(['year', 'month', 'day', 'hour', 'dow', 'doy', 'week'])}', {a})",
+            f"strftime(CAST({a} AS TIMESTAMP), '%Y-%m-%d %H:%M')",
+            # age via VARCHAR: the duckdb client lossily converts
+            # calendar INTERVALs to timedelta (months → approx days)
+            f"CAST(age(CAST({a} AS TIMESTAMP), CAST({b} AS TIMESTAMP)) AS VARCHAR)",
+            f"epoch(CAST({a} AS TIMESTAMP))",
+        ])
+
+    def values_table(self, alias="t"):
+        r = self.rnd
+        rows = []
+        for _ in range(r.randint(1, 8)):
+            i = r.choice(["1", "2", "3", "7", "-3", "NULL", "0", "12"])
+            s = r.choice(["'a'", "'b'", "'abc'", "NULL", "'x y'", "''"])
+            dd = r.choice(["1.5", "2.25", "-0.5", "NULL", "3.0"])
+            rows.append(f"({i}, {s}, {dd})")
+        return f"(VALUES {', '.join(rows)}) {alias}(i, s, d)"
+
+
+AGGS = [
+    "sum(i)", "avg(i)", "min(i)", "max(i)", "count(i)", "count(*)",
+    "sum(d)", "avg(d)", "min(d)", "max(d)", "sum(DISTINCT i)",
+    "count(DISTINCT s)", "min(s)", "max(s)", "bool_and(i > 0)",
+    "bool_or(i > 2)", "string_agg(s, '|' ORDER BY s)", "median(i)",
+    "first(s ORDER BY s)", "last(i ORDER BY i)",
+    "sum(i) FILTER (WHERE i > 0)", "var_pop(i)", "stddev_samp(d)",
+    "product(i)", "bit_and(i)", "bit_or(i)", "bit_xor(i)",
+    "quantile_disc(i, 0.25)", "count_if(i > 1)", "corr(i, d)",
+    "covar_pop(i, d)", "max_by(s, i)", "min_by(s, i)",
+]
+
+WFRAMES = ["", " ROWS BETWEEN 1 PRECEDING AND CURRENT ROW",
+           " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+           " RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"]
+
+
+def run_axis(axis, batches, rnd, spark, rw, con):
+    g = Gen(rnd)
+    checked = mismatch = 0
+    fails = []
+
+    def compare_scalar_batch(exprs):
+        nonlocal checked, mismatch
+        keep, want = [], []
+        for e in exprs:
+            try:
+                want.append(con.sql(f"SELECT {e}").fetchall()[0][0])
+                keep.append(e)
+            except Exception:
+                continue
+        if not keep:
+            return
+        sel = ", ".join(f"{e} AS c{i}" for i, e in enumerate(keep))
+        try:
+            row = list(spark.sql(rw.rewrite(f"SELECT {sel}")).collect()[0])
+        except Exception:
+            for e, w in zip(keep, want):
+                checked += 1
+                try:
+                    gv = spark.sql(rw.rewrite(f"SELECT {e} AS v")).collect()[0][0]
+                except Exception as exc:
+                    mismatch += 1
+                    fails.append((e, w, "REJECT " + str(exc).split("\n")[0][:90]))
+                    continue
+                if norm(gv) != norm(w):
+                    mismatch += 1
+                    fails.append((e, w, gv))
+            return
+        for e, w, gv in zip(keep, want, row):
+            checked += 1
+            if norm(gv) != norm(w):
+                mismatch += 1
+                fails.append((e, w, gv))
+
+    for _ in range(batches):
+        if axis == "expr":
+            compare_scalar_batch(
+                [g.iexpr(rnd.randint(1, 3)) if rnd.random() < 0.5
+                 else g.sexpr(rnd.randint(1, 3)) for _ in range(12)]
+            )
+        elif axis == "temporal":
+            compare_scalar_batch([g.temporal_scalar() for _ in range(8)])
+        elif axis == "agg":
+            tbl = g.values_table()
+            aggs = rnd.sample(AGGS, 6)
+            keep, want = [], []
+            for a in aggs:
+                try:
+                    want.append(con.sql(f"SELECT {a} FROM {tbl}").fetchall()[0][0])
+                    keep.append(a)
+                except Exception:
+                    continue
+            if not keep:
+                continue
+            sel = ", ".join(f"{a} AS c{i}" for i, a in enumerate(keep))
+            try:
+                row = list(
+                    spark.sql(rw.rewrite(f"SELECT {sel} FROM {tbl}")).collect()[0]
+                )
+            except Exception as e:
+                mismatch += 1
+                fails.append((sel[:90], None, "REJECT " + str(e).split("\n")[0][:90]))
+                continue
+            for a, w, gv in zip(keep, want, row):
+                checked += 1
+                if norm(gv) != norm(w):
+                    mismatch += 1
+                    fails.append((a, w, gv))
+        elif axis == "window":
+            tbl = g.values_table()
+            over = "OVER (PARTITION BY s ORDER BY i)"
+            ws = [rnd.choice([
+                f"row_number() {over}", f"rank() {over}", f"lag(d) {over}",
+                f"sum(d) OVER (PARTITION BY s ORDER BY i{rnd.choice(WFRAMES)})",
+                f"min(i) OVER (PARTITION BY s ORDER BY i{rnd.choice(WFRAMES)})",
+                f"first_value(d) {over}", f"ntile(2) {over}",
+            ]) for _ in range(4)]
+            sel = ", ".join(f"{w} AS c{i}" for i, w in enumerate(ws))
+            q = f"SELECT i, s, d, {sel} FROM {tbl} ORDER BY ALL"
+            try:
+                want = [tuple(norm(x) for x in r) for r in con.sql(q).fetchall()]
+            except Exception:
+                continue
+            try:
+                got = [tuple(norm(x) for x in r)
+                       for r in spark.sql(rw.rewrite(q)).collect()]
+            except Exception as e:
+                mismatch += 1
+                fails.append((q[:90], None, "REJECT " + str(e).split("\n")[0][:80]))
+                continue
+            checked += 1
+            skey = lambda r: tuple((x is None, x) for x in r)  # noqa: E731
+            if sorted(want, key=skey) != sorted(got, key=skey):
+                mismatch += 1
+                fails.append((q[:120], want[:3], got[:3]))
+        elif axis == "rel":
+            a, b = g.values_table("a"), g.values_table("b")
+            kind = rnd.randrange(4)
+            if kind == 0:
+                jt = rnd.choice(["JOIN", "LEFT JOIN", "FULL JOIN",
+                                 "SEMI JOIN", "ANTI JOIN"])
+                cols = ("a.i, a.s" if "SEMI" in jt or "ANTI" in jt
+                        else "a.i, a.s, b.i, b.s")
+                q = f"SELECT {cols} FROM {a} {jt} {b} ON a.i = b.i"
+            elif kind == 1:
+                op = rnd.choice(["UNION", "UNION ALL", "INTERSECT",
+                                 "EXCEPT", "INTERSECT ALL", "EXCEPT ALL"])
+                q = f"SELECT i, s FROM {a} {op} SELECT i, s FROM {b}"
+            elif kind == 2:
+                q = (f"SELECT i, count(*) AS n, min(s) AS mv FROM {a} "
+                     f"GROUP BY i HAVING count(*) >= 1")
+            else:
+                q = (f"SELECT i, s FROM {a} WHERE i IN "
+                     f"(SELECT i FROM {b} WHERE i IS NOT NULL)")
+            skey = lambda r: tuple((x is None, x) for x in r)  # noqa: E731
+            try:
+                want = sorted((tuple(norm(x) for x in r)
+                              for r in con.sql(q).fetchall()), key=skey)
+            except Exception:
+                continue
+            try:
+                got = sorted((tuple(norm(x) for x in r)
+                             for r in spark.sql(rw.rewrite(q)).collect()), key=skey)
+            except Exception as e:
+                mismatch += 1
+                fails.append((q[:90], None, "REJECT " + str(e).split("\n")[0][:80]))
+                continue
+            checked += 1
+            if want != got:
+                mismatch += 1
+                fails.append((q[:120], want[:3], got[:3]))
+    return checked, mismatch, fails
+
+
+def main():
+    axis = sys.argv[1] if len(sys.argv) > 1 else "all"
+    batches = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    rw = SqlRewriter(spark)
+    con = duckdb.connect()
+    axes = ["expr", "agg", "window", "rel", "temporal"] if axis == "all" else [axis]
+    total_mm = 0
+    for ax in axes:
+        checked, mm, fails = run_axis(ax, batches, random.Random(seed), spark, rw, con)
+        total_mm += mm
+        print(f"{ax}: checked={checked} mismatch={mm}")
+        for f in fails[:5]:
+            print("  FAIL:", str(f)[:220])
+    sys.exit(1 if total_mm else 0)
+
+
+if __name__ == "__main__":
+    main()
