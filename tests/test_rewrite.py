@@ -2095,3 +2095,20 @@ def test_temporal_fuzzer_catches_batch28(spark, rw):
     for sql, want in cases.items():
         got = spark.sql(rw.rewrite(sql)).collect()[0].v
         assert got == want, f"{sql}: {got!r} != {want!r}"
+
+
+def test_nested_fuzzer_catches_batch28(spark, rw):
+    """Nested-type fuzzer pin: list_append/list_prepend coerce numeric
+    widths like DuckDB (Spark's array functions are type-strict —
+    native probes first, mixed widths fall back to both-sides-DOUBLE)."""
+    cases = {
+        "SELECT array_to_string(list_append([1.5, 2.5], 9), '|') AS v":
+            "1.5|2.5|9.0",
+        "SELECT array_to_string(list_append([1, 2], 3), '|') AS v": "1|2|3",
+        "SELECT array_to_string(list_prepend(0, [1.5]), '|') AS v": "0.0|1.5",
+        "SELECT array_to_string(list_prepend('z', ['a']), '|') AS v": "z|a",
+        "SELECT list_append([1,2], NULL)[3] IS NULL AS v": True,
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        assert got == want, f"{sql}: {got!r} != {want!r}"

@@ -268,8 +268,9 @@ class SqlRewriter:
         # returns false on null-bearing misses where Spark 3VL gives NULL)
         "list_min": "array_min",
         "list_max": "array_max",
-        "list_append": "array_append",
-        "list_prepend": "array_prepend",
+        # list_append/list_prepend moved to _rewrite_b20_fns (nested
+        # fuzzer catch: Spark's array functions are width-strict where
+        # DuckDB coerces numeric element/value types)
         # list_position/list_indexof/array_indexof moved to
         # _rewrite_b20_fns (fuzzer catch: Spark's array_position is
         # width-strict where DuckDB coerces numeric types)
@@ -3001,6 +3002,7 @@ class SqlRewriter:
     _B20_FN_RE = re.compile(
         r"(?i)\b(flatten|factorial|trunc|list_contains|array_contains|"
         r"list_position|list_indexof|array_indexof|"
+        r"list_append|list_prepend|"
         r"setseed|current_setting)\s*\("
     )
     # postfix factorial: operand ends with \w / ) / ] and the '!' is not
@@ -3133,6 +3135,22 @@ class SqlRewriter:
                     f"CAST(({x}) AS DOUBLE))"
                 )
                 repl = f"uq_poly({widened}, array_position(({a}), ({x})))"
+            elif fn in ("list_append", "list_prepend"):
+                if len(args) != 2:
+                    raise UQueryError.sql_error(f"{fn} expects 2 args")
+                # DuckDB coerces numeric widths; Spark's array_append/
+                # prepend are type-strict (nested-fuzzer catch) —
+                # native probes first, mixed widths fall back to
+                # both-sides-DOUBLE
+                if fn == "list_append":
+                    a, x, out = a0, args[1], "array_append"
+                else:
+                    x, a, out = a0, args[1], "array_prepend"
+                widened = (
+                    f"{out}(transform(({a}), uq_pe -> CAST(uq_pe AS DOUBLE)), "
+                    f"CAST(({x}) AS DOUBLE))"
+                )
+                repl = f"uq_poly({widened}, {out}(({a}), ({x})))"
             elif fn == "setseed":
                 repl = "CAST(NULL AS DOUBLE)"
             else:  # list_contains / array_contains
