@@ -7,13 +7,13 @@ deviations are listed in NOTES (decimal median discreteness,
 arg-function ties, bare any_value input-order).
 
 Usage:
-    python tools/dialect_fuzz.py [expr|agg|window|rel|temporal|all] [batches] [seed]
+    python tools/dialect_fuzz.py [expr|agg|window|rel|temporal|nested|all] [batches] [seed]
 
 Catches credited to this harness (round 6): nested left/right/substr
 negative windows, decimal list_sum folds, width-strict list_position,
 arg_max NULL-value skip, null-keeping first/last ordering, avg DECIMAL
 width, corr ANSI divide-by-zero, DATE±INTERVAL widening, age(),
-datepart('dow') off-by-one.
+datepart('dow') off-by-one, width-coercing list_append/prepend.
 """
 import sys
 import random
@@ -112,6 +112,35 @@ class Gen:
             f"epoch(CAST({a} AS TIMESTAMP))",
         ])
 
+    def lexpr(self, d):
+        r = self.rnd
+        if d <= 0:
+            return r.choice(["[1, 2, 3]", "[5, NULL, 7]", "['a', 'b']",
+                             "[1.5, 2.5]", "string_split('p,q,r', ',')"])
+        a = self.lexpr(d - 1)
+        return r.choice([
+            f"list_append({a}, 9)" if "'" not in a else f"list_sort({a})",
+            f"list_distinct(list_sort({a}))", f"list_sort({a})",
+            f"list_reverse({a})", f"list_slice({a}, 1, 2)",
+            f"array_pop_back({a})", f"list_resize({a}, 4)",
+            f"({a})[1:2]", f"list_concat({a}, {a})",
+        ])
+
+    def nested_scalar(self):
+        r = self.rnd
+        l = self.lexpr(r.randint(0, 2))
+        return r.choice([
+            f"array_to_string({l}, '|')", f"len({l})",
+            f"({l})[1] IS NULL",
+            f"{{'a': {l}}}.a[1] IS NOT NULL",
+            f"struct_pack(x := 1, y := 'b').y",
+            f"{{'p': {{'q': 7}}}}.p.q",
+            f"map_keys(MAP {{'a': 1, 'b': 2}})[2]",
+            f"map_values(MAP {{'a': 5}})[1]",
+            f"to_json({{'a': 1, 'b': [1,2]}})",
+            f"array_to_string(list_filter({l}, x -> x IS NOT NULL), ',')",
+        ])
+
     def values_table(self, alias="t"):
         r = self.rnd
         rows = []
@@ -186,6 +215,8 @@ def run_axis(axis, batches, rnd, spark, rw, con):
             )
         elif axis == "temporal":
             compare_scalar_batch([g.temporal_scalar() for _ in range(8)])
+        elif axis == "nested":
+            compare_scalar_batch([g.nested_scalar() for _ in range(5)])
         elif axis == "agg":
             tbl = g.values_table()
             aggs = rnd.sample(AGGS, 6)
@@ -290,7 +321,8 @@ def main():
     )
     rw = SqlRewriter(spark)
     con = duckdb.connect()
-    axes = ["expr", "agg", "window", "rel", "temporal"] if axis == "all" else [axis]
+    axes = (["expr", "agg", "window", "rel", "temporal", "nested"]
+            if axis == "all" else [axis])
     total_mm = 0
     for ax in axes:
         checked, mm, fails = run_axis(ax, batches, random.Random(seed), spark, rw, con)
