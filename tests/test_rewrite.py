@@ -2112,3 +2112,28 @@ def test_nested_fuzzer_catches_batch28(spark, rw):
     for sql, want in cases.items():
         got = spark.sql(rw.rewrite(sql)).collect()[0].v
         assert got == want, f"{sql}: {got!r} != {want!r}"
+
+
+def test_glob_brackets_batch28(spark, rw):
+    """Pattern-fuzzer close: GLOB bracket classes translate to anchored
+    regex (only '!' negates — '^' is a literal member; ']' first is
+    literal; ranges case-sensitive; an UNCLOSED '[' matches NOTHING —
+    all DuckDB-probed); bracket-free patterns keep the LIKE fast
+    path."""
+    cases = {
+        "SELECT 'b' GLOB '[!a]' AS v": True,
+        "SELECT 'a' GLOB '[^a]' AS v": True,
+        "SELECT ']' GLOB '[]]' AS v": True,
+        "SELECT 'a' GLOB '[!]a]' AS v": False,
+        "SELECT 'd' GLOB '[a-c]' AS v": False,
+        "SELECT 'C' GLOB '[a-z]' AS v": False,
+        "SELECT '[' GLOB '[' AS v": False,
+        "SELECT 'aXc' GLOB 'a[A-Z]c' AS v": True,
+        "SELECT 'abc' GLOB 'a*[bc]' AS v": True,
+        "SELECT 'abc' GLOB 'a*c' AS v": True,
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        assert got == want, f"{sql}: {got!r} != {want!r}"
+    with pytest.raises(UQueryError):
+        rw.rewrite("SELECT 'a' GLOB '[a-]'")  # DuckDB's never-match edge

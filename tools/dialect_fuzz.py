@@ -7,7 +7,7 @@ deviations are listed in NOTES (decimal median discreteness,
 arg-function ties, bare any_value input-order).
 
 Usage:
-    python tools/dialect_fuzz.py [expr|agg|window|rel|temporal|nested|all] [batches] [seed]
+    python tools/dialect_fuzz.py [expr|agg|window|rel|temporal|nested|pattern|all] [batches] [seed]
 
 Catches credited to this harness (round 6): nested left/right/substr
 negative windows, decimal list_sum folds, width-strict list_position,
@@ -126,6 +126,26 @@ class Gen:
             f"({a})[1:2]", f"list_concat({a}, {a})",
         ])
 
+    def pattern_expr(self):
+        r = self.rnd
+        subj = "'" + r.choice(["abc", "a.c", "a*c", "[ab]", "a_c", "a%c", "",
+                               "aaa", "xyz", "ABC", "a c", "a+b", "(a)"]) + "'"
+        like = "".join(r.choice(["a", "b", "%", "_", "c", "x", ".", "*"])
+                       for _ in range(r.randint(1, 4)))
+        gl = "".join(r.choice(["a", "b", "*", "?", "c", "[ab]", "[!ab]", "x"])
+                     for _ in range(r.randint(1, 4)))
+        sim = "".join(r.choice(["a", "b", "c", ".", "a*", "b+", "(a|b)",
+                                "[abc]", "x?"]) for _ in range(r.randint(1, 3)))
+        rx = "".join(r.choice(["a", "b", ".", "a*", "(a|b)", "[abc]", "^a",
+                               "c$", "\\d"]) for _ in range(r.randint(1, 3)))
+        return r.choice([
+            f"({subj} LIKE '{like}')", f"({subj} NOT LIKE '{like}')",
+            f"({subj} GLOB '{gl}')", f"({subj} SIMILAR TO '{sim}')",
+            f"regexp_matches({subj}, '{rx}')",
+            f"regexp_extract({subj}, '{rx}')",
+            f"regexp_replace({subj}, '{rx}', 'Z')",
+        ])
+
     def nested_scalar(self):
         r = self.rnd
         l = self.lexpr(r.randint(0, 2))
@@ -217,6 +237,8 @@ def run_axis(axis, batches, rnd, spark, rw, con):
             compare_scalar_batch([g.temporal_scalar() for _ in range(8)])
         elif axis == "nested":
             compare_scalar_batch([g.nested_scalar() for _ in range(5)])
+        elif axis == "pattern":
+            compare_scalar_batch([g.pattern_expr() for _ in range(10)])
         elif axis == "agg":
             tbl = g.values_table()
             aggs = rnd.sample(AGGS, 6)
@@ -321,7 +343,7 @@ def main():
     )
     rw = SqlRewriter(spark)
     con = duckdb.connect()
-    axes = (["expr", "agg", "window", "rel", "temporal", "nested"]
+    axes = (["expr", "agg", "window", "rel", "temporal", "nested", "pattern"]
             if axis == "all" else [axis])
     total_mm = 0
     for ax in axes:

@@ -5522,12 +5522,63 @@ class SqlRewriter:
             neg = "NOT " if m.group(1) else ""
             return f"{neg}RLIKE '^(?:{m.group(2)})$'"
 
+        def glob_regex(pat: str) -> str | None:
+            """GLOB with bracket classes (batch 28, pattern fuzzer) →
+            anchored regex. DuckDB-probed: only '!' negates ('^' is a
+            literal member), ']' as first member is literal, an
+            UNCLOSED '[' never matches anything (→ '(?!)'); a bare
+            leading/trailing '-' raises (DuckDB's own never-match edge
+            — loud beats replicating an accident)."""
+            out, i, n = [], 0, len(pat)
+            while i < n:
+                c = pat[i]
+                if c == "*":
+                    out.append(".*")
+                elif c == "?":
+                    out.append(".")
+                elif c == "[":
+                    j = i + 1
+                    neg = j < n and pat[j] == "!"
+                    if neg:
+                        j += 1
+                    start = j
+                    if j < n and pat[j] == "]":
+                        j += 1  # literal ] first member
+                    while j < n and pat[j] != "]":
+                        j += 1
+                    if j >= n:
+                        return None  # unclosed: never matches
+                    body = pat[start:j]
+                    cls = []
+                    for k, ch in enumerate(body):
+                        if ch == "-":
+                            if 0 < k < len(body) - 1:
+                                cls.append("-")
+                                continue
+                            raise UQueryError.sql_error(
+                                "GLOB: bare '-' at a bracket-class edge "
+                                "(DuckDB's never-match edge — write the "
+                                "range out)"
+                            )
+                        cls.append("\\" + ch if ch in "\\^]['&" else ch)
+                    out.append(("[^" if neg else "[") + "".join(cls) + "]")
+                    i = j + 1
+                    continue
+                elif c in ".^$+{}()|\\]":
+                    out.append("\\" + c)
+                else:
+                    out.append(c)
+                i += 1
+            return "^(?:" + "".join(out) + ")$"
+
         def glob(m: re.Match) -> str:
             pat = m.group(1)
-            if "[" in pat or "]" in pat:
-                raise UQueryError.sql_error(
-                    "GLOB bracket classes are not supported (use SIMILAR TO)"
-                )
+            if "[" in pat:
+                rx = glob_regex(pat)
+                if rx is None:
+                    rx = "(?!)"  # unclosed '[': DuckDB matches nothing
+                # emitted literal must be in Spark escape space
+                return "RLIKE '" + rx.replace("\\", "\\\\") + "'"
             like = (
                 pat.replace("\\", "\\\\")
                 .replace("%", "\\%")
