@@ -694,12 +694,16 @@ def test_similar_to_glob_trailing_comma(spark, rw):
     # literals are never touched
     s = "SELECT 'x similar to y, from z' AS s"
     assert rw.rewrite(s) == s
-    # GLOB bracket classes can't map to LIKE — explicit error
-    import pytest as _pytest
-    from uquery_rs_spark.errors import UQueryError
-
-    with _pytest.raises(UQueryError):
-        rw.rewrite("SELECT * FROM t WHERE x GLOB '[abc]*'")
+    # GLOB bracket classes graduated to a regex translation in round 6
+    # (commit 8f69c2b); assert the translated semantics, not a raise.
+    bracket_cases = {
+        "SELECT count(*) AS v FROM uq_sim_src WHERE n GLOB '[AE]*'": 2,
+        "SELECT count(*) AS v FROM uq_sim_src WHERE n GLOB '[A]SIA'": 1,
+        "SELECT count(*) AS v FROM uq_sim_src WHERE n GLOB '[!AE]*'": 0,
+    }
+    for sql, want in bracket_cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0][0]
+        assert got == want, f"{sql}: {got!r} != {want!r}"
 
 
 def test_round5_passes_ignore_string_literals(rw):
