@@ -161,6 +161,27 @@ class Gen:
             f"array_to_string(list_filter({l}, x -> x IS NOT NULL), ',')",
         ])
 
+    def div_expr(self, d):
+        """Round-7 axis: division/modulo trees with zero-heavy divisors
+        (DuckDB x/0, x%0, x//0 are NULL in every numeric type; Spark
+        ANSI raises — the nullif-divisor wrap must make them agree),
+        plus the decimal-operand '/' (DuckDB always returns DOUBLE)."""
+        r = self.rnd
+        if d <= 0:
+            return r.choice(["0", "1", "-7", "2.5", "-0.5", "3", "NULL",
+                             "12", "0.0", "100", "-1"])
+        a, b = self.div_expr(d - 1), self.div_expr(d - 1)
+        ia = r.choice(INTS + ["0", "0", "NULL"])
+        ib = r.choice(INTS + ["0", "0", "NULL"])
+        return r.choice([
+            f"({a} / {b})", f"({a} % {b})", f"({a} / {b})",
+            f"({a} + {b})", f"({a} * {b})", f"({a} - {b})",
+            f"({ia} // {ib})",
+            f"round({a} / {b}, 3)",
+            f"(CASE WHEN {a} IS NULL THEN {b} ELSE {a} END / {b})",
+            f"abs({a} % {b})",
+        ])
+
     def values_table(self, alias="t"):
         r = self.rnd
         rows = []
@@ -239,6 +260,10 @@ def run_axis(axis, batches, rnd, spark, rw, con):
             compare_scalar_batch([g.nested_scalar() for _ in range(5)])
         elif axis == "pattern":
             compare_scalar_batch([g.pattern_expr() for _ in range(10)])
+        elif axis == "div":
+            compare_scalar_batch(
+                [g.div_expr(rnd.randint(1, 3)) for _ in range(12)]
+            )
         elif axis == "agg":
             tbl = g.values_table()
             aggs = rnd.sample(AGGS, 6)
@@ -343,7 +368,8 @@ def main():
     )
     rw = SqlRewriter(spark)
     con = duckdb.connect()
-    axes = (["expr", "agg", "window", "rel", "temporal", "nested", "pattern"]
+    axes = (["expr", "agg", "window", "rel", "temporal", "nested", "pattern",
+             "div"]
             if axis == "all" else [axis])
     total_mm = 0
     for ax in axes:

@@ -530,6 +530,10 @@ _BAR_PARTIAL = ["", "▏", "▎", "▍", "▌", "▋", "▊", "▉"]
 
 
 def _bar(x: float, lo: float, hi: float, width: float) -> str:
+    if int(width) <= 0:
+        # DuckDB errors on non-positive widths; Python's negative modulo
+        # would otherwise fabricate a partial block (bar(5,0,10,-1) → '▌')
+        raise ValueError("bar(): width must be positive")
     x = max(lo, min(hi, x))
     span = hi - lo
     f = (x - lo) / span if span != 0 else 0.0

@@ -2215,3 +2215,48 @@ def dialect_gap_battery26(spark: SparkSession, sf: str) -> DataFrame:
         "reverse(concat('é', substr(text, 1, 8))) AS rev_g "
         "FROM documents WHERE doc_id <= 300 ORDER BY doc_id",
     )
+
+
+@register(
+    "dialect_gap_battery27",
+    tags=("dialect", "battery", "arithmetic"),
+    oracle="""
+SELECT p_partkey,
+       p_retailprice / (p_partkey % 5) AS d1,
+       p_partkey % (p_size - p_size) AS m0,
+       CAST(p_partkey // (p_partkey % 3) AS BIGINT) AS idiv,
+       round(p_retailprice / nullif(p_size, 0), 3) AS safe,
+       CAST(1.50 AS DECIMAL(10,2)) / 2 AS decdiv,
+       p_retailprice / 0.0 AS dz,
+       (p_partkey * 3) / (p_partkey % 4) * 2 AS chain,
+       p_partkey / CASE WHEN p_size > 25 THEN 0 ELSE p_size END AS cdiv,
+       p_retailprice % (p_partkey % 7) AS m1
+FROM part WHERE p_partkey <= 300 ORDER BY p_partkey
+""",
+)
+def dialect_gap_battery27(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-7 ÷0 parity pinned on data (VERDICT r6 #2 / NOTES
+    'ANSI-mode follow-up'): DuckDB returns NULL for x/0, x%0 and x//0
+    in EVERY numeric type (DOUBLE included — NOT Infinity) where
+    Spark's ANSI mode raises; the nullif-divisor wrap
+    (`rewrite.py _rewrite_div_by_zero`) must make zero-hitting data
+    divisors (modulo cycles, always-zero columns, CASE-selected
+    zeros, literal 0.0) agree row-for-row — and DuckDB's `/` is
+    always DOUBLE, so the decimal-operand division must come back
+    DOUBLE, not Spark's DECIMAL. Fuzz companion: the `div` axis in
+    tools/dialect_fuzz.py (1440 cases, two seeds, clean)."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT p_partkey, "
+        "p_retailprice / (p_partkey % 5) AS d1, "
+        "p_partkey % (p_size - p_size) AS m0, "
+        "CAST(p_partkey // (p_partkey % 3) AS BIGINT) AS idiv, "
+        "round(p_retailprice / nullif(p_size, 0), 3) AS safe, "
+        "CAST(1.50 AS DECIMAL(10,2)) / 2 AS decdiv, "
+        "p_retailprice / 0.0 AS dz, "
+        "(p_partkey * 3) / (p_partkey % 4) * 2 AS chain, "
+        "p_partkey / CASE WHEN p_size > 25 THEN 0 ELSE p_size END AS cdiv, "
+        "p_retailprice % (p_partkey % 7) AS m1 "
+        "FROM part WHERE p_partkey <= 300 ORDER BY p_partkey",
+    )

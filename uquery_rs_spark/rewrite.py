@@ -1123,6 +1123,12 @@ class SqlRewriter:
                     "ambiguous (fmt aligns strings left, numbers right) — "
                     "add '<'/'>' or a type"
                 )
+            if typ == "" and align:
+                # {:>6} renders via Java %s which stringifies numbers
+                # differently from C++ fmt ('1.0' vs '1') — only a
+                # provably-string argument may pass through (sentinel
+                # validated per-argument in consume())
+                cast = "UQ_REQUIRE_STRING"
             typ = "s"
         else:
             raise UQueryError.sql_error(
@@ -1150,11 +1156,40 @@ class SqlRewriter:
         casts: dict[int, str] = {}
         wraps: dict[int, str] = {}
 
+        _STRY_RE = re.compile(
+            r"(?is)^\s*(?:uq_poly\s*\(\s*)?"
+            r"(?:upper|lower|trim|ltrim|rtrim|btrim|concat|concat_ws"
+            r"|substr|substring|left|right|repeat|reverse|lpad|rpad|replace"
+            r"|format_string|printf|regexp_replace|translate|chr|typeof)\s*\("
+        )
+        _STRCAST_RE = re.compile(
+            r"(?is)^\s*(?:try_)?cast\s*\(.*\bas\s+(?:string|varchar|text|char)\b"
+        )
+        # upper/lower arrive as the batch-28 ASCII-guard CASE hybrid
+        _STRHYBRID_RE = re.compile(
+            r"(?is)^\s*\(?\s*case\s+when\b.*\buq_(?:upper|lower)_simple\s*\("
+        )
+
         def consume(k: int, cast, wrap):
             if k >= len(vals):
                 raise UQueryError.sql_error(
                     "format(): more placeholders than arguments"
                 )
+            if cast == "UQ_REQUIRE_STRING":
+                v = vals[k]
+                if (
+                    self._lit_parse(v.strip()) is None
+                    and not _STRY_RE.match(v)
+                    and not _STRCAST_RE.match(v)
+                    and not _STRHYBRID_RE.match(v)
+                ):
+                    raise UQueryError.sql_error(
+                        "format(): aligned placeholder without a type "
+                        "renders via Java %s, which stringifies numbers "
+                        "differently from C++ fmt ('1.0' vs '1') — add an "
+                        "explicit type or pass a string expression"
+                    )
+                cast = None
             if cast:
                 if casts.get(k, cast) != cast:
                     raise UQueryError.sql_error(
@@ -1632,6 +1667,14 @@ class SqlRewriter:
                 dm = re.match(r"(?i)^distinct\s+", a)
                 prefix, a = ("DISTINCT ", a[dm.end() :]) if dm else ("", a)
                 repl = f"avg({prefix}CAST(({a}) AS DOUBLE))"
+                # avg over INTERVAL is native in both engines and the
+                # DOUBLE cast fails analysis — poly-probe the cast form,
+                # native avg as fallback. Skipped when a call clause
+                # (OVER/FILTER/WITHIN) follows: the poly resolver
+                # parenthesizes its pick, which breaks `agg() OVER`
+                # syntax (interval window-avg stays a loud error).
+                if not re.match(r"(?i)\s*(over|filter|within)\b", sql[close + 1 :]):
+                    repl = f"uq_poly(avg({prefix}({a})), {repl})"
             elif fn == "corr":
                 if len(args) != 2:
                     pos = close + 1
@@ -2091,8 +2134,15 @@ class SqlRewriter:
             )
         m = self._CREATE_TABLE_RE.match(sql)
         if m:
-            _orep, name, body = m.groups()
-            return f"CACHE TABLE {name.strip()} AS {self.rewrite(body)}"
+            orep, name, body = m.groups()
+            name = name.strip()
+            if orep:
+                # CACHE TABLE raises TEMP_TABLE_OR_VIEW_ALREADY_EXISTS on a
+                # live name; OR REPLACE must drop the prior materialization
+                # first (the DML error documents this as THE rebuild path).
+                self.spark.sql(f"UNCACHE TABLE IF EXISTS {name}")
+                self.spark.sql(f"DROP VIEW IF EXISTS {name}")
+            return f"CACHE TABLE {name} AS {self.rewrite(body)}"
         m = self._CREATE_MACRO_RE.match(sql)
         if m:
             # batch 28: in-session CREATE [OR REPLACE] MACRO — the same
@@ -2401,16 +2451,34 @@ class SqlRewriter:
             import glob as _glob
 
             files = sorted(_glob.glob(pat))
+            # a user alias after the call (`FROM glob('p') g` / `g(file)`,
+            # both DuckDB-accepted) replaces the synthetic one — a double
+            # alias is a Spark parse error. Same stop-word scan as
+            # _rewrite_information_schema.
+            stop_words = {
+                "on", "where", "group", "order", "limit", "join", "inner",
+                "left", "right", "full", "cross", "union", "except",
+                "intersect", "using", "having", "qualify", "offset",
+                "fetch", "asof", "positional", "semi", "anti",
+            }
+            nxt = re.match(r"\s+(?:as\s+)?([A-Za-z_]\w*)", sql[close + 1 :])
+            user_alias = bool(nxt) and nxt.group(1).lower() not in stop_words
             if files:
                 rows = ", ".join(
                     "('" + f.replace("'", "''") + "')" for f in files
                 )
-                repl = f"{m.group(1)} (VALUES {rows}) AS uq_glob(file)"
+                body = f"(VALUES {rows}) AS uq_glob(file)"
             else:
-                repl = (
-                    f"{m.group(1)} (SELECT CAST(NULL AS STRING) AS file "
-                    f"WHERE false) AS uq_glob"
+                body = (
+                    "(SELECT CAST(NULL AS STRING) AS file WHERE false) "
+                    "AS uq_glob"
                 )
+            if user_alias:
+                # keep the column named `file` inside, let the user alias
+                # bind to the derived table
+                repl = f"{m.group(1)} (SELECT file FROM {body})"
+            else:
+                repl = f"{m.group(1)} {body}"
             sql = sql[: m.start()] + repl + sql[close + 1 :]
 
     # -- sweep batch 24: FETCH FIRST / typeof / from_json / array_slice -----
@@ -5917,6 +5985,152 @@ class SqlRewriter:
                 i += 1
         return "".join(out)
 
+    _DIV_RHS_SKIP = {
+        "select", "from", "where", "group", "order", "by", "limit",
+        "offset", "having", "union", "all", "distinct", "on", "using",
+        "join", "inner", "left", "right", "full", "cross", "and", "or",
+        "not", "between", "in", "is", "as", "when", "then", "else",
+        "end", "over", "partition", "rows", "range", "interval", "any",
+        "some", "exists",
+    }
+    _DIV_CLAUSE_RE = re.compile(
+        r"(?i)(over|filter|ignore\s+nulls|respect\s+nulls|within\s+group)\b"
+    )
+    _DIV_CASE_TOK_RE = re.compile(r"(?is)'(?:[^']|'')*'|\b(case|end)\b")
+
+    def _div_rhs_end(self, sql: str, i: int):
+        """End index (exclusive) of a DIVISOR expression starting at
+        ``i``: a CASE…END block, or an atom extended through postfix
+        window/aggregate clauses (OVER (spec)/OVER name, FILTER (…),
+        WITHIN GROUP (…), IGNORE/RESPECT NULLS) so the clause stays
+        attached inside the nullif wrap. None = caller leaves the
+        division native (loud ANSI error preserved, no mistranslation
+        risk)."""
+        n = len(sql)
+        j = i
+        while j < n and sql[j].isspace():
+            j += 1
+        if re.match(r"(?i)case\b", sql[j:]):
+            depth = 0
+            for tok in self._DIV_CASE_TOK_RE.finditer(sql, j):
+                w = tok.group(1)
+                if not w:
+                    continue
+                if w.lower() == "case":
+                    depth += 1
+                else:
+                    depth -= 1
+                    if depth == 0:
+                        return tok.end()
+            return None
+        end = self._atom_right(sql, i)
+        if end is None:
+            return None
+        while True:
+            k = end
+            while k < n and sql[k].isspace():
+                k += 1
+            m = self._DIV_CLAUSE_RE.match(sql, k)
+            if not m:
+                return end
+            kw = m.group(1).lower()
+            p = m.end(1)
+            if kw.startswith(("ignore", "respect")):
+                end = p
+                continue
+            q = p
+            while q < n and sql[q].isspace():
+                q += 1
+            if q < n and sql[q] == "(":
+                close = self._find_close(sql, q)
+                if close == -1:
+                    return None
+                end = close + 1
+            elif kw == "over" and q < n and (sql[q].isalpha() or sql[q] == "_"):
+                while q < n and (sql[q].isalnum() or sql[q] == "_"):
+                    q += 1
+                end = q
+            else:
+                return None
+
+    def _rewrite_div_by_zero(self, sql: str) -> str:
+        """DuckDB returns NULL for division/modulo by zero in EVERY
+        numeric type (1/0, 1.0/0.0, 1%0, 7//0 all probed NULL — DOUBLE
+        included, NOT Infinity) where Spark's ANSI mode raises
+        DIVIDE_BY_ZERO / REMAINDER_BY_ZERO — the last loud
+        DuckDB-valid-query-fails gap (VERDICT r6 #2, NOTES 'ANSI-mode
+        follow-up'). Translation: wrap the DIVISOR in ``nullif(d, 0)``
+        — x / NULL is NULL in both engines, the result TYPE is
+        unchanged (nullif preserves its first argument's type, so
+        int/decimal/double widths stay exactly what Spark computes
+        today), operator precedence is untouched (one atom replaced in
+        place — no operand-chain parsing), interval dividends keep
+        their native path, and no analysis probe is needed. ``//``
+        becomes ``div nullif(d, 0)`` here (DuckDB 7//0 is NULL too).
+        A divisor that doesn't parse as an atom is left native."""
+        i, n = 0, len(sql)
+        while i < n:
+            c = sql[i]
+            if c == "'":
+                j = sql.find("'", i + 1)
+                i = n if j == -1 else j + 1
+                continue
+            if c == '"':
+                j = sql.find('"', i + 1)
+                i = n if j == -1 else j + 1
+                continue
+            if c == "`":
+                j = sql.find("`", i + 1)
+                i = n if j == -1 else j + 1
+                continue
+            if sql.startswith("/*", i):
+                j = sql.find("*/", i + 2)
+                i = n if j == -1 else j + 2
+                continue
+            if sql.startswith("--", i):
+                j = sql.find("\n", i)
+                i = n if j == -1 else j + 1
+                continue
+            if c in "/%":
+                isdd = sql.startswith("//", i)
+                oplen = 2 if isdd else 1
+                end = self._div_rhs_end(sql, i + oplen)
+                if end is None:
+                    i += oplen
+                    continue
+                rhs = sql[i + oplen : end].strip()
+                if not rhs or rhs.lower() in self._DIV_RHS_SKIP:
+                    i += oplen
+                    continue
+                if rhs.startswith(("nullif((", "nullif(CAST((")):
+                    # already wrapped (this pass runs twice: before the
+                    # int_div pass for user `//`, after macro expansion
+                    # for macro-introduced divisions)
+                    i += oplen
+                    continue
+                if isdd:
+                    repl = " div nullif(({}), 0)".format(rhs)
+                elif c == "/":
+                    # DuckDB's `/` ALWAYS returns DOUBLE (decimal/decimal
+                    # probed DOUBLE; 1/2 is 0.5) — casting the DIVISOR
+                    # promotes the result to DOUBLE for every numeric
+                    # dividend while interval dividends stay native
+                    # (interval / double is valid Spark), fixing the
+                    # decimal-width/rounding divergence in the same wrap
+                    repl = "/ nullif(CAST(({}) AS DOUBLE), 0)".format(rhs)
+                else:
+                    repl = "% nullif(({}), 0)".format(rhs)
+                sql = sql[:i] + repl + sql[end:]
+                n = len(sql)
+                # do NOT jump past the replacement: the wrapped divisor
+                # may itself contain divisions ((a)/(b/0)) — rescan from
+                # the operator; the nullif prefix guard skips the wrap
+                # we just made and the scan proceeds inside it
+                i += oplen
+                continue
+            i += 1
+        return sql
+
     def _rewrite_distinct_on(self, sql: str) -> str:
         """DuckDB/Postgres ``SELECT DISTINCT ON (keys) list … [ORDER BY o]``
         → first row per key group via a row_number window:
@@ -7147,10 +7361,17 @@ class SqlRewriter:
         sql = self._rewrite_distinct_over(sql)
         sql = self._rewrite_window_filter(sql)
         sql = self._rewrite_strftime(sql)
-        sql = self._rewrite_int_div(sql)
         sql = self._rewrite_exclude(sql)
+        # USING SAMPLE n% must be consumed BEFORE the ÷0 pass (its '%'
+        # precedes a parenthesized (method, seed) group the divisor
+        # scan would otherwise wrap)
         sql = self._rewrite_using_sample(sql)
+        # ÷0 → NULL parity BEFORE int_div (user `//` divisors wrap here,
+        # emitting div directly) and again after macro expansion
+        sql = self._rewrite_div_by_zero(sql)
+        sql = self._rewrite_int_div(sql)
         sql = self._expand_macros(sql)
+        sql = self._rewrite_div_by_zero(sql)
         # ASOF after the expression passes: subquery relations must be
         # Spark-valid when their schema is probed (LIMIT 0)
         sql = self._rewrite_asof_join(sql)
