@@ -1676,8 +1676,20 @@ def test_gap_hunt_batch22(spark, rw):
     for sql, want in cases.items():
         got = spark.sql(rw.rewrite(sql)).collect()[0].v
         assert got == want, f"{sql}: {got!r} != {want!r}"
+    # printf %g graduated to a translation in round 7 (uq_fmt_g —
+    # Python %-format is C printf for %g; Java keeps trailing zeros)
+    g_cases = {
+        "SELECT printf('%g', 1.5) AS v": "1.5",
+        "SELECT printf('%g', 1234567.0) AS v": "1.23457e+06",
+        "SELECT printf('%.3g', 1234.5) AS v": "1.23e+03",
+        "SELECT printf('%10.3g|', 1234.5) AS v": "  1.23e+03|",
+        "SELECT printf('%G', 0.00001) AS v": "1E-05",
+        "SELECT printf('%g and %d', 1.0, 42) AS v": "1 and 42",
+    }
+    for sql, want in g_cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        assert got == want, f"{sql}: {got!r} != {want!r}"
     for bad in [
-        "SELECT printf('%g', 1.5)",
         "SELECT printf('%d %d', 1)",
         "SELECT printf(fmt, 1) FROM t",  # non-literal format
     ]:
@@ -2270,3 +2282,51 @@ def test_div_by_zero_parity(spark, rw):
         spark.sql(rw.rewrite("SELECT INTERVAL '10' HOUR / 0 AS v")).collect()[0].v
         is None
     )
+
+
+def test_projected_in_subquery_nulls(spark, rw):
+    """Round-7: projected x [NOT] IN (subquery) is three-valued like
+    DuckDB (NULL element + no match → NULL); WHERE/HAVING position
+    keeps Spark's native semi-join (value-identical). All cases
+    DuckDB-differential-verified."""
+    cases = {
+        "SELECT 3 IN (SELECT * FROM (VALUES (1), (NULL)) t(v)) AS v": None,
+        "SELECT 1 IN (SELECT * FROM (VALUES (1), (NULL)) t(v)) AS v": True,
+        "SELECT NULL IN (SELECT * FROM (VALUES (1), (2)) t(v)) AS v": None,
+        # empty subquery: FALSE even for a NULL probe
+        "SELECT NULL IN (SELECT * FROM (VALUES (1)) t(v) WHERE v > 5) AS v": False,
+        "SELECT 3 NOT IN (SELECT * FROM (VALUES (1), (NULL)) t(v)) AS v": None,
+        "SELECT 3 NOT IN (SELECT * FROM (VALUES (1), (2)) t(v)) AS v": True,
+        "SELECT 1 NOT IN (SELECT * FROM (VALUES (1), (NULL)) t(v)) AS v": False,
+        # WHERE position: NULL filters like FALSE — fast path untouched
+        "SELECT count(*) AS v FROM (VALUES (3)) s(x) "
+        "WHERE x IN (SELECT * FROM (VALUES (1), (NULL)) t(v))": 0,
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        assert got == want, f"{sql}: {got!r} != {want!r}"
+    # the WHERE-position text is NOT rewritten into the CASE form
+    out = rw.rewrite(
+        "SELECT x FROM t WHERE x IN (SELECT v FROM u)"
+    )
+    assert "uq_inq" not in out
+    out = rw.rewrite("SELECT x IN (SELECT v FROM u) AS f FROM t")
+    assert "uq_inq" in out
+
+
+def test_list_distinct_removes_nulls(spark, rw):
+    """Round-7 nested-fuzzer catch: DuckDB list_distinct/array_distinct
+    REMOVE NULL elements ([5,NULL,7,NULL] → [7,5], [NULL] → []);
+    Spark's array_distinct keeps one. Element order stays a documented
+    deviation — compare sorted/len only."""
+    cases = {
+        "SELECT len(list_distinct([5, NULL, 7, NULL])) AS v": 2,
+        "SELECT list_sort(list_distinct([5, NULL, 7, NULL, 5])) AS v": [5, 7],
+        "SELECT list_distinct([NULL]) AS v": [],
+        "SELECT len(array_distinct(['a', NULL, 'a'])) AS v": 1,
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        if isinstance(got, list):
+            got = list(got)
+        assert got == want, f"{sql}: {got!r} != {want!r}"

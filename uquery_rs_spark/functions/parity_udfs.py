@@ -630,6 +630,21 @@ def _map2_bytes(fn):
 
 def _build_udfs() -> dict:
     return {
+        # printf %g (round 7): Python's %-formatting IS C printf for %g
+        # (six significant digits default, trailing-zero strip, fixed/
+        # scientific switch at exponent < -4 or >= precision, flags and
+        # width honored) where Java's Formatter %g keeps trailing zeros
+        # — the spec string arrives verbatim from the user's format
+        # (rewrite.py printf pass, '%g' → '%s' + this wrapper)
+        "uq_fmt_g": pandas_udf(
+            lambda v, s: pd.Series(
+                [
+                    None if pd.isna(x) or f is None else (f % float(x))
+                    for x, f in zip(v, s)
+                ]
+            ),
+            "string",
+        ),
         "uq_jaro": pandas_udf(_map2_bytes(_jaro), "double"),
         "uq_jaro_winkler": pandas_udf(_map2_bytes(_jaro_winkler), "double"),
         "uq_damerau_lev": pandas_udf(_map2_bytes(_damerau), "long"),

