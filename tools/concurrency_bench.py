@@ -82,6 +82,18 @@ def pct(xs: list[float], p: float) -> float:
 
 
 def main() -> None:
+    import os
+
+    if os.environ.get("UQ_DISABLE_EXEC_JSON"):
+        # A/B lever (round-7 verdict item 8): strip the executor-side
+        # serialization factory so JSON/JSONL encode single-threaded on
+        # the driver (the pre-round-6 path). Byte output is identical —
+        # only the latency distribution moves.
+        from uquery_rs_spark.writers import consumers as _c
+
+        for cls in list(vars(_c).values()):
+            if isinstance(cls, type) and hasattr(cls, "batch_bytes_serializer"):
+                cls.batch_bytes_serializer = None
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     rewriter = SqlRewriter(spark, allowed_dirs=[SF])

@@ -9,73 +9,74 @@ from __future__ import annotations
 from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 
 
-# Round-6 verification window (harnesses sample REGISTRY[:50]).
-# Composition: the six entries ADDED this round (batch-7 dialect
-# batteries — window EXCLUDE / null placement / lambda index /
-# hamming-to_base-date_part-map_from_entries-COLUMNS; the two ASOF
-# extension entries: USING+subquery relations and the NULL-key fix;
-# Gopher quality rules and boilerplate-line removal — new entries go in
-# the CURRENT window, round-4 lesson), then the 36 entries whose
-# freshest driver signal is round 2 (core TPC-H q2/q4/q7-q9/q11-q22,
-# set ops, subqueries, joins, VALUES — the staleness watch-item from
-# the r5 verdict), then the eight most SQL-surface-exposed round-3
-# entries (the new ORDER-BY-null-placement pass touches every SQL
-# query, so the SQL-flavored batteries rotate in ahead of the
-# operator-API ones; remaining r3 entries rotate in round 7).
-# Exactly 50 names. (Batch-15 additions prepended late round 6 — the
-# three entries they displaced (set_ops/stats_aggregates/union_all/
-# values/array batteries tail) rotate in round 7 with the rest of r3.)
-_ROUND6_WINDOW = (
-    "dialect_gap_battery26",
-    "dialect_gap_battery25",
-    "dialect_gap_battery24",
-    "dialect_gap_battery23",
-    "emb_diversity_sample",
-    "text_quality_classifier",
-    "web_url_canonicalize",
-    "web_domain_blocklist",
-    "dialect_gap_battery22",
-    "dialect_gap_battery21",
-    "dialect_gap_battery20",
-    "dialect_gap_battery19",
-    "dialect_gap_battery18",
-    "dialect_gap_battery17",
-    "dialect_gap_battery16",
-    "dialect_gap_battery15",
-    "text_c4_quality",
-    "dialect_gap_battery14",
-    "dialect_gap_battery11",
-    "dialect_gap_battery12",
-    "dialect_gap_battery13",
-    "dialect_gap_battery4",
-    "dialect_gap_battery5",
-    "dialect_gap_battery6",
-    "dialect_gap_battery7",
-    "dialect_gap_battery8",
-    "dialect_gap_battery9",
-    "dialect_gap_battery10",
-    "emb_dim_variance",
-    "asof_join_using_subquery",
-    "asof_join_null_keys",
-    "text_gopher_quality",
-    "text_boilerplate_removal",
-    "streaming_enrich_join",
-    "approx_distinct_parts",
-    "correlated_subquery_above_cust_avg",
-    "cross_join_region_status",
-    "cte_top_supplier_revenue",
-    "cube_returnflag_linestatus",
-    "distinct_order_priorities",
-    "filtered_aggregates",
-    "full_outer_nation_presence",
-    "left_join_customer_order_counts",
-    "limit_offset_pagination",
-    "listagg_nations_per_region",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue_ratio",
-    "q15_top_supplier",
+# Round-7 verification window (harnesses sample REGISTRY[:50]).
+# Composition per the r6 verdict's rotation rule (new-entry share
+# CAPPED at 15 so the rotation completes): the 2 entries ADDED this
+# round (battery27 ÷0 parity, battery28 projected-IN 3VL — new entries
+# go in the CURRENT window, round-4 lesson), then ALL 20 entries whose
+# freshest driver signal is round 2 (q2/q4/q7-q9/q16-q22, range join,
+# rollup, scalar subquery, semi join, set ops, stats aggregates,
+# union_all, values — the exact list from the r6 verdict), then 28 of
+# the 41 round-3-signal entries (SQL-surface-exposed batteries, dedup,
+# text, corpus, embeddings first). The 13 r3 entries NOT in this
+# window (streaming_* operator-API, multimodal_*, events-derived
+# cohort/funnel/daily/sliding/sessionization/tumbling) rotate in round
+# 8 — after round 7 no entry's freshest signal is older than r3.
+# Exactly 50 names.
+_ROUND7_WINDOW = (
+    # new this round (2 of a 15-slot cap)
+    "dialect_gap_battery27",
+    "dialect_gap_battery28",
+    # the 20 round-2-signal entries — all of them
+    "q2_min_balance_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
+    "q22_idle_rich_customers",
+    "range_join_size_buckets",
+    "rollup_order_status_priority",
+    "scalar_subquery_above_avg_balance",
+    "semi_join_active_customers",
+    "set_ops_nation_membership",
+    "stats_aggregates_prices",
+    "union_all_price_tiers",
+    "values_inline_table",
+    # 28 round-3-signal entries
+    "string_functions_battery",
+    "array_functions",
+    "datetime_functions",
+    "math_functions",
+    "regex_functions",
+    "explode_unnest_series",
+    "dedup_exact_stats",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_cluster_canonical",
+    "dedup_incremental_delta",
+    "decontaminate_benchmark_overlap",
+    "ann_cosine_topk",
+    "emb_label_cohesion",
+    "emb_quantize_int8_error",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_stats",
+    "text_fingerprint",
+    "text_pii_scan",
+    "text_repetition_stats",
+    "corpus_filter_funnel",
+    "corpus_hash_split",
+    "corpus_length_buckets",
+    "corpus_shuffle_order",
+    "corpus_stratified_mix",
 )
 
 
@@ -84,7 +85,7 @@ def load_all() -> None:
 
     Import order controls registry order, which external harnesses may use
     to window their correctness sampling.  After importing, the registry is
-    reordered so :data:`_ROUND6_WINDOW` occupies the front — see that
+    reordered so :data:`_ROUND7_WINDOW` occupies the front — see that
     constant for the rationale.  Rotate the window each round so every
     entry eventually gets hard-signal verification.
     """
@@ -96,8 +97,8 @@ def load_all() -> None:
     from . import relational  # noqa: F401
     from . import tpch_q  # noqa: F401
 
-    ordered = [n for n in _ROUND6_WINDOW if n in REGISTRY]
-    ordered += [n for n in REGISTRY if n not in _ROUND6_WINDOW]
+    ordered = [n for n in _ROUND7_WINDOW if n in REGISTRY]
+    ordered += [n for n in REGISTRY if n not in _ROUND7_WINDOW]
     snapshot = dict(REGISTRY)
     REGISTRY.clear()
     for _name in ordered:
