@@ -18,8 +18,12 @@ spark.driver.memory via SparkSession.builder in a fresh process — run
 it standalone, not from an existing Spark session.
 
 Usage:
-    python tools/crossover_probe.py SCALED_DIR [MEM] [name ...]
-    # MEM like '2g' (default); names restrict the query set
+    python tools/crossover_probe.py SCALED_DIR [MEM] [CORES] [name ...]
+    # MEM like '4g' (default); CORES per engine (default 8) — local
+    # mode shares ONE heap across all concurrent tasks, so the
+    # per-task memory is MEM/CORES; a real cluster gives each
+    # executor its own heap, making this the conservative setting
+    # for Spark. Names restrict the query set.
 """
 
 from __future__ import annotations
@@ -50,8 +54,9 @@ def best_of(run, n=3) -> float:
 
 def main() -> None:
     scaled = sys.argv[1]
-    mem = sys.argv[2] if len(sys.argv) > 2 else "2g"
-    subset = sys.argv[3:]
+    mem = sys.argv[2] if len(sys.argv) > 2 else "4g"
+    cores = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    subset = sys.argv[4:]
     names = [n for n in QUERY_SET if n in subset] if subset else QUERY_SET
 
     import duckdb
@@ -63,7 +68,7 @@ def main() -> None:
     Q.load_all()
 
     spark = (
-        SparkSession.builder.master("local[16]")
+        SparkSession.builder.master(f"local[{cores}]")
         .config("spark.driver.memory", mem)
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
@@ -74,11 +79,12 @@ def main() -> None:
     jvm_xmx = spark.sparkContext._conf.get("spark.driver.memory")
     con = oracle_connection(scaled)
     con.execute(f"SET memory_limit='{mem.upper().replace('G', 'GB')}'")
-    con.execute("SET threads=16")
+    con.execute(f"SET threads={cores}")
     con.execute("SET temp_directory='/tmp/duck_spill'")
-    print(f"budget: spark driver {jvm_xmx}, duckdb "
-          f"{con.execute('SELECT current_setting(\'memory_limit\')').fetchone()[0]}",
-          flush=True)
+    duck_lim = con.execute(
+        "SELECT current_setting('memory_limit')"
+    ).fetchone()[0]
+    print(f"budget: spark driver {jvm_xmx}, duckdb {duck_lim}", flush=True)
 
     # warm session + parquet footers
     Q.REGISTRY[names[0]].spark_fn(spark, scaled).count()

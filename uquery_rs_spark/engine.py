@@ -24,6 +24,7 @@ cancelJobGroup mid-scan.
 
 from __future__ import annotations
 
+import os
 import threading
 import uuid
 from abc import ABC, abstractmethod
@@ -34,6 +35,9 @@ from pyspark.sql import DataFrame, SparkSession
 from .errors import UQueryError
 
 DEFAULT_BATCH_ROWS = 8192
+# below this known result bound, JSON serialization stays on the driver
+# (the executor offload's extra stage costs more than it saves)
+_EXEC_JSON_MIN_ROWS = int(os.environ.get("UQ_EXEC_JSON_MIN_ROWS", "50000"))
 
 
 def _first_line(e: Exception) -> str:
@@ -146,6 +150,19 @@ class PreparedQuery:
             # threaded on the driver. Byte output is identical.
             ser_factory = getattr(consumer, "batch_bytes_serializer", None)
             ser_fn = ser_factory(schema) if ser_factory is not None else None
+            # payload-aware engage (round-7 measurement: at a 5000-row
+            # export the extra mapInArrow stage costs 5-12% wall under
+            # 8-client load — the offload only pays when driver-side
+            # encode dominates stage launch). maxRows is defined for
+            # LIMIT-bounded plans; unbounded scans (the big exports the
+            # offload exists for) stay on the executor path.
+            if ser_fn is not None:
+                try:
+                    mr = df._jdf.queryExecution().optimizedPlan().maxRows()
+                    if mr.isDefined() and int(str(mr.get())) < _EXEC_JSON_MIN_ROWS:
+                        ser_fn = None
+                except Exception:
+                    pass
             sc.setJobGroup(self.job_group, f"uquery {self.job_group}", interruptOnCancel=True)
             try:
                 if ser_fn is not None:
