@@ -211,3 +211,24 @@ def test_bm25_is_take_ordered(spark):
     plan = formatted_plan(bm25_scores(docs, ("spark", "vector")))
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_intra_doc_dedup_is_shuffle_free(spark):
+    """Round 7: within-doc dedup is a pure per-row expression tree —
+    no Exchange anywhere (the e≈0 scan-fused class)."""
+    plan = formatted_plan(
+        Q.REGISTRY["text_intra_doc_dedup"].spark_fn(spark, SF_SMALL)
+    )
+    body = plan.split("== Physical Plan ==")[-1]
+    # the trailing orderBy(doc_id) is presentation; assert the dedup
+    # itself adds no hash exchange
+    assert "hashpartitioning" not in body, body[:400]
+
+
+def test_ngram_topk_is_take_ordered(spark):
+    """Round 7: corpus top-k n-grams ends in TakeOrdered (k rows to the
+    driver, no global sort) over ONE gram-keyed exchange with map-side
+    partial aggregation."""
+    plan = formatted_plan(Q.REGISTRY["text_ngram_topk"].spark_fn(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial" in plan.lower()

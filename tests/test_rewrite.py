@@ -842,8 +842,10 @@ def test_gap_hunt_batch7_windows_and_functions(spark, rw):
         "SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING EXCLUDE CURRENT ROW) FROM t",
         # batch 15 closed struct_insert/mad/LIMIT n%/jaro*/strip_accents
         # (see test_gap_hunt_batch15) — these variants still raise:
+        # (mad(x) OVER graduated to a translation in round 7 —
+        # asserted in test_nested_aggs_over_window)
         "SELECT x FROM t LIMIT 50%",  # orderless: arbitrary subset
-        "SELECT mad(x) OVER (PARTITION BY g) FROM t",
+        "SELECT mad(x) FILTER (WHERE x > 0) FROM t",
         "SELECT struct_insert(x) FROM t",
         "SELECT '101'::BITSTRING",
         "SELECT CAST('a' AS ENUM('a','b'))",
@@ -924,9 +926,10 @@ def test_gap_hunt_batch9_aggregates(spark, rw):
     from uquery_rs_spark.errors import UQueryError
 
     for bad in [
-        # entropy/histogram translate since batch 15 — the windowed /
-        # DISTINCT forms stay untranslatable
-        "SELECT entropy(x) OVER (PARTITION BY y) FROM t",
+        # entropy/histogram translate since batch 15; their OVER forms
+        # since round 7 (test_nested_aggs_over_window) — DISTINCT and
+        # FILTER forms stay untranslatable
+        "SELECT entropy(x) FILTER (WHERE x > 0) FROM t",
         "SELECT histogram(DISTINCT x) FROM t",
         "SELECT skewness(x) OVER (PARTITION BY y) FROM t",
         "SELECT skewness(DISTINCT x) FROM t",
@@ -1722,6 +1725,10 @@ def test_gap_hunt_batch23(spark, rw):
         "SELECT bar(11, 0, 10, 10) AS v": "██████████",
         "SELECT bar(5, 10, 0, 10) AS v": "          ",
         "SELECT bitstring('1010', 8) AS v": "00001010",
+        # round 7: 1-arg timezone(ts) = session-zone UTC offset seconds
+        # (0 in the pinned UTC session; NULL-propagating)
+        "SELECT timezone(TIMESTAMP '2024-01-01 10:00:00') AS v": 0,
+        "SELECT timezone(CAST(NULL AS TIMESTAMP)) AS v": None,
         "SELECT CAST(date_trunc('week', DATE '2024-03-07') AS VARCHAR) AS v":
             "2024-03-04",
         "SELECT CAST(date_trunc('quarter', TIMESTAMP '2024-05-07 10:00:00') "
@@ -2330,3 +2337,50 @@ def test_list_distinct_removes_nulls(spark, rw):
         if isinstance(got, list):
             got = list(got)
         assert got == want, f"{sql}: {got!r} != {want!r}"
+
+
+def test_nested_aggs_over_window(spark, rw):
+    """Round-7: mad/entropy/histogram graduated to windowed forms —
+    every internal aggregate (collect_list/percentile) carries the
+    OVER clause; Catalyst computes each distinct window expression
+    once per spec. Default-frame semantics (whole partition without
+    ORDER BY, RANGE UNBOUNDED..CURRENT ROW with) match DuckDB —
+    differential-verified (entropy agrees to 1 ULP; asserted rounded).
+    FILTER still raises."""
+    rows = spark.sql(
+        rw.rewrite(
+            "SELECT i, s, round(entropy(i) OVER (PARTITION BY s), 6) AS e, "
+            "mad(i) OVER (PARTITION BY s) AS m "
+            "FROM (VALUES (1,'a'),(1,'a'),(2,'a'),(5,'b')) t(i,s) "
+            "ORDER BY s, i"
+        )
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        (1, "a", 0.918296, 0.0),
+        (1, "a", 0.918296, 0.0),
+        (2, "a", 0.918296, 0.0),
+        (5, "b", 0.0, 0.0),
+    ]  # DuckDB-verified values (mad of {1,1,2}: devs {0,0,1} -> 0)
+    # running (ORDER BY) frame: RANGE UNBOUNDED..CURRENT ROW in both
+    rows = spark.sql(
+        rw.rewrite(
+            "SELECT i, round(entropy(i) OVER (ORDER BY i), 6) AS e, "
+            "mad(i) OVER (ORDER BY i) AS m "
+            "FROM (VALUES (1),(1),(2),(3)) t(i) ORDER BY i"
+        )
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        (1, 0.0, 0.0), (1, 0.0, 0.0), (2, 0.918296, 0.0), (3, 1.5, 0.5),
+    ]  # DuckDB-verified
+    # histogram OVER returns the same map values (rendering differs)
+    h = spark.sql(
+        rw.rewrite(
+            "SELECT histogram(i) OVER (PARTITION BY s) AS h "
+            "FROM (VALUES (1,'a'),(1,'a'),(2,'a')) t(i,s) LIMIT 1"
+        )
+    ).collect()[0].h
+    assert dict(h) == {1: 2, 2: 1}
+    from uquery_rs_spark.errors import UQueryError
+
+    with pytest.raises(UQueryError):
+        rw.rewrite("SELECT mad(x) FILTER (WHERE x > 0) FROM t")

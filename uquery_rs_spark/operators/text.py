@@ -818,3 +818,84 @@ def quality_classifier(
         score.alias("quality_score"),
         (score > 0).alias("quality_label"),
     )
+
+
+def intra_doc_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """WITHIN-document duplicate-unit removal (round 7): drop repeated
+    lines/units inside each document, keeping the FIRST occurrence in
+    order — the page-local companion to the cross-document
+    :func:`boilerplate_removal` (navigation chrome and footer text
+    typically repeat both within a page and across a site; training
+    pipelines run both).
+
+    Columns: key, n_units, n_dupes, deduped_text.
+
+    Scale shape: a PURE per-row expression tree — split, indexed
+    filter (keep unit i iff its first occurrence index is i), rejoin.
+    NO shuffle, NO explode; fuses into the scan (the e≈0 flat class of
+    the Gopher/C4 stats). The in-row cost is O(units² ) via
+    array_position per element — bounded by page size, not corpus
+    size. DuckDB oracle: the identical indexed list_filter (1-based in
+    both engines' lambda index forms... Spark's filter index is
+    0-based; the oracle compensates).
+    """
+    units = F.split(F.col(text_col), sep)
+    kept = F.filter(
+        units, lambda x, i: F.array_position(units, x) == i + F.lit(1)
+    )
+    return docs.select(
+        key_col,
+        F.size(units).cast("bigint").alias("n_units"),
+        (F.size(units) - F.size(kept)).cast("bigint").alias("n_dupes"),
+        F.array_join(kept, sep).alias("deduped_text"),
+    )
+
+
+def ngram_topk(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams (round 7): the vocabulary/phrase
+    frequency table every corpus card and contamination audit starts
+    from.
+
+    Columns: gram, n_docs (distinct documents), n_total (occurrences),
+    ordered by n_total desc, gram asc (deterministic ties), LIMIT k.
+
+    Scale shape: per-row n-gram generation as an expression tree
+    (transform over a sliced token array — no posexplode fan-out until
+    after tokenization), then explode → ONE shuffle of (gram, doc_id)
+    for the count(DISTINCT doc)/count(*) aggregate, then TakeOrdered k
+    (no global sort). At 100 TB the gram space is heavy-tailed;
+    partial map-side aggregation absorbs the head, and k rows return
+    to the driver.
+    """
+    toks = F.split(F.col(text_col), " ")
+    # guard: Spark's sequence(1, 0) generates DESCENDING [1, 0] — a
+    # doc shorter than n must yield an empty gram list, not junk slices
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select(
+        F.col("doc_id"), F.explode(grams).alias("gram")
+    )
+    return (
+        exploded.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_total"),
+        )
+        .orderBy(F.col("n_total").desc(), F.col("gram"))
+        .limit(k)
+    )

@@ -11,22 +11,26 @@ from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 
 # Round-7 verification window (harnesses sample REGISTRY[:50]).
 # Composition per the r6 verdict's rotation rule (new-entry share
-# CAPPED at 15 so the rotation completes): the 2 entries ADDED this
-# round (battery27 ÷0 parity, battery28 projected-IN 3VL — new entries
-# go in the CURRENT window, round-4 lesson), then ALL 20 entries whose
+# CAPPED at 15 so the rotation completes): the 4 entries ADDED this
+# round (battery27 ÷0 parity, battery28 projected-IN 3VL, intra-doc
+# dedup, ngram top-k — new entries go in the CURRENT window, round-4
+# lesson), then ALL 20 entries whose
 # freshest driver signal is round 2 (q2/q4/q7-q9/q16-q22, range join,
 # rollup, scalar subquery, semi join, set ops, stats aggregates,
-# union_all, values — the exact list from the r6 verdict), then 28 of
+# union_all, values — the exact list from the r6 verdict), then 26 of
 # the 41 round-3-signal entries (SQL-surface-exposed batteries, dedup,
-# text, corpus, embeddings first). The 13 r3 entries NOT in this
+# text, corpus, embeddings first). The 15 r3 entries NOT in this
 # window (streaming_* operator-API, multimodal_*, events-derived
-# cohort/funnel/daily/sliding/sessionization/tumbling) rotate in round
-# 8 — after round 7 no entry's freshest signal is older than r3.
+# cohort/funnel/daily/sliding/sessionization/tumbling,
+# corpus_shuffle_order, corpus_stratified_mix) rotate in round 8 —
+# after round 7 no entry's freshest signal is older than r3.
 # Exactly 50 names.
 _ROUND7_WINDOW = (
-    # new this round (2 of a 15-slot cap)
+    # new this round (4 of a 15-slot cap)
     "dialect_gap_battery27",
     "dialect_gap_battery28",
+    "text_intra_doc_dedup",
+    "text_ngram_topk",
     # the 20 round-2-signal entries — all of them
     "q2_min_balance_supplier",
     "q4_order_priority",
@@ -75,8 +79,6 @@ _ROUND7_WINDOW = (
     "corpus_filter_funnel",
     "corpus_hash_split",
     "corpus_length_buckets",
-    "corpus_shuffle_order",
-    "corpus_stratified_mix",
 )
 
 

@@ -2674,3 +2674,57 @@ def emb_diversity_sample(spark: SparkSession, sf: str) -> DataFrame:
     list_cosine_similarity over DOUBLE[] casts."""
     embs = load_tables(spark, sf)["embeddings"]
     return S.diversity_sample(embs).orderBy("vec_id")
+
+
+@register(
+    "text_intra_doc_dedup",
+    tags=("llm", "text", "dedup"),
+    oracle="""
+WITH u AS (SELECT doc_id, string_split(text, ' ') AS units FROM documents)
+SELECT doc_id,
+       CAST(len(units) AS BIGINT) AS n_units,
+       CAST(len(units) - len(list_filter(units,
+            (x, i) -> list_position(units, x) = i)) AS BIGINT) AS n_dupes,
+       array_to_string(list_filter(units,
+            (x, i) -> list_position(units, x) = i), ' ') AS deduped_text
+FROM u ORDER BY doc_id
+""",
+)
+def text_intra_doc_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document duplicate-unit removal, first occurrence kept in
+    order (operators/text.py::intra_doc_dedup — the page-local
+    companion to cross-document boilerplate_removal). Pure per-row
+    expression tree: NO shuffle, NO explode, fuses into the scan (the
+    e≈0 flat class). Word granularity here (single-line corpus), the
+    identical machinery runs on newline units in production. The
+    oracle is the same indexed list_filter — DuckDB's lambda index is
+    1-based where Spark's is 0-based; each side uses its own base."""
+    docs = load_tables(spark, sf)["documents"]
+    return TX.intra_doc_dedup(docs, sep=" ").orderBy("doc_id")
+
+
+@register(
+    "text_ngram_topk",
+    tags=("llm", "text", "stats"),
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS gram
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, len(w) - 1)) AS i
+            FROM t WHERE len(w) >= 2))
+SELECT gram,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_total
+FROM g GROUP BY gram ORDER BY n_total DESC, gram LIMIT 20
+""",
+)
+def text_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide top-k word bigrams (operators/text.py::ngram_topk) —
+    the phrase-frequency table corpus cards and contamination audits
+    start from. Per-row gram generation is an expression tree (no
+    fan-out before tokenize); ONE shuffle of (gram, doc_id) for the
+    distinct-doc/total counts; TakeOrdered returns k rows to the
+    driver (no global sort). Deterministic tie order (n_total desc,
+    gram asc) in both engines."""
+    docs = load_tables(spark, sf)["documents"]
+    return TX.ngram_topk(docs, n=2, k=20)

@@ -2699,6 +2699,25 @@ class SqlRewriter:
                 pos = m.start() + len(repl)
                 continue
             if fn == "timezone":
+                if len(args) == 1:
+                    # round 7: 1-arg timezone(ts) is the UTC-offset in
+                    # SECONDS of the session zone — 0 in the UTC session
+                    # this gateway pins (same shape as timezone_hour;
+                    # NULL-propagating; DuckDB-probed). A string LITERAL
+                    # arg is a binder error in DuckDB (timezone('UTC') —
+                    # no VARCHAR overload): raise like it does.
+                    if self._lit_parse(args[0].strip()) is not None:
+                        raise UQueryError.sql_error(
+                            "timezone(): no overload for a VARCHAR "
+                            "argument (DuckDB binder error reproduced)"
+                        )
+                    repl = (
+                        f"(CASE WHEN CAST(({args[0]}) AS TIMESTAMP) IS NULL "
+                        f"THEN CAST(NULL AS BIGINT) ELSE 0 END)"
+                    )
+                    sql = sql[: m.start()] + repl + sql[close + 1 :]
+                    pos = m.start() + len(repl)
+                    continue
                 if len(args) != 2:
                     raise UQueryError.sql_error(
                         "timezone() is only supported as timezone(zone, ts)"
@@ -3604,15 +3623,38 @@ class SqlRewriter:
     _ENTROPY_RE = re.compile(r"(?i)\bentropy\s*\(")
     _HISTOGRAM_RE = re.compile(r"(?i)\bhistogram\s*\(")
 
-    def _nested_agg_guard(self, sql: str, close: int, fn: str) -> str:
-        """These translations are full expressions over collect_list —
-        OVER/FILTER can't attach to them. Raise, never mistranslate."""
-        after = sql[close + 1 :].lstrip()
-        if re.match(r"(?i)(over|filter)\b", after):
-            raise UQueryError.sql_error(
-                f"{fn} with OVER/FILTER is not supported"
-            )
-        return after
+    def _nested_agg_over(self, sql: str, close: int, fn: str):
+        """Round 7: the nested-agg translations support OVER by
+        suffixing EVERY internal aggregate (collect_list / percentile)
+        with the window clause — Catalyst computes each distinct
+        window expression once per spec, so the repeated text costs
+        one collect per row like the grouped form costs one per group.
+        Default-frame semantics (whole partition without ORDER BY,
+        RANGE UNBOUNDED..CURRENT ROW with) are the same rule in both
+        engines — differential-tested. FILTER still raises (never
+        mistranslate). Returns (over_text | None, end_index)."""
+        i, n = close + 1, len(sql)
+        while i < n and sql[i].isspace():
+            i += 1
+        if re.match(r"(?i)filter\b", sql[i:]):
+            raise UQueryError.sql_error(f"{fn} with FILTER is not supported")
+        m = re.match(r"(?i)over\b", sql[i:])
+        if not m:
+            return None, close
+        j = i + m.end()
+        while j < n and sql[j].isspace():
+            j += 1
+        if j < n and sql[j] == "(":
+            e = self._find_close(sql, j)
+            if e == -1:
+                raise UQueryError.sql_error(f"{fn}: unbalanced OVER (")
+            return sql[j : e + 1], e
+        k = j
+        while k < n and (sql[k].isalnum() or sql[k] == "_"):
+            k += 1
+        if k == j:
+            raise UQueryError.sql_error(f"{fn}: malformed OVER clause")
+        return sql[j:k], k - 1
 
     @staticmethod
     def _median_of(arr: str) -> str:
@@ -3655,7 +3697,8 @@ class SqlRewriter:
                 if not hit:
                     break
                 m, close, args = hit
-                self._nested_agg_guard(sql, close, kind)
+                over, endpos = self._nested_agg_over(sql, close, kind)
+                osuf = f" OVER {over}" if over else ""
                 if len(args) != 1 or re.match(r"(?i)^distinct\b", args[0]):
                     raise UQueryError.sql_error(f"{kind} expects 1 plain argument")
                 x = args[0]
@@ -3668,8 +3711,8 @@ class SqlRewriter:
                     # INSIDE the transform lambda; Spark re-evaluates the
                     # sort per element — O(n² log n) per group, measured
                     # hanging the sf0.01 gate on a 3000-row group.)
-                    cl = f"collect_list(CAST(({x}) AS DOUBLE))"
-                    med = f"percentile(CAST(({x}) AS DOUBLE), 0.5)"
+                    cl = f"collect_list(CAST(({x}) AS DOUBLE)){osuf}"
+                    med = f"percentile(CAST(({x}) AS DOUBLE), 0.5){osuf}"
                     devs = (
                         f"array_sort(transform({cl}, "
                         f"uq_mv -> abs(uq_mv - {med})))"
@@ -3679,7 +3722,7 @@ class SqlRewriter:
                         f"ELSE ({self._median_of(devs)}) END)"
                     )
                 elif kind == "entropy":
-                    cl = f"collect_list({x})"
+                    cl = f"collect_list({x}){osuf}"
                     n = f"CAST(size({cl}) AS DOUBLE)"
                     freqs = (
                         f"transform(array_distinct({cl}), uq_ev -> "
@@ -3690,7 +3733,7 @@ class SqlRewriter:
                         f"(uq_a, uq_c) -> uq_a + (uq_c / {n}) * log2(uq_c / {n}))) + 0)"
                     )
                 else:
-                    cl = f"collect_list({x})"
+                    cl = f"collect_list({x}){osuf}"
                     entries = (
                         f"transform(array_sort(array_distinct({cl})), uq_hv -> "
                         f"struct(uq_hv AS key, "
@@ -3700,7 +3743,7 @@ class SqlRewriter:
                         f"(CASE WHEN size({cl}) = 0 THEN NULL "
                         f"ELSE map_from_entries({entries}) END)"
                     )
-                sql = sql[: m.start()] + repl + sql[close + 1 :]
+                sql = sql[: m.start()] + repl + sql[endpos + 1 :]
         return sql
 
     _STRUCT_INSERT_RE = re.compile(r"(?i)\bstruct_insert\s*\(")
