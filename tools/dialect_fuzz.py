@@ -182,7 +182,30 @@ class Gen:
             f"abs({a} % {b})",
         ])
 
-    def values_table(self, alias="t"):
+    def subq_pred(self, outer, inner_tbl, tag):
+        """Round-7 axis: subquery predicates in BOTH projected and
+        filter positions — IN/NOT IN (three-valued with NULL-bearing
+        subqueries; the r7 projected-IN close), EXISTS/NOT EXISTS,
+        scalar subqueries. ``inner_tbl`` is a full VALUES relation
+        text, re-aliased per use so the same generated table can
+        appear in several subqueries of one statement."""
+        r = self.rnd
+        t = f"{inner_tbl} {tag}(i, s, d)"
+        sub = r.choice([
+            f"SELECT i FROM {t} WHERE i IS NOT NULL",
+            f"SELECT i FROM {t}",  # may contain NULLs → 3VL
+            f"SELECT i FROM {t} WHERE i > 1",
+            f"SELECT i FROM {t} WHERE i < -90",  # usually empty
+        ])
+        neg = r.choice(["", "NOT "])
+        return r.choice([
+            f"({outer}.i {neg}IN ({sub}))",
+            f"({neg}EXISTS (SELECT 1 FROM {t} WHERE {tag}.i = {outer}.i))",
+            f"({outer}.i = (SELECT max(i) FROM {t}))",
+            f"({outer}.i < (SELECT count(*) FROM {t}))",
+        ])
+
+    def values_body(self):
         r = self.rnd
         rows = []
         for _ in range(r.randint(1, 8)):
@@ -190,7 +213,10 @@ class Gen:
             s = r.choice(["'a'", "'b'", "'abc'", "NULL", "'x y'", "''"])
             dd = r.choice(["1.5", "2.25", "-0.5", "NULL", "3.0"])
             rows.append(f"({i}, {s}, {dd})")
-        return f"(VALUES {', '.join(rows)}) {alias}(i, s, d)"
+        return f"(VALUES {', '.join(rows)})"
+
+    def values_table(self, alias="t"):
+        return f"{self.values_body()} {alias}(i, s, d)"
 
 
 AGGS = [
@@ -264,6 +290,32 @@ def run_axis(axis, batches, rnd, spark, rw, con):
             compare_scalar_batch(
                 [g.div_expr(rnd.randint(1, 3)) for _ in range(12)]
             )
+        elif axis == "subq":
+            a = g.values_table("a")
+            body = g.values_body()
+            proj = g.subq_pred("a", body, "sq1")
+            filt = g.subq_pred("a", body, "sq2")
+            q = (f"SELECT a.i, a.s, {proj} AS p FROM {a} "
+                 f"WHERE a.i IS NULL OR {filt} OR a.i > -100 "
+                 if rnd.random() < 0.5 else
+                 f"SELECT a.i, {proj} AS p FROM {a} WHERE {filt}")
+            skey = lambda r: tuple((x is None, str(x)) for x in r)  # noqa: E731
+            try:
+                want = sorted((tuple(norm(x) for x in r)
+                              for r in con.sql(q).fetchall()), key=skey)
+            except Exception:
+                continue
+            try:
+                got = sorted((tuple(norm(x) for x in r)
+                             for r in spark.sql(rw.rewrite(q)).collect()), key=skey)
+            except Exception as e:
+                mismatch += 1
+                fails.append((q[:120], None, "REJECT " + str(e).split("\n")[0][:80]))
+                continue
+            checked += 1
+            if want != got:
+                mismatch += 1
+                fails.append((q[:160], want[:3], got[:3]))
         elif axis == "agg":
             tbl = g.values_table()
             aggs = rnd.sample(AGGS, 6)
@@ -369,7 +421,7 @@ def main():
     rw = SqlRewriter(spark)
     con = duckdb.connect()
     axes = (["expr", "agg", "window", "rel", "temporal", "nested", "pattern",
-             "div"]
+             "div", "subq"]
             if axis == "all" else [axis])
     total_mm = 0
     for ax in axes:

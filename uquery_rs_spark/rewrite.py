@@ -6155,8 +6155,16 @@ class SqlRewriter:
                 continue
             subq = sql[op + 1 : close]
             neg = "NOT " if m.group(1) else ""
+            # NULL probe arm is explicit: Spark's InSubquery returns
+            # FALSE for a NULL probe COLUMN (the literal-NULL case is
+            # constant-folded and looked correct — subq-axis fuzzer
+            # catch, round 7); DuckDB: NULL with a nonempty subquery →
+            # NULL, with an empty one → FALSE.
             form = (
                 f"({neg}CASE WHEN ({x}) IN ({subq}) THEN TRUE "
+                f"WHEN ({x}) IS NULL THEN "
+                f"(CASE WHEN EXISTS (SELECT 1 FROM ({subq}) uq_inq) "
+                f"THEN CAST(NULL AS BOOLEAN) ELSE FALSE END) "
                 f"WHEN EXISTS (SELECT 1 FROM ({subq}) uq_inq(uq_inv) "
                 f"WHERE uq_inv IS NULL) THEN CAST(NULL AS BOOLEAN) "
                 f"ELSE ({x}) IN ({subq}) END)"
