@@ -94,3 +94,32 @@ def test_parameterized_table_macro_with_alias_and_scalar_nesting(spark, rw):
         )
     ).collect()
     assert [(r.id, r.d) for r in rows] == [(1, 2), (2, 4)]
+
+
+def test_in_session_parameterized_table_macro(spark, rw):
+    """Round 8: CREATE MACRO name(p) AS TABLE — previously raised; now
+    registers the same inline-at-bind expansion as the --db-file path
+    (reference custom-database.md:8-46, main.rs:413-450)."""
+    rw.rewrite(
+        "CREATE MACRO uq_r8_firstn(n) AS TABLE "
+        "SELECT * FROM (VALUES (1,'a'),(2,'b'),(3,'c')) v(id, s) "
+        "WHERE id <= n"
+    )
+    rows = spark.sql(
+        rw.rewrite("SELECT * FROM uq_r8_firstn(2) ORDER BY id")
+    ).collect()
+    assert [(r.id, r.s) for r in rows] == [(1, "a"), (2, "b")]
+    # nested in a join, with an alias
+    rows = spark.sql(
+        rw.rewrite(
+            "SELECT a.id, b.s FROM uq_r8_firstn(3) a "
+            "JOIN uq_r8_firstn(1) b ON b.id = a.id"
+        )
+    ).collect()
+    assert [(r.id, r.s) for r in rows] == [(1, "a")]
+    rw.rewrite("DROP MACRO uq_r8_firstn")
+    import pytest as _pytest
+    from uquery_rs_spark.errors import UQueryError
+
+    with _pytest.raises(UQueryError):
+        rw.rewrite("DROP MACRO uq_r8_firstn")

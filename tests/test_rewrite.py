@@ -844,8 +844,9 @@ def test_gap_hunt_batch7_windows_and_functions(spark, rw):
         # (see test_gap_hunt_batch15) — these variants still raise:
         # (mad(x) OVER graduated to a translation in round 7 —
         # asserted in test_nested_aggs_over_window)
+        # (mad FILTER graduated to a CASE-fold translation in round 8 —
+        # asserted in test_round8_nested_agg_filter)
         "SELECT x FROM t LIMIT 50%",  # orderless: arbitrary subset
-        "SELECT mad(x) FILTER (WHERE x > 0) FROM t",
         "SELECT struct_insert(x) FROM t",
         "SELECT '101'::BITSTRING",
         "SELECT CAST('a' AS ENUM('a','b'))",
@@ -2383,4 +2384,189 @@ def test_nested_aggs_over_window(spark, rw):
     from uquery_rs_spark.errors import UQueryError
 
     with pytest.raises(UQueryError):
-        rw.rewrite("SELECT mad(x) FILTER (WHERE x > 0) FROM t")
+        rw.rewrite("SELECT mad(DISTINCT x) FROM t")
+
+
+def test_round8_array_agg_null_parity(spark, rw):
+    """Round-8 close of the list()/array_agg NULL-element drop (VERDICT
+    r7 'What's wrong' #1 / NOTES item 11): DuckDB's list()/array_agg
+    KEEP NULL elements and return NULL (never []) on empty input.
+    Expected values DuckDB-1.x-verified."""
+    run = lambda s: [tuple(r) for r in spark.sql(rw.rewrite(s)).collect()]
+    # NULL elements kept, grouped
+    assert run(
+        "SELECT g, list(x) AS l FROM (VALUES (1,1),(1,NULL),(1,2),(2,NULL)) "
+        "t(g,x) GROUP BY g ORDER BY g"
+    ) == [(1, [1, None, 2]), (2, [None])]
+    # empty input → NULL, not []
+    assert run("SELECT array_agg(x) AS l FROM (SELECT 1 AS x WHERE FALSE)") == [
+        (None,)
+    ]
+    # FILTER excluding every row in a group → NULL
+    assert run(
+        "SELECT g, list(x) FILTER (WHERE FALSE) AS l FROM "
+        "(VALUES (1,1),(2,2)) t(g,x) GROUP BY g ORDER BY g"
+    ) == [(1, None), (2, None)]
+    # DISTINCT keeps exactly one NULL (order canonicalized)
+    assert run(
+        "SELECT list_sort(list(DISTINCT x)) AS l FROM "
+        "(VALUES (1),(NULL),(2),(NULL),(1)) t(x)"
+    ) == [([1, 2, None],)]
+    # windowed running frame keeps NULLs
+    assert run(
+        "SELECT list(x) OVER (PARTITION BY g ORDER BY k) AS l FROM "
+        "(VALUES (1,1,1),(1,2,NULL),(2,1,5)) t(g,k,x) ORDER BY g, k"
+    ) == [([1],), ([1, None],), ([5],)]
+    # FILTER over a window folds into the struct (not the old NULL-drop)
+    assert run(
+        "SELECT list(x) FILTER (WHERE x > 1) OVER (PARTITION BY g) AS l "
+        "FROM (VALUES (1,1),(1,2),(1,NULL),(2,1)) t(g,x) ORDER BY g"
+    ) == [([2],), ([2],), ([2],), (None,)]
+    # ordered form + FILTER (new: FILTER consumed by the ordered pass)
+    assert run(
+        "SELECT list(x ORDER BY y) FILTER (WHERE y < 3) AS l FROM "
+        "(VALUES (1,1),(NULL,2),(3,3)) t(x,y)"
+    ) == [([1, None],)]
+
+
+def test_round8_advice_fixes(spark, rw):
+    """Round-8 advisor fixes (ADVICE.md r7):
+
+    - projected IN with a compound LHS: DuckDB parses ``1 + 2 IN (…)``
+      as ``(1+2) IN (…)`` and ``CASE … END IN (…)`` over the whole
+      CASE — both previously garbled into Catalyst errors;
+    - _in_clause_of: escaped '' literals and quoted identifiers named
+      like clause keywords no longer misclassify the clause;
+    - format('{:>6}', string_column) is accepted (Java %s == fmt for
+      strings) behind a runtime typeof dispatch; a numeric column
+      raises at execution, numeric literals still raise at rewrite.
+    """
+    run = lambda s: [tuple(r) for r in spark.sql(rw.rewrite(s)).collect()]
+    sub = "(SELECT x FROM (VALUES (CAST(NULL AS INT)),(5)) t(x))"
+    # arithmetic LHS: (1+2) IN {NULL,5} → NULL in DuckDB
+    assert run(f"SELECT 1 + 2 IN {sub} AS r") == [(None,)]
+    # CASE…END LHS, non-matching → NULL; matching → TRUE
+    assert run(
+        f"SELECT CASE WHEN 1=1 THEN 2 ELSE 3 END IN {sub} AS r"
+    ) == [(None,)]
+    assert run(
+        f"SELECT CASE WHEN 1=1 THEN 5 ELSE 3 END IN {sub} AS r"
+    ) == [(True,)]
+    # concat chain LHS
+    assert run(
+        "SELECT 'a' || 'b' IN (SELECT s FROM (VALUES "
+        "(CAST(NULL AS STRING)),('x')) t(s)) AS r"
+    ) == [(None,)]
+    # apostrophe literal + keyword-named quoted identifier before IN
+    assert run(f"SELECT 'it''s' AS tag, 2 IN {sub} AS r") == [("it's", None)]
+    assert run(f'SELECT 5 AS "where", 2 IN {sub} AS r') == [(5, None)]
+    # format(): bare string column passes, numeric column raises at run
+    assert run(
+        "SELECT format('[{:>6}]', name) AS r FROM (VALUES ('ab')) t(name)"
+    ) == [("[    ab]",)]
+    with pytest.raises(Exception, match="requires a string argument"):
+        spark.sql(
+            rw.rewrite("SELECT format('{:>6}', n) AS r FROM (VALUES (1)) t(n)")
+        ).collect()
+
+
+def test_round8_create_or_replace_keeps_old_on_failure(spark, rw):
+    """ADVICE r7: DuckDB's CREATE OR REPLACE keeps the old object when
+    the new definition fails — the body is now rewritten and
+    analysis-probed BEFORE any drop side effect."""
+    from uquery_rs_spark.errors import UQueryError
+
+    spark.sql(rw.rewrite("CREATE OR REPLACE TABLE uq_r8k AS SELECT 7 AS a"))
+    assert spark.sql("SELECT a FROM uq_r8k").collect()[0].a == 7
+    # analysis failure: unknown relation in the new body
+    with pytest.raises(Exception):
+        rw.rewrite(
+            "CREATE OR REPLACE TABLE uq_r8k AS SELECT b FROM uq_no_such_rel"
+        )
+    # rewrite failure: untranslatable body
+    with pytest.raises(UQueryError):
+        rw.rewrite("CREATE OR REPLACE TABLE uq_r8k AS SELECT md5_number('x')")
+    assert spark.sql("SELECT a FROM uq_r8k").collect()[0].a == 7
+    spark.sql(rw.rewrite("DROP TABLE uq_r8k"))
+
+
+def test_round8_nested_agg_filter(spark, rw):
+    """Round 8 raise-tail shrink: mad/entropy/histogram with FILTER —
+    all three skip NULLs, so the filter CASE-folds into the argument
+    exactly (DuckDB-differential-verified, incl. the all-excluded
+    corner: mad→NULL, entropy→0.0, histogram→NULL)."""
+    run = lambda s: [tuple(r) for r in spark.sql(rw.rewrite(s)).collect()]
+    assert run(
+        "SELECT g, mad(x) FILTER (WHERE x < 10) AS m FROM (VALUES "
+        "(1,1.0),(1,2.0),(1,3.0),(1,99.0),(2,5.0)) t(g,x) "
+        "GROUP BY g ORDER BY g"
+    ) == [(1, 1.0), (2, 0.0)]
+    assert run(
+        "SELECT g, round(entropy(x) FILTER (WHERE x > 0), 6) AS e FROM "
+        "(VALUES (1,1),(1,1),(1,2),(1,-5),(2,-1)) t(g,x) "
+        "GROUP BY g ORDER BY g"
+    ) == [(1, 0.918296), (2, 0.0)]
+    h = spark.sql(
+        rw.rewrite(
+            "SELECT histogram(x) FILTER (WHERE x % 2 = 1) AS h FROM "
+            "(VALUES (1),(1),(2),(3)) t(x)"
+        )
+    ).collect()[0].h
+    assert dict(h) == {1: 2, 3: 1}
+    # FILTER + OVER compose
+    assert run(
+        "SELECT k, mad(x) FILTER (WHERE x < 10) OVER (PARTITION BY g) AS m "
+        "FROM (VALUES (1,1,1.0),(1,2,2.0),(1,3,99.0),(2,4,5.0)) t(g,k,x) "
+        "ORDER BY k"
+    ) == [(1, 0.5), (2, 0.5), (3, 0.5), (4, 0.0)]
+    # all-excluded corners
+    assert run(
+        "SELECT mad(x) FILTER (WHERE FALSE) AS m, "
+        "entropy(x) FILTER (WHERE FALSE) AS e, "
+        "histogram(x) FILTER (WHERE FALSE) AS h FROM (VALUES (1)) t(x)"
+    ) == [(None, 0.0, None)]
+
+
+def test_round8_window_exclude_group_ties(spark, rw):
+    """Round 8 raise-tail shrink: window-frame EXCLUDE GROUP / TIES for
+    the invertible aggregates (sum/count/avg, count(*)) — frame
+    aggregate minus the peer group's contribution (a second window
+    partitioned by partition keys + ORDER BY exprs), TIES adding the
+    current row back. 16-case DuckDB differential matrix (both modes ×
+    4 aggs × running/whole-partition RANGE frames) verified; ROWS
+    frames and non-invertible aggs still raise."""
+    run = lambda s: [tuple(r) for r in spark.sql(rw.rewrite(s)).collect()]
+    V = (
+        "(VALUES (1,1,1.0),(1,1,2.0),(1,2,3.0),(1,2,NULL),(1,3,5.0),"
+        "(2,1,7.0)) t(g,k,x)"
+    )
+    F = "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    assert run(
+        f"SELECT g, k, CAST(x AS DOUBLE) x, CAST(sum(x) OVER (PARTITION BY g "
+        f"ORDER BY k {F} EXCLUDE GROUP) AS DOUBLE) AS s FROM {V} "
+        "ORDER BY g, k, x NULLS LAST"
+    ) == [
+        (1, 1, 1.0, None), (1, 1, 2.0, None), (1, 2, 3.0, 3.0),
+        (1, 2, None, 3.0), (1, 3, 5.0, 6.0), (2, 1, 7.0, None),
+    ]  # DuckDB-verified
+    assert run(
+        f"SELECT g, k, CAST(x AS DOUBLE) x, CAST(sum(x) OVER (PARTITION BY g "
+        f"ORDER BY k {F} EXCLUDE TIES) AS DOUBLE) AS s FROM {V} "
+        "ORDER BY g, k, x NULLS LAST"
+    ) == [
+        (1, 1, 1.0, 1.0), (1, 1, 2.0, 2.0), (1, 2, 3.0, 6.0),
+        (1, 2, None, 3.0), (1, 3, 5.0, 11.0), (2, 1, 7.0, 7.0),
+    ]  # DuckDB-verified
+    assert run(
+        f"SELECT g, k, count(*) OVER (PARTITION BY g ORDER BY k {F} "
+        f"EXCLUDE TIES) AS c FROM {V} ORDER BY g, k, x NULLS LAST"
+    ) == [(1, 1, 1), (1, 1, 1), (1, 2, 3), (1, 2, 3), (1, 3, 5), (2, 1, 1)]
+    from uquery_rs_spark.errors import UQueryError
+
+    for bad in (
+        "SELECT sum(x) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND "
+        "1 FOLLOWING EXCLUDE TIES) FROM t",
+        f"SELECT min(x) OVER (ORDER BY k {F} EXCLUDE GROUP) FROM t",
+    ):
+        with pytest.raises(UQueryError):
+            rw.rewrite(bad)

@@ -34,12 +34,17 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+# Round 8 (verdict item 3): the full perf-weak nine.
 QUERY_SET = [
+    "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q8_market_share",
+    "q10_returned_items",
     "q21_suppliers_kept_waiting",
     "tumbling_window_events",
+    "sessionization_30min",
+    "asof_join_purchase_view",
 ]
 
 MASTER = "spark://127.0.0.1:7077"
@@ -90,7 +95,9 @@ def best_of(run, n=3) -> float:
     return min(times)
 
 
-def run_config(scaled: str, n_workers: int, cores: int) -> dict:
+def run_config(
+    scaled: str, n_workers: int, cores: int, no_broadcast: bool = False
+) -> dict:
     from pyspark.sql import SparkSession
 
     from uquery_rs_spark import queries as Q
@@ -98,7 +105,7 @@ def run_config(scaled: str, n_workers: int, cores: int) -> dict:
     Q.load_all()
     start_cluster(n_workers, cores, "8g")
     try:
-        spark = (
+        b = (
             SparkSession.builder.master(MASTER)
             .config("spark.executor.cores", str(cores))
             .config("spark.executor.memory", "6g")
@@ -107,8 +114,12 @@ def run_config(scaled: str, n_workers: int, cores: int) -> dict:
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.ui.enabled", "false")
             .appName(f"cluster-demo-{n_workers}x{cores}")
-            .getOrCreate()
         )
+        if no_broadcast:
+            # r7 finding: AQE's runtime broadcast is free locally but a
+            # real ship on a cluster — this arm isolates that effect
+            b = b.config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark = b.getOrCreate()
         execs = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
         print(f"-- {n_workers} worker(s) x {cores} cores: "
               f"{execs} executor(s) registered", flush=True)
@@ -125,15 +136,28 @@ def run_config(scaled: str, n_workers: int, cores: int) -> dict:
 
 
 def main() -> None:
-    scaled = sys.argv[1]
-    c = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    one = run_config(scaled, 1, 2 * c)
-    two = run_config(scaled, 2, c)
-    print(f"\n| query | 1 exec x {2*c}c | 2 exec x {c}c | 2-exec/1-exec |")
-    print("|---|---|---|---|")
+    """Round 8: 1x16 / 2x8 / 4x4 scaling curve at a fixed 16-core total
+    (verdict item 3) — the measurement that can move the weak nine out
+    of `weak` under the stated rule. Pass --no-broadcast for the
+    autoBroadcastJoinThreshold=-1 arm."""
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    no_bcast = "--no-broadcast" in sys.argv
+    scaled = args[0]
+    total = int(args[1]) if len(args) > 1 else 16
+    rungs = [(1, total), (2, total // 2), (4, total // 4)]
+    results = {}
+    for n_workers, cores in rungs:
+        results[(n_workers, cores)] = run_config(
+            scaled, n_workers, cores, no_broadcast=no_bcast
+        )
+    hdr = " | ".join(f"{n}x{c}c" for n, c in rungs)
+    print(f"\n(broadcast {'OFF' if no_bcast else 'on'}) "
+          f"| query | {hdr} | 4-exec/1-exec |")
+    print("|---|" + "---|" * (len(rungs) + 1))
     for name in QUERY_SET:
-        print(f"| {name} | {one[name]:.2f} | {two[name]:.2f} "
-              f"| {two[name] / one[name]:.2f} |")
+        row = " | ".join(f"{results[r][name]:.2f}" for r in rungs)
+        ratio = results[rungs[-1]][name] / results[rungs[0]][name]
+        print(f"| {name} | {row} | {ratio:.2f} |")
 
 
 if __name__ == "__main__":

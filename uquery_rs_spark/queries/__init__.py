@@ -9,76 +9,72 @@ from __future__ import annotations
 from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 
 
-# Round-7 verification window (harnesses sample REGISTRY[:50]).
-# Composition per the r6 verdict's rotation rule (new-entry share
-# CAPPED at 15 so the rotation completes): the 4 entries ADDED this
-# round (battery27 ÷0 parity, battery28 projected-IN 3VL, intra-doc
-# dedup, ngram top-k — new entries go in the CURRENT window, round-4
-# lesson), then ALL 20 entries whose
-# freshest driver signal is round 2 (q2/q4/q7-q9/q16-q22, range join,
-# rollup, scalar subquery, semi join, set ops, stats aggregates,
-# union_all, values — the exact list from the r6 verdict), then 26 of
-# the 41 round-3-signal entries (SQL-surface-exposed batteries, dedup,
-# text, corpus, embeddings first). The 15 r3 entries NOT in this
-# window (streaming_* operator-API, multimodal_*, events-derived
-# cohort/funnel/daily/sliding/sessionization/tumbling,
-# corpus_shuffle_order, corpus_stratified_mix) rotate in round 8 —
-# after round 7 no entry's freshest signal is older than r3.
-# Exactly 50 names.
-_ROUND7_WINDOW = (
-    # new this round (4 of a 15-slot cap)
-    "dialect_gap_battery27",
-    "dialect_gap_battery28",
-    "text_intra_doc_dedup",
-    "text_ngram_topk",
-    # the 20 round-2-signal entries — all of them
-    "q2_min_balance_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q16_supplier_count_by_part",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_discounted_revenue",
-    "q20_potential_promotion",
-    "q21_suppliers_kept_waiting",
-    "q22_idle_rich_customers",
-    "range_join_size_buckets",
-    "rollup_order_status_priority",
-    "scalar_subquery_above_avg_balance",
-    "semi_join_active_customers",
-    "set_ops_nation_membership",
-    "stats_aggregates_prices",
-    "union_all_price_tiers",
-    "values_inline_table",
-    # 28 round-3-signal entries
-    "string_functions_battery",
-    "array_functions",
-    "datetime_functions",
-    "math_functions",
-    "regex_functions",
-    "explode_unnest_series",
-    "dedup_exact_stats",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_cluster_canonical",
-    "dedup_incremental_delta",
-    "decontaminate_benchmark_overlap",
-    "ann_cosine_topk",
-    "emb_label_cohesion",
-    "emb_quantize_int8_error",
-    "text_language_id",
-    "text_quality_score",
-    "text_token_stats",
-    "text_fingerprint",
-    "text_pii_scan",
-    "text_repetition_stats",
-    "corpus_filter_funnel",
-    "corpus_hash_split",
-    "corpus_length_buckets",
+# Round-8 verification window (harnesses sample REGISTRY[:50]).
+# Composition per the r7 verdict's rotation rule: the entries ADDED
+# this round first (battery29/30 — list()/array_agg NULL parity; new
+# entries go in the CURRENT window, round-4 lesson; share cap 15),
+# then ALL 15 entries whose freshest driver signal is round 3
+# (streaming_* operator-API, multimodal_*, events-derived windows/
+# sessionization/cohort/funnel, corpus_shuffle_order,
+# corpus_stratified_mix — the exact list from the r7 verdict, which
+# counted 13 but the per-round JSONs show 15), then 33 of the 41
+# round-4-signal entries (alphabetical). The 8 r4 entries deferred to
+# round 9: streaming_dedup, streaming_stateful_counter,
+# struct_map_access, text_lm_perplexity, time_range_window_events,
+# union_by_name_priorities, unpivot_part_measures,
+# unpivot_statement_measures. After round 8 no entry's freshest
+# signal is older than r4. Exactly 50 names.
+_ROUND8_WINDOW = (
+    "dialect_gap_battery29",
+    "dialect_gap_battery30",
+    "cohort_retention_daily",
+    "corpus_shuffle_order",
+    "corpus_stratified_mix",
+    "daily_user_activity",
+    "funnel_view_click_purchase",
+    "multimodal_audio_stats",
+    "multimodal_decode_stats",
+    "multimodal_frame_sample",
+    "multimodal_jpeg_decode",
+    "multimodal_metadata",
+    "sessionization_30min",
+    "sliding_window_events",
+    "streaming_sliding_window",
+    "streaming_tumbling_window",
+    "tumbling_window_events",
+    "ann_cosine_topk_int8",
+    "ann_ivf_persistent",
+    "approx_percentile_prices",
+    "columns_regex_battery",
+    "corpus_quality_sample",
+    "datetime_edge_battery",
+    "dedup_semantic",
+    "dedup_simhash",
+    "distinct_on_latest_order",
+    "escape_literal_battery",
+    "events_anomaly_zscore",
+    "except_all_priorities",
+    "from_first_syntax",
+    "ignore_nulls_window_battery",
+    "int_div_price_buckets",
+    "intersect_all_priorities",
+    "json_extract_props",
+    "len_slice_map_edge_battery",
+    "macros_battery",
+    "map_literal_ordered_agg",
+    "multimodal_features",
+    "multimodal_jpeg_progressive",
+    "multimodal_pixel_dedup",
+    "multimodal_resize",
+    "percentile_battery",
+    "planned_join_segment_revenue",
+    "positional_join_rank_zip",
+    "q10_returned_items",
+    "regex_sort_escape_battery",
+    "salted_join_order_counts",
+    "sample_rows_count",
+    "select_exclude_group_by_all",
+    "star_replace_strftime",
 )
 
 
@@ -87,7 +83,7 @@ def load_all() -> None:
 
     Import order controls registry order, which external harnesses may use
     to window their correctness sampling.  After importing, the registry is
-    reordered so :data:`_ROUND7_WINDOW` occupies the front — see that
+    reordered so :data:`_ROUND8_WINDOW` occupies the front — see that
     constant for the rationale.  Rotate the window each round so every
     entry eventually gets hard-signal verification.
     """
@@ -99,8 +95,8 @@ def load_all() -> None:
     from . import relational  # noqa: F401
     from . import tpch_q  # noqa: F401
 
-    ordered = [n for n in _ROUND7_WINDOW if n in REGISTRY]
-    ordered += [n for n in REGISTRY if n not in _ROUND7_WINDOW]
+    ordered = [n for n in _ROUND8_WINDOW if n in REGISTRY]
+    ordered += [n for n in REGISTRY if n not in _ROUND8_WINDOW]
     snapshot = dict(REGISTRY)
     REGISTRY.clear()
     for _name in ordered:
