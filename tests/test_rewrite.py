@@ -928,10 +928,10 @@ def test_gap_hunt_batch9_aggregates(spark, rw):
 
     for bad in [
         # entropy/histogram translate since batch 15; their OVER forms
-        # since round 7 (test_nested_aggs_over_window) — DISTINCT and
-        # FILTER forms stay untranslatable
-        "SELECT entropy(x) FILTER (WHERE x > 0) FROM t",
-        "SELECT histogram(DISTINCT x) FROM t",
+        # since round 7 (test_nested_aggs_over_window); FILTER and
+        # DISTINCT forms since round 8 (test_round8_nested_agg_filter,
+        # test_round8_nested_agg_distinct) — mad(DISTINCT) OVER stays
+        "SELECT mad(DISTINCT x) OVER (PARTITION BY y) FROM t",
         "SELECT skewness(x) OVER (PARTITION BY y) FROM t",
         "SELECT skewness(DISTINCT x) FROM t",
     ]:
@@ -1367,7 +1367,9 @@ def test_gap_hunt_batch16(spark, rw):
         "SELECT round(x := 2.5, d := 1)",
         "SELECT 'a' COLLATE NOACCENT = 'b'",
         "SELECT unnest([1], recursive := true)",
-        "SELECT array_agg(DISTINCT x ORDER BY x) FROM t",
+        # (DISTINCT + ORDER BY same-expr graduated in round 8 —
+        # test_round8_array_agg_distinct_ordered; other keys still raise)
+        "SELECT array_agg(DISTINCT x ORDER BY y) FROM t",
         "SELECT array_agg(x ORDER BY x) OVER (PARTITION BY g) FROM t",
     ]:
         with pytest.raises(UQueryError):
@@ -2384,7 +2386,35 @@ def test_nested_aggs_over_window(spark, rw):
     from uquery_rs_spark.errors import UQueryError
 
     with pytest.raises(UQueryError):
-        rw.rewrite("SELECT mad(DISTINCT x) FROM t")
+        rw.rewrite("SELECT mad(DISTINCT x) OVER (PARTITION BY g) FROM t")
+
+
+def test_round8_nested_agg_distinct(spark, rw):
+    """Round 8: DISTINCT forms of the nested aggregates — DuckDB
+    accepts them; entropy/histogram have closed forms over the
+    distinct set (every frequency is 1 → entropy = log2(n_distinct),
+    histogram maps each key to 1), mad dedupes via collect_set with a
+    percentile(DISTINCT) median. DuckDB-verified expected values."""
+    run = lambda s: [tuple(r) for r in spark.sql(rw.rewrite(s)).collect()]
+    V = "(VALUES (1.0),(1.0),(2.0),(10.0)) t(x)"
+    assert run(f"SELECT mad(DISTINCT x) AS m FROM {V}") == [(1.0,)]
+    assert run(
+        f"SELECT round(entropy(DISTINCT x), 6) AS e FROM {V}"
+    ) == [(1.584963,)]
+    h = spark.sql(
+        rw.rewrite(f"SELECT histogram(DISTINCT x) AS h FROM {V}")
+    ).collect()[0].h
+    assert dict(h) == {1.0: 1, 2.0: 1, 10.0: 1}
+    # DISTINCT + FILTER compose (filter first, then dedup)
+    assert run(
+        f"SELECT round(entropy(DISTINCT x) FILTER (WHERE x < 10), 6) AS e "
+        f"FROM {V}"
+    ) == [(1.0,)]
+    # DISTINCT + OVER for the closed forms
+    assert run(
+        "SELECT k, round(entropy(DISTINCT x) OVER (PARTITION BY g), 6) AS e "
+        "FROM (VALUES (1,1,1),(1,2,1),(1,3,2),(2,4,5)) t(g,k,x) ORDER BY k"
+    ) == [(1, 1.0), (2, 1.0), (3, 1.0), (4, 0.0)]
 
 
 def test_round8_array_agg_null_parity(spark, rw):
@@ -2570,3 +2600,30 @@ def test_round8_window_exclude_group_ties(spark, rw):
     ):
         with pytest.raises(UQueryError):
             rw.rewrite(bad)
+
+
+def test_round8_array_agg_distinct_ordered(spark, rw):
+    """Round 8: array_agg/list(DISTINCT x ORDER BY x) — DuckDB admits
+    DISTINCT+ORDER BY only when the sort key is the aggregated
+    expression (Postgres rule); dedupe then sort directly, keeping the
+    single NULL and DuckDB's NULLS-LAST-both-directions default."""
+    run = lambda s: [tuple(r) for r in spark.sql(rw.rewrite(s)).collect()]
+    V = "(VALUES (3),(1),(NULL),(3),(2),(NULL)) t(x)"
+    assert run(f"SELECT list(DISTINCT x ORDER BY x) AS l FROM {V}") == [
+        ([1, 2, 3, None],)
+    ]
+    assert run(f"SELECT list(DISTINCT x ORDER BY x DESC) AS l FROM {V}") == [
+        ([3, 2, 1, None],)
+    ]
+    assert run(
+        f"SELECT list(DISTINCT x ORDER BY x NULLS FIRST) AS l FROM {V}"
+    ) == [([None, 1, 2, 3],)]
+    # FILTER composes; all-excluded → NULL
+    assert run(
+        f"SELECT array_agg(DISTINCT x ORDER BY x) "
+        f"FILTER (WHERE x > 1) AS l FROM {V}"
+    ) == [([2, 3],)]
+    assert run(
+        f"SELECT list(DISTINCT x ORDER BY x) FILTER (WHERE FALSE) AS l "
+        f"FROM {V}"
+    ) == [(None,)]

@@ -142,6 +142,11 @@ def main() -> None:
     autoBroadcastJoinThreshold=-1 arm."""
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     no_bcast = "--no-broadcast" in sys.argv
+    if "--reverse" in sys.argv:
+        # positional diagnostic: if a 4x4 regression follows RUN ORDER
+        # rather than the query, it is session accumulation (broadcast
+        # blocks / GC on the smaller heaps), not a scaling property
+        QUERY_SET.reverse()
     scaled = args[0]
     total = int(args[1]) if len(args) > 1 else 16
     rungs = [(1, total), (2, total // 2), (4, total // 4)]

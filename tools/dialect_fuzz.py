@@ -228,7 +228,31 @@ AGGS = [
     "sum(i) FILTER (WHERE i > 0)", "var_pop(i)", "stddev_samp(d)",
     "product(i)", "bit_and(i)", "bit_or(i)", "bit_xor(i)",
     "quantile_disc(i, 0.25)", "count_if(i > 1)", "corr(i, d)",
-    "covar_pop(i, d)", "max_by(s, i)", "min_by(s, i)",
+    "covar_pop(i, d)",
+    # min_by/max_by keys made tie-free: with duplicate minimal i both
+    # engines may pick different rows (unspecified) — latent flake
+    # exposed when the round-8 entries shifted the RNG stream
+    "max_by(s, concat(lpad(CAST(i + 1000 AS VARCHAR), 6, '0'), "
+    "coalesce(s, '~')))",
+    "min_by(s, concat(lpad(CAST(i + 1000 AS VARCHAR), 6, '0'), "
+    "coalesce(s, '~')))",
+    # round-8 list/array_agg NULL-keeping forms (string-serialized with
+    # an explicit NULL marker so kept-vs-dropped shows in the compare)
+    "array_to_string(list_transform(list(i ORDER BY i), "
+    "x -> coalesce(CAST(x AS VARCHAR), 'N')), ',')",
+    "array_to_string(list_transform(list_sort(list(i)), "
+    "x -> coalesce(CAST(x AS VARCHAR), 'N')), ',')",
+    "array_to_string(list_transform(list(DISTINCT i ORDER BY i), "
+    "x -> coalesce(CAST(x AS VARCHAR), 'N')), ',')",
+    "array_to_string(list_transform(list(s ORDER BY s DESC) "
+    "FILTER (WHERE i > 0), x -> coalesce(x, 'N')), ',')",
+    "array_to_string(list_transform(list_sort(array_agg(s) "
+    "FILTER (WHERE i IS NOT NULL)), x -> coalesce(x, 'N')), ',')",
+    # round-8 nested-agg FILTER / DISTINCT forms
+    "CAST(mad(i) FILTER (WHERE i > 0) AS DOUBLE)",
+    "CAST(mad(DISTINCT i) AS DOUBLE)",
+    "round(entropy(s) FILTER (WHERE i >= 0), 6)",
+    "round(entropy(DISTINCT i), 6)",
 ]
 
 WFRAMES = ["", " ROWS BETWEEN 1 PRECEDING AND CURRENT ROW",
@@ -349,6 +373,14 @@ def run_axis(axis, batches, rnd, spark, rw, con):
                 f"row_number() {over}", f"rank() {over}", f"lag(d) {over}",
                 f"sum(d) OVER (PARTITION BY s ORDER BY i{rnd.choice(WFRAMES)})",
                 f"min(i) OVER (PARTITION BY s ORDER BY i{rnd.choice(WFRAMES)})",
+                # round-8 EXCLUDE GROUP/TIES (RANGE frames; non-unique
+                # ORDER BY key i makes real peer groups)
+                f"sum(d) OVER (PARTITION BY s ORDER BY i RANGE BETWEEN "
+                f"UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE "
+                f"{rnd.choice(['GROUP', 'TIES'])})",
+                f"count(i) OVER (PARTITION BY s ORDER BY i RANGE BETWEEN "
+                f"UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE "
+                f"{rnd.choice(['GROUP', 'TIES'])})",
                 f"first_value(d) {over}", f"ntile(2) {over}",
             ]) for _ in range(4)]
             sel = ", ".join(f"{w} AS c{i}" for i, w in enumerate(ws))

@@ -11,15 +11,17 @@ from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 
 # Round-8 verification window (harnesses sample REGISTRY[:50]).
 # Composition per the r7 verdict's rotation rule: the entries ADDED
-# this round first (battery29/30 — list()/array_agg NULL parity; new
+# this round first (battery29/30 — list()/array_agg NULL parity —
+# and battery31/32 — EXCLUDE GROUP/TIES, nested-agg FILTER/DISTINCT; new
 # entries go in the CURRENT window, round-4 lesson; share cap 15),
 # then ALL 15 entries whose freshest driver signal is round 3
 # (streaming_* operator-API, multimodal_*, events-derived windows/
 # sessionization/cohort/funnel, corpus_shuffle_order,
 # corpus_stratified_mix — the exact list from the r7 verdict, which
-# counted 13 but the per-round JSONs show 15), then 33 of the 41
-# round-4-signal entries (alphabetical). The 8 r4 entries deferred to
-# round 9: streaming_dedup, streaming_stateful_counter,
+# counted 13 but the per-round JSONs show 15), then 31 of the 41
+# round-4-signal entries (alphabetical). The 10 r4 entries deferred to
+# round 9: select_exclude_group_by_all, star_replace_strftime,
+# streaming_dedup, streaming_stateful_counter,
 # struct_map_access, text_lm_perplexity, time_range_window_events,
 # union_by_name_priorities, unpivot_part_measures,
 # unpivot_statement_measures. After round 8 no entry's freshest
@@ -27,6 +29,8 @@ from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 _ROUND8_WINDOW = (
     "dialect_gap_battery29",
     "dialect_gap_battery30",
+    "dialect_gap_battery31",
+    "dialect_gap_battery32",
     "cohort_retention_daily",
     "corpus_shuffle_order",
     "corpus_stratified_mix",
@@ -73,8 +77,6 @@ _ROUND8_WINDOW = (
     "regex_sort_escape_battery",
     "salted_join_order_counts",
     "sample_rows_count",
-    "select_exclude_group_by_all",
-    "star_replace_strftime",
 )
 
 

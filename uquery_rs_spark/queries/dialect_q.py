@@ -2402,3 +2402,69 @@ def dialect_gap_battery30(spark: SparkSession, sf: str) -> DataFrame:
     array is canonicalized with list_sort."""
     load_tables(spark, sf)
     return _rewritten_sql(spark, _B30_SQL)
+
+
+_B31_SQL = """
+SELECT o_orderkey,
+       CAST(sum(o_totalprice) OVER (PARTITION BY o_custkey % 5
+            ORDER BY o_orderkey
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            EXCLUDE GROUP) AS DOUBLE)                              AS ex_grp,
+       CAST(sum(o_totalprice) OVER (PARTITION BY o_custkey % 5
+            ORDER BY o_orderdate
+            RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+            EXCLUDE TIES) AS DOUBLE)                               AS ex_ties,
+       count(*) OVER (PARTITION BY o_custkey % 5 ORDER BY o_orderdate
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            EXCLUDE TIES)                                          AS ex_cnt,
+       round(CAST(avg(o_totalprice) OVER (PARTITION BY o_custkey % 5
+            ORDER BY o_orderkey
+            RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+            EXCLUDE GROUP) AS DOUBLE), 2)                          AS ex_avg
+FROM orders WHERE o_orderkey <= 500
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "dialect_gap_battery31",
+    tags=("dialect", "battery", "window"),
+    oracle=_B31_SQL,
+)
+def dialect_gap_battery31(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-8 raise-tail shrink pinned on data: window-frame EXCLUDE
+    GROUP / TIES for the invertible aggregates (r7 verdict item 5) —
+    frame aggregate minus the peer group's second-window contribution,
+    TIES adding the current row back; RANGE frames only. The
+    o_orderdate keys are non-unique within partitions, so real peer
+    groups (and the NULL-on-empty-exclusion guard) are exercised."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B31_SQL)
+
+
+_B32_SQL = """
+SELECT o_custkey % 7 AS grp,
+       CAST(mad(o_totalprice) FILTER (WHERE o_orderstatus = 'O')
+            AS DOUBLE)                                             AS mad_f,
+       round(entropy(o_orderpriority)
+             FILTER (WHERE o_orderkey % 2 = 1), 6)                 AS ent_f,
+       round(entropy(DISTINCT o_orderkey % 10), 6)                 AS ent_d,
+       CAST(mad(DISTINCT o_orderkey % 100) AS DOUBLE)              AS mad_d
+FROM orders WHERE o_orderkey <= 500
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "dialect_gap_battery32",
+    tags=("dialect", "battery", "aggregate"),
+    oracle=_B32_SQL,
+)
+def dialect_gap_battery32(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-8 nested-aggregate FILTER + DISTINCT forms pinned on data
+    (r7 verdict item 5): mad/entropy with FILTER (CASE-folded into the
+    argument — all three nested aggs skip NULLs, so the fold is exact)
+    and the DISTINCT closed forms (entropy = log2(n_distinct); mad
+    dedupes via collect_set with a percentile(DISTINCT) median)."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B32_SQL)

@@ -3574,10 +3574,11 @@ class SqlRewriter:
         out. Honors multiple keys, ASC/DESC and NULLS FIRST/LAST per
         key (DuckDB defaults NULLS LAST for BOTH directions — the
         batch-7 finding). Ties are engine-unspecified on both sides.
-        Window usage and DISTINCT+ORDER BY raise. Side effect that
-        NARROWS a documented deviation: structs are never NULL, so the
-        ordered form keeps NULL values exactly like DuckDB (the
-        unordered array_agg rename drops them)."""
+        Window usage and DISTINCT+ORDER BY raise. Structs are never
+        NULL, so NULL values are kept exactly like DuckDB; round 8
+        added the trailing-FILTER fold and the empty→NULL guard, and
+        `_rewrite_array_agg_nulls` gives the remaining UNORDERED forms
+        the same NULL-keeping treatment (deviation fully closed)."""
         pos = 0
         while True:
             hit = self._call_args(self._ARRAY_AGG_RE, sql, pos)
@@ -3593,10 +3594,10 @@ class SqlRewriter:
                 pos = close + 1
                 continue
             expr = inner[:ob].strip()
+            distinct = False
             if re.match(r"(?i)^distinct\b", expr):
-                raise UQueryError.sql_error(
-                    "array_agg DISTINCT with ORDER BY is not supported"
-                )
+                distinct = True
+                expr = re.sub(r"(?i)^distinct\s*", "", expr)
             # optional trailing FILTER — folded into the struct (NULL
             # structs don't collect, exactly FILTER semantics; runs
             # before the batch-9 WHERE-keyword insertion, so accept
@@ -3646,6 +3647,42 @@ class SqlRewriter:
                     f"WHEN uq_l.{f} > uq_r.{f} THEN {gt} "
                     f"ELSE {cmp_body} END"
                 )
+            if distinct:
+                # DuckDB admits DISTINCT + ORDER BY only when the sort
+                # key IS the aggregated expression (Postgres rule);
+                # dedupe the values then sort them directly (round 8).
+                norm = lambda t: re.sub(r"\s+", "", t).lower()  # noqa: E731
+                if len(keys) != 1 or norm(keys[0][0]) != norm(expr):
+                    raise UQueryError.sql_error(
+                        "array_agg DISTINCT with ORDER BY requires "
+                        "ordering by the aggregated expression"
+                    )
+                _k, desc, nulls_first = keys[0]
+                lt, gt = ("1", "-1") if desc else ("-1", "1")
+                n_l, n_r = ("-1", "1") if nulls_first else ("1", "-1")
+                # sort STRUCTS, not bare values: Spark's comparator
+                # array_sort silently drops NULL elements, structs are
+                # never NULL (same trick as the multi-key path)
+                vcmp = (
+                    f"CASE WHEN uq_l.uq_av IS NULL AND uq_r.uq_av IS NULL "
+                    f"THEN 0 "
+                    f"WHEN uq_l.uq_av IS NULL THEN {n_l} "
+                    f"WHEN uq_r.uq_av IS NULL THEN {n_r} "
+                    f"WHEN uq_l.uq_av < uq_r.uq_av THEN {lt} "
+                    f"WHEN uq_l.uq_av > uq_r.uq_av THEN {gt} ELSE 0 END"
+                )
+                elem = f"struct(({expr}) AS uq_av)"
+                if filt is not None:
+                    elem = f"CASE WHEN {filt} THEN {elem} END"
+                arr = (
+                    f"transform(array_sort(array_distinct("
+                    f"collect_list({elem})), "
+                    f"(uq_l, uq_r) -> {vcmp}), uq_s -> uq_s.uq_av)"
+                )
+                repl = f"(CASE WHEN size({arr}) = 0 THEN NULL ELSE {arr} END)"
+                sql = sql[: m.start()] + repl + sql[suffix_end:]
+                pos = m.start() + len(repl)
+                continue
             elem = f"struct({fields})"
             if filt is not None:
                 elem = f"CASE WHEN {filt} THEN {elem} END"
@@ -3866,6 +3903,14 @@ class SqlRewriter:
           ``+ 0`` normalizes IEEE -0.0 (the sf0.1-gate signed-zero rule).
         - ``histogram(x)``: MAP of value → BIGINT count, keys ascending;
           empty → NULL (verified).
+
+        Round 8: FILTER CASE-folds into the argument (all three skip
+        NULLs — excluded rows vanish exactly), and DISTINCT forms
+        translate: entropy(DISTINCT) = log2(n_distinct) and
+        histogram(DISTINCT) maps every key to 1 (closed forms — each
+        distinct value has frequency 1), mad(DISTINCT) dedupes via
+        collect_set with a percentile(DISTINCT) median (grouped only;
+        its OVER form still raises).
         """
         for regex, kind in (
             (self._MAD_RE, "mad"),
@@ -3879,14 +3924,60 @@ class SqlRewriter:
                 m, close, args = hit
                 filt, over, endpos = self._nested_agg_over(sql, close, kind)
                 osuf = f" OVER {over}" if over else ""
-                if len(args) != 1 or re.match(r"(?i)^distinct\b", args[0]):
-                    raise UQueryError.sql_error(f"{kind} expects 1 plain argument")
+                if len(args) != 1:
+                    raise UQueryError.sql_error(f"{kind} expects 1 argument")
                 x = args[0]
+                distinct = False
+                if re.match(r"(?i)^distinct\b", x):
+                    # round 8: DISTINCT forms — entropy/histogram have
+                    # closed forms over the distinct set (every
+                    # frequency is 1); mad dedupes via collect_set and
+                    # takes the median of the distinct values
+                    distinct = True
+                    x = re.sub(r"(?i)^distinct\s*", "", x)
                 if filt is not None:
                     # FILTER folds into the argument: all three
                     # aggregates skip NULLs, so excluded rows vanish
+                    # (applied BEFORE the DISTINCT dedup, like SQL)
                     x = f"CASE WHEN {filt} THEN ({x}) END"
-                if kind == "mad":
+                if distinct and kind == "mad":
+                    if over:
+                        raise UQueryError.sql_error(
+                            "mad(DISTINCT) over a window is not supported"
+                        )
+                    # collect_set = the distinct multiset; the median of
+                    # distinct values comes from percentile(DISTINCT) —
+                    # a plain aggregate attribute, loop-invariant in the
+                    # lambda (the r7 O(n^2 log n) lesson)
+                    cs = f"collect_set(CAST(({x}) AS DOUBLE))"
+                    med = f"percentile(DISTINCT CAST(({x}) AS DOUBLE), 0.5)"
+                    devs = (
+                        f"array_sort(transform({cs}, "
+                        f"uq_mv -> abs(uq_mv - {med})))"
+                    )
+                    repl = (
+                        f"(CASE WHEN size({cs}) = 0 THEN NULL "
+                        f"ELSE ({self._median_of(devs)}) END)"
+                    )
+                elif distinct and kind == "entropy":
+                    cl = f"collect_list({x}){osuf}"
+                    nd = f"CAST(size(array_distinct({cl})) AS DOUBLE)"
+                    # every distinct value has frequency 1 -> log2(n)
+                    repl = (
+                        f"(CASE WHEN size({cl}) = 0 THEN CAST(0 AS DOUBLE) "
+                        f"ELSE log2({nd}) END + 0)"
+                    )
+                elif distinct and kind == "histogram":
+                    cl = f"collect_list({x}){osuf}"
+                    entries = (
+                        f"transform(array_sort(array_distinct({cl})), uq_hv -> "
+                        f"struct(uq_hv AS key, CAST(1 AS BIGINT) AS value))"
+                    )
+                    repl = (
+                        f"(CASE WHEN size({cl}) = 0 THEN NULL "
+                        f"ELSE map_from_entries({entries}) END)"
+                    )
+                elif kind == "mad":
                     # the group median comes from Spark's native exact
                     # interpolated percentile AGGREGATE — as a plain
                     # post-aggregation attribute it is loop-invariant in
