@@ -892,8 +892,9 @@ def test_gap_hunt_batch8_scalar_semantics(spark, rw):
     import pytest as _pytest
     from uquery_rs_spark.errors import UQueryError
 
-    # (age() graduated to the batch-28 calendar-decomposition string)
-    for bad in ["SELECT age(x, y, z) FROM t", "SELECT make_time(1,2,3)"]:
+    # (age() graduated to the batch-28 calendar-decomposition string;
+    # make_time to the round-8 TIME graduation — test_round8_time_type)
+    for bad in ["SELECT age(x, y, z) FROM t", "SELECT '1'::TIMETZ"]:
         with _pytest.raises(UQueryError):
             rw.rewrite(bad)
 
@@ -2627,3 +2628,53 @@ def test_round8_array_agg_distinct_ordered(spark, rw):
         f"SELECT list(DISTINCT x ORDER BY x) FILTER (WHERE FALSE) AS l "
         f"FROM {V}"
     ) == [(None,)]
+
+
+def test_round8_time_type(spark, rw):
+    """Round 8: DuckDB TIME graduation — Spark 4.1's TIME type behind
+    spark.sql.timeType.enabled (set by the session factory, load_tables
+    and the rewriter). Literals, VARCHAR<->TIME casts, comparisons,
+    make_time and hour/minute extraction are native; TIMESTAMP->TIME
+    takes a probe-dispatched date_format detour; EXTRACT(SECOND) is
+    truncated BIGINT like DuckDB (45.5 -> 45 — Spark's native extract
+    returns DECIMAL and its decimal->int cast ROUNDS, so the wrap is
+    DIV 1); epoch(TIME) is seconds since midnight. All expected values
+    DuckDB-verified."""
+    import datetime
+
+    run = lambda s: [tuple(r) for r in spark.sql(rw.rewrite(s)).collect()]
+    assert run("SELECT TIME '10:30:00' AS t") == [(datetime.time(10, 30),)]
+    assert run("SELECT CAST(TIME '10:30:00.100' AS VARCHAR) AS s") == [
+        ("10:30:00.1",)
+    ]
+    assert run("SELECT '10:30:00.25'::TIME AS t") == [
+        (datetime.time(10, 30, 0, 250000),)
+    ]
+    assert run(
+        "SELECT CAST(TIMESTAMP '2024-01-02 10:30:00.5' AS TIME) AS t"
+    ) == [(datetime.time(10, 30, 0, 500000),)]
+    assert run("SELECT make_time(6, 7, 8.25) AS t") == [
+        (datetime.time(6, 7, 8, 250000),)
+    ]
+    assert run(
+        "SELECT EXTRACT(SECOND FROM TIME '10:30:45.5') AS a, "
+        "EXTRACT(SECOND FROM TIMESTAMP '2024-01-01 10:30:45.5') AS b, "
+        "EXTRACT(SECOND FROM INTERVAL '-95' SECOND) AS c, "
+        "date_part('s', TIME '10:30:45.9') AS d"
+    ) == [(45, 45, -35, 45)]
+    assert run("SELECT EXTRACT(EPOCH FROM TIME '01:00:00.5') AS e") == [
+        (3600.5,)
+    ]
+    assert run(
+        "SELECT TRY_CAST('25:61:00' AS TIME) AS bad, "
+        "greatest(TIME '10:30:00', TIME '11:00:00') AS g"
+    ) == [(None, datetime.time(11, 0))]
+    # round-trip through a nested cast chain (marker recursion)
+    assert run(
+        "SELECT (CAST(CAST(TIME '10:30:00.5' AS VARCHAR) AS TIME) "
+        "= TIME '10:30:00.5') AS rt"
+    ) == [(True,)]
+    from uquery_rs_spark.errors import UQueryError
+
+    with pytest.raises(UQueryError):
+        rw.rewrite("SELECT CAST('10:00:00' AS TIMETZ)")

@@ -68,6 +68,46 @@ def hash_split(
     )
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    key_col: str = "doc_id",
+    threshold_hex2: str = "f3",
+    names: tuple[str, str] = ("train", "val"),
+) -> DataFrame:
+    """Train/val split that never cuts a near-duplicate cluster.
+
+    A plain hash split leaks: two near-duplicate documents can land on
+    opposite sides, and the eval half then scores memorized training
+    text. Here every document is keyed by its CLUSTER CANONICAL (the
+    minimum doc id reachable through the near-dup pair graph —
+    ``dedup.dup_clusters`` output), unclustered docs by their own id,
+    and the md5-prefix split (``hash_split``) runs on that key — so a
+    whole cluster shares one split by construction, while the split
+    stays a pure deterministic row function of the canonical key
+    (reproducible across runs, engines and incremental ingestion).
+
+    Adds ``split_key`` (the canonical) and ``split`` columns.
+
+    100 TB: ``clusters`` holds only documents that appear in a near-dup
+    pair — a small fraction of the corpus for deduplicated web data —
+    so the LEFT join is broadcast-able when the cluster map fits, and
+    otherwise a single shuffle on the corpus' primary key; the split
+    itself adds no shuffle.
+    """
+    canon = clusters.select(
+        F.col("id").alias(key_col), F.col("canonical")
+    )
+    keyed = (
+        docs.join(canon, key_col, "left")
+        .withColumn("split_key", F.coalesce("canonical", F.col(key_col)))
+        .drop("canonical")
+    )
+    return hash_split(
+        keyed, key_col="split_key", threshold_hex2=threshold_hex2, names=names
+    )
+
+
 def shuffle_order(
     docs: DataFrame, key_col: str = "doc_id", n_buckets: int = 256, epoch: int = 0
 ) -> DataFrame:

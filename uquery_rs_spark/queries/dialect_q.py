@@ -2468,3 +2468,48 @@ def dialect_gap_battery32(spark: SparkSession, sf: str) -> DataFrame:
     dedupes via collect_set with a percentile(DISTINCT) median)."""
     load_tables(spark, sf)
     return _rewritten_sql(spark, _B32_SQL)
+
+
+_B33_SQL = """
+SELECT event_id,
+       CAST(CAST(ts AS TIME) AS VARCHAR)                     AS t_str,
+       EXTRACT(HOUR FROM CAST(ts AS TIME))                   AS t_h,
+       EXTRACT(MINUTE FROM CAST(ts AS TIME))                 AS t_m,
+       EXTRACT(SECOND FROM ts)                               AS sec_ts,
+       date_part('second', CAST(ts AS TIME))                 AS sec_t,
+       round(EXTRACT(EPOCH FROM CAST(ts AS TIME)), 3)        AS t_epoch,
+       CAST(make_time(CAST(event_id % 24 AS INT),
+                      CAST(event_id % 60 AS INT),
+                      (event_id % 59) + 0.25) AS VARCHAR)    AS mk,
+       CAST(greatest(CAST(ts AS TIME), TIME '12:00:00')
+            AS VARCHAR)                                      AS gmax,
+       (CAST(ts AS TIME) < TIME '12:00:00')                  AS am,
+       (CAST(ts AS TIME) = CAST(CAST(CAST(ts AS TIME) AS VARCHAR)
+                                AS TIME))                    AS rt
+FROM events WHERE event_id < 400
+ORDER BY event_id
+"""
+
+
+@register(
+    "dialect_gap_battery33",
+    tags=("dialect", "battery", "time"),
+    oracle=_B33_SQL,
+)
+def dialect_gap_battery33(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-8 TIME graduation pinned on data: Spark 4.1's TIME type
+    (behind spark.sql.timeType.enabled, set by the session factory,
+    load_tables AND the rewriter) covers literals, VARCHAR<->TIME
+    round-trips, comparisons, greatest, hour/minute extraction and
+    make_time with fractional seconds natively; TIMESTAMP->TIME takes
+    a probe-dispatched date_format detour (Spark has no such cast) and
+    EXTRACT(EPOCH FROM time) a '1970-01-01' prefix. Also pins the
+    probe-caught EXTRACT(SECOND ...) truncation: DuckDB returns a
+    truncated BIGINT (45.5 -> 45) where Spark's native extract returns
+    DECIMAL(8,6) — a silent wrong-value class that applied to
+    TIMESTAMP and INTERVAL extracts too (DIV 1 wrap, toward-zero like
+    DuckDB). Remaining documented deviation: TIME + INTERVAL wraps at
+    midnight in DuckDB but raises DATETIME_OVERFLOW in Spark (loud,
+    never silent)."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B33_SQL)

@@ -1285,6 +1285,65 @@ def corpus_hash_split(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "corpus_leakage_safe_split",
+    tags=("llm", "corpus", "sampling", "dedup"),
+    oracle="""
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id,
+         list_distinct([t[i] || '_' || t[i+1] || '_' || t[i+2]
+                        for i in generate_series(1, len(t) - 2)]) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+ex AS (SELECT id, unnest(s) AS g FROM sh),
+inter AS (
+  SELECT a.id AS x, b.id AS y, count(*) AS inter
+  FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT x, y FROM inter
+  JOIN (SELECT id, len(s) AS nx FROM sh) sx ON x = sx.id
+  JOIN (SELECT id, len(s) AS ny FROM sh) sy ON y = sy.id
+  WHERE inter * 1.0 / (sx.nx + sy.ny - inter) >= 0.5
+),
+edges AS (SELECT x AS a, y AS b FROM pairs UNION SELECT y, x FROM pairs),
+reach(id, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id
+),
+canon AS (SELECT id, min(lbl) AS canonical FROM reach GROUP BY id)
+SELECT d.doc_id,
+       coalesce(c.canonical, d.doc_id) AS split_key,
+       CASE WHEN substr(md5(CAST(coalesce(c.canonical, d.doc_id)
+                               AS VARCHAR)), 1, 2) < 'f3'
+            THEN 'train' ELSE 'val' END AS split
+FROM documents d LEFT JOIN canon c ON d.doc_id = c.id
+ORDER BY d.doc_id
+""",
+)
+def corpus_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/val split (round 8): every near-duplicate
+    CLUSTER lands wholly on one side — documents are split by the md5
+    prefix of their cluster canonical (min reachable doc id through the
+    MinHash-LSH pair graph), not their own id, so the eval half can
+    never score text memorized from a near-dup in training
+    (operators/corpus.py::leakage_safe_split over
+    operators/dedup.py::dup_clusters). The oracle recomputes the same
+    fixpoint with a recursive CTE over exact-Jaccard pairs (LSH recall
+    ~ 1 at these parameters) and the identical md5 expression."""
+    from ..operators.corpus import leakage_safe_split
+
+    docs = load_tables(spark, sf)["documents"]
+    clusters = D.dup_clusters(D.minhash_lsh_pairs(docs, threshold=0.5))
+    return (
+        leakage_safe_split(docs, clusters)
+        .select("doc_id", "split_key", "split")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "text_repetition_stats",
     tags=("llm", "text"),
     oracle="""

@@ -91,6 +91,9 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     if cached is not None:
         return cached
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # round 8: TIME casts/extract need the feature flag (the driver
+    # harness builds a plain session, so it must be set HERE)
+    spark.conf.set("spark.sql.timeType.enabled", "true")
     # TIMESTAMP(MICROS) parquet reads natively as TIMESTAMP_NTZ, which
     # matches DuckDB's naive-UTC TIMESTAMP exactly AND keeps timestamp
     # predicates pushable to parquet row-group min/max pruning — the thing

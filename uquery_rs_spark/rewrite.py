@@ -78,7 +78,15 @@ class _ProbeNoiseFilter(logging.Filter):
         return not getattr(_PROBE_TLS, "quiet", False)
 
 
-logging.getLogger("SQLQueryContextLogger").addFilter(_ProbeNoiseFilter())
+# CRITICAL: create the logger through PySparkLogger so it gets pyspark's
+# Logger subclass — a bare logging.getLogger() here would REGISTER a
+# plain Logger under the name first, and pyspark's later
+# PySparkLogger.getLogger() returns whatever instance the name already
+# maps to, whose .error(..., errorClass=...) then TypeErrors (caught
+# live on the EXTRACT-unsupported logging path, round 8).
+from pyspark.logger import PySparkLogger  # noqa: E402
+
+PySparkLogger.getLogger("SQLQueryContextLogger").addFilter(_ProbeNoiseFilter())
 
 
 @contextmanager
@@ -123,6 +131,9 @@ class SqlRewriter:
         # macro bodies arrive double-quoted); runtime-set so externally
         # built sessions get the dialect too.
         spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+        # TIME graduated in round 8: literals parse regardless, but
+        # casts/extract need the feature flag (runtime-settable)
+        spark.conf.set("spark.sql.timeType.enabled", "true")
         self.allowed_dirs = [os.path.realpath(d) for d in (allowed_dirs or [os.getcwd()])]
         self.allow_remote = allow_remote
         self._views: dict[str, str] = {}
@@ -1436,8 +1447,21 @@ class SqlRewriter:
         x = self._rewrite_epoch(args[0]) if args else ""
         ts = f"CAST(({x}) AS TIMESTAMP)"
         suffix = (m.group(1) or "").lower()
+        # round 8: epoch(TIME) = seconds since midnight — the TIME type
+        # admits no TIMESTAMP cast, so that operand class rides a
+        # '1970-01-01 ' string prefix (probe-dispatched; fraction
+        # survives via the canonical TIME string form)
+        t_ts = (
+            f"CAST(CONCAT('1970-01-01 ', CAST(({x}) AS STRING)) AS TIMESTAMP)"
+        )
         repl = {
-            "": f"CAST(unix_micros({ts}) / 1000000.0 AS DOUBLE)",
+            # marker semantics: uq_poly(fallback, preferred) — the
+            # SECOND arm wins when it analyzes, so the native timestamp
+            # form sits second and the TIME detour first
+            "": (
+                f"uq_poly(CAST(unix_micros({t_ts}) / 1000000.0 AS DOUBLE), "
+                f"CAST(unix_micros({ts}) / 1000000.0 AS DOUBLE))"
+            ),
             "_ms": f"uq_poly(unix_millis({ts}), timestamp_millis(({x})))",
             "_us": f"unix_micros({ts})",
             "_ns": f"(unix_micros({ts}) * 1000)",
@@ -1459,6 +1483,15 @@ class SqlRewriter:
                 "quantile*: only the (expr, scalar_quantile) form is supported"
             )
         kind = (m.group(1) or "_disc").lower()
+        if re.match(r"(?i)^\s*distinct\b", args[0]):
+            # translate-or-raise (round 8): WITHIN GROUP admits no
+            # DISTINCT in Spark, and DuckDB's own median/quantile
+            # DISTINCT semantics are surprising (probed: median
+            # DISTINCT appears to ignore the qualifier) — raise rather
+            # than ship a garbled ORDER BY (DISTINCT x) to Catalyst
+            raise UQueryError.sql_error(
+                "quantile/median with DISTINCT is not supported"
+            )
         x = self._rewrite_quantile(args[0])
         fn = "percentile_cont" if kind == "_cont" else "percentile_disc"
         return (
@@ -1832,11 +1865,13 @@ class SqlRewriter:
     # -- sweep batch 7: explicit raises for untranslatable idioms ---------
 
     _UNSUPPORTED_FN_RE = re.compile(
-        r"(?i)\b(md5_number|make_time|"
+        r"(?i)\b(md5_number|"
         r"txid_current|get_current_time|"
         r"bit_position|"
         r"left_grapheme|right_grapheme)\s*\("
-    )  # timezone/bar moved to batch-23, age to batch-28 translations
+    )  # timezone/bar moved to batch-23, age to batch-28 translations,
+    # make_time to the round-8 TIME graduation (native under
+    # spark.sql.timeType.enabled — fractional-seconds parity probed)
     _LIMIT_PCT_RE = re.compile(r"(?i)\blimit\s+\d+(?:\.\d+)?\s*%")
     _BIT_ENUM_RE = re.compile(
         r"(?i)(::\s*bit(?:string)?\b|\bas\s+bit(?:string)?\s*[),]|\benum\s*\()"
@@ -4716,6 +4751,46 @@ class SqlRewriter:
             repl = f"{fld}({e})"
             sql = sql[: m.start()] + repl + sql[close + 1 :]
             pos28 = m.start()
+        # round 8 (TIME-graduation probe catch, applies to TIMESTAMP and
+        # INTERVAL too): DuckDB's EXTRACT(SECOND ...) is a truncated
+        # BIGINT (…45.5 → 45) where Spark returns DECIMAL(8,6) 45.5 —
+        # a silent wrong-value class. CAST wraps the native extract
+        # (covers time/timestamp/interval; toward-zero truncation
+        # matches for negative intervals).
+        sec_re = re.compile(
+            r"(?i)\bextract\s*\(\s*(?:second|seconds|secs|sec)\s+from\b"
+        )
+        dpsec_re = re.compile(
+            r"(?i)\b(?:date_part|datepart)\s*\(\s*"
+            r"'(?:second|seconds|secs|sec|s)'\s*,"
+        )
+        possec = 0
+        while True:
+            m = self._search_code(sec_re, sql, possec)
+            if not m:
+                break
+            open_i = sql.index("(", m.start())
+            close = self._find_close(sql, open_i)
+            if close == -1:
+                break
+            # DIV 1, not CAST: Spark's decimal->integral cast ROUNDS
+            # (45.5 -> 46) where DuckDB truncates toward zero
+            repl = f"CAST(({sql[m.start() : close + 1]}) DIV 1 AS BIGINT)"
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            possec = m.start() + len(repl)
+        possec = 0
+        while True:
+            m = self._search_code(dpsec_re, sql, possec)
+            if not m:
+                break
+            open_i = sql.index("(", m.start())
+            close = self._find_close(sql, open_i)
+            if close == -1:
+                break
+            e = sql[m.end() : close]
+            repl = f"CAST((EXTRACT(SECOND FROM {e})) DIV 1 AS BIGINT)"
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            possec = m.start() + len(repl)
         while True:
             m = self._search_code(self._EXTRACT_SPECIAL_RE, sql)
             if not m:
@@ -7409,6 +7484,43 @@ class SqlRewriter:
                 inner = hargs[0]
             text = text[: hm.start()] + f"({inner})" + text[hclose + 1 :]
 
+    _TIME_CAST_RE = re.compile(r"(?i)\b(try_)?cast\s*\(")
+
+    def _rewrite_time_cast(self, sql: str) -> str:
+        """Round 8: ``CAST(x AS TIME)`` — native under
+        spark.sql.timeType.enabled for string/time operands, but Spark
+        has no TIMESTAMP→TIME cast, so that operand class takes a
+        date_format('HH:mm:ss.SSSSSS') detour. Emitted as a uq_poly
+        marker (fallback, preferred-native) so the late LIMIT-0 probe
+        dispatches per occurrence with proper sibling neutralization —
+        a compose-style probe breaks when one query holds several TIME
+        casts (each slot's neutral form is itself unanalyzable)."""
+        pos = 0
+        while True:
+            hit = self._call_args(self._TIME_CAST_RE, sql, pos)
+            if not hit:
+                return sql
+            m, close, args = hit
+            parts = self._split_top(sql[m.end() : close], "as")
+            if len(parts) != 2 or parts[1].strip().lower() != "time":
+                # advance past the opening only — a non-TIME cast may
+                # hold a TIME cast in its operand (CAST(CAST(ts AS
+                # TIME) AS VARCHAR))
+                pos = m.end()
+                continue
+            kw = (m.group(1) or "").upper()
+            # recurse into the operand FIRST: a nested TIME cast copied
+            # verbatim into both arms would otherwise never be marked
+            # (the linear scan skips past the replacement)
+            expr = self._rewrite_time_cast(parts[0].strip())
+            repl = (
+                f"uq_poly({kw}CAST(date_format(({expr}), "
+                f"'HH:mm:ss.SSSSSS') AS TIME), "
+                f"{kw}CAST(({expr}) AS TIME))"
+            )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
+
     def _rewrite_poly_subscript(self, sql: str) -> str:
         """Resolve ``uq_poly(list_form, string_form)`` markers emitted by
         _bracket_postfix: a LIMIT-0 analysis probe decides per occurrence
@@ -7581,7 +7693,10 @@ class SqlRewriter:
         neutral = [form(k, e) for k, (_, e, _) in enumerate(occ)]
         chosen: list[str] = []
         for k, (kw, expr, ty) in enumerate(occ):
-            if ty.strip().lower() not in self._INTEGRAL_TYPES:
+            tybase = ty.strip().lower()
+            if tybase == "timetz":
+                raise UQueryError.sql_error("TIMETZ is not supported")
+            if tybase not in self._INTEGRAL_TYPES:
                 chosen.append(neutral[k])
                 continue
 
@@ -8038,6 +8153,8 @@ class SqlRewriter:
         # batch-15 struct_insert next to the other probe passes (same
         # Spark-valid-modulo-cast/len contract)
         sql = self._rewrite_struct_insert(sql)
+        # TIME casts become uq_poly markers BEFORE the resolver below
+        sql = self._rewrite_time_cast(sql)
         # polymorphic subscripts resolve by LIMIT-0 probe — the text must
         # be fully Spark-valid modulo casts/len, which the probe composes
         sql = self._rewrite_poly_subscript(sql)

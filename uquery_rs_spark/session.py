@@ -23,6 +23,9 @@ import os
 from pyspark.sql import SparkSession
 
 _DEFAULTS: dict[str, str] = {
+    # round 8: DuckDB TIME parity — Spark 4.1's TIME type sits behind
+    # this flag (literals parse regardless; casts/extract need it)
+    "spark.sql.timeType.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
