@@ -33,6 +33,11 @@ def db_file(tmp_path_factory):
         "CREATE MACRO lang_between(lo, hi) AS TABLE "
         "SELECT id, name FROM language WHERE id BETWEEN lo AND hi"
     )
+    con.execute("CREATE TABLE shifts (id INT, start_t TIME)")
+    con.execute(
+        "INSERT INTO shifts VALUES (1, TIME '09:00:00'), "
+        "(2, TIME '17:30:00.5')"
+    )
     con.close()
     return path
 
@@ -123,3 +128,20 @@ def test_in_session_parameterized_table_macro(spark, rw):
 
     with _pytest.raises(UQueryError):
         rw.rewrite("DROP MACRO uq_r8_firstn")
+
+
+def test_attached_time_column(spark, rw):
+    """Round 8: TIME-typed columns survive the Arrow bridge and behave
+    natively under the TIME graduation (comparison, canonical string)."""
+    import datetime
+
+    rows = spark.sql(
+        rw.rewrite(
+            "SELECT id, start_t, CAST(start_t AS VARCHAR) AS s, "
+            "(start_t > TIME '12:00:00') AS pm FROM shifts ORDER BY id"
+        )
+    ).collect()
+    assert [(r.id, r.start_t, r.s, r.pm) for r in rows] == [
+        (1, datetime.time(9, 0), "09:00:00", False),
+        (2, datetime.time(17, 30, 0, 500000), "17:30:00.5", True),
+    ]

@@ -120,7 +120,10 @@ class Gen:
         a = self.lexpr(d - 1)
         return r.choice([
             f"list_append({a}, 9)" if "'" not in a else f"list_sort({a})",
-            f"list_distinct(list_sort({a}))", f"list_sort({a})",
+            # sort AFTER distinct: DuckDB's list_distinct SCRAMBLES
+            # order (unspecified — [1,2,3] comes back [3,2,1]), the
+            # repo-documented deviation; pre-sorting compares garbage
+            f"list_sort(list_distinct({a}))", f"list_sort({a})",
             f"list_reverse({a})", f"list_slice({a}, 1, 2)",
             f"array_pop_back({a})", f"list_resize({a}, 4)",
             f"({a})[1:2]", f"list_concat({a}, {a})",
