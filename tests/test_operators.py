@@ -1258,3 +1258,24 @@ class TestWebUrl:
         plan = kept._jdf.queryExecution().executedPlan().toString()
         # the corpus side must NOT reshuffle: broadcast left-anti join
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_gif_codec_roundtrip():
+    """Round 8: GIF89a encoder/decoder — real LZW (dictionary growth,
+    width bumps, 12-bit cap with CLEAR resets) plus 4-pass interlace,
+    stdlib+numpy only."""
+    import numpy as np
+
+    from uquery_rs_spark.operators.multimodal import decode_image, encode_gif
+
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(2, 40))
+        v = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        img = np.repeat(v[:, :, None], 3, axis=2)
+        assert (decode_image(encode_gif(img)) == img).all()
+        assert (decode_image(encode_gif(img, interlace=True)) == img).all()
+    # 12-bit-cap + CLEAR-reset stress (dictionary > 4096 entries)
+    big = rng.integers(0, 256, (200, 211)).astype(np.uint8)
+    img = np.repeat(big[:, :, None], 3, axis=2)
+    assert (decode_image(encode_gif(img)) == img).all()

@@ -232,3 +232,14 @@ def test_ngram_topk_is_take_ordered(spark):
     plan = formatted_plan(Q.REGISTRY["text_ngram_topk"].spark_fn(spark, SF_SMALL))
     assert "TakeOrderedAndProject" in plan
     assert "partial" in plan.lower()
+
+
+def test_leakage_safe_split_no_cartesian(spark):
+    """Round 8: the cluster-canonical join must stay a hash/broadcast
+    join (cluster map is small relative to the corpus) and the split
+    itself adds no exchange beyond it."""
+    plan = formatted_plan(
+        Q.REGISTRY["corpus_leakage_safe_split"].spark_fn(spark, SF_SMALL)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

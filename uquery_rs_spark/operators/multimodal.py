@@ -24,6 +24,7 @@ needed.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -228,6 +229,191 @@ def encode_png(img: np.ndarray, cycle_filters: bool = False) -> bytes:
     )
 
 
+def _lzw_decode_gif(min_code_size: int, data: bytes) -> list[int]:
+    """GIF-variant LZW: little-endian bit packing, CLEAR resets the
+    table, code width grows when the next entry would overflow it
+    (capped at 12 bits). Returns the index stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def fresh():
+        return {i: (i,) for i in range(clear)}
+
+    table = fresh()
+    width = min_code_size + 1
+    next_code = eoi + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table = fresh()
+                width = min_code_size + 1
+                next_code = eoi + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+            elif code == next_code:
+                entry = prev + (prev[0],)
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out.extend(entry)
+            prev = entry
+            if next_code == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def _lzw_encode_gif(min_code_size: int, indices: "np.ndarray") -> bytes:
+    """Real LZW compression (dictionary growth + width bumps + 12-bit
+    cap with CLEAR reset) — the encoder the decoder above round-trips."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    width = min_code_size + 1
+    next_code = eoi + 1
+    acc = bits = 0
+    out = bytearray()
+
+    def emit(code: int):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    emit(clear)
+    run: tuple[int, ...] = ()
+    for v in indices.tolist():
+        cand = run + (v,)
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        table[cand] = next_code
+        next_code += 1
+        # the DECODER bumps width when next_code reaches the limit;
+        # mirror exactly, resetting at the 12-bit cap
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        elif next_code == (1 << 12) + 1:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            width = min_code_size + 1
+            next_code = eoi + 1
+        run = (v,)
+    if run:
+        emit(table[run])
+    emit(eoi)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a first frame: global/local color tables, extension
+    skipping, interlace reorder, LZW decompression — stdlib + numpy
+    only, same contract as the other native decoders."""
+    if payload[:4] != b"GIF8":
+        raise ValueError("not a GIF payload")
+    pos = 6
+    sw, sh, flags = struct.unpack_from("<HHB", payload, pos)
+    pos += 7
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += ln + 1
+            pos += 1
+            idx = np.array(
+                _lzw_decode_gif(min_code, bytes(data))[: w * h], np.int64
+            ).reshape(h, w)
+            if iflags & 0x40:  # interlaced: 4-pass row order
+                order = np.concatenate(
+                    [np.arange(0, h, 8), np.arange(4, h, 8),
+                     np.arange(2, h, 4), np.arange(1, h, 2)]
+                )
+                deinter = np.empty_like(idx)
+                deinter[order] = idx
+                idx = deinter
+            return ct[idx].astype(np.uint8)
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
+    """(H, W, 3) uint8 → GIF89a with a 256-entry grayscale global color
+    table; pixels map through luminance-free channel 0 (callers pass
+    channel-equal images, the closed-form convention). Real LZW."""
+    h, w = img.shape[:2]
+    idx = img[:, :, 0].astype(np.uint8)
+    if interlace:
+        order = np.concatenate(
+            [np.arange(0, h, 8), np.arange(4, h, 8),
+             np.arange(2, h, 4), np.arange(1, h, 2)]
+        )
+        idx = idx[order]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)  # 256-color GCT
+    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    out += pal.tobytes()
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE (no transparency)
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    )
+    out += bytes([8])  # LZW min code size
+    comp = _lzw_encode_gif(8, idx.reshape(-1))
+    for i in range(0, len(comp), 255):
+        chunk = comp[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to an (H, W, 3) uint8 array.
 
@@ -242,12 +428,15 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_bmp(payload)
     if payload[:8] == _PNG_MAGIC:
         return _decode_png(payload)
+    if payload[:4] == b"GIF8":
+        return _decode_gif(payload)
     if payload[:2] == b"\xff\xd8":
         from . import jpeg
 
         return jpeg.decode_jpeg(payload)
     raise ValueError(
-        "unrecognized image payload (supported natively: P5/P6 netpbm, BMP, PNG, baseline JPEG)"
+        "unrecognized image payload (supported natively: P5/P6 netpbm, "
+        "BMP, PNG, GIF, baseline JPEG)"
     )
 
 
@@ -414,6 +603,30 @@ def synthesize_image_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             v = ((i + 7 * y + 3 * x) % 256).astype(np.uint8)
             img = np.repeat(v[:, :, None], 3, axis=2)
             out.append(encode_png(img, cycle_filters=True) if i % 2 else encode_ppm(img))
+        return pd.Series(out)
+
+    return docs.select(id_col, gen(F.col(id_col)).alias("payload"))
+
+
+def synthesize_gif_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic GIFs from the id — the same closed form as
+    synthesize_image_docs (w = id%13+4, h = id%7+4, pixel (y,x) =
+    (id+7y+3x) % 256, channel-equal) through the GIF89a/LZW encoder;
+    odd ids are INTERLACED (4-pass row order) so the deinterlace path
+    is exercised under the same oracle."""
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def gen(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = i % 13 + 4, i % 7 + 4
+            y = np.arange(h)[:, None]
+            x = np.arange(w)[None, :]
+            v = ((i + 7 * y + 3 * x) % 256).astype(np.uint8)
+            img = np.repeat(v[:, :, None], 3, axis=2)
+            out.append(encode_gif(img, interlace=bool(i % 2)))
         return pd.Series(out)
 
     return docs.select(id_col, gen(F.col(id_col)).alias("payload"))

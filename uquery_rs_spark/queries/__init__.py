@@ -18,9 +18,10 @@ from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 # (streaming_* operator-API, multimodal_*, events-derived windows/
 # sessionization/cohort/funnel, corpus_shuffle_order,
 # corpus_stratified_mix — the exact list from the r7 verdict, which
-# counted 13 but the per-round JSONs show 15), then 29 of the 41
-# round-4-signal entries (alphabetical). The 12 r4 entries deferred to
-# round 9: salted_join_order_counts, sample_rows_count,
+# counted 13 but the per-round JSONs show 15), then 28 of the 41
+# round-4-signal entries (alphabetical). The 13 r4 entries deferred to
+# round 9: regex_sort_escape_battery, salted_join_order_counts,
+# sample_rows_count,
 # select_exclude_group_by_all, star_replace_strftime,
 # streaming_dedup, streaming_stateful_counter,
 # struct_map_access, text_lm_perplexity, time_range_window_events,
@@ -34,6 +35,7 @@ _ROUND8_WINDOW = (
     "dialect_gap_battery32",
     "corpus_leakage_safe_split",
     "dialect_gap_battery33",
+    "multimodal_gif_decode",
     "cohort_retention_daily",
     "corpus_shuffle_order",
     "corpus_stratified_mix",
@@ -77,7 +79,6 @@ _ROUND8_WINDOW = (
     "planned_join_segment_revenue",
     "positional_join_rank_zip",
     "q10_returned_items",
-    "regex_sort_escape_battery",
 )
 
 

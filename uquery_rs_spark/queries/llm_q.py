@@ -1008,6 +1008,38 @@ def multimodal_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "multimodal_gif_decode",
+    tags=("llm", "multimodal"),
+    oracle="""
+SELECT d.doc_id,
+       d.doc_id % 13 + 4 AS width,
+       d.doc_id % 7 + 4  AS height,
+       round(avg((d.doc_id + 7 * y.y + 3 * x.x) % 256), 2) AS mean_lum
+FROM documents d
+CROSS JOIN generate_series(0, 9)  AS y(y)
+CROSS JOIN generate_series(0, 15) AS x(x)
+WHERE d.doc_id <= 200
+  AND y.y <= d.doc_id % 7 + 3
+  AND x.x <= d.doc_id % 13 + 3
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+""",
+)
+def multimodal_gif_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Round 8: REAL GIF decode, hash-checked — deterministic images
+    (pixel (y,x) = (id+7y+3x) % 256) are LZW-compressed into GIF89a
+    (grayscale global color table; odd ids interlaced) and decoded back
+    by the native stdlib+numpy decoder (operators/multimodal.py::
+    _decode_gif — full LZW with dictionary growth, width bumps, 12-bit
+    cap + CLEAR resets, 4-pass deinterlace). The closed-form
+    construction gives DuckDB the exact generate_series oracle, so the
+    codec is verified end-to-end with no image library anywhere."""
+    docs = load_tables(spark, sf)["documents"].filter(F.col("doc_id") <= 200)
+    stats = MM.decode_stats(MM.synthesize_gif_docs(docs))
+    return stats.withColumn("mean_lum", F.round("mean_lum", 2)).orderBy("doc_id")
+
+
+@register(
     "multimodal_jpeg_decode",
     tags=("llm", "multimodal"),
     oracle="""
