@@ -2678,3 +2678,41 @@ def test_round8_time_type(spark, rw):
 
     with pytest.raises(UQueryError):
         rw.rewrite("SELECT CAST('10:00:00' AS TIMETZ)")
+
+
+def test_round8_gap_probe_fixes(spark, rw):
+    """Round-8 mini gap-hunt catches: format_bytes truncates toward
+    zero at one decimal and picks the unit on |x| (DuckDB: 1234567 →
+    '1.1 MiB' not '1.2'; -2048 → '-2.0 KiB'); version() mirrors the
+    oracle engine's tag; count_star() = count(*)."""
+    import duckdb
+
+    run = lambda s: [tuple(r) for r in spark.sql(rw.rewrite(s)).collect()]
+    assert run(
+        "SELECT format_bytes(1234567) AS a, format_bytes(1048575) AS b, "
+        "format_bytes(-2048) AS c, format_bytes(1023) AS d"
+    ) == [("1.1 MiB", "1023.9 KiB", "-2.0 KiB", "1023 bytes")]
+    assert run("SELECT version() AS v") == [(f"v{duckdb.__version__}",)]
+    assert run(
+        "SELECT count_star() AS n FROM (VALUES (1),(2)) t(x)"
+    ) == [(2,)]
+
+
+def test_round8_gap_probe_fixes2(spark, rw):
+    """Round-8 gap probe, second wave: not_[i]like_escape variants,
+    ends_with alias, 2-arg array_length dimension-1 collapse."""
+    run = lambda s: [tuple(r) for r in spark.sql(rw.rewrite(s)).collect()]
+    assert run(
+        "SELECT like_escape('a%b', 'a$%b', '$') AS a, "
+        "not_like_escape('a%b', 'a$%b', '$') AS b, "
+        "ilike_escape('A%b', 'a$%B', '$') AS c, "
+        "not_ilike_escape('A%b', 'a$%B', '$') AS d"
+    ) == [(True, False, True, False)]
+    assert run(
+        "SELECT ends_with('hello', 'lo') AS a, "
+        "array_length([[1],[2,3]], 1) AS b"
+    ) == [(True, 2)]
+    from uquery_rs_spark.errors import UQueryError
+
+    with pytest.raises(UQueryError):
+        rw.rewrite("SELECT array_length([[1]], 2)")

@@ -65,6 +65,16 @@ from .sources.files import REMOTE_SCHEMES, resolve_path
 _PROBE_TLS = threading.local()
 
 
+def _duckdb_version() -> str:
+    """Installed DuckDB version (the dialect the gateway mimics)."""
+    try:
+        import duckdb
+
+        return duckdb.__version__
+    except ImportError:  # pragma: no cover
+        return "1.0.0"
+
+
 class _ProbeNoiseFilter(logging.Filter):
     """Suppress PySpark's SQLQueryContextLogger ERROR records emitted by
     EXPECTED analysis failures inside schema/type probes (VERDICT r7
@@ -341,6 +351,7 @@ class SqlRewriter:
         "from_base64": "unbase64",
         "to_base64": "base64",
         "starts_with": "startswith",
+        "ends_with": "endswith",
         "prefix": "startswith",
         "suffix": "endswith",
         "gen_random_uuid": "uuid",
@@ -3817,6 +3828,31 @@ class SqlRewriter:
     _ENCODE_RE = re.compile(r"(?i)\bencode\s*\(")
     _MAKE_TS_RE = re.compile(r"(?i)\bmake_timestamp\s*\(")
 
+    _ARRAY_LENGTH2_RE = re.compile(r"(?i)\barray_length\s*\(")
+
+    def _rewrite_b29_fns(self, sql: str) -> str:
+        """Round-8 gap-probe scalars: 2-arg ``array_length(x, 1)`` →
+        the 1-arg form (dimension 1 is the only one Spark's size() can
+        answer; deeper dims raise). (The [not_][i]like_escape family
+        lives in the batch-7 pass — round 8 extended it with the not_
+        variants.)"""
+        pos = 0
+        while True:
+            hit = self._call_args(self._ARRAY_LENGTH2_RE, sql, pos)
+            if not hit:
+                return sql
+            m, close, args = hit
+            if len(args) != 2:
+                pos = close + 1
+                continue
+            if args[1].strip() != "1":
+                raise UQueryError.sql_error(
+                    "array_length: only dimension 1 is supported"
+                )
+            repl = f"array_length({args[0]})"
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
+
     def _rewrite_b17_scalars(self, sql: str) -> str:
         """Batch-17 scalar corners: ``signbit(x)`` → (x < 0) —
         DuckDB's own signbit(-0.0) is false, so the sign test is exact;
@@ -4548,9 +4584,15 @@ class SqlRewriter:
             a = args[0]
             units = [("PiB", 1024 ** 5), ("TiB", 1024 ** 4), ("GiB", 1024 ** 3),
                      ("MiB", 1024 ** 2), ("KiB", 1024)]
+            # DuckDB picks the unit on |x| (negative inputs keep their
+            # unit: -2048 → '-2.0 KiB') and TRUNCATES toward zero at
+            # one decimal (1234567 → '1.1 MiB', never '1.2') — the ×10
+            # DIV trick truncates exactly (round-8 gap-probe catch;
+            # %.1f on the plain quotient ROUNDS)
             branches = " ".join(
-                f"WHEN ({a}) >= {size} THEN "
-                f"format_string('%.1f {u}', CAST(({a}) AS DOUBLE) / {size})"
+                f"WHEN abs(CAST(({a}) AS BIGINT)) >= {size} THEN "
+                f"format_string('%.1f {u}', "
+                f"CAST(CAST(({a}) AS BIGINT) * 10 DIV {size} AS DOUBLE) / 10)"
                 for u, size in units
             )
             repl = (
@@ -4898,7 +4940,7 @@ class SqlRewriter:
     )
     _JACCARD_RE = re.compile(r"(?i)\bjaccard\s*\(")
     _REGEXP_FULL_RE = re.compile(r"(?i)\bregexp_full_match\s*\(")
-    _LIKE_ESCAPE_RE = re.compile(r"(?i)\b(i?)like_escape\s*\(")
+    _LIKE_ESCAPE_RE = re.compile(r"(?i)\b(not_)?(i?)like_escape\s*\(")
 
     def _rewrite_string_list_corners(self, sql: str) -> str:
         """Batch-11 sweep (DuckDB-verified):
@@ -5114,8 +5156,9 @@ class SqlRewriter:
                 raise UQueryError.sql_error(
                     "like_escape: escape must be a 1-char literal"
                 )
-            op = "ILIKE" if m.group(1).lower() == "i" else "LIKE"
-            repl = f"(({args[0]}) {op} ({args[1]}) ESCAPE '{esc}')"
+            neg = "NOT " if m.group(1) else ""  # round 8: not_ variants
+            op = "ILIKE" if (m.group(2) or "").lower() == "i" else "LIKE"
+            repl = f"(({args[0]}) {neg}{op} ({args[1]}) ESCAPE '{esc}')"
             sql = sql[: m.start()] + repl + sql[close + 1 :]
         return sql
 
@@ -8013,6 +8056,9 @@ class SqlRewriter:
                     f"THEN CAST(NULL AS BIGINT) ELSE 0 END)"
                 )
                 sql = sql[: m.start()] + repl + sql[close + 1 :]
+        # round-8 gap scalars BEFORE the rename (2-arg array_length
+        # collapses to the 1-arg form the rename maps to size)
+        sql = self._rewrite_b29_fns(sql)
         sql = self._rewrite_function_names(sql)
         # batch-15 parity scalars after the rename table (their names
         # are not in it) and before lambda/scalar passes touch the args
@@ -8105,6 +8151,18 @@ class SqlRewriter:
         sql = self._sub_code_fn(
             re.compile(r"(?i)\bcurrent_database\s*\(\s*\)"),
             lambda m: "'memory'",
+            sql,
+        )
+        # round-8 gap-probe: version() mirrors the oracle engine's
+        # 'vX.Y.Z'; count_star() is DuckDB's count(*) alias
+        sql = self._sub_code_fn(
+            re.compile(r"(?i)\bversion\s*\(\s*\)"),
+            lambda m: f"'v{_duckdb_version()}'",
+            sql,
+        )
+        sql = self._sub_code_fn(
+            re.compile(r"(?i)\bcount_star\s*\(\s*\)"),
+            lambda m: "count(*)",
             sql,
         )
         sql = self._sub_code_fn(
