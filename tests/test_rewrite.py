@@ -2716,3 +2716,22 @@ def test_round8_gap_probe_fixes2(spark, rw):
 
     with pytest.raises(UQueryError):
         rw.rewrite("SELECT array_length([[1]], 2)")
+
+
+def test_round8_regr_family(spark, rw):
+    """Wave-3 gap probe: the regr_* family is natively identical except
+    regr_avgx/avgy, whose avg-of-DECIMAL typing leaked a DECIMAL schema
+    where DuckDB returns DOUBLE (value-same; now CAST-wrapped)."""
+    V = "(VALUES (1, 2.0), (2, 3.5), (3, 7.0), (4, 9.5)) t(x, y)"
+    row = spark.sql(
+        rw.rewrite(
+            f"SELECT round(regr_slope(y, x), 6) AS s, "
+            f"round(regr_intercept(y, x), 6) AS i, "
+            f"round(regr_r2(y, x), 6) AS r2, regr_count(y, x) AS n, "
+            f"regr_avgx(y, x) AS ax, regr_avgy(y, x) AS ay FROM {V}"
+        )
+    )
+    assert [f.dataType.simpleString() for f in row.schema.fields[-2:]] == [
+        "double", "double",
+    ]
+    assert tuple(row.collect()[0]) == (2.6, -1.0, 0.97971, 4, 2.5, 5.5)

@@ -3836,6 +3836,18 @@ class SqlRewriter:
         answer; deeper dims raise). (The [not_][i]like_escape family
         lives in the batch-7 pass — round 8 extended it with the not_
         variants.)"""
+        # regr_avgx/avgy: DuckDB returns DOUBLE; Spark's avg-of-DECIMAL
+        # typing leaks a DECIMAL schema (value-same — wave-3 probe)
+        pos = 0
+        ravg_re = re.compile(r"(?i)\bregr_avg[xy]\s*\(")
+        while True:
+            hit = self._call_args(ravg_re, sql, pos)
+            if not hit:
+                break
+            m, close, args = hit
+            repl = f"CAST({sql[m.start() : close + 1]} AS DOUBLE)"
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
         pos = 0
         while True:
             hit = self._call_args(self._ARRAY_LENGTH2_RE, sql, pos)
