@@ -2735,3 +2735,61 @@ def test_round8_regr_family(spark, rw):
         "double", "double",
     ]
     assert tuple(row.collect()[0]) == (2.6, -1.0, 0.97971, 4, 2.5, 5.5)
+
+
+def test_round9_exclude_noncurrent_frame_guard(spark, rw):
+    """Round 9 ADVICE fix: the no-current-row frame guard must catch
+    ANY offset token — decimal, INTERVAL, expression — not just bare
+    integers. DuckDB-differential: the decimal case below returned
+    30/60/60 where the old translation produced 0/-30/-30 (silent
+    wrong values); now it raises loudly."""
+    from uquery_rs_spark.errors import UQueryError
+
+    for bad in (
+        "SELECT sum(x) OVER (ORDER BY k RANGE BETWEEN 10.0 PRECEDING "
+        "AND 0.5 PRECEDING EXCLUDE GROUP) FROM t",
+        "SELECT sum(x) OVER (ORDER BY ts RANGE BETWEEN INTERVAL '2' HOUR "
+        "PRECEDING AND INTERVAL '1' HOUR PRECEDING EXCLUDE TIES) FROM t",
+        "SELECT sum(x) OVER (ORDER BY ts RANGE BETWEEN INTERVAL '2' HOUR "
+        "PRECEDING AND INTERVAL '1' HOUR PRECEDING EXCLUDE CURRENT ROW) FROM t",
+        "SELECT avg(x) OVER (ORDER BY k RANGE BETWEEN (1+1) FOLLOWING "
+        "AND (2+2) FOLLOWING EXCLUDE GROUP) FROM t",
+    ):
+        with pytest.raises(UQueryError, match="does not contain"):
+            rw.rewrite(bad)
+    # interval frame CONTAINING the current row still translates —
+    # DuckDB-verified values (peers at the same ts excluded)
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            rw.rewrite(
+                "SELECT CAST(sum(x) OVER (ORDER BY ts RANGE BETWEEN "
+                "INTERVAL '1' HOUR PRECEDING AND CURRENT ROW EXCLUDE GROUP) "
+                "AS DOUBLE) AS s FROM (VALUES "
+                "(TIMESTAMP '2024-01-01 00:00:00', 1.0),"
+                "(TIMESTAMP '2024-01-01 00:30:00', 2.0),"
+                "(TIMESTAMP '2024-01-01 00:30:00', 4.0),"
+                "(TIMESTAMP '2024-01-01 02:00:00', 8.0)) t(ts,x) "
+                "ORDER BY ts, s NULLS FIRST"
+            )
+        ).collect()
+    ]
+    assert got == [(None,), (1.0,), (1.0,), (None,)]  # DuckDB-verified
+
+
+def test_round9_regr_avg_suffix_forms(spark, rw):
+    """Round 9 ADVICE fix: the regr_avgx/avgy DOUBLE cast must wrap
+    any trailing FILTER/OVER suffix instead of splitting it off (the
+    r8 wrap produced `CAST(f(x) AS DOUBLE) OVER (...)` — a
+    ParseException for previously-working forms). DuckDB-verified."""
+    run = lambda s: [tuple(r) for r in spark.sql(rw.rewrite(s)).collect()]
+    V = "(VALUES (1,1.0,10.0),(1,2.0,20.0),(1,2.0,30.0),(1,3.5,40.0),(2,1.0,5.0)) t(g,k,x)"
+    assert run(
+        f"SELECT g, regr_avgx(x, k) OVER (PARTITION BY g) AS r FROM {V} "
+        "ORDER BY g, r"
+    ) == [(1, 2.125), (1, 2.125), (1, 2.125), (1, 2.125), (2, 1.0)]
+    assert run(
+        f"SELECT g, regr_avgy(x, k) FILTER (WHERE k > 1) AS r FROM {V} "
+        "GROUP BY g ORDER BY g"
+    ) == [(1, 30.0), (2, None)]
+    assert run(f"SELECT regr_avgx(x, k) AS r FROM {V}") == [(1.9,)]

@@ -3837,7 +3837,11 @@ class SqlRewriter:
         lives in the batch-7 pass — round 8 extended it with the not_
         variants.)"""
         # regr_avgx/avgy: DuckDB returns DOUBLE; Spark's avg-of-DECIMAL
-        # typing leaks a DECIMAL schema (value-same — wave-3 probe)
+        # typing leaks a DECIMAL schema (value-same — wave-3 probe).
+        # r9 ADVICE fix: any trailing FILTER (...) / OVER (...) suffix
+        # must ride INSIDE the CAST — wrapping the bare call produced
+        # `CAST(f(x) AS DOUBLE) OVER (...)`, a ParseException for
+        # previously-working windowed/filtered forms.
         pos = 0
         ravg_re = re.compile(r"(?i)\bregr_avg[xy]\s*\(")
         while True:
@@ -3845,8 +3849,9 @@ class SqlRewriter:
             if not hit:
                 break
             m, close, args = hit
-            repl = f"CAST({sql[m.start() : close + 1]} AS DOUBLE)"
-            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            _f, _o, endpos = self._nested_agg_over(sql, close, "regr_avg")
+            repl = f"CAST({sql[m.start() : endpos + 1]} AS DOUBLE)"
+            sql = sql[: m.start()] + repl + sql[endpos + 1 :]
             pos = m.start() + len(repl)
         pos = 0
         while True:
@@ -5616,11 +5621,37 @@ class SqlRewriter:
     _FRAME_EXCLUDE_RE = re.compile(
         r"(?i)\bexclude\s+(current\s+row|group|ties|no\s+others)\b"
     )
-    # frames that do NOT contain the current row — the subtraction
-    # translation would be wrong there
-    _FRAME_NO_CURRENT_RE = re.compile(
-        r"(?i)\band\s+\d+\s+preceding|\bbetween\s+\d+\s+following"
-    )
+
+    @staticmethod
+    def _frame_excludes_current(spec: str) -> bool:
+        """True when the frame clause provably does not contain the
+        current row — end bound ``<x> PRECEDING`` or start bound
+        ``<x> FOLLOWING`` for ANY offset token (integer, decimal,
+        INTERVAL, expression). The subtraction translations for
+        EXCLUDE are only sound on frames containing the current row.
+        r9 ADVICE fix: the old guard matched bare-integer offsets
+        only, so ``RANGE BETWEEN 10.0 PRECEDING AND 0.5 PRECEDING``
+        or interval-offset frames bypassed it and got silently wrong
+        peer-group subtractions (differentially verified)."""
+        fm = re.search(
+            r"(?i)\b(rows|range|groups)\s+between\s+(.*)$", spec, re.S
+        )
+        if not fm:
+            # single-bound frames (`ROWS <x> PRECEDING`) run to
+            # CURRENT ROW — they always contain it
+            return False
+        body = fm.group(2).strip()
+        # end bound `<x> PRECEDING`: the frame clause is the tail of
+        # the OVER spec, so a trailing PRECEDING is the end bound
+        # (UNBOUNDED PRECEDING is not a legal end bound)
+        if re.search(r"(?i)\bpreceding\s*$", body):
+            return True
+        # start bound `<x> FOLLOWING`: the first bound ends at the
+        # top-level AND — CURRENT ROW / UNBOUNDED PRECEDING starts
+        # never contain the token pair `FOLLOWING AND`
+        if re.search(r"(?i)\bfollowing\s+and\b", body):
+            return True
+        return False
 
     def _rewrite_window_exclude(self, sql: str) -> str:
         """Window-frame EXCLUDE (DuckDB/SQL:2011; Spark has none):
@@ -5669,9 +5700,10 @@ class SqlRewriter:
             spec = (
                 sql[open_idx + 1 : m.start()] + sql[m.end() : over_close]
             ).strip()
-            if self._FRAME_NO_CURRENT_RE.search(spec):
+            if self._frame_excludes_current(spec):
                 raise UQueryError.sql_error(
-                    "EXCLUDE CURRENT ROW: frame does not contain the current row"
+                    f"EXCLUDE {mode.upper()}: frame does not contain the "
+                    "current row"
                 )
             # the aggregate call directly before OVER
             agg_end = len(pre) - len("over")
@@ -5687,7 +5719,7 @@ class SqlRewriter:
             agg_start = fname_m.start(1)
             if re.match(r"(?i)^\s*distinct\b", arg):
                 raise UQueryError.sql_error(
-                    "EXCLUDE CURRENT ROW with DISTINCT is not supported"
+                    f"EXCLUDE {mode.upper()} with DISTINCT is not supported"
                 )
             if fname not in ("count", "sum", "avg"):
                 raise UQueryError.sql_error(
