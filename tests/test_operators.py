@@ -1140,6 +1140,46 @@ class TestBPE:
         assert (out.n_bpe_tokens >= out.n_words).all()
 
 
+    def test_apply_ids_hand_checked(self, spark):
+        """bpe_apply (round 9): 'lowest low' under the Sennrich merges
+        -> [low, e?, ...] ids. With merges [(e,s),(es,t),(l,o),(lo,w)]:
+        'lowest' -> [low, est] ids [0x110000+3, 0x110000+1]; 'low' ->
+        [low]; unseen chars get codepoint ids ('z'=122, 'q'=113)."""
+        train = spark.createDataFrame(
+            [(1, " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3))],
+            "doc_id long, text string",
+        )
+        merges = TX.bpe_train(train, n_merges=4)
+        docs = spark.createDataFrame(
+            [(1, "lowest low"), (2, "zq")], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.n_words, r.n_tokens, list(r.tokens))
+            for r in TX.bpe_apply(docs, merges).collect()
+        }
+        B = 0x110000
+        assert got == {
+            1: (2, 3, [B + 3, B + 1, B + 3]),
+            2: (1, 2, [122, 113]),
+        }
+
+    def test_apply_chain_merge_binary_decomposition(self, spark):
+        """The closed form behind the text_bpe_apply_ids oracle:
+        left-to-right non-overlapping chain merges decompose a run of
+        k 'a's into its binary expansion, descending."""
+        docs = spark.createDataFrame(
+            [(1, "a" * 13), (2, "a" * 12 + " " + "a" * 7)],
+            "doc_id long, text string",
+        )
+        merges = [("a", "a"), ("aa", "aa"), ("aaaa", "aaaa")]
+        got = {
+            r.doc_id: list(r.tokens) for r in TX.bpe_apply(docs, merges).collect()
+        }
+        B = 0x110000
+        assert got[1] == [B + 2, B + 1, 97]          # 13 = 8+4+1
+        assert got[2] == [B + 2, B + 1, B + 1, B, 97]  # 12 = 8+4 ; 7 = 4+2+1
+
+
 class TestHardenedPaths:
     def test_jpeg_fill_bytes_before_marker(self):
         """T.81 B.1.1.2 allows runs of 0xFF fill bytes before any marker;

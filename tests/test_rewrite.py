@@ -931,8 +931,8 @@ def test_gap_hunt_batch9_aggregates(spark, rw):
         # entropy/histogram translate since batch 15; their OVER forms
         # since round 7 (test_nested_aggs_over_window); FILTER and
         # DISTINCT forms since round 8 (test_round8_nested_agg_filter,
-        # test_round8_nested_agg_distinct) — mad(DISTINCT) OVER stays
-        "SELECT mad(DISTINCT x) OVER (PARTITION BY y) FROM t",
+        # test_round8_nested_agg_distinct); mad(DISTINCT) OVER since
+        # round 9 (test_round9_mad_distinct_over)
         "SELECT skewness(x) OVER (PARTITION BY y) FROM t",
         "SELECT skewness(DISTINCT x) FROM t",
     ]:
@@ -2384,10 +2384,8 @@ def test_nested_aggs_over_window(spark, rw):
         )
     ).collect()[0].h
     assert dict(h) == {1: 2, 2: 1}
-    from uquery_rs_spark.errors import UQueryError
-
-    with pytest.raises(UQueryError):
-        rw.rewrite("SELECT mad(DISTINCT x) OVER (PARTITION BY g) FROM t")
+    # mad(DISTINCT) OVER graduated in round 9 —
+    # test_round9_mad_distinct_over
 
 
 def test_round8_nested_agg_distinct(spark, rw):
@@ -2793,3 +2791,105 @@ def test_round9_regr_avg_suffix_forms(spark, rw):
         "GROUP BY g ORDER BY g"
     ) == [(1, 30.0), (2, None)]
     assert run(f"SELECT regr_avgx(x, k) AS r FROM {V}") == [(1.9,)]
+
+
+def test_round9_create_or_replace_keeps_old_on_runtime_failure(spark, rw):
+    """NOTES 21b close (r8 verdict item 3): DuckDB keeps the old object
+    when the replacement fails at RUNTIME too, not just at
+    rewrite/analysis time. The new body below passes analysis (valid
+    plan, valid types) but fails during materialization (ANSI integer
+    overflow on a data row) — the old table must still answer, and no
+    staging debris may remain."""
+    spark.sql(rw.rewrite("CREATE OR REPLACE TABLE uq_r9r AS SELECT 7 AS a"))
+    assert spark.sql("SELECT a FROM uq_r9r").collect()[0].a == 7
+    with pytest.raises(Exception):
+        # analysis-clean, runtime ANSI overflow (127y + 127y)
+        rw.rewrite(
+            "CREATE OR REPLACE TABLE uq_r9r AS "
+            "SELECT CAST(x AS TINYINT) + CAST(x AS TINYINT) AS a "
+            "FROM (VALUES (1), (127)) t(x)"
+        )
+    assert spark.sql("SELECT a FROM uq_r9r").collect()[0].a == 7
+    debris = [
+        t.name
+        for t in spark.catalog.listTables()
+        if "__uq_stage_" in t.name
+    ]
+    assert debris == []
+    # a successful replace still swaps
+    spark.sql(rw.rewrite("CREATE OR REPLACE TABLE uq_r9r AS SELECT 9 AS a"))
+    assert spark.sql("SELECT a FROM uq_r9r").collect()[0].a == 9
+    spark.sql(rw.rewrite("DROP TABLE uq_r9r"))
+
+
+def test_round9_time_interval_wraparound(spark, rw):
+    """NOTES 21g close: TIME ± INTERVAL wraps mod 24h like DuckDB
+    (previously a loud DATETIME_OVERFLOW deviation), while TIMESTAMP/
+    DATE/STRING/interval operands keep native Spark arithmetic. All
+    expected values DuckDB-verified."""
+    one = lambda s: spark.sql(rw.rewrite(s)).collect()[0].a
+
+    # TIME operands: wraparound applies
+    assert str(one("SELECT TIME '23:30:00' + INTERVAL '2' HOUR AS a")) == "01:30:00"
+    assert str(one("SELECT TIME '01:00:00' - INTERVAL '2' HOUR AS a")) == "23:00:00"
+    assert str(one("SELECT INTERVAL '25' HOUR + TIME '01:00:00' AS a")) == "02:00:00"
+    assert (
+        str(one("SELECT TIME '23:59:59' + INTERVAL '1500' MILLISECOND AS a"))
+        == "00:00:00.500000"
+    )
+    # calendar components are whole days mod 24 h (DuckDB 30-day months)
+    assert (
+        str(one("SELECT TIME '10:00:00.5' + INTERVAL '1' MONTH AS a"))
+        == "10:00:00.500000"
+    )
+    assert str(one("SELECT TIME '06:00:00' + INTERVAL '1 day 2 hours' AS a")) == "08:00:00"
+    # left-assoc chain
+    assert (
+        str(one("SELECT TIME '22:00:00' + INTERVAL '90' MINUTE + INTERVAL '2' HOUR AS a"))
+        == "01:30:00"
+    )
+    # TIME column
+    assert (
+        str(one("SELECT t + INTERVAL '2' HOUR AS a FROM (VALUES (TIME '23:30:00')) v(t)"))
+        == "01:30:00"
+    )
+    # non-TIME operand classes stay native
+    assert (
+        str(one("SELECT TIMESTAMP '2024-01-01 23:30:00' + INTERVAL '2' HOUR AS a"))
+        == "2024-01-02 01:30:00"
+    )
+    assert str(one("SELECT DATE '1998-12-01' - INTERVAL '90' DAY AS a")).startswith(
+        "1998-09-02"
+    )
+    assert (
+        str(one("SELECT INTERVAL '1' HOUR + INTERVAL '30' MINUTE AS a"))
+        == "1:30:00"
+    )
+    assert (
+        str(one("SELECT CAST('2024-01-01' AS TIMESTAMP) + INTERVAL '1' DAY AS a"))
+        == "2024-01-02 00:00:00"
+    )
+    # precedence: a trailing * owns the interval literal (battery5 shape)
+    assert str(one(
+        "SELECT CAST('2024-01-01' AS DATE) + INTERVAL 1 DAY * (1 + 2) AS a"
+    )).startswith("2024-01-04")
+
+
+def test_round9_mad_distinct_over(spark, rw):
+    """Round 9: mad(DISTINCT x) OVER — the last raise of the nested-agg
+    family. Translated via the aggregate()-as-LET idiom so the sorted
+    distinct set, its median, and the deviations array are each
+    evaluated ONCE (the r7 lambda-invariant-re-evaluation trap made a
+    naive inline O(n² log n)). DuckDB-verified values."""
+    run = lambda s: [tuple(r) for r in spark.sql(rw.rewrite(s)).collect()]
+    assert run(
+        "SELECT g, round(CAST(mad(DISTINCT x) OVER (PARTITION BY g) "
+        "AS DOUBLE), 6) AS m FROM (VALUES (1,1.0),(1,2.0),(1,2.0),"
+        "(1,10.0),(2,5.0),(2,CAST(NULL AS DECIMAL(3,1)))) t(g,x) "
+        "ORDER BY g, m"
+    ) == [(1, 1.0)] * 4 + [(2, 0.0)] * 2
+    assert run(
+        "SELECT x, round(CAST(mad(DISTINCT x) OVER (ORDER BY x ROWS "
+        "BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS m "
+        "FROM (VALUES (1.0),(2.0),(4.0)) t(x) ORDER BY x"
+    ) == [(1.0, 0.0), (2.0, 0.5), (4.0, 1.0)]

@@ -208,6 +208,40 @@ class Gen:
             f"({outer}.i < (SELECT count(*) FROM {t}))",
         ])
 
+    def time_atom(self):
+        r = self.rnd
+        return r.choice([
+            "TIME '23:30:00'", "TIME '00:00:00'", "TIME '12:34:56.789'",
+            "TIME '01:15:00'", "TIME '23:59:59.5'", "TIME '06:00:00'",
+            f"CAST({r.choice(TSS)} AS TIME)",
+            "make_time(7, 30, 15.25)",
+        ])
+
+    def timemix_scalar(self):
+        """Round-9 axis (r8 verdict item 4): TIME/TIMESTAMP mixed-type
+        scalars — the TIME surface is one round old, and the new
+        ± INTERVAL wraparound path needs adversarial coverage."""
+        r = self.rnd
+        t1, t2 = self.time_atom(), self.time_atom()
+        iv = r.choice(IVALS)
+        sgn = r.choice(["+", "-"])
+        return r.choice([
+            f"CAST({t1} {sgn} {iv} AS VARCHAR)",
+            f"CAST({iv} + {t1} AS VARCHAR)",
+            f"CAST({t1} {sgn} {iv} {sgn} {r.choice(IVALS)} AS VARCHAR)",
+            f"({t1} < {t2})", f"({t1} = {t2})", f"({t1} >= {t2})",
+            f"CAST(greatest({t1}, {t2}) AS VARCHAR)",
+            f"CAST(least({t1}, {t2}) AS VARCHAR)",
+            f"extract(hour FROM {t1})",
+            f"extract(minute FROM {t1})",
+            f"extract(second FROM {t1})",
+            f"round(extract(epoch FROM {t1}), 3)",
+            f"CAST(CASE WHEN {t1} < {t2} THEN {t1} ELSE {t2} END AS VARCHAR)",
+            f"(CAST({t1} AS VARCHAR) = CAST({t2} AS VARCHAR))",
+            f"CAST({r.choice(DATES)} {sgn} {iv} AS VARCHAR)",
+            f"CAST({r.choice(TSS)} {sgn} {iv} AS VARCHAR)",
+        ])
+
     def values_body(self):
         r = self.rnd
         rows = []
@@ -404,6 +438,95 @@ def run_axis(axis, batches, rnd, spark, rw, con):
             if sorted(want, key=skey) != sorted(got, key=skey):
                 mismatch += 1
                 fails.append((q[:120], want[:3], got[:3]))
+        elif axis == "timemix":
+            compare_scalar_batch([g.timemix_scalar() for _ in range(8)])
+        elif axis == "multirel":
+            # round-9 axis: random join/set-op TREES over 2-3 relations
+            # (the rel axis is single-level; composition order and
+            # NULL-key propagation through nested ops is untested there)
+            def leaf():
+                return f"(SELECT i, s FROM {g.values_table('t' + str(rnd.randrange(10_000)))})"
+
+            def tree(d):
+                if d <= 0:
+                    return leaf()
+                l, rr = tree(d - 1), tree(d - 1)
+                k = rnd.randrange(3)
+                if k == 0:
+                    op = rnd.choice(["UNION", "UNION ALL", "INTERSECT",
+                                     "EXCEPT", "INTERSECT ALL", "EXCEPT ALL"])
+                    return f"({l} {op} {rr})"
+                if k == 1:
+                    jt = rnd.choice(["JOIN", "LEFT JOIN", "FULL JOIN"])
+                    a = f"j{rnd.randrange(10_000)}"
+                    b = f"j{rnd.randrange(10_000)}"
+                    return (
+                        f"(SELECT {a}.i AS i, coalesce({a}.s, {b}.s) AS s "
+                        f"FROM {l} {a} {jt} {rr} {b} ON {a}.i = {b}.i)"
+                    )
+                return f"(SELECT i + 1 AS i, s FROM {l} WHERE i IS NULL OR i > -50)"
+
+            q = f"SELECT i, s FROM {tree(2)} uq_q"
+            skey = lambda r: tuple((x is None, str(x)) for x in r)  # noqa: E731
+            try:
+                want = sorted((tuple(norm(x) for x in r)
+                              for r in con.sql(q).fetchall()), key=skey)
+            except Exception:
+                continue
+            try:
+                got = sorted((tuple(norm(x) for x in r)
+                             for r in spark.sql(rw.rewrite(q)).collect()), key=skey)
+            except Exception as e:
+                mismatch += 1
+                fails.append((q[:120], None, "REJECT " + str(e).split("\n")[0][:80]))
+                continue
+            checked += 1
+            if want != got:
+                mismatch += 1
+                fails.append((q[:160], want[:3], got[:3]))
+        elif axis == "pivotfz":
+            # round-9 axis: PIVOT/UNPIVOT statement forms over random
+            # VALUES relations (the registry pins two fixed shapes; the
+            # value-discovery probe and column naming need variety)
+            tbl = g.values_table()
+            if rnd.random() < 0.5:
+                agg = rnd.choice(
+                    ["sum(i)", "count(*)", "min(d)", "max(i)",
+                     "round(avg(d), 6)"]
+                )
+                q = (f"PIVOT (SELECT coalesce(s, 'n') AS s, i % 2 AS grp, "
+                     f"i, d FROM {tbl}) ON s USING {agg} GROUP BY grp")
+            else:
+                q = (f"UNPIVOT (SELECT i AS a, CAST(i * 2 AS BIGINT) AS b "
+                     f"FROM {tbl} WHERE i IS NOT NULL) "
+                     f"ON a, b INTO NAME k VALUE v")
+            try:
+                rel = con.sql(q)
+                wcols = sorted(d[0] for d in rel.description)
+                worder = [d[0] for d in rel.description]
+                skey = lambda r: tuple((x is None, str(x)) for x in r)  # noqa: E731
+                want = sorted(
+                    (tuple(norm(r[worder.index(c)]) for c in wcols)
+                     for r in rel.fetchall()),
+                    key=skey,
+                )
+            except Exception:
+                continue
+            try:
+                df = spark.sql(rw.rewrite(q))
+                gcols = sorted(df.columns)
+                got = sorted(
+                    (tuple(norm(r[c]) for c in gcols) for r in df.collect()),
+                    key=skey,
+                )
+            except Exception as e:
+                mismatch += 1
+                fails.append((q[:120], None, "REJECT " + str(e).split("\n")[0][:80]))
+                continue
+            checked += 1
+            if wcols != gcols or want != got:
+                mismatch += 1
+                fails.append((q[:160], (wcols, want[:2]), (gcols, got[:2])))
         elif axis == "rel":
             a, b = g.values_table("a"), g.values_table("b")
             kind = rnd.randrange(4)
@@ -456,7 +579,7 @@ def main():
     rw = SqlRewriter(spark)
     con = duckdb.connect()
     axes = (["expr", "agg", "window", "rel", "temporal", "nested", "pattern",
-             "div", "subq"]
+             "div", "subq", "timemix", "multirel", "pivotfz"]
             if axis == "all" else [axis])
     total_mm = 0
     for ax in axes:

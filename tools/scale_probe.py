@@ -121,3 +121,31 @@ if "--embeddings" in sys.argv:
     embedding_probe()
 if "--round4" in sys.argv:
     round4_probe()
+
+
+def bpe_probe():
+    """Round 9: bpe_apply 1x/8x scaling row (r8 verdict item 6 'done'
+    criterion). Merge table trained once at 1x (training cost is
+    vocabulary-bound, excluded — it does not grow with corpus size);
+    APPLY measured at both scales."""
+    import math
+
+    merges = TX.bpe_train(docs, n_merges=40)
+    res = {}
+    for k in (1, 8):
+        corpus = times_k(k)
+        fn = lambda c: TX.bpe_apply(c, merges).select(
+            F.sum("n_tokens")
+        ).collect()
+        fn(corpus)
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter(); fn(corpus); best = min(best, time.perf_counter() - t0)
+        res[k] = best
+        print(f"bpe_apply x{k}: {best:.2f}s ({k*n} docs)", flush=True)
+    e = math.log(res[8] / res[1]) / math.log(8)
+    print(f"  bpe_apply: e = {e:.2f}")
+
+
+if "--bpe" in sys.argv:
+    bpe_probe()

@@ -899,3 +899,83 @@ def ngram_topk(
         .orderBy(F.col("n_total").desc(), F.col("gram"))
         .limit(k)
     )
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained BPE merge table to every document and emit the
+    full token-id sequence — the nightly 100 TB pipeline step (train
+    once on the vocabulary, APPLY to the whole corpus each run).
+    Columns: key, n_words, n_tokens, tokens array<long>.
+
+    Token-id scheme (deterministic, corpus-pass-free): a single-char
+    symbol's id is its Unicode codepoint; merge symbol ids are
+    0x110000 + rank (codepoints end at 0x10FFFF, so the ranges never
+    collide and a trained table is portable across corpora).
+
+    Scale shape: the merge table broadcasts (tokenizer tables are
+    KB-MB); the kernel is Arrow-batched mapInPandas with per-unique-
+    word caching (natural text reuses words, so the merge loop runs
+    once per distinct word per batch); the pass is narrow — zero
+    shuffles, scan-fused, output partitioning inherits the scan.
+    """
+    import numpy as np
+    import pandas as pd
+
+    bc = docs.sparkSession.sparkContext.broadcast(list(merges))
+    MERGE_BASE = 0x110000
+
+    def encode(batches):
+        merge_list = bc.value
+        merge_id = {a + b: MERGE_BASE + r for r, (a, b) in enumerate(merge_list)}
+
+        def sym_id(s: str) -> int:
+            return merge_id[s] if len(s) > 1 else ord(s)
+
+        def word_ids(w: str, cache: dict) -> list:
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            syms = list(w)
+            for a, b in merge_list:
+                out: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            ids = [sym_id(s) for s in syms]
+            cache[w] = ids
+            return ids
+
+        for pdf in batches:
+            cache: dict[str, list] = {}
+            n_words, n_tok, toks = [], [], []
+            for text in pdf[text_col]:
+                words = [w for w in (text or "").split(" ") if w]
+                ids: list[int] = []
+                for w in words:
+                    ids.extend(word_ids(w, cache))
+                n_words.append(len(words))
+                n_tok.append(len(ids))
+                toks.append(np.array(ids, dtype="int64"))
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col],
+                    "n_words": np.array(n_words, dtype="int64"),
+                    "n_tokens": np.array(n_tok, dtype="int64"),
+                    "tokens": toks,
+                }
+            )
+
+    return docs.select(key_col, text_col).mapInPandas(
+        encode,
+        f"{key_col} long, n_words long, n_tokens long, tokens array<long>",
+    )

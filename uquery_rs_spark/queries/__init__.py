@@ -18,6 +18,8 @@ from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 # no entry's freshest signal is older than r5; the r5 tail displaced
 # by _ROUND9_NEW rolls into round 10.
 _ROUND9_NEW: tuple[str, ...] = (
+    "dialect_gap_battery34",  # TIME ± INTERVAL midnight wraparound
+    "text_bpe_apply_ids",  # distributed BPE apply, exact closed-form oracle
 )
 
 _ROUND9_R4 = (

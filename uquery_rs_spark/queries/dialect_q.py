@@ -2508,8 +2508,45 @@ def dialect_gap_battery33(spark: SparkSession, sf: str) -> DataFrame:
     truncated BIGINT (45.5 -> 45) where Spark's native extract returns
     DECIMAL(8,6) — a silent wrong-value class that applied to
     TIMESTAMP and INTERVAL extracts too (DIV 1 wrap, toward-zero like
-    DuckDB). Remaining documented deviation: TIME + INTERVAL wraps at
-    midnight in DuckDB but raises DATETIME_OVERFLOW in Spark (loud,
-    never silent)."""
+    DuckDB). The one deviation this battery left open — TIME + INTERVAL
+    raising DATETIME_OVERFLOW instead of wrapping — closed in round 9
+    (battery34)."""
     load_tables(spark, sf)
     return _rewritten_sql(spark, _B33_SQL)
+
+
+_B34_SQL = """
+SELECT event_id,
+       CAST(CAST(ts AS TIME) + INTERVAL '2' HOUR AS VARCHAR)     AS fwd,
+       CAST(CAST(ts AS TIME) - INTERVAL '90' MINUTE AS VARCHAR)  AS back,
+       CAST(CAST(ts AS TIME) + INTERVAL '1500' MILLISECOND
+            AS VARCHAR)                                          AS frac,
+       CAST(INTERVAL '25' HOUR + CAST(ts AS TIME) AS VARCHAR)    AS com,
+       CAST(TIME '23:30:00' + INTERVAL '45' MINUTE AS VARCHAR)   AS lit,
+       CAST(ts + INTERVAL '2' HOUR AS VARCHAR)                   AS ts_fwd,
+       round(CAST(mad(DISTINCT event_id % 17)
+                  OVER (PARTITION BY event_id % 5) AS DOUBLE), 6)  AS mad_w
+FROM events WHERE event_id < 400
+ORDER BY event_id
+"""
+
+
+@register(
+    "dialect_gap_battery34",
+    tags=("dialect", "battery", "time"),
+    oracle=_B34_SQL,
+)
+def dialect_gap_battery34(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-9 raise-tail close (r8 verdict item 5a, NOTES 21g): TIME ±
+    INTERVAL wraps past midnight in DuckDB (mod 24 h) where Spark's
+    native TIME arithmetic raises DATETIME_OVERFLOW. The rewriter's
+    two-level uq_poly dispatch (rewrite.py _time_wrap_marker) keeps
+    TIMESTAMP/DATE/interval operands on native arithmetic (ts_fwd
+    column pins that) and sends TIME operands through exact DECIMAL
+    second-of-day mod-86400 arithmetic — forward/backward crossings,
+    fractional-second intervals, and the commuted INTERVAL + TIME form
+    all hash-match DuckDB here. Also pins round 9's other
+    raise-tail close: mad(DISTINCT) OVER a window (aggregate()-as-LET
+    translation, test_round9_mad_distinct_over)."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B34_SQL)

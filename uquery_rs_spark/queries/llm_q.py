@@ -871,6 +871,70 @@ def text_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "text_bpe_apply_ids",
+    tags=("llm", "text", "tokenize"),
+    oracle="""
+WITH f AS (
+  SELECT doc_id, j, 1 + (doc_id * 7 + j * 13) % 21 AS k
+  FROM documents, UNNEST(generate_series(1, CAST(1 + doc_id % 4 AS BIGINT))) AS u(j)
+  WHERE doc_id < 500
+),
+w AS (
+  SELECT doc_id, j, k,
+    flatten([
+      list_transform(generate_series(1, k // 8), x -> 1114114),
+      list_transform(generate_series(1, (k // 4) % 2), x -> 1114113),
+      list_transform(generate_series(1, (k // 2) % 2), x -> 1114112),
+      list_transform(generate_series(1, k % 2), x -> 97)
+    ]) AS t
+  FROM f
+)
+SELECT doc_id,
+       CAST(max(j) AS BIGINT) AS n_words,
+       CAST(sum(len(t)) AS BIGINT) AS n_tokens,
+       array_to_string(flatten(list(t ORDER BY j)), ',') AS tokens_csv
+FROM w GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def text_bpe_apply_ids(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE APPLY (r8 verdict item 6): encode every document
+    with a trained merge table and emit the full token-ID sequence —
+    the step a 100 TB pipeline runs nightly (operators/text.py::
+    bpe_apply — broadcast merge table, Arrow-batched kernel,
+    per-unique-word cache, zero shuffles). The oracle is EXACT, not
+    bounds-shaped: a fixture corpus of 'a'-run words derived
+    deterministically from doc_id, encoded with the chain-merge table
+    [(a,a), (aa,aa), (aaaa,aaaa)], has a closed-form token stream —
+    left-to-right non-overlapping merging decomposes a run of k into
+    its binary expansion, descending (id scheme: codepoint for chars,
+    0x110000+rank for merges). The closed form is DuckDB-expressible;
+    the kernel is the real one, hand-verified against Sennrich et al.
+    2016's worked example in tests."""
+    docs = load_tables(spark, sf)["documents"]
+    fixture = (
+        docs.filter(F.col("doc_id") < 500)
+        .select("doc_id")
+        .withColumn(
+            "text",
+            F.expr(
+                "concat_ws(' ', transform(sequence(1, CAST(1 + doc_id % 4 AS INT)), "
+                "j -> repeat('a', CAST(1 + (doc_id * 7 + j * 13) % 21 AS INT))))"
+            ),
+        )
+    )
+    enc = TX.bpe_apply(
+        fixture, [("a", "a"), ("aa", "aa"), ("aaaa", "aaaa")]
+    )
+    return enc.select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        F.array_join("tokens", ",").alias("tokens_csv"),
+    ).orderBy("doc_id")
+
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
