@@ -2893,3 +2893,32 @@ def test_round9_mad_distinct_over(spark, rw):
         "BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS m "
         "FROM (VALUES (1.0),(2.0),(4.0)) t(x) ORDER BY x"
     ) == [(1.0, 0.0), (2.0, 0.5), (4.0, 1.0)]
+
+
+def test_round9_product_exact_fold(spark, rw):
+    """Round 9 (agg fuzzer, seed 2026): product() is now a sequential
+    double fold over one collect_list — the old exp(sum(ln|x|)) form
+    carried ~1e-15 RELATIVE error (762048 read 762047.9999999984) and
+    returned +0.0 where DuckDB's sequential multiply gives -0.0 for a
+    zero with an odd negative count. Fold is bit-exact for integer
+    products < 2^53. FILTER and OVER forms included (both
+    DuckDB-verified)."""
+    run = lambda s: [tuple(r) for r in spark.sql(rw.rewrite(s)).collect()]
+    assert run(
+        "SELECT product(x) AS p FROM (VALUES (7),(96),(12),(94.5)) t(x)"
+    ) == [(762048.0,)]
+    assert run(
+        "SELECT CAST(product(x) AS VARCHAR) AS p "
+        "FROM (VALUES (2),(0),(-3)) t(x)"
+    ) == [("-0.0",)]
+    assert run("SELECT product(x) AS p FROM (VALUES (1)) t(x) WHERE false") == [
+        (None,)
+    ]
+    assert run(
+        "SELECT g, product(x) OVER (PARTITION BY g) AS p "
+        "FROM (VALUES (1,2.5),(1,4),(2,-3)) t(g,x) ORDER BY g, p"
+    ) == [(1, 10.0), (1, 10.0), (2, -3.0)]
+    assert run(
+        "SELECT product(x) FILTER (WHERE x > 0) AS p "
+        "FROM (VALUES (2),(3),(-7)) t(x)"
+    ) == [(6.0,)]

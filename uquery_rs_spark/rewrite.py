@@ -1517,21 +1517,32 @@ class SqlRewriter:
         )
 
     def _rewrite_product(self, sql: str) -> str:
-        """product(x) aggregate → zero- and sign-aware exp(sum(ln|x|))
-        (Spark has no product aggregate; DOUBLE result like DuckDB).
-        Log-space evaluation carries ~1e-15 relative error (measured:
-        120.0 vs 119.99999999999997) — round the result like any float
-        aggregate in this corpus."""
+        """product(x) aggregate → sequential double fold over ONE
+        collect_list (Spark has no product aggregate; DOUBLE result
+        like DuckDB). The original exp(sum(ln|x|)) form carried ~1e-15
+        RELATIVE error — exact-valued integer products past ~1e6 broke
+        the 9-decimal compare (round-9 agg fuzzer, seed 2026:
+        762048 vs 762047.9999999984) — and returned +0.0 where DuckDB's
+        sequential multiply gives -0.0 for a zero with an odd negative
+        count. The fold is bit-exact for integer products < 2^53 and
+        reproduces the signed zero. NULLs skip via collect_list;
+        empty/all-NULL → NULL; FILTER CASE-folds; OVER rides the
+        collect."""
         hit = self._call_args(self._PRODUCT_RE, sql)
         if not hit:
             return sql
         m, close, args = hit
-        tail = self._rewrite_product(sql[close + 1 :])
+        filt, over, endpos = self._nested_agg_over(sql, close, "product")
+        osuf = f" OVER {over}" if over else ""
+        tail = self._rewrite_product(sql[endpos + 1 :])
         x = self._rewrite_product(args[0]) if args else ""
+        if filt is not None:
+            x = f"CASE WHEN {filt} THEN ({x}) END"
+        cl = f"collect_list(CAST(({x}) AS DOUBLE)){osuf}"
         repl = (
-            f"CASE WHEN count_if(({x}) = 0) > 0 THEN 0.0 "
-            f"ELSE exp(sum(ln(abs(CAST(({x}) AS DOUBLE))))) * "
-            f"CASE WHEN pmod(count_if(({x}) < 0), 2) = 1 THEN -1.0 ELSE 1.0 END END"
+            f"(CASE WHEN size({cl}) = 0 THEN CAST(NULL AS DOUBLE) "
+            f"ELSE aggregate({cl}, CAST(1 AS DOUBLE), "
+            f"(uq_pa, uq_px) -> uq_pa * uq_px) END)"
         )
         return sql[: m.start()] + repl + tail
 
