@@ -243,3 +243,16 @@ def test_leakage_safe_split_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_apply_is_shuffle_free(spark):
+    """Round 9: BPE APPLY is the nightly full-corpus pass — it must be
+    a narrow mapInPandas over the scan (broadcast merge table), with
+    no Exchange introduced by the encode itself."""
+    from uquery_rs_spark.operators.text import bpe_apply
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    plan = formatted_plan(bpe_apply(docs, [("a", "a"), ("aa", "aa")]))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "hashpartitioning" not in body, body[:400]
+    assert "rangepartitioning" not in body, body[:400]

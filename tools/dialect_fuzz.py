@@ -440,6 +440,37 @@ def run_axis(axis, batches, rnd, spark, rw, con):
                 fails.append((q[:120], want[:3], got[:3]))
         elif axis == "timemix":
             compare_scalar_batch([g.timemix_scalar() for _ in range(8)])
+            # column-based forms: TIME built from table ints via
+            # make_time — exercises the wrap dispatch where the operand
+            # is a column expression resolved through FROM context
+            tbl = g.values_table()
+            iv1, iv2 = rnd.choice(IVALS), rnd.choice(IVALS)
+            sgn = rnd.choice(["+", "-"])
+            tcol = "make_time(abs(i) % 24, abs(i * 7) % 60, abs(i) % 60)"
+            exprs = [
+                f"CAST({tcol} {sgn} {iv1} AS VARCHAR) AS c0",
+                f"CAST({tcol} + {iv1} {sgn} {iv2} AS VARCHAR) AS c1",
+                f"extract(hour FROM {tcol} {sgn} {iv1}) AS c2",
+            ]
+            q = (f"SELECT i, {', '.join(exprs)} FROM {tbl} "
+                 f"WHERE i IS NOT NULL")
+            skey = lambda r: tuple((x is None, str(x)) for x in r)  # noqa: E731
+            try:
+                want = sorted((tuple(norm(x) for x in r)
+                              for r in con.sql(q).fetchall()), key=skey)
+            except Exception:
+                continue
+            try:
+                got = sorted((tuple(norm(x) for x in r)
+                             for r in spark.sql(rw.rewrite(q)).collect()), key=skey)
+            except Exception as e:
+                mismatch += 1
+                fails.append((q[:120], None, "REJECT " + str(e).split("\n")[0][:80]))
+                continue
+            checked += 1
+            if want != got:
+                mismatch += 1
+                fails.append((q[:160], want[:3], got[:3]))
         elif axis == "multirel":
             # round-9 axis: random join/set-op TREES over 2-3 relations
             # (the rel axis is single-level; composition order and
@@ -466,7 +497,13 @@ def run_axis(axis, batches, rnd, spark, rw, con):
                     )
                 return f"(SELECT i + 1 AS i, s FROM {l} WHERE i IS NULL OR i > -50)"
 
-            q = f"SELECT i, s FROM {tree(2)} uq_q"
+            if rnd.random() < 0.3:
+                # aggregate on top of the tree: grouping keys and agg
+                # results must survive composed set-op/join NULL flows
+                q = (f"SELECT s, count(*) AS n, sum(i) AS si, "
+                     f"min(i) AS mi FROM {tree(2)} uq_q GROUP BY s")
+            else:
+                q = f"SELECT i, s FROM {tree(2)} uq_q"
             skey = lambda r: tuple((x is None, str(x)) for x in r)  # noqa: E731
             try:
                 want = sorted((tuple(norm(x) for x in r)

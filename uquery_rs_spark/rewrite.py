@@ -7820,6 +7820,23 @@ class SqlRewriter:
             if li >= 0 and text[li] in "+-":
                 text = text[:li] + text[j:]
                 pos = li
+                continue
+            # case-B pending site (`INTERVAL lit + atom` at expression
+            # start — also natively unanalyzable for TIME atoms): drop
+            # the `INTERVAL lit +` prefix, keeping the atom
+            at_start = li < 0 or text[li] in "(,=<>"
+            if not at_start and (text[li].isalnum() or text[li] == "_"):
+                we = li + 1
+                ws = we
+                while ws > 0 and (text[ws - 1].isalnum() or text[ws - 1] == "_"):
+                    ws -= 1
+                at_start = text[ws:we].lower() in self._ATOM_RESERVED
+            ri = j
+            while ri < len(text) and text[ri].isspace():
+                ri += 1
+            if at_start and ri < len(text) and text[ri] == "+":
+                text = text[: m.start()] + text[ri + 1 :]
+                pos = m.start()
             else:
                 pos = j
 
