@@ -468,10 +468,19 @@ def test_pivot_statement_over_quoted_path(spark, rw):
     rows = spark.sql(
         rw_td.rewrite(f"PIVOT '{SF_SMALL}/region.parquet' ON r_name USING count(*)")
     ).collect()
-    assert len(rows) == 1 and sorted(rows[0].__fields__) == [
-        "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST",
+    # round 9: implicit grouping by the remaining column (r_regionkey)
+    # — 5 rows with count 0/1 fills, exactly DuckDB's shape
+    assert len(rows) == 5 and sorted(rows[0].__fields__) == [
+        "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST", "r_regionkey",
     ]
-    assert all(v == 1 for v in rows[0])
+    assert {tuple(sorted((k, v) for k, v in r.asDict().items())) for r in rows} == {
+        tuple(sorted([("r_regionkey", k), ("AFRICA", int(n == "AFRICA")),
+                      ("AMERICA", int(n == "AMERICA")), ("ASIA", int(n == "ASIA")),
+                      ("EUROPE", int(n == "EUROPE")),
+                      ("MIDDLE EAST", int(n == "MIDDLE EAST"))]))
+        for k, n in [(0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"),
+                     (3, "EUROPE"), (4, "MIDDLE EAST")]
+    }
 
 
 def test_pivot_probe_cached_per_source(spark, rw):
@@ -2922,3 +2931,40 @@ def test_round9_product_exact_fold(spark, rw):
         "SELECT product(x) FILTER (WHERE x > 0) AS p "
         "FROM (VALUES (2),(3),(-7)) t(x)"
     ) == [(6.0,)]
+
+
+def test_round9_pivot_statement_forms(spark, rw):
+    """Round-9 pivotfz follow-ups (all DuckDB-verified):
+    - count pivots fill absent (group, value) cells with 0 (Spark's
+      PIVOT yields NULL there);
+    - `ON col IN (v1, …)` keeps the listed values verbatim, absent
+      ones included, and skips value discovery;
+    - without GROUP BY the statement form groups implicitly by every
+      source column not pivoted ON and not referenced by the
+      aggregate."""
+    run = lambda s: sorted(
+        [tuple(r) for r in spark.sql(rw.rewrite(s)).collect()], key=str
+    )
+    df = spark.sql(rw.rewrite(
+        "PIVOT (SELECT s, i FROM (VALUES (3, 'a'), (1, 'b')) t(i, s)) "
+        "ON s IN ('a', 'zz') USING count(*)"
+    ))
+    assert df.columns == ["i", "a", "zz"]
+    assert sorted([tuple(r) for r in df.collect()], key=str) == [
+        (1, 0, 0), (3, 1, 0)
+    ]
+    # implicit grouping: i is consumed by the aggregate, no keys
+    # remain -> ONE row of per-value sums (DuckDB-verified)
+    assert run(
+        "PIVOT (SELECT s, i FROM (VALUES (3, 'a'), (1, 'b'), (5, 'a')) "
+        "t(i, s)) ON s USING sum(i)"
+    ) == [(8, 1)]
+    # ...and with count(*) consuming nothing, i IS an implicit key
+    df2 = spark.sql(rw.rewrite(
+        "PIVOT (SELECT s, i FROM (VALUES (3, 'a'), (1, 'b'), (3, 'b')) "
+        "t(i, s)) ON s USING count(*)"
+    ))
+    assert df2.columns == ["i", "a", "b"]
+    assert sorted([tuple(r) for r in df2.collect()], key=str) == [
+        (1, 0, 1), (3, 1, 1)
+    ]

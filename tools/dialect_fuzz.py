@@ -531,8 +531,10 @@ def run_axis(axis, batches, rnd, spark, rw, con):
                     ["sum(i)", "count(*)", "min(d)", "max(i)",
                      "round(avg(d), 6)"]
                 )
+                gb = rnd.choice([" GROUP BY grp", ""])
+                inlist = rnd.choice(["", " IN ('a', 'b', 'n', 'zz')"])
                 q = (f"PIVOT (SELECT coalesce(s, 'n') AS s, i % 2 AS grp, "
-                     f"i, d FROM {tbl}) ON s USING {agg} GROUP BY grp")
+                     f"i, d FROM {tbl}) ON s{inlist} USING {agg}{gb}")
             else:
                 q = (f"UNPIVOT (SELECT i AS a, CAST(i * 2 AS BIGINT) AS b "
                      f"FROM {tbl} WHERE i IS NOT NULL) "

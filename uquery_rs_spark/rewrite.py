@@ -7052,6 +7052,7 @@ class SqlRewriter:
 
     _PIVOT_STMT_RE = re.compile(
         r"(?is)^\s*on\s+(?P<col>[\w.]+)"
+        r"(?:\s+in\s*\((?P<invals>[^)]*)\))?"
         r"\s+using\s+(?P<agg>.+?)(?:\s+group\s+by\s+(?P<groups>.+?))?"
         r"(?P<tail>\s+(?:order\s+by|limit)\s.*)?\s*;?\s*$"
     )
@@ -7103,6 +7104,22 @@ class SqlRewriter:
         col, agg = m.group("col"), m.group("agg").strip()
         groups = [g.strip() for g in (m.group("groups") or "").split(",") if g.strip()]
         tail = m.group("tail") or ""
+        if not groups:
+            # DuckDB statement-form PIVOT without GROUP BY groups
+            # implicitly by every source column not pivoted ON and not
+            # referenced by the aggregate (round-9 pivotfz follow-up —
+            # the old translation aggregated everything into one row, a
+            # silent shape deviation). LIMIT-0 schema probe, identifier
+            # scan of the aggregate text for the reference check.
+            with _probe_quiet():
+                src_cols = self.spark.sql(
+                    f"SELECT * FROM {tbl} uq_pv_cols LIMIT 0"
+                ).columns
+            agg_ids = {t.lower() for t in re.findall(r"[A-Za-z_]\w*", agg)}
+            groups = [
+                c for c in src_cols
+                if c.lower() != col.lower() and c.lower() not in agg_ids
+            ]
         if len(self._split_top(agg, ",")) > 1:
             raise UQueryError.sql_error(
                 "statement-form PIVOT supports ONE aggregate "
@@ -7115,8 +7132,29 @@ class SqlRewriter:
         star = arg == "*"
         if star:
             fn, arg = "count", "1"
+        invals = m.group("invals")
+        if invals is not None:
+            # explicit `ON col IN (v1, v2, …)` (round-9): DuckDB keeps
+            # the listed values verbatim — absent ones still get a
+            # column (count fills 0 via the coalesce wrap below, other
+            # aggregates NULL) — and skips value discovery entirely
+            vals = []
+            for tokv in self._split_top(invals, ","):
+                tokv = tokv.strip()
+                sv = self._lit_parse(tokv)
+                if sv is not None:
+                    vals.append(sv)
+                elif re.fullmatch(r"-?\d+", tokv):
+                    vals.append(int(tokv))
+                elif re.fullmatch(r"-?\d*\.\d+", tokv):
+                    vals.append(float(tokv))
+                else:
+                    raise UQueryError.sql_error(
+                        f"PIVOT IN list: literal values only, got {tokv[:40]}"
+                    )
+        else:
+            vals = self._pivot_vals.get((tbl, col))
         cache_key = (tbl, col)
-        vals = self._pivot_vals.get(cache_key)
         if vals is None:
             vals = [
                 r[0]
@@ -7140,11 +7178,12 @@ class SqlRewriter:
                 f"PIVOT ON {col} exceeds {self._PIVOT_MAX_VALUES} distinct values"
             )
         def lit(v):
+            """(IN-list text, output column name) for one pivot value."""
             base = "'" + str(v).replace("'", "''") + "'" if isinstance(v, str) else str(v)
             # DuckDB names pivoted columns value_alias; Spark ignores the
             # aggregate alias for a single agg, so alias the IN values.
             if alias:
-                return f"{base} AS `{v}_{alias}`"
+                return f"{base} AS `{v}_{alias}`", f"{v}_{alias}"
             if isinstance(v, str) and v == "":
                 # DuckDB can't use '' as a column name and falls back to
                 # its internal filtered-aggregate expression text
@@ -7161,16 +7200,26 @@ class SqlRewriter:
                 # and substitute the literal text at the rewrite() tail
                 tok = f"uq_pvn_{len(self._pivot_name_subs)}"
                 self._pivot_name_subs[tok] = name
-                return f"{base} AS `{tok}`"
-            return base
+                return f"{base} AS `{tok}`", tok
+            return base, str(v)
 
-        lits = ", ".join(lit(v) for v in vals)
+        pairs = [lit(v) for v in vals]
+        lits = ", ".join(p[0] for p in pairs)
         proj = ", ".join([*groups, col, f"({arg}) AS uq_pv"])
         agg_sql = f"{fn}(uq_pv)"
-        return (
+        pivoted = (
             f"SELECT * FROM (SELECT {proj} FROM {tbl} uq_pv_src) "
-            f"PIVOT ({agg_sql} FOR {col} IN ({lits})){tail}"
+            f"PIVOT ({agg_sql} FOR {col} IN ({lits}))"
         )
+        if fn.lower() == "count":
+            # DuckDB's count pivot fills absent (group, value) cells
+            # with 0; Spark's PIVOT yields NULL there (round-9 pivotfz
+            # fuzzer catch). The value list is ours, so the output
+            # columns are known — coalesce each to 0.
+            esc = [p[1].replace("`", "``") for p in pairs]
+            sel = [*groups, *(f"coalesce(`{n}`, 0) AS `{n}`" for n in esc)]
+            pivoted = f"SELECT {', '.join(sel)} FROM ({pivoted}) uq_pv_cnt"
+        return pivoted + tail
 
     _UNPIVOT_STMT_RE = re.compile(
         r"(?is)^\s*on\s+(?P<cols>.+?)"
