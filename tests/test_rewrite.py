@@ -1101,9 +1101,8 @@ def test_gap_hunt_batch13_window_filter(spark, rw):
         "SELECT * FROM range(DATE '2024-01-01', DATE '2024-01-04', INTERVAL 1 DAY)"
     )).collect()
     assert len(rows) == 3 and str(rows[0].range) == "2024-01-01 00:00:00"
-    # statement-form PIVOT with several aggregates raises cleanly
-    with _pytest.raises(UQueryError):
-        rw.rewrite("PIVOT t ON p USING sum(v) AS s, count(*) AS c GROUP BY g")
+    # statement-form PIVOT with several aggregates graduated in round 9
+    # (test_round9_pivot_statement_multi_agg)
 
 
 def test_polymorphic_string_subscripts(spark, rw):
@@ -2968,3 +2967,63 @@ def test_round9_pivot_statement_forms(spark, rw):
     assert sorted([tuple(r) for r in df2.collect()], key=str) == [
         (1, 0, 1), (3, 1, 1)
     ]
+
+
+def test_round9_pivot_statement_multi_agg(spark, rw):
+    """Round 9: multi-aggregate statement PIVOT (previously raised).
+    DuckDB naming: value-major {val}_{alias} / {val}_{agg text}
+    (plain args bare, complex args parenthesized, count(*) prints
+    count_star()); count members fill absent cells with 0. All
+    DuckDB-verified."""
+    df = spark.sql(rw.rewrite(
+        "PIVOT (SELECT s, i FROM (VALUES (3, 'a'), (1, 'b')) t(i, s)) "
+        "ON s USING sum(i), count(*)"
+    ))
+    assert df.columns == [
+        "a_sum(i)", "a_count_star()", "b_sum(i)", "b_count_star()"
+    ]
+    assert [tuple(r) for r in df.collect()] == [(3, 1, 1, 1)]
+    df2 = spark.sql(rw.rewrite(
+        "PIVOT (SELECT s, i, d FROM (VALUES (3, 'a', 1.0), (1, 'b', 2.0),"
+        " (3, 'b', 0.5)) t(i, s, d)) ON s "
+        "USING sum(i) AS si, count(*) AS n GROUP BY d ORDER BY d"
+    ))
+    assert df2.columns == ["d", "a_si", "a_n", "b_si", "b_n"]
+    assert [tuple(r)[1:] for r in df2.collect()] == [
+        (None, 0, 3, 1), (3, 1, None, 0), (None, 0, 1, 1)
+    ]
+
+
+def test_round9_pivot_general_on_forms(spark, rw):
+    """Round 9: multi-column and expression ON specs (DuckDB
+    first-class forms, previously loud failures). Cross product of the
+    columns' value sets named {v1}_{v2}[_alias]; expression pivots use
+    the value text; count fills 0; SQL-looking names ('a!') travel as
+    late-substituted tokens so later passes can't rewrite them.
+    DuckDB-verified."""
+    df = spark.sql(rw.rewrite(
+        "PIVOT (SELECT s, g, i FROM (VALUES (3,'a','x'), (1,'b','y')) "
+        "t(i,s,g)) ON s, g USING sum(i)"
+    ))
+    assert df.columns == ["a_x", "a_y", "b_x", "b_y"]
+    assert [tuple(r) for r in df.collect()] == [(3, None, None, 1)]
+    df2 = spark.sql(rw.rewrite(
+        "PIVOT (SELECT s, i FROM (VALUES (3,'a'), (1,'b')) t(i,s)) "
+        "ON s || '!' USING count(*)"
+    ))
+    assert df2.columns == ["i", "a!", "b!"]
+    assert sorted([tuple(r) for r in df2.collect()], key=str) == [
+        (1, 0, 1), (3, 1, 0)
+    ]
+    df3 = spark.sql(rw.rewrite(
+        "PIVOT (SELECT s, g, i FROM (VALUES (3,'a','x'), (1,'b','y')) "
+        "t(i,s,g)) ON s, g USING sum(i) AS t"
+    ))
+    assert df3.columns == ["a_x_t", "a_y_t", "b_x_t", "b_y_t"]
+    # multi-agg + '' value: DuckDB just prefixes '_'
+    df4 = spark.sql(rw.rewrite(
+        "PIVOT (SELECT s, i FROM (VALUES (3, ''), (1, 'a')) t(i, s)) "
+        "ON s USING sum(i) AS t1, count(*)"
+    ))
+    assert df4.columns == ["_t1", "_count_star()", "a_t1", "a_count_star()"]
+    assert [tuple(r) for r in df4.collect()] == [(3, 1, 1, 1)]

@@ -533,11 +533,25 @@ def run_axis(axis, batches, rnd, spark, rw, con):
                 )
                 gb = rnd.choice([" GROUP BY grp", ""])
                 inlist = rnd.choice(["", " IN ('a', 'b', 'n', 'zz')"])
+                if rnd.random() < 0.4:
+                    agg2 = rnd.choice(
+                        ["count(*)", "max(d) AS mx", "sum(i) AS si2"]
+                    )
+                    agg = f"{agg} AS a1, {agg2}"
+                    onsp = f"s{inlist}"
+                elif rnd.random() < 0.4:
+                    # round-9 general forms: multi-column cross product
+                    # or expression ON (single aggregate)
+                    onsp = rnd.choice(
+                        ["s, grp", "s || 'Q'", "s, grp IN (0, 1, 5)"]
+                    )
+                else:
+                    onsp = f"s{inlist}"
                 q = (f"PIVOT (SELECT coalesce(s, 'n') AS s, i % 2 AS grp, "
-                     f"i, d FROM {tbl}) ON s{inlist} USING {agg}{gb}")
+                     f"i, d FROM {tbl}) ON {onsp} USING {agg}{gb}")
             else:
-                q = (f"UNPIVOT (SELECT i AS a, CAST(i * 2 AS BIGINT) AS b "
-                     f"FROM {tbl} WHERE i IS NOT NULL) "
+                q = (f"UNPIVOT (SELECT i AS a, CAST(i * 2 AS BIGINT) AS b, "
+                     f"d FROM {tbl}) "
                      f"ON a, b INTO NAME k VALUE v")
             try:
                 rel = con.sql(q)

@@ -7051,8 +7051,7 @@ class SqlRewriter:
         )
 
     _PIVOT_STMT_RE = re.compile(
-        r"(?is)^\s*on\s+(?P<col>[\w.]+)"
-        r"(?:\s+in\s*\((?P<invals>[^)]*)\))?"
+        r"(?is)^\s*on\s+(?P<onspec>.+?)"
         r"\s+using\s+(?P<agg>.+?)(?:\s+group\s+by\s+(?P<groups>.+?))?"
         r"(?P<tail>\s+(?:order\s+by|limit)\s.*)?\s*;?\s*$"
     )
@@ -7101,29 +7100,57 @@ class SqlRewriter:
         m = self._PIVOT_STMT_RE.match(rest)
         if m is None:
             return sql
-        col, agg = m.group("col"), m.group("agg").strip()
+        onspec, agg = m.group("onspec").strip(), m.group("agg").strip()
         groups = [g.strip() for g in (m.group("groups") or "").split(",") if g.strip()]
         tail = m.group("tail") or ""
+        # ON spec: comma-separated pivot exprs, each with an optional
+        # `IN (literal list)` (round 9: multi-column cross-product and
+        # expression pivots — DuckDB first-class forms)
+        items: list[tuple[str, str | None]] = []
+        for part in self._split_top(onspec, ","):
+            part = part.strip()
+            mi = re.match(r"(?is)^(.+?)\s+in\s*\((.*)\)\s*$", part)
+            items.append(
+                (mi.group(1).strip(), mi.group(2)) if mi else (part, None)
+            )
         if not groups:
             # DuckDB statement-form PIVOT without GROUP BY groups
             # implicitly by every source column not pivoted ON and not
             # referenced by the aggregate (round-9 pivotfz follow-up —
             # the old translation aggregated everything into one row, a
             # silent shape deviation). LIMIT-0 schema probe, identifier
-            # scan of the aggregate text for the reference check.
+            # scan of the aggregate + ON texts for the reference check.
             with _probe_quiet():
                 src_cols = self.spark.sql(
                     f"SELECT * FROM {tbl} uq_pv_cols LIMIT 0"
                 ).columns
-            agg_ids = {t.lower() for t in re.findall(r"[A-Za-z_]\w*", agg)}
+            used_ids = {t.lower() for t in re.findall(r"[A-Za-z_]\w*", agg)}
+            for expr, _iv in items:
+                if not re.fullmatch(r"[\w.]+", expr):
+                    used_ids |= {
+                        t.lower() for t in re.findall(r"[A-Za-z_]\w*", expr)
+                    }
+            on_cols = {
+                expr.lower() for expr, _iv in items
+                if re.fullmatch(r"[\w.]+", expr)
+            }
             groups = [
                 c for c in src_cols
-                if c.lower() != col.lower() and c.lower() not in agg_ids
+                if c.lower() not in on_cols and c.lower() not in used_ids
             ]
-        if len(self._split_top(agg, ",")) > 1:
-            raise UQueryError.sql_error(
-                "statement-form PIVOT supports ONE aggregate "
-                "(use the parenthesised PIVOT (a AS x, b AS y FOR ...) form)"
+        agg_list = self._split_top(agg, ",")
+        simple = len(items) == 1 and re.fullmatch(r"[\w.]+", items[0][0])
+        if not simple:
+            if len(agg_list) > 1:
+                raise UQueryError.sql_error(
+                    "PIVOT: several aggregates combined with several ON "
+                    "columns / ON expressions are not supported"
+                )
+            return self._pivot_statement_general(tbl, items, agg, groups, tail)
+        col, invals = items[0]
+        if len(agg_list) > 1:
+            return self._pivot_statement_multi(
+                tbl, col, agg_list, groups, tail, invals
             )
         am = re.match(r"(?is)^(\w+)\s*\((.*)\)\s*(?:as\s+(\w+))?$", agg)
         if am is None:
@@ -7132,51 +7159,7 @@ class SqlRewriter:
         star = arg == "*"
         if star:
             fn, arg = "count", "1"
-        invals = m.group("invals")
-        if invals is not None:
-            # explicit `ON col IN (v1, v2, …)` (round-9): DuckDB keeps
-            # the listed values verbatim — absent ones still get a
-            # column (count fills 0 via the coalesce wrap below, other
-            # aggregates NULL) — and skips value discovery entirely
-            vals = []
-            for tokv in self._split_top(invals, ","):
-                tokv = tokv.strip()
-                sv = self._lit_parse(tokv)
-                if sv is not None:
-                    vals.append(sv)
-                elif re.fullmatch(r"-?\d+", tokv):
-                    vals.append(int(tokv))
-                elif re.fullmatch(r"-?\d*\.\d+", tokv):
-                    vals.append(float(tokv))
-                else:
-                    raise UQueryError.sql_error(
-                        f"PIVOT IN list: literal values only, got {tokv[:40]}"
-                    )
-        else:
-            vals = self._pivot_vals.get((tbl, col))
-        cache_key = (tbl, col)
-        if vals is None:
-            vals = [
-                r[0]
-                for r in self.spark.sql(
-                    f"SELECT DISTINCT {col} FROM {tbl} uq_pv_src ORDER BY 1 "
-                    f"LIMIT {self._PIVOT_MAX_VALUES + 1}"
-                ).collect()
-            ]
-            # Bound memory on a long-lived server (many distinct pivot
-            # sources) with a simple wholesale reset — re-probing is
-            # cheap relative to an unbounded dict, and a reset also
-            # re-reads sources that changed on disk. UQ_PIVOT_CACHE=0
-            # disables caching entirely for sessions whose file-backed
-            # sources mutate (staleness trade documented in __init__).
-            if os.environ.get("UQ_PIVOT_CACHE", "1") != "0":
-                if len(self._pivot_vals) >= 256:
-                    self._pivot_vals.clear()
-                self._pivot_vals[cache_key] = vals
-        if len(vals) > self._PIVOT_MAX_VALUES:
-            raise UQueryError.sql_error(
-                f"PIVOT ON {col} exceeds {self._PIVOT_MAX_VALUES} distinct values"
-            )
+        vals = self._pivot_values(tbl, col, invals)
         def lit(v):
             """(IN-list text, output column name) for one pivot value."""
             base = "'" + str(v).replace("'", "''") + "'" if isinstance(v, str) else str(v)
@@ -7220,6 +7203,223 @@ class SqlRewriter:
             sel = [*groups, *(f"coalesce(`{n}`, 0) AS `{n}`" for n in esc)]
             pivoted = f"SELECT {', '.join(sel)} FROM ({pivoted}) uq_pv_cnt"
         return pivoted + tail
+
+    def _pivot_values(self, tbl: str, col: str, invals: str | None) -> list:
+        """Pivot value list: explicit ``ON col IN (…)`` literals when
+        given (DuckDB keeps listed values verbatim, absent ones
+        included), else the cached/bounded DISTINCT discovery probe."""
+        if invals is not None:
+            vals = []
+            for tokv in self._split_top(invals, ","):
+                tokv = tokv.strip()
+                sv = self._lit_parse(tokv)
+                if sv is not None:
+                    vals.append(sv)
+                elif re.fullmatch(r"-?\d+", tokv):
+                    vals.append(int(tokv))
+                elif re.fullmatch(r"-?\d*\.\d+", tokv):
+                    vals.append(float(tokv))
+                else:
+                    raise UQueryError.sql_error(
+                        f"PIVOT IN list: literal values only, got {tokv[:40]}"
+                    )
+            return vals
+        cache_key = (tbl, col)
+        vals = self._pivot_vals.get(cache_key)
+        if vals is None:
+            vals = [
+                r[0]
+                for r in self.spark.sql(
+                    f"SELECT DISTINCT {col} FROM {tbl} uq_pv_src ORDER BY 1 "
+                    f"LIMIT {self._PIVOT_MAX_VALUES + 1}"
+                ).collect()
+            ]
+            # Bound memory on a long-lived server (many distinct pivot
+            # sources) with a simple wholesale reset — re-probing is
+            # cheap relative to an unbounded dict, and a reset also
+            # re-reads sources that changed on disk. UQ_PIVOT_CACHE=0
+            # disables caching entirely for sessions whose file-backed
+            # sources mutate (staleness trade documented in __init__).
+            if os.environ.get("UQ_PIVOT_CACHE", "1") != "0":
+                if len(self._pivot_vals) >= 256:
+                    self._pivot_vals.clear()
+                self._pivot_vals[cache_key] = vals
+        if len(vals) > self._PIVOT_MAX_VALUES:
+            raise UQueryError.sql_error(
+                f"PIVOT ON {col} exceeds {self._PIVOT_MAX_VALUES} distinct values"
+            )
+        return vals
+
+    def _pivot_statement_general(
+        self,
+        tbl: str,
+        items: list[tuple[str, str | None]],
+        agg: str,
+        groups: list[str],
+        tail: str,
+    ) -> str:
+        """Multi-column / expression ON specs (round 9): DuckDB
+        ``PIVOT t ON a, b USING sum(x)`` emits the CROSS PRODUCT of the
+        columns' value sets named ``{v1}_{v2}[_alias]`` (absent combos
+        NULL, count 0); ``ON expr`` pivots an expression with the value
+        text as the name. Spark's multi-column PIVOT takes value TUPLES
+        with aliases — pivot columns are synthesized as uq_pvc{k} so
+        expressions work uniformly. One aggregate; empty-string values
+        raise (their DuckDB names need the single-column FILTER form)."""
+        am = re.match(r"(?is)^(\w+)\s*\((.*)\)\s*(?:as\s+(\w+))?$", agg.strip())
+        if am is None:
+            raise UQueryError.sql_error(f"unsupported PIVOT aggregate: {agg[:60]}")
+        fn, arg, alias = am.group(1), am.group(2).strip(), am.group(3)
+        if arg == "*":
+            fn, arg = "count", "1"
+        vals_per = [
+            self._pivot_values(tbl, expr, iv) for expr, iv in items
+        ]
+        if not alias and any(
+            isinstance(v, str) and v == "" for vs in vals_per for v in vs
+        ):
+            # unaliased + '' would need DuckDB's FILTER-expression-text
+            # naming with the ON expression inlined — raise loudly
+            # (aliased combos name fine: '' contributes a bare '_')
+            raise UQueryError.sql_error(
+                "PIVOT: empty-string values with an unaliased aggregate "
+                "are only supported for a single ON column"
+            )
+        from itertools import product
+
+        combos = list(product(*vals_per))
+        if len(combos) > self._PIVOT_MAX_VALUES:
+            raise UQueryError.sql_error(
+                f"PIVOT ON cross product exceeds {self._PIVOT_MAX_VALUES} values"
+            )
+
+        def vlit(v):
+            return "'" + str(v).replace("'", "''") + "'" if isinstance(v, str) else str(v)
+
+        pcols = [f"uq_pvc{k}" for k in range(len(items))]
+        proj = ", ".join(
+            [*groups]
+            + [f"({expr}) AS {pc}" for (expr, _iv), pc in zip(items, pcols)]
+            + [f"({arg}) AS uq_pv"]
+        )
+        def emit_name(name: str) -> str:
+            """Backtick-safe emission: any non-identifier name travels
+            as a late-substituted token — names like 'a!' otherwise get
+            rewritten in place by later passes (the postfix-factorial
+            pass expanded `a!` inside backticks — same class as the
+            FILTER-text names)."""
+            if re.fullmatch(r"\w+", name):
+                return name
+            tok = f"uq_pvn_{len(self._pivot_name_subs)}"
+            self._pivot_name_subs[tok] = name.replace("`", "``")
+            return tok
+
+        names = [
+            emit_name(
+                "_".join(str(v) for v in c) + (f"_{alias}" if alias else "")
+            )
+            for c in combos
+        ]
+        def clit(c, name):
+            t = (
+                f"({', '.join(vlit(v) for v in c)})"
+                if len(c) > 1
+                else vlit(c[0])
+            )
+            return f"{t} AS `{name}`"
+
+        lits = ", ".join(clit(c, n) for c, n in zip(combos, names))
+        fr = f"({', '.join(pcols)})" if len(pcols) > 1 else pcols[0]
+        pivoted = (
+            f"SELECT * FROM (SELECT {proj} FROM {tbl} uq_pv_src) "
+            f"PIVOT ({fn}(uq_pv) FOR {fr} IN ({lits}))"
+        )
+        if fn.lower() == "count":
+            sel = [*groups, *(f"coalesce(`{n}`, 0) AS `{n}`" for n in names)]
+            pivoted = f"SELECT {', '.join(sel)} FROM ({pivoted}) uq_pv_gen"
+        return pivoted + tail
+
+    def _pivot_statement_multi(
+        self,
+        tbl: str,
+        col: str,
+        agg_list: list[str],
+        groups: list[str],
+        tail: str,
+        invals: str | None,
+    ) -> str:
+        """Multi-aggregate statement PIVOT (round 9 — previously raised):
+        ``PIVOT t ON c USING sum(a) AS s, count(*) …``. DuckDB output:
+        group columns, then value-major ``{val}_{alias}`` (aliased) /
+        ``{val}_{agg text}`` (unaliased — plain args bare, others
+        parenthesized, count(*) prints count_star()). Spark's PIVOT
+        requires aliases with several aggregates, so members get
+        synthetic ``uq_pa{k}`` aliases and an outer projection renames
+        ``{val}_uq_pa{k}`` to DuckDB's names (token-substituted at the
+        rewrite() tail — the unaliased names read like SQL). Count
+        members coalesce absent cells to 0 like the single path."""
+        members = []
+        for a in agg_list:
+            am = re.match(r"(?is)^(\w+)\s*\((.*)\)\s*(?:as\s+(\w+))?$", a.strip())
+            if am is None:
+                raise UQueryError.sql_error(
+                    f"unsupported PIVOT aggregate: {a.strip()[:60]}"
+                )
+            fn, arg, alias = am.group(1), am.group(2).strip(), am.group(3)
+            star = arg == "*"
+            if star:
+                fn, arg = "count", "1"
+            members.append((fn, arg, alias, star))
+        vals = self._pivot_values(tbl, col, invals)
+        # empty-string values need no special naming here: with several
+        # aggregates DuckDB just prefixes '_' — `_t1`, `_count_star()` —
+        # which the {v}_{alias-or-text} formula already produces
+        if not groups:
+            with _probe_quiet():
+                src_cols = self.spark.sql(
+                    f"SELECT * FROM {tbl} uq_pv_cols LIMIT 0"
+                ).columns
+            agg_ids = {
+                t.lower()
+                for a in agg_list
+                for t in re.findall(r"[A-Za-z_]\w*", a)
+            }
+            groups = [
+                c for c in src_cols
+                if c.lower() != col.lower() and c.lower() not in agg_ids
+            ]
+        proj = ", ".join(
+            [*groups, col]
+            + [f"({arg}) AS uq_pv{k}" for k, (_f, arg, _a, _s) in enumerate(members)]
+        )
+        agg_sql = ", ".join(
+            f"{fn}(uq_pv{k}) AS uq_pa{k}"
+            for k, (fn, _arg, _al, _st) in enumerate(members)
+        )
+
+        def vlit(v):
+            return "'" + str(v).replace("'", "''") + "'" if isinstance(v, str) else str(v)
+
+        lits = ", ".join(vlit(v) for v in vals)
+        inner = (
+            f"SELECT * FROM (SELECT {proj} FROM {tbl} uq_pv_src) "
+            f"PIVOT ({agg_sql} FOR {col} IN ({lits}))"
+        )
+        out = list(groups)
+        for v in vals:
+            for k, (fn, arg, alias, star) in enumerate(members):
+                src = f"`{v}_uq_pa{k}`"
+                if alias:
+                    name = f"{v}_{alias}"
+                else:
+                    arg_text = arg if re.match(r"^\w+$", arg) else f"({arg})"
+                    head = "count_star()" if star else f"{fn}({arg_text})"
+                    name = f"{v}_{head}"
+                tok = f"uq_pvn_{len(self._pivot_name_subs)}"
+                self._pivot_name_subs[tok] = name
+                expr = f"coalesce({src}, 0)" if fn.lower() == "count" else src
+                out.append(f"{expr} AS `{tok}`")
+        return f"SELECT {', '.join(out)} FROM ({inner}) uq_pv_multi{tail}"
 
     _UNPIVOT_STMT_RE = re.compile(
         r"(?is)^\s*on\s+(?P<cols>.+?)"
