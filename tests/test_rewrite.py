@@ -3027,3 +3027,160 @@ def test_round9_pivot_general_on_forms(spark, rw):
     ))
     assert df4.columns == ["_t1", "_count_star()", "a_t1", "a_count_star()"]
     assert [tuple(r) for r in df4.collect()] == [(3, 1, 1, 1)]
+
+
+def test_round10_pivot_multi_on_empty_string(spark, rw):
+    """Round-10 close of the r9 verdict's pivotfz corner: multi-ON
+    statement PIVOT with empty-string values and an unaliased
+    aggregate now evaluates (was a loud 400). DuckDB naming rules
+    (all probed on 1.x): '_'-join skips the separator while the
+    accumulated name is empty (('','p')→'p', ('x','')→'x_'); an
+    all-empty combo takes the FILTER-expression-text name; an alias
+    appends with an unconditional '_' (('','') AS s → '_s')."""
+    # mixed '' combos, unaliased
+    df = spark.sql(rw.rewrite(
+        "PIVOT (SELECT * FROM (VALUES ('','p',1.0),('x','p',2.0),"
+        "('x','q',3.0),('','q',4.0)) t(a,b,x)) ON a, b USING sum(x)"
+    ))
+    assert df.columns == ["p", "q", "x_p", "x_q"]
+    assert [tuple(r) for r in df.collect()] == [(1.0, 4.0, 2.0, 3.0)]
+    # all-empty combo → DuckDB FILTER-expression-text column name
+    df2 = spark.sql(rw.rewrite(
+        "PIVOT (SELECT * FROM (VALUES ('','',1.0),('','b',2.0),"
+        "('y','',3.0),('y','b',4.0)) t(a,b,x)) ON a, b USING sum(x)"
+    ))
+    assert df2.columns == [
+        "sum(x) FILTER (WHERE ((CAST(a AS VARCHAR) IS NOT DISTINCT "
+        "FROM '') AND (CAST(b AS VARCHAR) IS NOT DISTINCT FROM '')))",
+        "b", "y_", "y_b",
+    ]
+    assert [tuple(r) for r in df2.collect()] == [(1.0, 2.0, 3.0, 4.0)]
+    # aliased: unconditional '_' append, skip-empty value join
+    df3 = spark.sql(rw.rewrite(
+        "PIVOT (SELECT * FROM (VALUES ('','',1.0),('','b',2.0),"
+        "('y','',3.0),('y','b',4.0)) t(a,b,x)) ON a, b USING sum(x) AS s"
+    ))
+    assert df3.columns == ["_s", "b_s", "y__s", "y_b_s"]
+    assert [tuple(r) for r in df3.collect()] == [(1.0, 2.0, 3.0, 4.0)]
+
+
+def test_round10_pivot_implicit_groups_tricky_names(spark, rw):
+    """Round-10 ADVICE close: implicit statement-PIVOT grouping must
+    not drop source columns whose names merely collide with function
+    names, AS-aliases, or words inside string literals in the
+    aggregate text (probed: DuckDB groups by all three)."""
+    q = ("PIVOT (SELECT * FROM (VALUES ('k1','g1',1.0,10.0,5.0),"
+         "('k2','g1',2.0,20.0,6.0)) v(a, sum, x, b, lit)) "
+         "ON a USING sum(x) AS b")
+    df = spark.sql(rw.rewrite(q))
+    assert df.columns == ["sum", "b", "lit", "k1_b", "k2_b"]
+    rows = sorted([tuple(r) for r in df.collect()], key=str)
+    assert rows == [("g1", 10.0, 5.0, 1.0, None), ("g1", 20.0, 6.0, None, 2.0)]
+    # a column referenced only inside a string literal still groups;
+    # a column referenced in FILTER is consumed (DuckDB-probed)
+    df2 = spark.sql(rw.rewrite(
+        "PIVOT (SELECT * FROM (VALUES ('k1','g1',1.0,10.0,5.0),"
+        "('k2','g1',2.0,20.0,6.0)) v(a, sum, x, b, lit)) "
+        "ON a USING max(concat(CAST(x AS VARCHAR), 'lit'))"
+    ))
+    assert df2.columns == ["sum", "b", "lit", "k1", "k2"]
+
+
+def test_round10_pivot_backtick_and_token_counter(spark, rw):
+    """Round-10 ADVICE close: pivot values containing a backtick embed
+    escaped at every identifier site (was unparsable generated SQL),
+    and name tokens use a monotonic counter so stale entries can never
+    collide across consecutive statements on one rewriter."""
+    df = spark.sql(rw.rewrite(
+        "PIVOT (SELECT * FROM (VALUES ('a`b',1.0),('c',2.0)) t(a,x)) "
+        "ON a USING sum(x)"
+    ))
+    assert df.columns == ["a`b", "c"]
+    assert [tuple(r) for r in df.collect()] == [(1.0, 2.0)]
+    # count 0-fill references the backticked name too
+    df2 = spark.sql(rw.rewrite(
+        "PIVOT (SELECT * FROM (VALUES ('a`b',1.0),('c',2.0)) t(a,x)) "
+        "ON a USING count(*)"
+    ))
+    assert df2.columns == ["x", "a`b", "c"]
+    assert sorted([tuple(r) for r in df2.collect()], key=str) == [
+        (1.0, 1, 0), (2.0, 0, 1)
+    ]
+    # back-to-back statements with SQL-looking names: fresh tokens,
+    # no cross-statement collision (the r9 len()-derived names could
+    # reuse a stale key after pops)
+    for _ in range(2):
+        d = spark.sql(rw.rewrite(
+            "PIVOT (SELECT * FROM (VALUES ('',1.0),('c',2.0)) t(a,x)) "
+            "ON a USING sum(x)"
+        ))
+        assert d.columns == [
+            "sum(x) FILTER (WHERE (CAST(a AS VARCHAR) "
+            "IS NOT DISTINCT FROM ''))",
+            "c",
+        ]
+        assert [tuple(r) for r in d.collect()] == [(1.0, 2.0)]
+
+
+def test_round10_create_or_replace_self_reference(spark, rw):
+    """Round-10 ADVICE close: CREATE OR REPLACE TABLE t AS SELECT …
+    FROM t (self-referential replace). The staged cache-swap path
+    re-analyzes the body after the drop, where t no longer resolves —
+    previously BOTH the old and new tables were lost. Now the new body
+    materializes to parquet first, and the swap points at the spilled
+    files. DuckDB executes this shape by reading the old table."""
+    spark.sql(rw.rewrite(
+        "CREATE OR REPLACE TABLE uq_r10s AS "
+        "SELECT * FROM (VALUES (1), (2), (3)) t(x)"
+    ))
+    spark.sql(rw.rewrite(
+        "CREATE OR REPLACE TABLE uq_r10s AS SELECT * FROM uq_r10s WHERE x > 1"
+    ))
+    assert sorted(r.x for r in spark.sql("SELECT x FROM uq_r10s").collect()) == [2, 3]
+    # chain again: the view must survive repeated self-replaces
+    spark.sql(rw.rewrite(
+        "CREATE OR REPLACE TABLE uq_r10s AS SELECT x + 10 AS x FROM uq_r10s"
+    ))
+    assert sorted(r.x for r in spark.sql("SELECT x FROM uq_r10s").collect()) == [12, 13]
+    # runtime failure in a self-referential body keeps the old table
+    with pytest.raises(Exception):
+        rw.rewrite(
+            "CREATE OR REPLACE TABLE uq_r10s AS "
+            "SELECT CAST(x AS TINYINT) + CAST(120 AS TINYINT) AS x FROM uq_r10s"
+        )
+    assert sorted(r.x for r in spark.sql("SELECT x FROM uq_r10s").collect()) == [12, 13]
+    spark.sql(rw.rewrite("DROP TABLE uq_r10s"))
+
+
+def test_round10_string_agg_with_multiple_distinct(spark, rw):
+    """Round-10 agg-fuzzer catch (fresh seed 91001): Spark 4.1's
+    ListAgg crashes with ClassCastException when RewriteDistinctAggregates
+    expands a plan holding listagg + two DISTINCT aggregates over
+    different expressions. string_agg(… ORDER BY) now translates to an
+    equivalent comparator-sorted collect fold when any DISTINCT
+    aggregate coexists. All expected values DuckDB-verified."""
+    run = lambda s: [tuple(r) for r in spark.sql(rw.rewrite(s)).collect()]
+    assert run(
+        "SELECT string_agg(s, '|' ORDER BY s) AS c2, count(DISTINCT s) AS c4, "
+        "sum(DISTINCT i) AS c5 FROM (VALUES (1,'b'),(2,'a'),(3,NULL)) t(i, s)"
+    ) == [("a|b", 2, 6)]
+    # DESC and multi-key NULLS FIRST forms through the fold
+    assert run(
+        "SELECT string_agg(s, '|' ORDER BY i DESC) AS c, count(DISTINCT s) AS a, "
+        "sum(DISTINCT i) AS b FROM (VALUES (1,'x'),(2,'y'),(3,NULL),(4,'z')) t(i,s)"
+    ) == [("z|y|x", 3, 10)]
+    assert run(
+        "SELECT string_agg(s, '-' ORDER BY d NULLS FIRST, i DESC) AS c, "
+        "count(DISTINCT s) AS a, sum(DISTINCT d) AS b "
+        "FROM (VALUES (1,'x',0.5),(2,'y',NULL),(3,'w',NULL),(4,'z',0.25)) t(i,s,d)"
+    ) == [("w-y-z-x", 4, 0.75)]
+    # empty group → NULL, like string_agg
+    assert run(
+        "SELECT string_agg(s, '|' ORDER BY s) AS c, count(DISTINCT i) AS a, "
+        "sum(DISTINCT d) AS b FROM (VALUES (1, NULL, 1.5)) t(i, s, d)"
+    ) == [(None, 1, 1.5)]
+    # without DISTINCT neighbors the listagg path is unchanged
+    assert run(
+        "SELECT string_agg(s, '|' ORDER BY s) AS c "
+        "FROM (VALUES ('b'),( 'a')) t(s)"
+    ) == [("a|b",)]

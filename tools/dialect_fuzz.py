@@ -547,7 +547,18 @@ def run_axis(axis, batches, rnd, spark, rw, con):
                     )
                 else:
                     onsp = f"s{inlist}"
-                q = (f"PIVOT (SELECT coalesce(s, 'n') AS s, i % 2 AS grp, "
+                s_expr = "coalesce(s, 'n')"
+                if "," in onsp and "IN (" in onsp:
+                    # DuckDB 1.0.0 oracle bug (round-10, NOTES 1): a
+                    # multi-ON PIVOT where '' is a DISCOVERED value of
+                    # one column and another column has an explicit IN
+                    # list silently DROPS the ''-rows (single-ON + IN,
+                    # IN-list-containing-'', and all-discovered forms
+                    # fill them). Our translation keeps them — map ''
+                    # out of this shape so the differential compares
+                    # sane oracle output.
+                    s_expr = "coalesce(nullif(s, ''), 'n')"
+                q = (f"PIVOT (SELECT {s_expr} AS s, i % 2 AS grp, "
                      f"i, d FROM {tbl}) ON {onsp} USING {agg}{gb}")
             else:
                 q = (f"UNPIVOT (SELECT i AS a, CAST(i * 2 AS BIGINT) AS b, "

@@ -164,8 +164,12 @@ class SqlRewriter:
         self._pivot_vals: dict[tuple[str, str], list] = {}
         # pivot column names that read like SQL (empty-string pivot
         # values → DuckDB expression-text names): token → literal text,
-        # substituted at the rewrite() tail, popped on use
+        # substituted at the rewrite() tail, popped on use. Token names
+        # use a monotonic counter (round-10 ADVICE: len()-derived names
+        # could collide with a stale key after pops) and the dict is
+        # cleared unconditionally at the rewrite() tail.
         self._pivot_name_subs: dict[str, str] = {}
+        self._pivot_name_seq = 0
 
     def attach_db_file(self, path: str) -> None:
         """Bootstrap tables + macros from a DuckDB file (reference
@@ -416,10 +420,23 @@ class SqlRewriter:
             m = self._MAP_LITERAL_RE.search(sql)
         return sql
 
+    _DISTINCT_IN_AGG_RE = re.compile(r"(?i)\(\s*distinct\b")
+
     def _rewrite_string_agg_order(self, sql: str) -> str:
         """DuckDB ``string_agg(x, sep ORDER BY o)`` → Spark
         ``listagg(x, sep) WITHIN GROUP (ORDER BY o)``; plain string_agg
-        (no in-args ORDER BY) is native and left alone."""
+        (no in-args ORDER BY) is native and left alone.
+
+        Spark 4.1 bug dodge (round-10 agg fuzzer, fresh seed 91001):
+        ``ListAgg.withNewChildrenInternal`` throws ClassCastException
+        when RewriteDistinctAggregates expands the plan — listagg
+        combined with TWO-plus DISTINCT aggregates over different
+        expressions crashes at runtime (one DISTINCT works; probed on
+        4.1.2). When any ``(DISTINCT`` appears elsewhere in the
+        statement and no OVER follows, translate to an exactly
+        equivalent comparator-sorted collect_list fold instead of
+        listagg (overtriggering is safe — the fold is semantically
+        identical and fuzz-validated)."""
         m = self._STRING_AGG_RE.search(sql)
         pos = 0
         while m:
@@ -430,13 +447,60 @@ class SqlRewriter:
             split = re.split(r"(?i)\border\s+by\b", inner, maxsplit=1)
             if len(split) == 2:
                 args, order = split[0].rstrip().rstrip(","), split[1].strip()
-                repl = f"listagg({args.strip()}) WITHIN GROUP (ORDER BY {order})"
+                rest = sql[: m.start()] + sql[close + 1 :]
+                over_follows = re.match(r"\s*over\b", sql[close + 1 :], re.I)
+                fold = None
+                if self._DISTINCT_IN_AGG_RE.search(rest) and not over_follows:
+                    fold = self._string_agg_sorted_fold(args.strip(), order)
+                repl = fold or (
+                    f"listagg({args.strip()}) WITHIN GROUP (ORDER BY {order})"
+                )
                 sql = sql[: m.start()] + repl + sql[close + 1 :]
                 pos = m.start() + len(repl)
             else:
                 pos = close + 1
             m = self._STRING_AGG_RE.search(sql, pos)
         return sql
+
+    def _string_agg_sorted_fold(self, args: str, order: str) -> str | None:
+        """Equivalent of ``listagg(x, sep) WITHIN GROUP (ORDER BY …)``
+        without the ListAgg operator: collect (value, keys) structs
+        (NULL values skipped, like string_agg), array_sort with a
+        generated comparator honoring ASC/DESC and NULLS FIRST/LAST
+        (DuckDB defaults: ASC, NULLS LAST), join with the separator;
+        empty group → NULL. Returns None when the form is out of scope
+        (DISTINCT inside the call) — caller keeps the listagg path."""
+        parts = self._split_top(args, ",")
+        x = parts[0].strip()
+        if re.match(r"(?i)^distinct\b", x):
+            return None
+        sep = parts[1].strip() if len(parts) > 1 else "','"
+        fields, conds = [], []
+        for i, item in enumerate(self._split_top(order, ",")):
+            om = re.match(
+                r"(?is)^(.*?)(?:\s+(asc|desc))?(?:\s+nulls\s+(first|last))?\s*$",
+                item.strip(),
+            )
+            kexpr = om.group(1).strip()
+            desc = (om.group(2) or "asc").lower() == "desc"
+            nfirst = (om.group(3) or "last").lower() == "first"
+            fields.append(f"({kexpr}) AS uq_k{i}")
+            l, r = f"uq_l.uq_k{i}", f"uq_r.uq_k{i}"
+            nf, lt = (-1 if nfirst else 1), (1 if desc else -1)
+            conds += [
+                f"WHEN {l} IS NULL AND {r} IS NOT NULL THEN {nf}",
+                f"WHEN {l} IS NOT NULL AND {r} IS NULL THEN {-nf}",
+                f"WHEN {l} < {r} THEN {lt}",
+                f"WHEN {l} > {r} THEN {-lt}",
+            ]
+        comp = f"(uq_l, uq_r) -> CASE {' '.join(conds)} ELSE 0 END"
+        st = f"struct({', '.join(fields)}, ({x}) AS uq_v)"
+        cl = f"collect_list(CASE WHEN ({x}) IS NULL THEN NULL ELSE {st} END)"
+        return (
+            f"(CASE WHEN size({cl}) = 0 THEN CAST(NULL AS STRING) "
+            f"ELSE array_join(transform(array_sort({cl}, {comp}), "
+            f"uq_e -> uq_e.uq_v), {sep}) END)"
+        )
 
     _STRUCT_PACK_RE = re.compile(r"(?i)\bstruct_pack\s*\(")
     _SERIES_FROM_RE = re.compile(r"(?i)\b(from|join)\s+generate_series\s*\(")
@@ -1527,7 +1591,19 @@ class SqlRewriter:
         count. The fold is bit-exact for integer products < 2^53 and
         reproduces the signed zero. NULLs skip via collect_list;
         empty/all-NULL → NULL; FILTER CASE-folds; OVER rides the
-        collect."""
+        collect.
+
+        Memory bound (round-10 ADVICE, documented trade): collect_list
+        makes per-group memory O(group size) — unlike the constant-
+        memory exp(sum(ln|x|)) form this replaced, a pathological
+        single-group product over billions of rows pressures one
+        executor. Exactness won: product() is a reporting aggregate
+        over grouped data in every reference/test workload, and the
+        log-space form returned visibly wrong integers (round-9
+        fuzzer). The list is array_sort-ed before the fold so float
+        products are deterministic run-to-run (collection order varies
+        with partitioning; the sign and integer-exact results are
+        order-independent, so sorting cannot change them)."""
         hit = self._call_args(self._PRODUCT_RE, sql)
         if not hit:
             return sql
@@ -1538,7 +1614,7 @@ class SqlRewriter:
         x = self._rewrite_product(args[0]) if args else ""
         if filt is not None:
             x = f"CASE WHEN {filt} THEN ({x}) END"
-        cl = f"collect_list(CAST(({x}) AS DOUBLE)){osuf}"
+        cl = f"array_sort(collect_list(CAST(({x}) AS DOUBLE)){osuf})"
         repl = (
             f"(CASE WHEN size({cl}) = 0 THEN CAST(NULL AS DOUBLE) "
             f"ELSE aggregate({cl}, CAST(1 AS DOUBLE), "
@@ -2236,6 +2312,20 @@ class SqlRewriter:
         except Exception:
             return False
 
+    @staticmethod
+    def _body_references(body: str, name: str) -> bool:
+        """True when ``name`` appears as an identifier token in
+        ``body`` outside string literals — the CREATE OR REPLACE
+        self-reference probe (round-10 ADVICE). Deliberately
+        over-matches (a column/alias/function spelled like the table
+        also hits): a false positive only routes the replace through
+        the always-correct parquet-spill path."""
+        txt = re.sub(r"'(?:[^']|'')*'", " ", body)
+        want = name.strip('"').strip("`").lower()
+        return any(
+            t.lower() == want for t in re.findall(r"[A-Za-z_]\w*", txt)
+        )
+
     def _rewrite_session_ddl(self, sql: str) -> str:
         """Session-scoped DDL (batch 26 — the reference's pooled DuckDB
         connections admit in-session CREATE/DROP, main.rs exercises
@@ -2278,6 +2368,37 @@ class SqlRewriter:
             # late row, ...) keeps the old table answering.
             new_body = self.rewrite(body)
             if orep and self._session_object_exists(name):
+                if self._body_references(new_body, name):
+                    # SELF-REFERENTIAL replace (round-10 ADVICE):
+                    # CREATE OR REPLACE TABLE t AS SELECT … FROM t. The
+                    # cache-swap path below re-analyzes the body after
+                    # the drop, where t no longer resolves — the old
+                    # table would be lost AND the statement would fail.
+                    # Materialize the new body to parquet FIRST (runs
+                    # the full job — any runtime failure raises here
+                    # with the old table intact), then swap to a view
+                    # over the spilled files, which resolve regardless
+                    # of t's fate. Token-scan detection over-matches
+                    # (a name that is also a function/alias) — the only
+                    # cost is taking this always-correct path.
+                    import tempfile
+
+                    root = getattr(self, "_cor_spill_root", None)
+                    if root is None:
+                        root = tempfile.mkdtemp(prefix="uq_cor_spill_")
+                        self._cor_spill_root = root
+                    path = os.path.join(
+                        root, re.sub(r"\W", "_", name) + "_" + uuid.uuid4().hex[:8]
+                    )
+                    self.spark.sql(
+                        f"SELECT * FROM ({new_body}) uq_cor_src"
+                    ).write.parquet(path)
+                    self.spark.sql(f"UNCACHE TABLE IF EXISTS {name}")
+                    self.spark.sql(f"DROP VIEW IF EXISTS {name}")
+                    self.spark.sql(
+                        f"CACHE TABLE {name} AS SELECT * FROM parquet.`{path}`"
+                    )
+                    return f"SELECT * FROM {name} LIMIT 0"
                 stage = f"{name}__uq_stage_{uuid.uuid4().hex[:8]}"
                 try:
                     # eager: runs the full materialization job now; a
@@ -7124,12 +7245,14 @@ class SqlRewriter:
                 src_cols = self.spark.sql(
                     f"SELECT * FROM {tbl} uq_pv_cols LIMIT 0"
                 ).columns
-            used_ids = {t.lower() for t in re.findall(r"[A-Za-z_]\w*", agg)}
-            for expr, _iv in items:
-                if not re.fullmatch(r"[\w.]+", expr):
-                    used_ids |= {
-                        t.lower() for t in re.findall(r"[A-Za-z_]\w*", expr)
-                    }
+            used_ids = self._pivot_expr_ids(
+                [agg]
+                + [
+                    expr
+                    for expr, _iv in items
+                    if not re.fullmatch(r"[\w.]+", expr)
+                ]
+            )
             on_cols = {
                 expr.lower() for expr, _iv in items
                 if re.fullmatch(r"[\w.]+", expr)
@@ -7161,30 +7284,26 @@ class SqlRewriter:
             fn, arg = "count", "1"
         vals = self._pivot_values(tbl, col, invals)
         def lit(v):
-            """(IN-list text, output column name) for one pivot value."""
+            """(IN-list text, output column name) for one pivot value.
+            DuckDB names pivoted columns value_alias (Spark ignores the
+            aggregate alias for a single agg, so the IN values carry
+            it); an empty-string value with no alias falls back to
+            DuckDB's filtered-aggregate expression text (round-9
+            pivotfz fuzzer catch). Any name that is not a plain
+            identifier travels as a late-substituted token — emitted
+            raw, later passes would rewrite it in place (VARCHAR→
+            STRING, `a!` factorial expansion — round-9/10 classes)."""
             base = "'" + str(v).replace("'", "''") + "'" if isinstance(v, str) else str(v)
-            # DuckDB names pivoted columns value_alias; Spark ignores the
-            # aggregate alias for a single agg, so alias the IN values.
             if alias:
-                return f"{base} AS `{v}_{alias}`", f"{v}_{alias}"
-            if isinstance(v, str) and v == "":
-                # DuckDB can't use '' as a column name and falls back to
-                # its internal filtered-aggregate expression text
-                # (round-9 pivotfz fuzzer catch; plain-identifier args
-                # render bare, any other arg parenthesized)
-                arg_text = arg if re.match(r"^\w+$", arg) else f"({arg})"
-                head = "count_star()" if star else f"{fn}({arg_text})"
-                name = (
-                    f"{head} FILTER (WHERE (CAST({col} AS "
-                    f"VARCHAR) IS NOT DISTINCT FROM ''))"
-                )
-                # the name reads like SQL, so later passes would rewrite
-                # it in place (VARCHAR→STRING, spacing) — emit a token
-                # and substitute the literal text at the rewrite() tail
-                tok = f"uq_pvn_{len(self._pivot_name_subs)}"
-                self._pivot_name_subs[tok] = name
-                return f"{base} AS `{tok}`", tok
-            return base, str(v)
+                name = f"{v}_{alias}"
+            elif isinstance(v, str) and v == "":
+                name = self._pivot_filter_name(fn, arg, star, [col])
+            else:
+                name = str(v)
+            if re.fullmatch(r"\w+", name):
+                return (f"{base} AS `{name}`" if alias else base), name
+            tok = self._pivot_name_token(name)
+            return f"{base} AS `{tok}`", tok
 
         pairs = [lit(v) for v in vals]
         lits = ", ".join(p[0] for p in pairs)
@@ -7203,6 +7322,81 @@ class SqlRewriter:
             sel = [*groups, *(f"coalesce(`{n}`, 0) AS `{n}`" for n in esc)]
             pivoted = f"SELECT {', '.join(sel)} FROM ({pivoted}) uq_pv_cnt"
         return pivoted + tail
+
+    def _pivot_name_token(self, name: str) -> str:
+        """Register a pivot output-column name for late substitution at
+        the rewrite() tail and return its placeholder token. Names that
+        read like SQL (DuckDB FILTER-expression-text names for
+        empty-string pivot values) or contain non-identifier characters
+        would be rewritten in place by later passes — tokens are plain
+        identifiers and survive. Monotonic counter (round-10 ADVICE:
+        ``len(subs)``-derived names collided with stale keys after
+        pops); backticks escaped HERE, the single point where a data
+        value enters a quoted identifier (round-10 ADVICE: the multi
+        path stored names unescaped → unparsable generated SQL)."""
+        tok = f"uq_pvn_{self._pivot_name_seq}"
+        self._pivot_name_seq += 1
+        self._pivot_name_subs[tok] = name.replace("`", "``")
+        return tok
+
+    @staticmethod
+    def _pivot_combo_name(values: tuple, alias: str | None) -> str:
+        """DuckDB's multi-ON pivot column name: values joined with '_'
+        EXCEPT that the separator is skipped while the accumulated name
+        is still empty (probed: ('','b')→'b', ('y','')→'y_',
+        ('a','','c')→'a__c'); an alias is then appended with an
+        unconditional '_' (('','b') AS s→'b_s', ('','') AS s→'_s').
+        An all-empty combo with no alias yields '' — the caller falls
+        back to DuckDB's FILTER-expression-text name."""
+        name = ""
+        for v in values:
+            name = f"{name}_{v}" if name else str(v)
+        if alias:
+            name = f"{name}_{alias}"
+        return name
+
+    @staticmethod
+    def _pivot_filter_name(
+        fn: str, arg: str, star: bool, on_exprs: list[str]
+    ) -> str:
+        """DuckDB's fallback column name when the joined pivot-value
+        name is empty (all values ''): the internal filtered-aggregate
+        expression text, e.g. ``sum(x) FILTER (WHERE ((CAST(a AS
+        VARCHAR) IS NOT DISTINCT FROM '') AND (CAST(b AS VARCHAR) IS
+        NOT DISTINCT FROM '')))`` — plain-identifier args/ON columns
+        render bare, any other expression parenthesized; count(*)
+        prints count_star(); several conditions AND-joined inside one
+        extra paren pair (all probed against DuckDB 1.x)."""
+        arg_text = arg if re.match(r"^\w+$", arg) else f"({arg})"
+        head = "count_star()" if star else f"{fn}({arg_text})"
+        conds = [
+            "(CAST({} AS VARCHAR) IS NOT DISTINCT FROM '')".format(
+                e if re.fullmatch(r"[\w.]+", e) else f"({e})"
+            )
+            for e in on_exprs
+        ]
+        cond = conds[0] if len(conds) == 1 else f"({' AND '.join(conds)})"
+        return f"{head} FILTER (WHERE {cond})"
+
+    @staticmethod
+    def _pivot_expr_ids(texts: list[str]) -> set[str]:
+        """Identifier tokens that can be COLUMN REFERENCES in the given
+        aggregate/ON expression texts — for DuckDB's implicit statement-
+        PIVOT grouping (every source column not pivoted ON and not
+        referenced by the aggregate). Round-10 ADVICE: the raw token
+        scan also matched function names, AS-alias names, and words
+        inside string literals, silently dropping source columns named
+        e.g. ``sum`` from the implicit grouping (probed: DuckDB groups
+        by all three). Strip string literals, drop AS-alias tokens,
+        ignore tokens immediately followed by '(' (calls)."""
+        ids: set[str] = set()
+        for text in texts:
+            txt = re.sub(r"'(?:[^']|'')*'", " ", text)
+            txt = re.sub(r"(?i)\bas\s+[A-Za-z_]\w*", " ", txt)
+            for m in re.finditer(r"([A-Za-z_]\w*)\s*(\()?", txt):
+                if m.group(2) is None:
+                    ids.add(m.group(1).lower())
+        return ids
 
     def _pivot_values(self, tbl: str, col: str, invals: str | None) -> list:
         """Pivot value list: explicit ``ON col IN (…)`` literals when
@@ -7264,27 +7458,19 @@ class SqlRewriter:
         NULL, count 0); ``ON expr`` pivots an expression with the value
         text as the name. Spark's multi-column PIVOT takes value TUPLES
         with aliases — pivot columns are synthesized as uq_pvc{k} so
-        expressions work uniformly. One aggregate; empty-string values
-        raise (their DuckDB names need the single-column FILTER form)."""
+        expressions work uniformly. One aggregate; an all-empty-string
+        combo with no alias takes DuckDB's FILTER-expression-text name
+        (round-10 — previously a loud 400)."""
         am = re.match(r"(?is)^(\w+)\s*\((.*)\)\s*(?:as\s+(\w+))?$", agg.strip())
         if am is None:
             raise UQueryError.sql_error(f"unsupported PIVOT aggregate: {agg[:60]}")
         fn, arg, alias = am.group(1), am.group(2).strip(), am.group(3)
-        if arg == "*":
+        star = arg == "*"
+        if star:
             fn, arg = "count", "1"
         vals_per = [
             self._pivot_values(tbl, expr, iv) for expr, iv in items
         ]
-        if not alias and any(
-            isinstance(v, str) and v == "" for vs in vals_per for v in vs
-        ):
-            # unaliased + '' would need DuckDB's FILTER-expression-text
-            # naming with the ON expression inlined — raise loudly
-            # (aliased combos name fine: '' contributes a bare '_')
-            raise UQueryError.sql_error(
-                "PIVOT: empty-string values with an unaliased aggregate "
-                "are only supported for a single ON column"
-            )
         from itertools import product
 
         combos = list(product(*vals_per))
@@ -7310,13 +7496,20 @@ class SqlRewriter:
             FILTER-text names)."""
             if re.fullmatch(r"\w+", name):
                 return name
-            tok = f"uq_pvn_{len(self._pivot_name_subs)}"
-            self._pivot_name_subs[tok] = name.replace("`", "``")
-            return tok
+            return self._pivot_name_token(name)
 
+        # DuckDB combo naming: skip-empty '_' join + unconditional alias
+        # append (round-10: the plain "_".join deviated silently on
+        # mixed '' combos — ('','b') AS s is 'b_s', not '_b_s'); a
+        # fully-empty unaliased combo (at most one per pivot — every ON
+        # value '') takes the FILTER-expression-text fallback (round-9
+        # pivotfz fuzzer corner, previously a loud 400)
         names = [
             emit_name(
-                "_".join(str(v) for v in c) + (f"_{alias}" if alias else "")
+                self._pivot_combo_name(c, alias)
+                or self._pivot_filter_name(
+                    fn, arg, star, [expr for expr, _iv in items]
+                )
             )
             for c in combos
         ]
@@ -7379,11 +7572,7 @@ class SqlRewriter:
                 src_cols = self.spark.sql(
                     f"SELECT * FROM {tbl} uq_pv_cols LIMIT 0"
                 ).columns
-            agg_ids = {
-                t.lower()
-                for a in agg_list
-                for t in re.findall(r"[A-Za-z_]\w*", a)
-            }
+            agg_ids = self._pivot_expr_ids(agg_list)
             groups = [
                 c for c in src_cols
                 if c.lower() != col.lower() and c.lower() not in agg_ids
@@ -7415,8 +7604,7 @@ class SqlRewriter:
                     arg_text = arg if re.match(r"^\w+$", arg) else f"({arg})"
                     head = "count_star()" if star else f"{fn}({arg_text})"
                     name = f"{v}_{head}"
-                tok = f"uq_pvn_{len(self._pivot_name_subs)}"
-                self._pivot_name_subs[tok] = name
+                tok = self._pivot_name_token(name)
                 expr = f"coalesce({src}, 0)" if fn.lower() == "count" else src
                 out.append(f"{expr} AS `{tok}`")
         return f"SELECT {', '.join(out)} FROM ({inner}) uq_pv_multi{tail}"
@@ -8960,11 +9148,17 @@ class SqlRewriter:
             raise UQueryError.sql_error(
                 "named function arguments (name := value) are not supported"
             )
-        # getattr: pure-rewrite property tests run on __new__ instances
+        # getattr: pure-rewrite property tests run on __new__ instances.
+        # The dict clears unconditionally — a token that never survived
+        # to the tail would otherwise linger as a stale entry (round-10
+        # ADVICE; token names are a monotonic counter so even stale
+        # entries could never collide, the clear just bounds memory)
         subs = getattr(self, "_pivot_name_subs", None)
-        if subs and "uq_pvn_" in sql:
-            for tok in [t for t in subs if f"`{t}`" in sql]:
-                sql = sql.replace(f"`{tok}`", f"`{subs.pop(tok)}`")
+        if subs:
+            if "uq_pvn_" in sql:
+                for tok in [t for t in subs if f"`{t}`" in sql]:
+                    sql = sql.replace(f"`{tok}`", f"`{subs[tok]}`")
+            subs.clear()
         return sql
 
 
