@@ -7,6 +7,8 @@ pruning for wide binary payloads.
 
 from __future__ import annotations
 
+import re
+
 from uquery_rs_spark import queries as Q
 from uquery_rs_spark.plans.inspect import formatted_plan, pushed_filters
 
@@ -256,3 +258,34 @@ def test_bpe_apply_is_shuffle_free(spark):
     body = plan.split("== Physical Plan ==")[-1]
     assert "hashpartitioning" not in body, body[:400]
     assert "rangepartitioning" not in body, body[:400]
+
+
+def test_tumbling_approx_single_exchange(spark):
+    """Round 10: the documented 100 TB tumbling plan. Exact
+    count(DISTINCT) shuffles every distinct (window, event_type,
+    user_id) TRIPLE through a first exchange before the per-group one
+    (the named per-row shuffle bound in NOTES 22); the
+    approx_count_distinct replacement must plan as an ordinary
+    two-phase aggregate — partial HLL sketches map-side, ONE exchange
+    keyed by the group, shuffle volume ∝ groups."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    approx = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.expr("approx_count_distinct(user_id, 0.01)").alias("u"))
+    )
+    body = formatted_plan(approx).split("== Physical Plan ==")[-1]
+    n_ex = lambda b: len(  # noqa: E731  (detail headers: "(5) Exchange")
+        re.findall(r"\(\d+\) Exchange\b", b)
+    )
+    assert n_ex(body) == 1, body[:600]
+    assert "partial_approx_count_distinct" in body
+    exact = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.countDistinct("user_id").alias("u"))
+    )
+    exact_body = formatted_plan(exact).split("== Physical Plan ==")[-1]
+    # the bound being dodged is real: a second, per-triple exchange
+    assert n_ex(exact_body) == 2
+    assert "user_id" in exact_body.split(") Exchange")[1][:400]

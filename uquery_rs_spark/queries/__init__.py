@@ -9,14 +9,90 @@ from __future__ import annotations
 from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 
 
-# Round-9 verification window (harnesses sample REGISTRY[:50]).
+# Round-10 verification window (harnesses sample REGISTRY[:50]).
 # Rotation rule (standing since r7): entries ADDED this round first
-# (_ROUND9_NEW, share cap 15 — new entries go in the CURRENT window,
-# round-4 lesson), then the 13 entries whose freshest driver signal is
-# round 4 (the exact deferred list from the r8 window note), then
-# round-5-signal entries alphabetically, trimmed to 50. After round 9
-# no entry's freshest signal is older than r5; the r5 tail displaced
-# by _ROUND9_NEW rolls into round 10.
+# (_ROUND10_NEW, share cap 15 — new entries go in the CURRENT window,
+# round-4 lesson), then the 14 round-5-signal entries displaced from
+# the r9 window by _ROUND9_NEW (the exact tail from the r9 note), then
+# round-6-signal entries alphabetically (= CORRECTNESS_r06 keys minus
+# every later window), trimmed to 50. After round 10 no entry's
+# freshest driver signal is older than r6; the r6 tail displaced here
+# rolls into round 11.
+_ROUND10_NEW: tuple[str, ...] = (
+    "tumbling_window_approx",  # the documented 100 TB tumbling plan
+)
+
+_ROUND10_R5TAIL = (
+    "q6_forecast_revenue",
+    "qualify_top_orders_per_cust",
+    "recursive_cte_monthly_orders",
+    "regex_pattern_battery",
+    "series_struct_pack_battery",
+    "streaming_interval_join",
+    "streaming_rollup_parquet",
+    "text_bm25_search",
+    "text_bpe_tokenize",
+    "text_compression_ratio",
+    "text_tfidf_top_terms",
+    "topk_parts_per_brand",
+    "using_join_nation_region",
+    "window_analytics_orders",
+)
+
+_ROUND10_R6 = (
+    "approx_distinct_parts",
+    "asof_join_null_keys",
+    "asof_join_using_subquery",
+    "correlated_subquery_above_cust_avg",
+    "cross_join_region_status",
+    "cte_top_supplier_revenue",
+    "cube_returnflag_linestatus",
+    "dialect_gap_battery10",
+    "dialect_gap_battery11",
+    "dialect_gap_battery12",
+    "dialect_gap_battery13",
+    "dialect_gap_battery14",
+    "dialect_gap_battery15",
+    "dialect_gap_battery16",
+    "dialect_gap_battery17",
+    "dialect_gap_battery18",
+    "dialect_gap_battery19",
+    "dialect_gap_battery20",
+    "dialect_gap_battery21",
+    "dialect_gap_battery22",
+    "dialect_gap_battery23",
+    "dialect_gap_battery24",
+    "dialect_gap_battery25",
+    "dialect_gap_battery26",
+    "dialect_gap_battery4",
+    "dialect_gap_battery5",
+    "dialect_gap_battery6",
+    "dialect_gap_battery7",
+    "dialect_gap_battery8",
+    "dialect_gap_battery9",
+    "distinct_order_priorities",
+    "emb_dim_variance",
+    "emb_diversity_sample",
+    "filtered_aggregates",
+    "full_outer_nation_presence",
+    "left_join_customer_order_counts",
+    "limit_offset_pagination",
+    "listagg_nations_per_region",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue_ratio",
+    "q15_top_supplier",
+    "streaming_enrich_join",
+    "text_boilerplate_removal",
+    "text_c4_quality",
+    "text_gopher_quality",
+    "text_quality_classifier",
+    "web_domain_blocklist",
+    "web_url_canonicalize",
+)
+
+# r9 lists retained for the window-derivation audit trail
 _ROUND9_NEW: tuple[str, ...] = (
     "dialect_gap_battery34",  # TIME ± INTERVAL midnight wraparound
     "text_bpe_apply_ids",  # distributed BPE apply, exact closed-form oracle
@@ -91,9 +167,9 @@ _ROUND9_R5 = (
 )
 
 
-def _round9_window() -> list[str]:
-    new = list(_ROUND9_NEW)[:15]
-    return (new + list(_ROUND9_R4) + list(_ROUND9_R5))[:50]
+def _round10_window() -> list[str]:
+    new = list(_ROUND10_NEW)[:15]
+    return (new + list(_ROUND10_R5TAIL) + list(_ROUND10_R6))[:50]
 
 
 def load_all() -> None:
@@ -101,8 +177,8 @@ def load_all() -> None:
 
     Import order controls registry order, which external harnesses may use
     to window their correctness sampling.  After importing, the registry is
-    reordered so the round-9 window occupies the front — see
-    :data:`_ROUND9_NEW` for the rationale.  Rotate the window each round so
+    reordered so the round-10 window occupies the front — see
+    :data:`_ROUND10_NEW` for the rationale.  Rotate the window each round so
     every entry eventually gets hard-signal verification.
     """
     from . import llm_q  # noqa: F401
@@ -113,7 +189,7 @@ def load_all() -> None:
     from . import relational  # noqa: F401
     from . import tpch_q  # noqa: F401
 
-    window = _round9_window()
+    window = _round10_window()
     ordered = [n for n in window if n in REGISTRY]
     ordered += [n for n in REGISTRY if n not in window]
     snapshot = dict(REGISTRY)

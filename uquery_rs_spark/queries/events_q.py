@@ -48,6 +48,56 @@ def tumbling_window_events(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "tumbling_window_approx",
+    tags=("events", "window-agg", "approx"),
+    oracle="""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       count(*)                                  AS n_events,
+       count(DISTINCT user_id)                   AS n_users,
+       TRUE                                      AS within_bound
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def tumbling_window_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """The documented 100 TB plan for tumbling_window_events (NOTES
+    entry 22): count(DISTINCT user_id) forces Spark's distinct-expand
+    shuffle of every (window, event_type, user_id) triple — the named
+    per-row shuffle bound — while approx_count_distinct (HLL++) folds
+    into the ordinary partial-aggregate path: one map-side combine,
+    sketches merged on the reduce side, shuffle volume ∝ groups, not
+    rows. This entry makes the recommended at-scale plan itself
+    correctness-checked (within_bound registry convention, like the
+    ANN recall shapes): checked columns are the exact values both
+    engines compute identically plus the claim that the rsd=0.01
+    sketch lands within max(1, 5%) of the exact count per window."""
+    ev = load_tables(spark, sf)["events"]
+    exact = F.countDistinct("user_id")
+    approx = F.expr("approx_count_distinct(user_id, 0.01)")
+    bound = F.abs(approx.cast("double") - exact.cast("double")) <= F.greatest(
+        F.lit(1.0), exact.cast("double") * F.lit(0.05)
+    )
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            exact.alias("n_users"),
+            bound.alias("within_bound"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "within_bound",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
     "sliding_window_events",
     tags=("events", "window-agg"),
     oracle="""
