@@ -20,6 +20,7 @@ from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 # rolls into round 11.
 _ROUND10_NEW: tuple[str, ...] = (
     "tumbling_window_approx",  # the documented 100 TB tumbling plan
+    "dialect_gap_battery35",  # map/struct/list COLUMN subscripts on data
 )
 
 _ROUND10_R5TAIL = (

@@ -2550,3 +2550,51 @@ def dialect_gap_battery34(spark: SparkSession, sf: str) -> DataFrame:
     translation, test_round9_mad_distinct_over)."""
     load_tables(spark, sf)
     return _rewritten_sql(spark, _B34_SQL)
+
+
+_B35_SQL = """
+WITH src AS (
+  SELECT o_orderkey AS k,
+         MAP {'a': o_orderkey, 'b': o_orderkey + 1}      AS m,
+         MAP {1: o_orderkey * 2, 2: o_orderkey * 3}      AS mi,
+         {'a': o_orderkey, 'b': 'x'}                     AS st,
+         [o_orderkey, o_orderkey + 10, o_orderkey + 20]  AS l,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS kx
+  FROM orders WHERE o_orderkey <= 300
+)
+SELECT k,
+       m['a'][1]  AS ma_v,
+       len(m['zz']) AS mz_n,
+       mi[2][1]   AS mi2_v,
+       st['a']    AS sta,
+       l[2]       AS l2,
+       l[-1]      AS lneg,
+       l[0]       AS l0,
+       l[9]       AS loob,
+       m[kx][1]   AS mkx_v,
+       array_to_string(list_sort(list_distinct([k % 5, NULL, k % 3, k % 5])), ',') AS ld
+FROM src ORDER BY k
+"""
+
+
+@register(
+    "dialect_gap_battery35",
+    tags=("dialect", "battery", "subscript"),
+    oracle=_B35_SQL,
+)
+def dialect_gap_battery35(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-10 NOTES-1 burndown (r9 verdict item 8): map/struct/list
+    COLUMN subscripts pinned on data. The NOTES deviation 'map COLUMN
+    subscripts stay scalar' is STALE — the uq_polymap/uq_polymapi
+    LIMIT-0 probes resolve map-vs-struct-vs-list per site, so string
+    keys, integer keys, expression keys, and missing keys all return
+    DuckDB's single-element-LIST semantics on map columns while struct
+    subscripts stay scalar and list subscripts stay 1-based/negative-
+    from-end/NULL-out-of-bounds. list_distinct element ORDER remains a
+    documented deviation — probed round 10: DuckDB 1.0.0's order is a
+    hash-table artifact (reverse-first-occurrence only below ~14
+    distinct values), irreproducible by construction — so the battery
+    pins the sound order-free form (list_sort o list_distinct), which
+    also pins NULL removal."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B35_SQL)
