@@ -521,6 +521,54 @@ def run_axis(axis, batches, rnd, spark, rw, con):
             if want != got:
                 mismatch += 1
                 fails.append((q[:160], want[:3], got[:3]))
+        elif axis == "saggfz":
+            # round-10 axis: string_agg(... ORDER BY) in the presence of
+            # DISTINCT aggregates takes the comparator-sorted collect
+            # fold instead of listagg (Spark 4.1 ListAgg ClassCast bug
+            # dodge) — fuzz the fold's ordering surface: random key
+            # sets, ASC/DESC, NULLS FIRST/LAST, grouped and global.
+            tbl = g.values_table()
+            keys = []
+            for _ in range(rnd.randint(1, 2)):
+                k = rnd.choice(["i", "d", "s", "i % 3", "coalesce(s, 'zz')"])
+                dirn = rnd.choice(["", " ASC", " DESC"])
+                nl = rnd.choice(["", " NULLS FIRST", " NULLS LAST"])
+                keys.append(f"{k}{dirn}{nl}")
+            # tie-break on the aggregated VALUE itself: ties among equal
+            # keys are scan-order in DuckDB (unspecified under
+            # parallelism in both engines), so the differential only
+            # compares fully-determined orders — the fold's own value
+            # tie-break makes the remaining equal-value ties invisible
+            keys.append("s NULLS LAST")
+            sep = rnd.choice(["'|'", "','", "'--'"])
+            sagg = f"string_agg(s, {sep} ORDER BY {', '.join(keys)})"
+            neighbors = rnd.sample(
+                ["count(DISTINCT s)", "sum(DISTINCT i)",
+                 "count(DISTINCT d)", "min(i)", "max(d)"],
+                rnd.randint(2, 3),
+            )
+            gb = rnd.choice(["", " GROUP BY i % 2"])
+            head = ("i % 2 AS grp, " if gb else "")
+            q = (f"SELECT {head}{sagg} AS sa, "
+                 + ", ".join(f"{n} AS n{j}" for j, n in enumerate(neighbors))
+                 + f" FROM {tbl}{gb}")
+            skey = lambda r: tuple((x is None, str(x)) for x in r)  # noqa: E731
+            try:
+                want = sorted((tuple(norm(x) for x in r)
+                              for r in con.sql(q).fetchall()), key=skey)
+            except Exception:
+                continue
+            try:
+                got = sorted((tuple(norm(x) for x in r)
+                             for r in spark.sql(rw.rewrite(q)).collect()), key=skey)
+            except Exception as e:
+                mismatch += 1
+                fails.append((q[:160], None, "REJECT " + str(e).split("\n")[0][:80]))
+                continue
+            checked += 1
+            if want != got:
+                mismatch += 1
+                fails.append((q[:160], want[:3], got[:3]))
         elif axis == "pivotfz":
             # round-9 axis: PIVOT/UNPIVOT statement forms over random
             # VALUES relations (the registry pins two fixed shapes; the
@@ -643,7 +691,7 @@ def main():
     rw = SqlRewriter(spark)
     con = duckdb.connect()
     axes = (["expr", "agg", "window", "rel", "temporal", "nested", "pattern",
-             "div", "subq", "timemix", "multirel", "pivotfz"]
+             "div", "subq", "timemix", "multirel", "pivotfz", "saggfz"]
             if axis == "all" else [axis])
     total_mm = 0
     for ax in axes:

@@ -468,8 +468,13 @@ class SqlRewriter:
         (NULL values skipped, like string_agg), array_sort with a
         generated comparator honoring ASC/DESC and NULLS FIRST/LAST
         (DuckDB defaults: ASC, NULLS LAST), join with the separator;
-        empty group → NULL. Returns None when the form is out of scope
-        (DISTINCT inside the call) — caller keeps the listagg path."""
+        empty group → NULL. Ties after every user key break by the
+        aggregated VALUE ascending: tie order among equal keys is
+        scan-order in DuckDB and listagg alike — unspecified under
+        parallelism in both engines — so the fold picks the one
+        deterministic choice (saggfz fuzz axis catch, round 10).
+        Returns None when the form is out of scope (DISTINCT inside
+        the call) — caller keeps the listagg path."""
         parts = self._split_top(args, ",")
         x = parts[0].strip()
         if re.match(r"(?i)^distinct\b", x):
@@ -493,6 +498,10 @@ class SqlRewriter:
                 f"WHEN {l} < {r} THEN {lt}",
                 f"WHEN {l} > {r} THEN {-lt}",
             ]
+        conds += [
+            "WHEN uq_l.uq_v < uq_r.uq_v THEN -1",
+            "WHEN uq_l.uq_v > uq_r.uq_v THEN 1",
+        ]
         comp = f"(uq_l, uq_r) -> CASE {' '.join(conds)} ELSE 0 END"
         st = f"struct({', '.join(fields)}, ({x}) AS uq_v)"
         cl = f"collect_list(CASE WHEN ({x}) IS NULL THEN NULL ELSE {st} END)"
