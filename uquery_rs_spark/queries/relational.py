@@ -229,21 +229,31 @@ LIMIT 20
 """,
 )
 def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact-first with aggregate pushdown (round-10 100x probe): the
+    two FACT tables join and pre-aggregate to one revenue row per
+    customer key BEFORE any dimension joins — c_name and n_name are
+    functionally dependent on c_custkey, so grouping by the key alone
+    is exact. The former shape joined customer into the fact stream
+    first, dragging c_name through the big shuffle and (at scaled
+    data whose dimension file zstd-compresses under the broadcast
+    threshold) building a multi-million-row broadcast; this shape
+    ships #active-customers rows into the dimension joins instead —
+    measured 2x faster at 100x sf0.1 and shuffle volume ∝ customers,
+    not lineitems, at 100 TB."""
     t = load_tables(spark, sf)
     ords = t["orders"].filter(
         (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp_ntz"))
     )
     li = t["lineitem"].filter(F.col("l_returnflag") == "R")
-    joined = (
-        t["customer"]
-        .join(ords, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    pre = (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"))
     )
     return (
-        joined.groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"))
+        pre.join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .orderBy(F.col("_rev").desc(), "c_custkey")
         .limit(20)
         .select("c_custkey", "c_name", F.round("_rev", 2).alias("revenue"), "n_name")
