@@ -56,6 +56,39 @@ class TestDedup:
         out = {r.doc_id: r.n_copies for r in D.exact_dedup(docs).collect()}
         assert out == {1: 2, 3: 1}
 
+    def test_exact_substring_dedup_spans(self, spark):
+        """ExactSubstr semantics pinned: a k-gram repeated across docs
+        removes BOTH covered spans (+ overhang positions covered by the
+        shifted grams), within-doc repeats count toward min_count, docs
+        shorter than k are untouched, and a fully-covered doc reconstructs
+        to ''."""
+        docs = spark.createDataFrame(
+            [
+                # docs 1/2 share the 3-gram "q w e" (plus unique tails)
+                (1, "q w e a b", "s"),
+                (2, "x q w e y", "s"),
+                # doc 3 repeats "m n o" twice WITHIN itself
+                (3, "m n o z m n o", "s"),
+                # doc 4 is shorter than k — no grams, never removed
+                (4, "a b", "s"),
+                # doc 5 duplicates doc 1 entirely -> both fully covered
+                (5, "q w e a b", "s"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        out = {
+            r.doc_id: (r.n_words, r.n_removed, r.cleaned_text)
+            for r in TX.exact_substring_dedup(docs, k=3).collect()
+        }
+        # doc1/5 identical: every 3-gram occurs twice -> all 5 words covered
+        assert out[1] == (5, 5, "")
+        assert out[5] == (5, 5, "")
+        # doc2: only "q w e" (start 1) duplicated -> positions 1..3 removed
+        assert out[2] == (5, 3, "x y")
+        # doc3: "m n o" occurs twice in one doc -> both spans removed
+        assert out[3] == (7, 6, "z")
+        assert out[4] == (2, 0, "a b")
+
     def test_normalized_dedup_collapses_cosmetic_variants(self, spark):
         """Case / punctuation / whitespace-only edits hash identically;
         a real word change does not."""

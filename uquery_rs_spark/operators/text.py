@@ -710,6 +710,86 @@ def boilerplate_removal(
     )
 
 
+def exact_substring_dedup(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr deduplication (Lee et al. 2022, arXiv:2107.06499 §4.1):
+    remove every word position covered by a k-token gram that occurs >=
+    ``min_count`` times in the corpus (within- OR cross-document — any
+    repeat). Beyond-reference north-star operator; the reference gateway
+    has no corpus ops (it delegates SQL verbatim, src/core/duckdb.rs:87).
+
+    Columns: key, n_words, n_removed, cleaned_text.
+
+    The paper builds a corpus suffix array; the Spark-native shape is a
+    gram-digest shuffle — same duplicate set for fixed k, no O(corpus)
+    single-node state:
+
+    - gram digests are built ARRAY-SIDE (one ``transform`` over the token
+      array per doc — scan-fused, no word-level explode for construction),
+    - only (start, digest) pairs shuffle for the occurrence count
+      (digests shuffle, not bodies — map-side partial aggregation),
+    - duplicated-gram starts join back per doc (digest-keyed shuffle
+      join; the duplicated set is corpus-sized at worst, never collected
+      or broadcast),
+    - coverage + reconstruction are array-level HOFs per doc (position i
+      is removed iff some duplicated-gram start s has s <= i < s+k) —
+      scan-local, no second sort, no window over the corpus.
+
+    md5 is the digest so the DuckDB oracle reproduces the duplicate set
+    bit-for-bit (``dedup_exact_substring``); at 100 TB swap in xxhash64
+    (8-byte shuffle keys; ~1e-9 collision odds at 10^10 grams make a
+    false merge a single spurious removal, not a correctness cliff).
+    Unlike the paper's remove-all-but-one this removes EVERY covered
+    occurrence (deterministic without a global canonical-copy order);
+    chain after :func:`boilerplate_removal`, which handles the
+    keep-one-line case at unit granularity.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(key_col), toks.alias("w"))
+    n = F.size(F.col("w"))
+    gram = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.struct(
+                i.alias("start"),
+                F.md5(F.array_join(F.slice(F.col("w"), i + 1, k), "\x1f")).alias("gh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<start:int,gh:string>>"))
+    g = base.select(key_col, F.explode(gram).alias("sg")).select(
+        key_col, F.col("sg.start").alias("start"), F.col("sg.gh").alias("gh")
+    )
+    dup = (
+        g.groupBy("gh")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("gh")
+    )
+    ds = g.join(dup, "gh").groupBy(key_col).agg(F.collect_list("start").alias("starts"))
+    r = base.join(ds, key_col, "left").withColumn(
+        "starts", F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("w"),
+        lambda w, i: F.size(
+            F.filter(F.col("starts"), lambda s: (s <= i) & (i < s + F.lit(k)))
+        )
+        == 0,
+    )
+    return r.select(
+        F.col(key_col),
+        F.size("w").alias("n_words"),
+        (F.size("w") - F.size(kept)).alias("n_removed"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )
+
+
 def c4_quality_stats(
     docs: DataFrame,
     text_col: str = "text",

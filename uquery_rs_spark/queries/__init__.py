@@ -21,6 +21,7 @@ from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 _ROUND10_NEW: tuple[str, ...] = (
     "tumbling_window_approx",  # the documented 100 TB tumbling plan
     "dialect_gap_battery35",  # map/struct/list COLUMN subscripts on data
+    "dedup_exact_substring",  # ExactSubstr span removal (Lee et al. 2022)
 )
 
 _ROUND10_R5TAIL = (

@@ -2579,6 +2579,42 @@ def text_boilerplate_removal(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "dedup_exact_substring",
+    tags=("llm", "text", "dedup"),
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, i AS start, md5(array_to_string(w[i+1:i+8], chr(31))) AS gh
+  FROM t, UNNEST(range(greatest(len(w) - 7, 0))) AS u(i)
+),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+ds AS (SELECT doc_id, list(start) AS starts FROM g JOIN dup USING (gh) GROUP BY doc_id),
+r AS (
+  SELECT t.doc_id, t.w,
+         [t.w[i+1] FOR i IN range(len(t.w))
+          IF len(list_filter(coalesce(ds.starts, []), s -> s <= i AND i < s + 8)) = 0] AS kept
+  FROM t LEFT JOIN ds USING (doc_id)
+)
+SELECT doc_id, len(w) AS n_words,
+       len(w) - len(kept) AS n_removed,
+       coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+FROM r ORDER BY doc_id
+""",
+)
+def dedup_exact_substring(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022): every word position covered
+    by an 8-gram occurring >= 2 times anywhere in the corpus (within- or
+    cross-document) is removed and the text reconstructed
+    (operators/text.py::exact_substring_dedup — array-side gram digests,
+    digest-count shuffle, start-list join-back, HOF coverage rebuild).
+    Exact oracle: DuckDB recomputes the identical md5 gram set and
+    coverage with list comprehensions. At sf0.01 this removes ~2.4k
+    words across 47 docs (the corpus's injected near-dup tails)."""
+    docs = load_tables(spark, sf)["documents"]
+    return TX.exact_substring_dedup(docs, k=8, min_count=2).orderBy("doc_id")
+
+
+@register(
     "text_c4_quality",
     tags=("llm", "text", "quality"),
     oracle="""
