@@ -3184,3 +3184,94 @@ def test_round10_string_agg_with_multiple_distinct(spark, rw):
         "SELECT string_agg(s, '|' ORDER BY s) AS c "
         "FROM (VALUES ('b'),( 'a')) t(s)"
     ) == [("a|b",)]
+
+
+def test_round10_pivot_null_values(spark, rw):
+    """Round-10 pivotfz catch (fresh seed 660001): a NULL discovered
+    pivot value leaked the Python repr 'None' into the generated IN
+    list (unresolvable-column reject). DuckDB drops NULLs from
+    DISCOVERED values but pivots an explicit ``IN (NULL)`` into a
+    column named 'NULL' (null-safe match) — both probed and now
+    matched; Spark's PIVOT IN matches NULL literals null-safely."""
+    run = lambda s: spark.sql(rw.rewrite(s))
+    # discovery drops NULL (single ON): columns = ['0'] only
+    df = run(
+        "PIVOT (SELECT i % 2 AS grp, d FROM (VALUES (NULL, 1.5), (2, 3.0), "
+        "(0, 2.0)) t(i, d)) ON grp USING min(d)"
+    )
+    assert df.columns == ["0"] and [tuple(r) for r in df.collect()] == [(2.0,)]
+    # discovery drops NULL in multi-ON cross products
+    df = run(
+        "PIVOT (SELECT coalesce(s, 'n') AS s, i % 2 AS grp, i, d FROM "
+        "(VALUES (NULL, 'x y', 1.5), (2, 'abc', 3.0), (NULL, NULL, 1.5), "
+        "(0, 'x y', 3.0), (2, 'abc', 1.5)) t(i, s, d)) ON s, grp USING min(d)"
+    )
+    assert sorted(df.columns) == ["abc_0", "i", "n_0", "x y_0"]
+    # explicit IN (NULL, 0): 'NULL' column aggregates the NULL rows
+    df = run(
+        "PIVOT (SELECT i % 2 AS grp, d FROM (VALUES (NULL, 1.5), (2, 3.0), "
+        "(0, 2.0)) t(i, d)) ON grp IN (NULL, 0) USING min(d)"
+    )
+    assert df.columns == ["NULL", "0"]
+    assert [tuple(r) for r in df.collect()] == [(1.5, 2.0)]
+    # multi-aggregate with explicit NULL keeps DuckDB's value-major names
+    df = run(
+        "PIVOT (SELECT i % 2 AS grp, d, i FROM (VALUES (NULL, 1.5), (2, 3.0)) "
+        "t(i, d)) ON grp IN (NULL, 0) USING min(d) AS m, count(*)"
+    )
+    assert df.columns == [
+        "i", "NULL_m", "NULL_count_star()", "0_m", "0_count_star()"
+    ]
+
+
+def test_round10_divide_floordiv_fractional(spark, rw):
+    """Round-10 wave-4 gap probe: DuckDB's divide()/`//` truncate ONLY
+    for integral operands — with any fractional operand they are plain
+    division returning DOUBLE (7.5 // 2 = 3.75). The old blanket `div`
+    returned 3: a silent wrong-value class. Division by zero is NULL
+    through the function form too (the word `div` is invisible to the
+    ÷0 character scan). All expected values DuckDB-verified."""
+    run = lambda s: spark.sql(rw.rewrite(f"SELECT {s} AS v")).collect()[0].v
+    assert run("divide(7, 2)") == 3
+    assert run("divide(-7, 2)") == -3
+    assert run("divide(7.5, 2)") == 3.75
+    assert run("divide(7, 0)") is None
+    assert run("7.5 // 2") == 3.75
+    assert run("-7.5 // 2") == -3.75
+    assert run("7 // 2") == 3
+    assert run("-7 // 2") == -3
+    assert run("7 // 0") is None
+    assert run("1 // 1.0") == 1.0
+    assert run("(2.5 + 5.0) // 2") == 3.75
+    assert run("abs(-10.5) // 3") == 3.5
+    assert float(run("CAST(7.5 AS DECIMAL(4,1)) // 2")) == 3.75
+    assert run("10 // 3 // 2") == 1
+    assert run("100 // (7 // 2)") == 33
+    # operator-alias functions
+    assert run("multiply(6, 7)") == 42
+    assert run("add(1, 2)") == 3
+    assert str(run("subtract(DATE '2024-01-05', 3)")) == "2024-01-02"
+    assert run("mod(7, 0)") is None
+    assert run("mod(-7.5, 2)") == -1.5
+
+
+def test_round10_strftime_week_codes_and_literals(spark, rw):
+    """Round-10 wave-4 gap probe: %U/%W/%V/%G have no Java pattern
+    (Spark removed 'w'/'W') → expression segments spliced into a
+    concat(); literal letters in formats now form ONE Java quote block
+    (adjacent blocks read as literal-quote — a latent loud parse error
+    on both strftime and strptime); strptime gets a strict-then-lenient
+    retry for DuckDB's unpadded inputs. DuckDB-verified values."""
+    run = lambda s: spark.sql(rw.rewrite(f"SELECT {s} AS v")).collect()[0].v
+    assert run("strftime(DATE '2024-03-09', '%j|%U|%W|%V|%G')") == "069|09|10|10|2024"
+    assert run("strftime(DATE '2024-01-01', '%U/%W/%V/%G')") == "00/01/01/2024"
+    assert run("strftime(DATE '2021-01-01', '%U %W %V %G')") == "00 00 53 2020"
+    assert run("strftime(DATE '2024-12-30', '%V|%G|%U|%W')") == "01|2025|52|53"
+    assert run("strftime(DATE '1999-12-31', 'wk%Vyr%G')") == "wk52yr1999"
+    assert run("strftime(DATE '2024-01-02', '%YT%m')") == "2024T01"
+    assert str(run("strptime('3|2024', '%m|%Y')")) == "2024-03-01 00:00:00"
+    assert str(run("strptime('2024-6-5 7:8:9', '%Y-%m-%d %H:%M:%S')")) == (
+        "2024-06-05 07:08:09"
+    )
+    assert str(run("strptime('2024T01', '%YT%m')")) == "2024-01-01 00:00:00"
+    assert run("try_strptime('x', '%m|%Y')") is None

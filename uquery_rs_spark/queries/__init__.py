@@ -22,6 +22,7 @@ _ROUND10_NEW: tuple[str, ...] = (
     "tumbling_window_approx",  # the documented 100 TB tumbling plan
     "dialect_gap_battery35",  # map/struct/list COLUMN subscripts on data
     "dedup_exact_substring",  # ExactSubstr span removal (Lee et al. 2022)
+    "dialect_gap_battery36",  # wave-4 gap-probe surface + divide///strftime closes
 )
 
 _ROUND10_R5TAIL = (

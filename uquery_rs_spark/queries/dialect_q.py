@@ -2598,3 +2598,78 @@ def dialect_gap_battery35(spark: SparkSession, sf: str) -> DataFrame:
     also pins NULL removal."""
     load_tables(spark, sf)
     return _rewritten_sql(spark, _B35_SQL)
+
+
+_B36_SQL = """
+WITH src AS (
+  SELECT o_orderkey AS k, o_orderdate AS d, o_totalprice AS p,
+         CAST(o_orderkey % 7 + 1 AS INTEGER) AS n
+  FROM orders WHERE o_orderkey <= 400
+)
+SELECT k,
+       last_day(d)                                   AS v_lastday,
+       monthname(d)                                  AS v_mn,
+       dayname(d)                                    AS v_dn,
+       weekofyear(d)                                 AS v_woy,
+       strftime(d, '%U|%W|%V|%G')                    AS v_weeks,
+       strftime(d, 'wk%V of %G')                     AS v_wlit,
+       divide(k, n)                                  AS v_divi,
+       round(divide(p, n), 4)                        AS v_divf,
+       k // n                                        AS v_fdi,
+       round(p // n, 4)                              AS v_fdf,
+       round((p + k) // 3, 4)                        AS v_fde,
+       k // (n - 1)                                  AS v_fd0,
+       multiply(n, 3)                                AS v_mul,
+       add(k, n)                                     AS v_add,
+       subtract(CAST(d AS DATE), n)                  AS v_subd,
+       mod(k, n - 1)                                 AS v_mod0,
+       map_entries(MAP {'a': k, 'b': k + 1})[2].value AS v_me,
+       cardinality(MAP {'a': k, 'b': k + 1})          AS v_card,
+       map_concat(MAP {'a': k}, MAP {'b': CAST(n AS BIGINT)})['b'][1] AS v_mc,
+       array_to_string(list_select([k % 5, k % 3, k % 7], [3, 1]), ',') AS v_sel,
+       array_to_string(list_grade_up([k % 5, k % 3, k % 7]), ',')       AS v_gup,
+       array_to_string(list_reverse_sort([k % 5, k % 3, k % 7]), ',')   AS v_rvs,
+       list_unique([k % 5, k % 3, k % 5, NULL])       AS v_uniq,
+       array_unique([k % 2, k % 3, NULL])             AS v_auniq,
+       round(jaccard('duck', CASE WHEN k % 2 = 0 THEN 'luck' ELSE 'dock' END), 6) AS v_jac,
+       mismatches('duck', CASE WHEN k % 2 = 0 THEN 'luck' ELSE 'dock' END)  AS v_mis,
+       hamming('duck', 'dusk')                        AS v_ham,
+       to_base(k % 200, 16)                           AS v_b16,
+       hex(k % 300)                                   AS v_hex,
+       bin(n)                                         AS v_bin,
+       unicode(chr(9731 + n))                         AS v_uni,
+       strpos('hello', 'll')                          AS v_sp,
+       position('l' IN 'hello')                       AS v_pos,
+       bit_length(CAST(k AS VARCHAR))                 AS v_bl,
+       gamma(n)                                       AS v_gam,
+       round(lgamma(k % 90 + 2), 9)                   AS v_lg,
+       factorial(n)                                   AS v_fact,
+       even(p % 9 - 4.5)                              AS v_even,
+       round(cot(n), 9)                               AS v_cot,
+       xor(k % 32, n)                                 AS v_xor,
+       round(fdiv(p, n), 4)                           AS v_fdiv,
+       round(fmod(p, n + 0.5), 4)                     AS v_fmod,
+       epoch_ns(CAST(d AS TIMESTAMP))                 AS v_ens
+FROM src ORDER BY k
+"""
+
+
+@register(
+    "dialect_gap_battery36",
+    tags=("dialect", "battery", "functions"),
+    oracle=_B36_SQL,
+)
+def dialect_gap_battery36(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-10 wave-4 gap-probe battery: pins the probe's 50-idiom OK
+    surface on data (temporal last_day/monthname/dayname/weekofyear,
+    strftime week-number codes %U/%W/%V/%G + literal letters in
+    formats, map_entries/map_concat/cardinality, list_select/grade_up/
+    resize/unique, string distances jaccard/mismatches/hamming, base
+    conversions, gamma/lgamma/factorial/even/cot, operator-alias
+    functions add/subtract/multiply/divide/mod/xor/fdiv/fmod, epoch_ns)
+    AND the round-10 closes: type-dispatched divide()/`//` (plain
+    DOUBLE division on fractional operands, truncating div on integral
+    — the old blanket `div` was a silent wrong-value class), NULL
+    division via the function forms, and date-typed subtract()."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B36_SQL)

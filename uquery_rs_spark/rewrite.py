@@ -1800,6 +1800,10 @@ class SqlRewriter:
     _LIST_HAS_ANY_RE = re.compile(r"(?i)\b(?:list_has_any|array_has_any)\s*\(")
     _DIVIDE_RE = re.compile(r"(?i)\bdivide\s*\(")
     _XOR_RE = re.compile(r"(?i)\bxor\s*\(")
+    _ADD_RE = re.compile(r"(?i)\badd\s*\(")
+    _SUBTRACT_RE = re.compile(r"(?i)\bsubtract\s*\(")
+    _MULTIPLY_RE = re.compile(r"(?i)\bmultiply\s*\(")
+    _MOD_FN_RE = re.compile(r"(?i)\bmod\s*\(")
 
     def _rewrite_quantified_cmp(self, sql: str) -> str:
         """``x op ANY/SOME(arr)`` → exists(arr, e -> x op e); ``x op
@@ -6023,16 +6027,48 @@ class SqlRewriter:
             sql = sql[:agg_start] + repl + sql[over_close + 1 :]
 
     def _rewrite_divide_xor(self, sql: str) -> str:
-        """divide(a, b) → integer `div` (DuckDB's divide IS // — its `/`
-        on integers returns DOUBLE); xor(a, b) → bitwise ^."""
-        for regex, tmpl in ((self._DIVIDE_RE, "(({a}) div ({b}))"), (self._XOR_RE, "(({a}) ^ ({b}))")):
+        """DuckDB operator-alias functions → infix operators.
+
+        divide(a, b) IS `//`, which is TRUNCATING integer division only
+        when BOTH operands are integral (divide(7,2)=3, divide(-7,2)=-3)
+        and PLAIN division returning DOUBLE otherwise (divide(7.5,2)=
+        3.75; DECIMAL operands probe DOUBLE too) — the old blanket `div`
+        was a silent wrong-value class on fractional operands (wave-4
+        gap probe, round 10). Emitted as uq_poly(double-arm, int-arm):
+        the int arm analyzes only when ``(a & 0) + (b & 0)`` does (ANSI
+        `&` rejects fractional operands, accepts integral/string — the
+        _rewrite_cast probe trick). Divisors are nullif-wrapped HERE:
+        the word operator `div` is invisible to the ÷0 pass's /|%|//
+        character scan, so divide(7, 0) previously raised ANSI
+        DIVIDE_BY_ZERO where DuckDB returns NULL.
+
+        add/subtract/multiply/mod are the remaining alias functions →
+        (a + b), (a - b), (a * b), (a % nullif(b, 0)); the emitted infix
+        text flows through the later date/interval widening passes, so
+        subtract(DATE, n) keeps date semantics. xor(a, b) → bitwise ^.
+        """
+        div_tmpl = (
+            "uq_poly("
+            "(({a}) / nullif(CAST(({b}) AS DOUBLE), 0)), "
+            "(((({a}) & 0) + (({b}) & 0)) + (({a}) div nullif(({b}), 0))))"
+        )
+        for regex, tmpl in (
+            (self._DIVIDE_RE, div_tmpl),
+            (self._XOR_RE, "(({a}) ^ ({b}))"),
+            (self._ADD_RE, "(({a}) + ({b}))"),
+            (self._SUBTRACT_RE, "(({a}) - ({b}))"),
+            (self._MULTIPLY_RE, "(({a}) * ({b}))"),
+            (self._MOD_FN_RE, "(({a}) % nullif(({b}), 0))"),
+        ):
             while True:
                 hit = self._call_args(regex, sql)
                 if not hit:
                     break
                 m, close, args = hit
                 if len(args) != 2:
-                    raise UQueryError.sql_error("divide/xor expect exactly 2 args")
+                    raise UQueryError.sql_error(
+                        f"{m.group(0).rstrip('( ').strip()} expects exactly 2 args"
+                    )
                 repl = tmpl.format(a=args[0], b=args[1])
                 sql = sql[: m.start()] + repl + sql[close + 1 :]
         return sql
@@ -7114,6 +7150,31 @@ class SqlRewriter:
                     i += oplen
                     continue
                 if isdd:
+                    # `//` is type-dispatched (wave-4 gap probe, round
+                    # 10): DuckDB's floordiv TRUNCATES only for integral
+                    # operands; with ANY fractional operand it is PLAIN
+                    # division returning DOUBLE (7.5 // 2 = 3.75,
+                    # -7.5 // 2 = -3.75, DECIMAL probes DOUBLE) — the
+                    # old blanket div was a silent wrong-value class.
+                    # Dispatch needs the LHS atom; when it can't be
+                    # scanned safely (subscripted/CASE/window operands)
+                    # the integer div stays — fractional operands of
+                    # those rare shapes remain a documented deviation.
+                    ls = self._floordiv_lhs_start(sql, i)
+                    if ls is not None:
+                        lhs = sql[ls:i].strip()
+                        repl = (
+                            f"uq_poly((({lhs}) / nullif(CAST(({rhs}) AS DOUBLE), 0)), "
+                            f"(((({lhs}) & 0) + (({rhs}) & 0)) + "
+                            f"(({lhs}) div nullif(({rhs}), 0))))"
+                        )
+                        sql = sql[:ls] + repl + sql[end:]
+                        n = len(sql)
+                        # rescan from the replacement start: the emitted
+                        # `/` skips via the nullif guard, divisions
+                        # inside the copied operands wrap per copy
+                        i = ls
+                        continue
                     repl = " div nullif(({}), 0)".format(rhs)
                 elif c == "/":
                     # DuckDB's `/` ALWAYS returns DOUBLE (decimal/decimal
@@ -7302,15 +7363,22 @@ class SqlRewriter:
             identifier travels as a late-substituted token — emitted
             raw, later passes would rewrite it in place (VARCHAR→
             STRING, `a!` factorial expansion — round-9/10 classes)."""
-            base = "'" + str(v).replace("'", "''") + "'" if isinstance(v, str) else str(v)
+            base = (
+                "'" + v.replace("'", "''") + "'"
+                if isinstance(v, str)
+                else "NULL" if v is None else str(v)
+            )
+            vstr = "NULL" if v is None else str(v)
             if alias:
-                name = f"{v}_{alias}"
+                name = f"{vstr}_{alias}"
             elif isinstance(v, str) and v == "":
                 name = self._pivot_filter_name(fn, arg, star, [col])
             else:
-                name = str(v)
+                name = vstr
             if re.fullmatch(r"\w+", name):
-                return (f"{base} AS `{name}`" if alias else base), name
+                # NULL values always carry the AS: Spark's default name
+                # for a null pivot value ('null') differs from DuckDB's
+                return (f"{base} AS `{name}`" if alias or v is None else base), name
             tok = self._pivot_name_token(name)
             return f"{base} AS `{tok}`", tok
 
@@ -7356,10 +7424,12 @@ class SqlRewriter:
         ('a','','c')→'a__c'); an alias is then appended with an
         unconditional '_' (('','b') AS s→'b_s', ('','') AS s→'_s').
         An all-empty combo with no alias yields '' — the caller falls
-        back to DuckDB's FILTER-expression-text name."""
+        back to DuckDB's FILTER-expression-text name. Explicit NULL
+        values render as 'NULL' (DuckDB's column name for them)."""
         name = ""
         for v in values:
-            name = f"{name}_{v}" if name else str(v)
+            vs = "NULL" if v is None else str(v)
+            name = f"{name}_{vs}" if name else vs
         if alias:
             name = f"{name}_{alias}"
         return name
@@ -7418,6 +7488,12 @@ class SqlRewriter:
                 sv = self._lit_parse(tokv)
                 if sv is not None:
                     vals.append(sv)
+                elif tokv.upper() == "NULL":
+                    # DuckDB pivots an explicit NULL into a column named
+                    # 'NULL' aggregating the NULL-valued rows; Spark's
+                    # PIVOT IN matches NULL literals null-safely (probed
+                    # round 10) so the value passes straight through
+                    vals.append(None)
                 elif re.fullmatch(r"-?\d+", tokv):
                     vals.append(int(tokv))
                 elif re.fullmatch(r"-?\d*\.\d+", tokv):
@@ -7430,12 +7506,19 @@ class SqlRewriter:
         cache_key = (tbl, col)
         vals = self._pivot_vals.get(cache_key)
         if vals is None:
+            # NULL is dropped from DISCOVERED values (DuckDB probes,
+            # round-10 pivotfz fuzzer catch at seed 660001: a NULL
+            # discovered value previously leaked the Python repr 'None'
+            # into the generated IN list — an unresolvable-column
+            # reject); the +2 bound keeps the over-limit check exact
+            # when one slot was a NULL
             vals = [
                 r[0]
                 for r in self.spark.sql(
                     f"SELECT DISTINCT {col} FROM {tbl} uq_pv_src ORDER BY 1 "
-                    f"LIMIT {self._PIVOT_MAX_VALUES + 1}"
+                    f"LIMIT {self._PIVOT_MAX_VALUES + 2}"
                 ).collect()
+                if r[0] is not None
             ]
             # Bound memory on a long-lived server (many distinct pivot
             # sources) with a simple wholesale reset — re-probing is
@@ -7489,7 +7572,9 @@ class SqlRewriter:
             )
 
         def vlit(v):
-            return "'" + str(v).replace("'", "''") + "'" if isinstance(v, str) else str(v)
+            if isinstance(v, str):
+                return "'" + v.replace("'", "''") + "'"
+            return "NULL" if v is None else str(v)
 
         pcols = [f"uq_pvc{k}" for k in range(len(items))]
         proj = ", ".join(
@@ -7596,23 +7681,30 @@ class SqlRewriter:
         )
 
         def vlit(v):
-            return "'" + str(v).replace("'", "''") + "'" if isinstance(v, str) else str(v)
+            if isinstance(v, str):
+                return "'" + v.replace("'", "''") + "'"
+            return "NULL" if v is None else str(v)
 
-        lits = ", ".join(vlit(v) for v in vals)
+        # explicit NULL values carry an AS so Spark's generated column
+        # prefix is deterministic ('NULL', matching DuckDB's name)
+        lits = ", ".join(
+            vlit(v) + (" AS `NULL`" if v is None else "") for v in vals
+        )
         inner = (
             f"SELECT * FROM (SELECT {proj} FROM {tbl} uq_pv_src) "
             f"PIVOT ({agg_sql} FOR {col} IN ({lits}))"
         )
         out = list(groups)
         for v in vals:
+            vs = "NULL" if v is None else v
             for k, (fn, arg, alias, star) in enumerate(members):
-                src = f"`{v}_uq_pa{k}`"
+                src = f"`{vs}_uq_pa{k}`"
                 if alias:
-                    name = f"{v}_{alias}"
+                    name = f"{vs}_{alias}"
                 else:
                     arg_text = arg if re.match(r"^\w+$", arg) else f"({arg})"
                     head = "count_star()" if star else f"{fn}({arg_text})"
-                    name = f"{v}_{head}"
+                    name = f"{vs}_{head}"
                 tok = self._pivot_name_token(name)
                 expr = f"coalesce({src}, 0)" if fn.lower() == "count" else src
                 out.append(f"{expr} AS `{tok}`")
@@ -7846,6 +7938,36 @@ class SqlRewriter:
         "%j": "DDD", "%a": "EEE", "%A": "EEEE", "%b": "MMM", "%B": "MMMM",
         "%p": "a", "%Z": "zzz", "%z": "xx", "%%": "%",
     }
+    # strptime is LENIENT about zero padding (strptime('3|2024',
+    # '%m|%Y') parses in DuckDB; Java 'MM' demands 2 digits) — parsing
+    # calls try the strict pattern first, then this 1-or-2-digit
+    # overlay (wave-4 gap probe, round 10)
+    _STRF_LENIENT = {
+        "%m": "M", "%d": "d", "%H": "H", "%I": "h", "%M": "m",
+        "%S": "s", "%j": "D",
+    }
+    # Week-number codes Java patterns CANNOT express (Spark removed
+    # 'w'/'W' in 3.0): emitted as expression segments spliced into a
+    # concat() around the date_format runs (wave-4 gap probe, round 10).
+    # %V/%G are ISO (weekofyear IS ISO week; ISO year = year of that
+    # week's Thursday); %U counts from the first Sunday (day-of-week
+    # Sunday=0), %W from the first Monday — the C-library formulas
+    # (doy + 6 - dow) div 7, zero-padded. DuckDB-pinned in battery36.
+    _STRF_EXPR_CODES = {
+        "%V": "lpad(CAST(weekofyear({d}) AS STRING), 2, '0')",
+        "%G": (
+            "lpad(CAST(year(date_add(CAST(({d}) AS DATE), "
+            "3 - weekday(({d})))) AS STRING), 4, '0')"
+        ),
+        "%U": (
+            "lpad(CAST(((dayofyear({d}) + 6 - (dayofweek({d}) - 1)) div 7) "
+            "AS STRING), 2, '0')"
+        ),
+        "%W": (
+            "lpad(CAST(((dayofyear({d}) + 6 - weekday({d})) div 7) "
+            "AS STRING), 2, '0')"
+        ),
+    }
     _STRF_RE = re.compile(r"(?i)\b(strftime|try_strptime|strptime)\s*\(")
 
     def _rewrite_strftime(self, sql: str) -> str:
@@ -7858,22 +7980,76 @@ class SqlRewriter:
         being total over the %-escapes — plain characters pass through,
         which matches separators (-, /, :, space)."""
 
-        def xlate(fmt: str) -> str:
-            out, i = [], 0
+        def xlate_parts(
+            fmt: str, allow_expr: bool, lenient: bool = False
+        ) -> list[tuple[str, str]]:
+            """("pat", javapattern) / ("expr", sqltext-with-{d}) runs.
+
+            Literal letters accumulate into ONE Java quoted block
+            ('wk', not 'w''k' — adjacent blocks read as literal-quote
+            in Java, a latent mistranslation the wave-4 probe exposed);
+            a literal apostrophe becomes the Java '' escape. Embedding
+            into a SQL string literal is the CALLER's job (_strf_sql)."""
+            out: list[tuple[str, str]] = []
+
+            def emit_pat(txt: str, lit: bool = False) -> None:
+                if lit:
+                    if out and out[-1][0] == "pat" and out[-1][1].endswith("'"):
+                        out[-1] = ("pat", out[-1][1][:-1] + txt + "'")
+                        return
+                    txt = f"'{txt}'"
+                if out and out[-1][0] == "pat":
+                    out[-1] = ("pat", out[-1][1] + txt)
+                else:
+                    out.append(("pat", txt))
+
+            i = 0
             while i < len(fmt):
                 if fmt[i] == "%":
                     code = fmt[i : i + 2]
-                    if code not in self._STRF_CODES:
+                    if code in self._STRF_CODES:
+                        emit_pat(
+                            self._STRF_LENIENT.get(code, self._STRF_CODES[code])
+                            if lenient
+                            else self._STRF_CODES[code]
+                        )
+                    elif allow_expr and code in self._STRF_EXPR_CODES:
+                        out.append(("expr", self._STRF_EXPR_CODES[code]))
+                    else:
                         raise UQueryError.sql_error(f"unsupported strftime code {code}")
-                    out.append(self._STRF_CODES[code])
                     i += 2
                 else:
-                    if fmt[i].isalpha():  # literal letter → quote for Java
-                        out.append(f"'{fmt[i]}'")
+                    if fmt[i].isalpha():  # literal letter → quoted block
+                        emit_pat(fmt[i], lit=True)
+                    elif fmt[i] == "'":  # literal apostrophe → Java ''
+                        emit_pat("''")
                     else:
-                        out.append(fmt[i])
+                        emit_pat(fmt[i])
                     i += 1
-            return "".join(out)
+            return out
+
+        def _strf_sql(pattern: str) -> str:
+            """Java pattern text → SQL string literal (quotes doubled)."""
+            return "'" + pattern.replace("'", "''") + "'"
+
+        def xlate(fmt: str, lenient: bool = False) -> str:
+            parts = xlate_parts(fmt, allow_expr=False, lenient=lenient)
+            return "".join(p[1] for p in parts)
+
+        def xlate_spliced(fmt: str, operand: str) -> str:
+            """date_format(op, 'pat') or, when week-number codes are
+            present, concat() of pattern runs and expression segments."""
+            parts = xlate_parts(fmt, allow_expr=True)
+            if all(p[0] == "pat" for p in parts):
+                pat = "".join(p[1] for p in parts)
+                return f"date_format({operand}, {_strf_sql(pat)})"
+            segs = [
+                f"date_format({operand}, {_strf_sql(txt)})"
+                if kind == "pat"
+                else txt.replace("{d}", f"({operand})")
+                for kind, txt in parts
+            ]
+            return f"concat({', '.join(segs)})" if len(segs) > 1 else segs[0]
 
         m = self._STRF_RE.search(sql)
         while m:
@@ -7910,7 +8086,8 @@ class SqlRewriter:
                     )
                 a0 = args[0].strip()
                 tries = ", ".join(
-                    f"try_to_timestamp({a0}, '{xlate(f[1:-1])}')" for f in fmts
+                    f"try_to_timestamp({a0}, {_strf_sql(xlate(f[1:-1]))})"
+                    for f in fmts
                 )
                 body = f"coalesce({tries})"
                 if fn == "to_timestamp":  # strict strptime
@@ -7925,11 +8102,28 @@ class SqlRewriter:
                 continue
             if len(args) == 2 and args[1].strip().startswith("'"):
                 fmt = args[1].strip()[1:-1]
-                sql = (
-                    sql[: m.start()]
-                    + f"{fn}({args[0].strip()}, '{xlate(fmt)}')"
-                    + sql[close + 1 :]
-                )
+                a0 = args[0].strip()
+                if fn == "date_format":
+                    body = xlate_spliced(fmt, a0)
+                else:
+                    strict, lenient = xlate(fmt), xlate(fmt, lenient=True)
+                    if strict == lenient:
+                        body = f"{fn}({a0}, {_strf_sql(strict)})"
+                    else:
+                        # strict wins when both parse (identical result);
+                        # the lenient arm admits DuckDB's unpadded inputs
+                        body = (
+                            f"coalesce(try_to_timestamp({a0}, {_strf_sql(strict)}), "
+                            f"try_to_timestamp({a0}, {_strf_sql(lenient)}))"
+                        )
+                        if fn == "to_timestamp":  # strict strptime raises
+                            body = (
+                                f"(CASE WHEN ({a0}) IS NULL THEN CAST(NULL AS TIMESTAMP) "
+                                f"WHEN {body} IS NOT NULL THEN {body} "
+                                f"ELSE CAST(raise_error('strptime: input did not match format') "
+                                f"AS TIMESTAMP) END)"
+                            )
+                sql = sql[: m.start()] + body + sql[close + 1 :]
             m = self._STRF_RE.search(sql, m.start() + len(fn))
         return sql
 
@@ -8089,9 +8283,17 @@ class SqlRewriter:
         strict context like get() then fails the probe for an UNRELATED
         reason); mode 'arg1' substitutes each sibling's conservative
         fallback form instead (list/native/scalar), which keeps the
-        rest of the text well-typed. probe_ok tries both (batch-28
-        temporal-fuzzer catch: a NULLed sibling elsewhere in the query
-        silently vetoed the date-widening arm)."""
+        rest of the text well-typed; mode 'mapform' substitutes the
+        map-reading form for subscript siblings — try_element_at
+        analyzes for BOTH maps and arrays, so a statement holding one
+        map-subscript and one array-subscript sibling doesn't veto
+        every probe (round-10 battery36: the 'null' mode died on a
+        field access over a NULLed sibling while 'arg1' died on the
+        OTHER sibling's scalar fallback — both modes vetoed, every
+        divide/cast dispatch in the statement regressed to its
+        fallback). probe_ok tries all three (batch-28 temporal-fuzzer
+        catch first showed a NULLed sibling silently vetoing the
+        date-widening arm)."""
         while True:
             h = self._call_args(self._UQ_POLY_ANY_RE, text)
             if not h:
@@ -8103,6 +8305,11 @@ class SqlRewriter:
                 inner = next((a for a in hargs if token in a), hargs[0])
             elif mode == "null":
                 inner = "NULL"
+            elif mode == "mapform" and kind and len(hargs) in (2, 3):
+                inner = (
+                    f"filter(array(try_element_at(({hargs[0]}), {hargs[1]})), "
+                    f"uq_mv -> uq_mv IS NOT NULL)"
+                )
             elif kind == "mapi" and len(hargs) == 3:
                 inner = hargs[2]
             elif kind == "map" and len(hargs) == 2:
@@ -8201,6 +8408,48 @@ class SqlRewriter:
                 return None
             return start
         return None
+
+    def _floordiv_lhs_start(self, sql: str, end: int) -> int | None:
+        """Start of the LEFT operand atom of a ``//`` ending at ``end``
+        (exclusive) — _left_atom_start plus the operand classes floordiv
+        needs that the TIME scanner rejects: numeric literals. Returns
+        None when no safe boundary exists OR the preceding context is a
+        window clause (OVER (spec) / OVER name / FILTER (...)), where
+        the parens/name is NOT the operand — callers keep the plain
+        integer-div translation there."""
+        k = end
+        while k > 0 and sql[k - 1].isspace():
+            k -= 1
+        if k == 0:
+            return None
+        c = sql[k - 1]
+        if c.isdigit() or (c == "." and k > 1 and sql[k - 2].isdigit()):
+            start = k
+            while start > 0 and (sql[start - 1].isdigit() or sql[start - 1] == "."):
+                start -= 1
+            word = sql[start:k]
+            prev = sql[start - 1] if start > 0 else ""
+            if re.match(r"^(\d+\.?\d*|\.\d+)$", word) and not (
+                prev.isalnum() or prev in '_$"`.'
+            ):
+                # scientific-notation tail (1e-5): the digits after the
+                # sign are not a standalone operand
+                if prev == "-" and start > 1 and sql[start - 2] in "eE":
+                    return None
+                return start
+            # identifier ending in digits (col2) → the chain scanner
+        s = self._left_atom_start(sql, end)
+        if s is None:
+            return None
+        j = s
+        while j > 0 and sql[j - 1].isspace():
+            j -= 1
+        e = j
+        while e > 0 and (sql[e - 1].isalnum() or sql[e - 1] in "_$"):
+            e -= 1
+        if sql[e:j].lower() in ("over", "filter"):
+            return None
+        return s
 
     def _time_wrap_skip_atom(self, a: str) -> bool:
         """Atoms provably not TIME-typed (or interval-literal tails) skip
@@ -8531,7 +8780,7 @@ class SqlRewriter:
 
             def probe_ok(cand: str) -> bool:
                 tagged = sql[: m.start()] + f"({TOKEN}({cand}))" + sql[close + 1 :]
-                for mode in ("null", "arg1"):
+                for mode in ("null", "arg1", "mapform"):
                     probe = self._neutralize_markers(tagged, TOKEN, mode)
                     # pending TIME ∓ year-month interval sites (fixed by
                     # the LATER wraparound pass) do not analyze natively
