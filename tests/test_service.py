@@ -340,3 +340,44 @@ def test_json_fast_path_byte_parity(spark):
             w.on_batch(b)
         w.finish()
         assert fast_sink.getvalue() == slow_sink.getvalue()
+
+
+def test_interval_results_render_duckdb_text(base_url):
+    """Round-10: interval-typed RESULT columns render as DuckDB's
+    display text (engine.py::PreparedQuery.dataframe +
+    functions/interval_text.py). Spark cannot convert Calendar/
+    YearMonth intervals to Arrow at all, so these queries previously
+    400'd through the serving path where the reference serves them;
+    DayTime intervals serialized as raw durations where DuckDB prints
+    '1 day 01:30:00'. Every expected string DuckDB-verified."""
+    cases = [
+        ("SELECT to_days(14) AS v", "14 days"),
+        ("SELECT to_hours(25) AS v", "25:00:00"),
+        ("SELECT INTERVAL 14 MONTH AS v", "1 year 2 months"),
+        ("SELECT -INTERVAL 3 MONTH AS v", "-3 months"),
+        ("SELECT INTERVAL 90 MINUTE AS v", "01:30:00"),
+        (
+            "SELECT TIMESTAMP '2024-03-15 10:00:00' - "
+            "TIMESTAMP '2024-03-14 08:30:00' AS v",
+            "1 day 01:30:00",
+        ),
+        (
+            "SELECT TIMESTAMP '2024-03-14 08:30:00' - "
+            "TIMESTAMP '2024-03-15 10:00:00.5' AS v",
+            "-1 day -01:30:00.5",
+        ),
+        ("SELECT to_days(1) - to_minutes(30) AS v", "1 day -00:30:00"),
+        ("SELECT to_months(1) - to_days(1) AS v", "1 month -1 day"),
+        ("SELECT to_months(-14) AS v", "-1 year -2 months"),
+        ("SELECT INTERVAL 0 SECOND AS v", "00:00:00"),
+        ("SELECT to_seconds(90061.5) AS v", "25:01:01.5"),
+        ("SELECT to_milliseconds(250) AS v", "00:00:00.25"),
+        ("SELECT to_days(1) + to_microseconds(1) AS v", "1 day 00:00:00.000001"),
+        ("SELECT to_quarters(5) AS v", "1 year 3 months"),
+        ("SELECT CAST(NULL AS TIMESTAMP) - TIMESTAMP '2024-01-01' AS v", None),
+    ]
+    for sql, want in cases:
+        status, _, body = post(base_url, sql)
+        assert status == 200, (sql, body[:200])
+        rows = json.loads(body)
+        assert rows[0]["v"] == want, (sql, rows, want)

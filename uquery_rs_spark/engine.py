@@ -30,7 +30,7 @@ import uuid
 from abc import ABC, abstractmethod
 
 import pyarrow as pa
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, types
 
 from .errors import UQueryError
 
@@ -121,9 +121,42 @@ class PreparedQuery:
             self._engine._permits.release()
 
     def dataframe(self) -> DataFrame:
-        """Analyze the (rewritten) SQL into a DataFrame — Spark's 'prepare'."""
+        """Analyze the (rewritten) SQL into a DataFrame — Spark's 'prepare'.
+
+        Interval-typed RESULT columns render as DuckDB's display text
+        (functions/interval_text.py): Spark cannot convert Calendar/
+        YearMonth intervals to Arrow AT ALL, so before this every query
+        returning one 400'd through the Arrow serving path where the
+        reference serves it; DayTime intervals convert but would
+        serialize as raw durations where DuckDB prints '1 day 01:30:00'.
+        Same text-rendering precedent as age() (rewrite.py batch 28)."""
         sql = self._engine.rewrite(self._sql)
-        return self._engine.spark.sql(sql)
+        df = self._engine.spark.sql(sql)
+        kinds = []
+        for f in df.schema.fields:
+            if isinstance(f.dataType, types.YearMonthIntervalType):
+                kinds.append("ym")
+            elif isinstance(f.dataType, types.DayTimeIntervalType):
+                kinds.append("dt")
+            elif isinstance(f.dataType, types.CalendarIntervalType):
+                kinds.append("cal")
+            else:
+                kinds.append(None)
+        if any(kinds):
+            from pyspark.sql import functions as F
+
+            from .functions.interval_text import duck_interval_expr
+
+            cols = []
+            for f, kind in zip(df.schema.fields, kinds):
+                q = "`" + f.name.replace("`", "``") + "`"
+                cols.append(
+                    F.expr(duck_interval_expr(q, kind)).alias(f.name)
+                    if kind
+                    else F.col(q)
+                )
+            df = df.select(cols)
+        return df
 
     def execute(self, consumer: RecordBatchConsumer, batch_rows: int = DEFAULT_BATCH_ROWS) -> None:
         """Run the query, pushing schema + Arrow batches into `consumer`.

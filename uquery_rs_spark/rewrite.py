@@ -1664,7 +1664,8 @@ class SqlRewriter:
         r"(?i)\b(isodow|yearweek|century|week|decade|millennium)\s*\("
     )
     _TO_INTERVAL_RE = re.compile(
-        r"(?i)\bto_(years|months|weeks|days|hours|minutes|seconds)\s*\("
+        r"(?i)\bto_(years|months|weeks|days|hours|minutes|seconds"
+        r"|milliseconds|microseconds|decades|centuries|millennia|quarters)\s*\("
     )
     _MAKE_INTERVAL_SLOT = {
         "years": 0, "months": 1, "weeks": 2, "days": 3,
@@ -1733,15 +1734,27 @@ class SqlRewriter:
 
     def _rewrite_to_interval(self, sql: str) -> str:
         """to_days/to_hours/… interval constructors → make_interval with
-        the value in the matching slot."""
+        the value in the matching slot; sub-second units scale into the
+        seconds slot, multi-unit ones (decades/centuries/millennia/
+        quarters) into years/months (round-10 wave-4 close)."""
         hit = self._call_args(self._TO_INTERVAL_RE, sql)
         if not hit:
             return sql
         m, close, args = hit
         tail = self._rewrite_to_interval(sql[close + 1 :])
         n = self._rewrite_to_interval(args[0]) if args else "0"
+        unit = m.group(1).lower()
+        scaled = {
+            "milliseconds": ("seconds", f"({n}) / 1000.0"),
+            "microseconds": ("seconds", f"({n}) / 1000000.0"),
+            "decades": ("years", f"({n}) * 10"),
+            "centuries": ("years", f"({n}) * 100"),
+            "millennia": ("years", f"({n}) * 1000"),
+            "quarters": ("months", f"({n}) * 3"),
+        }
+        unit, val = scaled.get(unit, (unit, f"({n})"))
         slots = ["0"] * 7
-        slots[self._MAKE_INTERVAL_SLOT[m.group(1).lower()]] = f"({n})"
+        slots[self._MAKE_INTERVAL_SLOT[unit]] = f"({val})"
         return sql[: m.start()] + f"make_interval({', '.join(slots)})" + tail
 
     # -- sweep batch 5: sha256, char-set trims ----------------------------
@@ -2723,6 +2736,11 @@ class SqlRewriter:
                 not operand
                 or re.match(r"(?i)^\s*interval\b", operand)
                 or re.search(r"(?i)\binterval\s+('[^']*'|\d+)\s*\w*\s*$", sql[:i])
+                # a reserved word before ± means the sign is UNARY
+                # (SELECT -INTERVAL …, THEN -INTERVAL …): round-10
+                # wave-4 catch — the scan-back grabbed 'SELECT' as the
+                # operand and emitted an unparsable subtraction
+                or operand.strip().lower() in self._ATOM_RESERVED
             ):
                 pos = m.end() + 8
                 continue
