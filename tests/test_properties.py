@@ -171,6 +171,40 @@ def test_pack_sequences_accounting(spark, lens, budget):
 
 @spark_settings
 @given(
+    lens=st.lists(st.integers(1, 40), min_size=1, max_size=25),
+    budget=st.sampled_from([8, 16, 32]),
+)
+def test_pack_sequences_emit_reconstructs_stream(spark, lens, budget):
+    """The materialized packer's ground truth: concatenating every
+    window's tokens in window order reproduces EXACTLY the token stream
+    of all docs concatenated in key order; every window but the last is
+    exactly `budget` tokens; per-window doc counts match the stats
+    operator's. Distinct per-doc tokens make any fragment mis-ordering
+    or off-by-one slice visible."""
+    from uquery_rs_spark.operators.corpus import pack_sequences, pack_sequences_emit
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"d{i}t{j}" for j in range(n))) for i, n in enumerate(lens)],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        pack_sequences_emit(docs, context_tokens=budget).collect(),
+        key=lambda r: r.window_id,
+    )
+    stream = [f"d{i}t{j}" for i, n in enumerate(lens) for j in range(n)]
+    got = [t for r in out for t in r.tokens]
+    assert got == stream
+    assert all(r.n_tokens == len(r.tokens) for r in out)
+    assert all(r.n_tokens == budget for r in out[:-1])
+    stats = {
+        r.window_id: r.n_docs
+        for r in pack_sequences(docs, context_tokens=budget).collect()
+    }
+    assert {r.window_id: r.n_docs for r in out} == stats
+
+
+@spark_settings
+@given(
     lens=st.lists(st.integers(1, 40), min_size=1, max_size=20),
     budget=st.sampled_from([8, 32]),
 )

@@ -284,6 +284,116 @@ def pack_sequences(
     )
 
 
+def pack_sequences_emit(
+    docs: DataFrame,
+    context_tokens: int = 256,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bucket_docs: int = 1000,
+) -> DataFrame:
+    """GPT-style sequence packing, MATERIALIZED: concatenate documents
+    in key order, chop the token stream into fixed ``context_tokens``
+    windows, and emit each packed window's actual token sequence — the
+    last-mile step that turns a curated corpus into training examples
+    (:func:`pack_sequences` reports the same windows as stats only).
+
+    Columns: window_id, n_docs, n_tokens, tokens (array<string>; the
+    final window may be short).
+
+    Scale shape: the same two-phase prefix sum as :func:`pack_sequences`
+    (bucketed offsets, no global window), then each document emits one
+    ARRAY-SLICE fragment per window it spans (fan-out = spanned windows,
+    ~1 + n_tokens/context — never token-level rows), and one groupBy on
+    window_id flattens fragments in offset order. Token arrays shuffle
+    exactly once; a window's fragments are bounded by the docs that
+    straddle it. Tokens here are the whitespace split — chain after
+    :func:`~uquery_rs_spark.operators.text.bpe_apply` and map the
+    slice over its `tokens` column for id-level packing.
+    """
+    from pyspark.sql import Window as W
+
+    L = int(context_tokens)
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(key_col).alias("_k"),
+        toks.alias("_t"),
+        F.size(toks).cast("long").alias("_n"),
+    )
+    st = base.agg(
+        F.min("_k").alias("mn"), F.max("_k").alias("mx"), F.count("*").alias("n")
+    ).first()
+    if st["n"] == 0:
+        schema = "window_id long, n_docs long, n_tokens long, tokens array<string>"
+        return docs.sparkSession.createDataFrame([], schema)
+    n_buckets = min(max(1, -(-int(st["n"]) // bucket_docs)), 65536)
+    width = min(
+        max(1, -(-(int(st["mx"]) - int(st["mn"]) + 1) // n_buckets)), 1 << 62
+    )
+    bucketed = base.withColumn("_b", F.expr(f"_k div {width}L"))
+    per_bucket = {
+        r["_b"]: r["tok"]
+        for r in bucketed.groupBy("_b").agg(F.sum("_n").alias("tok")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(per_bucket):
+        offsets[b] = acc
+        acc += per_bucket[b]
+    mapping = F.create_map(*[F.lit(x) for b_off in offsets.items() for x in b_off])
+    w = W.partitionBy("_b").orderBy("_k")
+    cum = (F.sum("_n").over(w) + mapping[F.col("_b")]).alias("_cum")
+    off = (F.col("_cum") - F.col("_n")).alias("_off")
+    spanned = (
+        bucketed.select("_t", "_n", cum, off)
+        .select(
+            "_t",
+            "_n",
+            "_off",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_off") / L), F.floor((F.col("_off") + F.col("_n") - 1) / L)
+                )
+            ).alias("window_id"),
+        )
+        .select(
+            "window_id",
+            F.greatest(F.col("_off"), F.col("window_id") * L).alias("_fs"),
+            F.least(F.col("_off") + F.col("_n"), (F.col("window_id") + 1) * L).alias(
+                "_fe"
+            ),
+            "_t",
+            "_off",
+        )
+        .select(
+            "window_id",
+            F.struct(
+                F.col("_fs").alias("fo"),
+                F.slice(
+                    F.col("_t"),
+                    (F.col("_fs") - F.col("_off") + 1).cast("int"),
+                    (F.col("_fe") - F.col("_fs")).cast("int"),
+                ).alias("frag"),
+            ).alias("_sf"),
+        )
+    )
+    return (
+        spanned.groupBy("window_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list("_sf")), lambda s: s["frag"]
+                )
+            ).alias("tokens"),
+        )
+        .select(
+            "window_id",
+            "n_docs",
+            F.size("tokens").cast("long").alias("n_tokens"),
+            "tokens",
+        )
+    )
+
+
 def stats_card(
     docs: DataFrame, text_col: str = "text", lang_col: str = "lang"
 ) -> DataFrame:

@@ -23,6 +23,7 @@ _ROUND10_NEW: tuple[str, ...] = (
     "dialect_gap_battery35",  # map/struct/list COLUMN subscripts on data
     "dedup_exact_substring",  # ExactSubstr span removal (Lee et al. 2022)
     "dialect_gap_battery36",  # wave-4 gap-probe surface + divide///strftime closes
+    "corpus_pack_emit",  # materialized GPT-style packing (sequences, not stats)
 )
 
 _ROUND10_R5TAIL = (

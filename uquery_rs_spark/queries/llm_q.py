@@ -2150,6 +2150,62 @@ def corpus_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "corpus_pack_emit",
+    tags=("llm", "corpus", "batching"),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+p AS (
+  SELECT doc_id, w, n,
+         CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM t
+),
+frag AS (
+  SELECT cum - n AS off, w, wi AS window_id,
+         greatest(cum - n, wi * 256) AS fs,
+         least(cum, (wi + 1) * 256) AS fe
+  FROM p, UNNEST(range((cum - n) // 256, ((cum - 1) // 256) + 1)) AS u(wi)
+),
+g AS (
+  SELECT window_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         flatten(list(w[(fs - off + 1):(fe - off)] ORDER BY fs)) AS toks
+  FROM frag GROUP BY window_id
+)
+SELECT window_id, n_docs, CAST(len(toks) AS BIGINT) AS n_tokens,
+       array_to_string(toks, ' ') AS packed_text
+FROM g ORDER BY window_id
+""",
+)
+def corpus_pack_emit(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialized GPT-style packing (operators/corpus.py::
+    pack_sequences_emit): the actual packed 256-token training
+    sequences, not just their stats — docs concatenate in id order via
+    the same two-phase bucketed prefix sum, each doc ships one
+    array-slice fragment per window it spans (never token-level rows),
+    one window_id groupBy flattens fragments in offset order. Exact
+    oracle: DuckDB recomputes the identical windows with a window
+    prefix sum + list slicing; packed tokens compared as the joined
+    text (the driver compare requires scalar columns)."""
+    from ..operators.corpus import pack_sequences_emit
+
+    docs = load_tables(spark, sf)["documents"]
+    return (
+        pack_sequences_emit(docs, context_tokens=256)
+        .select(
+            "window_id",
+            "n_docs",
+            "n_tokens",
+            F.array_join("tokens", " ").alias("packed_text"),
+        )
+        .orderBy("window_id")
+    )
+
+
+@register(
     "dedup_incremental_delta",
     tags=("llm", "dedup", "incremental"),
     oracle="""
