@@ -3275,3 +3275,61 @@ def test_round10_strftime_week_codes_and_literals(spark, rw):
     )
     assert str(run("strptime('2024T01', '%YT%m')")) == "2024-01-01 00:00:00"
     assert run("try_strptime('x', '%m|%Y')") is None
+
+
+def test_round10_self_nested_rewrites(spark, rw):
+    """Self-composition sweep: every function the rewriter translates by
+    textual replacement must translate INSIDE its own argument too — the
+    scan-past-replacement loops skip the replacement text, so an
+    unrecursed argument leaves the inner call untranslated (round-10
+    catches: list_distinct(list_sort(list_distinct(..))) via the nested
+    fuzzer at seed 660002, nested format() via this sweep — both loud
+    UNRESOLVED_ROUTINE rejects of valid DuckDB). Differential against
+    in-process DuckDB."""
+    import duckdb
+
+    con = duckdb.connect()
+    L = "[3, 1, NULL, 2]"
+    S = "'AbC dEf'"
+    cases = [
+        f"list_sort(list_sort({L}))",
+        f"list_distinct(list_distinct({L}))",
+        f"array_to_string(list_sort(list_distinct(list_concat("
+        f"list_distinct({L}), list_distinct({L})))), ',')",
+        f"flatten(flatten([[{L}], [{L}]]))",
+        f"list_append(list_append({L}, 9), 8)",
+        f"list_prepend(0, list_prepend(1, {L}))",
+        f"trim(trim({S}, 'A'), 'f')",
+        f"sha256(sha256('x'))",
+        f"replace(replace({S}, 'A', 'x'), 'x', 'y')",
+        f"split_part(split_part('a,b|c', '|', 1), ',', 2)",
+        f"substr(substr({S}, 2, 5), 2, 2)",
+        f"struct_extract(struct_extract({{'a': {{'b': 7}}}}, 'a'), 'b')",
+        f"len(list_distinct(list_where({L}, [true, true, false, true])))",
+        "greatest(divide(divide(8, 2), 2), 1)",
+        "format('{}', format('{}', 7))",
+        "format('{}:{}', format('{:.1f}', 2.5), 'x')",
+        "printf('%s', printf('%d', 7))",
+        "regexp_replace(regexp_replace('aXbXc', 'X', '-'), '-', '+')",
+        f"list_aggregate(list_distinct({L}), 'sum')",
+        "list_reduce(list_distinct([1, 2, 3]), (a, b) -> a + b)",
+        "date_trunc('month', date_trunc('day', TIMESTAMP '2024-03-15 10:11:12'))",
+        "strftime(strptime(strftime(DATE '2024-03-09', '%Y-%m-%d'), '%Y-%m-%d'), '%j')",
+    ]
+    import datetime
+    import decimal
+
+    def norm(v):
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return str(v)
+        if isinstance(v, list):
+            return tuple(norm(x) for x in v)
+        return v
+
+    for e in cases:
+        q = f"SELECT {e} AS v"
+        want = norm(con.sql(q).fetchall()[0][0])
+        got = norm(spark.sql(rw.rewrite(q)).collect()[0][0])
+        assert got == want, (e, want, got)

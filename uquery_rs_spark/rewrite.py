@@ -1286,7 +1286,9 @@ class SqlRewriter:
         fmt = self._lit_parse(args[0]) if args else None
         if fmt is None:
             raise UQueryError.sql_error("format() requires a literal format string")
-        vals = list(args[1:])
+        # recurse into value args: a NESTED format() stayed untranslated
+        # (round-10 self-nesting sweep — same class as list_distinct)
+        vals = [self._rewrite_format(a) for a in args[1:]]
         casts: dict[int, str] = {}
         wraps: dict[int, str] = {}
 
@@ -3442,8 +3444,14 @@ class SqlRewriter:
             m, close, args = hit
             if len(args) != 1:
                 raise UQueryError.sql_error("list_distinct expects 1 arg")
+            # recurse into the argument FIRST: the scan skips past the
+            # whole replacement, so a NESTED list_distinct inside it
+            # stayed untranslated (round-10 nested-fuzzer catch, seed
+            # 660002: list_distinct(list_sort(list_distinct(..))) —
+            # loud UNRESOLVED_ROUTINE on the inner call)
+            inner = self._rewrite_list_distinct(args[0])
             repl = (
-                f"array_distinct(filter(({args[0]}), "
+                f"array_distinct(filter(({inner}), "
                 f"uq_ld -> uq_ld IS NOT NULL))"
             )
             sql = sql[: m.start()] + repl + sql[close + 1 :]
