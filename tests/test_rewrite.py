@@ -3333,3 +3333,54 @@ def test_round10_self_nested_rewrites(spark, rw):
         want = norm(con.sql(q).fetchall()[0][0])
         got = norm(spark.sql(rw.rewrite(q)).collect()[0][0])
         assert got == want, (e, want, got)
+
+
+def test_round10_wave5_aggregates(spark, rw):
+    """Wave-5 aggregate gap-probe closes, differential vs in-process
+    DuckDB: kahan_sum (the fsum alias), kurtosis_pop (Spark's native
+    population excess — must NOT pass through the sample-estimator
+    correction), sem (stddev_pop/sqrt(n) — probed: one value gives 0.0,
+    so the POPULATION deviation), arg_min_null/arg_max_null (keep
+    NULL-valued rows via a struct wrap; Spark 4.1's bare min_by/max_by
+    skip them). reservoir_quantile maps to the deterministic sketch
+    (DuckDB's reservoir is randomized run-to-run — value equality is
+    unverifiable by construction, so only the range is asserted)."""
+    import decimal
+
+    import duckdb
+
+    con = duckdb.connect()
+    T = (
+        "(VALUES (1, 'a', 2.5), (2, 'b', NULL), (3, 'a', 1.5), "
+        "(4, NULL, 3.5), (5, 'c', 9.5)) t(i, s, d)"
+    )
+    cases = [
+        f"SELECT kahan_sum(d) AS v FROM {T}",
+        f"SELECT kurtosis_pop(d) AS v FROM {T}",
+        "SELECT kurtosis_pop(d) AS v FROM (VALUES (1.0), (2.0)) t(d)",
+        f"SELECT sem(d) AS v FROM {T}",
+        "SELECT sem(d) AS v FROM (VALUES (2.5)) t(d)",
+        "SELECT sem(d) AS v FROM (VALUES (CAST(NULL AS DOUBLE))) t(d)",
+        "SELECT arg_min_null(s, d) AS v, arg_max_null(s, d) AS w "
+        "FROM (VALUES (0.5, NULL), (1.5, 'b'), (9.0, NULL)) t(d, s)",
+        "SELECT arg_min_null(s, d) AS v "
+        "FROM (VALUES (CAST(NULL AS DOUBLE), 'x')) t(d, s)",
+        "SELECT arg_max_null(i, s) AS v "
+        "FROM (VALUES (1, 'a'), (2, 'z'), (3, 'm')) t(i, s)",
+    ]
+
+    def norm(v):
+        if isinstance(v, decimal.Decimal):
+            return round(float(v), 9)
+        if isinstance(v, float):
+            return round(v, 9)
+        return v
+
+    for q in cases:
+        want = tuple(norm(x) for x in con.sql(q).fetchall()[0])
+        got = tuple(norm(x) for x in spark.sql(rw.rewrite(q)).collect()[0])
+        assert got == want, (q, want, got)
+    v = spark.sql(
+        rw.rewrite(f"SELECT reservoir_quantile(d, 0.5, 1024) AS v FROM {T}")
+    ).collect()[0].v
+    assert 1.5 <= v <= 9.5

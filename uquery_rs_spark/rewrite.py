@@ -356,6 +356,10 @@ class SqlRewriter:
         "str_split_regex": "split",
         "strpos": "instr",  # both: 1-based position, 0 when absent
         "approx_quantile": "approx_percentile",  # both sketch-based
+        # DuckDB's reservoir sampling is RANDOMIZED run-to-run; Spark's
+        # deterministic sketch is the same accept-the-SQL contract
+        # (3rd arg: reservoir size ≈ accuracy, both "bigger = better")
+        "reservoir_quantile": "approx_percentile",
         "regexp_split_to_array": "split",
         "from_base64": "unbase64",
         "to_base64": "base64",
@@ -4858,7 +4862,10 @@ class SqlRewriter:
 
     _SKEW_KURT_RE = re.compile(r"(?i)\b(skewness|skew|kurtosis)\s*\(")
     _ANY_VALUE_RE = re.compile(r"(?i)\bany_value\s*\(")
-    _FAVG_RE = re.compile(r"(?i)\b(favg|fsum)\s*\(")
+    _FAVG_RE = re.compile(r"(?i)\b(favg|fsum|kahan_sum|sumkahan)\s*\(")
+    _KURT_POP_RE = re.compile(r"(?i)\bkurtosis_pop\s*\(")
+    _SEM_RE = re.compile(r"(?i)\bsem\s*\(")
+    _ARG_NULL_RE = re.compile(r"(?i)\barg_(min|max)_null\s*\(")
     _GEOMEAN_RE = re.compile(r"(?i)\b(?:geomean|geometric_mean)\s*\(")
     _AGG_ORDER_RE = re.compile(r"(?i)\b(sum|avg|count|min|max)\s*\(")
     _FILTER_NO_WHERE_RE = re.compile(r"(?i)(\)\s*filter\s*\(\s*)(?!where\b)")
@@ -4931,13 +4938,59 @@ class SqlRewriter:
                 pos = close + 1  # ordered form — batch-18 pass below
                 continue
             sql = sql[: m.start()] + f"any_value(({args[0]}), true)" + sql[close + 1 :]
+        # wave-5 closes (round 10): kurtosis_pop is Spark's NATIVE
+        # kurtosis (population excess g2 — DuckDB-verified numerically);
+        # it must map AFTER the sample-correction loop above, which
+        # would otherwise re-correct the emitted native call. sem =
+        # stddev_pop / sqrt(n) (probed: sem of one value is 0.0, so the
+        # POPULATION deviation, not samp); arg_min_null/arg_max_null
+        # keep NULL-valued rows → Spark's bare min_by/max_by (the skip
+        # wrap in _rewrite_b28_aggs exists precisely because the bare
+        # forms DON'T skip).
+        while True:
+            hit = self._call_args(self._KURT_POP_RE, sql)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) != 1:
+                raise UQueryError.sql_error("kurtosis_pop expects 1 arg")
+            sql = sql[: m.start()] + f"kurtosis(({args[0]}))" + sql[close + 1 :]
+        while True:
+            hit = self._call_args(self._SEM_RE, sql)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) != 1:
+                raise UQueryError.sql_error("sem expects 1 arg")
+            a = args[0]
+            sql = (
+                sql[: m.start()]
+                + f"try_divide(stddev_pop(CAST(({a}) AS DOUBLE)), sqrt(count(({a}))))"
+                + sql[close + 1 :]
+            )
+        while True:
+            hit = self._call_args(self._ARG_NULL_RE, sql)
+            if not hit:
+                break
+            m, close, args = hit
+            if len(args) != 2:
+                raise UQueryError.sql_error("arg_min_null/arg_max_null expect 2 args")
+            fn = "min_by" if m.group(1).lower() == "min" else "max_by"
+            # struct-wrap the value: Spark 4.1's min_by/max_by SKIP
+            # rows whose value is NULL, but arg_*_null exists precisely
+            # to keep them — a struct is non-NULL even when its field is
+            sql = (
+                sql[: m.start()]
+                + f"({fn}(named_struct('v', ({args[0]})), ({args[1]})).v)"
+                + sql[close + 1 :]
+            )
         while True:
             hit = self._call_args(self._FAVG_RE, sql)
             if not hit:
                 break
             m, close, args = hit
             if len(args) != 1:
-                raise UQueryError.sql_error("favg/fsum expect 1 arg")
+                raise UQueryError.sql_error("favg/fsum/kahan_sum expect 1 arg")
             fn = "avg" if m.group(1).lower() == "favg" else "sum"
             sql = (
                 sql[: m.start()]
