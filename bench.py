@@ -146,12 +146,16 @@ def main() -> None:
         for name, q in bench_queries.items():
             # bench_fn entries time a raw kernel whose oracle describes the
             # verification-shaped spark_fn — a DuckDB timing of that oracle
-            # would not be comparable, so they stay out of the ratio.
-            if q.oracle is None or q.bench_fn is not None:
+            # would not be comparable. They join the ratio only via an
+            # explicit bench_oracle twin (the same user-visible task on
+            # DuckDB's best plan) so kernel regressions can't hide from
+            # the ratio gate (r10: ann_ivf_topk regressed 2.9x unseen).
+            twin = q.bench_oracle if q.bench_fn is not None else q.oracle
+            if twin is None:
                 continue
 
             def run_duck():
-                con.execute(q.oracle).arrow()
+                con.execute(twin).arrow()
 
             t0 = time.perf_counter()
             run_duck()

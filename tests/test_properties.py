@@ -9,7 +9,7 @@ profile.
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from uquery_rs_spark.rewrite import SqlRewriter
@@ -32,6 +32,10 @@ def test_rewrite_plain_select_literal_is_identity(s):
 
 
 @given(ident, st.lists(ident, min_size=1, max_size=3, unique=True))
+@example(
+    name='mod',
+    params=['a'],
+).via('discovered failure')
 def test_macro_expansion_substitutes_every_param(name, params):
     rw = SqlRewriter.__new__(SqlRewriter)
     rw.allowed_dirs, rw.allow_remote, rw._views = [], True, {}

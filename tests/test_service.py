@@ -381,3 +381,35 @@ def test_interval_results_render_duckdb_text(base_url):
         assert status == 200, (sql, body[:200])
         rows = json.loads(body)
         assert rows[0]["v"] == want, (sql, rows, want)
+
+
+def test_interval_results_with_duplicate_column_names(base_url):
+    """Round-11 (r10 ADVICE low, found broader): duplicate result-column
+    names (legal SQL) 400'd through the WHOLE Arrow serving path — not
+    just the interval re-select the ADVICE flagged, because pyspark's
+    own mapInArrow re-selects every column by NAME (map_ops.py
+    self[col]). engine.execute() now ships duplicate-name results under
+    unique temp names and the serializers rename batches back to the
+    announced schema; the interval transform is positional (toDF)."""
+    # the pre-existing broader case: no intervals at all
+    status, _, body = post(base_url, "SELECT 1 AS x, 2 AS x")
+    assert status == 200, body[:300]
+    status, _, body = post(
+        base_url,
+        "SELECT 1 AS x, 2 AS x, INTERVAL 90 MINUTE AS v, "
+        "INTERVAL 1 DAY AS v",
+    )
+    assert status == 200, body[:300]
+    line = json.loads(body)[0]
+    # JSON objects collapse duplicate keys (last wins) — the serving
+    # contract here is only that the query SUCCEEDS and the interval
+    # text renders; column multiplicity is asserted via CSV below.
+    assert line["v"] == "1 day"
+    status, headers, body = post(base_url,
+        "SELECT 1 AS x, 2 AS x, INTERVAL 90 MINUTE AS v",
+        accept="text/csv",
+    )
+    assert status == 200, body[:300]
+    head, first = body.decode().splitlines()[:2]
+    assert head.split(",") == ["x", "x", "v"]
+    assert first.split(",") == ["1", "2", "01:30:00"]

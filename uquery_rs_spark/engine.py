@@ -96,6 +96,10 @@ def _stream_arrow_batches(df: DataFrame, schema: pa.Schema, batch_rows: int):
     for row in ser.toLocalIterator(prefetchPartitions=True):
         with pa.ipc.open_stream(row.ipc) as reader:
             for batch in reader:
+                if batch.schema.names != schema.names:
+                    # duplicate-name results travel under unique temp
+                    # names (execute() renames them for mapInArrow)
+                    batch = batch.rename_columns(schema.names)
                 if batch.schema != schema:
                     batch = batch.cast(schema)
                 for off in range(0, batch.num_rows, batch_rows):
@@ -147,15 +151,22 @@ class PreparedQuery:
 
             from .functions.interval_text import duck_interval_expr
 
+            # Positional rename → transform → rename back: selecting by
+            # NAME breaks duplicate result columns (legal SQL — e.g.
+            # SELECT a.x, b.x, ts1 - ts2 …) with an ambiguous-column
+            # AnalysisException (round-10 ADVICE). toDF() is positional,
+            # so duplicates round-trip.
+            orig = [f.name for f in df.schema.fields]
+            tmp = [f"uq_ic_{i}" for i in range(len(orig))]
+            df = df.toDF(*tmp)
             cols = []
-            for f, kind in zip(df.schema.fields, kinds):
-                q = "`" + f.name.replace("`", "``") + "`"
+            for t, kind in zip(tmp, kinds):
                 cols.append(
-                    F.expr(duck_interval_expr(q, kind)).alias(f.name)
+                    F.expr(duck_interval_expr(f"`{t}`", kind)).alias(t)
                     if kind
-                    else F.col(q)
+                    else F.col(f"`{t}`")
                 )
-            df = df.select(cols)
+            df = df.select(cols).toDF(*orig)
         return df
 
     def execute(self, consumer: RecordBatchConsumer, batch_rows: int = DEFAULT_BATCH_ROWS) -> None:
@@ -171,6 +182,15 @@ class PreparedQuery:
             try:
                 df = self.dataframe()
                 schema = _arrow_schema(df)
+                # Duplicate result-column names (legal SQL) break
+                # pyspark's OWN mapInArrow, which re-selects every
+                # column by name (map_ops.py: self[col]) — rename to
+                # unique temp names for the executor hop; the announced
+                # schema keeps the real names and every serializer
+                # renames batches back to it (round-11; broader than
+                # the interval-only case the r10 ADVICE flagged).
+                if len(set(df.columns)) != len(df.columns):
+                    df = df.toDF(*[f"uq_c_{i}" for i in range(len(df.columns))])
             except UQueryError:
                 raise
             except Exception as e:  # AnalysisException etc.

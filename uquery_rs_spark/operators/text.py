@@ -736,9 +736,14 @@ def exact_substring_dedup(
     - duplicated-gram starts join back per doc (digest-keyed shuffle
       join; the duplicated set is corpus-sized at worst, never collected
       or broadcast),
-    - coverage + reconstruction are array-level HOFs per doc (position i
-      is removed iff some duplicated-gram start s has s <= i < s+k) —
-      scan-local, no second sort, no window over the corpus.
+    - duplicated-gram start intervals [s, s+k) MERGE per doc with the
+      running-max-end island trick (the sessionization shape: a window
+      ordered by start, same hash key as the per-doc groupBy so no
+      extra exchange), and reconstruction slices the GAPS between
+      merged intervals — O(words + intervals) per document. (Round 11:
+      the previous per-position filter re-scanned every duplicated
+      start for every word, O(words x dup-starts) — quadratic on
+      pathological all-duplicate documents; r10 verdict #8.)
 
     md5 is the digest so the DuckDB oracle reproduces the duplicate set
     bit-for-bit (``dedup_exact_substring``); at 100 TB swap in xxhash64
@@ -771,16 +776,65 @@ def exact_substring_dedup(
         .filter(F.col("c") >= min_count)
         .select("gh")
     )
-    ds = g.join(dup, "gh").groupBy(key_col).agg(F.collect_list("start").alias("starts"))
-    r = base.join(ds, key_col, "left").withColumn(
-        "starts", F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    # Merge covered intervals [start, start+k) per doc: an interval
+    # starts a new island iff start > max(prev start) + k (starts are
+    # sorted in the window, so the running max end IS last_start + k).
+    # HashPartitioning(key) from the window satisfies both downstream
+    # groupBys — one exchange total for this stretch.
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    kept = F.filter(
-        F.col("w"),
-        lambda w, i: F.size(
-            F.filter(F.col("starts"), lambda s: (s <= i) & (i < s + F.lit(k)))
+    w_run = (
+        Window.partitionBy(key_col)
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        g.join(dup, "gh")
+        .select(key_col, "start")
+        .withColumn("prev_end", F.max(F.col("start") + F.lit(k)).over(w_prev))
+        .withColumn(
+            "island",
+            F.sum(
+                F.when(
+                    F.col("prev_end").isNull()
+                    | (F.col("start") > F.col("prev_end")),
+                    1,
+                ).otherwise(0)
+            ).over(w_run),
         )
-        == 0,
+    )
+    ds = (
+        islands.groupBy(key_col, "island")
+        .agg(F.min("start").alias("lo"), (F.max("start") + F.lit(k)).alias("hi"))
+        .groupBy(key_col)
+        .agg(F.array_sort(F.collect_list(F.struct("lo", "hi"))).alias("ivs"))
+    )
+    r = base.join(ds, key_col, "left").withColumn(
+        "ivs",
+        F.coalesce(F.col("ivs"), F.array().cast("array<struct<lo:int,hi:int>>")),
+    )
+    # Reconstruct from the GAPS between merged intervals: sentinel
+    # bounds (hi=0 front, lo=n back) turn the kept text into
+    # zip_with(bounds, bounds[1:]) slices — each kept word copied once.
+    n_w = F.size(F.col("w"))
+    bounds = F.concat(
+        F.array(F.struct(F.lit(-1).alias("lo"), F.lit(0).alias("hi"))),
+        F.col("ivs"),
+        F.array(F.struct(n_w.alias("lo"), n_w.alias("hi"))),
+    )
+    kept = F.flatten(
+        F.zip_with(
+            F.slice(bounds, 1, F.size(bounds) - 1),
+            F.slice(bounds, 2, F.size(bounds) - 1),
+            lambda a, b: F.slice(
+                F.col("w"), a["hi"] + 1, F.greatest(b["lo"] - a["hi"], F.lit(0))
+            ),
+        )
     )
     return r.select(
         F.col(key_col),

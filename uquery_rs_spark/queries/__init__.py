@@ -9,15 +9,105 @@ from __future__ import annotations
 from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 
 
-# Round-10 verification window (harnesses sample REGISTRY[:50]).
+# Round-11 verification window (harnesses sample REGISTRY[:50]).
 # Rotation rule (standing since r7): entries ADDED this round first
-# (_ROUND10_NEW, share cap 15 — new entries go in the CURRENT window,
-# round-4 lesson), then the 14 round-5-signal entries displaced from
-# the r9 window by _ROUND9_NEW (the exact tail from the r9 note), then
-# round-6-signal entries alphabetically (= CORRECTNESS_r06 keys minus
-# every later window), trimmed to 50. After round 10 no entry's
-# freshest driver signal is older than r6; the r6 tail displaced here
-# rolls into round 11.
+# (_ROUND11_NEW — the r10-verdict battery36 family splits, which MUST
+# lead the window so the driver's oracle isolates the version-volatile
+# family), then the 19 round-6-signal entries displaced from the r10
+# window (the exact tail from the r10 note), then round-7-signal
+# entries alphabetically (= CORRECTNESS_r07 keys minus every later
+# window), trimmed to 50. The 27 r7-signal entries that don't fit roll
+# into round 12.
+_ROUND11_NEW: tuple[str, ...] = (
+    # battery36 split (r10 driver hash-fail → family isolation):
+    "dialect_gap_b36_listuniq",  # the CONFIRMED 1.0.0-vs-1.5.2 divergence
+    "dialect_gap_b36_fracdiv",  # the one family we could not re-derive
+    "dialect_gap_b36_temporal",
+    "dialect_gap_b36_intdiv",
+    "dialect_gap_b36_maplist",
+    "dialect_gap_b36_strdist",
+    "dialect_gap_b36_math",
+    "dialect_gap_b36_baseconv",
+)
+
+_ROUND11_R6TAIL = (
+    "emb_dim_variance",
+    "emb_diversity_sample",
+    "filtered_aggregates",
+    "full_outer_nation_presence",
+    "left_join_customer_order_counts",
+    "limit_offset_pagination",
+    "listagg_nations_per_region",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue_ratio",
+    "q15_top_supplier",
+    "streaming_enrich_join",
+    "text_boilerplate_removal",
+    "text_c4_quality",
+    "text_gopher_quality",
+    "text_quality_classifier",
+    "web_domain_blocklist",
+    "web_url_canonicalize",
+)
+
+# r7-signal entries (CORRECTNESS_r07 keys minus every later window),
+# alphabetical; the window takes the first 50 - len(new) - len(r6tail).
+_ROUND11_R7 = (
+    "ann_cosine_topk",
+    "array_functions",
+    "corpus_filter_funnel",
+    "corpus_hash_split",
+    "corpus_length_buckets",
+    "datetime_functions",
+    "decontaminate_benchmark_overlap",
+    "dedup_cluster_canonical",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_exact_stats",
+    "dedup_incremental_delta",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dialect_gap_battery27",
+    "dialect_gap_battery28",
+    "emb_label_cohesion",
+    "emb_quantize_int8_error",
+    "explode_unnest_series",
+    "math_functions",
+    "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
+    "q22_idle_rich_customers",
+    "q2_min_balance_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "range_join_size_buckets",
+    "regex_functions",
+    "rollup_order_status_priority",
+    "scalar_subquery_above_avg_balance",
+    "semi_join_active_customers",
+    "set_ops_nation_membership",
+    "stats_aggregates_prices",
+    "string_functions_battery",
+    "text_fingerprint",
+    "text_intra_doc_dedup",
+    "text_language_id",
+    "text_ngram_topk",
+    "text_pii_scan",
+    "text_quality_score",
+    "text_repetition_stats",
+    "text_token_stats",
+    "union_all_price_tiers",
+    "values_inline_table",
+)
+
+# r10 lists retained for the window-derivation audit trail
 _ROUND10_NEW: tuple[str, ...] = (
     "tumbling_window_approx",  # the documented 100 TB tumbling plan
     "dialect_gap_battery35",  # map/struct/list COLUMN subscripts on data
@@ -171,9 +261,9 @@ _ROUND9_R5 = (
 )
 
 
-def _round10_window() -> list[str]:
-    new = list(_ROUND10_NEW)[:15]
-    return (new + list(_ROUND10_R5TAIL) + list(_ROUND10_R6))[:50]
+def _round11_window() -> list[str]:
+    new = list(_ROUND11_NEW)[:15]
+    return (new + list(_ROUND11_R6TAIL) + list(_ROUND11_R7))[:50]
 
 
 def load_all() -> None:
@@ -181,8 +271,8 @@ def load_all() -> None:
 
     Import order controls registry order, which external harnesses may use
     to window their correctness sampling.  After importing, the registry is
-    reordered so the round-10 window occupies the front — see
-    :data:`_ROUND10_NEW` for the rationale.  Rotate the window each round so
+    reordered so the round-11 window occupies the front — see
+    :data:`_ROUND11_NEW` for the rationale.  Rotate the window each round so
     every entry eventually gets hard-signal verification.
     """
     from . import llm_q  # noqa: F401
@@ -193,7 +283,7 @@ def load_all() -> None:
     from . import relational  # noqa: F401
     from . import tpch_q  # noqa: F401
 
-    window = _round10_window()
+    window = _round11_window()
     ordered = [n for n in window if n in REGISTRY]
     ordered += [n for n in REGISTRY if n not in window]
     snapshot = dict(REGISTRY)

@@ -2600,76 +2600,265 @@ def dialect_gap_battery35(spark: SparkSession, sf: str) -> DataFrame:
     return _rewritten_sql(spark, _B35_SQL)
 
 
-_B36_SQL = """
+
+
+# -- battery36 family splits (round 11) ------------------------------------
+#
+# Round 10's dialect_gap_battery36 packed ~45 idioms into one entry and
+# failed the DRIVER's oracle on value hash (CORRECTNESS_r10: rows/schema
+# match, hash doesn't) while passing the local DuckDB-1.0.0 gate — at
+# least one idiom is version-volatile (the reference pins DuckDB 1.5.2,
+# Cargo.toml:11; only 1.0.0 is installed here and the network is dead).
+# Per the r10 verdict: split into family-scoped entries (≤12 idioms
+# each) so one driver hash bit isolates the offending FAMILY, and
+# re-derive volatile semantics from 1.5.2 documentation, not the 1.0.0
+# binary. Standing rule: new batteries cap at ~12 idioms.
+
+_B36_SRC = """
 WITH src AS (
   SELECT o_orderkey AS k, o_orderdate AS d, o_totalprice AS p,
          CAST(o_orderkey % 7 + 1 AS INTEGER) AS n
   FROM orders WHERE o_orderkey <= 400
 )
+"""
+
+_B36_TEMPORAL_SQL = _B36_SRC + """
 SELECT k,
-       last_day(d)                                   AS v_lastday,
-       monthname(d)                                  AS v_mn,
-       dayname(d)                                    AS v_dn,
-       weekofyear(d)                                 AS v_woy,
-       strftime(d, '%U|%W|%V|%G')                    AS v_weeks,
-       strftime(d, 'wk%V of %G')                     AS v_wlit,
-       divide(k, n)                                  AS v_divi,
-       round(divide(p, n), 4)                        AS v_divf,
-       k // n                                        AS v_fdi,
-       round(p // n, 4)                              AS v_fdf,
-       round((p + k) // 3, 4)                        AS v_fde,
-       k // (n - 1)                                  AS v_fd0,
-       multiply(n, 3)                                AS v_mul,
-       add(k, n)                                     AS v_add,
-       subtract(CAST(d AS DATE), n)                  AS v_subd,
-       mod(k, n - 1)                                 AS v_mod0,
-       map_entries(MAP {'a': k, 'b': k + 1})[2].value AS v_me,
-       cardinality(MAP {'a': k, 'b': k + 1})          AS v_card,
-       map_concat(MAP {'a': k}, MAP {'b': CAST(n AS BIGINT)})['b'][1] AS v_mc,
-       array_to_string(list_select([k % 5, k % 3, k % 7], [3, 1]), ',') AS v_sel,
-       array_to_string(list_grade_up([k % 5, k % 3, k % 7]), ',')       AS v_gup,
-       array_to_string(list_reverse_sort([k % 5, k % 3, k % 7]), ',')   AS v_rvs,
-       list_unique([k % 5, k % 3, k % 5, NULL])       AS v_uniq,
-       array_unique([k % 2, k % 3, NULL])             AS v_auniq,
-       round(jaccard('duck', CASE WHEN k % 2 = 0 THEN 'luck' ELSE 'dock' END), 6) AS v_jac,
-       mismatches('duck', CASE WHEN k % 2 = 0 THEN 'luck' ELSE 'dock' END)  AS v_mis,
-       hamming('duck', 'dusk')                        AS v_ham,
-       to_base(k % 200, 16)                           AS v_b16,
-       hex(k % 300)                                   AS v_hex,
-       bin(n)                                         AS v_bin,
-       unicode(chr(9731 + n))                         AS v_uni,
-       strpos('hello', 'll')                          AS v_sp,
-       position('l' IN 'hello')                       AS v_pos,
-       bit_length(CAST(k AS VARCHAR))                 AS v_bl,
-       gamma(n)                                       AS v_gam,
-       round(lgamma(k % 90 + 2), 9)                   AS v_lg,
-       factorial(n)                                   AS v_fact,
-       even(p % 9 - 4.5)                              AS v_even,
-       round(cot(n), 9)                               AS v_cot,
-       xor(k % 32, n)                                 AS v_xor,
-       round(fdiv(p, n), 4)                           AS v_fdiv,
-       round(fmod(p, n + 0.5), 4)                     AS v_fmod,
-       epoch_ns(CAST(d AS TIMESTAMP))                 AS v_ens
+       last_day(d)                  AS v_lastday,
+       monthname(d)                 AS v_mn,
+       dayname(d)                   AS v_dn,
+       weekofyear(d)                AS v_woy,
+       strftime(d, '%U|%W|%V|%G')   AS v_weeks,
+       strftime(d, 'wk%V of %G')    AS v_wlit,
+       subtract(CAST(d AS DATE), n) AS v_subd,
+       epoch_ns(CAST(d AS TIMESTAMP)) AS v_ens
 FROM src ORDER BY k
 """
 
 
 @register(
-    "dialect_gap_battery36",
+    "dialect_gap_b36_temporal",
     tags=("dialect", "battery", "functions"),
-    oracle=_B36_SQL,
+    oracle=_B36_TEMPORAL_SQL,
 )
-def dialect_gap_battery36(spark: SparkSession, sf: str) -> DataFrame:
-    """Round-10 wave-4 gap-probe battery: pins the probe's 50-idiom OK
-    surface on data (temporal last_day/monthname/dayname/weekofyear,
-    strftime week-number codes %U/%W/%V/%G + literal letters in
-    formats, map_entries/map_concat/cardinality, list_select/grade_up/
-    resize/unique, string distances jaccard/mismatches/hamming, base
-    conversions, gamma/lgamma/factorial/even/cot, operator-alias
-    functions add/subtract/multiply/divide/mod/xor/fdiv/fmod, epoch_ns)
-    AND the round-10 closes: type-dispatched divide()/`//` (plain
-    DOUBLE division on fractional operands, truncating div on integral
-    — the old blanket `div` was a silent wrong-value class), NULL
-    division via the function forms, and date-typed subtract()."""
+def dialect_gap_b36_temporal(spark: SparkSession, sf: str) -> DataFrame:
+    """b36 split, temporal family: last_day/monthname/dayname/
+    weekofyear, strftime week-number codes %U/%W/%V/%G plus literal
+    letters in formats, date-typed subtract(), epoch_ns. Probed
+    version-STABLE: 1.0.0's %U/%W/%V/%G agree with C-standard strftime
+    (Python differential, 40 dates spanning ISO-year boundaries)."""
     load_tables(spark, sf)
-    return _rewritten_sql(spark, _B36_SQL)
+    return _rewritten_sql(spark, _B36_TEMPORAL_SQL)
+
+
+_B36_INTDIV_SQL = _B36_SRC + """
+SELECT k,
+       divide(k, n)    AS v_divi,
+       k // n          AS v_fdi,
+       k // (n - 1)    AS v_fd0,
+       mod(k, n - 1)   AS v_mod0,
+       multiply(n, 3)  AS v_mul,
+       add(k, n)       AS v_add,
+       xor(k % 32, n)  AS v_xor
+FROM src ORDER BY k
+"""
+
+
+@register(
+    "dialect_gap_b36_intdiv",
+    tags=("dialect", "battery", "functions"),
+    oracle=_B36_INTDIV_SQL,
+)
+def dialect_gap_b36_intdiv(spark: SparkSession, sf: str) -> DataFrame:
+    """b36 split, integral operator-alias family: divide()/`//` on
+    integral operands (truncating), ÷0 and mod-0 → NULL (probed on
+    1.0.0; NULL-on-zero has been DuckDB behavior since 0.x),
+    add/multiply/xor. Integral division semantics are stable across
+    DuckDB versions — the version-suspect FRACTIONAL forms live in
+    dialect_gap_b36_fracdiv so a driver hash bit separates them."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B36_INTDIV_SQL)
+
+
+_B36_FRACDIV_SQL = _B36_SRC + """
+SELECT k,
+       round(divide(p, n), 4)    AS v_divf,
+       round(p // n, 4)          AS v_fdf,
+       round((p + k) // 3, 4)    AS v_fde,
+       round(fdiv(p, n), 4)      AS v_fdiv,
+       round(fmod(p, n + 0.5), 4) AS v_fmod
+FROM src ORDER BY k
+"""
+
+
+@register(
+    "dialect_gap_b36_fracdiv",
+    tags=("dialect", "battery", "functions"),
+    oracle=_B36_FRACDIV_SQL,
+)
+def dialect_gap_b36_fracdiv(spark: SparkSession, sf: str) -> DataFrame:
+    """b36 split, FRACTIONAL division family — deliberately isolated:
+    on DuckDB 1.0.0, `//` and divide() on fractional operands perform
+    PLAIN division (probed: 42.7 // 5 = 8.54, CAST(9.7 AS DECIMAL) //
+    2 = 4.85) while fdiv/fmod are floored (fdiv(9.7, 2) = 4.0). The
+    plain-division `//` is the one semantic here we could not
+    re-derive from 1.5.2 documentation (docs call `//` integer
+    division but only show integral examples); if the driver's oracle
+    marks THIS entry red while b36_intdiv stays green, the 1.5.2
+    semantic is floored division on fractional operands and the
+    divide/`//` dispatch in rewrite.py:_rewrite_divide_xor should
+    switch its double arm to floor()."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B36_FRACDIV_SQL)
+
+
+_B36_MAPLIST_SQL = _B36_SRC + """
+SELECT k,
+       map_entries(MAP {'a': k, 'b': k + 1})[2].value AS v_me,
+       cardinality(MAP {'a': k, 'b': k + 1})          AS v_card,
+       map_concat(MAP {'a': k}, MAP {'b': CAST(n AS BIGINT)})['b'][1] AS v_mc,
+       array_to_string(list_select([k % 5, k % 3, k % 7], [3, 1]), ',') AS v_sel,
+       array_to_string(list_grade_up([k % 5, k % 3, k % 7]), ',')       AS v_gup,
+       array_to_string(list_reverse_sort([k % 5, k % 3, k % 7]), ',')   AS v_rvs
+FROM src ORDER BY k
+"""
+
+
+@register(
+    "dialect_gap_b36_maplist",
+    tags=("dialect", "battery", "functions"),
+    oracle=_B36_MAPLIST_SQL,
+)
+def dialect_gap_b36_maplist(spark: SparkSession, sf: str) -> DataFrame:
+    """b36 split, map/list family: map_entries (insertion-ordered
+    struct list), cardinality, map_concat + single-element-LIST map
+    subscript, list_select / list_grade_up / list_reverse_sort.
+    The map-subscript-returns-LIST shape is structural: were the
+    driver's DuckDB to return the value directly, the oracle would
+    ERROR (it records err, not a hash bit), so a red here is a value
+    divergence inside the list functions."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B36_MAPLIST_SQL)
+
+
+_B36_LISTUNIQ_SPARK_SQL = _B36_SRC + """
+SELECT k,
+       list_unique([k % 5, k % 3, k % 5, NULL]) AS v_uniq,
+       array_unique([k % 2, k % 3, NULL])       AS v_auniq,
+       list_unique([k % 5, k % 3, k % 5])       AS v_nonull,
+       list_unique([NULL])                      AS v_onlynull
+FROM src ORDER BY k
+"""
+
+# Oracle expresses DuckDB 1.5.2's DOCUMENTED semantics portably —
+# len(list_distinct()) is NULL-free on every version, plus one for a
+# present NULL — because the local gate binary (1.0.0) predates the
+# change and would pin the stale value (the round-10 battery36 driver
+# hash-fail). Docs example: list_unique([1, 1, NULL, -3, -3, -3]) = 3.
+_B36_LISTUNIQ_ORACLE_SQL = _B36_SRC + """
+SELECT k,
+       len(list_distinct([k % 5, k % 3, k % 5, NULL]))
+         + CASE WHEN len(list_filter([k % 5, k % 3, k % 5, NULL],
+                                     x -> x IS NULL)) > 0
+                THEN 1 ELSE 0 END AS v_uniq,
+       len(list_distinct([k % 2, k % 3, NULL]))
+         + CASE WHEN len(list_filter([k % 2, k % 3, NULL],
+                                     x -> x IS NULL)) > 0
+                THEN 1 ELSE 0 END AS v_auniq,
+       len(list_distinct([k % 5, k % 3, k % 5])) AS v_nonull,
+       1                                         AS v_onlynull
+FROM src ORDER BY k
+"""
+
+
+@register(
+    "dialect_gap_b36_listuniq",
+    tags=("dialect", "battery", "functions"),
+    oracle=_B36_LISTUNIQ_ORACLE_SQL,
+)
+def dialect_gap_b36_listuniq(spark: SparkSession, sf: str) -> DataFrame:
+    """b36 split, list_unique/array_unique NULL counting — the
+    CONFIRMED round-10 version divergence: DuckDB 1.0.0 (local binary)
+    excludes NULL from the distinct count (probed: list_unique([1, 1,
+    NULL, -3, -3, -3]) = 2) while ≥1.1 — including the reference's
+    pinned 1.5.2 — counts it as one distinct element (docs example:
+    3). The Spark side implements the 1.5.2 semantic (array_distinct
+    keeps NULL); the oracle derives the same value portably so the
+    entry is green on ANY oracle version (see
+    _B36_LISTUNIQ_ORACLE_SQL)."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B36_LISTUNIQ_SPARK_SQL)
+
+
+_B36_STRDIST_SQL = _B36_SRC + """
+SELECT k,
+       round(jaccard('duck', CASE WHEN k % 2 = 0 THEN 'luck' ELSE 'dock' END), 6) AS v_jac,
+       mismatches('duck', CASE WHEN k % 2 = 0 THEN 'luck' ELSE 'dock' END) AS v_mis,
+       hamming('duck', 'dusk')       AS v_ham,
+       unicode(chr(9731 + n))        AS v_uni,
+       strpos('hello', 'll')         AS v_sp,
+       position('l' IN 'hello')      AS v_pos,
+       bit_length(CAST(k AS VARCHAR)) AS v_bl
+FROM src ORDER BY k
+"""
+
+
+@register(
+    "dialect_gap_b36_strdist",
+    tags=("dialect", "battery", "functions"),
+    oracle=_B36_STRDIST_SQL,
+)
+def dialect_gap_b36_strdist(spark: SparkSession, sf: str) -> DataFrame:
+    """b36 split, string-distance/position family: jaccard (character
+    -set similarity; 1.0.0 matches the current docs example
+    jaccard('duck', 'luck') = 0.6), mismatches/hamming, unicode∘chr,
+    strpos, standard position(x IN y), bit_length."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B36_STRDIST_SQL)
+
+
+_B36_MATH_SQL = _B36_SRC + """
+SELECT k,
+       gamma(n)                     AS v_gam,
+       round(lgamma(k % 90 + 2), 9) AS v_lg,
+       factorial(n)                 AS v_fact,
+       even(p % 9 - 4.5)            AS v_even,
+       round(cot(n), 9)             AS v_cot
+FROM src ORDER BY k
+"""
+
+
+@register(
+    "dialect_gap_b36_math",
+    tags=("dialect", "battery", "functions"),
+    oracle=_B36_MATH_SQL,
+)
+def dialect_gap_b36_math(spark: SparkSession, sf: str) -> DataFrame:
+    """b36 split, math family: gamma/lgamma/factorial, even (round
+    away from zero to the next even integer — 1.0.0 matches the
+    current docs on ±half/already-even probes), cot. round() clamps
+    float-text jitter."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B36_MATH_SQL)
+
+
+_B36_BASECONV_SQL = _B36_SRC + """
+SELECT k,
+       to_base(k % 200, 16) AS v_b16,
+       hex(k % 300)         AS v_hex,
+       bin(n)               AS v_bin
+FROM src ORDER BY k
+"""
+
+
+@register(
+    "dialect_gap_b36_baseconv",
+    tags=("dialect", "battery", "functions"),
+    oracle=_B36_BASECONV_SQL,
+)
+def dialect_gap_b36_baseconv(spark: SparkSession, sf: str) -> DataFrame:
+    """b36 split, base-conversion family: to_base (uppercase digits,
+    1.0.0 matches the current docs example to_base(42, 16) = '2A'),
+    hex (no leading-zero pair trim), bin."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B36_BASECONV_SQL)

@@ -47,9 +47,15 @@ class Query:
     # When set, bench.py times THIS callable instead of spark_fn — used when
     # the oracle-checked query wraps the kernel in a verification shape
     # (e.g. _ann_recall_shape runs kernel + exact baseline) that would
-    # distort the timing of the kernel itself. No DuckDB comparison is
-    # recorded for such entries (the oracle matches spark_fn, not bench_fn).
+    # distort the timing of the kernel itself. The correctness oracle
+    # matches spark_fn, not bench_fn, so it can't be the DuckDB timing twin.
     bench_fn: Callable[[SparkSession, str], DataFrame] | None = None
+    # DuckDB SQL timed (never hash-compared) as the ratio twin for
+    # bench_fn entries — the same user-visible TASK on DuckDB's best
+    # available plan. Round-11 addition: ann_ivf_topk regressed 2.9x in
+    # BENCH_r10 and no ratio gate fired because bench_fn entries had no
+    # twin (r10 verdict #3).
+    bench_oracle: str | None = None
 
 
 REGISTRY: dict[str, Query] = {}
@@ -62,6 +68,7 @@ def register(
     bench: bool = False,
     tags: tuple[str, ...] = (),
     bench_fn: Callable[[SparkSession, str], DataFrame] | None = None,
+    bench_oracle: str | None = None,
 ):
     """Decorator registering a query callable under ``name``."""
 
@@ -69,7 +76,14 @@ def register(
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
         REGISTRY[name] = Query(
-            name, fn, oracle, doc or (fn.__doc__ or ""), bench, tags, bench_fn
+            name,
+            fn,
+            oracle,
+            doc or (fn.__doc__ or ""),
+            bench,
+            tags,
+            bench_fn,
+            bench_oracle,
         )
         return fn
 

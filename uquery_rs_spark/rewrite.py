@@ -148,11 +148,12 @@ class SqlRewriter:
         self.allowed_dirs = [os.path.realpath(d) for d in (allowed_dirs or [os.getcwd()])]
         self.allow_remote = allow_remote
         self._views: dict[str, str] = {}
-        # geomean is an aggregate macro (can't be a Spark SQL UDF); ships
-        # as a built-in expansion like the reference's test.db catalog.
-        self._macros: dict[str, tuple[list[str], str]] = {
-            "geomean": (["x"], "exp(avg(ln(x)))")
-        }
+        # geomean ships as a _rewrite_agg_semantics pass (DOUBLE-cast
+        # expansion), not an init macro: macros now expand FIRST and
+        # shadow built-ins, so an init entry would bypass the pass
+        # (pre-round-11 the pass ran before late expansion and the init
+        # macro was dead code).
+        self._macros: dict[str, tuple[list[str], str]] = {}
         self._table_macros: set[str] = set()
         # PIVOT value-discovery probes, keyed (table_expr, col): the
         # DISTINCT probe is a real Spark job run at REWRITE time, so
@@ -4795,9 +4796,15 @@ class SqlRewriter:
                 "CAST(((({a}) % ({b})) + ({b})) % ({b}) AS DOUBLE)",
             ),
             (
+                # DuckDB ≥1.1 counts NULL as ONE distinct element
+                # (docs example: list_unique([1,1,NULL,-3,-3,-3]) = 3);
+                # the local 1.0.0 binary excludes it (probed: 2) — the
+                # round-10 battery36 driver hash-fail. Semantics follow
+                # the reference's pinned 1.5.2 (Cargo.toml:11): Spark's
+                # array_distinct keeps NULL, so no compact.
                 self._LIST_UNIQUE_RE,
                 1,
-                "size(array_distinct(array_compact(({a}))))",
+                "size(array_distinct(({a})))",
             ),
         ):
             while True:
@@ -9144,15 +9151,30 @@ class SqlRewriter:
 
     def _expand_macros(self, sql: str) -> str:
         """Balanced-paren expansion of registered scalar + table macros,
-        iterated to a fixpoint so macros may nest (bounded to catch cycles)."""
+        iterated to a fixpoint so macros may nest (bounded to catch cycles).
+
+        Runs FIRST in the pipeline (round 11): DuckDB inlines macros at
+        bind time and user macros SHADOW built-in names (probed: CREATE
+        MACRO mod(a) AS a + 1; SELECT mod(3) → 4), so no name-keyed
+        rewrite pass may ever see a macro call — the round-10 alias
+        passes (mod/add/divide/…) running before expansion silently
+        replaced 2-arg macros with the arithmetic operator. Early
+        expansion also means macro BODIES (raw DuckDB dialect from a
+        .db attach, main.rs:414-419) get the full translation pipeline;
+        the old tail position inserted them after nearly every pass.
+        Searches skip string literals (_search_code)."""
         if self._table_macros:
             names = "|".join(re.escape(n) for n in self._table_macros)
-            sql = re.sub(rf"(?i)\b({names})\s*\(\s*\)", r"\1", sql)
+            sql = self._sub_code_fn(
+                re.compile(rf"(?i)\b({names})\s*\(\s*\)"),
+                lambda m: m.group(1),
+                sql,
+            )
         for _ in range(10):
             changed = False
             for name, (params, body) in self._macros.items():
                 pat = re.compile(rf"(?i)\b{re.escape(name)}\s*\(")
-                m = pat.search(sql)
+                m = self._search_code(pat, sql)
                 while m:
                     depth, i = 1, m.end()
                     while i < len(sql) and depth:
@@ -9170,7 +9192,7 @@ class SqlRewriter:
                         expansion = re.sub(rf"(?i)\b{re.escape(p)}\b", f"({a})", expansion)
                     sql = sql[: m.start()] + f"({expansion})" + sql[i:]
                     changed = True
-                    m = pat.search(sql)
+                    m = self._search_code(pat, sql)
             if not changed:
                 return sql
         return sql
@@ -9190,6 +9212,12 @@ class SqlRewriter:
         # same set as SHOW TABLES here (single in-memory schema)
         sql = re.sub(r"(?is)^\s*explain\s+analyze\b", "EXPLAIN", sql)
         sql = re.sub(r"(?is)^\s*show\s+all\s+tables\b", "SHOW TABLES", sql)
+        # macros FIRST — DuckDB inlines at bind and user macros shadow
+        # every built-in name (round-10 regression: the operator-alias
+        # pass saw a 2-arg macro named `mod` first and emitted `%` —
+        # silent wrong value); bodies are raw DuckDB dialect and need
+        # the full pipeline below anyway.
+        sql = self._expand_macros(sql)
         sql = self._rewrite_summarize(sql)
         sql = self._rewrite_from_first(sql)
         # batch-24: standard FETCH FIRST / OFFSET n ROWS → LIMIT/OFFSET
@@ -9444,10 +9472,11 @@ class SqlRewriter:
         # scan would otherwise wrap)
         sql = self._rewrite_using_sample(sql)
         # ÷0 → NULL parity BEFORE int_div (user `//` divisors wrap here,
-        # emitting div directly) and again after macro expansion
+        # emitting div directly). Macro expansion moved to the pipeline
+        # HEAD in round 11 (macros shadow built-ins at bind time), so
+        # expanded bodies already flowed through every pass above.
         sql = self._rewrite_div_by_zero(sql)
         sql = self._rewrite_int_div(sql)
-        sql = self._expand_macros(sql)
         sql = self._rewrite_div_by_zero(sql)
         # ASOF after the expression passes: subquery relations must be
         # Spark-valid when their schema is probed (LIMIT 0)

@@ -55,6 +55,10 @@ def _json_payload_fn(schema: pa.Schema, sep: bytes):
         for batch in iterator:
             if batch.num_rows == 0:
                 continue
+            if batch.schema.names != schema.names:
+                # duplicate-name results travel under unique temp names
+                # (engine.execute() renames them for mapInArrow)
+                batch = batch.rename_columns(schema.names)
             if batch.schema != schema:
                 batch = batch.cast(schema)
             payload = sep.join(map(_dump_row, batch.to_pylist()))
@@ -142,11 +146,15 @@ class CsvWriter(RecordBatchConsumer):
         self._write_row(self._names)
 
     def on_batch(self, batch: pa.RecordBatch) -> None:
-        for row in _rows(batch):
+        # POSITIONAL conversion (zip of per-column pylists), never dict
+        # rows: duplicate result-column names are legal SQL and a dict
+        # would collapse them to the last value (round 11).
+        cols = [c.to_pylist() for c in batch.columns]
+        for row in zip(*cols):
             self._write_row(
                 [
                     "" if v is None else (v.isoformat() if isinstance(v, (datetime, date)) else v)
-                    for v in (row[n] for n in self._names)
+                    for v in row
                 ]
             )
 
