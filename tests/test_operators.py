@@ -1352,3 +1352,63 @@ def test_gif_codec_roundtrip():
     big = rng.integers(0, 256, (200, 211)).astype(np.uint8)
     img = np.repeat(big[:, :, None], 3, axis=2)
     assert (decode_image(encode_gif(img)) == img).all()
+
+
+class TestDsir:
+    def test_dsir_matches_pure_python(self, spark):
+        """dsir_importance_weights reproduces a from-scratch NumPy-free
+        recomputation of Xie et al. 2023 §3 (hashed n-gram LLR with
+        add-1 smoothing) on a 6-doc corpus, and ranks target-domain
+        text above raw-only text."""
+        import hashlib
+        import math
+
+        from pyspark.sql import functions as F
+
+        from uquery_rs_spark.operators.corpus import dsir_importance_weights
+
+        rows = [
+            (1, "the quick brown fox jumps", True),
+            (2, "the quick brown dog sleeps", True),
+            (3, "la rapida zorra marron salta", False),
+            (4, "der schnelle braune fuchs springt", False),
+            (5, "the quick brown fox runs", False),
+            (6, "", False),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id int, text string, is_t boolean")
+        out = {
+            r.doc_id: r
+            for r in dsir_importance_weights(
+                docs, F.col("is_t"), n_buckets=256, text_col="text"
+            ).collect()
+        }
+
+        B, alpha = 256, 1.0
+
+        def grams(text):
+            w = text.split(" ")
+            return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+        def bucket(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:4], 16) % B
+
+        t_cnt, r_cnt = [0] * B, [0] * B
+        for _id, text, is_t in rows:
+            for g in grams(text):
+                b = bucket(g)
+                r_cnt[b] += 1
+                if is_t:
+                    t_cnt[b] += 1
+        t_tot, r_tot = sum(t_cnt) + alpha * B, sum(r_cnt) + alpha * B
+        for _id, text, _is_t in rows:
+            want = sum(
+                math.log((t_cnt[bucket(g)] + alpha) / t_tot)
+                - math.log((r_cnt[bucket(g)] + alpha) / r_tot)
+                for g in grams(text)
+            )
+            assert abs(out[_id].weight - want) < 1e-9, (_id, out[_id].weight, want)
+            assert out[_id].n_grams == len(grams(text))
+        # ranking invariant (absolute sign is smoothing-dominated at toy
+        # scale): the held-out English doc outranks both foreign docs
+        assert out[5].weight > out[3].weight
+        assert out[5].weight > out[4].weight

@@ -3422,3 +3422,39 @@ def test_round10_wave5_aggregates(spark, rw):
         rw.rewrite(f"SELECT reservoir_quantile(d, 0.5, 1024) AS v FROM {T}")
     ).collect()[0].v
     assert 1.5 <= v <= 9.5
+
+
+def test_wave6_date_literal_padding_and_regexp_flags(spark, rw):
+    """Round-11 wave-6 closes, DuckDB-verified values: (1) pre-1000-year
+    typed DATE/TIMESTAMP literals zero-pad to Spark's 4-digit
+    requirement (DuckDB accepts DATE '999-06-01'); the padding is
+    literal-safe (a string CONTAINING "DATE '999-…'" text is
+    untouched). (2) 3-arg regexp_matches option strings: last-wins
+    'c'/'i' (probed: 'ci' insensitive, 'ic' sensitive), 'l' literal
+    partial match (→ contains, no regex), 's' dotall, default dot does
+    not cross newlines; 'g' raises DuckDB's own error; murky newline
+    options (m/n/p) stay a loud arity error."""
+    cases = {
+        "SELECT CAST(DATE '999-06-01' AS VARCHAR) AS v": "0999-06-01",
+        "SELECT CAST(DATE '99-06-01' AS VARCHAR) AS v": "0099-06-01",
+        "SELECT CAST(DATE '9-6-01' AS VARCHAR) AS v": "0009-06-01",
+        "SELECT year(DATE '999-06-01') AS v": 999,
+        "SELECT CAST(TIMESTAMP '999-06-01 10:30:00' AS VARCHAR) AS v":
+            "0999-06-01 10:30:00",
+        "SELECT datediff('day', DATE '999-01-01', DATE '1000-01-01') AS v": 365,
+        "SELECT 'DATE ''999-06-01''' LIKE 'DATE%' AS v": True,
+        "SELECT regexp_matches('abc', 'B', 'i') AS v": True,
+        "SELECT regexp_matches('abc', 'B', 'ci') AS v": True,
+        "SELECT regexp_matches('abc', 'B', 'ic') AS v": False,
+        "SELECT regexp_matches('abc', 'a.c', 'l') AS v": False,
+        "SELECT regexp_matches('a.c', 'a.c', 'l') AS v": True,
+        "SELECT regexp_matches('A.C', 'a.c', 'il') AS v": True,
+        "SELECT regexp_matches('a' || chr(10) || 'b', 'a.b', 's') AS v": True,
+        "SELECT regexp_matches('a' || chr(10) || 'b', 'a.b', '') AS v": False,
+        "SELECT regexp_matches(NULL, 'B', 'i') AS v": None,
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        assert got == want, f"{sql}: {got!r} != {want!r}"
+    with pytest.raises(UQueryError, match="regexp_replace"):
+        rw.rewrite("SELECT regexp_matches('abc', 'B', 'gi') AS v")

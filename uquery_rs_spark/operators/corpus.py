@@ -542,3 +542,92 @@ def length_buckets(
             F.max(n).cast("long").alias("max_tokens"),
         )
     )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    is_target: Column,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 §3 —
+    Data Selection for Language Models via Importance Resampling):
+    hashed unigram+bigram bag-of-ngrams generative models for the
+    TARGET distribution (rows where ``is_target``) and the RAW corpus;
+    each document's weight is the log-likelihood ratio
+
+        w(doc) = sum_g  ln p_target(b(g)) - ln p_raw(b(g))
+
+    over its grams g, with buckets b(g) = md5-prefix(g) mod n_buckets
+    (the hashing trick; md5 so the DuckDB oracle reproduces the bucket
+    assignment bit-for-bit) and add-``alpha`` smoothing over the
+    ``n_buckets`` vocabulary. Positive weight = more target-like than
+    raw. Beyond-reference operator (the reference gateway has no corpus
+    ops, src/core/duckdb.rs:87-88).
+
+    100 TB shape: ONE bucket-grained aggregation (shuffle of at most
+    n_buckets x partitions partial rows, map-side combined) produces
+    the only global state — two B-dim count vectors (B <= 65536, the
+    repo's bounded-collect budget) — which returns to the plan as a
+    single ARRAY LITERAL, so scoring is a zero-shuffle scan: per doc,
+    a higher-order aggregate over the gram array indexing the log-ratio
+    array. No per-doc join, no second pass over text, no driver loop.
+
+    Columns: key, n_grams, weight (raw double; callers round for
+    display / chain importance_sample on a normalized transform).
+    """
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    # bigrams: zip_with pads the shorter side with NULL -> slice to n-1
+    bigrams = F.when(
+        n >= 2,
+        F.slice(
+            F.zip_with(w, F.slice(w, 2, n - 1), lambda a, b: F.concat_ws(" ", a, b)),
+            1,
+            n - 1,
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(w, bigrams)
+
+    def bucket(g: Column) -> Column:
+        return F.conv(F.substring(F.md5(g), 1, 4), 16, 10).cast("int") % n_buckets
+
+    base = docs.select(
+        F.col(key_col), is_target.alias("uq_t"), grams.alias("uq_g")
+    )
+    counts = (
+        base.select(F.col("uq_t"), F.explode("uq_g").alias("g"))
+        .select("uq_t", bucket(F.col("g")).alias("b"))
+        .groupBy("b")
+        .agg(
+            F.count("*").alias("r"),
+            F.sum(F.when(F.col("uq_t"), 1).otherwise(0)).alias("t"),
+        )
+        .collect()  # bounded: <= n_buckets rows
+    )
+    import math
+
+    t_counts = [0] * n_buckets
+    r_counts = [0] * n_buckets
+    for row in counts:
+        t_counts[row["b"]] = int(row["t"])
+        r_counts[row["b"]] = int(row["r"])
+    t_tot = sum(t_counts) + alpha * n_buckets
+    r_tot = sum(r_counts) + alpha * n_buckets
+    lam = [
+        math.log((t_counts[i] + alpha) / t_tot) - math.log((r_counts[i] + alpha) / r_tot)
+        for i in range(n_buckets)
+    ]
+    lam_lit = F.lit(lam)  # ONE ArrayType literal node, not n_buckets nodes
+    weight = F.aggregate(
+        F.col("uq_g"),
+        F.lit(0.0),
+        lambda acc, g: acc + F.element_at(lam_lit, bucket(g) + 1),
+    )
+    return base.select(
+        F.col(key_col),
+        F.size("uq_g").alias("n_grams"),
+        weight.alias("weight"),
+    )

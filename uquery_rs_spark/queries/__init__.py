@@ -28,6 +28,8 @@ _ROUND11_NEW: tuple[str, ...] = (
     "dialect_gap_b36_strdist",
     "dialect_gap_b36_math",
     "dialect_gap_b36_baseconv",
+    "corpus_dsir_weights",  # DSIR importance resampling (Xie et al. 2023)
+    "dialect_gap_b37_datelit_reflags",  # wave-6: pre-1000 dates, regexp flags
 )
 
 _ROUND11_R6TAIL = (

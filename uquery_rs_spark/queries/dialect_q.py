@@ -2862,3 +2862,52 @@ def dialect_gap_b36_baseconv(spark: SparkSession, sf: str) -> DataFrame:
     hex (no leading-zero pair trim), bin."""
     load_tables(spark, sf)
     return _rewritten_sql(spark, _B36_BASECONV_SQL)
+
+
+_B37_SQL = """
+WITH src AS (
+  SELECT doc_id AS k, text AS c
+  FROM documents WHERE doc_id <= 300
+)
+SELECT k,
+       CAST(DATE '999-06-01' AS VARCHAR)                        AS v_d3,
+       CAST(DATE '99-06-01' AS VARCHAR)                         AS v_d2,
+       CAST(TIMESTAMP '999-06-01 10:30:00' AS VARCHAR)          AS v_ts3,
+       year(DATE '9-3-15')                                      AS v_y1,
+       datediff('day', DATE '999-01-01', DATE '1000-01-01') + k AS v_dd,
+       CAST(greatest(DATE '999-01-01', DATE '2024-01-01') AS VARCHAR) AS v_gt,
+       regexp_matches(c, 'DATA', 'i')                           AS v_ri,
+       regexp_matches(c, 'THE', 'ci')                           AS v_rci,
+       regexp_matches(c, 'the', 'ic')                           AS v_ric,
+       regexp_matches(c, 'e.r', 'l')                            AS v_rl,
+       regexp_matches(upper(c), substr(c, 3, 2), 'il')          AS v_rnl,
+       regexp_matches('a' || chr(10) || substr(c, 1, 1), 'a.', 's') AS v_rs
+FROM src ORDER BY k
+"""
+
+
+@register(
+    "dialect_gap_b37_datelit_reflags",
+    tags=("dialect", "battery", "functions"),
+    oracle=_B37_SQL,
+)
+def dialect_gap_b37_datelit_reflags(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-11 wave-6 battery (≤12 idioms per the standing rule): the
+    two gaps the wave-6 dual probe found — (1) pre-1000-year typed
+    DATE/TIMESTAMP literals (Spark requires 4-digit years; DuckDB
+    accepts '999-06-01' → the whole family was a loud error; the
+    gateway now zero-pads the year), exercised through CAST text,
+    year(), datediff and greatest; (2) 3-arg regexp_matches option
+    strings (last-wins 'c'/'i', literal-match 'l' incl. a non-literal
+    pattern + case-fold combo, dotall 's') — previously a loud
+    wrong-arity error through the 1:1 regexp_like rename. 22 other
+    wave-6 candidates probed natively identical (gcd/lcm, millennium,
+    nextafter/signbit, string_to_array, regexp_split_to_array,
+    ends_with/starts_with, jaro_winkler_similarity,
+    damerau_levenshtein, editdist3, list_cosine_similarity/
+    list_dot_product/list_inner_product/list_distance, to_base64,
+    interval constructors to_centuries/to_decades/to_millennia through
+    the interval-text serving path) — no action, pinned here only via
+    the probe log (NOTES round-11)."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B37_SQL)

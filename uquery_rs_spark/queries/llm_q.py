@@ -2984,3 +2984,69 @@ def text_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
     gram asc) in both engines."""
     docs = load_tables(spark, sf)["documents"]
     return TX.ngram_topk(docs, n=2, k=20)
+
+
+@register(
+    "corpus_dsir_weights",
+    tags=("llm", "corpus", "sampling"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS t, string_split(text, ' ') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id, t,
+         list_concat(
+           w,
+           [w[i] || ' ' || w[i + 1] for i in generate_series(1, len(w) - 1)]
+         ) AS grams
+  FROM toks
+),
+bx AS (
+  SELECT doc_id,
+         t,
+         CAST(concat('0x', substr(md5(gr), 1, 4)) AS INTEGER) % 4096 AS b
+  FROM (SELECT doc_id, t, unnest(grams) AS gr FROM g)
+),
+cnt AS (
+  SELECT b, count(*) AS r, sum(CASE WHEN t THEN 1 ELSE 0 END) AS tt
+  FROM bx GROUP BY b
+),
+tot AS (SELECT sum(r) AS rs, sum(tt) AS ts FROM cnt),
+lam AS (
+  SELECT b,
+         ln((tt + 1.0) / (ts + 4096.0)) - ln((r + 1.0) / (rs + 4096.0)) AS l
+  FROM cnt, tot
+),
+wsum AS (
+  SELECT bx.doc_id, sum(l) AS weight
+  FROM bx JOIN lam USING (b) GROUP BY bx.doc_id
+)
+SELECT g.doc_id,
+       len(g.grams) AS n_grams,
+       round(wsum.weight, 4) AS weight,
+       wsum.weight > 0 AS target_like
+FROM g JOIN wsum ON g.doc_id = wsum.doc_id
+ORDER BY g.doc_id
+""",
+)
+def corpus_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 —
+    operators/corpus.py::dsir_importance_weights): hashed unigram+bigram
+    bag-of-ngrams models for the TARGET domain (lang = 'en' here) vs the
+    RAW corpus; per-doc log-likelihood-ratio weight, positive = more
+    target-like. One bucket-grained aggregation (<= 4096 rows collected)
+    becomes a single array literal; scoring is then a zero-shuffle scan
+    (HOF aggregate indexing the log-ratio array) — no per-doc join, the
+    100 TB path. md5-prefix buckets make the hashing trick reproducible
+    on both engines."""
+    from ..operators.corpus import dsir_importance_weights
+
+    docs = load_tables(spark, sf)["documents"]
+    out = dsir_importance_weights(docs, F.col("lang") == "en", n_buckets=4096)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        F.round("weight", 4).alias("weight"),
+        (F.col("weight") > 0).alias("target_like"),
+    ).orderBy("doc_id")

@@ -870,6 +870,61 @@ class SqlRewriter:
             pat_lit = f"concat('^((?s:.*?))({prefix}', {pat_lit}, ')')"
         return f"regexp_replace({s}, {pat_lit}, {repl_lit})"
 
+    _REGEXP_MATCHES_RE = re.compile(r"(?i)\bregexp_matches\s*\(")
+
+    def _rewrite_regexp_matches_flags(self, sql: str) -> str:
+        """3-arg regexp_matches(s, pat, options) — the 2-arg form renames
+        1:1 to regexp_like, but Spark's regexp_like has no options arg
+        (round-11 wave-6 probe: the 3-arg form was a loud wrong-arity
+        error). DuckDB 1.0.0-probed semantics: options apply LAST-WINS
+        for 'c'/'i' (matches('abc','B','ci') = true, 'ic' = false);
+        'l' is literal partial match ('a.c' matches 'a.c' not 'abc');
+        's' is dotall (default dot does NOT cross newlines); 'g' is an
+        ERROR ("only valid for regexp_replace"). Translation: 'l' →
+        contains() (optionally case-folded — no \\Q\\E fragility);
+        otherwise inline (?i)/(?s) prefixes. Murky newline options
+        m/n/p and non-literal flag strings stay untranslated (loud
+        arity error, never a silent wrong value)."""
+        pos = 0
+        while True:
+            hit = self._call_args(self._REGEXP_MATCHES_RE, sql, pos)
+            if not hit:
+                return sql
+            m, close, args = hit
+            if len(args) != 3:
+                pos = m.end()
+                continue
+            f = self._lit_parse(args[2])
+            if f is None:
+                pos = m.end()
+                continue
+            if "g" in f:
+                raise UQueryError.sql_error(
+                    "Option 'g' (global replace) is only valid for regexp_replace"
+                )
+            if not set(f) <= set("cisl"):
+                pos = m.end()
+                continue
+            s, pat = args[0], args[1]
+            ci = next((ch for ch in reversed(f) if ch in "ci"), "c") == "i"
+            if "l" in f:
+                if ci:
+                    repl = f"contains(lower(({s})), lower(({pat})))"
+                else:
+                    repl = f"contains(({s}), ({pat}))"
+            else:
+                prefix = ("(?i)" if ci else "") + ("(?s)" if "s" in f else "")
+                p_lit = self._lit_parse(pat)
+                if not prefix:
+                    pat_expr = pat
+                elif p_lit is not None:
+                    pat_expr = self._lit_emit(prefix + p_lit)
+                else:
+                    pat_expr = f"concat('{prefix}', {pat})"
+                repl = f"regexp_like(({s}), {pat_expr})"
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
+
     def _rewrite_regexp_replace(self, sql: str) -> str:
         """DuckDB regexp_replace(s, pat, repl[, flags]) → Spark (see
         _translate_regexp_replace). Recurses into arguments and the tail
@@ -9234,6 +9289,17 @@ class SqlRewriter:
         # literal escape space first: user literals are DuckDB (escape-
         # free); every pass below emits literals in Spark escape space
         sql = self._normalize_literals(sql)
+        # Spark's typed literals require 4-digit years; DuckDB accepts
+        # DATE '999-06-01' (round-11 wave-6 probe — the whole family
+        # errored loudly). Zero-pad the year. BC years (DuckDB
+        # '(-infinity)'/negative) stay untouched: loud, not silent.
+        sql = self._sub_code_fn(
+            re.compile(
+                r"(?i)\b(date|timestamp(?:_ntz)?|timestamptz)(\s*')(\d{1,3})-"
+            ),
+            lambda m: f"{m.group(1)}{m.group(2)}{int(m.group(3)):04d}-",
+            sql,
+        )
         sql = self._raise_unsupported(sql)
         sql = self._rewrite_json_arrows(sql)
         # MAP {} before brackets: a subscript on a map literal must see a
@@ -9339,6 +9405,9 @@ class SqlRewriter:
         # round-8 gap scalars BEFORE the rename (2-arg array_length
         # collapses to the 1-arg form the rename maps to size)
         sql = self._rewrite_b29_fns(sql)
+        # 3-arg regexp_matches BEFORE the rename (the 1:1 rename to
+        # regexp_like only fits the 2-arg form)
+        sql = self._rewrite_regexp_matches_flags(sql)
         sql = self._rewrite_function_names(sql)
         # batch-15 parity scalars after the rename table (their names
         # are not in it) and before lambda/scalar passes touch the args
