@@ -1412,3 +1412,41 @@ class TestDsir:
         # scale): the held-out English doc outranks both foreign docs
         assert out[5].weight > out[3].weight
         assert out[5].weight > out[4].weight
+
+
+class TestPca:
+    def test_pca_matches_numpy_exactly(self, spark):
+        """pca_project == from-scratch numpy PCA (population covariance,
+        eigh, canonical largest-|entry|-positive signs) to 1e-8; Bessel
+        residual nonnegative; captured ratio equals the eigenvalue
+        ratio."""
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        d, n = 6, 40
+        # anisotropic data so components are well-separated
+        A = rng.normal(size=(n, d)) @ np.diag([5, 3, 1, 0.5, 0.2, 0.1])
+        rows = [(i, [float(x) for x in A[i]]) for i in range(n)]
+        emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+        from uquery_rs_spark.operators.similarity import pca_project
+
+        got = {r.vec_id: r for r in pca_project(emb, n_components=2).collect()}
+
+        mean = A.mean(axis=0)
+        cov = (A - mean).T @ (A - mean) / n
+        evals, evecs = np.linalg.eigh(cov)
+        order = np.argsort(evals)[::-1][:2]
+        comps = []
+        for j in order:
+            c = evecs[:, j]
+            if c[np.argmax(np.abs(c))] < 0:
+                c = -c
+            comps.append(c)
+        want = (A - mean) @ np.stack(comps).T
+        captured = evals[order].sum() / np.trace(cov)
+        for i in range(n):
+            assert abs(got[i].pc1 - want[i, 0]) < 1e-8
+            assert abs(got[i].pc2 - want[i, 1]) < 1e-8
+            assert got[i].sq_resid >= -1e-9
+            assert abs(got[i].var_captured_ratio - captured) < 1e-9

@@ -1073,3 +1073,99 @@ def diversity_sample(
         .filter(h * F.col("cell_count") < per_cell * 65536)
         .select(id_col, "cell", "cell_count")
     )
+
+
+def pca_moments(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """One-pass distributed first/second moments of a vector column.
+
+    Each Arrow batch reduces to ONE partial row (count, Σx, Σx⊗x
+    flattened) inside mapInPandas — no explode, no d× (let alone d²×)
+    row amplification through a shuffle — and the driver combines the
+    ≤ #batches partials (d=64 → ~33 KB each; the same bounded-collect
+    budget as the centroid trainers above). Returns (n, mean, cov)
+    with cov the population covariance (divide by n)."""
+    d = len(emb.select(vec_col).first()[0])
+
+    def partials(batches):
+        for pdf in batches:
+            A = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            yield pd.DataFrame(
+                {
+                    "cnt": [len(A)],
+                    "s": [A.sum(axis=0)],
+                    "m": [(A.T @ A).ravel()],
+                }
+            )
+
+    rows = (
+        emb.select(vec_col)
+        .mapInPandas(partials, f"cnt long, s array<double>, m array<double>")
+        .collect()
+    )
+    n = sum(r["cnt"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    m = np.sum([np.asarray(r["m"]) for r in rows], axis=0).reshape(d, d)
+    mean = s / n
+    cov = m / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def pca_project(
+    emb: DataFrame,
+    n_components: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed PCA projection — the dimensionality-reduction step an
+    embedding pipeline runs before visualization/clustering. Beyond-
+    reference operator (the reference gateway has no vector ops).
+
+    100 TB shape: ONE pass computes the d×d covariance via per-batch
+    partial moments (pca_moments — no shuffle at all, partials collect
+    to the driver); the d×d eigendecomposition is a driver-side
+    O(d³) numpy call (microseconds at d=64 — never distributed-worthy);
+    the top components return to the plan as ARRAY LITERALS so the
+    projection is a second zero-shuffle scan. Eigenvector sign is
+    canonicalized (largest-|entry| positive) so output is deterministic
+    across runs/partitionings.
+
+    Columns: id, pc1..pcK (projections of the CENTERED vector),
+    sq_resid (||x-mean||² − Σpc²; ≥ 0 by Bessel — the per-row sanity
+    the oracle pins), plus per-row copies of the global
+    var_captured_ratio.
+    """
+    n, mean, cov = pca_moments(emb, vec_col)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = []
+    for j in order:
+        c = evecs[:, j]
+        if c[np.argmax(np.abs(c))] < 0:
+            c = -c
+        comps.append(c)
+    total_var = float(np.trace(cov))
+    captured = float(sum(evals[j] for j in order)) / total_var if total_var else 0.0
+    mean_lit = F.lit(list(map(float, mean)))
+    v = _as_double(F.col(vec_col))
+    centered = F.zip_with(v, mean_lit, lambda x, mu: x - mu)
+    out = emb.withColumn("uq_c", centered)
+    pc_cols = []
+    for i, c in enumerate(comps, start=1):
+        c_lit = F.lit(list(map(float, c)))
+        pc = F.aggregate(
+            F.zip_with(F.col("uq_c"), c_lit, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out.withColumn(f"pc{i}", pc)
+        pc_cols.append(f"pc{i}")
+    sq_norm = F.aggregate(F.col("uq_c"), F.lit(0.0), lambda acc, x: acc + x * x)
+    sq_proj = sum(F.col(c) * F.col(c) for c in pc_cols)
+    return out.select(
+        F.col(id_col),
+        *[F.col(c) for c in pc_cols],
+        (sq_norm - sq_proj).alias("sq_resid"),
+        F.lit(captured).alias("var_captured_ratio"),
+    )

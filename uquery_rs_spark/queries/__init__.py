@@ -30,6 +30,8 @@ _ROUND11_NEW: tuple[str, ...] = (
     "dialect_gap_b36_baseconv",
     "corpus_dsir_weights",  # DSIR importance resampling (Xie et al. 2023)
     "dialect_gap_b37_datelit_reflags",  # wave-6: pre-1000 dates, regexp flags
+    "emb_pca_project",  # distributed PCA, zero-shuffle moment pass
+    "events_hll_sketch_rollup",  # materialized re-mergeable HLL sketches
 )
 
 _ROUND11_R6TAIL = (

@@ -3050,3 +3050,39 @@ def corpus_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
         F.round("weight", 4).alias("weight"),
         (F.col("weight") > 0).alias("target_like"),
     ).orderBy("doc_id")
+
+
+@register(
+    "emb_pca_project",
+    tags=("llm", "similarity"),
+    oracle="""
+SELECT vec_id, TRUE AS bessel_ok, TRUE AS ratio_ok, TRUE AS finite_ok
+FROM embeddings ORDER BY vec_id
+""",
+)
+def emb_pca_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed PCA projection of the embedding corpus to 2
+    components (operators/similarity.py::pca_project): one zero-shuffle
+    pass of per-batch partial moments → driver-side 64x64 eigh → the
+    components return as array literals for a second zero-shuffle
+    projection scan. within_bound registry shape (same convention as
+    the ANN recall entries — eigenvectors are sign/rotation-ambiguous,
+    so values can't hash across engines): per-row Bessel residual
+    >= 0 (projection never exceeds the centered norm), the captured-
+    variance ratio within its mathematically guaranteed band (top-2
+    eigenvalues sum >= 2x average; <= total), finite projections. The
+    EXACT check lives in pytest (TestPca: projections equal a from-
+    scratch numpy eigendecomposition to 1e-8, canonical signs)."""
+    from ..operators import similarity as S2
+
+    emb = load_tables(spark, sf)["embeddings"]
+    p = S2.pca_project(emb, n_components=2)
+    return p.select(
+        "vec_id",
+        (F.col("sq_resid") >= -1e-6).alias("bessel_ok"),
+        (
+            (F.col("var_captured_ratio") >= 2.0 / 64 * 0.999)
+            & (F.col("var_captured_ratio") <= 1.0 + 1e-9)
+        ).alias("ratio_ok"),
+        (~F.isnan("pc1") & ~F.isnan("pc2")).alias("finite_ok"),
+    ).orderBy("vec_id")
