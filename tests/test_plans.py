@@ -289,3 +289,46 @@ def test_tumbling_approx_single_exchange(spark):
     # the bound being dodged is real: a second, per-triple exchange
     assert n_ex(exact_body) == 2
     assert "user_id" in exact_body.split(") Exchange")[1][:400]
+
+
+def test_dsir_scoring_is_shuffle_free(spark):
+    """Round 11: DSIR scoring (after the one bounded bucket-count
+    aggregation builds the log-ratio array literal) must be a narrow
+    zero-shuffle scan — no per-doc join against the bucket table, no
+    explode surviving into the scoring plan."""
+    from pyspark.sql import functions as F
+
+    from uquery_rs_spark.operators.corpus import dsir_importance_weights
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    plan = formatted_plan(
+        dsir_importance_weights(docs, F.col("lang") == "en", n_buckets=256)
+    )
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "hashpartitioning" not in body, body[:400]
+    assert "SortMergeJoin" not in body and "BroadcastHashJoin" not in body, body[:400]
+
+
+def test_pca_projection_is_shuffle_free(spark):
+    """Round 11: the PCA projection scan (components as array literals)
+    must not shuffle or join — the only distributed work is the
+    partial-moment pass that already ran at build time."""
+    from uquery_rs_spark.operators.similarity import pca_project
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    plan = formatted_plan(pca_project(emb, n_components=2))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "hashpartitioning" not in body, body[:400]
+    assert "Join" not in body, body[:400]
+
+
+def test_hll_sketch_rollup_partial_aggregates(spark):
+    """Round 11: hll_sketch_agg must fold into the ordinary two-phase
+    aggregate path (partial sketches map-side) — the property that
+    makes shuffle volume ∝ groups, not rows."""
+    plan = formatted_plan(
+        Q.REGISTRY["events_hll_sketch_rollup"].spark_fn(spark, SF_SMALL)
+    )
+    body = plan.split("== Physical Plan ==")[-1].lower()
+    assert "partial" in body, body[:400]
+    assert "hll_sketch_agg" in body, body[:400]
