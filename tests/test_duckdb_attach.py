@@ -145,3 +145,26 @@ def test_attached_time_column(spark, rw):
         (1, datetime.time(9, 0), "09:00:00", False),
         (2, datetime.time(17, 30, 0, 500000), "17:30:00.5", True),
     ]
+
+
+def test_attached_macro_body_gets_dialect_translation(spark, rw):
+    """Round 11: macro expansion moved to the pipeline HEAD, so a macro
+    BODY written in DuckDB dialect (as .db-attached macros are) now
+    flows through the full translation pipeline. Under the old tail
+    position these bodies were inserted after nearly every pass —
+    list_unique() in a body reached Spark untranslated (loud), and a
+    doubled-quote literal reached Spark in the wrong escape space
+    (silent). DuckDB-verified expectations."""
+    rw.add_scalar_macro("uq_r11_nuniq", ["l"], "list_unique(l)")
+    got = spark.sql(rw.rewrite("SELECT uq_r11_nuniq([1, 1, NULL, 3]) AS v")).collect()
+    assert got[0].v == 3  # 1.5.2 semantics: NULL counts once
+    rw.add_scalar_macro("uq_r11_tag", ["s"], "s || ' it''s'")
+    got = spark.sql(rw.rewrite("SELECT uq_r11_tag('x') AS v")).collect()
+    assert got[0].v == "x it's"
+    rw.add_scalar_macro("uq_r11_div", ["a", "b"], "a // b")
+    got = spark.sql(rw.rewrite("SELECT uq_r11_div(7, 2) AS v")).collect()
+    assert got[0].v == 3
+    # macro calling another macro still expands to fixpoint
+    rw.add_scalar_macro("uq_r11_outer", ["x"], "uq_r11_div(x, 2) + 1")
+    got = spark.sql(rw.rewrite("SELECT uq_r11_outer(10) AS v")).collect()
+    assert got[0].v == 6

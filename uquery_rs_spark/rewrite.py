@@ -9184,14 +9184,49 @@ class SqlRewriter:
         self._table_macros.add(name.lower())
 
     @staticmethod
+    def _sub_params_outside_literals(param: str, repl: str, body: str) -> str:
+        """Whole-word substitution of a macro parameter, skipping
+        single-quoted literals (DuckDB escape space: '' is an escaped
+        quote, so adjacent literal segments merge into one)."""
+        pat = re.compile(rf"(?i)\b{re.escape(param)}\b")
+        out: list[str] = []
+        i, n = 0, len(body)
+        seg_start = 0
+        while i < n:
+            if body[i] == "'":
+                out.append(pat.sub(repl, body[seg_start:i]))
+                j = i + 1
+                while j < n:
+                    j = body.find("'", j)
+                    if j == -1:
+                        j = n
+                        break
+                    if j + 1 < n and body[j + 1] == "'":
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                out.append(body[i:j])
+                i = seg_start = j
+            else:
+                i += 1
+        out.append(pat.sub(repl, body[seg_start:]))
+        return "".join(out)
+
+    @staticmethod
     def _split_args(raw: str) -> list[str]:
+        # Brackets and braces nest too: a macro arg may be a DuckDB
+        # list literal [1, 2] or MAP {'a': 1} whose commas must not
+        # split (round 11 — early expansion now sees raw bracket
+        # syntax; the old tail position ran after the bracket passes
+        # had rewritten them to parenthesized calls, masking this).
         args, depth, start = [], 0, 0
         i = 0
         while i < len(raw):
             c = raw[i]
-            if c == "(":
+            if c in "([{":
                 depth += 1
-            elif c == ")":
+            elif c in ")]}":
                 depth -= 1
             elif c == "'":
                 i = raw.index("'", i + 1)
@@ -9244,7 +9279,14 @@ class SqlRewriter:
                         )
                     expansion = body
                     for p, a in zip(params, args):
-                        expansion = re.sub(rf"(?i)\b{re.escape(p)}\b", f"({a})", expansion)
+                        # substitute OUTSIDE string literals only: a
+                        # param named 's' must not rewrite the s in
+                        # ' it''s' (DuckDB substitutes at the AST,
+                        # never inside literals — round-11 catch,
+                        # exposed by early expansion)
+                        expansion = self._sub_params_outside_literals(
+                            p, f"({a})", expansion
+                        )
                     sql = sql[: m.start()] + f"({expansion})" + sql[i:]
                     changed = True
                     m = self._search_code(pat, sql)
