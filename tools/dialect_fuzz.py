@@ -639,6 +639,64 @@ def run_axis(axis, batches, rnd, spark, rw, con):
             if wcols != gcols or want != got:
                 mismatch += 1
                 fails.append((q[:160], (wcols, want[:2]), (gcols, got[:2])))
+        elif axis == "macrofz":
+            # Round 11: macros through the gateway vs DuckDB's native
+            # CREATE MACRO — shadowed builtin names (macros win at bind
+            # time), param names occurring inside body string literals,
+            # bracket-literal call arguments, dialect idioms in bodies,
+            # macro-calls-macro chains. Fresh DuckDB connection per
+            # batch; gateway macros cleaned from rw._macros after.
+            shadow = ["mod", "add", "divide", "xor", "fdiv", "fmod",
+                      "even", "list_unique", "format", "sign", "hash",
+                      "greatest"]
+            n1 = (rnd.choice(shadow) if rnd.random() < 0.6
+                  else f"uqm{rnd.randrange(100)}")
+            n2 = f"uqn{rnd.randrange(100)}"
+            p, q2 = rnd.sample(["a", "b", "s", "x"], 2)
+            kind = rnd.randrange(5)
+            if kind == 0:
+                body1 = f"{p} * 100 + {q2}"
+            elif kind == 1:
+                body1 = f"({p} % nullif({q2}, 0)) + 1"
+            elif kind == 2:
+                # param names inside the literal must NOT substitute
+                body1 = f"length(concat({p}, ' it''s {p} {q2} '))+{q2}"
+            elif kind == 3:
+                body1 = f"list_unique([{p}, {q2}, {p}])"
+            else:
+                body1 = (f"CASE WHEN {p} > {q2} THEN {p} - {q2} "
+                         f"ELSE {q2} // nullif({p}, 0) END")
+            body2 = f"{n1}({p} + 1, {q2}) * 2" if rnd.random() < 0.5 else f"{p} - {q2}"
+            a1, a2 = rnd.choice(INTS), rnd.choice(INTS)
+            calls = [f"{n1}({a1}, {a2})", f"{n2}({a2}, {a1})"]
+            if rnd.random() < 0.4:
+                calls.append(f"{n1}({n2}({a1}, 2), {a2})")
+            sel = ", ".join(f"{c} AS c{i}" for i, c in enumerate(calls))
+            bcon = duckdb.connect()
+            try:
+                bcon.execute(f"CREATE MACRO {n1}({p}, {q2}) AS {body1}")
+                bcon.execute(f"CREATE MACRO {n2}({p}, {q2}) AS {body2}")
+                want = bcon.sql(f"SELECT {sel}").fetchall()[0]
+            except Exception:
+                bcon.close()
+                continue
+            rw.add_scalar_macro(n1, [p, q2], body1)
+            rw.add_scalar_macro(n2, [p, q2], body2)
+            try:
+                got = spark.sql(rw.rewrite(f"SELECT {sel}")).collect()[0]
+            except Exception as e:
+                mismatch += len(calls)
+                fails.append((sel[:120], want, "REJECT " + str(e).split("\n")[0][:80]))
+                continue
+            finally:
+                rw._macros.pop(n1.lower(), None)
+                rw._macros.pop(n2.lower(), None)
+                bcon.close()
+            for c, w, gv in zip(calls, want, list(got)):
+                checked += 1
+                if norm(gv) != norm(w):
+                    mismatch += 1
+                    fails.append((c, w, gv))
         elif axis == "rel":
             a, b = g.values_table("a"), g.values_table("b")
             kind = rnd.randrange(4)
@@ -691,7 +749,8 @@ def main():
     rw = SqlRewriter(spark)
     con = duckdb.connect()
     axes = (["expr", "agg", "window", "rel", "temporal", "nested", "pattern",
-             "div", "subq", "timemix", "multirel", "pivotfz", "saggfz"]
+             "div", "subq", "timemix", "multirel", "pivotfz", "saggfz",
+             "macrofz"]
             if axis == "all" else [axis])
     total_mm = 0
     for ax in axes:
