@@ -1274,21 +1274,24 @@ def test_asof_join_sql_extended_forms(spark, rw):
 
 
 def test_session_statements_blocked(rw):
-    """Session/prepared/transaction statements are blocked at the gate
-    with the configuration-locked error — not a confusing parse error
-    (batch-13 error-quality sweep: PREPARE/EXECUTE/txn/PRAGMA join the
-    SET/ATTACH/COPY family)."""
+    """Session/transaction statements are blocked at the gate with the
+    configuration-locked error — not a confusing parse error (batch-13
+    error-quality sweep). PREPARE/EXECUTE/DEALLOCATE graduated OUT of
+    this list in round 11 (supported prepared statements — see
+    test_prepare_execute_deallocate); EXECUTE of an unknown name still
+    raises, with DuckDB's own does-not-exist wording."""
     import pytest as _pytest
     from uquery_rs_spark.errors import UQueryError
 
     for stmt in [
-        "PREPARE q AS SELECT $1", "EXECUTE q(1)", "DEALLOCATE q",
         "BEGIN TRANSACTION", "COMMIT", "ROLLBACK",
         "CHECKPOINT", "VACUUM", "PRAGMA database_list",
         "COPY t TO 'x.csv'",
     ]:
         with _pytest.raises(UQueryError):
             rw.rewrite(stmt)
+    with _pytest.raises(UQueryError, match="does not exist"):
+        rw.rewrite("EXECUTE uq_unknown_stmt(1)")
 
 
 def test_gap_hunt_batch15_closures(spark, rw):
@@ -3458,3 +3461,54 @@ def test_wave6_date_literal_padding_and_regexp_flags(spark, rw):
         assert got == want, f"{sql}: {got!r} != {want!r}"
     with pytest.raises(UQueryError, match="regexp_replace"):
         rw.rewrite("SELECT regexp_matches('abc', 'B', 'gi') AS v")
+
+
+def test_prepare_execute_deallocate(spark, rw):
+    """Round 11: DuckDB prepared statements through the gateway —
+    PREPARE/EXECUTE/DEALLOCATE graduated out of the forbidden list
+    (query-level session state like CREATE VIEW/MACRO, not config
+    mutation). Every semantic DuckDB-probed: $n placeholders repeat
+    and reorder, '$1' inside a string literal stays text, ?-style
+    positional params, redefinition replaces, DEALLOCATE of a missing
+    name is a silent no-op, EXECUTE of a missing/deallocated name
+    errors, strict argument-count matching."""
+    run = lambda s: spark.sql(rw.rewrite(s)).collect()  # noqa: E731
+    assert run("PREPARE uq_p1 AS SELECT $1 + $2 AS v") == []
+    assert run("EXECUTE uq_p1(3, 4)")[0].v == 7
+    # redefinition replaces (DuckDB-probed)
+    run("PREPARE uq_p1 AS SELECT $1 + 1 AS v")
+    assert run("EXECUTE uq_p1(5)")[0].v == 6
+    # repeated + reordered placeholders; literal '$1' untouched
+    run("PREPARE uq_p2 AS SELECT upper($1) AS u, $1 || '!' AS e, '$1 lit' AS l")
+    row = run("EXECUTE uq_p2('hi')")[0]
+    assert (row.u, row.e, row.l) == ("HI", "hi!", "$1 lit")
+    run("PREPARE uq_p3 AS SELECT $2 - $1 AS v")
+    assert run("EXECUTE uq_p3(1, 10)")[0].v == 9
+    # ?-style positional
+    run("PREPARE uq_p4 AS SELECT i FROM (VALUES (1), (2), (3)) t(i) WHERE i > ?")
+    assert [r.i for r in run("EXECUTE uq_p4(1)")] == [2, 3]
+    # mixed $n and ? — a ? takes (highest index seen) + 1 (DuckDB-probed:
+    # $1 + ? with (1,2) is 3; ? * 100 + ? with (1,2) is 102)
+    run("PREPARE uq_p6 AS SELECT $1 + ? AS v")
+    assert run("EXECUTE uq_p6(1, 2)")[0].v == 3
+    run("PREPARE uq_p7 AS SELECT ? * 100 + ? AS v")
+    assert run("EXECUTE uq_p7(1, 2)")[0].v == 102
+    # DuckDB-probed errors: $2+? leaves $1 unbound; ?+$3 leaves $2 unbound
+    run("PREPARE uq_p8 AS SELECT $2 + ? AS v")
+    with pytest.raises(UQueryError, match="count mismatch"):
+        rw.rewrite("EXECUTE uq_p8(1, 2)")
+    # prepared text binds at EXECUTE time: sees macros defined later
+    run("CREATE MACRO uq_p_m(x) AS x * 10")
+    run("PREPARE uq_p5 AS SELECT uq_p_m($1) AS v")
+    assert run("EXECUTE uq_p5(4)")[0].v == 40
+    run("DROP MACRO uq_p_m")
+    # count mismatches error like DuckDB
+    with pytest.raises(UQueryError, match="count mismatch"):
+        rw.rewrite("EXECUTE uq_p1(1, 2)")
+    with pytest.raises(UQueryError, match="count mismatch"):
+        rw.rewrite("EXECUTE uq_p1()")
+    # deallocate: silent for missing, EXECUTE then errors
+    assert run("DEALLOCATE uq_never") == []
+    run("DEALLOCATE PREPARE uq_p1")
+    with pytest.raises(UQueryError, match="does not exist"):
+        rw.rewrite("EXECUTE uq_p1(1)")

@@ -32,6 +32,7 @@ _ROUND11_NEW: tuple[str, ...] = (
     "dialect_gap_b37_datelit_reflags",  # wave-6: pre-1000 dates, regexp flags
     "emb_pca_project",  # distributed PCA, zero-shuffle moment pass
     "events_hll_sketch_rollup",  # materialized re-mergeable HLL sketches
+    "prepared_statement_roundtrip",  # PREPARE/EXECUTE/DEALLOCATE lifecycle
 )
 
 _ROUND11_R6TAIL = (

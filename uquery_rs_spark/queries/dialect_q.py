@@ -2911,3 +2911,36 @@ def dialect_gap_b37_datelit_reflags(spark: SparkSession, sf: str) -> DataFrame:
     the probe log (NOTES round-11)."""
     load_tables(spark, sf)
     return _rewritten_sql(spark, _B37_SQL)
+
+
+@register(
+    "prepared_statement_roundtrip",
+    tags=("dialect", "session"),
+    oracle="""
+SELECT o_orderkey AS k, o_totalprice AS p
+FROM orders
+WHERE o_orderkey % 7 = 3 AND o_totalprice > 1000.0
+ORDER BY k LIMIT 50
+""",
+)
+def prepared_statement_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-11: DuckDB prepared statements (PREPARE name AS … $n /
+    EXECUTE name(args) / DEALLOCATE) through the gateway — graduated
+    out of the forbidden list; query-level session state like CREATE
+    VIEW/MACRO. The callable drives the full statement lifecycle
+    (prepare → execute twice with different args → redefine →
+    deallocate) and returns the final EXECUTE's result; the oracle is
+    the equivalent substituted SELECT (DuckDB can't run its own
+    PREPARE+EXECUTE as one statement, so lifecycle corners are pinned
+    in tests/test_rewrite.py::test_prepare_execute_deallocate)."""
+    load_tables(spark, sf)
+    rw = _REWRITERS.setdefault(id(spark), SqlRewriter(spark))
+    spark.sql(rw.rewrite(
+        "PREPARE uq_psr AS SELECT o_orderkey AS k, o_totalprice AS p "
+        "FROM orders WHERE o_orderkey % $1 = $2 AND o_totalprice > ? "
+        "ORDER BY k LIMIT 50"
+    ))
+    spark.sql(rw.rewrite("EXECUTE uq_psr(5, 1, 900.0)")).collect()
+    out = spark.sql(rw.rewrite("EXECUTE uq_psr(7, 3, 1000.0)"))
+    spark.sql(rw.rewrite("DEALLOCATE uq_psr"))
+    return out

@@ -125,8 +125,18 @@ _JSON_ARROW_RE = re.compile(
 )
 _FORBIDDEN_RE = re.compile(
     r"(?i)^\s*(set|reset|install|load|attach|detach|create\s+secret|copy|"
-    r"export|import|prepare|execute|deallocate|begin|commit|rollback|"
+    r"export|import|begin|commit|rollback|"
     r"checkpoint|vacuum|pragma)\b"
+)
+# PREPARE/EXECUTE/DEALLOCATE graduated out of the forbidden list in
+# round 11: they are query-level session state (like CREATE VIEW /
+# CREATE MACRO, both supported), not configuration mutation.
+_PREPARE_RE = re.compile(r"(?is)^\s*prepare\s+(\w+)\s+as\s+(.+?)\s*;?\s*$")
+_EXECUTE_RE = re.compile(
+    r"(?is)^\s*execute\s+(\w+)\s*(?:\((.*)\))?\s*;?\s*$"
+)
+_DEALLOCATE_RE = re.compile(
+    r"(?is)^\s*deallocate\s+(?:prepare\s+)?(\w+)\s*;?\s*$"
 )
 
 
@@ -171,6 +181,8 @@ class SqlRewriter:
         # cleared unconditionally at the rewrite() tail.
         self._pivot_name_subs: dict[str, str] = {}
         self._pivot_name_seq = 0
+        # PREPARE name AS <stmt> texts, keyed lowercase (round 11)
+        self._prepared: dict[str, str] = {}
 
     def attach_db_file(self, path: str) -> None:
         """Bootstrap tables + macros from a DuckDB file (reference
@@ -9294,11 +9306,111 @@ class SqlRewriter:
                 return sql
         return sql
 
+    def _substitute_prepared_params(self, text: str, args: list[str]) -> str:
+        """$n / ? placeholder substitution OUTSIDE string literals,
+        DuckDB-probed semantics: $1 repeats fine, arbitrary order,
+        '$1' inside a literal is text; a `?` takes (highest parameter
+        index seen so far) + 1 scanning left-to-right ($1 + ? binds ?
+        to $2; ? + $1 binds ? to $1 — probed both); binding is
+        positional, so the referenced index set must be exactly
+        {1..len(args)} or DuckDB errors with a count mismatch."""
+        out: list[str] = []
+        i, n = 0, len(text)
+        seg_start = 0
+        max_seen = 0
+        used = set()
+
+        def sub_code(seg: str) -> str:
+            nonlocal max_seen
+            res: list[str] = []
+            j = 0
+            while j < len(seg):
+                c = seg[j]
+                if c == "$" and j + 1 < len(seg) and seg[j + 1].isdigit():
+                    k = j + 1
+                    while k < len(seg) and seg[k].isdigit():
+                        k += 1
+                    idx = int(seg[j + 1 : k])
+                    if idx < 1 or idx > len(args):
+                        raise UQueryError.sql_error(
+                            "Parameter argument/count mismatch"
+                        )
+                    used.add(idx)
+                    max_seen = max(max_seen, idx)
+                    res.append(f"({args[idx - 1]})")
+                    j = k
+                elif c == "?":
+                    idx = max_seen + 1
+                    if idx > len(args):
+                        raise UQueryError.sql_error(
+                            "Parameter argument/count mismatch"
+                        )
+                    used.add(idx)
+                    max_seen = idx
+                    res.append(f"({args[idx - 1]})")
+                    j += 1
+                else:
+                    res.append(c)
+                    j += 1
+            return "".join(res)
+
+        while i < n:
+            if text[i] == "'":
+                out.append(sub_code(text[seg_start:i]))
+                j = i + 1
+                while j < n:
+                    j = text.find("'", j)
+                    if j == -1:
+                        j = n
+                        break
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                out.append(text[i:j])
+                i = seg_start = j
+            else:
+                i += 1
+        out.append(sub_code(text[seg_start:]))
+        if used != set(range(1, len(args) + 1)):
+            raise UQueryError.sql_error("Parameter argument/count mismatch")
+        return "".join(out)
+
     def rewrite(self, sql: str) -> str:
         if _FORBIDDEN_RE.match(sql):
             raise UQueryError.sql_error(
                 "session-mutating statements are disabled (configuration is locked)"
             )
+        # PREPARE / EXECUTE / DEALLOCATE — DuckDB prepared statements
+        # (round 11; probed: redefinition allowed, DEALLOCATE of a
+        # missing name is a silent no-op, EXECUTE of a missing name
+        # errors, $n repeats/reorders, '$1' inside literals is text,
+        # strict argument-count match). The statement TEXT is stored
+        # raw and the full pipeline runs at EXECUTE time, so prepared
+        # statements see current views/macros like DuckDB's binder.
+        m = _PREPARE_RE.match(sql)
+        if m:
+            if not hasattr(self, "_prepared"):
+                self._prepared = {}
+            self._prepared[m.group(1).lower()] = m.group(2)
+            return "SELECT 1 AS ok WHERE false"
+        m = _EXECUTE_RE.match(sql)
+        if m:
+            name = m.group(1).lower()
+            stmts = getattr(self, "_prepared", {})
+            if name not in stmts:
+                raise UQueryError.sql_error(
+                    f'Prepared statement "{m.group(1)}" does not exist'
+                )
+            args = self._split_args(m.group(2)) if m.group(2) else []
+            return self.rewrite(
+                self._substitute_prepared_params(stmts[name], args)
+            )
+        m = _DEALLOCATE_RE.match(sql)
+        if m:
+            getattr(self, "_prepared", {}).pop(m.group(1).lower(), None)
+            return "SELECT 1 AS ok WHERE false"
         # batch-26 session DDL first: CREATE VIEW/TABLE bodies recurse
         # through the full pipeline, DML raises
         if re.match(r"(?is)^\s*(create|drop|insert|update|delete|merge|truncate)\b", sql):
