@@ -3512,3 +3512,41 @@ def test_prepare_execute_deallocate(spark, rw):
     run("DEALLOCATE PREPARE uq_p1")
     with pytest.raises(UQueryError, match="does not exist"):
         rw.rewrite("EXECUTE uq_p1(1)")
+
+
+def test_wave7_window_percentiles_and_ignore_nulls(spark, rw):
+    """Round-11 wave-7 closes, DuckDB-verified: (1) arg-internal
+    IGNORE/RESPECT NULLS (DuckDB's only accepted placement — the
+    postfix form is a DuckDB parse error) relocates to Spark's postfix
+    for first/last/nth_value + lead/lag; (2) median / quantile_cont /
+    quantile_disc / quantile / mad OVER an ORDER BY or framed window
+    (running percentiles — Spark's percentile family rejects the spec
+    outright) translate through one collect_list per spec; disc rule
+    max(1, ceil(q*n)) probed on seven (n, q) pairs."""
+    V = "(VALUES (1, 10), (2, 10), (3, 20), (4, NULL), (5, 30)) t(i, v)"
+    cases = {
+        f"SELECT first_value(v IGNORE NULLS) OVER (ORDER BY i DESC) AS x "
+        f"FROM {V} ORDER BY i LIMIT 1": 30,
+        f"SELECT nth_value(v, 2 IGNORE NULLS) OVER (ORDER BY i ROWS BETWEEN "
+        f"UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS x FROM {V} "
+        f"ORDER BY i LIMIT 1": 10,
+        f"SELECT lag(v IGNORE NULLS) OVER (ORDER BY i) AS x FROM {V} "
+        f"ORDER BY i DESC LIMIT 1": 20,
+        f"SELECT first_value(v RESPECT NULLS) OVER (ORDER BY i DESC) AS x "
+        f"FROM {V} ORDER BY i LIMIT 1": 30,
+        # running median: [10], [10,10], [10,10,20], NULL skipped, +30
+        f"SELECT round(median(v) OVER (ORDER BY i), 4) AS x FROM {V} "
+        f"ORDER BY i DESC LIMIT 1": 15.0,
+        f"SELECT round(median(v) FILTER (WHERE v > 10) OVER (ORDER BY i), 4) "
+        f"AS x FROM {V} ORDER BY i DESC LIMIT 1": 25.0,
+        f"SELECT round(quantile_cont(v, 0.25) OVER (ORDER BY i), 4) AS x "
+        f"FROM {V} ORDER BY i DESC LIMIT 1": 10.0,
+        # disc: n=4 sorted [10,10,20,30], ceil(0.75*4)=3 -> 20
+        f"SELECT round(quantile(v, 0.75) OVER (ORDER BY i), 4) AS x "
+        f"FROM {V} ORDER BY i DESC LIMIT 1": 20.0,
+        f"SELECT round(mad(v) OVER (ORDER BY i ROWS BETWEEN 1 PRECEDING AND "
+        f"CURRENT ROW), 4) AS x FROM {V} ORDER BY i LIMIT 1": 0.0,
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].x
+        assert got == want, f"{sql}: {got!r} != {want!r}"

@@ -33,6 +33,7 @@ _ROUND11_NEW: tuple[str, ...] = (
     "emb_pca_project",  # distributed PCA, zero-shuffle moment pass
     "events_hll_sketch_rollup",  # materialized re-mergeable HLL sketches
     "prepared_statement_roundtrip",  # PREPARE/EXECUTE/DEALLOCATE lifecycle
+    "dialect_gap_b38_winpct",  # wave-7: running window percentiles, IGNORE NULLS
 )
 
 _ROUND11_R6TAIL = (

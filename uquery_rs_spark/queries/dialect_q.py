@@ -2944,3 +2944,54 @@ def prepared_statement_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     out = spark.sql(rw.rewrite("EXECUTE uq_psr(7, 3, 1000.0)"))
     spark.sql(rw.rewrite("DEALLOCATE uq_psr"))
     return out
+
+
+_B38_SQL = """
+WITH src AS (
+  SELECT o_orderkey AS k,
+         o_orderstatus AS st,
+         CAST(o_totalprice AS DOUBLE) AS p,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL
+              ELSE CAST(o_totalprice AS DOUBLE) END AS pn
+  FROM orders WHERE o_orderkey <= 400
+)
+SELECT k,
+       round(median(p) OVER (PARTITION BY st ORDER BY k), 4)        AS v_rmed,
+       round(quantile_cont(p, 0.25) OVER (PARTITION BY st ORDER BY k), 4) AS v_qc,
+       round(quantile(p, 0.75) OVER (PARTITION BY st ORDER BY k
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)          AS v_qd,
+       round(mad(p) OVER (PARTITION BY st ORDER BY k
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)          AS v_mad,
+       round(median(pn) FILTER (WHERE pn > 50000)
+             OVER (PARTITION BY st ORDER BY k), 4)                  AS v_medf,
+       first_value(pn IGNORE NULLS) OVER (PARTITION BY st ORDER BY k) AS v_fv,
+       last_value(pn IGNORE NULLS) OVER (PARTITION BY st ORDER BY k
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)              AS v_lv,
+       nth_value(pn, 2 IGNORE NULLS) OVER (PARTITION BY st ORDER BY k
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS v_nv,
+       lag(pn IGNORE NULLS) OVER (PARTITION BY st ORDER BY k)       AS v_lag,
+       lead(pn, 1 IGNORE NULLS) OVER (PARTITION BY st ORDER BY k)   AS v_lead
+FROM src ORDER BY k
+"""
+
+
+@register(
+    "dialect_gap_b38_winpct",
+    tags=("dialect", "battery", "window"),
+    oracle=_B38_SQL,
+)
+def dialect_gap_b38_winpct(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-11 wave-7 battery (≤12 idioms): running window
+    percentiles — median / quantile_cont / quantile (disc) / mad over
+    ORDER BY and framed specs, incl. FILTER — which Spark's percentile
+    family rejects outright (translated through one collect_list per
+    spec, LET-bound sorted array, DuckDB-probed index rules: cont
+    interpolates at q·(n−1), disc takes max(1, ceil(q·n))); and
+    DuckDB's arg-internal IGNORE NULLS placement for first_value/
+    last_value/nth_value/lag/lead (relocated to Spark's postfix —
+    DuckDB REJECTS the postfix form, so the two dialects are exactly
+    opposite). Prices pre-cast to DOUBLE on both sides: DuckDB's
+    DECIMAL median is discrete (documented deviation class), the
+    DOUBLE one interpolates like the translation."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B38_SQL)

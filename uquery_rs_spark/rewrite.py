@@ -1631,6 +1631,135 @@ class SqlRewriter:
         }[suffix]
         return sql[: m.start()] + repl + tail
 
+    _IGN_NULLS_FN_RE = re.compile(
+        r"(?i)\b(first_value|last_value|nth_value|lead|lag|any_value)\s*\("
+    )
+    _IGN_NULLS_TAIL_RE = re.compile(r"(?i)\b(ignore|respect)\s+nulls\s*$")
+
+    def _rewrite_ignore_nulls_arg(self, sql: str) -> str:
+        """DuckDB puts IGNORE/RESPECT NULLS INSIDE the call's argument
+        list — first_value(v IGNORE NULLS), nth_value(v, 2 IGNORE
+        NULLS) — and rejects the postfix placement; Spark is exactly
+        the opposite (round-11 wave-7 probe: every arg-internal form
+        was a loud parse error). Relocate the keyword outside the
+        closing paren; argument text is otherwise untouched."""
+        pos = 0
+        while True:
+            hit = self._call_args(self._IGN_NULLS_FN_RE, sql, pos)
+            if not hit:
+                return sql
+            m, close, args = hit
+            tm = self._IGN_NULLS_TAIL_RE.search(args[-1])
+            if not tm:
+                pos = close + 1
+                continue
+            args[-1] = args[-1][: tm.start()].rstrip()
+            repl = (
+                m.group(0)
+                + ", ".join(args)
+                + f") {tm.group(1).upper()} NULLS"
+            )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
+
+    @staticmethod
+    def _ordered_spec(over: str | None) -> bool:
+        """True when a window spec carries ORDER BY or an explicit
+        frame — the shapes Spark's percentile/median window rejects
+        (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC)."""
+        return bool(
+            over
+            and re.search(r"(?i)\border\s+by\b|\brows\b|\brange\b|\bgroups\b", over)
+        )
+
+    _MEDIAN_RE = re.compile(r"(?i)\bmedian\s*\(")
+
+    def _rewrite_ordered_window_percentiles(self, sql: str) -> str:
+        """median / quantile_cont / quantile_disc / quantile OVER an
+        ORDER BY (or framed) window — DuckDB computes running
+        percentiles; Spark's percentile family rejects the spec
+        outright (round-11 wave-7 probe: loud
+        INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC). Translation: ONE
+        collect_list over the same spec, array_sort, then the
+        DuckDB-probed index rules — median interpolates ((lo+hi)/2 on
+        even counts), quantile_cont at idx = q·(n−1) interpolating
+        between floor/ceil neighbours (probed: quantile_cont(0.25) on
+        [10,20,30,40] = 17.5), quantile_disc at floor(q·(n−1))+1
+        (probed 0.5 → lower of two). FILTER folds into the collected
+        argument (NULLs vanish from collect_list exactly like DuckDB's
+        NULL-skipping percentiles). Values compute in DOUBLE — the
+        same documented width/decimal-discreteness deviation as the
+        aggregate median path; non-numeric args fail loudly at the
+        `* 1.0` guard rather than silently casting. Partition-only
+        specs fall through to the native/WITHIN GROUP paths below."""
+        for regex, kind in (
+            (self._MEDIAN_RE, "median"),
+            (self._QUANTILE_RE, "quantile"),
+        ):
+            pos = 0
+            while True:
+                hit = self._call_args(regex, sql, pos)
+                if not hit:
+                    break
+                m, close, args = hit
+                filt, over, endpos = self._nested_agg_over(sql, close, kind)
+                if not self._ordered_spec(over):
+                    pos = close + 1
+                    continue
+                if re.match(r"(?i)^\s*distinct\b", args[0]):
+                    raise UQueryError.sql_error(
+                        "quantile/median with DISTINCT is not supported"
+                    )
+                x = args[0]
+                if filt is not None:
+                    x = f"CASE WHEN {filt} THEN ({x}) END"
+                if kind == "median":
+                    if len(args) != 1:
+                        raise UQueryError.sql_error("median expects 1 argument")
+                    q = None
+                else:
+                    if len(args) != 2:
+                        raise UQueryError.sql_error(
+                            "quantile*: only the (expr, scalar_quantile) form is supported"
+                        )
+                    q = args[1]
+                cl = (
+                    f"array_sort(collect_list(CAST((({x}) * 1.0) AS DOUBLE)) "
+                    f"OVER {over})"
+                )
+                if kind == "median":
+                    body = self._median_of("uq_qw")
+                elif (m.group(1) or "_disc").lower() == "_cont":
+                    idx = f"(({q}) * (size(uq_qw) - 1))"
+                    lo = f"CAST(floor({idx}) AS INT)"
+                    body = (
+                        f"CASE WHEN {idx} = floor({idx}) "
+                        f"THEN try_element_at(uq_qw, {lo} + 1) "
+                        f"ELSE try_element_at(uq_qw, {lo} + 1) "
+                        f"+ (try_element_at(uq_qw, {lo} + 2) "
+                        f"- try_element_at(uq_qw, {lo} + 1)) "
+                        f"* ({idx} - floor({idx})) END"
+                    )
+                else:
+                    # disc rule: smallest index i with i/n >= q, i.e.
+                    # max(1, ceil(q*n)) — probed on seven (n, q) pairs
+                    # incl. the n=3, q=0.75 case that falsified a
+                    # floor(q*(n-1))+1 draft
+                    body = (
+                        f"try_element_at(uq_qw, greatest(1, "
+                        f"CAST(ceil(({q}) * size(uq_qw)) AS INT)))"
+                    )
+                # LET-bind the sorted list once (the r7 lambda-invariant
+                # lesson): zero and finish lambdas each evaluate once.
+                repl = (
+                    f"(aggregate(array(0), {cl}, (uq_qa, uq_qi) -> uq_qa, "
+                    f"uq_qw -> CASE WHEN size(uq_qw) = 0 THEN NULL "
+                    f"ELSE ({body}) END))"
+                )
+                sql = sql[: m.start()] + repl + sql[endpos + 1 :]
+                pos = m.start() + len(repl)
+        return sql
+
     def _rewrite_quantile(self, sql: str) -> str:
         """quantile_cont/quantile_disc/quantile(x, q) → Spark's ordered-
         set percentile_cont/percentile_disc (bare quantile is DISC in
@@ -4370,6 +4499,31 @@ class SqlRewriter:
                     repl = (
                         f"(CASE WHEN size({cl}) = 0 THEN NULL "
                         f"ELSE map_from_entries({entries}) END)"
+                    )
+                elif kind == "mad" and self._ordered_spec(over):
+                    # round 11 (wave-7): an ORDER BY / framed window —
+                    # Spark's percentile window rejects the spec, so
+                    # the running median comes from the collected list
+                    # itself, LET-bound once like the DISTINCT-over
+                    # branch (running mads DuckDB-probed: [0.0, 5.5,
+                    # 4.5] over ROWS BETWEEN 1 PRECEDING AND CURRENT
+                    # ROW on (10, 21, 30)).
+                    cs = f"collect_list(CAST(({x}) AS DOUBLE)){osuf}"
+                    med_s = self._median_of("uq_ls")
+                    devs = (
+                        "array_sort(transform(uq_ls, "
+                        "uq_mv -> abs(uq_mv - uq_lm)))"
+                    )
+                    fin = self._median_of("uq_ld")
+                    repl = (
+                        f"(aggregate(array(0), array_sort({cs}), "
+                        f"(uq_a1, uq_i1) -> uq_a1, "
+                        f"uq_ls -> CASE WHEN size(uq_ls) = 0 THEN NULL "
+                        f"ELSE aggregate(array(0), ({med_s}), "
+                        f"(uq_a2, uq_i2) -> uq_a2, "
+                        f"uq_lm -> aggregate(array(0), {devs}, "
+                        f"(uq_a3, uq_i3) -> uq_a3, "
+                        f"uq_ld -> ({fin}))) END))"
                     )
                 elif kind == "mad":
                     # the group median comes from Spark's native exact
@@ -9615,6 +9769,9 @@ class SqlRewriter:
         sql = self._rewrite_date_diff(sql)
         sql = self._rewrite_dayname(sql)
         sql = self._rewrite_epoch(sql)
+        # ordered-window percentiles BEFORE the WITHIN-GROUP quantile
+        # rewrite (Spark's percentile family rejects ORDER BY specs)
+        sql = self._rewrite_ordered_window_percentiles(sql)
         sql = self._rewrite_quantile(sql)
         sql = self._rewrite_product(sql)
         sql = self._rewrite_time_bucket(sql)
@@ -9632,6 +9789,9 @@ class SqlRewriter:
         sql = self._rewrite_sha256(sql)
         sql = self._rewrite_trim_chars(sql)
         sql = self._rewrite_quantified_cmp(sql)
+        # DuckDB's arg-internal IGNORE/RESPECT NULLS relocates to
+        # Spark's postfix placement BEFORE first_last parses the args
+        sql = self._rewrite_ignore_nulls_arg(sql)
         sql = self._rewrite_first_last_order(sql)
         sql = self._rewrite_struct_extract(sql)
         sql = self._rewrite_list_has_all(sql)
