@@ -3550,3 +3550,33 @@ def test_wave7_window_percentiles_and_ignore_nulls(spark, rw):
     for sql, want in cases.items():
         got = spark.sql(rw.rewrite(sql)).collect()[0].x
         assert got == want, f"{sql}: {got!r} != {want!r}"
+
+
+def test_wave8_json_closes(spark, rw):
+    """Round-11 wave-8 closes, DuckDB-verified: (1) from_json /
+    json_transform now coerce string-encoded scalars like DuckDB
+    (try_variant_get per field; the old from_json emission silently
+    yielded NULL for '{"a":"5"}' with a BIGINT target), with DuckDB's
+    rounding for fractional→integer and lenient NULL on uncoercible;
+    (2) 2-arg json_array_length(j, path); (3) list-of-paths
+    json_extract returns a list of extractions."""
+    cases = {
+        "SELECT json_transform('{\"a\":\"5\"}', '{\"a\":\"INTEGER\"}').a AS v": 5,
+        "SELECT json_transform('{\"a\":\"abc\"}', '{\"a\":\"INTEGER\"}').a AS v": None,
+        "SELECT json_transform('{\"a\":\"5.9\"}', '{\"a\":\"INTEGER\"}').a AS v": 6,
+        "SELECT json_transform('{\"a\":true}', '{\"a\":\"INTEGER\"}').a AS v": 1,
+        "SELECT json_transform('{\"a\":7}', '{\"a\":\"VARCHAR\"}').a AS v": "7",
+        "SELECT json_transform('{\"a\":{\"b\":\"9\"}}', '{\"a\":{\"b\":\"BIGINT\"}}').a.b AS v": 9,
+        "SELECT from_json('{\"a\":1}', '{\"a\":\"BIGINT\"}').a AS v": 1,
+        "SELECT from_json('null', '{\"a\":\"BIGINT\"}') IS NULL AS v": True,
+        "SELECT from_json('[1,2]', '[\"BIGINT\"]')[2] AS v": 2,
+        "SELECT json_array_length('{\"a\":[1,2,3]}', '$.a') AS v": 3,
+        "SELECT json_array_length('[1,2]') AS v": 2,
+        "SELECT CAST(json_extract('{\"a\":1,\"b\":2}', ['$.a','$.b']) AS VARCHAR) AS v":
+            "[1, 2]",
+        "SELECT CAST(json_extract_string('{\"a\":\"x\"}', ['$.a']) AS VARCHAR) AS v":
+            "[x]",
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        assert got == want, f"{sql}: {got!r} != {want!r}"

@@ -34,6 +34,7 @@ _ROUND11_NEW: tuple[str, ...] = (
     "events_hll_sketch_rollup",  # materialized re-mergeable HLL sketches
     "prepared_statement_roundtrip",  # PREPARE/EXECUTE/DEALLOCATE lifecycle
     "dialect_gap_b38_winpct",  # wave-7: running window percentiles, IGNORE NULLS
+    "dialect_gap_b39_json",  # wave-8: json_transform coercion, 2-arg len, path lists
 )
 
 _ROUND11_R6TAIL = (

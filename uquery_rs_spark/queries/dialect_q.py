@@ -2995,3 +2995,44 @@ def dialect_gap_b38_winpct(spark: SparkSession, sf: str) -> DataFrame:
     DOUBLE one interpolates like the translation."""
     load_tables(spark, sf)
     return _rewritten_sql(spark, _B38_SQL)
+
+
+_B39_SQL = """
+WITH src AS (
+  SELECT o_orderkey AS k,
+         concat('{"n":"', CAST(o_orderkey % 90 + 1 AS VARCHAR),
+                CASE WHEN o_orderkey % 3 = 0 THEN '.5' ELSE '' END,
+                '","tag":', CAST(o_orderkey % 5 AS VARCHAR),
+                ',"arr":[', CAST(o_orderkey % 4 AS VARCHAR), ',"7"]}') AS j
+  FROM orders WHERE o_orderkey <= 300
+)
+SELECT k,
+       json_transform(j, '{"n":"INTEGER","tag":"VARCHAR"}').n   AS v_coerce,
+       json_transform(j, '{"n":"INTEGER","tag":"VARCHAR"}').tag AS v_str,
+       json_transform(j, '{"n":"DOUBLE"}').n                    AS v_dbl,
+       from_json(j, '{"arr":["BIGINT"]}').arr[2]                AS v_arr,
+       json_array_length(j, '$.arr')                           AS v_len,
+       array_to_string(json_extract(j, ['$.tag', '$.n']), '|')  AS v_multi
+FROM src ORDER BY k
+"""
+
+
+@register(
+    "dialect_gap_b39_json",
+    tags=("dialect", "battery", "json"),
+    oracle=_B39_SQL,
+)
+def dialect_gap_b39_json(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-11 wave-8 battery: from_json/json_transform string-scalar
+    COERCION (the old from_json emission silently yielded NULL where
+    DuckDB coerces '"5"' → 5 — now try_variant_get per field, with
+    DuckDB's fractional→integer ROUNDING via a DOUBLE detour),
+    per-element coercion inside arrays, 2-arg json_array_length(j,
+    path), and list-of-paths json_extract. 12 more JSON idioms probed
+    natively identical this wave (json_keys/structure/type/contains/
+    valid/quote/array/object/merge_patch, to_json list+struct,
+    group_array/group_object); json_extract '[#-1]' from-end indexes
+    and json_group_structure stay loud errors (documented — value-
+    dependent paths can't fold into Spark's static-path extraction)."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B39_SQL)

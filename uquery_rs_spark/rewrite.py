@@ -1890,6 +1890,21 @@ class SqlRewriter:
             raise UQueryError.sql_error("json_extract expects (json, path)")
         j = self._rewrite_json_extract(args[0])
         p = args[1]
+        # round 11 (wave-8): a LIST of paths returns a LIST of
+        # extractions ([$.a, $.b] → ['1', '2'] — DuckDB-probed). The
+        # bracket pass has usually rewritten the literal to array(…)
+        # by now; accept both spellings.
+        plist = re.match(r"^\s*\[(.*)\]\s*$", p, re.S) or re.match(
+            r"(?i)^\s*array\s*\((.*)\)\s*$", p, re.S
+        )
+        if plist:
+            elems = self._split_top(plist.group(1), ",")
+            fn = "get_json_object(({j}), {p})" if m.group(1) else \
+                "to_json(variant_get(parse_json(({j})), {p}))"
+            parts = ", ".join(
+                fn.format(j=j, p=e.strip()) for e in elems if e.strip()
+            )
+            return sql[: m.start()] + f"array({parts})" + tail
         lit = self._lit_parse(p)
         if lit is not None and lit.startswith("/"):
             # JSONPointer '/a/b' → JSONPath '$.a.b' (object keys only)
@@ -1899,6 +1914,29 @@ class SqlRewriter:
         else:
             repl = f"to_json(variant_get(parse_json(({j})), {p}))"
         return sql[: m.start()] + repl + tail
+
+    _JSON_ARR_LEN_RE = re.compile(r"(?i)\bjson_array_length\s*\(")
+
+    def _rewrite_json_array_length(self, sql: str) -> str:
+        """2-arg json_array_length(j, path) counts the array AT the
+        path (DuckDB-probed: ('{"a":[1,2,3]}', '$.a') = 3); Spark's
+        builtin is 1-arg only (round-11 wave-8 — the 2-arg form was a
+        loud wrong-arity error) → extract the sub-document first.
+        1-arg calls are natively identical and stay untouched."""
+        pos = 0
+        while True:
+            hit = self._call_args(self._JSON_ARR_LEN_RE, sql, pos)
+            if not hit:
+                return sql
+            m, close, args = hit
+            if len(args) != 2:
+                pos = close + 1
+                continue
+            repl = (
+                f"json_array_length(get_json_object(({args[0]}), {args[1]}))"
+            )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
 
     def _rewrite_json_valid(self, sql: str) -> str:
         hit = self._call_args(self._JSON_VALID_RE, sql)
@@ -3103,13 +3141,18 @@ class SqlRewriter:
 
     def _rewrite_from_json(self, sql: str) -> str:
         """DuckDB ``from_json(j, structure)`` / ``json_transform`` →
-        Spark from_json with the structure literal translated to a DDL
-        schema ('{"a":"BIGINT"}' → STRUCT<a: BIGINT>). JSON-'null' (and
-        SQL NULL) input → NULL like DuckDB. Documented laxness: a
-        malformed document yields a struct of NULLs where DuckDB errors
-        (Spark's PERMISSIVE reader; FAILFAST was probed and rejected —
-        it also errors on valid-but-uncoercible field values where
-        DuckDB yields NULL fields). Non-literal structures raise."""
+        per-field try_variant_get over parse_json (round 11 — replaced
+        the from_json emission, which silently yielded NULL for
+        string-encoded scalars where DuckDB coerces: '{"a":"5"}' with
+        a BIGINT target is 5 there). The structure literal translates
+        to Spark DDL types ('{"a":"BIGINT"}' → '$\\.a' as BIGINT);
+        JSON-'null' (and SQL NULL) input → NULL like DuckDB; malformed
+        documents now ERROR like DuckDB (parse_json raises — the old
+        PERMISSIVE struct-of-NULLs laxness is gone). Integer targets
+        detour via DOUBLE + round() (DuckDB rounds 5.9→6, variant
+        casting truncates); the same fractional corner nested inside
+        containers still truncates (documented). Non-literal
+        structures raise."""
         pos = 0
         while True:
             hit = self._call_args(self._FROM_JSON_RE, sql, pos)
@@ -3136,10 +3179,43 @@ class SqlRewriter:
                     f"{m.group(1)}: invalid structure: {exc}"
                 ) from exc
             j = args[0]
+            # Round 11 (wave-8 catch): Spark's from_json does NOT
+            # coerce string-encoded scalars ('{"a":"5"}' with a BIGINT
+            # → null — a SILENT wrong value; DuckDB yields 5), but
+            # try_variant_get does, with DuckDB's exact lenient rules
+            # (probed: "5"→5, "abc"→NULL, true→1, 7→'7', per-element
+            # inside arrays). Top-level struct fields extract
+            # per-field; integer targets detour via DOUBLE + round()
+            # because DuckDB ROUNDS fractional→integer (5.9→6) where
+            # variant casting truncates. Deviation (documented):
+            # fractional→integer coercion nested INSIDE containers
+            # still truncates (no per-element rounding hook).
+            structure = _json.loads(struct_lit)
+            var = f"parse_json(({j}))"
+            int_types = {
+                "TINYINT", "SMALLINT", "INTEGER", "INT", "BIGINT",
+                "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "HUGEINT",
+            }
+            if isinstance(structure, dict):
+                parts = []
+                for k, tspec in structure.items():
+                    path = "$." + k
+                    fddl = self._spark_schema_of(tspec)
+                    if isinstance(tspec, str) and tspec.strip().upper() in int_types:
+                        fx = (
+                            f"CAST(round(try_variant_get({var}, '{path}', "
+                            f"'double')) AS {fddl})"
+                        )
+                    else:
+                        fx = f"try_variant_get({var}, '{path}', '{fddl}')"
+                    parts.append(f"'{k}', {fx}")
+                body = f"named_struct({', '.join(parts)})"
+            else:
+                body = f"try_variant_get({var}, '$', '{schema}')"
             repl = (
                 f"(CASE WHEN ({j}) IS NULL OR trim(({j})) = 'null' "
                 f"THEN CAST(NULL AS {schema}) "
-                f"ELSE from_json(({j}), '{schema}') END)"
+                f"ELSE {body} END)"
             )
             sql = sql[: m.start()] + repl + sql[close + 1 :]
             pos = m.start() + len(repl)
@@ -9778,6 +9854,7 @@ class SqlRewriter:
         sql = self._rewrite_similar_glob(sql)
         sql = self._strip_trailing_select_comma(sql)
         sql = self._rewrite_json_extract(sql)
+        sql = self._rewrite_json_array_length(sql)
         sql = self._rewrite_json_valid(sql)
         # batch-21 JSON tail AFTER scalar_semantics (emits concat()
         # calls that must stay un-stringified) and after json_extract
