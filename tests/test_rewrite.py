@@ -3580,3 +3580,49 @@ def test_wave8_json_closes(spark, rw):
     for sql, want in cases.items():
         got = spark.sql(rw.rewrite(sql)).collect()[0].v
         assert got == want, f"{sql}: {got!r} != {want!r}"
+
+
+def test_wave9_list_stats_and_array_type_casts(spark, rw):
+    """Round-11 wave-9 closes, DuckDB-verified: (1) the list_<aggregate>
+    statistics family (sem/stddev_samp/stddev_pop/var_samp/var_pop/
+    variance/stddev/product/entropy/string_agg/skewness/kurtosis/mad,
+    both the standalone and list_aggregate(x, 'fn') spellings) —
+    independent O(n) moment folds, DuckDB's NULL boundaries (var_samp
+    n=1, skewness n<=2 or constant, kurtosis n<=3, product of empty;
+    sem n=1 is 0.0), corrected sample estimators; (2) array-type cast
+    suffixes CAST(x AS DOUBLE[]) / x::FLOAT[2] / DOUBLE[][] — every
+    spelling was a loud parse error (the bracket pass read TYPE[] as
+    a subscript); fixed sizes drop (documented width deviation)."""
+    cases = {
+        "SELECT round(list_sem([1.0, 2.0, 4.0]), 9) AS v": 0.7200823,
+        "SELECT list_sem([1.0]) AS v": 0.0,
+        "SELECT list_sem(CAST([] AS DOUBLE[])) AS v": None,
+        "SELECT round(list_stddev_samp([1.0, 2.0, 4.0]), 9) AS v": 1.527525232,
+        "SELECT list_stddev_samp([2.0]) AS v": None,
+        "SELECT round(list_var_pop([1.0, 2.0, 4.0, 9.0]), 9) AS v": 9.5,
+        "SELECT round(list_aggregate([1.0,2.0,4.0], 'variance'), 9) AS v":
+            2.333333333,
+        "SELECT round(list_skewness([1.0, 2.0, 4.0]), 9) AS v": 0.93521953,
+        "SELECT list_skewness([1.0, 2.0]) AS v": None,
+        "SELECT list_aggregate([1.0,1.0,1.0], 'skewness') AS v": None,
+        "SELECT round(list_kurtosis([1.0, 2.0, 4.0, 9.0]), 9) AS v": 1.5,
+        "SELECT list_kurtosis([1.0, 2.0, 4.0]) AS v": None,
+        "SELECT round(list_entropy(['a','a','b']), 9) AS v": 0.918295834,
+        "SELECT list_aggregate(CAST([] AS DOUBLE[]), 'entropy') AS v": 0.0,
+        "SELECT list_product([2, 3]) AS v": 6.0,
+        "SELECT list_product(CAST([] AS INT[])) AS v": None,
+        "SELECT list_string_agg(['x', NULL, 'y']) AS v": "x,y",
+        "SELECT round(list_mad(CAST([1.5, 2.5, 10.0] AS DOUBLE[])), 9) AS v":
+            1.0,
+        "SELECT CAST(CAST([1,2] AS DOUBLE[]) AS VARCHAR) AS v": "[1.0, 2.0]",
+        "SELECT size([1,2]::DOUBLE[]) AS v": 2,
+        "SELECT CAST(['1','2']::UBIGINT[] AS VARCHAR) AS v": "[1, 2]",
+        "SELECT size(CAST([[1],[2,3]] AS DOUBLE[][])) AS v": 2,
+        "SELECT size([1.5,2.5]::FLOAT[2]) AS v": 2,
+    }
+    for sql, want in cases.items():
+        got = spark.sql(rw.rewrite(sql)).collect()[0].v
+        if isinstance(want, float) and got is not None:
+            assert abs(got - want) < 2e-8, f"{sql}: {got!r} != {want!r}"
+        else:
+            assert got == want, f"{sql}: {got!r} != {want!r}"

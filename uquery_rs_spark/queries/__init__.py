@@ -35,6 +35,9 @@ _ROUND11_NEW: tuple[str, ...] = (
     "prepared_statement_roundtrip",  # PREPARE/EXECUTE/DEALLOCATE lifecycle
     "dialect_gap_b38_winpct",  # wave-7: running window percentiles, IGNORE NULLS
     "dialect_gap_b39_json",  # wave-8: json_transform coercion, 2-arg len, path lists
+    # NOTE: dialect_gap_b40_liststats (wave-9) lands OUTSIDE this tuple —
+    # the r11 window is at the 15-new-entry share cap; it leads the r12
+    # window per the standing rotation rule.
 )
 
 _ROUND11_R6TAIL = (

@@ -3036,3 +3036,46 @@ def dialect_gap_b39_json(spark: SparkSession, sf: str) -> DataFrame:
     dependent paths can't fold into Spark's static-path extraction)."""
     load_tables(spark, sf)
     return _rewritten_sql(spark, _B39_SQL)
+
+
+_B40_SQL = """
+WITH src AS (
+  SELECT o_orderkey AS k,
+         [CAST(o_totalprice AS DOUBLE), CAST(o_orderkey % 97 AS DOUBLE),
+          CAST(o_custkey % 53 AS DOUBLE), CAST(o_orderkey % 7 AS DOUBLE)] AS xs
+  FROM orders WHERE o_orderkey <= 300
+)
+SELECT k,
+       round(list_sem(xs), 6)                         AS v_sem,
+       round(list_stddev_samp(xs), 6)                 AS v_sds,
+       round(list_stddev_pop(xs), 6)                  AS v_sdp,
+       round(list_var_samp(xs), 6)                    AS v_vs,
+       round(list_var_pop(xs), 6)                     AS v_vp,
+       round(list_skewness(xs), 6)                    AS v_skew,
+       round(list_kurtosis(xs), 6)                    AS v_kurt,
+       round(list_entropy([k % 3, k % 5, k % 3]), 6)  AS v_ent,
+       round(list_product([CAST(k % 5 AS DOUBLE), 2.0, 0.5]), 6) AS v_prod,
+       list_string_agg([CAST(k % 5 AS VARCHAR), NULL, 'x'])      AS v_sagg,
+       round(list_mad(xs), 6)                         AS v_mad,
+       round(list_aggregate(CAST(xs AS DOUBLE[]), 'variance'), 6) AS v_var
+FROM src ORDER BY k
+"""
+
+
+@register(
+    "dialect_gap_b40_liststats",
+    tags=("dialect", "battery", "functions"),
+    oracle=_B40_SQL,
+)
+def dialect_gap_b40_liststats(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-11 wave-9 battery (≤12 idioms): the list_<aggregate>
+    statistics family — sem/stddev_samp/stddev_pop/var_samp/var_pop/
+    variance (via list_aggregate spelling)/skewness/kurtosis (corrected
+    sample estimators, mirroring the aggregate-level translations)/
+    entropy/product/string_agg/mad — previously all loud
+    UNRESOLVED_ROUTINE; now independent O(n) moment folds with
+    DuckDB's probed NULL boundaries. Also exercises the array-type
+    cast suffix (CAST(xs AS DOUBLE[])) that the bracket pass used to
+    mangle into a subscript."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B40_SQL)

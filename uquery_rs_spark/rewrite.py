@@ -1094,6 +1094,29 @@ class SqlRewriter:
             return None
         return m, close, [a.strip() for a in self._split_top(sql[m.end() : close], ",")]
 
+    _LIST_AGG_ALIAS_RE = re.compile(
+        r"(?i)\blist_(sem|entropy|stddev_samp|stddev_pop|var_samp|var_pop|"
+        r"product|skewness|kurtosis|string_agg|mad)\s*\("
+    )
+
+    def _rewrite_list_agg_aliases(self, sql: str) -> str:
+        """Standalone ``list_<aggregate>`` sugar (round-11 wave-9:
+        list_sem/list_product/… were loud UNRESOLVED_ROUTINE) →
+        the ``list_aggregate(x, '<fn>')`` spelling the pass below
+        translates. Both spellings are DuckDB-equivalent (probed)."""
+        pos = 0
+        while True:
+            hit = self._call_args(self._LIST_AGG_ALIAS_RE, sql, pos)
+            if not hit:
+                return sql
+            m, close, args = hit
+            if len(args) != 1:
+                pos = close + 1
+                continue
+            repl = f"list_aggregate({args[0]}, '{m.group(1).lower()}')"
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
+
     def _rewrite_list_aggregate(self, sql: str) -> str:
         """list_aggregate/list_aggr(l, 'fname') for the common fnames:
         min/max → array_min/max; count → size of non-null filter (BIGINT
@@ -1127,6 +1150,66 @@ class SqlRewriter:
         avg_sum = (
             f"aggregate({nn}, CAST(try_element_at({nn}, 1) * 0 AS DOUBLE), (a, x) -> a + x)"
         )
+        # Round-11 wave-9: the statistics family (list_sem/list_stddev_
+        # samp/…/list_aggregate(x, 'skewness')) — independent O(n)
+        # moment folds (s1..s4) instead of a mean-inside-the-lambda
+        # form (the r7 lambda-invariant O(n²) trap); try_divide gives
+        # DuckDB's NULLs at the probed small-n boundaries (var_samp
+        # n=1, skewness n≤2 or constant input, kurtosis n≤3, sem n=0 —
+        # but sem n=1 is 0.0). Corrected sample estimators mirror the
+        # aggregate-level skewness/kurtosis translations.
+        dd = f"transform({nn}, uq_dv -> CAST(uq_dv AS DOUBLE))"
+        n_d = f"CAST(size({nn}) AS DOUBLE)"
+        s1 = f"aggregate({dd}, CAST(0 AS DOUBLE), (a, x) -> a + x)"
+        s2 = f"aggregate({dd}, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"
+        s3 = f"aggregate({dd}, CAST(0 AS DOUBLE), (a, x) -> a + x * x * x)"
+        s4 = f"aggregate({dd}, CAST(0 AS DOUBLE), (a, x) -> a + x * x * x * x)"
+        var_pop = (
+            f"try_divide(greatest(({s2}) - try_divide(({s1}) * ({s1}), {n_d}),"
+            f" CAST(0 AS DOUBLE)), {n_d})"
+        )
+        var_samp = (
+            f"try_divide(greatest(({s2}) - try_divide(({s1}) * ({s1}), {n_d}),"
+            f" CAST(0 AS DOUBLE)), {n_d} - 1)"
+        )
+        mu = f"try_divide(({s1}), {n_d})"
+        m2 = f"(try_divide(({s2}), {n_d}) - ({mu}) * ({mu}))"
+        m3 = (
+            f"(try_divide(({s3}), {n_d}) - 3 * ({mu}) * try_divide(({s2}), {n_d})"
+            f" + 2 * pow(({mu}), 3))"
+        )
+        m4 = (
+            f"(try_divide(({s4}), {n_d}) - 4 * ({mu}) * try_divide(({s3}), {n_d})"
+            f" + 6 * pow(({mu}), 2) * try_divide(({s2}), {n_d})"
+            f" - 3 * pow(({mu}), 4))"
+        )
+        g1 = f"try_divide(({m3}), pow(greatest(({m2}), CAST(0 AS DOUBLE)), 1.5))"
+        skew = (
+            f"try_divide(({g1}) * sqrt({n_d} * ({n_d} - 1)), {n_d} - 2)"
+        )
+        kpe = f"(try_divide(({m4}), pow(({m2}), 2)) - 3)"
+        kurt = (
+            f"(try_divide({n_d} - 1, ({n_d} - 2) * ({n_d} - 3)) * "
+            f"(({n_d} + 1) * ({kpe}) + 6))"
+        )
+        ent_freqs = (
+            f"transform(array_distinct({nn}), uq_ev -> "
+            f"CAST(size(filter({nn}, uq_e -> uq_e = uq_ev)) AS DOUBLE))"
+        )
+        ent = (
+            f"(CASE WHEN size({nn}) = 0 THEN CAST(0 AS DOUBLE) ELSE "
+            f"-aggregate({ent_freqs}, CAST(0 AS DOUBLE), (a, c) -> "
+            f"a + (c / {n_d}) * log2(c / {n_d})) END + 0)"
+        )
+        med_s = self._median_of("uq_ls")
+        mad_devs = "array_sort(transform(uq_ls, uq_mv -> abs(uq_mv - uq_lm)))"
+        mad = (
+            f"(CASE WHEN size({nn}) = 0 THEN NULL ELSE "
+            f"aggregate(array(0), array_sort({dd}), (uq_a1, uq_i1) -> uq_a1, "
+            f"uq_ls -> aggregate(array(0), ({med_s}), (uq_a2, uq_i2) -> uq_a2, "
+            f"uq_lm -> ({self._median_of(mad_devs)}))) END)"
+        )
+        empty_null = f"CASE WHEN size({nn}) = 0 THEN NULL ELSE {{e}} END"
         exprs = {
             "min": f"array_min(({l}))",
             "max": f"array_max(({l}))",
@@ -1134,6 +1217,25 @@ class SqlRewriter:
             "count": count_expr,
             "avg": f"({avg_sum} / {count_expr})",
             "mean": f"({avg_sum} / {count_expr})",
+            "var_pop": var_pop,
+            "var_samp": var_samp,
+            "variance": var_samp,
+            "stddev_pop": f"sqrt({var_pop})",
+            "stddev_samp": f"sqrt({var_samp})",
+            "stddev": f"sqrt({var_samp})",
+            # sem = stddev_pop / sqrt(n): n=1 → 0.0, n=0 → NULL (probed)
+            "sem": f"try_divide(sqrt({var_pop}), sqrt({n_d}))",
+            "skewness": skew,
+            "kurtosis": kurt,
+            "product": empty_null.format(
+                e=f"aggregate({dd}, CAST(1 AS DOUBLE), (a, x) -> a * x)"
+            ),
+            "entropy": ent,
+            "string_agg": (
+                f"array_join(transform({nn}, uq_sv -> "
+                f"CAST(uq_sv AS STRING)), ',')"
+            ),
+            "mad": mad,
         }
         if fname not in exprs:
             raise UQueryError.sql_error(
@@ -8599,7 +8701,10 @@ class SqlRewriter:
 
     # -- casts: DuckDB type names + fractional→integral rounding ----------
 
-    _COLON_CAST_RE = re.compile(r"::\s*(\w+)(\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?")
+    _COLON_CAST_RE = re.compile(
+        r"::\s*((?:[Aa][Rr][Rr][Aa][Yy]\s*<[^<>]*(?:<[^<>]*>)?[^<>]*>)|\w+)"
+        r"(\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
+    )
     _CAST_RE = re.compile(r"(?i)\b(try_)?cast\s*\(")
     # DuckDB type names Spark's parser rejects or narrows differently.
     # HUGEINT/UBIGINT → BIGINT is a documented narrowing (no int128 type);
@@ -9684,6 +9789,28 @@ class SqlRewriter:
             lambda m: f"{m.group(1)}{m.group(2)}{int(m.group(3)):04d}-",
             sql,
         )
+        # DuckDB array-type suffix — CAST(x AS DOUBLE[]) / x::FLOAT[2] —
+        # BEFORE the bracket pass, which would otherwise read `TYPE[]`
+        # as a subscript on an identifier and mangle the cast (round-11
+        # wave-9 catch: every spelling was a loud parse error). Fixed
+        # sizes drop (Spark has no fixed-length arrays — same values,
+        # documented); inner DuckDB type names map here so the late
+        # cast pass never needs to descend into ARRAY<…>.
+        def _arr_ty(m):
+            ty = self._map_type(m.group(2).strip())
+            for _ in range(m.group(3).count("[")):
+                ty = f"ARRAY<{ty}>"
+            return m.group(1) + ty
+
+        sql = self._sub_code_fn(
+            re.compile(
+                r"(?i)(\bas\s+|::\s*)"
+                r"([a-z_]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+                r"((?:\s*\[\s*\d*\s*\])+)"
+            ),
+            _arr_ty,
+            sql,
+        )
         sql = self._raise_unsupported(sql)
         sql = self._rewrite_json_arrows(sql)
         # MAP {} before brackets: a subscript on a map literal must see a
@@ -9837,6 +9964,7 @@ class SqlRewriter:
         # EXTRACT conversion emits epoch()/isodow() function forms)
         sql = self._rewrite_datetime_corners(sql)
         sql = self._rewrite_string_list_corners(sql)
+        sql = self._rewrite_list_agg_aliases(sql)
         sql = self._rewrite_list_aggregate(sql)
         sql = self._rewrite_list_reduce(sql)
         sql = self._rewrite_list_slice(sql)
