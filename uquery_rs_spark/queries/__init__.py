@@ -9,6 +9,122 @@ from __future__ import annotations
 from .registry import REGISTRY, Query, register, load_tables  # noqa: F401
 
 
+# Round-12 verification window (harnesses sample REGISTRY[:50]).
+# Rotation rule (standing since r7): entries ADDED this round first
+# (_ROUND12_NEW — the r11-verdict b36_math bisection MUST lead so the
+# driver's oracle isolates which math scalar its newer binary computes
+# differently, plus the wave-9 overflow b40_liststats), then the 34
+# round-7-signal entries displaced from the r11 window, then
+# round-8-signal entries alphabetically (= CORRECTNESS_r08 keys minus
+# every later window), trimmed to 50.
+_ROUND12_NEW: tuple[str, ...] = (
+    # b36_math bisection (r11 verdict #1 — the only red driver row):
+    "dialect_gap_b36m_gamma",
+    "dialect_gap_b36m_lgamma",
+    "dialect_gap_b36m_factorial",
+    "dialect_gap_b36m_even",  # the root-cause suspect (decimal-vs-double %)
+    "dialect_gap_b36m_cot",
+    "dialect_gap_b40_liststats",  # wave-9 overflow (r11 share cap)
+)
+
+_ROUND12_R7TAIL = (
+    "emb_label_cohesion",
+    "emb_quantize_int8_error",
+    "explode_unnest_series",
+    "math_functions",
+    "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
+    "q22_idle_rich_customers",
+    "q2_min_balance_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "range_join_size_buckets",
+    "regex_functions",
+    "rollup_order_status_priority",
+    "scalar_subquery_above_avg_balance",
+    "semi_join_active_customers",
+    "set_ops_nation_membership",
+    "stats_aggregates_prices",
+    "string_functions_battery",
+    "text_fingerprint",
+    "text_intra_doc_dedup",
+    "text_language_id",
+    "text_ngram_topk",
+    "text_pii_scan",
+    "text_quality_score",
+    "text_repetition_stats",
+    "text_token_stats",
+    "union_all_price_tiers",
+    "values_inline_table",
+)
+
+# r8-signal entries (CORRECTNESS_r08 keys minus every later window),
+# alphabetical; the window takes the first 50 - len(new) - len(r7tail).
+_ROUND12_R8 = (
+    "ann_cosine_topk_int8",
+    "ann_ivf_persistent",
+    "approx_percentile_prices",
+    "cohort_retention_daily",
+    "columns_regex_battery",
+    "corpus_leakage_safe_split",
+    "corpus_quality_sample",
+    "corpus_shuffle_order",
+    "corpus_stratified_mix",
+    "daily_user_activity",
+    "datetime_edge_battery",
+    "dedup_semantic",
+    "dedup_simhash",
+    "dialect_gap_battery29",
+    "dialect_gap_battery30",
+    "dialect_gap_battery31",
+    "dialect_gap_battery32",
+    "dialect_gap_battery33",
+    "distinct_on_latest_order",
+    "escape_literal_battery",
+    "events_anomaly_zscore",
+    "except_all_priorities",
+    "from_first_syntax",
+    "funnel_view_click_purchase",
+    "ignore_nulls_window_battery",
+    "int_div_price_buckets",
+    "intersect_all_priorities",
+    "json_extract_props",
+    "len_slice_map_edge_battery",
+    "macros_battery",
+    "map_literal_ordered_agg",
+    "multimodal_audio_stats",
+    "multimodal_decode_stats",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_gif_decode",
+    "multimodal_jpeg_decode",
+    "multimodal_jpeg_progressive",
+    "multimodal_metadata",
+    "multimodal_pixel_dedup",
+    "multimodal_resize",
+    "percentile_battery",
+    "planned_join_segment_revenue",
+    "positional_join_rank_zip",
+    "q10_returned_items",
+    "sessionization_30min",
+    "sliding_window_events",
+    "streaming_sliding_window",
+    "streaming_tumbling_window",
+    "tumbling_window_events",
+)
+
+
+def _round12_window() -> list[str]:
+    new = list(_ROUND12_NEW)[:15]
+    return (new + list(_ROUND12_R7TAIL) + list(_ROUND12_R8))[:50]
+
+
 # Round-11 verification window (harnesses sample REGISTRY[:50]).
 # Rotation rule (standing since r7): entries ADDED this round first
 # (_ROUND11_NEW — the r10-verdict battery36 family splits, which MUST
@@ -281,8 +397,8 @@ def load_all() -> None:
 
     Import order controls registry order, which external harnesses may use
     to window their correctness sampling.  After importing, the registry is
-    reordered so the round-11 window occupies the front — see
-    :data:`_ROUND11_NEW` for the rationale.  Rotate the window each round so
+    reordered so the round-12 window occupies the front — see
+    :data:`_ROUND12_NEW` for the rationale.  Rotate the window each round so
     every entry eventually gets hard-signal verification.
     """
     from . import llm_q  # noqa: F401
@@ -293,7 +409,7 @@ def load_all() -> None:
     from . import relational  # noqa: F401
     from . import tpch_q  # noqa: F401
 
-    window = _round11_window()
+    window = _round12_window()
     ordered = [n for n in window if n in REGISTRY]
     ordered += [n for n in REGISTRY if n not in window]
     snapshot = dict(REGISTRY)
