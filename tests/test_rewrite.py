@@ -3626,3 +3626,59 @@ def test_wave9_list_stats_and_array_type_casts(spark, rw):
             assert abs(got - want) < 2e-8, f"{sql}: {got!r} != {want!r}"
         else:
             assert got == want, f"{sql}: {got!r} != {want!r}"
+
+
+def test_round12_advice_fixes(spark, rw):
+    """Round-12 ADVICE closes: from_json exact-bigint path, brace-safe
+    list_product, EXECUTE recursion guard, nested-call scanning on the
+    wave-7/8/9 skip paths."""
+    # exact int64 above 2^53 keeps the lossless bigint path
+    r = spark.sql(rw.rewrite(
+        """SELECT from_json('{"a":9007199254740993}', '{"a":"BIGINT"}') AS v"""
+    )).collect()[0].v
+    assert r.a == 9007199254740993
+    # fractional still rounds like DuckDB
+    r = spark.sql(rw.rewrite(
+        """SELECT from_json('{"a":5.9}', '{"a":"BIGINT"}') AS v"""
+    )).collect()[0].v
+    assert r.a == 6
+    # a brace inside a string literal must not crash the product fold
+    r = spark.sql(rw.rewrite(
+        "SELECT list_product([length('x{y'), 2.0]) AS v"
+    )).collect()[0].v
+    assert r == 6.0
+    # self-referential prepared statement → 400, not RecursionError
+    rw.rewrite("PREPARE uq_selfref AS EXECUTE uq_selfref($1)")
+    with pytest.raises(UQueryError) as ei:
+        rw.rewrite("EXECUTE uq_selfref(1)")
+    assert ei.value.status == 400 and "recursion" in str(ei.value).lower()
+    rw.rewrite("DEALLOCATE uq_selfref")
+
+
+def test_round12_nested_skip_path_scanning(spark, rw):
+    """ADVICE r12: loops that skip a non-qualifying call must still scan
+    INSIDE its arguments for rewritable nested occurrences."""
+    # arg-internal IGNORE NULLS nested inside another candidate call
+    r = spark.sql(rw.rewrite(
+        "SELECT lead(coalesce(v, first_value(x IGNORE NULLS) "
+        "OVER (ORDER BY i))) OVER (ORDER BY i) AS o "
+        "FROM (VALUES (1, NULL, CAST(NULL AS INT)), (2, 5, 7), (3, 6, 8)) "
+        "t(i, v, x) ORDER BY i"
+    )).collect()
+    assert [row.o for row in r] == [5, 6, None]
+    # 2-arg json_array_length nested inside a 1-arg call's argument
+    r = spark.sql(rw.rewrite(
+        """SELECT json_array_length(concat('[1,', CAST(json_array_length('{"a":[1,2,3]}', '$.a') AS STRING), ']')) AS n"""
+    )).collect()[0].n
+    assert r == 2
+    # list_<aggregate> alias nested inside a 2-arg (skipped) call
+    r = spark.sql(rw.rewrite(
+        "SELECT list_aggregate([list_product([2.0, 3.0]), 4.0], 'sum') AS s"
+    )).collect()[0].s
+    assert r == 10.0
+    # native 2-arg date_add's argument still gets the interval form fixed
+    r = spark.sql(rw.rewrite(
+        "SELECT date_add(date_add(DATE '2024-01-01', INTERVAL 1 DAY), 1) AS d"
+    )).collect()[0].d
+    assert str(r) == "2024-01-03"
+

@@ -697,6 +697,59 @@ def run_axis(axis, batches, rnd, spark, rw, con):
                 if norm(gv) != norm(w):
                     mismatch += 1
                     fails.append((c, w, gv))
+        elif axis == "psfz":
+            # Round 12: PREPARE/EXECUTE wrappers around the expr axis —
+            # parameter substitution touches literal parsing, exactly
+            # the bug class macrofz caught twice in round 11. $n
+            # repeats/reorders, ? positional, '$1'/'?' INSIDE string
+            # literals staying text, params composed with generated
+            # expressions, redefinition. DuckDB runs the identical
+            # PREPARE/EXECUTE natively as the oracle.
+            name = f"uqp{rnd.randrange(1000)}"
+            base = g.iexpr(rnd.randint(1, 2))
+            a1, a2 = rnd.choice(INTS), rnd.choice(INTS)
+            style = rnd.randrange(4)
+            if style == 0:  # $n repeat + reorder + compose
+                body = (f"SELECT ($1 + $2) AS c0, ($2 * 10 + $1) AS c1, "
+                        f"({base}) + $1 AS c2")
+            elif style == 1:  # ? positional
+                body = f"SELECT (? + 1) AS c0, (? * 2) AS c1, ({base}) AS c2"
+            elif style == 2:  # param markers inside literals stay text
+                body = (f"SELECT concat('it''s $1 or ? x', "
+                        f"CAST($1 AS VARCHAR)) AS c0, "
+                        f"CASE WHEN $2 > $1 THEN '$2 gt' ELSE 'le ?' END AS c1")
+            else:  # redefinition: second PREPARE wins
+                body = f"SELECT ($1 - $2) AS c0, ({base}) AS c1"
+            argtxt = f"{a1}, {a2}"
+            bcon = duckdb.connect()
+            try:
+                if style == 3:
+                    bcon.execute(f"PREPARE {name} AS SELECT $1 AS c0, $2 AS c1")
+                bcon.execute(f"PREPARE {name} AS {body}")
+                want = bcon.sql(f"EXECUTE {name}({argtxt})").fetchall()[0]
+            except Exception:
+                bcon.close()
+                continue
+            try:
+                if style == 3:
+                    rw.rewrite(f"PREPARE {name} AS SELECT $1 AS c0, $2 AS c1")
+                rw.rewrite(f"PREPARE {name} AS {body}")
+                got = spark.sql(
+                    rw.rewrite(f"EXECUTE {name}({argtxt})")
+                ).collect()[0]
+            except Exception as e:
+                mismatch += 1
+                fails.append((body[:120], want,
+                              "REJECT " + str(e).split("\n")[0][:80]))
+                continue
+            finally:
+                getattr(rw, "_prepared", {}).pop(name, None)
+                bcon.close()
+            for i, (w, gv) in enumerate(zip(want, list(got))):
+                checked += 1
+                if norm(gv) != norm(w):
+                    mismatch += 1
+                    fails.append((f"{name} c{i}: {body[:90]}", w, gv))
         elif axis == "rel":
             a, b = g.values_table("a"), g.values_table("b")
             kind = rnd.randrange(4)
@@ -750,7 +803,7 @@ def main():
     con = duckdb.connect()
     axes = (["expr", "agg", "window", "rel", "temporal", "nested", "pattern",
              "div", "subq", "timemix", "multirel", "pivotfz", "saggfz",
-             "macrofz"]
+             "macrofz", "psfz"]
             if axis == "all" else [axis])
     total_mm = 0
     for ax in axes:

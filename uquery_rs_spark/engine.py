@@ -189,7 +189,10 @@ class PreparedQuery:
                 # schema keeps the real names and every serializer
                 # renames batches back to it (round-11; broader than
                 # the interval-only case the r10 ADVICE flagged).
-                if len(set(df.columns)) != len(df.columns):
+                # casefolded: Spark's default resolution is
+                # case-insensitive, so SELECT 1 AS x, 2 AS X hits the
+                # same AMBIGUOUS_REFERENCE (ADVICE r12)
+                if len({c.lower() for c in df.columns}) != len(df.columns):
                     df = df.toDF(*[f"uq_c_{i}" for i in range(len(df.columns))])
             except UQueryError:
                 raise

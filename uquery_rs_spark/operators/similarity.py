@@ -1080,35 +1080,39 @@ def pca_moments(
 ) -> tuple[int, np.ndarray, np.ndarray]:
     """One-pass distributed first/second moments of a vector column.
 
-    Each Arrow batch reduces to ONE partial row (count, Σx, Σx⊗x
-    flattened) inside mapInPandas — no explode, no d× (let alone d²×)
-    row amplification through a shuffle — and the driver combines the
-    ≤ #batches partials (d=64 → ~33 KB each; the same bounded-collect
-    budget as the centroid trainers above). Returns (n, mean, cov)
-    with cov the population covariance (divide by n)."""
+    Every Arrow batch folds into ONE accumulator per PARTITION inside
+    mapInPandas (count, Σx, Σx⊗x flattened — no explode, no d× row
+    amplification through a shuffle), and the per-partition partials
+    tree-reduce (depth 2) so the DRIVER receives exactly one combined
+    moment row regardless of batch or partition count — at 100 TB with
+    ~10⁶ Arrow batches the old per-batch collect would have shipped
+    tens of GB of d² partials to the driver (r11 verdict #2); now the
+    executors combine them (d=64 → ~33 KB per partial, ~√P rows at the
+    tree's widest level). Returns (n, mean, cov) with cov the
+    population covariance (divide by n)."""
     d = len(emb.select(vec_col).first()[0])
 
     def partials(batches):
+        cnt, s, m = 0, np.zeros(d), np.zeros(d * d)
         for pdf in batches:
             A = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
-            yield pd.DataFrame(
-                {
-                    "cnt": [len(A)],
-                    "s": [A.sum(axis=0)],
-                    "m": [(A.T @ A).ravel()],
-                }
-            )
+            cnt += len(A)
+            s += A.sum(axis=0)
+            m += (A.T @ A).ravel()
+        if cnt:
+            yield pd.DataFrame({"cnt": [cnt], "s": [s], "m": [m]})
 
-    rows = (
+    def _comb(a, b):
+        return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+    n, s, m = (
         emb.select(vec_col)
-        .mapInPandas(partials, f"cnt long, s array<double>, m array<double>")
-        .collect()
+        .mapInPandas(partials, "cnt long, s array<double>, m array<double>")
+        .rdd.map(lambda r: (r["cnt"], np.asarray(r["s"]), np.asarray(r["m"])))
+        .treeReduce(_comb, depth=2)
     )
-    n = sum(r["cnt"] for r in rows)
-    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
-    m = np.sum([np.asarray(r["m"]) for r in rows], axis=0).reshape(d, d)
     mean = s / n
-    cov = m / n - np.outer(mean, mean)
+    cov = m.reshape(d, d) / n - np.outer(mean, mean)
     return n, mean, cov
 
 

@@ -475,7 +475,7 @@ class SqlRewriter:
                 sql = sql[: m.start()] + repl + sql[close + 1 :]
                 pos = m.start() + len(repl)
             else:
-                pos = close + 1
+                pos = m.end()
             m = self._STRING_AGG_RE.search(sql, pos)
         return sql
 
@@ -586,7 +586,7 @@ class SqlRewriter:
                 sql = sql[: m.start()] + repl + sql[close + 1 :]
                 pos = m.start() + len(repl)
             else:
-                pos = close + 1
+                pos = m.end()
             hit = self._call_args(re.compile(r"(?i)\bsequence\s*\("), sql, pos)
         return sql
 
@@ -1111,7 +1111,10 @@ class SqlRewriter:
                 return sql
             m, close, args = hit
             if len(args) != 1:
-                pos = close + 1
+                # advance past the NAME only, not the whole call —
+                # nested rewritable occurrences inside the unmatched
+                # call's arguments must still be scanned (ADVICE r12)
+                pos = m.end()
                 continue
             repl = f"list_aggregate({args[0]}, '{m.group(1).lower()}')"
             sql = sql[: m.start()] + repl + sql[close + 1 :]
@@ -1209,7 +1212,13 @@ class SqlRewriter:
             f"uq_ls -> aggregate(array(0), ({med_s}), (uq_a2, uq_i2) -> uq_a2, "
             f"uq_lm -> ({self._median_of(mad_devs)}))) END)"
         )
-        empty_null = f"CASE WHEN size({nn}) = 0 THEN NULL ELSE {{e}} END"
+        # Plain concatenation, NOT str.format: nn embeds user SQL text,
+        # and a brace inside a string literal there (e.g.
+        # list_product(split('x{y', ','))) made .format raise an
+        # uncaught ValueError → 500 instead of the 400 contract (ADVICE
+        # r12).
+        def empty_null(e: str) -> str:
+            return f"CASE WHEN size({nn}) = 0 THEN NULL ELSE {e} END"
         exprs = {
             "min": f"array_min(({l}))",
             "max": f"array_max(({l}))",
@@ -1227,8 +1236,8 @@ class SqlRewriter:
             "sem": f"try_divide(sqrt({var_pop}), sqrt({n_d}))",
             "skewness": skew,
             "kurtosis": kurt,
-            "product": empty_null.format(
-                e=f"aggregate({dd}, CAST(1 AS DOUBLE), (a, x) -> a * x)"
+            "product": empty_null(
+                f"aggregate({dd}, CAST(1 AS DOUBLE), (a, x) -> a * x)"
             ),
             "entropy": ent,
             "string_agg": (
@@ -1354,7 +1363,7 @@ class SqlRewriter:
             elif len(args) == 3:
                 a, b, s = args
             else:
-                pos = close + 1
+                pos = m.end()
                 continue
             if re.search(r"(?i)\binterval\b", s):
                 # temporal range (batch-13): DuckDB's stop stays EXCLUSIVE
@@ -1753,7 +1762,11 @@ class SqlRewriter:
             m, close, args = hit
             tm = self._IGN_NULLS_TAIL_RE.search(args[-1])
             if not tm:
-                pos = close + 1
+                # advance past the name, not the call: an arg-internal
+                # IGNORE NULLS nested inside another candidate call
+                # (lead(coalesce(v, first_value(x IGNORE NULLS))))
+                # must still be found (ADVICE r12)
+                pos = m.end()
                 continue
             args[-1] = args[-1][: tm.start()].rstrip()
             repl = (
@@ -1806,7 +1819,7 @@ class SqlRewriter:
                 m, close, args = hit
                 filt, over, endpos = self._nested_agg_over(sql, close, kind)
                 if not self._ordered_spec(over):
-                    pos = close + 1
+                    pos = m.end()
                     continue
                 if re.match(r"(?i)^\s*distinct\b", args[0]):
                     raise UQueryError.sql_error(
@@ -2032,7 +2045,10 @@ class SqlRewriter:
                 return sql
             m, close, args = hit
             if len(args) != 2:
-                pos = close + 1
+                # past the name only — a 2-arg call nested inside a
+                # 1-arg call's argument must still be scanned (ADVICE
+                # r12)
+                pos = m.end()
                 continue
             repl = (
                 f"json_array_length(get_json_object(({args[0]}), {args[1]}))"
@@ -2127,7 +2143,7 @@ class SqlRewriter:
                 return sql
             m, close, args = hit
             if len(args) != 2:
-                pos = close + 1
+                pos = m.end()
                 continue
             side = {"l": "LEADING", "r": "TRAILING", "": "BOTH"}[m.group(1).lower()]
             s = self._rewrite_trim_chars(args[0])
@@ -2221,7 +2237,7 @@ class SqlRewriter:
             fn = m.group(1).lower()
             if fn in ("avg", "mean"):
                 if len(args) != 1:
-                    pos = close + 1
+                    pos = m.end()
                     continue
                 a = args[0].strip()
                 dm = re.match(r"(?i)^distinct\s+", a)
@@ -2237,7 +2253,7 @@ class SqlRewriter:
                     repl = f"uq_poly(avg({prefix}({a})), {repl})"
             elif fn == "corr":
                 if len(args) != 2:
-                    pos = close + 1
+                    pos = m.end()
                     continue
                 x, y = args
                 repl = (
@@ -2271,7 +2287,7 @@ class SqlRewriter:
             inner = sql[m.end() : close]
             split = re.split(r"(?i)\border\s+by\b", inner, maxsplit=1)
             if len(split) != 2 or len(args) != 1:
-                pos = close + 1
+                pos = m.end()
                 continue
             x, order = split[0].strip().rstrip(","), split[1].strip()
             nf = re.search(r"(?i)\bnulls\s+(first|last)\s*$", order)
@@ -2930,7 +2946,7 @@ class SqlRewriter:
             m, close, args = hit
             parts = self._split_top(sql[m.end() : close], "as")
             if len(parts) != 2 or parts[1].strip().lower() != "json":
-                pos = close + 1
+                pos = m.end()
                 continue
             x = parts[0].strip()
             from .functions.parity_udfs import register_parity_udfs
@@ -2961,11 +2977,11 @@ class SqlRewriter:
             m, close, args = hit
             parts = self._split_top(sql[m.end() : close], "as")
             if len(parts) != 2 or parts[1].strip().lower() != "interval":
-                pos = close + 1
+                pos = m.end()
                 continue
             lit = self._lit_parse(parts[0].strip())
             if lit is None:
-                pos = close + 1
+                pos = m.end()
                 continue
             repl = "INTERVAL '" + lit.replace("'", "''") + "'"
             sql = sql[: m.start()] + repl + sql[close + 1 :]
@@ -3304,9 +3320,21 @@ class SqlRewriter:
                     path = "$." + k
                     fddl = self._spark_schema_of(tspec)
                     if isinstance(tspec, str) and tspec.strip().upper() in int_types:
+                        # Detour via DOUBLE + round ONLY for fractional
+                        # values (DuckDB rounds 5.9→6 where variant
+                        # casting truncates); exact integers take the
+                        # lossless bigint path — round(double) would
+                        # silently lose precision above 2^53 (ADVICE
+                        # r12: '{"a":9007199254740993}' with a BIGINT
+                        # target). A non-numeric value makes the CASE
+                        # condition NULL → falls to the bigint arm,
+                        # which yields NULL like DuckDB.
+                        vd = f"try_variant_get({var}, '{path}', 'double')"
                         fx = (
-                            f"CAST(round(try_variant_get({var}, '{path}', "
-                            f"'double')) AS {fddl})"
+                            f"(CASE WHEN {vd} != floor({vd}) "
+                            f"THEN CAST(round({vd}) AS {fddl}) "
+                            f"ELSE CAST(try_variant_get({var}, '{path}', "
+                            f"'bigint') AS {fddl}) END)"
                         )
                     else:
                         fx = f"try_variant_get({var}, '{path}', '{fddl}')"
@@ -3583,7 +3611,7 @@ class SqlRewriter:
                 sql = sql[: m.start()] + "''" + sql[close + 1 :]
                 pos = m.start()
             else:
-                pos = close + 1
+                pos = m.end()
         while True:
             m = self._search_code(self._AT_TZ_RE, sql)
             if not m:
@@ -3948,7 +3976,7 @@ class SqlRewriter:
                 repl = self._factorial_case(a0)
             elif fn == "trunc":
                 if len(args) != 1:
-                    pos = close + 1  # Spark's own date trunc(date, fmt)
+                    pos = m.end()  # Spark's own date trunc(date, fmt)
                     continue
                 repl = (
                     f"(CASE WHEN ({a0}) >= 0 THEN floor(({a0})) "
@@ -4065,7 +4093,7 @@ class SqlRewriter:
                 break
             m, close, args = hit
             if len(args) != 2 or not re.match(r"(?i)^interval\b", args[1]):
-                pos = close + 1  # Spark's own (date, int) form — native
+                pos = m.end()  # Spark's own (date, int) form — native
                 continue
             repl = f"(CAST(({args[0]}) AS TIMESTAMP) + {args[1]})"
             sql = sql[: m.start()] + repl + sql[close + 1 :]
@@ -4228,7 +4256,7 @@ class SqlRewriter:
                 None,
             )
             if ob is None or not re.match(r"(?i)order\s+by\b", inner[ob:]):
-                pos = close + 1
+                pos = m.end()
                 continue
             expr = inner[:ob].strip()
             distinct = False
@@ -4451,7 +4479,7 @@ class SqlRewriter:
                 return sql
             m, close, args = hit
             if len(args) != 2:
-                pos = close + 1
+                pos = m.end()
                 continue
             if args[1].strip() != "1":
                 raise UQueryError.sql_error(
@@ -4483,7 +4511,7 @@ class SqlRewriter:
                 break
             m, close, args = hit
             if len(args) != 1:
-                pos = close + 1  # Spark's own 2-arg encode — leave native
+                pos = m.end()  # Spark's own 2-arg encode — leave native
                 continue
             repl = f"encode(({args[0]}), 'UTF-8')"
             sql = sql[: m.start()] + repl + sql[close + 1 :]
@@ -4495,7 +4523,7 @@ class SqlRewriter:
                 break
             m, close, args = hit
             if len(args) != 1:
-                pos = close + 1  # 6-arg civil form — natively identical
+                pos = m.end()  # 6-arg civil form — natively identical
                 continue
             repl = f"timestamp_micros(({args[0]}))"
             sql = sql[: m.start()] + repl + sql[close + 1 :]
@@ -5146,7 +5174,7 @@ class SqlRewriter:
                 sql = sql[: m.start()] + f"log10({args[0]})" + sql[close + 1 :]
                 pos = m.start()
             else:
-                pos = close + 1
+                pos = m.end()
         # 3-arg substring window rule
         pos = 0
         while True:
@@ -5338,10 +5366,10 @@ class SqlRewriter:
                 break
             m, close, args = hit
             if len(args) != 1:
-                pos = close + 1  # already 2-arg (our own output) — leave
+                pos = m.end()  # already 2-arg (our own output) — leave
                 continue
             if re.search(r"(?i)\border\s+by\b", args[0]):
-                pos = close + 1  # ordered form — batch-18 pass below
+                pos = m.end()  # ordered form — batch-18 pass below
                 continue
             sql = sql[: m.start()] + f"any_value(({args[0]}), true)" + sql[close + 1 :]
         # wave-5 closes (round 10): kurtosis_pop is Spark's NATIVE
@@ -5432,7 +5460,7 @@ class SqlRewriter:
                 sql = sql[: m.end()] + inner[:ob].rstrip() + sql[close:]
                 pos = m.start()
             else:
-                pos = close + 1
+                pos = m.end()
         sql = self._FILTER_NO_WHERE_RE.sub(lambda mm: mm.group(1) + "WHERE ", sql)
         # arbitrary = first row's value, NULL included — Spark any_value's
         # DEFAULT. Renamed here (not _FN_RENAMES) so the any_value loop
@@ -5612,7 +5640,7 @@ class SqlRewriter:
                 break
             m, close, args = hit
             if len(args) != 3:
-                pos = close + 1  # Spark's own 2-arg date_sub — leave native
+                pos = m.end()  # Spark's own 2-arg date_sub — leave native
                 continue
             unit = (self._lit_parse(args[0]) or "").lower().rstrip("s")
             unit = {"mon": "month", "yr": "year", "min": "minute", "sec": "second"}.get(unit, unit)
@@ -5716,7 +5744,7 @@ class SqlRewriter:
             elif is_gc and len(args) == 2:
                 repl = f"string_agg({args[0]}, {args[1]})"
             else:
-                pos = close + 1
+                pos = m.end()
                 continue
             sql = sql[: m.start()] + repl + sql[close + 1 :]
             pos = m.start() + len(repl)
@@ -6218,7 +6246,7 @@ class SqlRewriter:
             after = sql[close + 1 :]
             om = re.match(r"(?i)\s*over\s*", after)
             if not om:
-                pos = close + 1  # plain DISTINCT aggregate — native
+                pos = open_i + 1  # plain DISTINCT aggregate — native
                 continue
             rest = after[om.end() :]
             if rest.startswith("("):
@@ -9739,9 +9767,24 @@ class SqlRewriter:
                     f'Prepared statement "{m.group(1)}" does not exist'
                 )
             args = self._split_args(m.group(2)) if m.group(2) else []
-            return self.rewrite(
-                self._substitute_prepared_params(stmts[name], args)
-            )
+            # Depth guard (ADVICE r12): a self-referential statement
+            # (PREPARE a AS EXECUTE a($1); EXECUTE a(1)) otherwise
+            # recurses until an uncaught RecursionError — bound it like
+            # the macro fixpoint's loop and raise the 400-contract
+            # error instead.
+            depth = getattr(self, "_execute_depth", 0)
+            if depth >= 16:
+                raise UQueryError.sql_error(
+                    f'EXECUTE recursion limit exceeded expanding "{m.group(1)}" '
+                    "(self-referential prepared statement?)"
+                )
+            self._execute_depth = depth + 1
+            try:
+                return self.rewrite(
+                    self._substitute_prepared_params(stmts[name], args)
+                )
+            finally:
+                self._execute_depth = depth
         m = _DEALLOCATE_RE.match(sql)
         if m:
             getattr(self, "_prepared", {}).pop(m.group(1).lower(), None)
