@@ -332,3 +332,33 @@ def test_hll_sketch_rollup_partial_aggregates(spark):
     body = plan.split("== Physical Plan ==")[-1].lower()
     assert "partial" in body, body[:400]
     assert "hll_sketch_agg" in body, body[:400]
+
+
+def test_heavy_hitters_candidates_bound_shuffle(spark):
+    """Round 12: the heavy-hitters exact pass must count only the
+    broadcast candidate tokens — a BroadcastHashJoin (semi-shape)
+    before the aggregate, never a full-vocabulary exchange as the
+    FIRST shuffle-producing step after the scan."""
+    from uquery_rs_spark.operators.text import heavy_hitters_mg
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    plan = formatted_plan(heavy_hitters_mg(docs, k=50))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in body, body[:600]
+    # the candidate filter sits between explode and the count aggregate
+    assert body.index("Generate") < body.index("BroadcastHashJoin") or (
+        "ArrowEvalPython" in body or "MapInPandas" in body
+    ), body[:600]
+
+
+def test_hll_sliding_window_runs_over_sketches(spark):
+    """Round 12: the 7-day rolling distinct must window over the DAILY
+    SKETCH rows (one hll_sketch_agg aggregate below the window), not
+    re-read raw events per frame — raw events are scanned once on the
+    estimate side."""
+    plan = formatted_plan(
+        Q.REGISTRY["events_hll_sliding_uniques"].spark_fn(spark, SF_SMALL)
+    )
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "hll_union_agg" in body and "Window" in body, body[:600]
+    assert "partial_hll_sketch_agg" in body, body[:600]

@@ -3682,3 +3682,88 @@ def test_round12_nested_skip_path_scanning(spark, rw):
     )).collect()[0].d
     assert str(r) == "2024-01-03"
 
+
+
+def test_round12_json_from_end_and_group_structure(spark, rw):
+    """Wave-10 closes: [#-n] from-end JSON path indexes and the
+    json_group_structure aggregate (both previously documented loud
+    errors), plus the j::JSON NULL-row crash the work exposed."""
+    import json as _j
+
+    def one(sql):
+        return spark.sql(rw.rewrite(sql)).collect()[0][0]
+
+    assert one("""SELECT json_extract('[1,2,3]', '$[#-1]')""") == "3"
+    assert one("""SELECT json_extract('[1,2,3]', '$[#-0]')""") == "1"  # -0 = first
+    assert one("""SELECT json_extract('[1,2,3]', '$[#-5]')""") is None
+    assert one("""SELECT json_extract('{"a":null}', '$.a')""") is None
+    assert one("""SELECT json_extract_string('["x","y"]', '$[#-1]')""") == "y"
+    assert one("""SELECT json_extract('[[1,2],[3,4]]', '$[#-1][0]')""") == "3"
+    assert one("""SELECT json_extract('[{"b":7},{"b":9}]', '$[#-1].b')""") == "9"
+    assert one(
+        """SELECT json_extract('{"a":[1,2],"b":[3]}', ['$.a[#-1]', '$.b[#-1]'])"""
+    ) == ["2", "3"]
+    # ::JSON on a batch containing NULL must not crash (pandas UDFs under
+    # CASE evaluate eagerly — round-12 catch); whitespace preserved
+    rows = spark.sql(rw.rewrite(
+        """SELECT j::JSON AS v FROM (VALUES ('{"a":1}'), (NULL), ('  [1, 2]')) t(j)"""
+    )).collect()
+    assert [r.v for r in rows] == ['{"a":1}', None, "  [1, 2]"]
+    # group structure: key union (order impl-defined → compare parsed),
+    # conflict → JSON, numeric widening, empty group → NULL
+    v = one(
+        """SELECT json_group_structure(j::JSON) FROM (VALUES
+           ('{"a":1,"b":"x"}'), ('{"a":"s","c":[1,2.5]}')) t(j)"""
+    )
+    assert _j.loads(v) == {"a": "JSON", "b": "VARCHAR", "c": ["DOUBLE"]}
+    assert one(
+        """SELECT json_group_structure(j::JSON)
+           FROM (SELECT '{"a":1}' AS j WHERE false) t"""
+    ) is None
+    # grouped form
+    rows = spark.sql(rw.rewrite(
+        """SELECT k % 2 AS g, json_group_structure(j::JSON) AS v FROM (VALUES
+           (1,'{"a":1}'), (2,'{"b":[true]}'), (3,'{"a":9,"c":"z"}')) t(k,j)
+           GROUP BY 1 ORDER BY 1"""
+    )).collect()
+    assert _j.loads(rows[0].v) == {"b": ["BOOLEAN"]}
+    assert _j.loads(rows[1].v) == {"a": "UBIGINT", "c": "VARCHAR"}
+
+
+def test_round12_wave11_strftime_map_zip(spark, rw):
+    """Wave-11 closes: strftime %c/%x/%X/%n/%z/%Z/%u/%w, map_concat
+    duplicate-key last-wins, list_zip named fields + truncate flag."""
+
+    def one(sql):
+        return spark.sql(rw.rewrite(sql)).collect()[0][0]
+
+    assert one("SELECT strftime(DATE '2024-07-04', '%c')") == "2024-07-04 00:00:00"
+    assert one("SELECT strftime(DATE '2024-07-04', '%x / %X')") == "2024-07-04 / 00:00:00"
+    assert one(
+        "SELECT strftime(TIMESTAMP '2024-07-04 15:30:45.123456', '%n')"
+    ) == "123456000"
+    # naive timestamps: DuckDB prints '+00' and '' (old mapping: '+0000'/'UTC')
+    assert one("SELECT strftime(TIMESTAMP '2024-07-04 15:30:45', '%z|%Z|')") == "+00||"
+    # %u ISO Mon=1..Sun=7, %w C Sun=0..Sat=6, both unpadded
+    assert one("SELECT strftime(DATE '2024-07-07', '%u %w')") == "7 0"
+    assert one("SELECT strftime(DATE '2024-07-06', '%u %w')") == "6 6"
+    # strptime direction of the composites, incl. the lenient overlay
+    assert str(one("SELECT strptime('2024-7-4 5:3:4', '%c')")) == "2024-07-04 05:03:04"
+    # map_concat: later maps win on key collision (DuckDB-probed a=9)
+    m = one("SELECT map_concat(map {'a':1}, map {'b':2, 'a':9})")
+    assert m == {"a": 9, "b": 2}
+    m = one("SELECT map_concat(map {'a':1}, map {'b':2}, map {'a':7,'c':3})")
+    assert m == {"a": 7, "b": 2, "c": 3}
+    # list_zip: DuckDB-docs field names, NULL-pad to longest, truncate flag
+    row = spark.sql(rw.rewrite(
+        "SELECT list_zip([1,2,3], ['a']) AS v, list_zip([1,2,3], ['a'], true) AS t, "
+        "array_zip([1], [2]) AS a, list_zip([1,2], NULL) AS n"
+    )).collect()[0]
+    assert [r.asDict() for r in row.v] == [
+        {"list_1": 1, "list_2": "a"},
+        {"list_1": 2, "list_2": None},
+        {"list_1": 3, "list_2": None},
+    ]
+    assert [tuple(r) for r in row.t] == [(1, "a")]
+    assert [r.asDict() for r in row.a] == [{"list_1": 1, "list_2": 2}]
+    assert [tuple(r) for r in row.n] == [(1, None), (2, None)]

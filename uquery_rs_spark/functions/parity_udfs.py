@@ -206,7 +206,16 @@ def _json_cast(tname: str, encoded: str) -> str:
     text losslessly, which then validates-and-preserves; every other
     type keeps the encoded rendering (DuckDB-verified)."""
     if tname == "VARCHAR":
-        return _json_validate(_json.loads(encoded))
+        decoded = _json.loads(encoded)
+        # A NULL row renders as 'null' → decodes to None. The CASE in
+        # the rewrite discards this branch for NULL rows, but pandas
+        # UDFs under CASE evaluate EAGERLY over the whole batch
+        # (round-12 catch: j::JSON crashed on any batch containing a
+        # NULL — a 500, DuckDB returns NULL), so the dead branch must
+        # not raise.
+        if decoded is None:
+            return "null"
+        return _json_validate(decoded)
     return encoded
 
 
@@ -282,6 +291,36 @@ def _json_structure(s: str) -> str:
     return _jdump(_jstructure_of(_json.loads(s)))
 
 
+def _json_structs_merge(structs) -> str | None:
+    """Fold per-row json_structure strings with the DuckDB unification
+    rules (the json_group_structure aggregate; the per-row extraction
+    runs map-side, so only DISTINCT structure strings — bounded by
+    schema complexity, not row count — reach this fold)."""
+    merged = None
+    for t in structs:
+        if t is None:
+            continue
+        u = _json.loads(t)
+        merged = u if merged is None else _junify(merged, u)
+    return None if merged is None else _jdump(merged)
+
+
+def _json_extract_fe(s: str, p: str) -> str | None:
+    """json_extract for paths with DuckDB's [#-n] from-end indexes
+    (Spark's variant_get/get_json_object reject them). JSON-text
+    result; missing path AND JSON null both → NULL (probed)."""
+    found, v = _jpath_get(_json.loads(s), p)
+    return None if not found or v is None else _jdump(v)
+
+
+def _json_extract_fe_str(s: str, p: str) -> str | None:
+    """json_extract_string (raw text) for [#-n] from-end paths."""
+    found, v = _jpath_get(_json.loads(s), p)
+    if not found or v is None:
+        return None
+    return v if isinstance(v, str) else _jdump(v)
+
+
 def _jpath_get(v, path):
     """(found, value) for DuckDB's path forms: '$'-rooted JSONPath
     subset (.key / [idx]), '/'-rooted JSON Pointer, or a bare key."""
@@ -305,14 +344,17 @@ def _jpath_get(v, path):
         if "*" in path:
             raise ValueError("json path wildcards are not supported")
         cur = v
-        for key, idx in re.findall(r"\.([^.\[\]]+)|\[(-?\d+)\]", path[1:]):
+        for key, idx in re.findall(r"\.([^.\[\]]+)|\[(#?-?\d+)\]", path[1:]):
             if key:
                 if isinstance(cur, dict) and key in cur:
                     cur = cur[key]
                 else:
                     return False, None
             else:
-                i = int(idx)
+                # DuckDB from-end form [#-n] behaves exactly like a
+                # Python negative index (probed: [#-1] = last, [#-0] =
+                # FIRST — "-0" is 0 — and out-of-range → NULL)
+                i = int(idx.lstrip("#"))
                 if isinstance(cur, list) and -len(cur) <= i < len(cur):
                     cur = cur[i]
                 else:
@@ -712,6 +754,34 @@ def _build_udfs() -> dict:
             "string",
         ),
         "uq_json_structure": pandas_udf(_map1(_json_structure), "string"),
+        # array<string> input: per-element None passes through (nulls in
+        # the collected set were already dropped by collect_set)
+        "uq_json_structs_merge": pandas_udf(
+            lambda s: pd.Series(
+                [None if v is None else _json_structs_merge(v) for v in s]
+            ),
+            "string",
+        ),
+        "uq_json_extract_fe": pandas_udf(
+            lambda s, p: pd.Series(
+                [
+                    None if a is None or b is None else _json_extract_fe(a, b)
+                    for a, b in zip(s, p)
+                ]
+            ),
+            "string",
+        ),
+        "uq_json_extract_fe_str": pandas_udf(
+            lambda s, p: pd.Series(
+                [
+                    None
+                    if a is None or b is None
+                    else _json_extract_fe_str(a, b)
+                    for a, b in zip(s, p)
+                ]
+            ),
+            "string",
+        ),
         "uq_json_type1": pandas_udf(_map1(_json_type), "string"),
         "uq_json_type2": pandas_udf(
             lambda s, p: pd.Series(

@@ -1113,3 +1113,59 @@ def bpe_apply(
         encode,
         f"{key_col} long, n_words long, n_tokens long, tokens array<long>",
     )
+
+
+def heavy_hitters_mg(
+    docs: DataFrame,
+    k: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequent tokens via per-partition Misra-Gries summaries + one
+    exact verification pass — the 100 TB alternative to a full-token
+    groupBy. Beyond-reference operator (training-data pipelines use
+    frequent-token tables for tokenizer vocab seeding and boilerplate
+    detection).
+
+    Scale shape: pass 1 streams each partition once through a
+    k-counter Misra-Gries fold (vectorized: pandas value_counts per
+    Arrow batch, summary-merge — combine, subtract the (k+1)-th
+    largest, drop ≤0 — the Agarwal et al. 'mergeable summaries'
+    construction, so any token with global frequency > N/(k+1) is
+    GUARANTEED to survive some partition summary); pass 2 broadcasts
+    the ≤ P·k candidate tokens and exact-counts only those (the
+    shuffle carries ≤ P·k distinct keys instead of the full vocabulary;
+    the heavy tail never shuffles). Result: EXACT counts for every
+    token above total/k — candidates ⊇ truth makes the output
+    deterministic, not approximate. Columns: tok, cnt.
+    """
+    toks = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+    )
+
+    def mg_summaries(batches):
+        import pandas as pd
+
+        summary: pd.Series | None = None
+        for pdf in batches:
+            counts = pdf["tok"].value_counts()
+            summary = counts if summary is None else summary.add(counts, fill_value=0)
+            if len(summary) > k:
+                cut = summary.nlargest(k + 1).iloc[-1]
+                summary = (summary - cut)[lambda s: s > 0]
+        if summary is not None and len(summary):
+            yield pd.DataFrame({"tok": summary.index})
+
+    candidates = toks.mapInPandas(mg_summaries, "tok string").distinct()
+    total = toks.groupBy().agg(F.count("*").alias("n"))
+    return (
+        toks.join(F.broadcast(candidates), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > F.col("n") / F.lit(float(k)))
+        .select("tok", "cnt")
+        .orderBy(F.desc("cnt"), "tok")
+    )

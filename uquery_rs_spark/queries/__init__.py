@@ -25,6 +25,10 @@ _ROUND12_NEW: tuple[str, ...] = (
     "dialect_gap_b36m_even",  # the root-cause suspect (decimal-vs-double %)
     "dialect_gap_b36m_cot",
     "dialect_gap_b40_liststats",  # wave-9 overflow (r11 share cap)
+    "dialect_gap_b41_json_fe",  # wave-10: [#-n] from-end, json_group_structure
+    "dialect_gap_b42_strftime_map",  # wave-11: strftime codes, map_concat, list_zip
+    "text_heavy_hitters_mg",  # Misra-Gries candidates + exact verify pass
+    "events_hll_sliding_uniques",  # rolling 7-day distinct over daily sketches
 )
 
 _ROUND12_R7TAIL = (

@@ -3268,3 +3268,114 @@ def dialect_gap_b36m_cot(spark: SparkSession, sf: str) -> DataFrame:
     computes; round(., 9) absorbs implementation jitter."""
     load_tables(spark, sf)
     return _rewritten_sql(spark, _B36M_COT_SPARK_SQL)
+
+
+_B41_SQL = """
+WITH src AS (
+  SELECT doc_id AS k,
+         '[' || CAST(doc_id % 5 AS VARCHAR) || ',' ||
+         CAST(n_chars % 100 AS VARCHAR) || ',7.5]'          AS arr,
+         CASE WHEN doc_id % 3 = 0
+              THEN '{"id":' || CAST(doc_id % 7 AS VARCHAR)
+                   || ',"x":true,"y":[1],"z":{"w":"t"}}'
+              WHEN doc_id % 3 = 1
+              THEN '{"id":"s' || CAST(doc_id % 4 AS VARCHAR)
+                   || '","x":false,"y":[2],"z":{"w":"u"}}'
+              ELSE '{"id":2.5,"x":true,"y":[3.5],"z":{"w":"v"}}' END AS j
+  FROM documents WHERE doc_id <= 300
+)
+SELECT k,
+       json_extract(arr, '$[#-1]')                      AS v_fe1,
+       json_extract(arr, '$[#-3]')                      AS v_fe3,
+       json_extract(arr, '$[#-5]')                      AS v_feoob,
+       json_extract(arr, '$[#-0]')                      AS v_fe0,
+       json_extract_string(j, '$.id')                   AS v_id,
+       (json_extract(j, ['$.x', '$.y[#-1]']))[1]        AS v_fel1,
+       (json_extract(j, ['$.x', '$.y[#-1]']))[2]        AS v_fel2,
+       g.v_gs                                           AS v_gs
+FROM src, (SELECT json_group_structure(j::JSON) AS v_gs FROM src) g
+ORDER BY k
+"""
+
+
+@register(
+    "dialect_gap_b41_json_fe",
+    tags=("dialect", "battery", "functions"),
+    oracle=_B41_SQL,
+)
+def dialect_gap_b41_json_fe(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-12 wave-10 battery: the two wave-8 leftovers that were
+    documented loud errors — (1) DuckDB's [#-n] from-end JSON path
+    indexes (probed: [#-1] last, [#-0] FIRST — python-negative-index
+    semantics — out-of-range and JSON null → NULL), exercised through
+    json_extract, json_extract_string and the list-of-paths form, via
+    an exact-semantics pandas UDF walk; (2) json_group_structure — the
+    aggregate form of json_structure — as a map-side per-row structure
+    extraction + collect_set (merge is commutative/associative/
+    idempotent, so only DISTINCT structure strings — bounded by schema
+    complexity — reach the final fold) + one merge UDF, with DuckDB's
+    unification rules (key union, numeric widening, conflict → JSON).
+    The oracle pins through ::JSON, where every oracle version parses
+    (1.0.0's bare-VARCHAR aggregate inconsistently wraps the text as a
+    JSON string scalar — probed '"VARCHAR"' — unlike its own scalar
+    json_structure; the gateway implements the consistent parse). Every
+    source row carries the SAME key sequence so the merged object's
+    first-seen key order is deterministic on both engines (key-UNION
+    order is implementation-defined in both — pinned order-insensitively
+    in the unit battery instead)."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B41_SQL)
+
+
+_B42_SQL = """
+WITH src AS (
+  SELECT o_orderkey AS k, o_orderdate AS d,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + INTERVAL 1 SECOND * (o_orderkey % 86400)
+           + INTERVAL 1 MICROSECOND * (o_orderkey * 7919 % 1000000) AS ts
+  FROM orders WHERE o_orderkey <= 300
+)
+SELECT k,
+       strftime(d, '%c')                            AS v_c,
+       strftime(d, '%x / %X')                       AS v_xx,
+       strftime(ts, '%n')                           AS v_n,
+       strftime(ts, '%z|%Z|')                       AS v_z,
+       strftime(d, '%u %w')                         AS v_uw,
+       strftime(ts, 'day %u of wk%V, %c!')          AS v_mix,
+       map_concat(map {'a': k % 3, 'b': 1},
+                  map {'b': k % 5, 'c': 2})['b'][1] AS v_mc,
+       len(array_zip([k % 7, k % 3], [k % 2]))          AS v_azn,
+       len(list_zip([k % 7], [k % 2, k % 3], true))     AS v_azt,
+       (list_select([k % 7, k % 3, k % 11], [3, 1]))[1] AS v_sel1,
+       (list_select([k % 7, k % 3, k % 11], [3, 1]))[2] AS v_sel2,
+       (list_grade_up([k % 7, k % 3, k % 11]))[1]       AS v_gu1,
+       (list_grade_up([k % 7, k % 3, k % 11]))[3]       AS v_gu3
+FROM src ORDER BY k
+"""
+
+
+@register(
+    "dialect_gap_b42_strftime_map",
+    tags=("dialect", "battery", "functions"),
+    oracle=_B42_SQL,
+)
+def dialect_gap_b42_strftime_map(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-12 wave-11 battery (≤12 idioms): strftime %c/%x/%X ISO
+    composites, %n 9-digit nanoseconds, %z/%Z on naive timestamps
+    ('+00'/'' — the old 'xx' mapping printed '+0000', a silent diff),
+    %u/%w unpadded day-of-week expression codes (all previously loud
+    'unsupported strftime code'); map_concat duplicate-key LAST-wins
+    (was Spark's DUPLICATED_MAP_KEY loud error on DuckDB-valid input;
+    n-ary fold with pre-filtered collisions); list_zip/array_zip as a
+    transform into named_structs — DuckDB-docs field names
+    list_1..list_n, NULL-pad-to-longest, literal truncate flag (the
+    old arrays_zip rename used positional 0/1 field names, a silent
+    diff; sized here because 1.0.0's structs are UNNAMED — numeric-
+    index-only — so a field access can't be oracle-portable; names
+    pinned in the unit battery); list_select / list_grade_up
+    (verified natively identical). list_intersect element ORDER
+    remains a documented deviation (implementation-defined in both
+    engines, the list_distinct class). DuckDB probes in NOTES
+    round-12 log."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B42_SQL)

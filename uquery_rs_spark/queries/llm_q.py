@@ -3086,3 +3086,33 @@ def emb_pca_project(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("ratio_ok"),
         (~F.isnan("pc1") & ~F.isnan("pc2")).alias("finite_ok"),
     ).orderBy("vec_id")
+
+
+@register(
+    "text_heavy_hitters_mg",
+    tags=("llm", "text", "stats", "scale"),
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM documents
+),
+nn AS (SELECT count(*) AS n FROM toks WHERE tok <> '')
+SELECT tok, count(*) AS cnt
+FROM toks, nn
+WHERE tok <> ''
+GROUP BY tok, nn.n
+HAVING count(*) > nn.n / 200.0
+ORDER BY cnt DESC, tok
+""",
+)
+def text_heavy_hitters_mg(spark: SparkSession, sf: str) -> DataFrame:
+    """Frequent tokens above total/k via per-partition Misra-Gries
+    summaries + one exact verification pass
+    (operators/text.py::heavy_hitters_mg). The mergeable-summaries
+    guarantee makes the candidate set ⊇ every true heavy hitter, so
+    the exact-count pass returns the DETERMINISTIC truth (hash-checked
+    against DuckDB's full groupBy) while shuffling only ≤ P·k candidate
+    keys instead of the whole vocabulary — the shape that matters when
+    the vocabulary is billions of long-tail tokens."""
+    docs = load_tables(spark, sf)["documents"]
+    return TX.heavy_hitters_mg(docs, k=200)

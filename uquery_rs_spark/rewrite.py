@@ -352,7 +352,10 @@ class SqlRewriter:
         # _rewrite_b20_fns (fuzzer catch: Spark's array_position is
         # width-strict where DuckDB coerces numeric types)
         "from_hex": "unhex",
-        "list_zip": "arrays_zip",
+        # list_zip/array_zip moved to _rewrite_list_zip (round-12
+        # wave-11: DuckDB names the struct fields list_1..list_n where
+        # arrays_zip uses positional 0/1 — a silent field-name diff —
+        # and supports a literal trailing truncate flag)
         "regexp_matches": "regexp_like",
         "strlen": "length",
         # round-5 sweep batch 2 (1:1 semantics verified against DuckDB)
@@ -2012,22 +2015,47 @@ class SqlRewriter:
         plist = re.match(r"^\s*\[(.*)\]\s*$", p, re.S) or re.match(
             r"(?i)^\s*array\s*\((.*)\)\s*$", p, re.S
         )
+        fe_udf = "uq_json_extract_fe_str" if m.group(1) else "uq_json_extract_fe"
+
+        def _fe_path(expr: str) -> bool:
+            el = self._lit_parse(expr)
+            if el is not None and "[#-" in el:
+                from .functions.parity_udfs import register_parity_udfs
+
+                register_parity_udfs(self.spark)
+                return True
+            return False
+
         if plist:
             elems = self._split_top(plist.group(1), ",")
             fn = "get_json_object(({j}), {p})" if m.group(1) else \
-                "to_json(variant_get(parse_json(({j})), {p}))"
+                "nullif(to_json(variant_get(parse_json(({j})), {p})), 'null')"
             parts = ", ".join(
-                fn.format(j=j, p=e.strip()) for e in elems if e.strip()
+                f"{fe_udf}(CAST(({j}) AS STRING), {e.strip()})"
+                if _fe_path(e.strip())
+                else fn.format(j=j, p=e.strip())
+                for e in elems
+                if e.strip()
             )
             return sql[: m.start()] + f"array({parts})" + tail
         lit = self._lit_parse(p)
         if lit is not None and lit.startswith("/"):
             # JSONPointer '/a/b' → JSONPath '$.a.b' (object keys only)
             p = "'$" + ".".join(lit.split("/")).rstrip(".") + "'"
-        if m.group(1):  # _string / _path_text: raw text extraction
+        if _fe_path(p):
+            # DuckDB [#-n] from-end index (round 12 — was a documented
+            # loud error): Spark's path engines reject it → exact-
+            # semantics UDF walk (uq_json_extract_fe; probed: [#-0] is
+            # the FIRST element, out-of-range and JSON null → NULL)
+            repl = f"{fe_udf}(CAST(({j}) AS STRING), {p})"
+        elif m.group(1):  # _string / _path_text: raw text extraction
             repl = f"get_json_object(({j}), {p})"
         else:
-            repl = f"to_json(variant_get(parse_json(({j})), {p}))"
+            # nullif: a JSON null VALUE extracts to SQL NULL like DuckDB
+            # (probed IS NULL = true; round 12 — the bare to_json
+            # rendered 'null' text, a silent wrong value; a JSON STRING
+            # "null" renders quoted, so it is untouched)
+            repl = f"nullif(to_json(variant_get(parse_json(({j})), {p})), 'null')"
         return sql[: m.start()] + repl + tail
 
     _JSON_ARR_LEN_RE = re.compile(r"(?i)\bjson_array_length\s*\(")
@@ -3670,7 +3698,8 @@ class SqlRewriter:
     _B21_JSON_RE = re.compile(
         r"(?i)(?<![\w.])(json_object|json_array|json_quote|"
         r"json_merge_patch|json_structure|json_type|json_contains|"
-        r"json_group_array|json_group_object|row_to_json|json)\s*\("
+        r"json_group_structure|json_group_array|json_group_object|"
+        r"row_to_json|json)\s*\("
     )
     _JSON_OPTS = "map('ignoreNullFields', 'false')"
 
@@ -3801,6 +3830,26 @@ class SqlRewriter:
                         "json_contains expects (haystack, needle)"
                     )
                 repl = f"uq_json_contains(({args[0]}), ({args[1]}))"
+            elif fn == "json_group_structure":
+                if len(args) != 1:
+                    raise UQueryError.sql_error(
+                        "json_group_structure expects 1 arg"
+                    )
+                # Per-row structure extraction runs map-side; only
+                # DISTINCT structure strings (bounded by schema
+                # complexity, not rows — merge is commutative/
+                # associative/idempotent, so collect_set is sound)
+                # reach the final fold. Parse semantics — consistent
+                # with json_structure and an explicit ::JSON cast;
+                # DuckDB 1.0.0's bare-VARCHAR aggregate wraps the text
+                # as a JSON string scalar instead (probed '"VARCHAR"'),
+                # inconsistent with its own scalar function — the
+                # oracle entry pins through ::JSON where all versions
+                # parse. Empty/all-NULL group → NULL like DuckDB.
+                repl = (
+                    f"uq_json_structs_merge(collect_set("
+                    f"uq_json_structure(CAST(({args[0]}) AS STRING))))"
+                )
             elif fn == "json_group_array":
                 if len(args) != 1:
                     raise UQueryError.sql_error("json_group_array expects 1 arg")
@@ -3861,6 +3910,93 @@ class SqlRewriter:
                 f"array_distinct(filter(({inner}), "
                 f"uq_ld -> uq_ld IS NOT NULL))"
             )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
+
+    _LIST_ZIP_RE = re.compile(r"(?i)\b(?:list|array)_zip\s*\(")
+
+    def _rewrite_list_zip(self, sql: str) -> str:
+        """list_zip/array_zip → transform over an index sequence into
+        named_structs with DuckDB's field names (list_1..list_n;
+        arrays_zip would name them 0/1 — probed). NULL-pads to the
+        LONGEST list (a NULL list contributes NULLs but no length);
+        a literal trailing true/false is DuckDB's truncate flag →
+        least() of the sizes instead. slice(…, 1, n) handles the
+        empty result (Spark sequence(1, 0) would count DOWN)."""
+        pos = 0
+        while True:
+            hit = self._call_args(self._LIST_ZIP_RE, sql, pos)
+            if not hit:
+                return sql
+            m, close, args = hit
+            if not args or not args[0].strip():
+                raise UQueryError.sql_error("list_zip expects at least 1 list")
+            args = [self._rewrite_list_zip(a) for a in args]
+            agg, trunc = "greatest", False
+            last = args[-1].strip().lower()
+            if last in ("true", "false"):
+                trunc = last == "true"
+                args = args[:-1]
+                if trunc:
+                    agg = "least"
+                if not args:
+                    raise UQueryError.sql_error(
+                        "list_zip expects at least 1 list"
+                    )
+            def _is_null_lit(a: str) -> bool:
+                return a.strip().upper() == "NULL"
+
+            # a literal NULL list contributes NULLs but no length
+            # (DuckDB-probed: list_zip([1,2], NULL) → 2 null-padded
+            # entries); its bare NULL is VOID-typed in Spark, which
+            # size()/element_at() reject at analysis
+            size_terms = [
+                "0" if _is_null_lit(a) else f"coalesce(size(({a})), 0)"
+                for a in args
+            ]
+            n = f"{agg}({', '.join(size_terms)})" if len(args) > 1 else size_terms[0]
+            fields = ", ".join(
+                f"'list_{i + 1}', "
+                + (
+                    "CAST(NULL AS STRING)"
+                    if _is_null_lit(a)
+                    else f"try_element_at(({a}), uq_zi)"
+                )
+                for i, a in enumerate(args)
+            )
+            repl = (
+                f"slice(transform(sequence(1, greatest(1, {n})), "
+                f"uq_zi -> named_struct({fields})), 1, {n})"
+            )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
+
+    _MAP_CONCAT_RE = re.compile(r"(?i)\bmap_concat\s*\(")
+
+    def _rewrite_map_concat(self, sql: str) -> str:
+        """DuckDB map_concat keeps the LAST value for a duplicated key
+        (probed: map_concat({'a':1}, {'b':2,'a':9}) → a=9) where
+        Spark's raises DUPLICATED_MAP_KEY (round-12 wave-11 — a loud
+        error on DuckDB-valid input) → left fold of a 2-map combine
+        that filters the earlier map's colliding keys first. Single-arg
+        calls pass through; the repeated right-operand reference
+        collapses under Catalyst CSE."""
+        pos = 0
+        while True:
+            hit = self._call_args(self._MAP_CONCAT_RE, sql, pos)
+            if not hit:
+                return sql
+            m, close, args = hit
+            if len(args) < 2:
+                pos = m.end()
+                continue
+            args = [self._rewrite_map_concat(a) for a in args]
+            repl = args[0]
+            for b in args[1:]:
+                repl = (
+                    f"map_concat(map_filter(({repl}), (uq_mk, uq_mv) -> "
+                    f"NOT array_contains(map_keys(({b})), uq_mk)), ({b}))"
+                )
             sql = sql[: m.start()] + repl + sql[close + 1 :]
             pos = m.start() + len(repl)
 
@@ -8449,7 +8585,14 @@ class SqlRewriter:
         "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
         "%I": "hh", "%M": "mm", "%S": "ss", "%f": "SSSSSS", "%g": "SSS",
         "%j": "DDD", "%a": "EEE", "%A": "EEEE", "%b": "MMM", "%B": "MMMM",
-        "%p": "a", "%Z": "zzz", "%z": "xx", "%%": "%",
+        # %z/%Z: the gateway serves naive (NTZ) timestamps, where DuckDB
+        # prints '+00' and '' (probed) — Java 'x' renders exactly '+00';
+        # %c/%x/%X are the ISO composites (probed: %c has NO fractional
+        # part); %n is 9-digit nanoseconds = micros·1000 (probed
+        # '123456000') — SSSSSS plus a literal '000' (round-12 wave-11)
+        "%p": "a", "%Z": "", "%z": "x", "%%": "%",
+        "%c": "yyyy-MM-dd HH:mm:ss", "%x": "yyyy-MM-dd", "%X": "HH:mm:ss",
+        "%n": "SSSSSS'000'",
     }
     # strptime is LENIENT about zero padding (strptime('3|2024',
     # '%m|%Y') parses in DuckDB; Java 'MM' demands 2 digits) — parsing
@@ -8458,6 +8601,7 @@ class SqlRewriter:
     _STRF_LENIENT = {
         "%m": "M", "%d": "d", "%H": "H", "%I": "h", "%M": "m",
         "%S": "s", "%j": "D",
+        "%c": "y-M-d H:m:s", "%x": "y-M-d", "%X": "H:m:s",
     }
     # Week-number codes Java patterns CANNOT express (Spark removed
     # 'w'/'W' in 3.0): emitted as expression segments spliced into a
@@ -8480,6 +8624,10 @@ class SqlRewriter:
             "lpad(CAST(((dayofyear({d}) + 6 - weekday({d})) div 7) "
             "AS STRING), 2, '0')"
         ),
+        # %u ISO day-of-week Mon=1..Sun=7, %w C day-of-week Sun=0..Sat=6
+        # — DuckDB prints both UNPADDED single digits (probed '4')
+        "%u": "CAST(weekday({d}) + 1 AS STRING)",
+        "%w": "CAST(dayofweek({d}) - 1 AS STRING)",
     }
     _STRF_RE = re.compile(r"(?i)\b(strftime|try_strptime|strptime)\s*\(")
 
@@ -9974,6 +10122,8 @@ class SqlRewriter:
         # list_distinct NULL removal BEFORE b17/scalar passes that emit
         # Spark's native array_distinct internally
         sql = self._rewrite_list_distinct(sql)
+        sql = self._rewrite_map_concat(sql)
+        sql = self._rewrite_list_zip(sql)
         sql = self._rewrite_b17_scalars(sql)
         # batch-19 list family BEFORE list_aggregate (list_sum/avg/count
         # expand to list_aggregate text)
