@@ -362,3 +362,16 @@ def test_hll_sliding_window_runs_over_sketches(spark):
     body = plan.split("== Physical Plan ==")[-1]
     assert "hll_union_agg" in body and "Window" in body, body[:600]
     assert "partial_hll_sketch_agg" in body, body[:600]
+
+
+def test_kn_bigram_scoring_stays_jvm_side(spark):
+    """Round 12: the KN-LM estimator must be pure joins + aggregates —
+    no Python evaluation anywhere in the plan (training and scoring
+    both run inside codegen/exchange operators)."""
+    plan = formatted_plan(
+        Q.REGISTRY["text_lm_kn_bigram"].spark_fn(spark, SF_SMALL)
+    )
+    body = plan.split("== Physical Plan ==")[-1]
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in body, body[:600]
+    assert "Join" in body

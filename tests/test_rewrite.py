@@ -3767,3 +3767,27 @@ def test_round12_wave11_strftime_map_zip(spark, rw):
     assert [tuple(r) for r in row.t] == [(1, "a")]
     assert [r.asDict() for r in row.a] == [{"list_1": 1, "list_2": 2}]
     assert [tuple(r) for r in row.n] == [(1, None), (2, None)]
+
+
+def test_round12_json_array_length_nonarray(spark, rw):
+    """jsonfz catch: DuckDB counts a VALID non-array document (or a
+    found non-array path) as 0 where Spark's builtin returns NULL;
+    malformed JSON must error loudly, NULL and missing paths stay
+    NULL. From-end paths route through the UDF walk."""
+    row = spark.sql(rw.rewrite(
+        """SELECT json_array_length('"s"') AS a,
+                  json_array_length('2.5') AS b,
+                  json_array_length('{}') AS c,
+                  json_array_length('[1,2]') AS d,
+                  json_array_length(NULL) AS e,
+                  json_array_length('{"a":1}', '$.a') AS f,
+                  json_array_length('{"a":1}', '$.z') AS g,
+                  json_array_length('{"a":null}', '$.a') AS h,
+                  json_array_length('[[1],[2,3]]', '$[#-1]') AS i"""
+    )).collect()[0]
+    assert (row.a, row.b, row.c, row.d, row.e) == (0, 0, 0, 2, None)
+    assert (row.f, row.g, row.h, row.i) == (0, None, None, 2)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.sql(rw.rewrite("SELECT json_array_length('nope')")).collect()

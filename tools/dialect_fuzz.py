@@ -697,6 +697,89 @@ def run_axis(axis, batches, rnd, spark, rw, con):
                 if norm(gv) != norm(w):
                     mismatch += 1
                     fails.append((c, w, gv))
+        elif axis == "jsonfz":
+            # Round 12: the JSON surface grew fast (from_json coercion,
+            # [#-n] from-end paths, json-null extraction, ::JSON casts,
+            # json_group_structure) — generate random documents and
+            # random path/function compositions over them.
+            def jval(depth):
+                r = rnd.random()
+                if depth <= 0 or r < 0.35:
+                    return rnd.choice([
+                        "1", "-3", "2.5", "true", "false", "null",
+                        '"s"', '"x y"', '"5"', "9007199254740993",
+                    ])
+                if r < 0.7:
+                    n = rnd.randint(0, 3)
+                    return "[" + ",".join(jval(depth - 1) for _ in range(n)) + "]"
+                keys = rnd.sample(["a", "b", "c", "d"], rnd.randint(1, 3))
+                return ("{" + ",".join(
+                    f'"{k}":{jval(depth - 1)}' for k in keys) + "}")
+
+            def jpath():
+                segs = []
+                for _ in range(rnd.randint(1, 3)):
+                    if rnd.random() < 0.5:
+                        segs.append("." + rnd.choice(["a", "b", "c", "d"]))
+                    elif rnd.random() < 0.6:
+                        segs.append(f"[{rnd.randint(0, 3)}]")
+                    else:
+                        segs.append(f"[#-{rnd.randint(0, 3)}]")
+                return "$" + "".join(segs)
+
+            exprs = []
+            for _ in range(10):
+                doc = jval(3).replace("'", "''")
+                kind = rnd.randrange(6)
+                if kind == 0:
+                    exprs.append(f"json_extract('{doc}', '{jpath()}')")
+                elif kind == 1:
+                    exprs.append(f"json_extract_string('{doc}', '{jpath()}')")
+                elif kind == 2:
+                    exprs.append(f"json_structure('{doc}')")
+                elif kind == 3:
+                    exprs.append(f"json_type('{doc}')")
+                elif kind == 4:
+                    exprs.append(f"json_array_length('{doc}')")
+                else:
+                    exprs.append(f"CAST(json_valid('{doc}') AS INTEGER)")
+            # documented deviation: an extracted sub-OBJECT carries the
+            # same data with Spark's variant key order (alphabetical)
+            # vs DuckDB's insertion order — compare JSON text
+            # structurally, everything else exactly
+            import json as _json
+
+            def _jnorm(v):
+                if isinstance(v, str):
+                    try:
+                        parsed = _json.loads(v)
+                    except Exception:
+                        return v
+                    if isinstance(parsed, (dict, list)):
+                        return _json.dumps(parsed, sort_keys=True)
+                return norm(v)
+
+            keep, want = [], []
+            for e in exprs:
+                try:
+                    want.append(con.sql(f"SELECT {e}").fetchall()[0][0])
+                    keep.append(e)
+                except Exception:
+                    continue
+            if keep:
+                sel = ", ".join(f"{e} AS c{i}" for i, e in enumerate(keep))
+                try:
+                    row = list(spark.sql(rw.rewrite(f"SELECT {sel}")).collect()[0])
+                except Exception as exc:
+                    mismatch += len(keep)
+                    fails.append((sel[:120], None,
+                                  "REJECT " + str(exc).split("\n")[0][:90]))
+                    continue
+                for e, w, gv in zip(keep, want, row):
+                    checked += 1
+                    if _jnorm(gv) != _jnorm(w):
+                        mismatch += 1
+                        fails.append((e, w, gv))
         elif axis == "psfz":
             # Round 12: PREPARE/EXECUTE wrappers around the expr axis —
             # parameter substitution touches literal parsing, exactly
@@ -803,7 +886,7 @@ def main():
     con = duckdb.connect()
     axes = (["expr", "agg", "window", "rel", "temporal", "nested", "pattern",
              "div", "subq", "timemix", "multirel", "pivotfz", "saggfz",
-             "macrofz", "psfz"]
+             "macrofz", "psfz", "jsonfz"]
             if axis == "all" else [axis])
     total_mm = 0
     for ax in axes:

@@ -1169,3 +1169,113 @@ def heavy_hitters_mg(
         .select("tok", "cnt")
         .orderBy(F.desc("cnt"), "tok")
     )
+
+
+def kn_bigram_score(
+    docs: DataFrame,
+    ref_filter: Column,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney word-bigram LM: train on a reference
+    subset, score every document. The step up from lm_perplexity's
+    char-bigram MLE: word-level, a real smoothing estimator (absolute
+    discounting + continuation-probability backoff — the KenLM/SRILM
+    formulation at order 2), closed-vocabulary OOV handling.
+
+        P(w2|w1) = (max(c(w1w2) - D, 0) + D·N1+(w1·)·Pcont(w2)) / c(w1·)
+        Pcont(w2) = (N1+(·w2) + 0.5) / (|bigrams| + 0.5·(V + 1))
+        (w1 unseen → P = Pcont(w2); the +0.5/+0.5(V+1) add-half keeps
+        Pcont > 0 for an '<unk>' that never occurs in training)
+
+    Scale shape (100 TB): training is two groupBy passes over reference
+    tokens (vocabulary, then bigram counts — partial aggregation
+    collapses each partition map-side); the left-context totals
+    c(w1·)/N1+(w1·) are ONE more aggregate of the bigram table, not the
+    corpus. Scoring deliberately does NOT broadcast a model dict: a
+    web-scale vocabulary is GBs, so score-side bigrams JOIN the count
+    tables (AQE picks broadcast when the model is small, shuffle when
+    it isn't) and re-aggregate per document — every operator stays
+    JVM-side, no Python in the loop. Columns: key, n_bigrams,
+    avg_logp (round 6, natural log), all reference-set rows scored too.
+    """
+    toks_expr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+
+    def doc_bigrams(df: DataFrame) -> DataFrame:
+        w = toks_expr
+        pairs = F.zip_with(
+            F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+            F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        return df.select(
+            F.col(key_col), F.explode(pairs).alias("bg")
+        ).select(key_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    ref = docs.filter(ref_filter)
+    vocab = (
+        ref.select(F.explode(toks_expr).alias("w"))
+        .groupBy("w")
+        .count()
+        .filter(F.col("count") >= min_count)
+        .select("w")
+    )
+
+    def map_unk(bg: DataFrame) -> DataFrame:
+        v1 = vocab.select(F.col("w").alias("w1"), F.lit(1).alias("w1_v"))
+        v2 = vocab.select(F.col("w").alias("w2"), F.lit(1).alias("w2_v"))
+        return (
+            bg.join(v1, "w1", "left")
+            .join(v2, "w2", "left")
+            .select(
+                key_col,
+                F.when(F.col("w1_v").isNotNull(), F.col("w1"))
+                .otherwise(F.lit("<unk>")).alias("w1"),
+                F.when(F.col("w2_v").isNotNull(), F.col("w2"))
+                .otherwise(F.lit("<unk>")).alias("w2"),
+            )
+        )
+
+    train_bg = map_unk(doc_bigrams(ref)).groupBy("w1", "w2").agg(
+        F.count("*").alias("cb")
+    )
+    left = train_bg.groupBy("w1").agg(
+        F.sum("cb").alias("cw1"), F.count("*").alias("n1r")
+    )
+    right = train_bg.groupBy("w2").agg(F.count("*").alias("n1l"))
+    totals = train_bg.groupBy().agg(F.count("*").alias("nb")).crossJoin(
+        vocab.groupBy().agg((F.count("*") + 1).alias("v"))
+    )
+
+    score_bg = map_unk(doc_bigrams(docs))
+    d = F.lit(float(discount))
+    joined = (
+        score_bg.join(train_bg, ["w1", "w2"], "left")
+        .join(left, "w1", "left")
+        .join(right, "w2", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    pcont = (F.coalesce(F.col("n1l"), F.lit(0)) + F.lit(0.5)) / (
+        F.col("nb") + F.lit(0.5) * F.col("v")
+    )
+    p = F.when(
+        F.col("cw1").isNotNull(),
+        (
+            F.greatest(F.coalesce(F.col("cb"), F.lit(0)) - d, F.lit(0.0))
+            + d * F.col("n1r") * pcont
+        )
+        / F.col("cw1"),
+    ).otherwise(pcont)
+    return (
+        joined.select(F.col(key_col), F.log(p).alias("lp"))
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logp"),
+        )
+        .orderBy(key_col)
+    )

@@ -29,6 +29,7 @@ _ROUND12_NEW: tuple[str, ...] = (
     "dialect_gap_b42_strftime_map",  # wave-11: strftime codes, map_concat, list_zip
     "text_heavy_hitters_mg",  # Misra-Gries candidates + exact verify pass
     "events_hll_sliding_uniques",  # rolling 7-day distinct over daily sketches
+    "text_lm_kn_bigram",  # interpolated Kneser-Ney word-bigram LM scoring
 )
 
 _ROUND12_R7TAIL = (

@@ -3116,3 +3116,69 @@ def text_heavy_hitters_mg(spark: SparkSession, sf: str) -> DataFrame:
     the vocabulary is billions of long-tail tokens."""
     docs = load_tables(spark, sf)["documents"]
     return TX.heavy_hitters_mg(docs, k=200)
+
+
+@register(
+    "text_lm_kn_bigram",
+    tags=("llm", "text", "quality", "scale"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang = 'en' AS is_ref,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+  FROM documents
+),
+vocab AS (
+  SELECT tk AS w
+  FROM (SELECT unnest(w) AS tk FROM tok WHERE is_ref)
+  GROUP BY tk HAVING count(*) >= 2
+),
+bg AS (
+  SELECT doc_id, is_ref, w[i] AS w1r, w[i + 1] AS w2r
+  FROM (SELECT doc_id, is_ref, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+        FROM tok WHERE len(w) >= 2)
+),
+mbg AS (
+  SELECT doc_id, is_ref,
+         CASE WHEN v1.w IS NOT NULL THEN w1r ELSE '<unk>' END AS w1,
+         CASE WHEN v2.w IS NOT NULL THEN w2r ELSE '<unk>' END AS w2
+  FROM bg
+  LEFT JOIN vocab v1 ON bg.w1r = v1.w
+  LEFT JOIN vocab v2 ON bg.w2r = v2.w
+),
+tb  AS (SELECT w1, w2, count(*) AS cb FROM mbg WHERE is_ref GROUP BY w1, w2),
+lft AS (SELECT w1, sum(cb) AS cw1, count(*) AS n1r FROM tb GROUP BY w1),
+rgt AS (SELECT w2, count(*) AS n1l FROM tb GROUP BY w2),
+tot AS (SELECT (SELECT count(*) FROM tb) AS nb,
+               (SELECT count(*) + 1 FROM vocab) AS v),
+sc AS (
+  SELECT s.doc_id,
+         ln(CASE WHEN l.cw1 IS NOT NULL THEN
+              (greatest(CAST(coalesce(t.cb, 0) AS DOUBLE) - 0.75, 0.0)
+               + 0.75 * l.n1r
+                 * ((coalesce(r.n1l, 0) + 0.5) / (tot.nb + 0.5 * tot.v)))
+              / l.cw1
+            ELSE (coalesce(r.n1l, 0) + 0.5) / (tot.nb + 0.5 * tot.v) END) AS lp
+  FROM mbg s
+  LEFT JOIN tb  t USING (w1, w2)
+  LEFT JOIN lft l USING (w1)
+  LEFT JOIN rgt r USING (w2), tot
+)
+SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logp
+FROM sc GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def text_lm_kn_bigram(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser-Ney word-bigram LM quality scoring
+    (operators/text.py::kn_bigram_score): train on the lang='en'
+    reference subset (closed vocabulary at min_count=2, OOV → '<unk>'),
+    score EVERY document by mean log-probability — the KenLM-style
+    filter signal, exactly reproduced in SQL so the oracle checks the
+    whole estimator (discounted bigram mass + continuation-probability
+    backoff) to 6 decimals. No UDFs anywhere: training is two groupBy
+    passes plus one aggregate OVER THE MODEL (not the corpus); scoring
+    joins the count tables instead of broadcasting a dict (a web-scale
+    vocabulary is GBs — AQE picks broadcast only when the model is
+    actually small) and re-aggregates per document."""
+    docs = load_tables(spark, sf)["documents"]
+    return TX.kn_bigram_score(docs, F.col("lang") == "en")

@@ -2061,26 +2061,49 @@ class SqlRewriter:
     _JSON_ARR_LEN_RE = re.compile(r"(?i)\bjson_array_length\s*\(")
 
     def _rewrite_json_array_length(self, sql: str) -> str:
-        """2-arg json_array_length(j, path) counts the array AT the
-        path (DuckDB-probed: ('{"a":[1,2,3]}', '$.a') = 3); Spark's
-        builtin is 1-arg only (round-11 wave-8 — the 2-arg form was a
-        loud wrong-arity error) → extract the sub-document first.
-        1-arg calls are natively identical and stay untouched."""
+        """json_array_length, both arities, DuckDB-probed semantics the
+        jsonfz axis caught Spark's builtin silently missing (round 12):
+        a VALID non-array document (or a found non-array path) counts
+        as 0 — Spark returns NULL; malformed JSON ERRORS (Spark: NULL)
+        — parse_json() in the guard restores the loud error; SQL NULL
+        and a missing/json-null path stay NULL. 2-arg counts the array
+        AT the path (round-11 wave-8); a [#-n] from-end path routes
+        through the UDF walk like json_extract."""
         pos = 0
         while True:
             hit = self._call_args(self._JSON_ARR_LEN_RE, sql, pos)
             if not hit:
                 return sql
             m, close, args = hit
-            if len(args) != 2:
-                # past the name only — a 2-arg call nested inside a
-                # 1-arg call's argument must still be scanned (ADVICE
-                # r12)
+            if len(args) not in (1, 2) or not args[0].strip():
                 pos = m.end()
                 continue
-            repl = (
-                f"json_array_length(get_json_object(({args[0]}), {args[1]}))"
-            )
+            j = args[0]
+            # NB: `parse_json(j) IS NULL` would NOT restore the loud
+            # malformed error — parse_json is null-intolerant, so the
+            # optimizer collapses the IsNull to `j IS NULL` without
+            # ever parsing; a >= comparison over its length survives
+            # optimization and forces the parse (raising like DuckDB).
+            parse_0 = f"IF(length(to_json(parse_json(({j})))) >= 0, 0, 0)"
+            if len(args) == 1:
+                repl = (
+                    f"(CASE WHEN ({j}) IS NULL THEN CAST(NULL AS INT) "
+                    f"ELSE coalesce(json_array_length(({j})), {parse_0}) END)"
+                )
+            else:
+                plit = self._lit_parse(args[1].strip())
+                if plit is not None and "[#-" in plit:
+                    from .functions.parity_udfs import register_parity_udfs
+
+                    register_parity_udfs(self.spark)
+                    inner = f"uq_json_extract_fe(CAST(({j}) AS STRING), {args[1]})"
+                else:
+                    inner = f"get_json_object(({j}), {args[1]})"
+                repl = (
+                    f"(CASE WHEN ({j}) IS NULL THEN CAST(NULL AS INT) "
+                    f"WHEN ({inner}) IS NULL THEN nullif({parse_0}, 0) "
+                    f"ELSE coalesce(json_array_length({inner}), {parse_0}) END)"
+                )
             sql = sql[: m.start()] + repl + sql[close + 1 :]
             pos = m.start() + len(repl)
 
