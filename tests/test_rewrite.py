@@ -3791,3 +3791,48 @@ def test_round12_json_array_length_nonarray(spark, rw):
 
     with _pytest.raises(Exception):
         spark.sql(rw.rewrite("SELECT json_array_length('nope')")).collect()
+
+
+def test_round12_topn_aggregates(spark, rw):
+    """Wave-12: DuckDB >=1.1 top-n aggregate forms (reference pins
+    1.5.2): max/min(arg, n) and arg_max/arg_min(arg, val, n) return
+    LISTs; NULL values/keys skipped; non-constant n raises."""
+
+    def one(sql):
+        return spark.sql(rw.rewrite(sql)).collect()[0][0]
+
+    assert one("SELECT max(x, 2) FROM (VALUES (1),(5),(3)) t(x)") == [5, 3]
+    assert one("SELECT min(x, 2) FROM (VALUES (1),(5),(3)) t(x)") == [1, 3]
+    assert one("SELECT max(x, 5) FROM (VALUES (1),(NULL),(3)) t(x)") == [3, 1]
+    assert one(
+        "SELECT arg_max(x, y, 2) FROM (VALUES (1,10),(5,30),(3,20)) t(x,y)"
+    ) == [5, 3]
+    assert one(
+        "SELECT arg_min(x, y, 2) FROM (VALUES (1,10),(5,30),(3,20)) t(x,y)"
+    ) == [1, 3]
+    # NULL-val rows skip
+    assert one(
+        "SELECT arg_max(x, y, 3) FROM (VALUES (1,10),(5,NULL),(3,20)) t(x,y)"
+    ) == [3, 1]
+    # 1-arg stays native
+    assert one("SELECT max(x) FROM (VALUES (1),(5)) t(x)") == 5
+    with pytest.raises(UQueryError):
+        rw.rewrite("SELECT arg_max(x, y, 0) FROM t")
+
+
+def test_round12_python_lambda_syntax(spark, rw):
+    """Wave-12: DuckDB >=1.3 python-style lambdas normalize to the
+    arrow form — single/multi param, nested, whitespace before the
+    colon; 'lambda' inside string literals is untouched."""
+
+    def one(sql):
+        return spark.sql(rw.rewrite(sql)).collect()[0][0]
+
+    assert one("SELECT list_transform([1,2,3], lambda x: x + 1)") == [2, 3, 4]
+    assert one("SELECT list_filter([1,2,3], lambda x : x % 2 = 0)") == [2]
+    assert one("SELECT list_reduce([1,2,3], lambda a, b: a + b)") == 6
+    assert one(
+        "SELECT list_transform([[1],[2,3]], lambda l: "
+        "list_transform(l, lambda x: x * 2))"
+    ) == [[2], [4, 6]]
+    assert one("SELECT 'lambda x: keep'") == "lambda x: keep"

@@ -30,6 +30,8 @@ _ROUND12_NEW: tuple[str, ...] = (
     "text_heavy_hitters_mg",  # Misra-Gries candidates + exact verify pass
     "events_hll_sliding_uniques",  # rolling 7-day distinct over daily sketches
     "text_lm_kn_bigram",  # interpolated Kneser-Ney word-bigram LM scoring
+    "dialect_gap_b43_topn_aggs",  # wave-12: max/min/arg_max/arg_min top-n forms
+    "dialect_gap_b44_python_lambda",  # wave-12: DuckDB ≥1.3 lambda syntax
 )
 
 _ROUND12_R7TAIL = (

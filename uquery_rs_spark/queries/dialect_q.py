@@ -3379,3 +3379,111 @@ def dialect_gap_b42_strftime_map(spark: SparkSession, sf: str) -> DataFrame:
     round-12 log."""
     load_tables(spark, sf)
     return _rewritten_sql(spark, _B42_SQL)
+
+
+_B43_SPARK_SQL = """
+WITH src AS (
+  SELECT o_orderkey % 10 AS g, o_orderkey AS k, o_totalprice AS p
+  FROM orders WHERE o_orderkey <= 400
+)
+SELECT g,
+       (max(k, 3))[1]       AS v_mx1,
+       (max(k, 3))[3]       AS v_mx3,
+       (min(k, 2))[1]       AS v_mn1,
+       (min(k, 2))[2]       AS v_mn2,
+       (arg_max(k, p, 2))[1] AS v_am1,
+       (arg_max(k, p, 2))[2] AS v_am2,
+       (arg_min(k, p, 2))[1] AS v_an1,
+       (arg_min(k, p, 2))[2] AS v_an2
+FROM src GROUP BY g ORDER BY g
+"""
+
+# The top-n aggregate forms are DuckDB ≥1.1 (the local 1.0.0 gate binary
+# predates them), so the oracle derives each value from ordered list()
+# slicing — identical on every oracle version. Tie order matches the
+# gateway emission: arg_max ties break by arg DESC, arg_min by arg ASC.
+_B43_ORACLE_SQL = """
+WITH src AS (
+  SELECT o_orderkey % 10 AS g, o_orderkey AS k, o_totalprice AS p
+  FROM orders WHERE o_orderkey <= 400
+)
+SELECT g,
+       (list(k ORDER BY k DESC))[1]         AS v_mx1,
+       (list(k ORDER BY k DESC))[3]         AS v_mx3,
+       (list(k ORDER BY k ASC))[1]          AS v_mn1,
+       (list(k ORDER BY k ASC))[2]          AS v_mn2,
+       (list(k ORDER BY p DESC, k DESC))[1] AS v_am1,
+       (list(k ORDER BY p DESC, k DESC))[2] AS v_am2,
+       (list(k ORDER BY p ASC, k ASC))[1]   AS v_an1,
+       (list(k ORDER BY p ASC, k ASC))[2]   AS v_an2
+FROM src GROUP BY g ORDER BY g
+"""
+
+
+@register(
+    "dialect_gap_b43_topn_aggs",
+    tags=("dialect", "battery", "functions"),
+    oracle=_B43_ORACLE_SQL,
+)
+def dialect_gap_b43_topn_aggs(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-12 wave-12 battery: the DuckDB ≥1.1 top-n aggregate forms
+    the reference's pinned 1.5.2 supports — max(arg, n) / min(arg, n)
+    (LIST of the n largest/smallest, largest-first/smallest-first,
+    NULLs skipped) and arg_max/arg_min(arg, val, n) (LIST of arg for
+    the top-n rows by val; NULL-val rows skipped) — previously loud
+    wrong-arity errors. n must be a positive integer constant, like
+    DuckDB. Oracle derived via ordered list() slicing so it is green on
+    the 1.0.0 local binary (which predates the forms) AND the driver's
+    newer one (the b36m portable-oracle technique)."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B43_SPARK_SQL)
+
+
+_B44_SPARK_SQL = """
+WITH src AS (
+  SELECT o_orderkey AS k,
+         [o_orderkey % 7, o_orderkey % 3, o_orderkey % 11] AS xs
+  FROM orders WHERE o_orderkey <= 300
+)
+SELECT k,
+       (list_transform(xs, lambda x: x * 2 + 1))[2]         AS v_t,
+       len(list_filter(xs, lambda x : x % 2 = 0))           AS v_f,
+       list_reduce(xs, lambda a, b: a * 10 + b)             AS v_r,
+       (list_transform(xs, lambda x:
+         len(list_filter(xs, lambda y: y > x))))[1]         AS v_n
+FROM src ORDER BY k
+"""
+
+# Same expressions in the arrow lambda form BOTH oracle versions parse
+# (python-style `lambda x:` is DuckDB ≥1.3; 1.0.0 rejects it).
+_B44_ORACLE_SQL = """
+WITH src AS (
+  SELECT o_orderkey AS k,
+         [o_orderkey % 7, o_orderkey % 3, o_orderkey % 11] AS xs
+  FROM orders WHERE o_orderkey <= 300
+)
+SELECT k,
+       (list_transform(xs, x -> x * 2 + 1))[2]              AS v_t,
+       len(list_filter(xs, x -> x % 2 = 0))                 AS v_f,
+       list_reduce(xs, (a, b) -> a * 10 + b)                AS v_r,
+       (list_transform(xs, x ->
+         len(list_filter(xs, y -> y > x))))[1]              AS v_n
+FROM src ORDER BY k
+"""
+
+
+@register(
+    "dialect_gap_b44_python_lambda",
+    tags=("dialect", "battery", "functions"),
+    oracle=_B44_ORACLE_SQL,
+)
+def dialect_gap_b44_python_lambda(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-12 wave-12 battery: DuckDB ≥1.3's python-style lambda
+    syntax (``lambda x, y: expr`` — the docs' NEW preferred form; the
+    arrow form is deprecated there, and the reference pins 1.5.2) —
+    normalized at the pipeline head to the arrow form, including
+    nested lambdas and multi-parameter folds; 'lambda' inside string
+    literals stays text (code-only scan). Oracle uses the arrow
+    spelling both oracle versions parse."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B44_SPARK_SQL)

@@ -2078,7 +2078,11 @@ class SqlRewriter:
             if len(args) not in (1, 2) or not args[0].strip():
                 pos = m.end()
                 continue
-            j = args[0]
+            # recurse into the argument FIRST — the replacement embeds
+            # the arg text verbatim and the scan skips past it, so a
+            # nested json_array_length inside would otherwise survive
+            # untranslated (the round-12 skip-path class, other side)
+            j = self._rewrite_json_array_length(args[0])
             # NB: `parse_json(j) IS NULL` would NOT restore the loud
             # malformed error — parse_json is null-intolerant, so the
             # optimizer collapses the IsNull to `j IS NULL` without
@@ -2263,6 +2267,39 @@ class SqlRewriter:
     _B28_AGG_RE = re.compile(
         r"(?i)\b(arg_max|arg_min|argmax|argmin|max_by|min_by|avg|mean|corr)\s*\("
     )
+    _TOPN_MINMAX_RE = re.compile(r"(?i)(?<![\w.])(max|min)\s*\(")
+    _PY_LAMBDA_RE = re.compile(r"(?i)\blambda\s+(\w+(?:\s*,\s*\w+)*)\s*:")
+
+    def _rewrite_topn_minmax(self, sql: str) -> str:
+        """DuckDB ≥1.1 ``max(arg, n)`` / ``min(arg, n)`` (the reference
+        pins 1.5.2): a LIST of the n largest/smallest values, largest-
+        first / smallest-first, NULLs skipped (collect_list drops them).
+        Previously a loud wrong-arity error. Only fires when the second
+        argument is a positive integer literal — DuckDB itself requires
+        a constant n, and 1-arg max/min stay native. Scale note: this
+        emission buffers each group's values (collect_list) where
+        DuckDB keeps a bounded heap — fine for the grouped-top-n shapes
+        it serves; a corpus-wide top-n belongs to TakeOrdered queries."""
+        pos = 0
+        while True:
+            hit = self._call_args(self._TOPN_MINMAX_RE, sql, pos)
+            if not hit:
+                return sql
+            m, close, args = hit
+            if len(args) != 2 or not re.fullmatch(r"\+?\d+", args[1].strip()):
+                pos = m.end()
+                continue
+            x, n = args[0], args[1].strip()
+            if int(n) < 1:
+                raise UQueryError.sql_error(
+                    f"{m.group(1).lower()}: n must be a positive integer constant"
+                )
+            body = f"array_sort(collect_list(({x})))"
+            if m.group(1).lower() == "max":
+                body = f"reverse({body})"
+            repl = f"slice({body}, 1, {n})"
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
 
     def _rewrite_b28_aggs(self, sql: str) -> str:
         """Agg-fuzzer catches (batch 28, DuckDB-verified):
@@ -2313,11 +2350,34 @@ class SqlRewriter:
                     f"stddev_pop(IF(({x}) IS NULL, NULL, ({y}))))"
                 )
             else:
-                if len(args) != 2:
-                    raise UQueryError.sql_error(f"{fn} expects (value, key)")
-                x, k = args
-                out = "max_by" if fn in ("arg_max", "argmax", "max_by") else "min_by"
-                repl = f"{out}(({x}), IF(({x}) IS NULL, NULL, ({k})))"
+                desc = fn in ("arg_max", "argmax", "max_by")
+                if len(args) == 3:
+                    # DuckDB ≥1.1 top-n form (the reference pins 1.5.2):
+                    # arg_max(arg, val, n) = LIST of arg for the top-n
+                    # rows by val (val-descending; NULL-val rows skip —
+                    # the null struct vanishes from collect_list). n must
+                    # be a positive integer literal, like DuckDB's
+                    # constant-n requirement. Tie order among equal vals
+                    # is unspecified in DuckDB; here ties break by arg
+                    # (struct sort), deterministic.
+                    x, k, n = (a.strip() for a in args)
+                    if not re.fullmatch(r"\+?\d+", n) or int(n) < 1:
+                        raise UQueryError.sql_error(
+                            f"{fn}: n must be a positive integer constant"
+                        )
+                    pairs = (
+                        f"array_sort(collect_list(CASE WHEN ({k}) IS NULL "
+                        f"THEN NULL ELSE struct(({k}) AS uq_k, ({x}) AS uq_v) END))"
+                    )
+                    if desc:
+                        pairs = f"reverse({pairs})"
+                    repl = f"slice(transform({pairs}, uq_s -> uq_s.uq_v), 1, {n})"
+                elif len(args) == 2:
+                    x, k = args
+                    out = "max_by" if desc else "min_by"
+                    repl = f"{out}(({x}), IF(({x}) IS NULL, NULL, ({k})))"
+                else:
+                    raise UQueryError.sql_error(f"{fn} expects (value, key[, n])")
             sql = sql[: m.start()] + repl + sql[close + 1 :]
             pos = m.start() + len(repl)
 
@@ -10027,6 +10087,23 @@ class SqlRewriter:
         )
         sql = self._raise_unsupported(sql)
         sql = self._rewrite_json_arrows(sql)
+        # DuckDB ≥1.3 python-style lambda — `lambda x, y: expr` is the
+        # NEW preferred syntax (docs deprecate `x -> expr`; the
+        # reference pins 1.5.2) → normalize to the arrow form the rest
+        # of the pipeline and Spark parse. Before the map-literal pass
+        # only for tidiness — the `lambda` keyword makes the colon
+        # unambiguous. Code-only scan: 'lambda' inside string literals
+        # stays text.
+        sql = self._sub_code_fn(
+            self._PY_LAMBDA_RE,
+            lambda m: (
+                m.group(1)
+                if "," not in m.group(1)
+                else "(" + ", ".join(p.strip() for p in m.group(1).split(",")) + ")"
+            )
+            + " -> ",
+            sql,
+        )
         # MAP {} before brackets: a subscript on a map literal must see a
         # ')'-terminated operand to read as postfix.
         sql = self._rewrite_map_literal(sql)
@@ -10169,6 +10246,7 @@ class SqlRewriter:
         # favg emission) and BEFORE first_last (its min_by/max_by
         # emissions keep NULL values by design)
         sql = self._rewrite_b28_aggs(sql)
+        sql = self._rewrite_topn_minmax(sql)
         # unordered array_agg NULL parity AFTER agg_semantics (FILTER
         # gains its WHERE keyword there) and BEFORE the window passes
         # (the emitted OVER name still gets named-spec inlining)
