@@ -3836,3 +3836,24 @@ def test_round12_python_lambda_syntax(spark, rw):
         "list_transform(l, lambda x: x * 2))"
     ) == [[2], [4, 6]]
     assert one("SELECT 'lambda x: keep'") == "lambda x: keep"
+
+
+def test_round12_try_expression(spark, rw):
+    """Wave-12: DuckDB >=1.2 TRY(expr) — NULL instead of an error for
+    the guarded classes; unsupported forms raise loudly; lenient %Y
+    parses 1-4 digit years (b45 catch)."""
+
+    def one(sql):
+        return spark.sql(rw.rewrite(sql)).collect()[0][0]
+
+    assert one("SELECT TRY(CAST('x' AS INTEGER))") is None
+    assert one("SELECT TRY(CAST('7' AS INTEGER))") == 7
+    assert one("SELECT TRY('x'::INTEGER)") is None
+    assert one("SELECT TRY(strptime('nope', '%Y-%m-%d'))") is None
+    assert one("SELECT TRY(ln(-1))") is None
+    assert one("SELECT TRY(sqrt(-1))") is None
+    assert one("SELECT TRY(sqrt(4.0))") == 2.0
+    assert one("SELECT TRY(CAST(1e40 AS INTEGER))") is None
+    assert str(one("SELECT strptime('123', '%Y')")) == "0123-01-01 00:00:00"
+    with pytest.raises(UQueryError):
+        rw.rewrite("SELECT TRY(upper(1))")

@@ -32,6 +32,7 @@ _ROUND12_NEW: tuple[str, ...] = (
     "text_lm_kn_bigram",  # interpolated Kneser-Ney word-bigram LM scoring
     "dialect_gap_b43_topn_aggs",  # wave-12: max/min/arg_max/arg_min top-n forms
     "dialect_gap_b44_python_lambda",  # wave-12: DuckDB ≥1.3 lambda syntax
+    "dialect_gap_b45_try_expr",  # wave-12: DuckDB ≥1.2 TRY() expression
 )
 
 _ROUND12_R7TAIL = (

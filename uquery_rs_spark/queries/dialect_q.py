@@ -3487,3 +3487,59 @@ def dialect_gap_b44_python_lambda(spark: SparkSession, sf: str) -> DataFrame:
     spelling both oracle versions parse."""
     load_tables(spark, sf)
     return _rewritten_sql(spark, _B44_SPARK_SQL)
+
+
+_B45_SPARK_SQL = """
+WITH src AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'x'
+              ELSE CAST(o_orderkey + 1900 AS VARCHAR) END AS s
+  FROM orders WHERE o_orderkey <= 300
+)
+SELECT k,
+       TRY(CAST(s AS INTEGER))                   AS v_tc,
+       TRY(s::BIGINT)                            AS v_cc,
+       TRY(strptime(s, '%Y'))                    AS v_ts,
+       round(TRY(ln(CAST(k % 5 AS DOUBLE) - 2)), 9)  AS v_ln,
+       round(TRY(sqrt(CAST(k % 7 AS DOUBLE) - 3)), 9) AS v_sq
+FROM src ORDER BY k
+"""
+
+# TRY() is DuckDB ≥1.2; the oracle expresses the same NULL-on-error
+# semantics in pre-1.2 SQL (try_cast / try_strptime / domain CASEs)
+# so it is green on any oracle version.
+_B45_ORACLE_SQL = """
+WITH src AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'x'
+              ELSE CAST(o_orderkey + 1900 AS VARCHAR) END AS s
+  FROM orders WHERE o_orderkey <= 300
+)
+SELECT k,
+       try_cast(s AS INTEGER)                    AS v_tc,
+       try_cast(s AS BIGINT)                     AS v_cc,
+       try_strptime(s, '%Y')                     AS v_ts,
+       round(CASE WHEN CAST(k % 5 AS DOUBLE) - 2 > 0
+                  THEN ln(CAST(k % 5 AS DOUBLE) - 2) END, 9)  AS v_ln,
+       round(CASE WHEN CAST(k % 7 AS DOUBLE) - 3 >= 0
+                  THEN sqrt(CAST(k % 7 AS DOUBLE) - 3) END, 9) AS v_sq
+FROM src ORDER BY k
+"""
+
+
+@register(
+    "dialect_gap_b45_try_expr",
+    tags=("dialect", "battery", "functions"),
+    oracle=_B45_ORACLE_SQL,
+)
+def dialect_gap_b45_try_expr(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-12 wave-12 battery: DuckDB ≥1.2 ``TRY(expr)`` (NULL
+    instead of an error) over the error classes it actually guards —
+    conversion (CAST and ``::``), datetime parsing (strptime), and
+    log/sqrt domain errors (Spark's ln is already NULL-lenient; sqrt
+    needs a negative-domain CASE because Spark yields NaN). Division/
+    modulo by zero are already NULL in DuckDB (probed), and every
+    unsupported TRY form raises loudly — no silent divergence surface.
+    Oracle spelled in pre-1.2 SQL (try_cast/try_strptime/CASE)."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B45_SPARK_SQL)

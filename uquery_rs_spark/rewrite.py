@@ -8685,6 +8685,8 @@ class SqlRewriter:
         "%m": "M", "%d": "d", "%H": "H", "%I": "h", "%M": "m",
         "%S": "s", "%j": "D",
         "%c": "y-M-d H:m:s", "%x": "y-M-d", "%X": "H:m:s",
+        # DuckDB %Y parses 1-4 digit years ('1' → year 1 — b45 catch)
+        "%Y": "y",
     }
     # Week-number codes Java patterns CANNOT express (Spark removed
     # 'w'/'W' in 3.0): emitted as expression segments spliced into a
@@ -8993,6 +8995,59 @@ class SqlRewriter:
     _INTEGRAL_TYPES = {"tinyint", "smallint", "int", "integer", "bigint", "long", "short", "byte"}
 
     _TRAILING_LIT_RE = re.compile(r"'(?:[^']|'')*'$")
+
+    _TRY_RE = re.compile(r"(?i)(?<![\w.])TRY\s*\(")
+
+    def _rewrite_try_expr(self, sql: str) -> str:
+        """DuckDB ≥1.2 ``TRY(expr)`` — NULL instead of an error (the
+        reference pins 1.5.2; 1.0.0 lacks the form). Narrow, honest
+        support: the error classes TRY actually guards map to Spark
+        forms with identical NULL behavior —
+
+        - TRY(CAST(x AS T)) / TRY(x::T) → try_cast (conversion errors);
+        - TRY(strptime(s, f)) → try_strptime (parse errors);
+        - TRY(ln/log/log2/log10(x)) → the bare call (Spark already
+          returns NULL outside the domain where DuckDB raises);
+        - TRY(sqrt(x)) → negative-domain CASE (Spark yields NaN, not
+          NULL);
+        - division/modulo-by-zero is already NULL in DuckDB (probed),
+          so arithmetic needs no TRY translation.
+
+        Any other inner form RAISES — a loud error, never a silent
+        divergence (Spark's NaN-vs-NULL and error-vs-NULL edges differ
+        per function and each needs its own probe before support)."""
+        pos = 0
+        while True:
+            hit = self._call_args(self._TRY_RE, sql, pos)
+            if not hit:
+                return sql
+            m, close, args = hit
+            if len(args) != 1:
+                raise UQueryError.sql_error("TRY expects exactly 1 expression")
+            inner = self._rewrite_try_expr(args[0]).strip()
+            if re.match(r"(?i)^cast\s*\(", inner):
+                repl = "try_" + inner
+            elif re.match(r"(?i)^(?:try_)?strptime\s*\(", inner):
+                repl = "try_" + inner if not inner.lower().startswith("try_") else inner
+            elif re.match(r"(?i)^(ln|log|log2|log10)\s*\(", inner):
+                repl = f"({inner})"
+            elif re.match(r"(?i)^sqrt\s*\(", inner):
+                ihit = self._call_args(re.compile(r"(?i)^sqrt\s*\("), inner)
+                if not ihit or len(ihit[2]) != 1:
+                    raise UQueryError.sql_error("TRY(sqrt): malformed call")
+                a = ihit[2][0]
+                repl = (
+                    f"(CASE WHEN ({a}) < 0 THEN CAST(NULL AS DOUBLE) "
+                    f"ELSE sqrt(({a})) END)"
+                )
+            else:
+                raise UQueryError.sql_error(
+                    "TRY: unsupported expression form (supported: CAST/::, "
+                    "strptime, ln/log/log2/log10, sqrt; division and modulo "
+                    "by zero are already NULL)"
+                )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
 
     def _rewrite_colon_cast(self, sql: str) -> str:
         """DuckDB ``expr::TYPE`` → ``CAST(expr AS TYPE)`` so the CAST pass
@@ -10304,6 +10359,10 @@ class SqlRewriter:
         sql = self._rewrite_list_sort(sql)
         sql = self._rewrite_array_to_string(sql)
         sql = self._rewrite_colon_cast(sql)
+        # DuckDB ≥1.2 TRY(expr): after :: normalization so TRY(x::T)
+        # sees the CAST form; before the JSON/interval cast passes so
+        # the emitted try_cast rides them where applicable
+        sql = self._rewrite_try_expr(sql)
         # batch-25: CAST(x AS JSON) — typeof-dispatched (VARCHAR input
         # validates and PRESERVES text, DuckDB-verified; other types
         # encode via the json writer); session identity literals
