@@ -33,6 +33,7 @@ _ROUND12_NEW: tuple[str, ...] = (
     "dialect_gap_b43_topn_aggs",  # wave-12: max/min/arg_max/arg_min top-n forms
     "dialect_gap_b44_python_lambda",  # wave-12: DuckDB ≥1.3 lambda syntax
     "dialect_gap_b45_try_expr",  # wave-12: DuckDB ≥1.2 TRY() expression
+    "corpus_cross_source_dup_matrix",  # source×source near-dup contingency
 )
 
 _ROUND12_R7TAIL = (

@@ -3182,3 +3182,66 @@ def text_lm_kn_bigram(spark: SparkSession, sf: str) -> DataFrame:
     actually small) and re-aggregates per document."""
     docs = load_tables(spark, sf)["documents"]
     return TX.kn_bigram_score(docs, F.col("lang") == "en")
+
+
+@register(
+    "corpus_cross_source_dup_matrix",
+    tags=("llm", "dedup", "corpus"),
+    oracle="""
+WITH sh AS (
+  SELECT doc_id AS id, source,
+         list_distinct([t[i] || '_' || t[i+1] || '_' || t[i+2]
+                        for i in generate_series(1, len(t) - 2)]) AS s
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)
+),
+ex AS (SELECT id, unnest(s) AS g FROM sh),
+inter AS (
+  SELECT a.id AS x, b.id AS y, count(*) AS inter
+  FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT x, y
+  FROM inter
+  JOIN (SELECT id, len(s) AS nx FROM sh) sx ON x = sx.id
+  JOIN (SELECT id, len(s) AS ny FROM sh) sy ON y = sy.id
+  WHERE inter * 1.0 / (sx.nx + sy.ny - inter) >= 0.5
+)
+SELECT least(sa.source, sb.source)    AS src_a,
+       greatest(sa.source, sb.source) AS src_b,
+       count(*)                       AS n_pairs,
+       count(DISTINCT p.x)            AS n_docs_x
+FROM pairs p
+JOIN (SELECT id, source FROM sh) sa ON p.x = sa.id
+JOIN (SELECT id, source FROM sh) sb ON p.y = sb.id
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def corpus_cross_source_dup_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source near-duplicate matrix — which sources copy which:
+    exact 3-gram Jaccard ≥ 0.5 pairs (the verified near-dup relation)
+    aggregated into an unordered source×source contingency table, the
+    table a corpus curator reads before deciding per-source dedup
+    priority. Scale shape: the pair relation is the inverted-index
+    join (never all-pairs); attaching sources is two broadcast-sized
+    joins against the (id, source) projection; the matrix itself is
+    |sources|² rows. Deterministic: the pair set is exact, the matrix
+    unordered via least/greatest."""
+    docs = load_tables(spark, sf)["documents"]
+    pairs = D.jaccard_pairs_exact(docs, threshold=0.5).select("x", "y")
+    src = docs.select(F.col("doc_id"), F.col("source"))
+    sa = src.withColumnRenamed("doc_id", "x").withColumnRenamed("source", "src_x")
+    sb = src.withColumnRenamed("doc_id", "y").withColumnRenamed("source", "src_y")
+    return (
+        pairs.join(F.broadcast(sa), "x")
+        .join(F.broadcast(sb), "y")
+        .groupBy(
+            F.least("src_x", "src_y").alias("src_a"),
+            F.greatest("src_x", "src_y").alias("src_b"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("x").alias("n_docs_x"),
+        )
+        .orderBy("src_a", "src_b")
+    )
