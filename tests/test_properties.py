@@ -397,3 +397,63 @@ def test_differential_expression_fuzz(spark, exprs):
         raise
     for e, w, got in zip(keep, want, row):
         assert _norm(got) == _norm(w), f"{e}: {got!r} != {w!r}"
+
+
+@spark_settings
+@given(
+    a=st.lists(st.integers(-50, 50), min_size=0, max_size=8),
+    b=st.lists(st.integers(-50, 50), min_size=0, max_size=8),
+)
+def test_list_zip_matches_python_zip_pad(spark, a, b):
+    """Round-12 list_zip translation == NULL-padded python zip, with
+    the truncate flag == plain zip (DuckDB-probed semantics)."""
+    rw = SqlRewriter(spark)
+    la = "[" + ",".join(map(str, a)) + "]"
+    lb = "[" + ",".join(map(str, b)) + "]"
+    row = spark.sql(rw.rewrite(
+        f"SELECT list_zip({la}, {lb}) AS p, list_zip({la}, {lb}, true) AS t"
+    )).collect()[0]
+    n = max(len(a), len(b))
+    pad = [(a[i] if i < len(a) else None, b[i] if i < len(b) else None)
+           for i in range(n)]
+    assert [tuple(r) for r in row.p] == pad
+    assert [tuple(r) for r in row.t] == list(zip(a, b))
+
+
+@spark_settings
+@given(
+    m1=st.dictionaries(st.sampled_from("abcd"), st.integers(0, 9), max_size=4),
+    m2=st.dictionaries(st.sampled_from("abcd"), st.integers(0, 9), max_size=4),
+)
+def test_map_concat_last_wins(spark, m1, m2):
+    """Round-12 map_concat translation == python {**m1, **m2}."""
+    rw = SqlRewriter(spark)
+
+    def lit(m):
+        if not m:
+            return "MAP {'zz': -1}"  # empty map literals need a type; pad
+        return "MAP {" + ", ".join(f"'{k}': {v}" for k, v in m.items()) + "}"
+
+    m1 = m1 or {"zz": -1}
+    m2 = m2 or {"zz": -1}
+    got = spark.sql(rw.rewrite(
+        f"SELECT map_concat({lit(m1)}, {lit(m2)}) AS v"
+    )).collect()[0].v
+    assert got == {**m1, **m2}
+
+
+@spark_settings
+@given(
+    vals=st.lists(st.integers(-100, 100), min_size=1, max_size=20),
+    n=st.integers(1, 5),
+)
+def test_topn_minmax_matches_sorted(spark, vals, n):
+    """Round-12 max(x, n)/min(x, n) == sorted slices."""
+    rw = SqlRewriter(spark)
+    rows = ", ".join(f"({v})" for v in vals)
+    got = spark.sql(rw.rewrite(
+        f"SELECT max(x, {n}) AS mx, min(x, {n}) AS mn "
+        f"FROM (VALUES {rows}) t(x)"
+    )).collect()[0]
+    assert got.mx == sorted(vals, reverse=True)[:n]
+    assert got.mn == sorted(vals)[:n]

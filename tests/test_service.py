@@ -413,3 +413,16 @@ def test_interval_results_with_duplicate_column_names(base_url):
     head, first = body.decode().splitlines()[:2]
     assert head.split(",") == ["x", "x", "v"]
     assert first.split(",") == ["1", "2", "01:30:00"]
+
+
+def test_case_variant_duplicate_column_names(base_url):
+    """Round-12 ADVICE: case-variant duplicates (SELECT 1 AS x, 2 AS X)
+    hit the same AMBIGUOUS_REFERENCE under Spark's case-insensitive
+    resolution — the duplicate check now keys on casefolded names."""
+    status, headers, body = post(
+        base_url, "SELECT 1 AS x, 2 AS X", accept="text/csv"
+    )
+    assert status == 200, body[:300]
+    head, first = body.decode().splitlines()[:2]
+    assert head.split(",") == ["x", "X"]
+    assert first.split(",") == ["1", "2"]
