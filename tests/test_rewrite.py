@@ -3857,3 +3857,18 @@ def test_round12_try_expression(spark, rw):
     assert str(one("SELECT strptime('123', '%Y')")) == "0123-01-01 00:00:00"
     with pytest.raises(UQueryError):
         rw.rewrite("SELECT TRY(upper(1))")
+
+
+def test_round12_string_polymorphic_array_extract(spark, rw):
+    """Wave-13: array_extract/list_element/list_extract are STRING-
+    polymorphic in DuckDB ('abcd'[2]-style single-char extraction;
+    index 0 and out-of-bounds → '') — poly-probed against the array
+    form (index 0 → NULL, out-of-bounds → NULL)."""
+    row = spark.sql(rw.rewrite(
+        "SELECT array_extract('abcd', 2) AS a, array_extract('abcd', -1) AS b, "
+        "array_extract('abcd', 0) AS c, array_extract('abcd', 99) AS d, "
+        "array_extract([1,2,3], 0) AS e, list_element('héllo', 2) AS f"
+    )).collect()[0]
+    assert (row.a, row.b, row.c, row.d, row.e, row.f) == (
+        "b", "d", "", "", None, "é"
+    )

@@ -6283,12 +6283,23 @@ class SqlRewriter:
                 raise UQueryError.sql_error("list_element/list_extract expect 2 args")
             a, i = args
             if re.fullmatch(r"\s*-?[1-9]\d*\s*", i):
-                repl = f"try_element_at(({a}), ({i}))"
+                arr = f"try_element_at(({a}), ({i}))"
+                s_form = f"substr(({a}), ({i}), 1)"
             else:
-                repl = (
+                arr = (
                     f"(CASE WHEN ({i}) = 0 THEN NULL "
                     f"ELSE try_element_at(({a}), ({i})) END)"
                 )
+                s_form = (
+                    f"(CASE WHEN ({i}) = 0 THEN '' "
+                    f"ELSE substr(({a}), ({i}), 1) END)"
+                )
+            # round-12 wave-13: these are STRING-polymorphic in DuckDB
+            # (array_extract('abcd', 2) = 'b'; index 0 → '', any
+            # out-of-bounds → '' — substr matches except index 0) →
+            # uq_poly(fallback=string form, preferred=array form); the
+            # LIMIT-0 probe picks whichever analyzes.
+            repl = f"uq_poly({s_form}, {arr})"
             sql = sql[: m.start()] + repl + sql[close + 1 :]
         return sql
 
