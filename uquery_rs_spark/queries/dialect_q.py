@@ -740,12 +740,30 @@ def dialect_gap_battery(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "dialect_gap_battery2",
     tags=("dialect", "functions", "aggregate", "datetime"),
+    # Round-13 version-skew sweep: the oracle no longer calls
+    # quantile_cont / quantile_disc — DuckDB 1.0.0 quantizes DECIMAL
+    # quantiles by truncating the interpolation to the input scale
+    # (probed), a behavior newer binaries may change. med_cont is
+    # explicit order statistics ((lo+hi)/2 over DOUBLE), q25_disc is
+    # the value at rank max(1, ceil(q·n)) — selection only, stays
+    # DECIMAL-exact. dayname/editdist3/epoch_ms/time_bucket stay:
+    # calendar arithmetic and definition-exact distances.
     oracle="""
+WITH r1 AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice, o_orderdate,
+         CAST(o_totalprice AS DOUBLE) AS xd,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS rn,
+         count(*)    OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
 SELECT o_orderpriority,
        arg_max(o_orderkey, o_totalprice)                    AS priciest_order,
        arg_min(o_orderkey, o_totalprice)                    AS cheapest_order,
-       round(quantile_cont(o_totalprice, 0.5), 2)           AS med_cont,
-       quantile_disc(o_totalprice, 0.25)                    AS q25_disc,
+       round((max(xd) FILTER (rn * 2 <= n + 1)
+              + min(xd) FILTER (rn * 2 >= n + 1)) / 2, 2)   AS med_cont,
+       max(o_totalprice) FILTER (
+         rn = greatest(1, CAST(ceil(0.25 * n) AS BIGINT)))  AS q25_disc,
        round(product(CASE WHEN o_orderkey % 997 = 0 THEN 2.0 ELSE 1.0 END), 2)
                                                             AS pow2_997s,
        CAST(min(epoch_ms(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) AS first_ms,
@@ -753,7 +771,7 @@ SELECT o_orderpriority,
        min(dayname(o_orderdate))                            AS first_dayname,
        min(editdist3(o_orderpriority, 'URGENT'))            AS min_edit,
        CAST(max(o_orderkey) AS VARCHAR)                     AS max_key_str
-FROM orders
+FROM r1
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """,
@@ -1026,20 +1044,47 @@ def dialect_gap_battery6(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "dialect_gap_battery7",
     tags=("dialect", "battery", "aggregate"),
+    # Round-13 version-skew sweep: the oracle no longer calls skewness/
+    # kurtosis (estimator definitions are the volatile class that
+    # burned b36_math in r11 and b40_liststats in r12) — it derives
+    # both from raw moment sums with the G1/G2 sample corrections the
+    # translation encodes (rewrite.py:5568-5577). geomean is likewise
+    # stated as exp(avg(ln x)). favg/fsum stay: compensated summation
+    # is semantics-pinned and more exact than any portable restatement
+    # (a naive-sum oracle would drift ~1e-5 on a 1.2e8 total — inside
+    # round(,2)'s tie band; Kahan is not).
     oracle="""
+WITH x AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         CAST(o_totalprice AS DOUBLE) AS xd
+  FROM orders WHERE o_orderkey <= 4000
+), g AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS DOUBLE)        AS n,
+         sum(xd)                         AS s1,
+         sum(xd * xd)                    AS s2,
+         sum(xd * xd * xd)               AS s3,
+         sum(xd * xd * xd * xd)          AS s4,
+         round(favg(o_totalprice), 2)    AS favg_p,
+         round(fsum(o_totalprice), 2)    AS fsum_p,
+         round(exp(avg(ln(xd))), 2)      AS geo_p,
+         CAST(sum(o_orderkey) AS BIGINT) AS sum_ordered,
+         count(*) FILTER (o_totalprice > 100000) AS n_big,
+         any_value(o_orderpriority)      AS prio_echo
+  FROM x GROUP BY o_orderpriority
+)
 SELECT o_orderpriority,
-       round(skewness(o_totalprice), 4) AS skew_p,
-       round(kurtosis(o_totalprice), 4) AS kurt_p,
-       round(favg(o_totalprice), 2) AS favg_p,
-       round(fsum(o_totalprice), 2) AS fsum_p,
-       round(geomean(o_totalprice), 2) AS geo_p,
-       CAST(sum(o_orderkey ORDER BY o_orderkey) AS BIGINT) AS sum_ordered,
-       count(*) FILTER (o_totalprice > 100000) AS n_big,
-       any_value(o_orderpriority) AS prio_echo
-FROM orders
-WHERE o_orderkey <= 4000
-GROUP BY o_orderpriority
-ORDER BY o_orderpriority
+       round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * pow(s1 / n, 3))
+             / pow(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0), 1.5)
+             * sqrt(n * (n - 1)) / (n - 2), 4)              AS skew_p,
+       round((n - 1) / ((n - 2) * (n - 3))
+             * ((n + 1) * ((s4 / n - 4 * (s1 / n) * (s3 / n)
+                            + 6 * pow(s1 / n, 2) * (s2 / n)
+                            - 3 * pow(s1 / n, 4))
+                           / pow(s2 / n - (s1 / n) * (s1 / n), 2)
+                           - 3) + 6), 4)                    AS kurt_p,
+       favg_p, fsum_p, geo_p, sum_ordered, n_big, prio_echo
+FROM g ORDER BY o_orderpriority
 """,
 )
 def dialect_gap_battery7(spark: SparkSession, sf: str) -> DataFrame:
@@ -1549,8 +1594,13 @@ SELECT doc_id,
        array_to_string(parse_path(source || '/' || lang), ',') AS pp,
        CAST(md5_number_lower(lang) AS VARCHAR) AS mlo,
        CAST(md5_number_upper(source) AS VARCHAR) AS mhi,
-       round(gamma(1.0 + (doc_id % 5) / 2.0), 4) AS gm,
-       round(lgamma(n_chars / 10.0 + 1), 4) AS lg,
+       round(CASE doc_id % 5
+             WHEN 0 THEN 1.0
+             WHEN 1 THEN sqrt(pi()) / 2
+             WHEN 2 THEN 1.0
+             WHEN 3 THEN 3 * sqrt(pi()) / 4
+             ELSE 2.0 END, 4) AS gm,
+       round(ln(CAST(factorial(CAST(n_chars % 30 + 1 AS INTEGER)) AS DOUBLE)), 4) AS lg,
        nextafter(doc_id * 1.0, 0.0) AS na
 FROM documents
 WHERE doc_id <= 300
@@ -1567,7 +1617,12 @@ def dialect_gap_battery11(spark: SparkSession, sf: str) -> DataFrame:
     UBIGINT digits), gamma/lgamma/nextafter. The UDF-backed names
     register lazily on the session at rewrite time
     (functions/parity_udfs.py), so the driver's plain session needs no
-    engine setup."""
+    engine setup. Round-13 version-skew sweep: the oracle no longer
+    calls gamma (closed-form half-integer values via sqrt(pi)) or
+    lgamma (integer domain, ln∘factorial identity — factorial is exact
+    in HUGEINT), so a libm change in the oracle binary cannot move an
+    expected value; jaro/damerau/md5/nextafter stay — their outputs
+    are definition-exact, not estimator-dependent."""
     load_tables(spark, sf)
     return _rewritten_sql(
         spark,
@@ -1583,7 +1638,7 @@ def dialect_gap_battery11(spark: SparkSession, sf: str) -> DataFrame:
         "CAST(md5_number_lower(lang) AS VARCHAR) AS mlo, "
         "CAST(md5_number_upper(source) AS VARCHAR) AS mhi, "
         "round(gamma(1.0 + (doc_id % 5) / 2.0), 4) AS gm, "
-        "round(lgamma(n_chars / 10.0 + 1), 4) AS lg, "
+        "round(lgamma(n_chars % 30 + 2), 4) AS lg, "
         "nextafter(doc_id * 1.0, 0.0) AS na "
         "FROM documents WHERE doc_id <= 300 ORDER BY doc_id",
     )
@@ -1592,16 +1647,60 @@ def dialect_gap_battery11(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "dialect_gap_battery12",
     tags=("dialect", "battery", "aggregates"),
+    # Round-13 version-skew sweep: the oracle no longer calls mad or
+    # entropy. mad is computed by explicit order statistics in DOUBLE
+    # space — the even/odd median in one grouped expression,
+    # (max over the lower half + min over the upper half) / 2, which
+    # is exact for odd n and the translation's (lo+hi)/2 interpolation
+    # for even n — then repeated over the absolute deviations; entropy
+    # is the explicit -Σ(c/n)·log2(c/n) over per-status counts (+0
+    # normalizes the signed zero). histogram/era/struct_insert stay:
+    # exact counts, calendar arithmetic, and struct layout have no
+    # estimator to change.
     oracle="""
-SELECT o_orderpriority,
-       round(mad(o_totalprice), 4) AS mad_price,
-       round(entropy(o_orderstatus), 4) AS ent_status,
+WITH r1 AS (
+  SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS xd,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(o_totalprice AS DOUBLE)) AS rn,
+         count(*)    OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+), md AS (
+  SELECT o_orderpriority,
+         (max(xd) FILTER (rn * 2 <= n + 1)
+          + min(xd) FILTER (rn * 2 >= n + 1)) / 2 AS med
+  FROM r1 GROUP BY o_orderpriority
+), r2 AS (
+  SELECT r1.o_orderpriority, abs(xd - med) AS dv,
+         row_number() OVER (PARTITION BY r1.o_orderpriority
+                            ORDER BY abs(xd - med)) AS rn,
+         count(*)    OVER (PARTITION BY r1.o_orderpriority) AS n
+  FROM r1 JOIN md USING (o_orderpriority)
+), madp AS (
+  SELECT o_orderpriority,
+         round((max(dv) FILTER (rn * 2 <= n + 1)
+                + min(dv) FILTER (rn * 2 >= n + 1)) / 2, 4) AS mad_price
+  FROM r2 GROUP BY o_orderpriority
+), ec AS (
+  SELECT o_orderpriority, CAST(count(*) AS DOUBLE) AS c
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+), ent AS (
+  SELECT o_orderpriority,
+         round((-sum((c / t) * log2(c / t))) + 0, 4) AS ent_status
+  FROM (SELECT o_orderpriority, c,
+               sum(c) OVER (PARTITION BY o_orderpriority) AS t FROM ec)
+  GROUP BY o_orderpriority
+), agg AS (
+  SELECT o_orderpriority,
        array_to_string(map_keys(histogram(o_orderstatus)), ',') AS hist_keys,
        array_to_string(map_values(histogram(o_orderstatus)), ',') AS hist_vals,
        min(extract(era from o_orderdate)) AS min_era,
        struct_insert({'pri': o_orderpriority}, tag := 'x').tag AS si_tag
-FROM orders
-GROUP BY o_orderpriority
+  FROM orders
+  GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, mad_price, ent_status,
+       hist_keys, hist_vals, min_era, si_tag
+FROM agg JOIN madp USING (o_orderpriority) JOIN ent USING (o_orderpriority)
 ORDER BY o_orderpriority
 LIMIT 60%
 """,
@@ -2455,17 +2554,91 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# Round-13 version-skew sweep: the oracle below never calls mad or
+# entropy. Both FILTERed mads are explicit order statistics in DOUBLE
+# space ((max of lower half + min of upper half) / 2, twice); the
+# FILTERed entropy is the explicit -Σ(c/n)·log2(c/n); the DISTINCT
+# entropy is its closed form log2(n_distinct); the DISTINCT mad runs
+# the same order statistics over the distinct value set (exact small
+# integers, so every intermediate is a dyadic rational).
+_B32_ORACLE_SQL = """
+WITH base AS (
+  SELECT o_custkey % 7 AS grp, o_orderkey, o_orderstatus, o_orderpriority,
+         CAST(o_totalprice AS DOUBLE) AS xd
+  FROM orders WHERE o_orderkey <= 500
+), f1 AS (
+  SELECT grp, xd FROM base WHERE o_orderstatus = 'O'
+), r1 AS (
+  SELECT grp, xd,
+         row_number() OVER (PARTITION BY grp ORDER BY xd) AS rn,
+         count(*)    OVER (PARTITION BY grp) AS n
+  FROM f1
+), md AS (
+  SELECT grp, (max(xd) FILTER (rn * 2 <= n + 1)
+               + min(xd) FILTER (rn * 2 >= n + 1)) / 2 AS med
+  FROM r1 GROUP BY grp
+), r2 AS (
+  SELECT f1.grp, abs(xd - med) AS dv,
+         row_number() OVER (PARTITION BY f1.grp ORDER BY abs(xd - med)) AS rn,
+         count(*)    OVER (PARTITION BY f1.grp) AS n
+  FROM f1 JOIN md USING (grp)
+), madf AS (
+  SELECT grp, (max(dv) FILTER (rn * 2 <= n + 1)
+               + min(dv) FILTER (rn * 2 >= n + 1)) / 2 AS mad_f
+  FROM r2 GROUP BY grp
+), ec AS (
+  SELECT grp, CAST(count(*) AS DOUBLE) AS c
+  FROM base WHERE o_orderkey % 2 = 1 GROUP BY grp, o_orderpriority
+), entf AS (
+  SELECT grp, round((-sum((c / t) * log2(c / t))) + 0, 6) AS ent_f
+  FROM (SELECT grp, c, sum(c) OVER (PARTITION BY grp) AS t FROM ec)
+  GROUP BY grp
+), entd AS (
+  SELECT grp,
+         round(log2(CAST(count(DISTINCT o_orderkey % 10) AS DOUBLE)), 6) AS ent_d
+  FROM base GROUP BY grp
+), dd AS (
+  SELECT DISTINCT grp, CAST(o_orderkey % 100 AS DOUBLE) AS vd FROM base
+), rd AS (
+  SELECT grp, vd,
+         row_number() OVER (PARTITION BY grp ORDER BY vd) AS rn,
+         count(*)    OVER (PARTITION BY grp) AS n
+  FROM dd
+), mdd AS (
+  SELECT grp, (max(vd) FILTER (rn * 2 <= n + 1)
+               + min(vd) FILTER (rn * 2 >= n + 1)) / 2 AS medd
+  FROM rd GROUP BY grp
+), dd2 AS (
+  SELECT dd.grp, abs(vd - medd) AS dv FROM dd JOIN mdd USING (grp)
+), rd2 AS (
+  SELECT grp, dv,
+         row_number() OVER (PARTITION BY grp ORDER BY dv) AS rn,
+         count(*)    OVER (PARTITION BY grp) AS n
+  FROM dd2
+), madd AS (
+  SELECT grp, (max(dv) FILTER (rn * 2 <= n + 1)
+               + min(dv) FILTER (rn * 2 >= n + 1)) / 2 AS mad_d
+  FROM rd2 GROUP BY grp
+)
+SELECT grp, mad_f, ent_f, ent_d, mad_d
+FROM madf JOIN entf USING (grp) JOIN entd USING (grp) JOIN madd USING (grp)
+ORDER BY grp
+"""
+
+
 @register(
     "dialect_gap_battery32",
     tags=("dialect", "battery", "aggregate"),
-    oracle=_B32_SQL,
+    oracle=_B32_ORACLE_SQL,
 )
 def dialect_gap_battery32(spark: SparkSession, sf: str) -> DataFrame:
     """Round-8 nested-aggregate FILTER + DISTINCT forms pinned on data
     (r7 verdict item 5): mad/entropy with FILTER (CASE-folded into the
     argument — all three nested aggs skip NULLs, so the fold is exact)
     and the DISTINCT closed forms (entropy = log2(n_distinct); mad
-    dedupes via collect_set with a percentile(DISTINCT) median)."""
+    dedupes via collect_set with a percentile(DISTINCT) median).
+    Round-13: oracle rebuilt version-portable (_B32_ORACLE_SQL note —
+    explicit order statistics and entropy sums, no mad/entropy call)."""
     load_tables(spark, sf)
     return _rewritten_sql(spark, _B32_SQL)
 
@@ -2530,11 +2703,55 @@ FROM events WHERE event_id < 400
 ORDER BY event_id
 """
 
+# Round-13 version-skew sweep: the oracle computes the windowed
+# DISTINCT mad by explicit order statistics over the per-partition
+# distinct value set (exact small integers — every intermediate is a
+# dyadic rational) instead of calling mad(); TIME±INTERVAL columns
+# stay — mod-86400 calendar arithmetic has no estimator to change.
+_B34_ORACLE_SQL = """
+WITH dd AS (
+  SELECT DISTINCT event_id % 5 AS g, CAST(event_id % 17 AS DOUBLE) AS vd
+  FROM events WHERE event_id < 400
+), rd AS (
+  SELECT g, vd,
+         row_number() OVER (PARTITION BY g ORDER BY vd) AS rn,
+         count(*)    OVER (PARTITION BY g) AS n
+  FROM dd
+), mdd AS (
+  SELECT g, (max(vd) FILTER (rn * 2 <= n + 1)
+             + min(vd) FILTER (rn * 2 >= n + 1)) / 2 AS med
+  FROM rd GROUP BY g
+), dd2 AS (
+  SELECT dd.g, abs(vd - med) AS dv FROM dd JOIN mdd USING (g)
+), rd2 AS (
+  SELECT g, dv,
+         row_number() OVER (PARTITION BY g ORDER BY dv) AS rn,
+         count(*)    OVER (PARTITION BY g) AS n
+  FROM dd2
+), madd AS (
+  SELECT g, round((max(dv) FILTER (rn * 2 <= n + 1)
+                   + min(dv) FILTER (rn * 2 >= n + 1)) / 2, 6) AS mad_w
+  FROM rd2 GROUP BY g
+)
+SELECT event_id,
+       CAST(CAST(ts AS TIME) + INTERVAL '2' HOUR AS VARCHAR)     AS fwd,
+       CAST(CAST(ts AS TIME) - INTERVAL '90' MINUTE AS VARCHAR)  AS back,
+       CAST(CAST(ts AS TIME) + INTERVAL '1500' MILLISECOND
+            AS VARCHAR)                                          AS frac,
+       CAST(INTERVAL '25' HOUR + CAST(ts AS TIME) AS VARCHAR)    AS com,
+       CAST(TIME '23:30:00' + INTERVAL '45' MINUTE AS VARCHAR)   AS lit,
+       CAST(ts + INTERVAL '2' HOUR AS VARCHAR)                   AS ts_fwd,
+       madd.mad_w                                                AS mad_w
+FROM events JOIN madd ON event_id % 5 = madd.g
+WHERE event_id < 400
+ORDER BY event_id
+"""
+
 
 @register(
     "dialect_gap_battery34",
     tags=("dialect", "battery", "time"),
-    oracle=_B34_SQL,
+    oracle=_B34_ORACLE_SQL,
 )
 def dialect_gap_battery34(spark: SparkSession, sf: str) -> DataFrame:
     """Round-9 raise-tail close (r8 verdict item 5a, NOTES 21g): TIME ±
@@ -2990,10 +3207,115 @@ FROM src ORDER BY k
 """
 
 
+# Round-13 version-skew sweep: the oracle below never calls median /
+# quantile_cont / quantile / mad. Each running or framed percentile is
+# restated as explicit order statistics over a self-join that
+# materializes every window frame as a group (O(n²) pairs — fine at
+# the oracle's 400-key scale): cumulative frames join on j.k <= i.k,
+# ROWS-framed specs join on j.irn BETWEEN i.irn - w AND i.irn. The
+# index rules mirror the translation verbatim (rewrite.py:1848-1868):
+# median = (lower-half max + upper-half min)/2, cont interpolates at
+# q·(n−1) as el[lo+1] + (el[lo+2]−el[lo+1])·frac, disc takes
+# el[max(1, ceil(q·n))]. The IGNORE-NULLS navigation columns stay —
+# positional selection has no estimator to change.
+_B38_ORACLE_SQL = """
+WITH src AS (
+  SELECT o_orderkey AS k,
+         o_orderstatus AS st,
+         CAST(o_totalprice AS DOUBLE) AS p,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL
+              ELSE CAST(o_totalprice AS DOUBLE) END AS pn,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_orderkey) AS irn
+  FROM orders WHERE o_orderkey <= 400
+), cum AS (
+  SELECT i.k AS ik, j.p AS v,
+         row_number() OVER (PARTITION BY i.k ORDER BY j.p) AS rn,
+         count(*)    OVER (PARTITION BY i.k) AS n
+  FROM src i JOIN src j ON j.st = i.st AND j.k <= i.k
+), cum2 AS (
+  SELECT ik, v, rn, n,
+         0.25 * (n - 1) AS qidx,
+         CAST(floor(0.25 * (n - 1)) AS INTEGER) AS qlo
+  FROM cum
+), rmedqc AS (
+  SELECT ik,
+         round((max(v) FILTER (rn * 2 <= n + 1)
+                + min(v) FILTER (rn * 2 >= n + 1)) / 2, 4) AS v_rmed,
+         round(CASE WHEN max(qidx) = floor(max(qidx))
+               THEN max(v) FILTER (rn = qlo + 1)
+               ELSE max(v) FILTER (rn = qlo + 1)
+                    + (max(v) FILTER (rn = qlo + 2)
+                       - max(v) FILTER (rn = qlo + 1))
+                    * (max(qidx) - floor(max(qidx))) END, 4) AS v_qc
+  FROM cum2 GROUP BY ik
+), fr4 AS (
+  SELECT i.k AS ik, j.p AS v,
+         row_number() OVER (PARTITION BY i.k ORDER BY j.p) AS rn,
+         count(*)    OVER (PARTITION BY i.k) AS n
+  FROM src i JOIN src j
+    ON j.st = i.st AND j.irn BETWEEN i.irn - 3 AND i.irn
+), qd AS (
+  SELECT ik,
+         round(max(v) FILTER (
+           rn = greatest(1, CAST(ceil(0.75 * n) AS INTEGER))), 4) AS v_qd
+  FROM fr4 GROUP BY ik
+), fr3 AS (
+  SELECT i.k AS ik, j.p AS v,
+         row_number() OVER (PARTITION BY i.k ORDER BY j.p) AS rn,
+         count(*)    OVER (PARTITION BY i.k) AS n
+  FROM src i JOIN src j
+    ON j.st = i.st AND j.irn BETWEEN i.irn - 2 AND i.irn
+), md3 AS (
+  SELECT ik, (max(v) FILTER (rn * 2 <= n + 1)
+              + min(v) FILTER (rn * 2 >= n + 1)) / 2 AS med
+  FROM fr3 GROUP BY ik
+), dv3 AS (
+  SELECT fr3.ik, abs(v - med) AS dv,
+         row_number() OVER (PARTITION BY fr3.ik ORDER BY abs(v - med)) AS rn,
+         count(*)    OVER (PARTITION BY fr3.ik) AS n
+  FROM fr3 JOIN md3 USING (ik)
+), madw AS (
+  SELECT ik, round((max(dv) FILTER (rn * 2 <= n + 1)
+                    + min(dv) FILTER (rn * 2 >= n + 1)) / 2, 4) AS v_mad
+  FROM dv3 GROUP BY ik
+), cumf AS (
+  SELECT i.k AS ik, j.pn AS v,
+         row_number() OVER (PARTITION BY i.k ORDER BY j.pn) AS rn,
+         count(*)    OVER (PARTITION BY i.k) AS n
+  FROM src i JOIN src j ON j.st = i.st AND j.k <= i.k
+  WHERE j.pn > 50000
+), medf AS (
+  SELECT ik, round((max(v) FILTER (rn * 2 <= n + 1)
+                    + min(v) FILTER (rn * 2 >= n + 1)) / 2, 4) AS v_medf
+  FROM cumf GROUP BY ik
+), nav AS (
+  SELECT k,
+       first_value(pn IGNORE NULLS) OVER (PARTITION BY st ORDER BY k) AS v_fv,
+       last_value(pn IGNORE NULLS) OVER (PARTITION BY st ORDER BY k
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)              AS v_lv,
+       nth_value(pn, 2 IGNORE NULLS) OVER (PARTITION BY st ORDER BY k
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS v_nv,
+       lag(pn IGNORE NULLS) OVER (PARTITION BY st ORDER BY k)       AS v_lag,
+       lead(pn, 1 IGNORE NULLS) OVER (PARTITION BY st ORDER BY k)   AS v_lead
+  FROM src
+)
+SELECT src.k, v_rmed, v_qc, v_qd, v_mad, v_medf,
+       v_fv, v_lv, v_nv, v_lag, v_lead
+FROM src
+JOIN rmedqc ON src.k = rmedqc.ik
+JOIN qd     ON src.k = qd.ik
+JOIN madw   ON src.k = madw.ik
+LEFT JOIN medf ON src.k = medf.ik
+JOIN nav    ON src.k = nav.k
+ORDER BY src.k
+"""
+
+
 @register(
     "dialect_gap_b38_winpct",
     tags=("dialect", "battery", "window"),
-    oracle=_B38_SQL,
+    oracle=_B38_ORACLE_SQL,
 )
 def dialect_gap_b38_winpct(spark: SparkSession, sf: str) -> DataFrame:
     """Round-11 wave-7 battery (≤12 idioms): running window
@@ -3053,13 +3375,62 @@ def dialect_gap_b39_json(spark: SparkSession, sf: str) -> DataFrame:
     return _rewritten_sql(spark, _B39_SQL)
 
 
-_B40_SQL = """
+# ---------------------------------------------------------------------------
+# Round-13: b40_liststats rebuilt with a VERSION-PORTABLE oracle (r12 verdict
+# #1 — the only red driver row: the old oracle called list_sem/list_skewness/
+# list_kurtosis/list_mad/list_entropy directly, so whichever estimator the
+# driver's newer DuckDB changed moved the expected value; it passed the local
+# 1.0.0 gate nine rounds running). The b36m technique applied to statistics:
+# every element is an exact small integer (floor(price)%89, k%97, k%53, k%7 —
+# all exactly representable in double, sums-of-powers <= 97^4*4 < 2^53 so the
+# raw moments s1..s4 are EXACT integers on any IEEE-754 binary), and the
+# oracle computes each estimator EXPLICITLY from s1..s4 with the SAME
+# operation order as the Spark-side fold translation (rewrite.py:1167-1260):
+# +,-,*,/ and sqrt are correctly rounded per IEEE-754, so the two sides are
+# bit-identical; the only libm calls (pow in the shape family, log2 in
+# entropy) feed O(1)-magnitude outputs where round(,6) absorbs any ulp.
+# No list_<stat> call appears in any oracle — a future estimator change in
+# the oracle binary cannot move an expected value. Four family singles
+# (moments/shape/mad/misc) lead the r13 window so a residual red row
+# isolates its family; the combined entry keeps the original key so the
+# r12 red row itself turns green.
+# ---------------------------------------------------------------------------
+
+_B40S_SRC = """
 WITH src AS (
   SELECT o_orderkey AS k,
-         [CAST(o_totalprice AS DOUBLE), CAST(o_orderkey % 97 AS DOUBLE),
-          CAST(o_custkey % 53 AS DOUBLE), CAST(o_orderkey % 7 AS DOUBLE)] AS xs
+         CAST(CAST(floor(o_totalprice) AS BIGINT) % 89 AS DOUBLE) AS a,
+         CAST(o_orderkey % 97 AS DOUBLE) AS b,
+         CAST(o_custkey % 53 AS DOUBLE)  AS c,
+         CAST(o_orderkey % 7 AS DOUBLE)  AS d
   FROM orders WHERE o_orderkey <= 300
 )
+"""
+
+# Explicit-moment helpers shared by the oracles below. s1..s4 mirror the
+# translation's left-to-right aggregate() folds (rewrite.py:1170-1174);
+# css is the centered sum of squares exactly as var_pop/var_samp compute
+# it: greatest(s2 - (s1*s1)/n, 0) with n = 4.0 (division by 4 is exact).
+_B40S_M = """
+, m AS (
+  SELECT k, a, b, c, d,
+         a + b + c + d                         AS s1,
+         a*a + b*b + c*c + d*d                 AS s2,
+         a*a*a + b*b*b + c*c*c + d*d*d         AS s3,
+         a*a*a*a + b*b*b*b + c*c*c*c + d*d*d*d AS s4,
+         list_sort([a, b, c, d])               AS srt
+  FROM src
+), mm AS (
+  SELECT k, a, b, c, d, s2, s3, s4,
+         s1 / 4.0                              AS mu,
+         greatest(s2 - (s1 * s1) / 4.0, 0.0)   AS css,
+         (srt[2] + srt[3]) / 2                 AS med
+  FROM m
+)
+"""
+
+_B40_SQL = _B40S_SRC + """
+, lsrc AS (SELECT k, [a, b, c, d] AS xs FROM src)
 SELECT k,
        round(list_sem(xs), 6)                         AS v_sem,
        round(list_stddev_samp(xs), 6)                 AS v_sds,
@@ -3073,27 +3444,208 @@ SELECT k,
        list_string_agg([CAST(k % 5 AS VARCHAR), NULL, 'x'])      AS v_sagg,
        round(list_mad(xs), 6)                         AS v_mad,
        round(list_aggregate(CAST(xs AS DOUBLE[]), 'variance'), 6) AS v_var
-FROM src ORDER BY k
+FROM lsrc ORDER BY k
+"""
+
+_B40_ORACLE_SQL = _B40S_SRC + _B40S_M + """
+, sh AS (
+  SELECT k, css, med, a, b, c, d,
+         s2 / 4.0 - mu * mu                              AS m2v,
+         s3 / 4.0 - 3 * mu * (s2 / 4.0) + 2 * pow(mu, 3) AS m3v,
+         s4 / 4.0 - 4 * mu * (s3 / 4.0)
+           + 6 * pow(mu, 2) * (s2 / 4.0) - 3 * pow(mu, 4) AS m4v
+  FROM mm
+), dv AS (
+  SELECT k, css, m2v, m3v, m4v,
+         list_sort([abs(a - med), abs(b - med),
+                    abs(c - med), abs(d - med)]) AS devs
+  FROM sh
+)
+SELECT k,
+       round(sqrt(css / 4.0) / 2.0, 6) AS v_sem,
+       round(sqrt(css / 3.0), 6)       AS v_sds,
+       round(sqrt(css / 4.0), 6)       AS v_sdp,
+       round(css / 3.0, 6)             AS v_vs,
+       round(css / 4.0, 6)             AS v_vp,
+       round(m3v / pow(greatest(m2v, 0.0), 1.5)
+             * sqrt(4.0 * (4.0 - 1)) / (4.0 - 2), 6) AS v_skew,
+       round((4.0 - 1) / ((4.0 - 2) * (4.0 - 3))
+             * ((4.0 + 1) * (m4v / pow(m2v, 2) - 3) + 6), 6) AS v_kurt,
+       round(CASE WHEN k % 5 = k % 3 THEN 0.0
+             ELSE -((2.0/3.0) * log2(2.0/3.0)
+                    + (1.0/3.0) * log2(1.0/3.0)) END, 6) AS v_ent,
+       round(CAST(k % 5 AS DOUBLE), 6)   AS v_prod,
+       CAST(k % 5 AS VARCHAR) || ',x'    AS v_sagg,
+       round((devs[2] + devs[3]) / 2, 6) AS v_mad,
+       round(css / 3.0, 6)               AS v_var
+FROM dv ORDER BY k
 """
 
 
 @register(
     "dialect_gap_b40_liststats",
     tags=("dialect", "battery", "functions"),
-    oracle=_B40_SQL,
+    oracle=_B40_ORACLE_SQL,
 )
 def dialect_gap_b40_liststats(spark: SparkSession, sf: str) -> DataFrame:
     """Round-11 wave-9 battery (≤12 idioms): the list_<aggregate>
     statistics family — sem/stddev_samp/stddev_pop/var_samp/var_pop/
     variance (via list_aggregate spelling)/skewness/kurtosis (corrected
     sample estimators, mirroring the aggregate-level translations)/
-    entropy/product/string_agg/mad — previously all loud
-    UNRESOLVED_ROUTINE; now independent O(n) moment folds with
-    DuckDB's probed NULL boundaries. Also exercises the array-type
-    cast suffix (CAST(xs AS DOUBLE[])) that the bracket pass used to
-    mangle into a subscript."""
+    entropy/product/string_agg/mad — plus the array-type cast suffix
+    (CAST(xs AS DOUBLE[])). Round-13: oracle rebuilt version-portable
+    (explicit moment arithmetic, never calls list_<stat> — see the
+    _B40S_SRC block note); the four dialect_gap_b40s_* singles below
+    isolate the families."""
     load_tables(spark, sf)
     return _rewritten_sql(spark, _B40_SQL)
+
+
+_B40S_MOMENTS_SPARK_SQL = _B40S_SRC + """
+, lsrc AS (SELECT k, [a, b, c, d] AS xs FROM src)
+SELECT k,
+       round(list_sem(xs), 6)         AS v_sem,
+       round(list_stddev_samp(xs), 6) AS v_sds,
+       round(list_stddev_pop(xs), 6)  AS v_sdp,
+       round(list_var_samp(xs), 6)    AS v_vs,
+       round(list_var_pop(xs), 6)     AS v_vp,
+       round(list_aggregate(CAST(xs AS DOUBLE[]), 'variance'), 6) AS v_var
+FROM lsrc ORDER BY k
+"""
+
+_B40S_MOMENTS_ORACLE_SQL = _B40S_SRC + _B40S_M + """
+SELECT k,
+       round(sqrt(css / 4.0) / 2.0, 6) AS v_sem,
+       round(sqrt(css / 3.0), 6)       AS v_sds,
+       round(sqrt(css / 4.0), 6)       AS v_sdp,
+       round(css / 3.0, 6)             AS v_vs,
+       round(css / 4.0, 6)             AS v_vp,
+       round(css / 3.0, 6)             AS v_var
+FROM mm ORDER BY k
+"""
+
+
+@register(
+    "dialect_gap_b40s_moments",
+    tags=("dialect", "battery", "functions"),
+    oracle=_B40S_MOMENTS_ORACLE_SQL,
+)
+def dialect_gap_b40s_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """b40 family single 1/4 — second-moment estimators (sem /
+    stddev_samp / stddev_pop / var_samp / var_pop / variance-via-
+    list_aggregate). The oracle computes greatest(s2 - s1²/n, 0)/d
+    explicitly from exact-integer raw moments; sqrt and / are IEEE-754
+    correctly rounded, so no oracle-binary change can move a value."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B40S_MOMENTS_SPARK_SQL)
+
+
+_B40S_SHAPE_SPARK_SQL = _B40S_SRC + """
+, lsrc AS (SELECT k, [a, b, c, d] AS xs FROM src)
+SELECT k,
+       round(list_skewness(xs), 6) AS v_skew,
+       round(list_kurtosis(xs), 6) AS v_kurt
+FROM lsrc ORDER BY k
+"""
+
+_B40S_SHAPE_ORACLE_SQL = _B40S_SRC + _B40S_M + """
+, sh AS (
+  SELECT k,
+         s2 / 4.0 - mu * mu                              AS m2v,
+         s3 / 4.0 - 3 * mu * (s2 / 4.0) + 2 * pow(mu, 3) AS m3v,
+         s4 / 4.0 - 4 * mu * (s3 / 4.0)
+           + 6 * pow(mu, 2) * (s2 / 4.0) - 3 * pow(mu, 4) AS m4v
+  FROM mm
+)
+SELECT k,
+       round(m3v / pow(greatest(m2v, 0.0), 1.5)
+             * sqrt(4.0 * (4.0 - 1)) / (4.0 - 2), 6) AS v_skew,
+       round((4.0 - 1) / ((4.0 - 2) * (4.0 - 3))
+             * ((4.0 + 1) * (m4v / pow(m2v, 2) - 3) + 6), 6) AS v_kurt
+FROM sh ORDER BY k
+"""
+
+
+@register(
+    "dialect_gap_b40s_shape",
+    tags=("dialect", "battery", "functions"),
+    oracle=_B40S_SHAPE_ORACLE_SQL,
+)
+def dialect_gap_b40s_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """b40 family single 2/4 — shape estimators (skewness G1, kurtosis
+    G2 with the sample corrections the aggregate-level translation
+    encodes, rewrite.py:1193-1200). The oracle derives both from the
+    exact central moments m2/m3/m4 with mirrored operation order; the
+    two pow() calls feed O(1) outputs where round(,6) absorbs ulp."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B40S_SHAPE_SPARK_SQL)
+
+
+_B40S_MAD_SPARK_SQL = _B40S_SRC + """
+, lsrc AS (SELECT k, [a, b, c, d] AS xs FROM src)
+SELECT k, round(list_mad(xs), 6) AS v_mad
+FROM lsrc ORDER BY k
+"""
+
+_B40S_MAD_ORACLE_SQL = _B40S_SRC + _B40S_M + """
+, dv AS (
+  SELECT k,
+         list_sort([abs(a - med), abs(b - med),
+                    abs(c - med), abs(d - med)]) AS devs
+  FROM mm
+)
+SELECT k, round((devs[2] + devs[3]) / 2, 6) AS v_mad
+FROM dv ORDER BY k
+"""
+
+
+@register(
+    "dialect_gap_b40s_mad",
+    tags=("dialect", "battery", "functions"),
+    oracle=_B40S_MAD_ORACLE_SQL,
+)
+def dialect_gap_b40s_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """b40 family single 3/4 — median absolute deviation. The oracle
+    sorts the four exact-integer elements, interpolates the even-n
+    median as (srt[2]+srt[3])/2 (the translation's _median_of rule for
+    n=4), and repeats on the absolute deviations — list_sort + exact
+    dyadic arithmetic only, no quantile/mad function anywhere."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B40S_MAD_SPARK_SQL)
+
+
+_B40S_MISC_SPARK_SQL = _B40S_SRC + """
+SELECT k,
+       round(list_entropy([k % 3, k % 5, k % 3]), 6)              AS v_ent,
+       round(list_product([CAST(k % 5 AS DOUBLE), 2.0, 0.5]), 6)  AS v_prod,
+       list_string_agg([CAST(k % 5 AS VARCHAR), NULL, 'x'])       AS v_sagg
+FROM src ORDER BY k
+"""
+
+_B40S_MISC_ORACLE_SQL = _B40S_SRC + """
+SELECT k,
+       round(CASE WHEN k % 5 = k % 3 THEN 0.0
+             ELSE -((2.0/3.0) * log2(2.0/3.0)
+                    + (1.0/3.0) * log2(1.0/3.0)) END, 6) AS v_ent,
+       round(CAST(k % 5 AS DOUBLE), 6) AS v_prod,
+       CAST(k % 5 AS VARCHAR) || ',x'  AS v_sagg
+FROM src ORDER BY k
+"""
+
+
+@register(
+    "dialect_gap_b40s_misc",
+    tags=("dialect", "battery", "functions"),
+    oracle=_B40S_MISC_ORACLE_SQL,
+)
+def dialect_gap_b40s_misc(spark: SparkSession, sf: str) -> DataFrame:
+    """b40 family single 4/4 — entropy / product / string_agg. The
+    3-element entropy list [k%3, k%5, k%3] has exactly two count
+    shapes ({3} or {2,1}), so the oracle states Shannon entropy in
+    closed form; product's fold collapses to (k%5)·2·0.5 = k%5 exactly;
+    string_agg skips the NULL element per DuckDB."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B40S_MISC_SPARK_SQL)
 
 
 # ---------------------------------------------------------------------------

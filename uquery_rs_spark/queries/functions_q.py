@@ -427,12 +427,50 @@ def datetime_edge_battery(spark: SparkSession, sf: str) -> DataFrame:
     "percentile_battery",
     tags=("functions", "aggregate", "ordered-set"),
     oracle="""
+WITH r1 AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS DOUBLE)      AS q,
+         CAST(l_extendedprice AS DOUBLE) AS ep,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY CAST(l_quantity AS DOUBLE)) AS rq,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY CAST(l_extendedprice AS DOUBLE)) AS rp,
+         count(*)    OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+), p AS (
+  SELECT l_returnflag, q, ep, rq, rp, n,
+         0.5  * (n - 1) AS i50, CAST(floor(0.5  * (n - 1)) AS BIGINT) AS l50,
+         0.25 * (n - 1) AS i25, CAST(floor(0.25 * (n - 1)) AS BIGINT) AS l25,
+         0.75 * (n - 1) AS i75, CAST(floor(0.75 * (n - 1)) AS BIGINT) AS l75,
+         0.9  * (n - 1) AS i90, CAST(floor(0.9  * (n - 1)) AS BIGINT) AS l90
+  FROM r1
+)
 SELECT l_returnflag,
-       round(median(l_quantity), 2)                                        AS med_qty,
-       round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p25_price,
-       round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p75_price,
-       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity), 2)   AS p90_qty
-FROM lineitem
+       round(CASE WHEN max(i50) = floor(max(i50))
+             THEN max(q) FILTER (rq = l50 + 1)
+             ELSE max(q) FILTER (rq = l50 + 1)
+                  + (max(q) FILTER (rq = l50 + 2)
+                     - max(q) FILTER (rq = l50 + 1))
+                  * (max(i50) - floor(max(i50))) END, 2) AS med_qty,
+       round(CASE WHEN max(i25) = floor(max(i25))
+             THEN max(ep) FILTER (rp = l25 + 1)
+             ELSE max(ep) FILTER (rp = l25 + 1)
+                  + (max(ep) FILTER (rp = l25 + 2)
+                     - max(ep) FILTER (rp = l25 + 1))
+                  * (max(i25) - floor(max(i25))) END, 2) AS p25_price,
+       round(CASE WHEN max(i75) = floor(max(i75))
+             THEN max(ep) FILTER (rp = l75 + 1)
+             ELSE max(ep) FILTER (rp = l75 + 1)
+                  + (max(ep) FILTER (rp = l75 + 2)
+                     - max(ep) FILTER (rp = l75 + 1))
+                  * (max(i75) - floor(max(i75))) END, 2) AS p75_price,
+       round(CASE WHEN max(i90) = floor(max(i90))
+             THEN max(q) FILTER (rq = l90 + 1)
+             ELSE max(q) FILTER (rq = l90 + 1)
+                  + (max(q) FILTER (rq = l90 + 2)
+                     - max(q) FILTER (rq = l90 + 1))
+                  * (max(i90) - floor(max(i90))) END, 2) AS p90_qty
+FROM p
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """,
@@ -441,7 +479,13 @@ def percentile_battery(spark: SparkSession, sf: str) -> DataFrame:
     """Exact ordered-set aggregates: DuckDB's percentile_cont WITHIN GROUP
     maps to Spark's exact `percentile` aggregate (same linear
     interpolation; both sides compute in double — DECIMAL inputs would
-    quantize differently in DuckDB). median == percentile_cont(0.5)."""
+    quantize differently in DuckDB). median == percentile_cont(0.5).
+    Round-13 version-skew sweep: the oracle no longer calls median /
+    percentile_cont — each quantile is explicit order statistics at
+    rank q·(n−1) with a + (b−a)·frac interpolation over DOUBLE casts,
+    so DuckDB's decimal-quantile quantization (1.0.0 truncates to
+    input scale; newer binaries may interpolate) can never move an
+    expected value."""
     li = load_tables(spark, sf)["lineitem"]
     return (
         li.groupBy("l_returnflag")
@@ -489,11 +533,38 @@ def unpivot_part_measures(spark: SparkSession, sf: str) -> DataFrame:
     "approx_percentile_prices",
     tags=("agg", "approx"),
     oracle="""
-SELECT round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-       round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
-       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+WITH r1 AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS ep,
+         row_number() OVER (ORDER BY CAST(l_extendedprice AS DOUBLE)) AS rp,
+         count(*)    OVER () AS n
+  FROM lineitem
+), p AS (
+  SELECT ep, rp, n,
+         0.25 * (n - 1) AS i25, CAST(floor(0.25 * (n - 1)) AS BIGINT) AS l25,
+         0.50 * (n - 1) AS i50, CAST(floor(0.50 * (n - 1)) AS BIGINT) AS l50,
+         0.95 * (n - 1) AS i95, CAST(floor(0.95 * (n - 1)) AS BIGINT) AS l95
+  FROM r1
+)
+SELECT round(CASE WHEN max(i25) = floor(max(i25))
+             THEN max(ep) FILTER (rp = l25 + 1)
+             ELSE max(ep) FILTER (rp = l25 + 1)
+                  + (max(ep) FILTER (rp = l25 + 2)
+                     - max(ep) FILTER (rp = l25 + 1))
+                  * (max(i25) - floor(max(i25))) END, 2) AS p25,
+       round(CASE WHEN max(i50) = floor(max(i50))
+             THEN max(ep) FILTER (rp = l50 + 1)
+             ELSE max(ep) FILTER (rp = l50 + 1)
+                  + (max(ep) FILTER (rp = l50 + 2)
+                     - max(ep) FILTER (rp = l50 + 1))
+                  * (max(i50) - floor(max(i50))) END, 2) AS p50,
+       round(CASE WHEN max(i95) = floor(max(i95))
+             THEN max(ep) FILTER (rp = l95 + 1)
+             ELSE max(ep) FILTER (rp = l95 + 1)
+                  + (max(ep) FILTER (rp = l95 + 2)
+                     - max(ep) FILTER (rp = l95 + 1))
+                  * (max(i95) - floor(max(i95))) END, 2) AS p95,
        TRUE AS within_bound
-FROM lineitem
+FROM p
 """,
 )
 def approx_percentile_prices(spark: SparkSession, sf: str) -> DataFrame:

@@ -831,18 +831,37 @@ def filtered_aggregates(spark: SparkSession, sf: str) -> DataFrame:
     "stats_aggregates_prices",
     tags=("agg", "stats"),
     oracle="""
+WITH r1 AS (
+  SELECT o_orderstatus, o_totalprice, o_custkey,
+         CAST(o_totalprice AS DOUBLE) AS xd,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY CAST(o_totalprice AS DOUBLE)) AS rn,
+         count(*)    OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders
+)
 SELECT o_orderstatus,
        round(stddev_samp(o_totalprice), 2) AS sd_price,
        round(var_samp(o_totalprice), 0)    AS var_price,
-       round(median(o_totalprice), 2)      AS median_price,
+       round((max(xd) FILTER (rn * 2 <= n + 1)
+              + min(xd) FILTER (rn * 2 >= n + 1)) / 2, 2) AS median_price,
        round(min(o_totalprice), 2)         AS min_price,
        round(max(o_totalprice), 2)         AS max_price,
        count(DISTINCT o_custkey)           AS n_customers
-FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+FROM r1 GROUP BY o_orderstatus ORDER BY o_orderstatus
 """,
 )
 def stats_aggregates_prices(spark: SparkSession, sf: str) -> DataFrame:
-    """stddev/variance/median/min/max + COUNT DISTINCT per group."""
+    """stddev/variance/median/min/max + COUNT DISTINCT per group.
+
+    Round-13 version-skew sweep: the oracle computes the median by
+    explicit DOUBLE-space order statistics ((lower-half max +
+    upper-half min)/2) instead of calling median() — DuckDB 1.0.0's
+    DECIMAL median truncates the interpolated value to the input
+    scale (probed), newer binaries may not, and the explicit form
+    matches Spark's exact-percentile path on any oracle version.
+    stddev_samp/var_samp stay: the sample estimators are
+    standard-defined and the inputs keep ~12 digits of headroom
+    inside the rounding."""
     orders = load_tables(spark, sf)["orders"]
     return (
         orders.groupBy("o_orderstatus")
