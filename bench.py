@@ -139,6 +139,8 @@ def main() -> None:
         spreads[name] = round(times[-1] - times[0], 4)
 
     duck: dict[str, float] = {}
+    duck_medians: dict[str, float] = {}
+    duck_spreads: dict[str, float] = {}
     try:
         from uquery_rs_spark.oracle import oracle_connection
 
@@ -161,6 +163,8 @@ def main() -> None:
             run_duck()
             times = _time_repeats(run_duck, time.perf_counter() - t0)
             duck[name] = round(times[0], 4)
+            duck_medians[name] = round(_median(times), 4)
+            duck_spreads[name] = round(times[-1] - times[0], 4)
     except Exception:  # noqa: BLE001 — comparison column is best-effort
         duck = {}
 
@@ -179,8 +183,28 @@ def main() -> None:
         # the same queries.
         spark_subset = sum(timings[n] for n in duck)
         out["duckdb_queries"] = duck
+        out["duckdb_queries_median"] = duck_medians
+        out["duckdb_queries_spread"] = duck_spreads
         out["duckdb_total_sec"] = round(sum(duck.values()), 4)
         out["vs_duckdb_ratio"] = round(spark_subset / max(sum(duck.values()), 1e-9), 3)
+        # Round-13 bench-protocol addition (r12 verdict #7): the DuckDB
+        # side swings 5.8-7.3 s across runs on this shared host, moving
+        # the AGGREGATE ratio 1.45-1.78 with identical code. The
+        # regression gate therefore reads the PAIRWISE per-query ratios
+        # (best/best alongside median/median) — a real Spark-side
+        # regression shows up in its own query's ratio and cannot hide
+        # behind a slow DuckDB read elsewhere in the aggregate (and a
+        # slow-host round can't fake one).
+        out["vs_duckdb_per_query"] = {
+            n: round(timings[n] / max(duck[n], 1e-9), 3) for n in duck
+        }
+        out["vs_duckdb_per_query_median"] = {
+            n: round(medians[n] / max(duck_medians[n], 1e-9), 3) for n in duck
+        }
+        out["vs_duckdb_ratio_median"] = round(
+            sum(medians[n] for n in duck)
+            / max(sum(duck_medians.values()), 1e-9), 3
+        )
     print(json.dumps(out))
 
 

@@ -75,11 +75,18 @@ def test_salted_join_is_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
-def test_q21_semi_and_anti_joins(spark):
-    """EXISTS/NOT EXISTS must decorrelate to semi/anti joins, not
-    per-row subquery execution."""
+def test_q21_single_aggregation_plan(spark):
+    """Round-13 rewrite (r12 verdict #3): the EXISTS + NOT EXISTS
+    self-join pair is replaced by ONE per-orderkey min/max aggregate —
+    the plan must contain NO semi/anti joins (the old shape shuffled
+    lineitem three times), exactly one lineitem aggregation with
+    map-side partial aggregation (HashAggregate pairs), and no
+    cartesian fallback. Equivalence to the EXISTS form is pinned by
+    the entry's oracle hash every round."""
     plan = formatted_plan(Q.REGISTRY["q21_suppliers_kept_waiting"].spark_fn(spark, SF_SMALL))
-    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
 def test_q8_broadcasts_dimensions(spark):

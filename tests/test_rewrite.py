@@ -3859,6 +3859,74 @@ def test_round12_try_expression(spark, rw):
         rw.rewrite("SELECT TRY(upper(1))")
 
 
+def test_round13_advice_fixes(spark, rw):
+    """Round-13 ADVICE closes: (1) 3-arg arg_max/arg_min skip rows
+    where EITHER arg or val is NULL (DuckDB-probed: a NULL-arg row
+    holding the top val vanishes and the next real arg takes its
+    place, matching the 2-arg emission's IF guard); (2) map_concat
+    keeps a colliding key at the FIRST map's position with the LAST
+    map's value (probed on 1.0.0: keys [a, b] with a=9); (3) TRY()
+    fast-paths only fire when the call spans the whole argument —
+    compound inners raise loudly (the old sqrt branch silently
+    DROPPED the trailing text of a compound inner), and nested cast
+    chains convert to try_cast at EVERY level."""
+
+    def one(sql):
+        return spark.sql(rw.rewrite(sql)).collect()[0][0]
+
+    # (1) the NULL-arg row carrying the max val is skipped entirely
+    assert one(
+        "SELECT arg_max(x, y, 2) FROM (VALUES (NULL,30),(3,20),(5,10)) t(x,y)"
+    ) == [3, 5]
+    assert one(
+        "SELECT arg_min(x, y, 2) FROM (VALUES (NULL,10),(3,20),(5,30)) t(x,y)"
+    ) == [3, 5]
+    # (2) rendered key ORDER: the colliding key keeps the left slot
+    assert one(
+        "SELECT map_keys(map_concat(map {'a':1}, map {'b':2, 'a':9}))"
+    ) == ["a", "b"]
+    assert one(
+        "SELECT map_concat(map {'a':1}, map {'b':2, 'a':9})"
+    ) == {"a": 9, "b": 2}
+    assert one(
+        "SELECT map_keys(map_concat(map {'a':1}, map {'b':2}, map {'a':7,'c':3}))"
+    ) == ["a", "b", "c"]
+    # (3) nested cast chains: NULL from a failure at EITHER level
+    assert one("SELECT TRY(('9x'::INTEGER)::SMALLINT)") is None
+    assert one("SELECT TRY((CAST(40000 AS INTEGER))::SMALLINT)") is None
+    assert one("SELECT TRY(('7'::INTEGER)::SMALLINT)") == 7
+    # compound inners raise as unsupported instead of part-converting
+    with pytest.raises(UQueryError):
+        rw.rewrite("SELECT TRY(CAST(a AS INT) + f(b))")
+    with pytest.raises(UQueryError):
+        rw.rewrite("SELECT TRY(sqrt(4.0) + 1)")
+
+
+def test_round13_wave14_strftime_dash_gradeup(spark, rw):
+    """Wave-14: dash-unpadded strftime/strptime codes, the
+    missing-year 1900 default (DuckDB-probed; %c/%x composites embed
+    a year and must NOT shift), and list_grade_up's NULLS-LAST
+    placement (the struct sort graded NULLs first — silent wrong
+    value until r13)."""
+
+    def one(sql):
+        return spark.sql(rw.rewrite(sql)).collect()[0][0]
+
+    assert one(
+        "SELECT strftime(TIMESTAMP '2024-07-04 05:03:04', '%-d/%-m/%-H:%-M:%-S')"
+    ) == "4/7/5:3:4"
+    assert one("SELECT strftime(DATE '2005-03-09', '%-y|%-j')") == "5|68"
+    assert str(one("SELECT strptime('5:3', '%-H:%-M')")) == "1900-01-01 05:03:00"
+    assert str(one("SELECT strptime('03 PM', '%I %p')")) == "1900-01-01 15:00:00"
+    assert str(one("SELECT strptime('186', '%j')")) == "1900-07-05 00:00:00"
+    # composites embed a year — no 1900 shift
+    assert str(one("SELECT strptime('2024-7-4 5:3:4', '%c')")) == "2024-07-04 05:03:04"
+    assert one("SELECT list_grade_up([NULL, 2, 1])") == [3, 2, 1]
+    assert one("SELECT list_grade_up([2.5, NULL, 1.0, NULL, 3.5])") == [3, 1, 5, 2, 4]
+    assert one("SELECT list_select([10,20,30], list_grade_up([3,1,2]))") == [20, 30, 10]
+    assert one("SELECT list_resize([1,2], 4, 0)") == [1, 2, 0, 0]
+
+
 def test_round12_string_polymorphic_array_extract(spark, rw):
     """Wave-13: array_extract/list_element/list_extract are STRING-
     polymorphic in DuckDB ('abcd'[2]-style single-char extraction;

@@ -4095,3 +4095,108 @@ def dialect_gap_b45_try_expr(spark: SparkSession, sf: str) -> DataFrame:
     Oracle spelled in pre-1.2 SQL (try_cast/try_strptime/CASE)."""
     load_tables(spark, sf)
     return _rewritten_sql(spark, _B45_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Round-13 gap wave 14: strftime/strptime dash-unpadded codes + the partial-
+# date 1900 default, and list-composite idioms — found by probing candidate
+# 1.0.0-valid idioms through the rewriter. Two SILENT wrong values caught
+# and fixed en route: list_grade_up placed NULL elements FIRST (Spark's
+# struct sort) where DuckDB grades them LAST, and strptime of a format with
+# no year code defaulted to 1970 (Spark) where DuckDB uses 1900. Both
+# batteries self-oracle verbatim: every pinned function is calendar
+# arithmetic or positional selection — no estimator, the version-stable
+# class per the r13 sweep taxonomy (NOTES 38).
+# ---------------------------------------------------------------------------
+
+_B46_SQL = """
+WITH src AS (
+  SELECT o_orderkey AS k, o_orderdate AS d,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + INTERVAL 1 SECOND * (o_orderkey % 86400)
+           + INTERVAL 1 MICROSECOND * (o_orderkey * 7919 % 1000000) AS ts
+  FROM orders WHERE o_orderkey <= 300
+)
+SELECT k,
+       strftime(d, '%-d/%-m/%-y')                    AS v_dash_d,
+       strftime(d, '%j|%-j')                         AS v_doy,
+       strftime(ts, '%I %p %H')                      AS v_12h,
+       strftime(ts, '%g|%f')                         AS v_frac,
+       strftime(ts, '%-H:%-I:%-M:%-S')               AS v_dash_t,
+       strptime(strftime(d, '%-d/%-m/%Y'), '%-d/%-m/%Y') AS v_rt,
+       strptime('03 PM', '%I %p')                    AS v_noyear,
+       strptime(strftime(d, '%j %Y'), '%j %Y')       AS v_doy_rt,
+       strptime(strftime(ts, '%-H:%-M:%-S'), '%-H:%-M:%-S') AS v_time_rt
+FROM src ORDER BY k
+"""
+
+
+@register(
+    "dialect_gap_b46_strftime_dash",
+    tags=("dialect", "battery", "datetime"),
+    oracle=_B46_SQL,
+)
+def dialect_gap_b46_strftime_dash(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-13 wave-14 battery: dash-modified (unpadded) strftime/
+    strptime codes %-d/%-m/%-y/%-j/%-H/%-I/%-M/%-S (previously loud
+    'unsupported strftime code %-'; %-y has no Java pattern → year%100
+    expression segment), the %j day-of-year and %g millisecond / %f
+    microsecond codes, 12-hour %I %p, and the partial-date default:
+    strptime with no year code lands on 1900-01-01 like DuckDB (Spark
+    natively defaults 1970 — a silent wrong value until r13; shifted
+    -70 years, %j maps consistently since both years are non-leap).
+    Round-trips pin both directions on data."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B46_SQL)
+
+
+_B47_SQL = """
+WITH src AS (
+  SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 300
+)
+SELECT k,
+       array_to_string(list_select([k % 7, k % 3, k % 11],
+                   list_grade_up([k % 5, k % 9, k % 2])), ',')     AS v_sel_gu,
+       array_to_string(list_grade_up(
+                  [CASE WHEN k % 4 = 0 THEN NULL ELSE k % 7 END,
+                   k % 3, NULL]), ',')                             AS v_gu_null,
+       array_to_string(list_where([k % 7, k % 3, k % 11],
+                  [k % 2 = 0, true, k % 3 = 0]), ',')              AS v_where,
+       array_to_string(list_transform(list_resize([k % 7, k % 3], 4),
+                  x -> coalesce(x, -1)), ',')                      AS v_grow,
+       array_to_string(list_resize([1, 2], 4, 9), ',')             AS v_grow0,
+       array_to_string(
+         list_resize([k % 7, k % 3, k % 11, k % 5], k % 3 + 1), ',') AS v_shrink,
+       array_to_string(list_reverse([k % 7, k % 3, k % 11]), ',')  AS v_rev,
+       array_to_string(list_transform(
+         map_entries(map {'a': k % 3, 'b': k % 5}),
+         e -> e.key || '=' || e.value), ',')                       AS v_ent,
+       cardinality(map {'a': k % 3, 'b': k % 5})                   AS v_card
+FROM src ORDER BY k
+"""
+
+
+@register(
+    "dialect_gap_b47_list_composites",
+    tags=("dialect", "battery", "functions"),
+    oracle=_B47_SQL,
+)
+def dialect_gap_b47_list_composites(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-13 wave-14 battery: APL-style list composites — the
+    sort-one-list-by-another idiom list_select∘list_grade_up,
+    grade_up's NULLS-LAST placement (fixed this round: the zip-struct
+    sort put NULL elements FIRST — silent wrong value; now an explicit
+    comparator with stable index tie-break), list_where boolean masks,
+    list_resize grow (NULL fill over column data; explicit fill over
+    constants — DuckDB 1.0.0 CRASHES std::bad_array_new_length on any
+    non-constant 3-arg list_resize vector, a probed engine defect, so
+    the oracle-checkable 3-arg form is constant-folded) and shrink
+    (data-dependent new length), list_reverse, map_entries iterated
+    through a lambda (key/value struct field names match DuckDB),
+    cardinality. Permissive-only deviations (documented): DuckDB
+    ERRORS on NULL elements in the selector/mask list
+    (list_select([1,2,3],[1,NULL]), list_where(.., [true,NULL,..]))
+    where our translation returns NULL-element / skip — Spark accepts
+    more, never answers differently on DuckDB-valid input."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B47_SQL)

@@ -708,3 +708,102 @@ def events_hll_sliding_uniques(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+from ..operators import qsummary as QS  # noqa: E402
+
+
+@register(
+    "events_qsummary_sliding_quantiles",
+    tags=("events", "approx", "scale"),
+    # Oracle: EXPLICIT rolling order statistics (rank q·(n−1) with
+    # a+(b−a)·f interpolation over a day-window self-join) — the
+    # version-portable form per the r13 sweep taxonomy; bound columns
+    # are asserted TRUE (a false bound flips the boolean and the hash).
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+), w AS (
+  SELECT d.day, CAST(e.value AS DOUBLE) AS v
+  FROM days d JOIN events e
+    ON CAST(date_trunc('day', e.ts) AS DATE) BETWEEN d.day - 6 AND d.day
+), r AS (
+  SELECT day, v,
+         row_number() OVER (PARTITION BY day ORDER BY v) AS rn,
+         count(*)    OVER (PARTITION BY day) AS n
+  FROM w
+), p AS (
+  SELECT day, v, rn, n,
+         0.50 * (n - 1) AS i50, CAST(floor(0.50 * (n - 1)) AS BIGINT) AS l50,
+         0.95 * (n - 1) AS i95, CAST(floor(0.95 * (n - 1)) AS BIGINT) AS l95
+  FROM r
+)
+SELECT day,
+       round(CASE WHEN max(i50) = floor(max(i50))
+             THEN max(v) FILTER (rn = l50 + 1)
+             ELSE (max(l50) + 1 - max(i50))
+                  * (max(v) FILTER (rn = l50 + 1))
+                  + (max(i50) - max(l50))
+                  * (max(v) FILTER (rn = l50 + 2)) END, 4) AS p50_exact,
+       round(CASE WHEN max(i95) = floor(max(i95))
+             THEN max(v) FILTER (rn = l95 + 1)
+             ELSE (max(l95) + 1 - max(i95))
+                  * (max(v) FILTER (rn = l95 + 1))
+                  + (max(i95) - max(l95))
+                  * (max(v) FILTER (rn = l95 + 2)) END, 4) AS p95_exact,
+       TRUE AS p50_ok,
+       TRUE AS p95_ok
+FROM p GROUP BY day ORDER BY day
+""",
+)
+def events_qsummary_sliding_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """7-day rolling p50/p95 of event value by MERGING materialized
+    per-day equi-rank quantile summaries (operators/qsummary.py) — the
+    quantile analog of events_hll_sliding_uniques: raw events are
+    scanned ONCE into ~#days (n, quantile-vector) rows; the rolling
+    merge is a window over those KB-sized summaries (weighted
+    upper-endpoint points, first cumulative crossing — all Spark
+    higher-order functions, zero Python). Spark's own
+    approx_percentile cannot re-merge materialized state, so this is
+    the composition Spark lacks natively. Output: the EXACT rolling
+    quantiles (hash-checked, explicit-order-statistics oracle) plus
+    rank-space bound booleans for the summary estimate — the true
+    rank of each estimate must sit within 2·N/k + 7 of q·N
+    (k=128 → <2%; derivation in the operator docstring)."""
+    ev = load_tables(spark, sf)["events"]
+    k = 128
+    daily = QS.daily_quantile_summaries(ev, "value", k=k)
+    est = QS.rolling_quantile(daily, 0.50, 7, k, "p50_est")
+    est = QS.rolling_quantile(est, 0.95, 7, k, "p95_est")
+    days_est = est.select(
+        "day", "p50_est", "p95_est", F.col("p50_est_n").alias("n_win")
+    )
+    joined = ev.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("eday"),
+        F.col("value").cast("double").alias("v"),
+    ).join(
+        F.broadcast(days_est),
+        on=[
+            F.col("eday") >= F.date_sub(F.col("day"), 6),
+            F.col("eday") <= F.col("day"),
+        ],
+    )
+    slack = F.lit(2.0) * F.col("nw") / F.lit(float(k)) + F.lit(7.0)
+    return (
+        joined.groupBy("day")
+        .agg(
+            F.round(F.expr("percentile(v, 0.50D)"), 4).alias("p50_exact"),
+            F.round(F.expr("percentile(v, 0.95D)"), 4).alias("p95_exact"),
+            F.sum((F.col("v") <= F.col("p50_est")).cast("long")).alias("r50"),
+            F.sum((F.col("v") <= F.col("p95_est")).cast("long")).alias("r95"),
+            F.first("n_win").alias("nw"),
+        )
+        .select(
+            "day",
+            "p50_exact",
+            "p95_exact",
+            (F.abs(F.col("r50") - 0.50 * F.col("nw")) <= slack).alias("p50_ok"),
+            (F.abs(F.col("r95") - 0.95 * F.col("nw")) <= slack).alias("p95_ok"),
+        )
+        .orderBy("day")
+    )

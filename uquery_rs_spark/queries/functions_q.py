@@ -448,28 +448,28 @@ WITH r1 AS (
 SELECT l_returnflag,
        round(CASE WHEN max(i50) = floor(max(i50))
              THEN max(q) FILTER (rq = l50 + 1)
-             ELSE max(q) FILTER (rq = l50 + 1)
-                  + (max(q) FILTER (rq = l50 + 2)
-                     - max(q) FILTER (rq = l50 + 1))
-                  * (max(i50) - floor(max(i50))) END, 2) AS med_qty,
+             ELSE (max(l50) + 1 - max(i50))
+                  * (max(q) FILTER (rq = l50 + 1))
+                  + (max(i50) - max(l50))
+                  * (max(q) FILTER (rq = l50 + 2)) END, 2) AS med_qty,
        round(CASE WHEN max(i25) = floor(max(i25))
              THEN max(ep) FILTER (rp = l25 + 1)
-             ELSE max(ep) FILTER (rp = l25 + 1)
-                  + (max(ep) FILTER (rp = l25 + 2)
-                     - max(ep) FILTER (rp = l25 + 1))
-                  * (max(i25) - floor(max(i25))) END, 2) AS p25_price,
+             ELSE (max(l25) + 1 - max(i25))
+                  * (max(ep) FILTER (rp = l25 + 1))
+                  + (max(i25) - max(l25))
+                  * (max(ep) FILTER (rp = l25 + 2)) END, 2) AS p25_price,
        round(CASE WHEN max(i75) = floor(max(i75))
              THEN max(ep) FILTER (rp = l75 + 1)
-             ELSE max(ep) FILTER (rp = l75 + 1)
-                  + (max(ep) FILTER (rp = l75 + 2)
-                     - max(ep) FILTER (rp = l75 + 1))
-                  * (max(i75) - floor(max(i75))) END, 2) AS p75_price,
+             ELSE (max(l75) + 1 - max(i75))
+                  * (max(ep) FILTER (rp = l75 + 1))
+                  + (max(i75) - max(l75))
+                  * (max(ep) FILTER (rp = l75 + 2)) END, 2) AS p75_price,
        round(CASE WHEN max(i90) = floor(max(i90))
              THEN max(q) FILTER (rq = l90 + 1)
-             ELSE max(q) FILTER (rq = l90 + 1)
-                  + (max(q) FILTER (rq = l90 + 2)
-                     - max(q) FILTER (rq = l90 + 1))
-                  * (max(i90) - floor(max(i90))) END, 2) AS p90_qty
+             ELSE (max(l90) + 1 - max(i90))
+                  * (max(q) FILTER (rq = l90 + 1))
+                  + (max(i90) - max(l90))
+                  * (max(q) FILTER (rq = l90 + 2)) END, 2) AS p90_qty
 FROM p
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -547,22 +547,22 @@ WITH r1 AS (
 )
 SELECT round(CASE WHEN max(i25) = floor(max(i25))
              THEN max(ep) FILTER (rp = l25 + 1)
-             ELSE max(ep) FILTER (rp = l25 + 1)
-                  + (max(ep) FILTER (rp = l25 + 2)
-                     - max(ep) FILTER (rp = l25 + 1))
-                  * (max(i25) - floor(max(i25))) END, 2) AS p25,
+             ELSE (max(l25) + 1 - max(i25))
+                  * (max(ep) FILTER (rp = l25 + 1))
+                  + (max(i25) - max(l25))
+                  * (max(ep) FILTER (rp = l25 + 2)) END, 2) AS p25,
        round(CASE WHEN max(i50) = floor(max(i50))
              THEN max(ep) FILTER (rp = l50 + 1)
-             ELSE max(ep) FILTER (rp = l50 + 1)
-                  + (max(ep) FILTER (rp = l50 + 2)
-                     - max(ep) FILTER (rp = l50 + 1))
-                  * (max(i50) - floor(max(i50))) END, 2) AS p50,
+             ELSE (max(l50) + 1 - max(i50))
+                  * (max(ep) FILTER (rp = l50 + 1))
+                  + (max(i50) - max(l50))
+                  * (max(ep) FILTER (rp = l50 + 2)) END, 2) AS p50,
        round(CASE WHEN max(i95) = floor(max(i95))
              THEN max(ep) FILTER (rp = l95 + 1)
-             ELSE max(ep) FILTER (rp = l95 + 1)
-                  + (max(ep) FILTER (rp = l95 + 2)
-                     - max(ep) FILTER (rp = l95 + 1))
-                  * (max(i95) - floor(max(i95))) END, 2) AS p95,
+             ELSE (max(l95) + 1 - max(i95))
+                  * (max(ep) FILTER (rp = l95 + 1))
+                  + (max(i95) - max(l95))
+                  * (max(ep) FILTER (rp = l95 + 2)) END, 2) AS p95,
        TRUE AS within_bound
 FROM p
 """,

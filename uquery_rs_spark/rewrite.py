@@ -2354,11 +2354,15 @@ class SqlRewriter:
                 if len(args) == 3:
                     # DuckDB ≥1.1 top-n form (the reference pins 1.5.2):
                     # arg_max(arg, val, n) = LIST of arg for the top-n
-                    # rows by val (val-descending; NULL-val rows skip —
-                    # the null struct vanishes from collect_list). n must
-                    # be a positive integer literal, like DuckDB's
-                    # constant-n requirement. Tie order among equal vals
-                    # is unspecified in DuckDB; here ties break by arg
+                    # rows by val (val-descending; rows where EITHER arg
+                    # or val is NULL skip — DuckDB probe: arg_max(x, y)
+                    # over (NULL,30),(3,20),(5,10) returns 3, skipping
+                    # the NULL-arg row with the max val; the null struct
+                    # vanishes from collect_list, mirroring the 2-arg
+                    # emission's IF guard — ADVICE r12). n must be a
+                    # positive integer literal, like DuckDB's constant-n
+                    # requirement. Tie order among equal vals is
+                    # unspecified in DuckDB; here ties break by arg
                     # (struct sort), deterministic.
                     x, k, n = (a.strip() for a in args)
                     if not re.fullmatch(r"\+?\d+", n) or int(n) < 1:
@@ -2367,6 +2371,7 @@ class SqlRewriter:
                         )
                     pairs = (
                         f"array_sort(collect_list(CASE WHEN ({k}) IS NULL "
+                        f"OR ({x}) IS NULL "
                         f"THEN NULL ELSE struct(({k}) AS uq_k, ({x}) AS uq_v) END))"
                     )
                     if desc:
@@ -4005,7 +4010,15 @@ class SqlRewriter:
         LONGEST list (a NULL list contributes NULLs but no length);
         a literal trailing true/false is DuckDB's truncate flag →
         least() of the sizes instead. slice(…, 1, n) handles the
-        empty result (Spark sequence(1, 0) would count DOWN)."""
+        empty result (Spark sequence(1, 0) would count DOWN).
+
+        Known schema deviation (documented, like the unnamed-struct
+        note): a LITERAL NULL list's struct field is emitted as
+        CAST(NULL AS STRING) — Spark's bare NULL is VOID-typed and
+        there is no expression context at rewrite time to derive the
+        element type DuckDB's binder would infer. Values match DuckDB
+        exactly (all NULL); only the field's declared type diverges
+        for non-string sibling lists (ADVICE r13)."""
         pos = 0
         while True:
             hit = self._call_args(self._LIST_ZIP_RE, sql, pos)
@@ -4058,12 +4071,16 @@ class SqlRewriter:
 
     def _rewrite_map_concat(self, sql: str) -> str:
         """DuckDB map_concat keeps the LAST value for a duplicated key
-        (probed: map_concat({'a':1}, {'b':2,'a':9}) → a=9) where
-        Spark's raises DUPLICATED_MAP_KEY (round-12 wave-11 — a loud
-        error on DuckDB-valid input) → left fold of a 2-map combine
-        that filters the earlier map's colliding keys first. Single-arg
-        calls pass through; the repeated right-operand reference
-        collapses under Catalyst CSE."""
+        AT THE FIRST map's key position (probed: map_concat({'a':1},
+        {'b':2,'a':9}) renders keys [a, b] with a=9) where Spark's
+        raises DUPLICATED_MAP_KEY (round-12 wave-11 — a loud error on
+        DuckDB-valid input) → left fold of a 2-map combine: the left
+        map's colliding VALUES are overwritten in place
+        (transform_values keeps key order), then only the right map's
+        NEW keys append (ADVICE r13 — the earlier filter-left emission
+        re-positioned colliding keys at the right map's slot, a
+        rendered-key-order divergence). Single-arg calls pass through;
+        repeated operand references collapse under Catalyst CSE."""
         pos = 0
         while True:
             hit = self._call_args(self._MAP_CONCAT_RE, sql, pos)
@@ -4077,8 +4094,11 @@ class SqlRewriter:
             repl = args[0]
             for b in args[1:]:
                 repl = (
-                    f"map_concat(map_filter(({repl}), (uq_mk, uq_mv) -> "
-                    f"NOT array_contains(map_keys(({b})), uq_mk)), ({b}))"
+                    f"map_concat(transform_values(({repl}), (uq_mk, uq_mv) -> "
+                    f"IF(array_contains(map_keys(({b})), uq_mk), "
+                    f"try_element_at(({b}), uq_mk), uq_mv)), "
+                    f"map_filter(({b}), (uq_mk, uq_mv) -> "
+                    f"NOT array_contains(map_keys(({repl})), uq_mk)))"
                 )
             sql = sql[: m.start()] + repl + sql[close + 1 :]
             pos = m.start() + len(repl)
@@ -6057,9 +6077,21 @@ class SqlRewriter:
             (
                 re.compile(r"(?i)\blist_grade_up\s*\("),
                 1,
-                # indices that would sort the list ascending, ties stable
+                # indices that would sort the list ascending, ties stable.
+                # Explicit comparator: NULL elements grade LAST (DuckDB-
+                # probed: grade_up([NULL,2,1]) = [3,2,1]; stable among
+                # themselves) where Spark's struct sort put a NULL field
+                # FIRST — a silent wrong value the r13 gap probe caught.
                 "transform(array_sort(zip_with(({a}), sequence(1, size(({a}))), "
-                "(uq_v, uq_i) -> struct(uq_v AS v, uq_i AS i))), uq_s -> uq_s.i)",
+                "(uq_v, uq_i) -> struct(uq_v AS v, uq_i AS i)), "
+                "(uq_l, uq_r) -> CASE "
+                "WHEN uq_l.v IS NULL AND uq_r.v IS NULL "
+                "THEN IF(uq_l.i < uq_r.i, -1, 1) "
+                "WHEN uq_l.v IS NULL THEN 1 "
+                "WHEN uq_r.v IS NULL THEN -1 "
+                "WHEN uq_l.v < uq_r.v THEN -1 "
+                "WHEN uq_l.v > uq_r.v THEN 1 "
+                "ELSE IF(uq_l.i < uq_r.i, -1, 1) END), uq_s -> uq_s.i)",
             ),
         ):
             while True:
@@ -8687,6 +8719,13 @@ class SqlRewriter:
         "%p": "a", "%Z": "", "%z": "x", "%%": "%",
         "%c": "yyyy-MM-dd HH:mm:ss", "%x": "yyyy-MM-dd", "%X": "HH:mm:ss",
         "%n": "SSSSSS'000'",
+        # dash-modified codes: no zero padding (r13 gap probe — these
+        # worked in DuckDB 1.0.0 but raised here). Java single letters
+        # print unpadded and parse 1+ digits, covering both directions;
+        # %-y has no Java pattern (unpadded year-without-century,
+        # probed '5' for 2005) → expression segment, strftime only.
+        "%-d": "d", "%-m": "M", "%-H": "H", "%-I": "h",
+        "%-M": "m", "%-S": "s", "%-j": "D",
     }
     # strptime is LENIENT about zero padding (strptime('3|2024',
     # '%m|%Y') parses in DuckDB; Java 'MM' demands 2 digits) — parsing
@@ -8724,6 +8763,8 @@ class SqlRewriter:
         # — DuckDB prints both UNPADDED single digits (probed '4')
         "%u": "CAST(weekday({d}) + 1 AS STRING)",
         "%w": "CAST(dayofweek({d}) - 1 AS STRING)",
+        # %-y: unpadded year-without-century (probed: 2005 → '5')
+        "%-y": "CAST(year({d}) % 100 AS STRING)",
     }
     _STRF_RE = re.compile(r"(?i)\b(strftime|try_strptime|strptime)\s*\(")
 
@@ -8763,7 +8804,9 @@ class SqlRewriter:
             i = 0
             while i < len(fmt):
                 if fmt[i] == "%":
-                    code = fmt[i : i + 2]
+                    # dash-modified codes are 3 chars (%-d)
+                    width = 3 if fmt[i : i + 2] == "%-" else 2
+                    code = fmt[i : i + width]
                     if code in self._STRF_CODES:
                         emit_pat(
                             self._STRF_LENIENT.get(code, self._STRF_CODES[code])
@@ -8774,7 +8817,7 @@ class SqlRewriter:
                         out.append(("expr", self._STRF_EXPR_CODES[code]))
                     else:
                         raise UQueryError.sql_error(f"unsupported strftime code {code}")
-                    i += 2
+                    i += width
                 else:
                     if fmt[i].isalpha():  # literal letter → quoted block
                         emit_pat(fmt[i], lit=True)
@@ -8792,6 +8835,27 @@ class SqlRewriter:
         def xlate(fmt: str, lenient: bool = False) -> str:
             parts = xlate_parts(fmt, allow_expr=False, lenient=lenient)
             return "".join(p[1] for p in parts)
+
+        def year_defaulted(parse_expr: str, fmt: str) -> str:
+            """DuckDB strptime defaults missing fields to 1900-01-01
+            where Spark's to_timestamp defaults to 1970-01-01 (probed:
+            strptime('03 PM', '%I %p') → 1900-01-01 15:00:00) — shift
+            the parse by -70 years when the format carries no year
+            code (r13 gap probe; %j maps consistently, 1900 and 1970
+            both non-leap)."""
+            i, has_year = 0, False
+            while i < len(fmt) - 1:
+                if fmt[i] == "%":
+                    c = fmt[i + 1]
+                    # %c and %x are ISO composites that EMBED a year
+                    if c in "YycxG":
+                        has_year = True
+                    i += 3 if c == "-" else 2
+                else:
+                    i += 1
+            if has_year:
+                return parse_expr
+            return f"timestampadd(YEAR, -70, {parse_expr})"
 
         def xlate_spliced(fmt: str, operand: str) -> str:
             """date_format(op, 'pat') or, when week-number codes are
@@ -8843,7 +8907,10 @@ class SqlRewriter:
                     )
                 a0 = args[0].strip()
                 tries = ", ".join(
-                    f"try_to_timestamp({a0}, {_strf_sql(xlate(f[1:-1]))})"
+                    year_defaulted(
+                        f"try_to_timestamp({a0}, {_strf_sql(xlate(f[1:-1]))})",
+                        f[1:-1],
+                    )
                     for f in fmts
                 )
                 body = f"coalesce({tries})"
@@ -8865,13 +8932,16 @@ class SqlRewriter:
                 else:
                     strict, lenient = xlate(fmt), xlate(fmt, lenient=True)
                     if strict == lenient:
-                        body = f"{fn}({a0}, {_strf_sql(strict)})"
+                        body = year_defaulted(
+                            f"{fn}({a0}, {_strf_sql(strict)})", fmt
+                        )
                     else:
                         # strict wins when both parse (identical result);
                         # the lenient arm admits DuckDB's unpadded inputs
-                        body = (
+                        body = year_defaulted(
                             f"coalesce(try_to_timestamp({a0}, {_strf_sql(strict)}), "
-                            f"try_to_timestamp({a0}, {_strf_sql(lenient)}))"
+                            f"try_to_timestamp({a0}, {_strf_sql(lenient)}))",
+                            fmt,
                         )
                         if fn == "to_timestamp":  # strict strptime raises
                             body = (
@@ -9026,7 +9096,21 @@ class SqlRewriter:
 
         Any other inner form RAISES — a loud error, never a silent
         divergence (Spark's NaN-vs-NULL and error-vs-NULL edges differ
-        per function and each needs its own probe before support)."""
+        per function and each needs its own probe before support).
+        Each fast-path only fires when the matched call spans the
+        ENTIRE inner expression (its close paren is the last char) —
+        a compound inner like TRY(CAST(a AS INT) + f(b)) raises as
+        unsupported instead of converting only the leading call
+        (ADVICE r13; the old sqrt branch even dropped the trailing
+        text of a compound inner — a silent wrong value)."""
+
+        def _whole(pat: str, text: str):
+            """Leading-call args iff the call spans all of ``text``."""
+            h = self._call_args(re.compile(pat), text)
+            if h and h[0].start() == 0 and h[1] == len(text) - 1:
+                return h[2]
+            return None
+
         pos = 0
         while True:
             hit = self._call_args(self._TRY_RE, sql, pos)
@@ -9036,25 +9120,45 @@ class SqlRewriter:
             if len(args) != 1:
                 raise UQueryError.sql_error("TRY expects exactly 1 expression")
             inner = self._rewrite_try_expr(args[0]).strip()
-            if re.match(r"(?i)^cast\s*\(", inner):
-                repl = "try_" + inner
-            elif re.match(r"(?i)^(?:try_)?strptime\s*\(", inner):
+            sqrt_args = _whole(r"(?i)^sqrt\s*\(", inner)
+            if _whole(r"(?i)^cast\s*\(", inner) is not None:
+                # a cast CHAIN (nested colon-casts have folded to
+                # CAST(CAST(..) ..) by now) converts at EVERY level —
+                # DuckDB's TRY nulls an inner conversion error too, and
+                # try_cast over NULL stays NULL, so the chain matches
+                cm = re.match(r"(?i)^cast\s*\(", inner)
+                body = inner[cm.end() : len(inner) - 1]
+                parts = self._split_top(body, "as")
+                operand = " AS ".join(parts[:-1]).strip()
+                # the colon-cast pass parenthesizes its operand —
+                # strip balanced outer parens so the chain test sees it
+                while (
+                    operand.startswith("(")
+                    and self._find_close(operand, 0) == len(operand) - 1
+                ):
+                    operand = operand[1:-1].strip()
+                if len(parts) >= 2 and _whole(r"(?i)^cast\s*\(", operand) is not None:
+                    operand = self._rewrite_try_expr(f"TRY({operand})")
+                    repl = f"try_cast({operand} AS {parts[-1].strip()})"
+                else:
+                    repl = "try_" + inner
+            elif _whole(r"(?i)^(?:try_)?strptime\s*\(", inner) is not None:
                 repl = "try_" + inner if not inner.lower().startswith("try_") else inner
-            elif re.match(r"(?i)^(ln|log|log2|log10)\s*\(", inner):
+            elif _whole(r"(?i)^(ln|log|log2|log10)\s*\(", inner) is not None:
                 repl = f"({inner})"
-            elif re.match(r"(?i)^sqrt\s*\(", inner):
-                ihit = self._call_args(re.compile(r"(?i)^sqrt\s*\("), inner)
-                if not ihit or len(ihit[2]) != 1:
+            elif sqrt_args is not None:
+                if len(sqrt_args) != 1:
                     raise UQueryError.sql_error("TRY(sqrt): malformed call")
-                a = ihit[2][0]
+                a = sqrt_args[0]
                 repl = (
                     f"(CASE WHEN ({a}) < 0 THEN CAST(NULL AS DOUBLE) "
                     f"ELSE sqrt(({a})) END)"
                 )
             else:
                 raise UQueryError.sql_error(
-                    "TRY: unsupported expression form (supported: CAST/::, "
-                    "strptime, ln/log/log2/log10, sqrt; division and modulo "
+                    "TRY: unsupported expression form (supported, each "
+                    "spanning the whole argument: CAST/::, strptime, "
+                    "ln/log/log2/log10, sqrt; division and modulo "
                     "by zero are already NULL)"
                 )
             sql = sql[: m.start()] + repl + sql[close + 1 :]
