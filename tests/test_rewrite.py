@@ -3927,6 +3927,28 @@ def test_round13_wave14_strftime_dash_gradeup(spark, rw):
     assert one("SELECT list_resize([1,2], 4, 0)") == [1, 2, 0, 0]
 
 
+def test_round13_wave15_slice_histogram_vector(spark, rw):
+    """Wave-15: 4-arg stepped list_slice (DuckDB-probed, incl. negative
+    step), list_histogram (keys ascending, NULLs skipped, empty→NULL),
+    and the >=1.1 vector metrics (negative_inner_product /
+    cosine_distance on both prefixes — doc-unambiguous math)."""
+
+    def one(sql):
+        return spark.sql(rw.rewrite(sql)).collect()[0][0]
+
+    assert one("SELECT list_slice([1,2,3,4,5], 1, 5, 2)") == [1, 3, 5]
+    assert one("SELECT list_slice([1,2,3,4,5], 5, 1, -2)") == [5, 3, 1]
+    assert one("SELECT list_slice([1,2,3,4,5], 2, 4)") == [2, 3, 4]
+    assert one("SELECT list_histogram([1,2,NULL,2])") == {1: 1, 2: 2}
+    assert one("SELECT map_keys(list_histogram([3,1,1]))") == [1, 3]
+    assert one("SELECT list_histogram(CAST(NULL AS ARRAY<INT>))") is None
+    assert one("SELECT list_negative_inner_product([1.0,2.0],[3.0,4.0])") == -11.0
+    assert one("SELECT array_negative_dot_product([1.0,2.0],[3.0,4.0])") == -11.0
+    assert round(one("SELECT list_cosine_distance([1.0,0.0],[1.0,1.0])"), 9) == 0.292893219
+    assert round(one("SELECT array_cosine_distance([1.0,0.0],[1.0,1.0])"), 9) == 0.292893219
+    assert one("SELECT list_distance([1.0,2.0],[4.0,6.0])") == 5.0
+
+
 def test_round12_string_polymorphic_array_extract(spark, rw):
     """Wave-13: array_extract/list_element/list_extract are STRING-
     polymorphic in DuckDB ('abcd'[2]-style single-char extraction;

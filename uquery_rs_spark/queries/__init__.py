@@ -38,6 +38,7 @@ _ROUND13_NEW: tuple[str, ...] = (
     "dialect_gap_b46_strftime_dash",   # wave-14: %- codes, 1900 default
     "dialect_gap_b47_list_composites", # wave-14: grade_up NULLS LAST etc.
     "events_qsummary_sliding_quantiles",  # r13 operator: mergeable quantile summaries
+    "dialect_gap_b48_slice_vector",  # wave-15: stepped slice, histogram, >=1.1 vector metrics
 )
 
 _ROUND13_R8 = (

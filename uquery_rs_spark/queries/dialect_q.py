@@ -4200,3 +4200,91 @@ def dialect_gap_b47_list_composites(spark: SparkSession, sf: str) -> DataFrame:
     more, never answers differently on DuckDB-valid input."""
     load_tables(spark, sf)
     return _rewritten_sql(spark, _B47_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Round-13 gap wave 15: stepped list_slice + list_histogram (both 1.0.0-
+# supported — verbatim oracle) and the DuckDB >=1.1 vector-distance family
+# (negative_inner_product / cosine_distance on both list_/array_ prefixes —
+# the reference pins 1.5.2; the local 1.0.0 binary lacks the names, so the
+# oracle states each metric EXPLICITLY over 2-vectors of exact integers:
+# products/sums exact, sqrt/÷ correctly rounded → bit-identical on any
+# IEEE-754 binary, the NOTES-38 portable class).
+# ---------------------------------------------------------------------------
+
+_B48_SPARK_SQL = """
+WITH src AS (
+  SELECT o_orderkey AS k,
+         CAST(o_orderkey % 13 AS DOUBLE)    AS x1,
+         CAST(o_orderkey % 7 + 1 AS DOUBLE) AS x2,
+         CAST(o_custkey % 11 AS DOUBLE)     AS y1,
+         CAST(o_custkey % 5 + 1 AS DOUBLE)  AS y2
+  FROM orders WHERE o_orderkey <= 300
+)
+SELECT k,
+       array_to_string(
+         list_slice([k % 7, k % 3, k % 11, k % 5, k % 2], 1, 5, 2), ',') AS v_sl2,
+       array_to_string(
+         list_slice([k % 7, k % 3, k % 11, k % 5, k % 2], 5, 1, -2), ',') AS v_slneg,
+       array_to_string(
+         map_keys(list_histogram([k % 3, k % 5, k % 3, NULL])), ',')     AS v_hk,
+       array_to_string(
+         map_values(list_histogram([k % 3, k % 5, k % 3, NULL])), ',')   AS v_hv,
+       round(list_negative_inner_product([x1, x2], [y1, y2]), 6)  AS v_nip,
+       round(array_negative_dot_product([x1, x2], [y1, y2]), 6)   AS v_ndp,
+       round(array_cosine_distance([x1, x2], [y1, y2]), 6) + 0    AS v_cd,
+       round(list_distance([x1, x2], [y1, y2]), 6)                AS v_dist,
+       round(list_inner_product([x1, x2], [y1, y2]), 6)           AS v_ip
+FROM src ORDER BY k
+"""
+
+_B48_ORACLE_SQL = """
+WITH src AS (
+  SELECT o_orderkey AS k,
+         CAST(o_orderkey % 13 AS DOUBLE)    AS x1,
+         CAST(o_orderkey % 7 + 1 AS DOUBLE) AS x2,
+         CAST(o_custkey % 11 AS DOUBLE)     AS y1,
+         CAST(o_custkey % 5 + 1 AS DOUBLE)  AS y2
+  FROM orders WHERE o_orderkey <= 300
+)
+SELECT k,
+       array_to_string(
+         list_slice([k % 7, k % 3, k % 11, k % 5, k % 2], 1, 5, 2), ',') AS v_sl2,
+       array_to_string(
+         list_slice([k % 7, k % 3, k % 11, k % 5, k % 2], 5, 1, -2), ',') AS v_slneg,
+       array_to_string(
+         map_keys(list_histogram([k % 3, k % 5, k % 3, NULL])), ',')     AS v_hk,
+       array_to_string(
+         map_values(list_histogram([k % 3, k % 5, k % 3, NULL])), ',')   AS v_hv,
+       round(-(x1 * y1 + x2 * y2), 6)                             AS v_nip,
+       round(-(x1 * y1 + x2 * y2), 6)                             AS v_ndp,
+       round(1 - (x1 * y1 + x2 * y2)
+             / (sqrt(x1 * x1 + x2 * x2) * sqrt(y1 * y1 + y2 * y2)), 6)
+         + 0                                                       AS v_cd,
+       round(sqrt((x1 - y1) * (x1 - y1) + (x2 - y2) * (x2 - y2)), 6)   AS v_dist,
+       round(x1 * y1 + x2 * y2, 6)                                AS v_ip
+FROM src ORDER BY k
+"""
+
+
+@register(
+    "dialect_gap_b48_slice_vector",
+    tags=("dialect", "battery", "functions"),
+    oracle=_B48_ORACLE_SQL,
+)
+def dialect_gap_b48_slice_vector(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-13 wave-15 battery: 4-arg stepped list_slice (forward and
+    negative step — previously a loud wrong-arity error; delegates to
+    the bracket step form), list_histogram (MAP value→count, keys
+    ascending, NULLs skipped, empty→NULL — was UNRESOLVED_ROUTINE),
+    and the DuckDB ≥1.1 vector metrics list/array_negative_inner_
+    product / negative_dot_product / cosine_distance plus the existing
+    inner_product/distance — oracle states each metric explicitly
+    (exact-integer 2-vectors; x2/y2 offset +1 so no zero vector).
+    Documented rendered-order deviation found by the same probe sweep:
+    DuckDB's list_intersect emits its own internal order ([1,2,3]∩
+    [2,3,4] → [3,2]) while the translation keeps first-list order
+    ([2,3]) — same multiset, unspecified order on both engines'
+    docs."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B48_SPARK_SQL)

@@ -1318,14 +1318,22 @@ class SqlRewriter:
     def _rewrite_list_slice(self, sql: str) -> str:
         """list_slice(l, a, b) — 1-based INCLUSIVE bounds → slice(l, a,
         b - a + 1). Positive indices only (negatives are served by the
-        bracket syntax l[a:b], which handles them)."""
+        bracket syntax l[a:b], which handles them). The 4-arg STEP form
+        (r13 wave-15 — previously a loud wrong-arity error) delegates
+        to the bracket form l[a:b:s] via _rewrite_array_slice_fn
+        (which runs BEFORE the bracket pass), inheriting its
+        negative-step and index handling; DuckDB itself rejects
+        string+step, so the string-polymorphic path there is
+        permissive-only."""
         hit = self._call_args(self._LIST_SLICE_RE, sql)
         if not hit:
             return sql
         m, close, args = hit
         tail = self._rewrite_list_slice(sql[close + 1 :])
         if len(args) != 3:
-            raise UQueryError.sql_error("list_slice expects (list, begin, end)")
+            raise UQueryError.sql_error(
+                "list_slice expects (list, begin, end[, step])"
+            )
         l, a, b = (self._rewrite_list_slice(x) for x in args)
         return (
             sql[: m.start()]
@@ -3285,23 +3293,32 @@ class SqlRewriter:
     _FETCH_RE = re.compile(r"(?i)\bfetch\s+(?:first|next)\s*(\d*)\s*rows?\s+only")
     _OFFSET_ROWS_RE = re.compile(r"(?i)\boffset\s+(\d+)\s+rows?\b")
 
-    _ARRAY_SLICE_RE = re.compile(r"(?i)\barray_slice\s*\(")
+    _ARRAY_SLICE_RE = re.compile(r"(?i)\b(array_slice|list_slice)\s*\(")
 
     def _rewrite_array_slice_fn(self, sql: str) -> str:
         """array_slice(l, a, b[, step]) → the bracket form (l)[a:b[:s]]
         (runs before the bracket pass; inherits its negative-index,
-        step, and string-polymorphism handling)."""
+        step, and string-polymorphism handling). Also consumes the
+        4-arg STEP form of list_slice (r13 wave-15 — previously a loud
+        wrong-arity error); 3-arg list_slice stays with its own later
+        pass (positive-inclusive slice(), no probe round-trip)."""
+        pos = 0
         while True:
-            hit = self._call_args(self._ARRAY_SLICE_RE, sql)
+            hit = self._call_args(self._ARRAY_SLICE_RE, sql, pos)
             if not hit:
                 return sql
             m, close, args = hit
+            if m.group(1).lower() == "list_slice" and len(args) != 4:
+                pos = m.end()
+                continue
             if len(args) not in (3, 4):
                 raise UQueryError.sql_error(
                     "array_slice expects (list, begin, end[, step])"
                 )
             parts = ":".join(a.strip() for a in args[1:])
-            sql = sql[: m.start()] + f"(({args[0]}))[{parts}]" + sql[close + 1 :]
+            repl = f"(({args[0]}))[{parts}]"
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            pos = m.start() + len(repl)
 
     def _rewrite_fetch_first(self, sql: str) -> str:
         """SQL-standard ``FETCH FIRST/NEXT [n] ROWS ONLY`` → LIMIT, and
@@ -5913,7 +5930,9 @@ class SqlRewriter:
     _CHR_RE = re.compile(r"(?i)\bchr\s*\(")
     _PARSE_FILENAME_RE = re.compile(r"(?i)\bparse_filename\s*\(")
     _LIST_METRIC_RE = re.compile(
-        r"(?i)\b(?:list|array)_(cosine_similarity|distance|inner_product|dot_product)\s*\("
+        r"(?i)\b(?:list|array)_(cosine_similarity|cosine_distance|"
+        r"negative_inner_product|negative_dot_product|"
+        r"inner_product|dot_product|distance)\s*\("
     )
     _JACCARD_RE = re.compile(r"(?i)\bjaccard\s*\(")
     _REGEXP_FULL_RE = re.compile(r"(?i)\bregexp_full_match\s*\(")
@@ -6038,6 +6057,17 @@ class SqlRewriter:
             kind = m.group(1).lower()
             if kind in ("inner_product", "dot_product"):
                 repl = f"({dot})"
+            elif kind in ("negative_inner_product", "negative_dot_product"):
+                # DuckDB >=1.1 names (the reference pins 1.5.2):
+                # documented as -inner_product
+                repl = f"(-({dot}))"
+            elif kind == "cosine_distance":
+                # DuckDB >=1.1: 1 - cosine_similarity (doc-unambiguous)
+                norm = lambda v: (  # noqa: E731
+                    f"sqrt(aggregate(transform({v}, uq_w -> uq_w * uq_w), "
+                    f"0D, (uq_acc, uq_v) -> uq_acc + uq_v))"
+                )
+                repl = f"(1D - (({dot}) / ({norm(a)} * {norm(b)})))"
             elif kind == "distance":
                 repl = (
                     f"sqrt(aggregate(zip_with({a}, {b}, "
@@ -6073,6 +6103,23 @@ class SqlRewriter:
                 re.compile(r"(?i)\blist_select\s*\("),
                 2,
                 "transform(({b}), uq_si -> try_element_at(({a}), uq_si))",
+            ),
+            (
+                re.compile(r"(?i)\blist_histogram\s*\("),
+                1,
+                # r13 wave-15 (was UNRESOLVED_ROUTINE): MAP of value →
+                # BIGINT count, keys ascending, NULL elements skipped;
+                # NULL or effectively-empty list → NULL (all probed on
+                # 1.0.0). Catalyst CSE dedups the repeated filter.
+                "(CASE WHEN ({a}) IS NULL OR "
+                "size(filter(({a}), uq_hv -> uq_hv IS NOT NULL)) = 0 "
+                "THEN NULL ELSE map_from_arrays("
+                "array_sort(array_distinct("
+                "filter(({a}), uq_hv -> uq_hv IS NOT NULL))), "
+                "transform(array_sort(array_distinct("
+                "filter(({a}), uq_hv -> uq_hv IS NOT NULL))), "
+                "uq_hk -> CAST(size(filter(({a}), "
+                "uq_he -> uq_he = uq_hk)) AS BIGINT))) END)",
             ),
             (
                 re.compile(r"(?i)\blist_grade_up\s*\("),
