@@ -3949,6 +3949,39 @@ def test_round13_wave15_slice_histogram_vector(spark, rw):
     assert one("SELECT list_distance([1.0,2.0],[4.0,6.0])") == 5.0
 
 
+def test_round13_wave16_interval_escape_split(spark, rw):
+    """Wave-16 (probe batch B): mixed year-month/day-time interval
+    literals → make_interval (per-term signs, quarter folding,
+    DATE still widens); single-class literals stay native. LIKE-family
+    escapes before ordinary chars unescape from literal patterns.
+    regexp_split_to_table → unnest∘split keeping empty fields."""
+
+    def one(sql):
+        return spark.sql(rw.rewrite(sql)).collect()[0][0]
+
+    assert str(one(
+        "SELECT TIMESTAMP '2024-01-30 22:00:00' + INTERVAL '1 month 2 days 3 hours'"
+    )) == "2024-03-03 01:00:00"
+    assert str(one(
+        "SELECT TIMESTAMP '2024-03-31 10:00:00' + INTERVAL '-1 month 3 days'"
+    )) == "2024-03-03 10:00:00"
+    assert str(one(
+        "SELECT DATE '2024-01-31' + INTERVAL '1 month 1 day'"
+    )) == "2024-03-01 00:00:00"
+    assert str(one(
+        "SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '1 quarter 90 minutes'"
+    )) == "2024-04-01 01:30:00"
+    # single-class literals keep the native comparable interval types
+    assert str(one("SELECT DATE '2024-01-31' + INTERVAL '1 month'")) \
+        == "2024-02-29 00:00:00"
+    assert one("SELECT ilike_escape('AbC', 'a^bc', '^')") is True
+    assert one("SELECT like_escape('a%c', 'a!%c', '!')") is True
+    assert one("SELECT not_ilike_escape('AbC', 'a^bc', '^')") is False
+    rows = [r[0] for r in spark.sql(rw.rewrite(
+        "SELECT regexp_split_to_table('a,,b,', ',') AS t")).collect()]
+    assert rows == ["a", "", "b", ""]
+
+
 def test_round12_string_polymorphic_array_extract(spark, rw):
     """Wave-13: array_extract/list_element/list_extract are STRING-
     polymorphic in DuckDB ('abcd'[2]-style single-char extraction;

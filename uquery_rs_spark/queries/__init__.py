@@ -39,6 +39,7 @@ _ROUND13_NEW: tuple[str, ...] = (
     "dialect_gap_b47_list_composites", # wave-14: grade_up NULLS LAST etc.
     "events_qsummary_sliding_quantiles",  # r13 operator: mergeable quantile summaries
     "dialect_gap_b48_slice_vector",  # wave-15: stepped slice, histogram, >=1.1 vector metrics
+    "dialect_gap_b49_interval_escape",  # wave-16: mixed intervals, LIKE escapes, regexp_split_to_table
 )
 
 _ROUND13_R8 = (

@@ -4288,3 +4288,41 @@ def dialect_gap_b48_slice_vector(spark: SparkSession, sf: str) -> DataFrame:
     docs."""
     load_tables(spark, sf)
     return _rewritten_sql(spark, _B48_SPARK_SQL)
+
+
+_B49_SQL = """
+WITH src AS (
+  SELECT o_orderkey AS k, o_orderdate AS d
+  FROM orders WHERE o_orderkey <= 300
+)
+SELECT k,
+       CAST(d AS TIMESTAMP) + INTERVAL '1 month 2 days 3 hours'  AS v_mixed,
+       CAST(d AS TIMESTAMP) + INTERVAL '-1 month 90 minutes'     AS v_mixneg,
+       d + INTERVAL '1 quarter 1 day'                            AS v_q,
+       like_escape(CAST(k AS VARCHAR), '2^5%', '^')              AS v_esc,
+       ilike_escape('Key' || CAST(k AS VARCHAR), 'key^2%', '^')  AS v_iesc,
+       not_like_escape(CAST(k AS VARCHAR), '1^_%', '^')          AS v_nesc,
+       (SELECT count(*) FROM (SELECT regexp_split_to_table('a,,b,c', ',') AS x) t)
+                                                                 AS v_rst
+FROM src ORDER BY k
+"""
+
+
+@register(
+    "dialect_gap_b49_interval_escape",
+    tags=("dialect", "battery", "datetime"),
+    oracle=_B49_SQL,
+)
+def dialect_gap_b49_interval_escape(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-13 wave-16 battery (probe batch B): MIXED year-month /
+    day-time interval literals (valid DuckDB calendar intervals that
+    Spark's parser rejected outright — now make_interval(), per-term
+    signs and quarter folding included; DATE operands still widen to
+    TIMESTAMP); LIKE-family custom escapes where the escape char
+    precedes an ORDINARY character (DuckDB no-op escape, Spark
+    ESC_IN_THE_MIDDLE — literal patterns are now unescaped at rewrite
+    time); and regexp_split_to_table → unnest∘split (keeps empty
+    fields, probed). Self-oracled verbatim: calendar arithmetic and
+    string matching, no estimator (NOTES-38 stable class)."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, _B49_SQL)

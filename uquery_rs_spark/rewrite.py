@@ -3111,6 +3111,72 @@ class SqlRewriter:
             sql = sql[: m.start()] + repl + sql[close + 1 :]
             pos = m.start() + len(repl)
 
+    # no lookahead needed to exclude INTERVAL '1' DAY — its quoted text
+    # has no unit words, so the term parser below rejects it anyway
+    _MIXED_IVL_RE = re.compile(r"(?i)\bINTERVAL\s+'([^']+)'")
+    _IVL_TERM_RE = re.compile(
+        r"(?i)^\s*(-?\d+(?:\.\d+)?)\s*"
+        r"(years?|months?|mons?|quarters?|weeks?|days?|hours?|hrs?|"
+        r"minutes?|mins?|seconds?|secs?|milliseconds?|microseconds?)\b"
+    )
+
+    def _rewrite_mixed_interval_literal(self, sql: str) -> str:
+        """Quoted interval literals that MIX year-month and day-time
+        units (``INTERVAL '1 month 2 days 3 hours'``) — valid DuckDB
+        calendar intervals that Spark's parser rejects outright
+        (Cannot mix year-month and day-time fields; r13 probe batch B)
+        → ``make_interval(y, m, w, d, h, mi, s)``, whose
+        CalendarIntervalType holds both classes and adds to
+        timestamps/dates natively. Single-class literals stay native
+        (they keep Spark's comparable ANSI interval types), as does
+        anything the term parser doesn't fully consume (Spark then
+        raises loudly). Quarters fold to 3 months; DuckDB's per-term
+        sign convention ('-1 month 3 days') carries through."""
+        pos = 0
+        while True:
+            m = self._search_code(self._MIXED_IVL_RE, sql, pos)
+            if not m:
+                return sql
+            text = m.group(1)
+            slots = {"y": 0, "mo": 0, "w": 0, "d": 0, "h": 0, "mi": 0, "s": 0.0}
+            unit_of = {
+                "year": "y", "month": "mo", "mon": "mo", "quarter": "mo",
+                "week": "w", "day": "d", "hour": "h", "hr": "h",
+                "minute": "mi", "min": "mi", "second": "s", "sec": "s",
+                "millisecond": "s", "microsecond": "s",
+            }
+            rest, ok, ym, dt = text, True, False, False
+            while rest.strip():
+                t = self._IVL_TERM_RE.match(rest)
+                if not t:
+                    ok = False
+                    break
+                num, unit = float(t.group(1)), t.group(2).lower().rstrip("s")
+                if unit not in unit_of:
+                    ok = False
+                    break
+                slot = unit_of[unit]
+                if unit == "quarter":
+                    num *= 3
+                elif unit == "millisecond":
+                    num /= 1e3
+                elif unit == "microsecond":
+                    num /= 1e6
+                slots[slot] = slots[slot] + num
+                ym |= slot in ("y", "mo")
+                dt |= slot in ("w", "d", "h", "mi", "s")
+                rest = rest[t.end():]
+            if not ok or not (ym and dt):
+                pos = m.end()
+                continue
+            args = ", ".join(
+                str(int(slots[k])) if k != "s" else repr(slots["s"])
+                for k in ("y", "mo", "w", "d", "h", "mi", "s")
+            )
+            repl = f"make_interval({args})"
+            sql = sql[: m.start()] + repl + sql[m.end():]
+            pos = m.start() + len(repl)
+
     _PM_INTERVAL_RE = re.compile(r"([+\-])\s*(?=INTERVAL\b)", re.I)
 
     def _rewrite_date_interval_widen(self, sql: str) -> str:
@@ -6194,7 +6260,29 @@ class SqlRewriter:
                 )
             neg = "NOT " if m.group(1) else ""  # round 8: not_ variants
             op = "ILIKE" if (m.group(2) or "").lower() == "i" else "LIKE"
-            repl = f"(({args[0]}) {neg}{op} ({args[1]}) ESCAPE '{esc}')"
+            pat_arg = args[1]
+            pat = self._lit_parse(args[1])
+            if pat is not None:
+                # Spark rejects the escape char before an ORDINARY
+                # character (ESC_IN_THE_MIDDLE) where DuckDB treats
+                # esc+c as literal c (r13 probe batch B:
+                # ilike_escape('AbC', 'a^bc', '^')) — drop the no-op
+                # escapes from literal patterns; esc before %/_/esc
+                # stays escaped
+                out, i = [], 0
+                while i < len(pat):
+                    c = pat[i]
+                    if c == esc and i + 1 < len(pat):
+                        nxt = pat[i + 1]
+                        if nxt in ("%", "_", esc):
+                            out.append(c)
+                        i += 1
+                        out.append(pat[i])
+                    else:
+                        out.append(c)
+                    i += 1
+                pat_arg = "'" + "".join(out).replace("'", "''") + "'"
+            repl = f"(({args[0]}) {neg}{op} ({pat_arg}) ESCAPE '{esc}')"
             sql = sql[: m.start()] + repl + sql[close + 1 :]
         return sql
 
@@ -10434,6 +10522,25 @@ class SqlRewriter:
         # batch-16: ordered array_agg AFTER the list->array_agg rename,
         # unnest (FROM + select generator), COLLATE NOCASE
         sql = self._rewrite_array_agg_order(sql)
+        # regexp_split_to_table(s, re) is unnest∘regexp-split (r13
+        # probe batch B — was UNRESOLVED_ROUTINE); rewritten BEFORE the
+        # unnest pass so generator placement rules apply unchanged
+        while True:
+            hit = self._call_args(
+                re.compile(r"(?i)\bregexp_split_to_table\s*\("), sql
+            )
+            if not hit:
+                break
+            m, close, rst_args = hit
+            if len(rst_args) != 2:
+                raise UQueryError.sql_error(
+                    "regexp_split_to_table expects (string, regex)"
+                )
+            sql = (
+                sql[: m.start()]
+                + f"unnest(split({rst_args[0]}, {rst_args[1]}, -1))"
+                + sql[close + 1 :]
+            )
         sql = self._rewrite_unnest(sql)
         sql = self._rewrite_collate(sql)
         # list_distinct NULL removal BEFORE b17/scalar passes that emit
@@ -10531,6 +10638,10 @@ class SqlRewriter:
         sql = self._rewrite_json_cast(sql)
         sql = self._rewrite_interval_cast(sql)
         sql = self._rewrite_date_interval_widen(sql)
+        # AFTER the widen pass, so DATE + mixed-literal still widens to
+        # TIMESTAMP off the INTERVAL keyword before the literal becomes
+        # a make_interval() call
+        sql = self._rewrite_mixed_interval_literal(sql)
         sql = self._sub_code_fn(
             re.compile(r"(?i)\bcurrent_database\s*\(\s*\)"),
             lambda m: "'memory'",
