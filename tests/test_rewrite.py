@@ -3947,6 +3947,13 @@ def test_round13_wave15_slice_histogram_vector(spark, rw):
     assert round(one("SELECT list_cosine_distance([1.0,0.0],[1.0,1.0])"), 9) == 0.292893219
     assert round(one("SELECT array_cosine_distance([1.0,0.0],[1.0,1.0])"), 9) == 0.292893219
     assert one("SELECT list_distance([1.0,2.0],[4.0,6.0])") == 5.0
+    # >=1.1 struct_extract_at: positional field via schema probe
+    assert one("SELECT struct_extract_at({'a': 1, 'b': 'x'}, 2)") == "x"
+    assert one("SELECT struct_extract_at(struct_pack(p := 7, q := 9), 1)") == 7
+    with pytest.raises(UQueryError):
+        rw.rewrite("SELECT struct_extract_at({'a': 1}, 3)")
+    with pytest.raises(UQueryError):
+        rw.rewrite("SELECT struct_extract_at({'a': 1}, 0)")
 
 
 def test_round13_wave16_interval_escape_split(spark, rw):

@@ -4234,7 +4234,8 @@ SELECT k,
        round(array_negative_dot_product([x1, x2], [y1, y2]), 6)   AS v_ndp,
        round(array_cosine_distance([x1, x2], [y1, y2]), 6) + 0    AS v_cd,
        round(list_distance([x1, x2], [y1, y2]), 6)                AS v_dist,
-       round(list_inner_product([x1, x2], [y1, y2]), 6)           AS v_ip
+       round(list_inner_product([x1, x2], [y1, y2]), 6)           AS v_ip,
+       struct_extract_at({'a': k % 3, 'b': k % 5}, 2)             AS v_sxa
 FROM src ORDER BY k
 """
 
@@ -4262,7 +4263,8 @@ SELECT k,
              / (sqrt(x1 * x1 + x2 * x2) * sqrt(y1 * y1 + y2 * y2)), 6)
          + 0                                                       AS v_cd,
        round(sqrt((x1 - y1) * (x1 - y1) + (x2 - y2) * (x2 - y2)), 6)   AS v_dist,
-       round(x1 * y1 + x2 * y2, 6)                                AS v_ip
+       round(x1 * y1 + x2 * y2, 6)                                AS v_ip,
+       k % 5                                                      AS v_sxa
 FROM src ORDER BY k
 """
 
@@ -4279,7 +4281,9 @@ def dialect_gap_b48_slice_vector(spark: SparkSession, sf: str) -> DataFrame:
     ascending, NULLs skipped, empty→NULL — was UNRESOLVED_ROUTINE),
     and the DuckDB ≥1.1 vector metrics list/array_negative_inner_
     product / negative_dot_product / cosine_distance plus the existing
-    inner_product/distance — oracle states each metric explicitly
+    inner_product/distance — oracle states each metric explicitly —
+    plus ≥1.1 struct_extract_at (positional field via the
+    FIELD_NOT_FOUND schema probe; oracle states the field value)
     (exact-integer 2-vectors; x2/y2 offset +1 so no zero vector).
     Documented rendered-order deviation found by the same probe sweep:
     DuckDB's list_intersect emits its own internal order ([1,2,3]∩

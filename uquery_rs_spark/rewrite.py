@@ -5170,6 +5170,60 @@ class SqlRewriter:
             repl = f"named_struct({', '.join(parts)})"
             sql = sql[: m.start()] + repl + sql[close + 1 :]
 
+    _STRUCT_EXTRACT_AT_RE = re.compile(r"(?i)\bstruct_extract_at\s*\(")
+
+    def _rewrite_struct_extract_at(self, sql: str) -> str:
+        """DuckDB ≥1.1 ``struct_extract_at(s, n)`` — 1-based POSITIONAL
+        field access (the reference pins 1.5.2; r13 probe batch A).
+        Field names are unknowable from text, so the struct's fields
+        are enumerated with the same FIELD_NOT_FOUND LIMIT-0 probe as
+        struct_insert, and the n-th name is emitted as a plain field
+        access. n must be a positive integer literal (DuckDB's own
+        constant requirement); out-of-range raises like DuckDB's
+        binder."""
+        while True:
+            hit = self._call_args(self._STRUCT_EXTRACT_AT_RE, sql)
+            if not hit:
+                return sql
+            m, close, args = hit
+            if len(args) != 2:
+                raise UQueryError.sql_error(
+                    "struct_extract_at expects (struct, index)"
+                )
+            base, idx = args[0], args[1].strip()
+            if not re.fullmatch(r"\+?\d+", idx) or int(idx) < 1:
+                raise UQueryError.sql_error(
+                    "struct_extract_at: index must be a positive "
+                    "integer constant"
+                )
+            probe = (
+                sql[: m.start()]
+                + f"(({base}).uq_si_missing_field)"
+                + sql[close + 1 :]
+            )
+            fields: list[str] = []
+            try:
+                with _probe_quiet():
+                    self.spark.sql(
+                        f"SELECT * FROM ({self._rewrite_len(self._rewrite_cast(probe))}) uq_sx LIMIT 0"
+                    )
+            except Exception as exc:
+                fm = self._SI_FIELDS_RE.search(str(exc))
+                if fm:
+                    fields = re.findall(r"`([^`]+)`", fm.group(1))
+            if not fields:
+                raise UQueryError.sql_error(
+                    "struct_extract_at: first argument is not a struct "
+                    "(or its fields could not be probed)"
+                )
+            if int(idx) > len(fields):
+                raise UQueryError.sql_error(
+                    f"struct_extract_at: index {idx} out of range for "
+                    f"a struct with {len(fields)} fields"
+                )
+            repl = f"(({base}).`{fields[int(idx) - 1]}`)"
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+
     def _rewrite_limit_pct(self, sql: str) -> str:
         """Batch-15: top-level ``ORDER BY … LIMIT p%`` (DuckDB keeps
         floor(p·count/100) rows — verified: 15% of 10 → 1, 26% → 2) →
@@ -10706,6 +10760,7 @@ class SqlRewriter:
         # batch-15 struct_insert next to the other probe passes (same
         # Spark-valid-modulo-cast/len contract)
         sql = self._rewrite_struct_insert(sql)
+        sql = self._rewrite_struct_extract_at(sql)
         # TIME casts become uq_poly markers BEFORE the resolver below
         sql = self._rewrite_time_cast(sql)
         # polymorphic subscripts resolve by LIMIT-0 probe — the text must
