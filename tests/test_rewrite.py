@@ -3989,6 +3989,52 @@ def test_round13_wave16_interval_escape_split(spark, rw):
     assert rows == ["a", "", "b", ""]
 
 
+def test_round13_recursive_union_and_distinct_on(spark, rw):
+    """Shape-probe closes: recursive CTE in the UNION (DISTINCT) form
+    evaluates by driver-side semi-naive iteration (UNION ALL stays on
+    Spark's native recursion); DISTINCT ON with expression keys /
+    non-projected ORDER BY columns projects hidden uq_ob columns, and
+    ORDER BY ordinals pick survivors by the OUTPUT column like DuckDB
+    (a silent wrong value before r13 — the window ordered by the
+    constant)."""
+
+    def one(sql):
+        return spark.sql(rw.rewrite(sql)).collect()[0][0]
+
+    assert one(
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION SELECT (n % 6) + 1 FROM t) "
+        "SELECT count(*) FROM t"
+    ) == 6
+    assert one(
+        "WITH RECURSIVE fib(a, b) AS (SELECT 0, 1 UNION "
+        "SELECT b, a + b FROM fib WHERE b < 50) SELECT max(b) FROM fib"
+    ) == 55
+    # UNION ALL unchanged (native recursion)
+    assert one(
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t "
+        "WHERE n < 5) SELECT sum(n) FROM t"
+    ) == 15
+    # trailing CTE after the recursive one
+    assert one(
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION SELECT (n * 2) % 7 FROM t), "
+        "u AS (SELECT n * 10 AS m FROM t) SELECT sum(m) FROM u"
+    ) == 70
+    # DISTINCT ON: expression key + non-projected ORDER BY column
+    rows = spark.sql(rw.rewrite(
+        "SELECT DISTINCT ON (x % 2) x % 2 AS g, y FROM "
+        "(VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')) t(x, y) "
+        "ORDER BY x % 2, x DESC"
+    )).collect()
+    assert [tuple(r) for r in rows] == [(0, "d"), (1, "c")]
+    # ordinal picks by the OUTPUT column (upper(y)), not a constant
+    rows = spark.sql(rw.rewrite(
+        "SELECT DISTINCT ON (x % 2) upper(y) AS uy FROM "
+        "(VALUES (1, 'c'), (2, 'd'), (3, 'a'), (4, 'b')) t(x, y) "
+        "ORDER BY x % 2, 1"
+    )).collect()
+    assert sorted(r[0] for r in rows) == ["A", "B"]
+
+
 def test_round12_string_polymorphic_array_extract(spark, rw):
     """Wave-13: array_extract/list_element/list_extract are STRING-
     polymorphic in DuckDB ('abcd'[2]-style single-char extraction;

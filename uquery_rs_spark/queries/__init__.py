@@ -40,6 +40,7 @@ _ROUND13_NEW: tuple[str, ...] = (
     "events_qsummary_sliding_quantiles",  # r13 operator: mergeable quantile summaries
     "dialect_gap_b48_slice_vector",  # wave-15: stepped slice, histogram, >=1.1 vector metrics
     "dialect_gap_b49_interval_escape",  # wave-16: mixed intervals, LIKE escapes, regexp_split_to_table
+    "recursive_cte_union_reachability",  # wave-17: semi-naive UNION-distinct recursion
 )
 
 _ROUND13_R8 = (

@@ -4330,3 +4330,43 @@ def dialect_gap_b49_interval_escape(spark: SparkSession, sf: str) -> DataFrame:
     string matching, no estimator (NOTES-38 stable class)."""
     load_tables(spark, sf)
     return _rewritten_sql(spark, _B49_SQL)
+
+
+@register(
+    "recursive_cte_union_reachability",
+    tags=("cte", "recursive", "dialect"),
+    oracle="""
+WITH RECURSIVE reach(k) AS (
+  SELECT 0
+  UNION
+  SELECT CAST((r.k * 2 + n.n_regionkey) % 25 AS INTEGER)
+  FROM reach r JOIN nation n ON n.n_nationkey = r.k
+)
+SELECT CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(sum(k) AS BIGINT)   AS sum_k
+FROM reach
+""",
+)
+def recursive_cte_union_reachability(spark: SparkSession, sf: str) -> DataFrame:
+    """Recursive CTE in the UNION (DISTINCT) form — graph reachability
+    over the nation table's synthetic successor relation, the shape
+    whose termination depends on duplicate elimination (a cycle-safe
+    transitive closure that UNION ALL would loop on). Spark rejects
+    the form natively (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE); the
+    rewriter evaluates it by driver-side SEMI-NAIVE iteration — step
+    applied to the previous DELTA only, new = step(delta) − total,
+    stop on empty delta, lineage cut per round
+    (rewrite.py::_rewrite_recursive_union; r13 shape probe). Verbatim
+    self-oracle: 1.0.0 runs the recursive UNION natively."""
+    load_tables(spark, sf)
+    return _rewritten_sql(spark, """
+WITH RECURSIVE reach(k) AS (
+  SELECT 0
+  UNION
+  SELECT CAST((r.k * 2 + n.n_regionkey) % 25 AS INTEGER)
+  FROM reach r JOIN nation n ON n.n_nationkey = r.k
+)
+SELECT CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(sum(k) AS BIGINT)   AS sum_k
+FROM reach
+""")

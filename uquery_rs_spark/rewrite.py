@@ -8171,8 +8171,13 @@ class SqlRewriter:
 
         The ORDER BY (when present) decides which row survives, matching
         DuckDB; without one the survivor is arbitrary (also DuckDB).
-        ORDER BY expressions must be resolvable against the FROM clause
-        (column refs, not select-list aliases) — the usual shape.
+        Outer ORDER BY items that are not select-list aliases or
+        ordinals (expressions, or FROM columns absent from the select
+        list) are projected as hidden uq_ob<i> columns inside the
+        subquery and EXCEPTed back out — the previous emission left
+        them in the outer tail where the wrapped subquery could not
+        resolve them (r13 shape probe: DISTINCT ON (k % 5) …
+        ORDER BY k % 5, price DESC raised UNRESOLVED_COLUMN).
         """
         m = re.match(r"(?is)^(\s*)select\s+distinct\s+on\s*\(", sql)
         if m is None:
@@ -8190,19 +8195,83 @@ class SqlRewriter:
         order_hit = next((h for h in hits if h[2] == "order"), None)
         limit_hit = next((h for h in hits if h[2] == "limit"), None)
         body_end = order_hit[0] if order_hit else (limit_hit[0] if limit_hit else len(rest))
-        tail = rest[body_end:]
         if order_hit:
             order_end = limit_hit[0] if limit_hit and limit_hit[0] > order_hit[0] else len(rest)
             order_exprs = re.sub(r"(?is)^order\s+by", "", rest[order_hit[0] : order_end]).strip()
         else:
             order_exprs = keys
+        # select-list aliases (top-level AS name, or the bare/qualified
+        # column itself) and bare expressions — outer ORDER BY items
+        # matching an alias stay put; ordinals expand to the matching
+        # select expression INSIDE the window (DuckDB treats DISTINCT
+        # ON ordinals as output-column picks — r13 shape probe) but
+        # stay ordinal outside
+        aliases: dict[str, str] = {}
+        sel_exprs: list[str] = []
+        for it in self._split_top(rest[: frm[0]], ","):
+            it = it.strip()
+            pa = self._split_top(it, "as")
+            if len(pa) > 1:
+                expr = " AS ".join(p.strip() for p in pa[:-1])
+                aliases[pa[-1].strip().strip('"').lower()] = expr
+                sel_exprs.append(expr)
+            else:
+                sel_exprs.append(it)
+                if re.fullmatch(r"[\w.]+", it):
+                    aliases[it.split(".")[-1].lower()] = it
+        hidden: list[str] = []
+        outer_ob: list[str] = []
+        win_ob: list[str] = []
+        if order_hit:
+            for idx, it in enumerate(self._split_top(order_exprs, ",")):
+                it = it.strip()
+                m2 = re.match(
+                    r"(?is)^(.*?)((?:\s+asc|\s+desc)?"
+                    r"(?:\s+nulls\s+(?:first|last))?)\s*$",
+                    it,
+                )
+                core = m2.group(1).strip()
+                suffix = (m2.group(2) or "").strip()
+                bare = re.fullmatch(r"[\w.]+", core)
+                if core.isdigit():
+                    n = int(core)
+                    if not (1 <= n <= len(sel_exprs)):
+                        raise UQueryError.sql_error(
+                            f"DISTINCT ON: ORDER BY ordinal {n} out of range"
+                        )
+                    win_ob.append(f"({sel_exprs[n - 1]}) {suffix}".strip())
+                    outer_ob.append(it)
+                    continue
+                if bare and core.split(".")[-1].lower() in aliases:
+                    # window specs can't see sibling select aliases —
+                    # substitute the aliased EXPRESSION inside, keep
+                    # the alias reference outside
+                    win_ob.append(
+                        f"({aliases[core.split('.')[-1].lower()]}) {suffix}".strip()
+                    )
+                    outer_ob.append(it)
+                else:
+                    win_ob.append(it)
+                    hidden.append(f"({core}) AS uq_ob{idx}")
+                    outer_ob.append(f"uq_ob{idx} {suffix}".strip())
+            order_exprs = ", ".join(win_ob)
+        except_cols = ", ".join(
+            ["uq_don"] + [h.split(" AS ")[-1] for h in hidden]
+        )
+        new_tail = ""
+        if order_hit:
+            new_tail = "ORDER BY " + ", ".join(outer_ob) + " "
+        if limit_hit:
+            new_tail += rest[limit_hit[0]:]
+        hidden_sql = (", " + ", ".join(hidden)) if hidden else ""
         return (
-            "SELECT * EXCEPT (uq_don) FROM (SELECT "
+            f"SELECT * EXCEPT ({except_cols}) FROM (SELECT "
             + rest[: frm[0]]
+            + hidden_sql
             + f", row_number() OVER (PARTITION BY {keys} ORDER BY {order_exprs}) AS uq_don "
             + rest[frm[0] : body_end]
             + ") WHERE uq_don = 1 "
-            + tail
+            + new_tail
         )
 
     _PIVOT_STMT_RE = re.compile(
@@ -10330,6 +10399,70 @@ class SqlRewriter:
             raise UQueryError.sql_error("Parameter argument/count mismatch")
         return "".join(out)
 
+    _REC_CTE_RE = re.compile(
+        r"(?is)^\s*WITH\s+RECURSIVE\s+(\w+)\s*(?:\(([^)]*)\))?\s*AS\s*\("
+    )
+
+    def _rewrite_recursive_union(self, sql: str) -> str:
+        """``WITH RECURSIVE t AS (seed UNION step)`` — the DISTINCT
+        form, whose termination depends on each iteration contributing
+        only UNSEEN rows (graph reachability, cycle-safe transitive
+        closure). Spark's native recursive CTE rejects it outright
+        (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE; the UNION ALL form
+        stays native — r13 shape probe). Evaluated here by driver-side
+        SEMI-NAIVE iteration, the standard datalog strategy: the step
+        is applied to the previous DELTA only (bound as a temp view),
+        new rows = step(delta) − total, stop when the delta is empty.
+        Each iteration is one distributed Spark job over the delta —
+        lineage is cut per round with localCheckpoint so deep
+        recursions keep constant-size plans. Iteration cap 200
+        (documented; DuckDB itself would run a non-terminating
+        recursion forever). The materialized fixpoint replaces the
+        CTE body; the rest of the statement is untouched."""
+        m = self._REC_CTE_RE.match(sql)
+        if not m:
+            return sql
+        close = self._find_close(sql, m.end() - 1)
+        if close == -1:
+            return sql
+        body = sql[m.end() : close]
+        parts = self._split_top(body, "union")
+        if len(parts) != 2 or re.match(r"(?is)^\s*all\b", parts[1]):
+            return sql  # UNION ALL (or no union): Spark-native path
+        name = m.group(1)
+        cols = [c.strip() for c in (m.group(2) or "").split(",") if c.strip()]
+        seed_sql, step_sql = parts[0].strip(), parts[1].strip()
+        self._rec_counter = getattr(self, "_rec_counter", 0) + 1
+        uid = f"uq_rec_{self._rec_counter}"
+        step_bound = self._sub_code_fn(
+            re.compile(rf"(?i)(?<![\w.]){re.escape(name)}(?![\w.])"),
+            lambda _m: f"{uid}_delta",
+            step_sql,
+        )
+        seed_df = self.spark.sql(self.rewrite(seed_sql)).distinct()
+        if cols:
+            seed_df = seed_df.toDF(*cols)
+        step_rewritten = self.rewrite(step_bound)
+        total = seed_df.localCheckpoint(eager=True)
+        delta = total
+        for _ in range(200):
+            if delta.limit(1).count() == 0:
+                break
+            delta.createOrReplaceTempView(f"{uid}_delta")
+            new = self.spark.sql(step_rewritten)
+            if cols:
+                new = new.toDF(*cols)
+            delta = new.distinct().subtract(total).localCheckpoint(eager=True)
+            total = total.union(delta).localCheckpoint(eager=True)
+        else:
+            raise UQueryError.sql_error(
+                "recursive CTE (UNION form) exceeded 200 iterations"
+            )
+        self.spark.catalog.dropTempView(f"{uid}_delta")
+        total.createOrReplaceTempView(uid)
+        rest = sql[close + 1 :]
+        return self.rewrite(f"WITH RECURSIVE {name} AS (SELECT * FROM {uid}){rest}")
+
     def rewrite(self, sql: str) -> str:
         if _FORBIDDEN_RE.match(sql):
             raise UQueryError.sql_error(
@@ -10397,6 +10530,7 @@ class SqlRewriter:
         sql = self._expand_macros(sql)
         sql = self._rewrite_summarize(sql)
         sql = self._rewrite_from_first(sql)
+        sql = self._rewrite_recursive_union(sql)
         # batch-24: standard FETCH FIRST / OFFSET n ROWS → LIMIT/OFFSET
         sql = self._rewrite_fetch_first(sql)
         sql = self._rewrite_tvfs(sql)
