@@ -10432,8 +10432,13 @@ class SqlRewriter:
         name = m.group(1)
         cols = [c.strip() for c in (m.group(2) or "").split(",") if c.strip()]
         seed_sql, step_sql = parts[0].strip(), parts[1].strip()
-        self._rec_counter = getattr(self, "_rec_counter", 0) + 1
-        uid = f"uq_rec_{self._rec_counter}"
+        # uuid, not an instance counter: the engine shares one rewriter
+        # per session across FAIR-pool concurrent requests, and two
+        # interleaved recursive queries must never collide on the
+        # delta/fixpoint temp-view names
+        import uuid
+
+        uid = f"uq_rec_{uuid.uuid4().hex[:12]}"
         step_bound = self._sub_code_fn(
             re.compile(rf"(?i)(?<![\w.]){re.escape(name)}(?![\w.])"),
             lambda _m: f"{uid}_delta",
