@@ -109,9 +109,13 @@ def winnowing_pairs(
         F.col(key_col).alias("id"),
         winnowing_fingerprints(F.col(text_col), k, window).alias("s"),
     )
+    # explode_outer + null filter: see _shingle_intersections — a plain
+    # explode's inferred `size(s) > 0` filter would run the whole
+    # winnowing expression below the spread() exchange, serially.
     post = sh.select(
-        F.struct("id", F.size("s").alias("nsh")).alias("m"), F.explode("s").alias("g")
-    )
+        F.struct("id", F.size("s").alias("nsh")).alias("m"),
+        F.explode_outer("s").alias("g"),
+    ).filter(F.col("g").isNotNull())
     pairs_in = _pairs_in_bucket(F.col("ms"))
     return (
         post.groupBy("g")
@@ -233,9 +237,19 @@ def _shingle_intersections(
     sh = _spread(docs).select(
         F.col(key_col).alias("id"), word_shingles(F.col(text_col), n).alias("s")
     )
+    # explode_outer (not explode) + post-generate null filter: a plain
+    # explode makes Catalyst infer `size(s) > 0 AND isnotnull(s)` and push
+    # it below the spread() exchange, where `s` inlines to the FULL shingle
+    # expression — the whole tokenize+shingle pass then runs serially on
+    # the unsplit scan before the repartition that was meant to
+    # parallelize it (measured: the single pre-exchange filter task
+    # dominated the stage). The outer generate infers nothing; empty-set
+    # docs surface as one null-g row each and die in the cheap column
+    # filter.
     post = sh.select(
-        F.struct("id", F.size("s").alias("nsh")).alias("m"), F.explode("s").alias("g")
-    )
+        F.struct("id", F.size("s").alias("nsh")).alias("m"),
+        F.explode_outer("s").alias("g"),
+    ).filter(F.col("g").isNotNull())
     pairs_in = _pairs_in_bucket(F.col("ms"))
     keep = (
         F.size("ms").between(2, max_df) if max_df is not None else F.size("ms") > 1
@@ -484,11 +498,17 @@ def minhash_lsh_pairs(
     overwhelming probability — which is how the oracle checks it.
     Columns: x, y, jaccard (rounded 4).
     """
-    sh = _spread(docs).select(
-        F.col(key_col).alias("id"), word_shingles(F.col(text_col), n).alias("s")
-    ).filter(F.size("s") > 0)
     # empty shingle sets are excluded: they'd collide in every band (null
     # signatures) and their Jaccard is 0/0 — not a near-duplicate by def.
+    # The filter is the CHEAP equivalent token-count test (word_shingles
+    # yields empty iff the doc has < n tokens), applied to the raw text:
+    # filtering on size(s) > 0 made Catalyst push the full shingle
+    # expression below the spread() exchange, running the whole
+    # tokenize+shingle pass serially on the unsplit scan — once per
+    # consumer of sh (candidates + both verify sides = 3x).
+    sh = _spread(docs.filter(F.size(F.split(F.col(text_col), " ")) >= n)).select(
+        F.col(key_col).alias("id"), word_shingles(F.col(text_col), n).alias("s")
+    )
     band_keys = minhash_band_keys(F.col("s"), bands, rows_per_band)
     buckets = sh.select("id", F.posexplode(band_keys).alias("band", "bkey"))
     candidates = _bucket_pairs(buckets, "band", "bkey")
@@ -693,13 +713,18 @@ def incremental_near_dedup(
     symmetric small problem (run jaccard_pairs_exact on the delta).
     """
     grams = word_shingles(F.col(text_col), n)
+    # explode_outer + null filter (see _shingle_intersections): a plain
+    # explode's inferred size(s) > 0 filter recomputes the shingle
+    # expression a second time per row at the scan.
     d = (
         delta.select(F.col(id_col).alias("did"), grams.alias("s"))
-        .select("did", F.size("s").alias("nd"), F.explode("s").alias("g"))
+        .select("did", F.size("s").alias("nd"), F.explode_outer("s").alias("g"))
+        .filter(F.col("g").isNotNull())
     )
     b = (
         base.select(F.col(id_col).alias("bid"), grams.alias("s"))
-        .select("bid", F.size("s").alias("nb"), F.explode("s").alias("g"))
+        .select("bid", F.size("s").alias("nb"), F.explode_outer("s").alias("g"))
+        .filter(F.col("g").isNotNull())
     )
     inter = (
         b.join(F.broadcast(d), "g")
@@ -798,9 +823,12 @@ def minhash_lsh_staged(
     verify step restarts from the candidate parquet instead of hour one.
     Same output contract as minhash_lsh_pairs: x, y, jaccard (rounded 4).
     """
-    sh = _spread(docs).select(
+    # Cheap token-count filter instead of size(s) > 0 — same rationale as
+    # minhash_lsh_pairs: the shingle-sized filter would be pushed below
+    # the spread() exchange and run the full shingle pass serially.
+    sh = _spread(docs.filter(F.size(F.split(F.col(text_col), " ")) >= n)).select(
         F.col(key_col).alias("id"), word_shingles(F.col(text_col), n).alias("s")
-    ).filter(F.size("s") > 0)
+    )
     band_keys = minhash_band_keys(F.col("s"), bands, rows_per_band)
     buckets = sh.select("id", F.posexplode(band_keys).alias("band", "bkey"))
     # Job 1: candidate pairs to disk (checkpoint of the expensive stage).
