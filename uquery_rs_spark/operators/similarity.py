@@ -514,7 +514,7 @@ def clear_centroid_cache() -> None:
 
 
 def ivf_topk(
-    queries: DataFrame,
+    queries: DataFrame | tuple[np.ndarray, np.ndarray],
     corpus: DataFrame,
     k: int,
     n_cells: int = 16,
@@ -537,9 +537,17 @@ def ivf_topk(
 
     Recall is measured, not assumed: tests/test_operators.py asserts
     recall@5 >= 0.9 against the exact cosine_topk_bruteforce baseline.
+
+    `queries` may be a pre-built `(ids, unit_matrix)` pair (same contract
+    as cosine_topk_bruteforce) so callers that can read the broadcast-side
+    query vectors driver-side skip the extra collect job.
     """
     spark = corpus.sparkSession
-    q_ids, Q = _collect_unit_matrix(queries, id_col, vec_col)
+    q_ids, Q = (
+        queries
+        if isinstance(queries, tuple)
+        else _collect_unit_matrix(queries, id_col, vec_col)
+    )
     cents = _trained_centroids(corpus, n_cells, id_col, vec_col, cache_key)
     if cents is None or not len(q_ids):  # empty side: no neighbors
         return spark.createDataFrame([], "query_id long, neighbor_id long, rank int")
@@ -562,7 +570,12 @@ def ivf_topk(
             S[q_ids[:, None] == ids[None, :]] = -np.inf  # self-exclusion
             yield _local_topk_frame(q_ids, ids, S, k)
 
-    part = spread(corpus.select(id_col, vec_col)).mapInPandas(
+    # Natural partitioning, no spread: same rationale as
+    # cosine_topk_bruteforce — matmul throughput wants FEW, LARGE Arrow
+    # batches, and fanning a one-split corpus out to 32 partitions makes
+    # 32 sliver matmuls whose Python-worker round-trips dwarf the math.
+    # At scale the parquet split count already provides the parallelism.
+    part = corpus.select(id_col, vec_col).mapInPandas(
         probe_topk, "query_id long, neighbor_id long, sim double"
     )
     return _global_topk(part, k)

@@ -56,6 +56,46 @@ def language_scores(toks: Column) -> list[Column]:
     ]
 
 
+LANG_ST = "uq_lang_st"  # conventional name for the projected score struct
+
+
+def with_language_struct(docs: DataFrame, toks_col: str = TOKS) -> DataFrame:
+    """Project ALL four stopword ratios once as a struct column.
+
+    Selecting language_scores(toks) AND predicted_language(toks) in one
+    projection evaluates every ratio twice (the argmax's bind() shares
+    work inside itself, but not with the score columns) — 8 interpreted
+    filter passes over the token array per row. A struct column referenced
+    by several downstream field extractions is protected from
+    CollapseProject inlining (same rule with_tokens relies on), so the 4
+    ratios run exactly once per row and scores + argmax read the fields.
+    """
+    return docs.withColumn(
+        LANG_ST,
+        F.struct(
+            *[
+                stopword_ratio(F.col(toks_col), w).alias(lang)
+                for lang, w in STOPWORDS.items()
+            ]
+        ),
+    )
+
+
+def language_struct_scores(st: Column) -> list[Column]:
+    """`<lang>_score` columns (rounded 4) from a with_language_struct col."""
+    return [F.round(st[lang], 4).alias(f"{lang}_score") for lang in STOPWORDS]
+
+
+def language_struct_argmax(st: Column) -> Column:
+    """argmax over a with_language_struct column; 'und' when all zero.
+    Ties resolve in STOPWORDS iteration order — the oracle's CASE chain."""
+    best = F.greatest(*[st[lang] for lang in STOPWORDS])
+    expr = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):
+        expr = F.when(st[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best > 0, expr).otherwise(F.lit("und"))
+
+
 def predicted_language(toks: Column) -> Column:
     """argmax over language scores; 'und' (undetermined) when all zero.
 

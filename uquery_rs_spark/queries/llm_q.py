@@ -459,9 +459,11 @@ ORDER BY query_id
 
 def _ivf_topk_raw(spark: SparkSession, sf: str) -> DataFrame:
     """The raw IVF probe — bench.py times THIS (bench_fn) so the headline
-    number stays the kernel, not kernel + exact-baseline verification."""
+    number stays the kernel, not kernel + exact-baseline verification.
+    The query matrix is read driver-side from the parquet file when
+    possible (same contract as ann_cosine_topk), skipping a collect job."""
     emb = load_tables(spark, sf)["embeddings"]
-    queries = emb.filter(F.col("vec_id") < 100)
+    queries = _query_matrix(sf) or emb.filter(F.col("vec_id") < 100)
     return S.ivf_topk(
         queries, emb, k=5, n_cells=16, nprobe=12, cache_key=f"{sf}/embeddings"
     ).orderBy("query_id", "rank")
@@ -542,13 +544,20 @@ ORDER BY doc_id
 )
 def text_language_id(spark: SparkSession, sf: str) -> DataFrame:
     """Stopword-overlap language ID with per-language scores + argmax."""
-    docs = TX.with_tokens(load_tables(spark, sf)["documents"])
-    toks = F.col(TX.TOKS)
+    # spread() first: the documents parquet is a single split at bench
+    # scale, so without the round-robin exchange the interpreted
+    # stopword-filter projection runs on ONE core.
+    from ..functions.expr import spread
+
+    docs = TX.with_language_struct(
+        TX.with_tokens(spread(load_tables(spark, sf)["documents"]))
+    )
+    st = F.col(TX.LANG_ST)
     return docs.select(
         "doc_id",
         "lang",
-        *TX.language_scores(toks),
-        TX.predicted_language(toks).alias("predicted"),
+        *TX.language_struct_scores(st),
+        TX.language_struct_argmax(st).alias("predicted"),
     ).orderBy("doc_id")
 
 
