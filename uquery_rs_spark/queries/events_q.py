@@ -65,33 +65,55 @@ def tumbling_window_approx(spark: SparkSession, sf: str) -> DataFrame:
     """The documented 100 TB plan for tumbling_window_events (NOTES
     entry 22): count(DISTINCT user_id) forces Spark's distinct-expand
     shuffle of every (window, event_type, user_id) triple — the named
-    per-row shuffle bound — while approx_count_distinct (HLL++) folds
-    into the ordinary partial-aggregate path: one map-side combine,
-    sketches merged on the reduce side, shuffle volume ∝ groups, not
-    rows. This entry makes the recommended at-scale plan itself
+    per-row shuffle bound — while an HLL sketch aggregate folds into
+    the ordinary partial-aggregate path: one map-side combine, sketches
+    merged on the reduce side, shuffle volume ∝ groups, not rows. This
+    entry makes the recommended at-scale plan itself
     correctness-checked (within_bound registry convention, like the
     ANN recall shapes): checked columns are the exact values both
-    engines compute identically plus the claim that the rsd=0.01
-    sketch lands within max(1, 5%) of the exact count per window."""
+    engines compute identically plus the claim that the Datasketches
+    HLL estimate (lgConfigK=12 ≈ 1.6% rse — the same sketch
+    events_hll_sketch_rollup materializes) lands within max(1, 5%) of
+    the exact count per window."""
     ev = load_tables(spark, sf)["events"]
-    exact = F.countDistinct("user_id")
-    approx = F.expr("approx_count_distinct(user_id, 0.01)")
-    bound = F.abs(approx.cast("double") - exact.cast("double")) <= F.greatest(
-        F.lit(1.0), exact.cast("double") * F.lit(0.05)
+    # The exact and approx counts are computed in SEPARATE aggregations
+    # and joined on the ~|windows| group keys: putting
+    # approx_count_distinct in the same agg as countDistinct drags the
+    # sketch through the distinct-expand path — Catalyst groups by
+    # (window, event_type, user_id) first, so the partial aggregate
+    # builds and shuffles a ~1640-long HLL buffer (rsd 0.01 ⇒ 2^14
+    # registers ≈ 13 KB) PER DISTINCT TRIPLE instead of per window
+    # (measured 24-44 s at sf0.01 vs ~1 s split). Split, the sketch side
+    # folds into the ordinary partial-aggregate path — shuffle ∝ groups ×
+    # sketch size — which is exactly the at-scale design this entry
+    # exists to pin.
+    win = F.window("ts", "1 hour").alias("w")
+    exact = ev.groupBy(win, "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
     )
+    # Datasketches HLL (lgConfigK=12 ≈ 1.6% rse — the same sketch and
+    # bound events_hll_sketch_rollup pins) instead of
+    # approx_count_distinct(rsd=0.01): Spark's HLL++ at rsd 0.01 needs a
+    # 2^14-register buffer flattened into ~1640 aggregation-buffer
+    # columns, which blows past the ~100-field whole-stage-codegen limit
+    # and drops the whole aggregate to interpreted row mode (measured
+    # 16-20 s vs 0.3 s at sf0.01). The Datasketches buffer is ONE binary
+    # column through ObjectHashAggregate.
+    approx = ev.groupBy(win, "event_type").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").alias("_apx")
+    )
+    bound = F.abs(
+        F.col("_apx").cast("double") - F.col("n_users").cast("double")
+    ) <= F.greatest(F.lit(1.0), F.col("n_users").cast("double") * F.lit(0.05))
     return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            exact.alias("n_users"),
-            bound.alias("within_bound"),
-        )
+        exact.join(approx, ["w", "event_type"])
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
             "n_events",
             "n_users",
-            "within_bound",
+            bound.alias("within_bound"),
         )
         .orderBy("window_start", "event_type")
     )

@@ -788,12 +788,12 @@ class SqlRewriter:
     @staticmethod
     def _in_literal(sql: str, idx: int) -> bool:
         """True when sql[idx] sits inside a single-quoted literal (''
-        doubling toggles twice and cancels)."""
-        in_lit = False
-        for i in range(idx):
-            if sql[i] == "'":
-                in_lit = not in_lit
-        return in_lit
+        doubling toggles twice and cancels) — i.e. an odd number of
+        quotes precede it. str.count runs the scan in C: the Python
+        char loop this replaces was O(idx) of interpreter time per call
+        and turned the many-probe passes quadratic on large rewritten
+        SQL (measured 9 s of a 40 s information_schema rewrite)."""
+        return sql.count("'", 0, idx) % 2 == 1
 
     @classmethod
     def _search_code(cls, pattern: "re.Pattern[str]", sql: str, pos: int = 0):
@@ -10089,6 +10089,25 @@ class SqlRewriter:
                 raise UQueryError.sql_error("TIMETZ is not supported")
             if tybase not in self._INTEGRAL_TYPES:
                 chosen.append(neutral[k])
+                continue
+            # Statically classifiable operands skip the two analysis
+            # probes (each a py4j spark.sql round-trip, ~60 ms — an
+            # emitted inline relation can carry hundreds of NULL/integer
+            # casts, measured 26 s of probe time on the
+            # information_schema battery). Same outcomes the probes
+            # produce: NULL, integer and single-quoted string literals
+            # are non-fractional → neutral; a fractional numeric literal
+            # rounds (DuckDB CAST(2.5 AS BIGINT) = 3).
+            e = expr.strip()
+            if (
+                re.fullmatch(r"(?i)null", e)
+                or re.fullmatch(r"[+-]?\d+", e)
+                or (len(e) >= 2 and e[0] == "'" and e[-1] == "'" and "'" not in e[1:-1])
+            ):
+                chosen.append(neutral[k])
+                continue
+            if re.fullmatch(r"[+-]?(?:\d+\.\d*|\.\d+)(?:[eE][+-]?\d+)?", e):
+                chosen.append(form(k, f"round({expr})"))
                 continue
 
             def analyzes(probe_expr: str) -> bool:
