@@ -631,6 +631,13 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         pairs.select(F.col("x").alias("a"), F.col("y").alias("b"))
         .union(pairs.select(F.col("y").alias("a"), F.col("x").alias("b")))
         .distinct()
+        # Materialize ONCE before the loop: edges' lineage embeds the
+        # whole upstream pair pipeline (for LSH callers, the full
+        # candidate+verify job), and every round's propagation join —
+        # plus the changed-check action — would re-execute it from the
+        # scan. The labels checkpoint below truncates only the label
+        # lineage; this one truncates the expensive input exactly once.
+        .localCheckpoint()
     )
     labels = edges.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id"))
     for _ in range(max_iter):
