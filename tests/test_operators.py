@@ -48,6 +48,42 @@ class TestDedup:
         lsh = {(r.x, r.y) for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()}
         assert lsh == exact and len(exact) > 0
 
+    def test_minhash_affine_binding_bit_identical(self, spark):
+        """The bound-coefficient kernel (_affine_min, r13) must emit
+        signatures bit-identical to the naive per-element affine form it
+        replaced: same constants, same operand order, so LSH candidates
+        (and every oracle hash downstream) are unchanged."""
+        from uquery_rs_spark.operators.dedup import (
+            _MINHASH_A,
+            _MINHASH_B,
+            _MINHASH_P,
+        )
+
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        sh = D.word_shingles(F.col("text"), 3)
+        p = F.lit(_MINHASH_P).cast("long")
+        naive = F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda j: F.array_min(
+                F.transform(
+                    F.transform(sh, lambda s: F.pmod(F.xxhash64(s), p)),
+                    lambda h: F.pmod(
+                        F.pmod(F.lit(_MINHASH_A) * (j.cast("long") + 1), p) * h
+                        + F.pmod(F.lit(_MINHASH_B) * (j.cast("long") + 7), p),
+                        p,
+                    ),
+                )
+            ),
+        )
+        mismatches = (
+            docs.select(
+                D.minhash_signature(sh, 16).alias("opt"), naive.alias("ref")
+            )
+            .filter(~F.expr("opt <=> ref"))
+            .count()
+        )
+        assert mismatches == 0
+
     def test_exact_dedup_keeps_one_per_text(self, spark):
         docs = spark.createDataFrame(
             [(1, "a b c", "s"), (2, "a b c", "s"), (3, "x y z", "s")],

@@ -424,16 +424,28 @@ def minhash_signature(shingles: Column, num_perm: int) -> Column:
         F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), p)),
         lambda base: F.transform(
             F.sequence(F.lit(0), F.lit(num_perm - 1)),
-            lambda j: F.array_min(
-                F.transform(
-                    base,
-                    # a_j, b_j < p  and  base < p  ⇒ products < 2^62: exact
-                    lambda h: F.pmod(
-                        F.pmod(F.lit(_MINHASH_A) * (j.cast("long") + 1), p) * h
-                        + F.pmod(F.lit(_MINHASH_B) * (j.cast("long") + 7), p),
-                        p,
-                    ),
-                )
+            lambda j: _affine_min(base, j, p),
+        ),
+    )
+
+
+def _affine_min(base: Column, j: Column, p: Column) -> Column:
+    """min over `base` of the j-th affine permutation (a_j*h + b_j) mod p.
+
+    a_j and b_j depend only on j, so they are bound ONCE per permutation
+    (functions.expr.bind) instead of being re-derived inside the
+    per-element lambda — the interpreter otherwise evaluates the two
+    pmod/multiply subtrees |shingles| times per permutation (~9 node
+    evals per element instead of 3). Same affine map, same operand
+    order: keys are bit-identical. a_j, b_j < p and base < p ⇒ products
+    < 2^62: exact int64, safe under ANSI mode.
+    """
+    return bind(
+        F.pmod(F.lit(_MINHASH_A) * (j.cast("long") + 1), p),
+        lambda aj: bind(
+            F.pmod(F.lit(_MINHASH_B) * (j.cast("long") + 7), p),
+            lambda bj: F.array_min(
+                F.transform(base, lambda h: F.pmod(aj * h + bj, p))
             ),
         ),
     )
@@ -452,21 +464,11 @@ def minhash_band_keys(shingles: Column, bands: int, rows_per_band: int) -> Colum
     """
     p = F.lit(_MINHASH_P).cast("long")
 
-    def perm_min(base: Column, j: Column) -> Column:
-        return F.array_min(
-            F.transform(
-                base,
-                lambda h: F.pmod(
-                    F.pmod(F.lit(_MINHASH_A) * (j.cast("long") + 1), p) * h
-                    + F.pmod(F.lit(_MINHASH_B) * (j.cast("long") + 7), p),
-                    p,
-                ),
-            )
-        )
-
     # The base-hash array is bound once per row; without bind() every
     # permutation's expression holds its own copy and re-hashes all
-    # shingles (96x the xxhash work).
+    # shingles (96x the xxhash work). Each permutation's affine
+    # coefficients are likewise bound once per (row, perm) — see
+    # _affine_min.
     return bind(
         F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), p)),
         lambda base: F.transform(
@@ -474,7 +476,7 @@ def minhash_band_keys(shingles: Column, bands: int, rows_per_band: int) -> Colum
             lambda b: F.hash(
                 F.transform(
                     F.sequence(F.lit(0), F.lit(rows_per_band - 1)),
-                    lambda r: perm_min(base, b * rows_per_band + r),
+                    lambda r: _affine_min(base, b * rows_per_band + r, p),
                 ),
                 b,
             ),

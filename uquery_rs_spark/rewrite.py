@@ -9242,12 +9242,8 @@ class SqlRewriter:
         probes (same machinery as len())."""
         if not self._search_code(self._LENGTH_RE, sql):
             return sql
-        try:
-            with _probe_quiet():
-                self.spark.sql(f"SELECT * FROM ({sql}) uq_lnp LIMIT 0")
+        if self._probe_analyzes(f"SELECT * FROM ({sql}) uq_lnp LIMIT 0"):
             return sql
-        except Exception:
-            pass
         return self._poly_size_impl(sql, self._LENGTH_RE)
 
     def _poly_size_impl(self, sql: str, regex: "re.Pattern[str]") -> str:
@@ -9289,13 +9285,11 @@ class SqlRewriter:
         chosen: list[str] = []
         for k, a in enumerate(args):
             probe_forms = neutral[:k] + [f"size({a})"] + neutral[k + 1 :]
-            try:
-                with _probe_quiet():
-                    self.spark.sql(
-                        f"SELECT * FROM ({compose(probe_forms)}) uq_len LIMIT 0"
-                    )
+            if self._probe_analyzes(
+                f"SELECT * FROM ({compose(probe_forms)}) uq_len LIMIT 0"
+            ):
                 chosen.append(f"size({a})")
-            except Exception:
+            else:
                 chosen.append(f"length({a})")
         return compose(chosen)
 
@@ -9710,6 +9704,26 @@ class SqlRewriter:
             else:
                 pos = j
 
+    def _probe_analyzes(self, probe_sql: str) -> bool:
+        """Boolean LIMIT-0 analysis probe through the RAW JVM session.
+
+        Used by every probe site that needs only pass/fail (never the
+        exception message): pyspark's SparkSession.sql wraps a failure
+        in captured.convert_exception, which rebuilds message, query
+        contexts and both stack traces through ~20 extra py4j round
+        trips — measured ~9 ms per FAILING probe on top of the JVM's
+        own failed-analysis cost, and battery-sized statements issue
+        hundreds of expected failures. The raw _jsparkSession.sql call
+        performs the same eager parse+analysis (Dataset.ofRows asserts
+        analyzed); a failure surfaces as a plain Py4JJavaError that is
+        caught and dropped unread."""
+        try:
+            with _probe_quiet():
+                self.spark._jsparkSession.sql(probe_sql)
+            return True
+        except Exception:
+            return False
+
     def _time_wrap_probe(self, candidate_sql: str) -> bool:
         """LIMIT-0 analysis probe for the TIME-wrap dispatch. Runs AFTER
         the poly resolver, so the text is Spark-valid modulo the
@@ -9717,16 +9731,12 @@ class SqlRewriter:
         Pending sibling interval sites are stripped first — see
         _strip_pending_interval_sites."""
         candidate_sql = self._strip_pending_interval_sites(candidate_sql)
-        try:
-            with _probe_quiet():
-                self.spark.sql(
-                    "SELECT * FROM ("
-                    + self._rewrite_len(self._rewrite_cast(candidate_sql))
-                    + ") uq_tw LIMIT 0"
-                )
-            return True
-        except Exception:
-            return False
+        with _probe_quiet():
+            return self._probe_analyzes(
+                "SELECT * FROM ("
+                + self._rewrite_len(self._rewrite_cast(candidate_sql))
+                + ") uq_tw LIMIT 0"
+            )
 
     def _time_wrap_choose(
         self, sql: str, start: int, end: int, a: str, op: str, ilit: str
@@ -9962,14 +9972,11 @@ class SqlRewriter:
                     # and would veto every sibling probe — strip them,
                     # type-neutral (round-9 timemix fuzzer catch)
                     probe = self._strip_pending_interval_sites(probe)
-                    try:
-                        with _probe_quiet():
-                            self.spark.sql(
-                                f"SELECT * FROM ({self._rewrite_len(self._rewrite_cast(probe))}) uq_ps LIMIT 0"
-                            )
-                        return True
-                    except Exception:
-                        continue
+                    with _probe_quiet():
+                        if self._probe_analyzes(
+                            f"SELECT * FROM ({self._rewrite_len(self._rewrite_cast(probe))}) uq_ps LIMIT 0"
+                        ):
+                            return True
                 return False
 
             if m.group(1) == "mapi":
@@ -10110,16 +10117,27 @@ class SqlRewriter:
                 chosen.append(form(k, f"round({expr})"))
                 continue
 
+            # Probe-statement construction (the rewriter is composing a
+            # LIMIT-0 probe for a DIFFERENT dispatch — thread-local
+            # _probe_quiet marks exactly those regions): the rounding
+            # classification is irrelevant to whether the probe ANALYZES
+            # (round(e) and e are analyzable for exactly the same
+            # operand types), and the resolved statement still gets the
+            # full classification on its final _rewrite_cast pass. The
+            # nested probes were the dominant rewrite cost on
+            # battery-sized statements: every poly-subscript probe_ok
+            # re-ran 2 analysis probes per cast site (b36_maplist:
+            # 246 probes, 29.5 s of a 29.8 s rewrite).
+            if getattr(_PROBE_TLS, "quiet", False):
+                chosen.append(neutral[k])
+                continue
+
             def analyzes(probe_expr: str) -> bool:
                 forms = neutral[:k] + [probe_expr] + neutral[k + 1 :]
-                try:
-                    with _probe_quiet():
-                        self.spark.sql(
-                            f"SELECT * FROM ({self._rewrite_len(compose(forms))}) uq_cast LIMIT 0"
-                        )
-                    return True
-                except Exception:
-                    return False
+                with _probe_quiet():
+                    return self._probe_analyzes(
+                        f"SELECT * FROM ({self._rewrite_len(compose(forms))}) uq_cast LIMIT 0"
+                    )
 
             if not analyzes(f"(({expr}) & 1)") and analyzes(f"abs({expr})"):
                 chosen.append(form(k, f"round({expr})"))  # fractional operand
