@@ -1486,3 +1486,94 @@ class TestPca:
             assert abs(got[i].pc2 - want[i, 1]) < 1e-8
             assert got[i].sq_resid >= -1e-9
             assert abs(got[i].var_captured_ratio - captured) < 1e-9
+
+
+class TestR14BuildOptimizations:
+    """r14: expression memoization, stats-based spread, and the matmul
+    spread guard — internals changed for plan-build cost; these pin that
+    behavior (and results) are unchanged."""
+
+    def test_cached_expr_returns_same_object_and_same_results(self, spark):
+        from uquery_rs_spark.functions.expr import cached_expr
+        from uquery_rs_spark.operators.dedup import _shingles_cached
+
+        a = _shingles_cached("text", 3)
+        b = _shingles_cached("text", 3)
+        assert a is b  # process-wide memo hit
+        assert _shingles_cached("text", 4) is not a  # parameter-keyed
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        fresh = D.word_shingles(F.col("text"), 3)
+        mism = (
+            docs.select(a.alias("m"), fresh.alias("r"))
+            .filter(F.col("m") != F.col("r"))
+            .count()
+        )
+        assert mism == 0
+
+    def test_spread_stats_path_repartitions_small_scan(self, spark):
+        """A one-split parquet scan must still be fanned to the session
+        parallelism by the stats-based estimate (no RDD conversion)."""
+        from uquery_rs_spark.functions.expr import spread
+
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        out = spread(docs)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "Repartition" in plan
+        target = spark.sparkContext.defaultParallelism
+        assert out.rdd.getNumPartitions() == target
+
+    def test_spread_unknown_stats_falls_back_to_exact(self, spark):
+        """RDD-backed frames report effectively-infinite stats; spread
+        must fall back to the exact partition probe, not repartition a
+        frame that already has enough partitions."""
+        from uquery_rs_spark.functions.expr import spread
+
+        target = spark.sparkContext.defaultParallelism
+        rdd_df = spark.range(0, 1000, 1, target + 4).rdd.map(
+            lambda r: (r.id,)
+        ).toDF("id: bigint")
+        assert int(
+            rdd_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        ) >= (1 << 60)
+        out = spread(rdd_df)
+        assert out.rdd.getNumPartitions() == target + 4  # untouched
+
+    def test_spread_if_large_guard(self, spark):
+        """ann matmul corpora keep natural partitioning below the
+        bytes-per-slot threshold and fan out above it (r13 verdict
+        'what's wrong' #2)."""
+        from uquery_rs_spark.operators import similarity as S
+
+        emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        # tiny corpus: untouched (no round-robin exchange)
+        plan = S._spread_if_large(emb)._jdf.queryExecution().optimizedPlan().toString()
+        assert "Repartition" not in plan
+        # force the threshold to zero: the same corpus must now spread
+        import pytest as _pytest
+
+        orig = S._SPREAD_MIN_BYTES_PER_SLOT
+        S._SPREAD_MIN_BYTES_PER_SLOT = 0
+        try:
+            plan2 = (
+                S._spread_if_large(emb)._jdf.queryExecution().optimizedPlan().toString()
+            )
+        finally:
+            S._SPREAD_MIN_BYTES_PER_SLOT = orig
+        assert "Repartition" in plan2
+
+    def test_unit_queries_normalizes_raw_matrix(self, spark):
+        """The duck-typed (ids, matrix) fast path re-normalizes non-unit
+        rows (r13 ADVICE #4) and passes unit matrices through bit-identical."""
+        import numpy as np
+
+        from uquery_rs_spark.operators.similarity import _unit_queries
+
+        ids = np.array([1, 2], dtype="int64")
+        raw = np.array([[3.0, 4.0], [0.0, 2.0]])
+        _, M = _unit_queries((ids, raw))
+        assert np.allclose(np.linalg.norm(M, axis=1), 1.0)
+        unit = raw / np.linalg.norm(raw, axis=1, keepdims=True)
+        _, M2 = _unit_queries((ids, unit))
+        assert M2 is unit or (M2 == unit).all()

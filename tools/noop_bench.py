@@ -27,9 +27,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repeats = int(os.environ.get("UQ_NOOP_REPEATS", "5"))
     names = sys.argv[1:] or [n for n, q in Q.REGISTRY.items() if q.bench]
+    unknown = [n for n in names if n not in Q.REGISTRY]
+    if unknown:
+        raise SystemExit(f"unknown query names: {unknown}")
     spark = get_spark("noop-bench")
-    # warm session + parquet footers
-    Q.REGISTRY[names[0]].spark_fn(spark, sf_dir).count()
+    # warm session + parquet footers with the first TIMED callable
+    # (bench_fn when set) so its plan/codegen isn't cold relative to
+    # the others' — plus each query's own untimed warmup run below.
+    q0 = Q.REGISTRY[names[0]]
+    (q0.bench_fn or q0.spark_fn)(spark, sf_dir).count()
     out = {}
     for name in names:
         q = Q.REGISTRY[name]

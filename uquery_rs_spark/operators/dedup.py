@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.expr import bind, spread as _spread
+from ..functions.expr import bind, cached_expr, spread as _spread
 
 # Affine minwise-hash permutations (Broder) over the Mersenne prime 2^31-1.
 # All arithmetic stays < 2^62, so it is exact int64 — safe under Spark 4's
@@ -55,6 +55,15 @@ def word_shingles(text: Column, n: int = 3) -> Column:
         ).otherwise(F.array().cast("array<string>"))
 
     return bind(F.split(text, " "), build)
+
+
+def _shingles_cached(text_col: str, n: int) -> Column:
+    """Process-wide memo of the word_shingles expression tree for a named
+    column (functions.expr.cached_expr): the tree depends only on
+    (column name, n) and costs ~50 ms of py4j traffic to build."""
+    return cached_expr(
+        ("word_shingles", text_col, n), lambda: word_shingles(F.col(text_col), n)
+    )
 
 
 def winnowing_fingerprints(text: Column, k: int = 25, window: int = 16) -> Column:
@@ -107,7 +116,10 @@ def winnowing_pairs(
     """
     sh = _spread(docs).select(
         F.col(key_col).alias("id"),
-        winnowing_fingerprints(F.col(text_col), k, window).alias("s"),
+        cached_expr(
+            ("winnowing_fingerprints", text_col, k, window),
+            lambda: winnowing_fingerprints(F.col(text_col), k, window),
+        ).alias("s"),
     )
     # explode_outer + null filter: see _shingle_intersections — a plain
     # explode's inferred `size(s) > 0` filter would run the whole
@@ -116,7 +128,7 @@ def winnowing_pairs(
         F.struct("id", F.size("s").alias("nsh")).alias("m"),
         F.explode_outer("s").alias("g"),
     ).filter(F.col("g").isNotNull())
-    pairs_in = _pairs_in_bucket(F.col("ms"))
+    pairs_in = _pairs_in_bucket(F.col("ms"), memo_name="ms")
     return (
         post.groupBy("g")
         .agg(F.sort_array(F.collect_list("m")).alias("ms"))
@@ -134,8 +146,15 @@ def winnowing_pairs(
     )
 
 
-def _pairs_in_bucket(ids: Column) -> Column:
-    """All (x, y) pairs with x < y from an ascending-sorted id array."""
+def _pairs_in_bucket(ids: Column, memo_name: str | None = None) -> Column:
+    """All (x, y) pairs with x < y from an ascending-sorted id array.
+    ``memo_name``: pass the column NAME to reuse the expression tree
+    process-wide (functions.expr.cached_expr, ~29 ms of py4j per build)."""
+    if memo_name is not None:
+        return cached_expr(
+            ("pairs_in_bucket", memo_name),
+            lambda: _pairs_in_bucket(F.col(memo_name)),
+        )
     return F.flatten(
         F.transform(
             ids,
@@ -160,7 +179,7 @@ def _bucket_pairs(buckets: DataFrame, *key_cols: str) -> DataFrame:
         buckets.groupBy(*key_cols)
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") > 1)
-        .select(F.explode(_pairs_in_bucket(F.col("ids"))).alias("p"))
+        .select(F.explode(_pairs_in_bucket(F.col("ids"), memo_name="ids")).alias("p"))
         .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
         .distinct()
     )
@@ -235,7 +254,7 @@ def _shingle_intersections(
     — capped results are a subset of uncapped (asserted in tests).
     """
     sh = _spread(docs).select(
-        F.col(key_col).alias("id"), word_shingles(F.col(text_col), n).alias("s")
+        F.col(key_col).alias("id"), _shingles_cached(text_col, n).alias("s")
     )
     # explode_outer (not explode) + post-generate null filter: a plain
     # explode makes Catalyst infer `size(s) > 0 AND isnotnull(s)` and push
@@ -250,7 +269,7 @@ def _shingle_intersections(
         F.struct("id", F.size("s").alias("nsh")).alias("m"),
         F.explode_outer("s").alias("g"),
     ).filter(F.col("g").isNotNull())
-    pairs_in = _pairs_in_bucket(F.col("ms"))
+    pairs_in = _pairs_in_bucket(F.col("ms"), memo_name="ms")
     keep = (
         F.size("ms").between(2, max_df) if max_df is not None else F.size("ms") > 1
     )
@@ -509,9 +528,12 @@ def minhash_lsh_pairs(
     # tokenize+shingle pass serially on the unsplit scan — once per
     # consumer of sh (candidates + both verify sides = 3x).
     sh = _spread(docs.filter(F.size(F.split(F.col(text_col), " ")) >= n)).select(
-        F.col(key_col).alias("id"), word_shingles(F.col(text_col), n).alias("s")
+        F.col(key_col).alias("id"), _shingles_cached(text_col, n).alias("s")
     )
-    band_keys = minhash_band_keys(F.col("s"), bands, rows_per_band)
+    band_keys = cached_expr(
+        ("minhash_band_keys", "s", bands, rows_per_band),
+        lambda: minhash_band_keys(F.col("s"), bands, rows_per_band),
+    )
     buckets = sh.select("id", F.posexplode(band_keys).alias("band", "bkey"))
     candidates = _bucket_pairs(buckets, "band", "bkey")
     sets_x = sh.select(F.col("id").alias("x"), F.col("s").alias("sx"))
@@ -579,7 +601,10 @@ def simhash_pairs(
     """
     fp = _spread(docs).select(
         F.col(key_col).alias("id"),
-        simhash60(F.split(F.col(text_col), " ")).alias("fp"),
+        cached_expr(
+            ("simhash60", text_col),
+            lambda: simhash60(F.split(F.col(text_col), " ")),
+        ).alias("fp"),
     )
     chunks = fp.select(
         "id",
@@ -686,7 +711,7 @@ def contamination_hits(
     grams — no corpus shuffle until the final per-doc count, which
     carries only the (rare) hit rows.
     """
-    grams = word_shingles(F.col(text_col), n)
+    grams = _shingles_cached(text_col, n)
     bench_grams = (
         docs.filter(bench_pred)
         .select(F.explode(grams).alias("g"))
@@ -721,7 +746,7 @@ def incremental_near_dedup(
     runs, and base never re-shuffles. Within-delta duplicates are the
     symmetric small problem (run jaccard_pairs_exact on the delta).
     """
-    grams = word_shingles(F.col(text_col), n)
+    grams = _shingles_cached(text_col, n)
     # explode_outer + null filter (see _shingle_intersections): a plain
     # explode's inferred size(s) > 0 filter recomputes the shingle
     # expression a second time per row at the scan.
@@ -836,9 +861,12 @@ def minhash_lsh_staged(
     # minhash_lsh_pairs: the shingle-sized filter would be pushed below
     # the spread() exchange and run the full shingle pass serially.
     sh = _spread(docs.filter(F.size(F.split(F.col(text_col), " ")) >= n)).select(
-        F.col(key_col).alias("id"), word_shingles(F.col(text_col), n).alias("s")
+        F.col(key_col).alias("id"), _shingles_cached(text_col, n).alias("s")
     )
-    band_keys = minhash_band_keys(F.col("s"), bands, rows_per_band)
+    band_keys = cached_expr(
+        ("minhash_band_keys", "s", bands, rows_per_band),
+        lambda: minhash_band_keys(F.col("s"), bands, rows_per_band),
+    )
     buckets = sh.select("id", F.posexplode(band_keys).alias("band", "bkey"))
     # Job 1: candidate pairs to disk (checkpoint of the expensive stage).
     _bucket_pairs(buckets, "band", "bkey").write.mode("overwrite").parquet(

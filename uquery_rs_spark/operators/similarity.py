@@ -97,6 +97,48 @@ def _collect_unit_matrix(df: DataFrame, id_col: str, vec_col: str) -> tuple[np.n
     return ids, M
 
 
+# Fan a matmul corpus out to the session parallelism only when every
+# post-spread slice still holds a vectorization-worthy batch (~8 MiB of
+# vector payload per core). Below that, spreading a small corpus makes
+# sliver matmuls whose Python-worker round-trips dwarf the math
+# (measured round 2 and again round 13 on ann_ivf_topk).
+_SPREAD_MIN_BYTES_PER_SLOT = 8 << 20
+
+
+def _spread_if_large(df: DataFrame) -> DataFrame:
+    """Split-count-aware spread guard for mapInPandas matmul corpora.
+
+    Natural partitioning is right when the scan has enough splits OR the
+    corpus is small; the pathological case is a few-splits-huge-rowgroup
+    corpus that would serialize the matmul pass. Size comes from
+    optimizer plan statistics (parquet footer — no job), the same signal
+    minhash_lsh_auto dispatches on; unknown stats (RDD-backed inputs
+    report effectively Long.Max) stay un-spread."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if size >= (1 << 60) or size < target * _SPREAD_MIN_BYTES_PER_SLOT:
+        return df
+    return spread(df)
+
+
+def _unit_queries(q: tuple[np.ndarray, np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """Guard the duck-typed (ids, matrix) query contract: the tuple fast
+    path requires unit-normalized float64 rows (cosine = dot). A caller
+    passing a raw matrix would silently get wrong ranks, so re-normalize
+    when the row norms are measurably off 1 — already-unit matrices pass
+    through untouched (no re-division, keeping sims bit-identical)."""
+    ids, M = q
+    if len(ids):
+        M = np.asarray(M, dtype="float64")
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        if not np.allclose(norms, 1.0, atol=1e-6):
+            M = M / np.where(norms == 0.0, 1.0, norms)
+    return ids, M
+
+
 def _batch_unit(pdf: pd.DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
     ids = pdf[id_col].to_numpy().astype("int64")
     A = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
@@ -222,7 +264,7 @@ def cosine_topk_bruteforce(
     """
     spark = corpus.sparkSession
     q_side = (
-        queries
+        _unit_queries(queries)
         if isinstance(queries, tuple)
         else _collect_unit_matrix(queries, id_col, vec_col)
     )
@@ -245,7 +287,7 @@ def cosine_topk_bruteforce(
             S[q_ids[:, None] == ids[None, :]] = -np.inf  # self-exclusion
             yield _local_topk_frame(q_ids, ids, S, k)
 
-    part = corpus.select(id_col, vec_col).mapInPandas(
+    part = _spread_if_large(corpus.select(id_col, vec_col)).mapInPandas(
         local_topk, "query_id long, neighbor_id long, sim double"
     )
     return _global_topk(part, k)
@@ -544,7 +586,7 @@ def ivf_topk(
     """
     spark = corpus.sparkSession
     q_ids, Q = (
-        queries
+        _unit_queries(queries)
         if isinstance(queries, tuple)
         else _collect_unit_matrix(queries, id_col, vec_col)
     )
@@ -570,12 +612,13 @@ def ivf_topk(
             S[q_ids[:, None] == ids[None, :]] = -np.inf  # self-exclusion
             yield _local_topk_frame(q_ids, ids, S, k)
 
-    # Natural partitioning, no spread: same rationale as
+    # Natural partitioning by default: same rationale as
     # cosine_topk_bruteforce — matmul throughput wants FEW, LARGE Arrow
     # batches, and fanning a one-split corpus out to 32 partitions makes
     # 32 sliver matmuls whose Python-worker round-trips dwarf the math.
-    # At scale the parquet split count already provides the parallelism.
-    part = corpus.select(id_col, vec_col).mapInPandas(
+    # _spread_if_large guards the opposite pathology (a few-splits corpus
+    # big enough to serialize the pass) without re-introducing slivers.
+    part = _spread_if_large(corpus.select(id_col, vec_col)).mapInPandas(
         probe_topk, "query_id long, neighbor_id long, sim double"
     )
     return _global_topk(part, k)
@@ -646,7 +689,7 @@ def ivf_probe_index(
     cents_pdf = spark.read.parquet(f"{path}/centroids").orderBy("cell").toPandas()
     cents = np.stack([np.asarray(c, dtype="float64") for c in cents_pdf["centroid"]])
     q_ids, Q = (
-        queries
+        _unit_queries(queries)
         if isinstance(queries, tuple)
         else _collect_unit_matrix(queries, id_col, vec_col)
     )
@@ -980,7 +1023,7 @@ def cosine_topk_pq(
     rerank = max(8 * k, 32)
     spark = corpus.sparkSession
     q_ids, Q = (
-        queries
+        _unit_queries(queries)
         if isinstance(queries, tuple)
         else _collect_unit_matrix(queries, id_col, vec_col)
     )

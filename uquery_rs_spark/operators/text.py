@@ -70,15 +70,18 @@ def with_language_struct(docs: DataFrame, toks_col: str = TOKS) -> DataFrame:
     CollapseProject inlining (same rule with_tokens relies on), so the 4
     ratios run exactly once per row and scores + argmax read the fields.
     """
-    return docs.withColumn(
-        LANG_ST,
-        F.struct(
+    from ..functions.expr import cached_expr
+
+    st = cached_expr(
+        ("language_struct", toks_col),
+        lambda: F.struct(
             *[
                 stopword_ratio(F.col(toks_col), w).alias(lang)
                 for lang, w in STOPWORDS.items()
             ]
         ),
     )
+    return docs.withColumn(LANG_ST, st)
 
 
 def language_struct_scores(st: Column) -> list[Column]:

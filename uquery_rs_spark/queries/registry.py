@@ -98,6 +98,15 @@ def register(
 
 _loaded: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
+# r14 note: an input-bytes-keyed AQE gate (disable adaptive execution
+# below ~1 GiB of scanned input) was implemented and A/B-measured here.
+# A sequential A/B suggested 0.1-0.5 s/query wins, but a properly
+# INTERLEAVED A/B (same session, alternating runs) showed the effect is
+# net-neutral: AQE's per-stage job overhead on tiny inputs is offset by
+# its partition coalescing collapsing 32-task reduce waves to 1 task
+# (tumbling/ann were 0.1-0.17 s FASTER with AQE on). Reverted; AQE
+# stays on unconditionally, as in every round since r1.
+
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     key = (id(spark), sf_dir)

@@ -9716,10 +9716,18 @@ class SqlRewriter:
         hundreds of expected failures. The raw _jsparkSession.sql call
         performs the same eager parse+analysis (Dataset.ofRows asserts
         analyzed); a failure surfaces as a plain Py4JJavaError that is
-        caught and dropped unread."""
+        caught and dropped unread.
+
+        Falls back to the public SparkSession.sql when _jsparkSession
+        is absent (Spark Connect sessions have no py4j handle) — the
+        probe result is identical, just slower per failure."""
+        jsession = getattr(self.spark, "_jsparkSession", None)
         try:
             with _probe_quiet():
-                self.spark._jsparkSession.sql(probe_sql)
+                if jsession is not None:
+                    jsession.sql(probe_sql)
+                else:
+                    self.spark.sql(probe_sql)
             return True
         except Exception:
             return False
