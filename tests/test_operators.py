@@ -1577,3 +1577,48 @@ class TestR14BuildOptimizations:
         unit = raw / np.linalg.norm(raw, axis=1, keepdims=True)
         _, M2 = _unit_queries((ids, unit))
         assert M2 is unit or (M2 == unit).all()
+
+    def test_repetition_runs_kernel_equivalent(self, spark):
+        """r14 repetition kernel: longest equal run in the SORTED gram
+        array == max count over distinct grams (multiset identity), and
+        the explode_outer emission keeps the old filter semantics —
+        checked against the pre-r14 formulation inline."""
+        from uquery_rs_spark.functions.expr import bind
+        from uquery_rs_spark.operators import text as TX
+
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+        def old_stats(toks):
+            idx = F.sequence(F.lit(1), F.size(toks) - 1)
+            gram = lambda i: F.concat_ws(  # noqa: E731
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            )
+            grams = F.when(F.size(toks) >= 2, F.transform(idx, gram)).otherwise(
+                F.array().cast("array<string>")
+            )
+            return bind(
+                grams,
+                lambda g: F.struct(
+                    F.array_max(
+                        F.transform(
+                            F.array_distinct(g),
+                            lambda d: F.size(F.filter(g, lambda x: x == d)),
+                        )
+                    ).alias("top_c"),
+                    F.size(g).alias("total"),
+                ),
+            )
+
+        old = (
+            TX.with_tokens(docs)
+            .select("doc_id", old_stats(F.col(TX.TOKS)).alias("s"))
+            .filter(F.col("s.top_c") / F.col("s.total") > 0.05)
+            .select(
+                "doc_id",
+                F.round(F.col("s.top_c") / F.col("s.total"), 4).alias("f"),
+            )
+        )
+        new = TX.repetition_stats(docs)
+        got_old = {(r.doc_id, r.f) for r in old.collect()}
+        got_new = {(r.doc_id, r.top_bigram_frac) for r in new.collect()}
+        assert got_new == got_old and len(got_new) > 0

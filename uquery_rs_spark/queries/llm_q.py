@@ -19,6 +19,7 @@ from ..operators import multimodal as MM
 from ..operators import similarity as S
 from ..operators import text as TX
 from .registry import load_tables, register
+from ..functions.expr import spread
 
 # ---------------------------------------------------------------------------
 # Deduplication
@@ -547,8 +548,6 @@ def text_language_id(spark: SparkSession, sf: str) -> DataFrame:
     # spread() first: the documents parquet is a single split at bench
     # scale, so without the round-robin exchange the interpreted
     # stopword-filter projection runs on ONE core.
-    from ..functions.expr import spread
-
     docs = TX.with_language_struct(
         TX.with_tokens(spread(load_tables(spark, sf)["documents"]))
     )
@@ -601,7 +600,7 @@ ORDER BY doc_id
 )
 def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Whitespace + BPE-ish token counting, type/token ratio."""
-    docs = load_tables(spark, sf)["documents"]
+    docs = spread(load_tables(spark, sf)["documents"])
     return TX.token_stats(docs).orderBy("doc_id")
 
 
@@ -1313,7 +1312,7 @@ def text_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
     in both engines. The synthetic corpus has no PII, so every 7th doc is
     deterministically salted with an email + phone before scanning —
     exercising both the hit and miss paths."""
-    docs = load_tables(spark, sf)["documents"]
+    docs = spread(load_tables(spark, sf)["documents"])
     salted = docs.select(
         "doc_id",
         F.when(
@@ -1482,7 +1481,7 @@ def text_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     docs whose single most frequent word bigram exceeds 5% of all bigrams
     — the loop/boilerplate signal. Spark side is a shuffle-free per-row
     array expression; the oracle takes the equivalent unnest/group path."""
-    docs = load_tables(spark, sf)["documents"]
+    docs = spread(load_tables(spark, sf)["documents"])
     return TX.repetition_stats(docs).orderBy("doc_id")
 
 
@@ -2608,7 +2607,7 @@ def text_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
     split (operators/text.py::gopher_quality_stats) — fuses into the
     scan stage, no shuffle, no UDF; the flag uses the ROUNDED signal
     columns so both engines compare identical values."""
-    docs = load_tables(spark, sf)["documents"]
+    docs = spread(load_tables(spark, sf)["documents"])
     return TX.gopher_quality_stats(docs).orderBy("doc_id")
 
 
@@ -2731,7 +2730,7 @@ def text_c4_quality(spark: SparkSession, sf: str) -> DataFrame:
     newlines, ' spark ' into ' javascript ', plus injected braces and
     lorem-ipsum markers on doc_id strides) — identical construction in
     the oracle."""
-    docs = load_tables(spark, sf)["documents"]
+    docs = spread(load_tables(spark, sf)["documents"])
     synth = docs.withColumn(
         "text",
         F.concat(
@@ -2901,7 +2900,7 @@ def text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     scan-fused with zero shuffle. Integer-exact hashing makes the
     whole model oracle-checkable on DuckDB (list_reduce seeded via
     list_prepend — DuckDB's reduce has no init arg)."""
-    docs = load_tables(spark, sf)["documents"]
+    docs = spread(load_tables(spark, sf)["documents"])
     return TX.quality_classifier(docs).orderBy("doc_id")
 
 
@@ -2964,7 +2963,7 @@ def text_intra_doc_dedup(spark: SparkSession, sf: str) -> DataFrame:
     identical machinery runs on newline units in production. The
     oracle is the same indexed list_filter — DuckDB's lambda index is
     1-based where Spark's is 0-based; each side uses its own base."""
-    docs = load_tables(spark, sf)["documents"]
+    docs = spread(load_tables(spark, sf)["documents"])
     return TX.intra_doc_dedup(docs, sep=" ").orderBy("doc_id")
 
 
