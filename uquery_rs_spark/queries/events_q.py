@@ -72,9 +72,9 @@ def tumbling_window_approx(spark: SparkSession, sf: str) -> DataFrame:
     correctness-checked (within_bound registry convention, like the
     ANN recall shapes): checked columns are the exact values both
     engines compute identically plus the claim that the Datasketches
-    HLL estimate (lgConfigK=12 ≈ 1.6% rse — the same sketch
-    events_hll_sketch_rollup materializes) lands within max(1, 5%) of
-    the exact count per window."""
+    HLL estimate (lgConfigK=14 ≈ 0.4% rse since r14 — ADVICE #1's
+    margin fix) lands within max(1, 5%) of the exact count per
+    window."""
     ev = load_tables(spark, sf)["events"]
     # The exact and approx counts are computed in SEPARATE aggregations
     # and joined on the ~|windows| group keys: putting
@@ -92,16 +92,19 @@ def tumbling_window_approx(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
-    # Datasketches HLL (lgConfigK=12 ≈ 1.6% rse — the same sketch and
-    # bound events_hll_sketch_rollup pins) instead of
-    # approx_count_distinct(rsd=0.01): Spark's HLL++ at rsd 0.01 needs a
-    # 2^14-register buffer flattened into ~1640 aggregation-buffer
-    # columns, which blows past the ~100-field whole-stage-codegen limit
-    # and drops the whole aggregate to interpreted row mode (measured
-    # 16-20 s vs 0.3 s at sf0.01). The Datasketches buffer is ONE binary
-    # column through ObjectHashAggregate.
+    # Datasketches HLL instead of approx_count_distinct(rsd=0.01):
+    # Spark's HLL++ at rsd 0.01 needs a 2^14-register buffer flattened
+    # into ~1640 aggregation-buffer columns, which blows past the
+    # ~100-field whole-stage-codegen limit and drops the whole aggregate
+    # to interpreted row mode (measured 16-20 s vs 0.3 s at sf0.01). The
+    # Datasketches buffer is ONE binary column through
+    # ObjectHashAggregate. lgConfigK=14 (~0.4% RSE; r13 ADVICE #1):
+    # the 5% within_bound contract sits ~12σ out instead of ~3σ at
+    # lgK=12, removing the per-group tail-flake risk at scale for a
+    # still-KB-sized buffer. (events_hll_sketch_rollup keeps lgK=12 —
+    # its bound covers union-rollup composition, a different margin.)
     approx = ev.groupBy(win, "event_type").agg(
-        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").alias("_apx")
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").alias("_apx")
     )
     bound = F.abs(
         F.col("_apx").cast("double") - F.col("n_users").cast("double")
