@@ -366,16 +366,27 @@ def cosine_pairs_blocked(
     # as a Spark HOF projection instead cost a CollapseProject barrier
     # (an extra full exchange via spread) — measured round 3: one less
     # shuffle stage beats de-duplicating a trivial normalize.
+    from ..functions.expr import cached_expr
+
     unit = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(B)).alias("blk"),
+        cached_expr(
+            ("cosine_blk", id_col, B),
+            lambda: F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(B)),
+        ).alias("blk"),
     )
-    # replicate: row in block i joins every unordered pair {i, j}
-    pair_keys = F.transform(
-        F.sequence(F.lit(0), F.lit(B - 1)),
-        lambda j: F.struct(
-            F.least(F.col("blk"), j).alias("lo"), F.greatest(F.col("blk"), j).alias("hi")
+    # replicate: row in block i joins every unordered pair {i, j};
+    # expression memoized per B (functions.expr.cached_expr — B is
+    # data-independent here: footer row count via the caller)
+    pair_keys = cached_expr(
+        ("cosine_pair_keys", B),
+        lambda: F.transform(
+            F.sequence(F.lit(0), F.lit(B - 1)),
+            lambda j: F.struct(
+                F.least(F.col("blk"), j).alias("lo"),
+                F.greatest(F.col("blk"), j).alias("hi"),
+            ),
         ),
     )
     replicated = unit.select(
