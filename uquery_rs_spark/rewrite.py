@@ -9705,32 +9705,60 @@ class SqlRewriter:
                 pos = j
 
     def _probe_analyzes(self, probe_sql: str) -> bool:
-        """Boolean LIMIT-0 analysis probe through the RAW JVM session.
+        """Boolean LIMIT-0 analysis probe through the RAW py4j transport.
 
         Used by every probe site that needs only pass/fail (never the
-        exception message): pyspark's SparkSession.sql wraps a failure
-        in captured.convert_exception, which rebuilds message, query
-        contexts and both stack traces through ~20 extra py4j round
-        trips — measured ~9 ms per FAILING probe on top of the JVM's
-        own failed-analysis cost, and battery-sized statements issue
-        hundreds of expected failures. The raw _jsparkSession.sql call
-        performs the same eager parse+analysis (Dataset.ofRows asserts
-        analyzed); a failure surfaces as a plain Py4JJavaError that is
-        caught and dropped unread.
+        exception message). The r13 fix routed probes through
+        `_jsparkSession.sql` expecting a plain Py4JJavaError — but
+        pyspark's install_exception_handler() patches
+        `py4j.java_gateway.get_return_value` GLOBALLY, so even the raw
+        JavaMember call pays captured.convert_exception: message, query
+        contexts, instanceof chains and both stack traces rebuilt over
+        dozens of py4j round trips per EXPECTED failure (r14 profile:
+        ~112 ms/failing probe under load, 60 of a 76 s worst-statement
+        rewrite). The fix: replicate JavaMember.__call__ with the
+        PRISTINE `py4j.protocol.get_return_value` (that module binding
+        is never patched) — a failing probe then raises a bare
+        Py4JJavaError whose Java-side detail is fetched LAZILY, so
+        catching it unread costs one round trip: the analysis itself.
+        Same eager parse+analysis either way (Dataset.ofRows asserts
+        analyzed).
 
         Falls back to the public SparkSession.sql when _jsparkSession
         is absent (Spark Connect sessions have no py4j handle) — the
         probe result is identical, just slower per failure."""
         jsession = getattr(self.spark, "_jsparkSession", None)
-        try:
-            with _probe_quiet():
-                if jsession is not None:
-                    jsession.sql(probe_sql)
-                else:
+        if jsession is None:
+            try:
+                with _probe_quiet():
                     self.spark.sql(probe_sql)
-            return True
-        except Exception:
-            return False
+                return True
+            except Exception:
+                return False
+        from py4j import protocol as _p4jp
+
+        member = jsession.sql  # JavaMember; py4j caches it on the object
+        with _probe_quiet():
+            try:
+                args_command, temp_args = member._build_args(probe_sql)
+                command = (
+                    _p4jp.CALL_COMMAND_NAME
+                    + member.command_header
+                    + args_command
+                    + _p4jp.END_COMMAND_PART
+                )
+                answer = member.gateway_client.send_command(command)
+                try:
+                    _p4jp.get_return_value(
+                        answer, member.gateway_client, member.target_id, member.name
+                    )
+                    return True
+                finally:
+                    for temp_arg in temp_args:
+                        if hasattr(temp_arg, "_detach"):
+                            temp_arg._detach()
+            except Exception:
+                return False
 
     def _time_wrap_probe(self, candidate_sql: str) -> bool:
         """LIMIT-0 analysis probe for the TIME-wrap dispatch. Runs AFTER
