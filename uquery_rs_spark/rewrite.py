@@ -9727,6 +9727,23 @@ class SqlRewriter:
         Falls back to the public SparkSession.sql when _jsparkSession
         is absent (Spark Connect sessions have no py4j handle) — the
         probe result is identical, just slower per failure."""
+        # Per-top-level-rewrite memo (thread-local, see rewrite()):
+        # ~17% of a probe-heavy statement's probes repeat the exact
+        # same text across dispatch sites/passes — the result cannot
+        # differ within one rewrite (same session state), so re-issuing
+        # the analysis is pure waste. Scoped to a single rewrite() call:
+        # no staleness across DDL/view changes is possible.
+        memo = getattr(_PROBE_TLS, "memo", None)
+        if memo is not None:
+            hit = memo.get(probe_sql)
+            if hit is not None:
+                return hit
+        ok = self._probe_analyzes_uncached(probe_sql)
+        if memo is not None:
+            memo[probe_sql] = ok
+        return ok
+
+    def _probe_analyzes_uncached(self, probe_sql: str) -> bool:
         jsession = getattr(self.spark, "_jsparkSession", None)
         if jsession is None:
             try:
@@ -10542,6 +10559,19 @@ class SqlRewriter:
         return self.rewrite(f"WITH RECURSIVE {name} AS (SELECT * FROM {uid}){rest}")
 
     def rewrite(self, sql: str) -> str:
+        # Open a probe-result memo for the duration of this TOP-LEVEL
+        # rewrite (thread-local; nested rewrite() calls — EXECUTE,
+        # macro/CTE recursion — share the outer one, which is sound:
+        # session state cannot change mid-rewrite).
+        if getattr(_PROBE_TLS, "memo", None) is None:
+            _PROBE_TLS.memo = {}
+            try:
+                return self._rewrite_inner(sql)
+            finally:
+                _PROBE_TLS.memo = None
+        return self._rewrite_inner(sql)
+
+    def _rewrite_inner(self, sql: str) -> str:
         if _FORBIDDEN_RE.match(sql):
             raise UQueryError.sql_error(
                 "session-mutating statements are disabled (configuration is locked)"
