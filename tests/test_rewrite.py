@@ -4048,3 +4048,31 @@ def test_round12_string_polymorphic_array_extract(spark, rw):
     assert (row.a, row.b, row.c, row.d, row.e, row.f) == (
         "b", "d", "", "", None, "é"
     )
+
+
+def test_probe_memo_scoped_to_one_rewrite(spark, rw):
+    """r14: analysis-probe results are memoized ONLY within one
+    top-level rewrite() call — the thread-local memo must be closed on
+    exit (success AND failure paths), so no probe result can outlive
+    the session state it was measured under."""
+    from uquery_rs_spark import rewrite as RW
+
+    assert getattr(RW._PROBE_TLS, "memo", None) is None
+    rw.rewrite("SELECT len([1,2,3]) AS n, len('abc') AS m")
+    assert getattr(RW._PROBE_TLS, "memo", None) is None
+    try:
+        rw.rewrite("CREATE TABLE nope AS SELECT 1")  # forbidden → raises
+    except Exception:
+        pass
+    assert getattr(RW._PROBE_TLS, "memo", None) is None
+    # memo actually dedupes within one rewrite
+    calls = []
+    orig = RW.SqlRewriter._probe_analyzes_uncached
+    try:
+        RW.SqlRewriter._probe_analyzes_uncached = (
+            lambda self, s: calls.append(s) or orig(self, s)
+        )
+        rw.rewrite("SELECT len([1,2,3]) AS a, len([4,5,6]) AS b")
+    finally:
+        RW.SqlRewriter._probe_analyzes_uncached = orig
+    assert len(calls) == len(set(calls))  # no duplicate probe issued
